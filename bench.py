@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once as a warm-up-free wall-clock measurement of
+plan + execute + collect-count (count() keeps the full plan but avoids
+driver-side result materialization skew for wide outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan+filter, join+agg, window
+# funcs, as-of state join, tumbling window, union, topk, json, dedup/text
+# extensions when present.
+HEADLINE = [
+    "q01_filter_eq",
+    "q07_enrich_join",
+    "q08_keyed_agg",
+    "q10_tumbling_window",
+    "q11_fanin_union",
+    "q13_join_inner",
+    "q14_rollup",
+    "q15_window_funcs",
+    "q16_topk",
+    "q18_scalar_battery",
+    "q20_json_extract",
+    "q21_s2s_asof_join",
+    "q22_sessionize",
+    # extensions (skipped gracefully if not yet registered)
+    "x01_dedup_exact",
+    "x02_dedup_minhash_lsh",
+    "x06_ann_cosine_topk",
+    "x08_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from go_fish_spark.queries import REGISTRY
+    from go_fish_spark.session import get_spark
+
+    spark = get_spark(app_name="go-fish-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = REGISTRY.get(name)
+        if qd is None:
+            continue
+        t0 = time.perf_counter()
+        df = qd.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Table catalog over the driver's synthetic parquet tables (TESTDATA.md).
+
+Parquet scans are the engine's batch "file source" (reference analogue:
+`input/file.go:22-37`, which reads a file line-by-line). Expressed as
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column pruning,
+and partition pruning for free — the reference has none of these (SURVEY.md
+§4.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    tune(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long nanos (session.py); convert
+        # to TimestampType via exact integer division (`div`, not `/`, which
+        # would round-trip through double and lose ns precision).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,264 @@
+"""Q13–Q20 — relational completeness (SURVEY.md §2.6 gap map).
+
+go-fish implements none of these (no SQL, no joins beyond the KV pattern, no
+window functions, no set ops — SURVEY §2.6); they are required for
+"analytics engine" parity-plus and come as Spark built-ins, so every query
+here stays fully inside Catalyst/whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import joins
+from . import query
+from .util import duck_money_sum, duck_ts_str, money_sum, ts_str
+
+
+def _orders_customer_nation(spark, sf_dir):
+    """orders ⋈ customer ⋈ nation with both dimensions broadcast — the fact
+    table (orders) never shuffles; at 100 TB this is the only viable plan."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    ).join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+
+
+@query(
+    "q13_join_inner",
+    oracle=f"""
+    SELECT n_name, count(*) AS orders_cnt, {duck_money_sum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q13_join_inner(spark, sf_dir):
+    """Inner join chain with broadcast dimensions (TPC-H Q5 shape)."""
+    df = _orders_customer_nation(spark, sf_dir)
+    return (
+        df.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("orders_cnt"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q13_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def q13_join_semi(spark, sf_dir):
+    """Left-semi join: EXISTS without materializing the probe side."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.semi_join(customer, orders, "c_custkey").select(
+        "c_custkey", "c_name"
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q13_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def q13_join_anti(spark, sf_dir):
+    """Left-anti join: NOT EXISTS (o_custkey is non-null in testdata, so
+    NOT IN ≡ anti join here)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return joins.anti_join(customer, orders, "c_custkey").select(
+        "c_custkey", "c_name"
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q14_rollup",
+    oracle=f"""
+    SELECT n_name, o_orderpriority, count(*) AS cnt,
+           {duck_money_sum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, o_orderpriority)
+    ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q14_rollup(spark, sf_dir):
+    """Grouping sets via ROLLUP — one shuffle produces all three grouping
+    levels (Spark expands rollup before the exchange)."""
+    df = _orders_customer_nation(spark, sf_dir)
+    return (
+        df.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q15_window_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderdate)             AS rnk,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q15_window_funcs(spark, sf_dir):
+    """Ranking/analytic window functions (row_number/rank/lag) with a
+    deterministic tiebreak on the unique key."""
+    orders = table(spark, sf_dir, "orders")
+    w_unique = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_ties = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.lag("o_totalprice").over(w_unique).alias("prev_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q16_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q16_topk(spark, sf_dir):
+    """Top-k: Spark plans ORDER BY+LIMIT as TakeOrderedAndProject — each
+    partition keeps only k rows, no global sort at any scale."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q17_setops",
+    oracle="""
+    SELECT * FROM (
+      SELECT k, 'both' AS tag FROM
+        (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT k, 'only_customer' AS tag FROM
+        (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+    ) ORDER BY k, tag
+    """,
+)
+def q17_setops(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct set semantics), tagged and fanned in."""
+    cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ords = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    both = cust.intersect(ords).withColumn("tag", F.lit("both"))
+    only = cust.exceptAll(ords.distinct()).distinct().withColumn(
+        "tag", F.lit("only_customer")
+    )
+    return both.unionByName(only).orderBy("k", "tag")
+
+
+@query(
+    "q18_scalar_battery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           upper(l_linestatus)                          AS status_u,
+           concat_ws('-', l_returnflag, l_linestatus)   AS flag_status,
+           year(l_shipdate)                             AS ship_year,
+           month(l_shipdate)                            AS ship_month,
+           strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS ship_month_start,
+           date_diff('day', DATE '1995-01-01', l_shipdate) AS days_since_95,
+           l_orderkey % 7                               AS key_mod,
+           abs(l_orderkey - 1000)                       AS key_dist,
+           CAST(floor(l_quantity) AS BIGINT)            AS qty_floor,
+           substring(l_returnflag || l_linestatus, 1, 2) AS flag2
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q18_scalar_battery(spark, sf_dir):
+    """Scalar function battery (string/date/math) — the reference's only
+    scalar library is hand-written Go inside rules (regex
+    `domain_cert_issued.go:19`, sprintf-concat `cloudTrail_s2s_join.go:
+    101-109`, len `length.go:14`); here they are codegen'd built-ins."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.upper("l_linestatus").alias("status_u"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        ts_str(F.date_trunc("month", F.col("l_shipdate"))).alias("ship_month_start"),
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01")).alias("days_since_95"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("key_mod"),
+        F.abs(F.col("l_orderkey") - 1000).alias("key_dist"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.substring(F.concat("l_returnflag", "l_linestatus"), 1, 2).alias("flag2"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q19_approx_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS exact_cnt, TRUE AS approx_ok FROM lineitem
+    """,
+)
+def q19_approx_distinct(spark, sf_dir):
+    """Exact vs approximate distinct. The HLL++ estimate itself is not
+    hash-comparable across engines, so the contract is: exact count matches,
+    and the Spark-side estimate is within 5% relative error (asserted as a
+    boolean that the oracle pins to TRUE)."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("exact_cnt"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_cnt"),
+    )
+    return agg.select(
+        "exact_cnt",
+        (
+            F.abs(F.col("approx_cnt") - F.col("exact_cnt"))
+            / F.col("exact_cnt")
+            < 0.05
+        ).alias("approx_ok"),
+    )
+
+
+@query(
+    "q20_json_extract",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def q20_json_extract(spark, sf_dir):
+    """JSON extraction from the events payload column ≡ the reference's
+    per-rule re-decoding of untyped payloads (`cloudTrail_s2s_join.go:69-72`
+    via mapstructure)."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", F.get_json_object("props", "$.k").alias("k"))
+        .orderBy("event_id")
+    )

@@ -1,0 +1,123 @@
+"""Q21–Q22 — batch-expressible forms of the reference's *stateful* operators.
+
+The reference's flagship behaviors are keyed-state programs
+(`s2s_rules/cloudTrail_s2s_join.go`, `agg_rules/cloudTrail_agg.go`). Their
+true streaming forms live in ``go_fish_spark.streaming``; these queries pin
+the *semantics* in a deterministic, oracle-checkable batch form, because the
+state-lookup patterns are exactly expressible as event-time window
+functions:
+
+* "KV lookup of the most recent write for this key" ≡ ``last(...) IGNORE
+  NULLS OVER (PARTITION BY key ORDER BY time)`` — an as-of self-join.
+* "session/window state with drain" ≡ gap-based sessionization via a
+  running sum of new-session flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+from .util import duck_ts_str, ts_str
+
+
+@query(
+    "q21_s2s_asof_join",
+    oracle="""
+    SELECT event_id, entity FROM (
+      SELECT event_id, event_type,
+             coalesce(
+               last_value(reg_name IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               CAST(user_id AS VARCHAR)
+             ) AS entity
+      FROM (
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_type = 'signup'
+                    THEN 'user/' || CAST(user_id AS VARCHAR) END AS reg_name
+        FROM events
+      )
+    ) WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q21_s2s_asof_join(spark, sf_dir):
+    """Stream-to-stream enrichment with "latest seen" keyed state ≡
+    `cloudTrail_s2s_join.go:68-78` (AssumeRole writes kv[key]=principal) +
+    `:124-130` (later events read kv[key], falling back to the raw id).
+
+    Batch as-of form: for each 'purchase' event, the entity is the principal
+    written by the latest 'signup' of the same user at-or-before the event's
+    time; a user with no prior signup falls back to the raw user_id —
+    exactly the KV-miss branch. One shuffle on user_id, no state store."""
+    events = table(spark, sf_dir, "events")
+    reg = F.when(
+        F.col("event_type") == "signup",
+        F.concat(F.lit("user/"), F.col("user_id").cast("string")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = events.withColumn(
+        "entity",
+        F.coalesce(
+            F.last(reg, ignorenulls=True).over(w), F.col("user_id").cast("string")
+        ),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select("event_id", "entity")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q22_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           {duck_ts_str('min(ts)')} AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q22_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) — the batch analogue
+    of a streaming session window (`F.session_window``), which generalizes
+    the reference's drain-on-interval state pattern (`window.go:38-49`)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    sessions = events.withColumn("session_id", F.sum(new_session).over(run))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ts_str(F.min("ts")).alias("session_start"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for large-scale execution.
+
+The reference has no execution tuning at all (one event in flight per edge,
+`pipeline.go:346`). Here we lean on Spark: AQE for runtime re-planning and
+skew handling, partition coalescing, Arrow for any pandas-UDF boundary, and a
+UTC session so timestamp semantics are deterministic across engines.
+
+Two entry points:
+  * ``get_spark()``  — build a session (tests, bench, CLI).
+  * ``tune(spark)``  — apply the runtime-settable subset to an externally
+    provided session (the driver owns the session for ``__spark_entry__``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that can be flipped on a live session (runtime-mutable SQL confs).
+RUNTIME_CONF = {
+    # Deterministic timestamp rendering for oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive query execution: runtime shuffle-partition coalescing, skew
+    # join splitting, and dynamic join-strategy switching. At 100 TB the
+    # static shuffle-partition number is always wrong; AQE fixes it per-stage.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interchange (UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dimension tables (region/nation/customer at test SF) should
+    # always broadcast; 64 MB is still driver-safe on a real cluster.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    # rejects by default; read as long nanos and convert in the catalog
+    # (catalog.table) with exact integer arithmetic.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Config locked down by the session owner — keep going; every
+            # query is written to be correct (if slower) without it, except
+            # timezone which the driver harness also sets to UTC.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "go-fish-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

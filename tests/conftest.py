@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from go_fish_spark.session import get_spark
+
+    s = get_spark(app_name="go-fish-spark-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for sf_dir in (SF_SMALL, SF_MED):
+        pass
+    # Views are registered per-test-module against the sf dir in use.
+    yield con
+    con.close()
+
+
+def register_duck_views(con, sf_dir: str) -> None:
+    from go_fish_spark.catalog import TABLES
+
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )

@@ -1,0 +1,84 @@
+"""Differential correctness: every registered query vs its DuckDB oracle.
+
+Mirrors the driver's t2 gate (CORRECTNESS_r{N}.json): same row count, same
+column names, same multiset of row values (order-insensitive, like the
+driver's sorted-columns value hash). Run at sf0.001 for speed; the driver
+runs sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from conftest import SF_SMALL, register_duck_views
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMALL)
+
+
+def normalize(rows, cols):
+    """Canonical, order-insensitive representation of a result set with
+    column-name-sorted values (what the driver's value hash sees)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else repr(round(v, 9))
+            vals.append(str(v))
+        out.append("\x1f".join(vals))
+    return sorted(out)
+
+
+def all_oracle_queries():
+    from go_fish_spark.queries import REGISTRY
+
+    return [name for name, qd in REGISTRY.items() if qd.oracle is not None]
+
+
+@pytest.mark.parametrize("name", all_oracle_queries())
+def test_query_matches_oracle(name, spark, duck):
+    from go_fish_spark.queries import REGISTRY
+
+    qd = REGISTRY[name]
+    register_duck_views(duck, SF_DIR)
+
+    sdf = qd.fn(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(qd.oracle)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
+    if ns != nd:
+        diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["n_name", "orders_cnt", "revenue"]
+
+
+def test_registry_shape():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 20
