@@ -1,0 +1,284 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+The reference has no dedup (closest pattern: the KV get-or-create collapse,
+`agg_rules/cloudTrail_agg.go:39-63`); these are the north-star extension
+ops, each designed for the 100 TB shape:
+
+* **exact**      — one hash-partitioned groupBy on a fixed-width digest
+                   (never shuffles full document text as the key).
+* **MinHash+LSH** — signatures computed per-row with array expressions
+                   (no shuffle), then ONE shuffle on (band, band_hash);
+                   candidate verification happens inside buckets. Cost is
+                   O(docs × bands) exploded rows, independent of the O(n²)
+                   pair space.
+* **SimHash**     — 64-bit signature per row (pure column math, no
+                   shuffle), banding on 4×16-bit chunks (pigeonhole: any
+                   pair within Hamming distance 3 shares ≥1 exact chunk),
+                   verify with bit_count(xor).
+* **n-gram Jaccard** — exact similarity join via shingle-inverted-index
+                   self-join: explode distinct shingles, join on shingle,
+                   count co-occurrences. Shuffles on shingle, which is the
+                   scalable exact algorithm (pairs sharing no shingle are
+                   never materialized); rare hot shingles are handled by
+                   AQE skew splitting.
+* **embedding cosine** — exact O(n²) pair scan kept for correctness
+                   checks; the scale path is LSH bucketing in
+                   similarity.py (random-hyperplane buckets → one shuffle).
+
+All signature math uses Spark built-ins over 31-bit modular arithmetic so
+products stay far below 2^63 — no silent long overflow.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+from ..functions.text import word_shingles
+
+# Mersenne prime 2^31-1: modulus for the MinHash universal hash family.
+_P31 = (1 << 31) - 1
+
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(n_hashes)]
+
+
+def _shingle_hashes(text: Column | str, k: int) -> Column:
+    # 31-bit base hash per distinct shingle; xxhash64 runs JVM-side.
+    return F.transform(word_shingles(text, k), lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+
+
+def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3, seed: int = 42) -> Column:
+    """array<long> MinHash signature, entirely array-side (no shuffle).
+
+    h_i(x) = (a_i*x + b_i) mod (2^31-1); a_i,x < 2^31 keeps products
+    < 2^62. Empty shingle sets get sentinel 2^31-1 signatures (can only
+    collide with other empty docs)."""
+    hashes = _shingle_hashes(text, k)
+    sig = [
+        F.coalesce(
+            F.array_min(F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(_P31)))),
+            F.lit(_P31),
+        )
+        for a, b in minhash_params(n_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding, verified by
+    signature agreement.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard ≥ threshold, where est_jaccard is the fraction of
+    agreeing signature components (an unbiased Jaccard estimator).
+    """
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n_hashes, k, seed).alias("_sig"),
+    )
+
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("_sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sigs.select("_id", "_sig", F.explode(band_cols).alias("bd")).select(
+        "_id", "_sig", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    )
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = agree / F.lit(float(n_hashes))
+    return (
+        candidates.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+_N_CHUNKS = 4
+_CHUNK_BITS = 16
+
+
+def simhash_chunks(text: Column | str) -> list[Column]:
+    """64-bit SimHash as 4×16-bit chunks (avoids sign-bit overflow when
+    assembling, and banding needs the chunks anyway).
+
+    Bit j is set iff the majority of distinct tokens have bit j set in
+    their 64-bit hash. Pure array expressions — no explode, no shuffle.
+    """
+    toks = F.array_distinct(F.split(text, " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    chunks = []
+    for c in range(_N_CHUNKS):
+        val = F.lit(0).cast("long")
+        for j in range(_CHUNK_BITS):
+            bit_idx = c * _CHUNK_BITS + j
+            ones = F.size(
+                F.filter(hashes, lambda h: F.shiftright(h, bit_idx).bitwiseAND(F.lit(1)) == 1)
+            )
+            bit = F.when(ones * 2 >= n, F.lit(1 << j)).otherwise(F.lit(0))
+            val = val + bit
+        chunks.append(val.alias(f"sh_c{c}"))
+    return chunks
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming distance ≤ max_hamming (≤3 by
+    pigeonhole over the 4 chunk bands). One shuffle on (chunk_idx, value)."""
+    sigs = df.select(F.col(id_col).alias("_id"), *simhash_chunks(text_col))
+
+    chunk_arr = F.array(
+        *[
+            F.struct(F.lit(c).alias("ci"), F.col(f"sh_c{c}").alias("cv"))
+            for c in range(_N_CHUNKS)
+        ]
+    )
+    exploded = sigs.select(
+        "_id", "sh_c0", "sh_c1", "sh_c2", "sh_c3", F.explode(chunk_arr).alias("ch")
+    ).select("_id", "sh_c0", "sh_c1", "sh_c2", "sh_c3", "ch.ci", "ch.cv")
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            *[F.col(f"a.sh_c{c}").alias(f"a_c{c}") for c in range(_N_CHUNKS)],
+            *[F.col(f"b.sh_c{c}").alias(f"b_c{c}") for c in range(_N_CHUNKS)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    hamming = sum(
+        F.bit_count(F.col(f"a_c{c}").bitwiseXOR(F.col(f"b_c{c}")))
+        for c in range(_N_CHUNKS)
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Exact Jaccard over word k-shingles via inverted-index self-join.
+
+    Explode distinct shingles → join on shingle → co-occurrence counts →
+    jaccard = inter / (|A| + |B| - inter). Only pairs sharing ≥1 shingle
+    are ever materialized; the shuffle key is the shingle, so work scales
+    with index size, not with n²."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+    ).withColumn("_n", F.size("_sh"))
+
+    inv = sh.select("_id", "_n", F.explode("_sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (exact pair scan — correctness baseline)
+
+
+def embedding_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
+) -> DataFrame:
+    """Exact cosine pair scan (O(n²)) — the correctness baseline. For the
+    bucketed scale path see similarity.lsh_buckets."""
+    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    cos = vectors.cosine("va", "vb")
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: canonical (min id) representative + duplicate count per
+    identical content. Groups on the md5 digest so the shuffle key is 16
+    bytes regardless of document size."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )

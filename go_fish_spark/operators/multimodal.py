@@ -1,0 +1,93 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode/feature-extraction as Arrow-batched pandas functions.
+
+North-star extension (BASELINE.json). The engine treats image/audio/video
+as ``binary`` columns with a metadata struct; the *plumbing* — schema,
+partitioning, `mapInPandas` batch shape — is real and tested. The actual
+media decode is STUBBED (the image/audio libraries are not in this
+container): ``decode_features`` computes deterministic fake features from
+the raw bytes, and raises ``NotImplementedError`` if a real codec is
+requested, with the integration point clearly marked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata carried alongside every binary payload.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def ingest_binary(df: DataFrame, id_col: str, payload_col: str, media_type: str = "text") -> DataFrame:
+    """Wrap a payload column as (id, content: binary, meta: struct).
+
+    Column-expression only — encode/sha/length all run JVM-side."""
+    content = F.encode(F.col(payload_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        content.alias("content"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(content).cast("long").alias("n_bytes"),
+            F.sha2(content, 256).alias("sha"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(buf: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a real image decode: synthesize a
+    (width, height) from the byte length. REPLACE with e.g. PIL.Image.open
+    when a codec library is available."""
+    n = len(buf)
+    return n % 640 + 1, (n * 7) % 480 + 1
+
+
+def decode_features(binary_df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Arrow-batched decode over mapInPandas: one pandas batch in, one
+    feature batch out — the real integration shape for media decoding at
+    scale (decode parallelism == partition count; no driver involvement).
+    """
+    if codec != "fake":
+        # Integration point for real codecs (PIL / torchaudio / pyav).
+        raise NotImplementedError(
+            f"codec {codec!r}: media libraries not available in this build; "
+            "only the deterministic 'fake' codec is implemented"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["content"].map(_fake_decode)
+            w = dims.map(lambda t: t[0]).astype("int32")
+            h = dims.map(lambda t: t[1]).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "n_pixels": (w.astype("int64") * h.astype("int64")),
+                    "status": "fake-decoded",
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(run, DECODE_SCHEMA)

@@ -1,7 +1,280 @@
 """x-series — large-scale data-pipeline extensions (dedup, similarity,
-text analysis, multimodal), per the north-star (BASELINE.json). Filled in
-incrementally; each op lives in go_fish_spark.operators and is exposed here
-as a query with a DuckDB oracle where SQL-expressible.
+text analysis, multimodal), per the north-star (BASELINE.json).
+
+Each query exposes one operator from go_fish_spark.operators /
+functions over the `documents` / `embeddings` tables. DuckDB oracles mirror
+the Spark expression **operation-for-operation in the same order**, so
+double-typed outputs are bit-identical and hash-comparable; the two
+approximate sketch ops (MinHash-LSH, SimHash) have no SQL oracle — the
+driver records rows-only checks, and tests/test_dedup.py checks their
+recall against the exact-Jaccard oracle-verified pairs.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import text as tx
+from ..functions import vectors
+from ..operators import dedup, multimodal, similarity
+from . import query
+
+_EMB_DIM = 64
+
+# Word-3-shingle set in DuckDB, mirroring functions.text.word_shingles.
+_DUCK_SHINGLES = (
+    "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "for i in range(1, len(ws) - 1)])"
+)
+
+
+@query(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY canonical_id
+    """,
+)
+def x01_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the md5 digest (16-byte shuffle key
+    regardless of document size)."""
+    return dedup.exact_dedup(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("canonical_id")
+
+
+@query("x02_dedup_minhash_lsh", oracle=None)
+def x02_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + LSH(16 bands × 4) near-dup pairs, est Jaccard ≥ 0.35.
+    No SQL oracle (sketch-based); recall vs the exact x04 pairs is asserted
+    in tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.35,
+    ).orderBy("id_a", "id_b")
+
+
+@query("x03_dedup_simhash", oracle=None)
+def x03_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (Hamming ≤ 3 via 4×16-bit banding)."""
+    return dedup.simhash_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x04_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def x04_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-shingle Jaccard join (inverted-index self-join;
+    shuffle key = shingle, so pairs sharing no shingle never materialize)."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x05_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({vectors.duck_cosine('a.embedding', 'b.embedding', _EMB_DIM)}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {vectors.duck_cosine('a.embedding', 'b.embedding', _EMB_DIM)} >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def x05_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact pair scan baseline; the
+    bucketed LSH path is x06/similarity.lsh_topk)."""
+    return dedup.embedding_dup_pairs(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x06_ann_cosine_topk",
+    oracle=f"""
+    SELECT q.vec_id AS query_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)} DESC,
+                      c.vec_id
+           ) AS rank,
+           c.vec_id AS vec_id,
+           round({vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS cos
+    FROM embeddings c
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q ON c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def x06_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors: broadcast queries,
+    corpus never shuffles, per-partition top-k before the merge."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _duck_lang_case() -> str:
+    scores = tx.duck_lang_scores("text")
+    cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    whens = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in scores)
+    return f"""
+    WITH scored AS (SELECT doc_id, {cols} FROM documents),
+    best_t AS (SELECT doc_id, *, {best} AS best FROM scored)
+    SELECT doc_id,
+           CASE WHEN best <= 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred
+    FROM best_t ORDER BY doc_id
+    """
+
+
+@query("x07_lang_id", oracle=_duck_lang_case())
+def x07_lang_id(spark, sf_dir):
+    """Marker-token language ID (argmax over per-language stopword hits,
+    deterministic tie-break, 'und' when no markers hit)."""
+    df = table(spark, sf_dir, "documents")
+    return df.select("doc_id", tx.lang_id("text").alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+_DUCK_STOP = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+
+@query(
+    "x08_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_words, stop_ratio, mean_word_len,
+           0.4 * least(n_words / 100.0, 1.0)
+             + 0.3 * (1.0 - stop_ratio)
+             + 0.3 * least(mean_word_len / 10.0, 1.0) AS score
+    FROM (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             len(list_filter(ws, w -> w IN ({_DUCK_STOP}))) / len(ws) AS stop_ratio,
+             (length(text) - (len(ws) - 1)) / len(ws) AS mean_word_len
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    ) ORDER BY doc_id
+    """,
+)
+def x08_quality_score(spark, sf_dir):
+    """Document quality scoring: length / stopword-ratio / word-length
+    signals composed into a [0,1] score (all column expressions)."""
+    df = table(spark, sf_dir, "documents")
+    m = tx.quality_metrics("text")
+    return df.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["stop_ratio"].alias("stop_ratio"),
+        m["mean_word_len"].alias("mean_word_len"),
+        tx.quality_score("text").alias("score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x09_token_count",
+    oracle=r"""
+    SELECT doc_id, n_chars,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x09_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    df = table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        "n_chars",
+        F.size(tx.tokens("text")).alias("n_ws_tokens"),
+        tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x10_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS bag_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x10_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact-content md5 + order-insensitive
+    bag-of-words md5 (catches word-order-permuted duplicates)."""
+    df = table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        tx.content_fingerprint("text").alias("content_fp"),
+        tx.bag_fingerprint("text").alias("bag_fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x11_multimodal_ingest",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x11_multimodal_ingest(spark, sf_dir):
+    """Multimodal ingest plumbing: payload → (content: binary, meta struct
+    with byte length + sha256), all JVM-side."""
+    df = multimodal.ingest_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return df.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.sha").alias("sha")
+    ).orderBy("doc_id")
+
+
+@query(
+    "x12_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) % 640 + 1                        AS width,
+           (octet_length(encode(text)) * 7) % 480 + 1                  AS height,
+           (octet_length(encode(text)) % 640 + 1)
+             * ((octet_length(encode(text)) * 7) % 480 + 1)            AS n_pixels,
+           'fake-decoded'                                              AS status
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x12_multimodal_decode(spark, sf_dir):
+    """Arrow-batched media decode via mapInPandas (deterministic fake
+    codec; real codecs are a marked NotImplementedError integration
+    point). Proves the batch shape, schema, and partition-parallel decode
+    path."""
+    binary_df = multimodal.ingest_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    out = multimodal.decode_features(binary_df, codec="fake")
+    return out.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "status",
+    ).orderBy("doc_id")

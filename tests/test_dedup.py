@@ -1,0 +1,95 @@
+"""Sketch-based dedup ops (MinHash-LSH, SimHash) have no SQL oracle; their
+contract is recall/precision against the exact n-gram-Jaccard pairs (which
+ARE oracle-verified in test_correctness)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from conftest import SF_SMALL
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMALL)
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    from go_fish_spark.queries import REGISTRY
+
+    rows = REGISTRY["x04_dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    return {(r.id_a, r.id_b): r.jaccard for r in rows}
+
+
+def test_minhash_recall(spark, exact_pairs):
+    from go_fish_spark.queries import REGISTRY
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["x02_dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    }
+    # Every strongly-similar pair (exact jaccard >= 0.5) must be found.
+    strong = {p for p, j in exact_pairs.items() if j >= 0.5}
+    missed = strong - got
+    assert not missed, f"minhash missed strong pairs: {missed}"
+    # Precision: pairs the sketch claims should mostly be genuinely similar.
+    if got:
+        true_hits = {p for p in got if p in exact_pairs}
+        assert len(true_hits) / len(got) >= 0.5, (
+            f"minhash precision too low: {len(true_hits)}/{len(got)}"
+        )
+
+
+def test_simhash_finds_near_dups(spark, exact_pairs):
+    """SimHash hashes the distinct-token SET (unigram features), so its
+    near-dup notion is bag-of-words similarity — order-insensitive, unlike
+    the shingle jaccard of x04. Judge it against token-set jaccard."""
+    from go_fish_spark.queries import REGISTRY
+    from go_fish_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["x03_dedup_simhash"].fn(spark, SF_DIR).collect()
+    }
+    assert got, "simhash found no pairs at all"
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in table(spark, SF_DIR, "documents").collect()
+    }
+
+    def setjac(a, b):
+        return len(docs[a] & docs[b]) / len(docs[a] | docs[b])
+
+    import random
+    import statistics
+
+    reported = statistics.median(setjac(a, b) for a, b in got)
+    rng = random.Random(7)
+    ids = list(docs)
+    baseline = statistics.median(
+        setjac(*rng.sample(ids, 2)) for _ in range(2000)
+    )
+    # The synthetic corpus has a tiny vocabulary (random pairs already share
+    # ~0.65 set-jaccard), so judge enrichment, not an absolute threshold.
+    assert reported >= baseline + 0.15, (
+        f"simhash pairs not enriched: median {reported:.3f} vs baseline {baseline:.3f}"
+    )
+
+
+def test_lsh_topk_matches_brute_force_mostly(spark):
+    from go_fish_spark.operators import similarity
+    from go_fish_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_force_topk(emb, queries, k=5).collect()
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=4).collect()
+    # LSH with 4 planes keeps ~1/16 of the corpus per bucket; it should
+    # still recover a nontrivial fraction of the true top-5.
+    brute_set = {(r.query_id, r.vec_id) for r in brute}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    assert len(brute_set & approx_set) >= 1
+    # And every LSH result must rank by true cosine (spot determinism).
+    assert approx == sorted(approx, key=lambda r: (r.query_id, r.rank))
