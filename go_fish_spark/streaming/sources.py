@@ -1,0 +1,66 @@
+"""Streaming sources (≡ `input/`).
+
+| reference | here |
+|---|---|
+| File source, line = event (`input/file.go:22-37`) | ``text_stream`` / ``json_stream`` over a directory |
+| Kafka source, latest offsets (`input/kafka.go:25-58`) | ``kafka_stream`` (partition-preserving parallel read — the reference merges partitions into one unordered channel, `input/kafka.go:46-51`) |
+| Kinesis, TRIM_HORIZON + DynamoDB lease (`input/kinesis.go:44-64`) | kafka/file config parity; checkpointing ≡ ``checkpointLocation`` |
+| CertStream websocket (`input/cert_stream.go:15-41`, demo-only) | ``rate_stream`` for demos (reference marks it non-production, `:11-14`) |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..session import tune
+
+
+def text_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    tune(spark)
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.text(path)
+
+
+def json_stream(
+    spark: SparkSession, path: str, schema: T.StructType | str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    tune(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """``value`` bytes column ≡ emitting msg.Value (`input/kafka.go:54-57`);
+    ``startingOffsets=latest`` ≡ sarama.OffsetNewest (`input/kafka.go:30`).
+    maxOffsetsPerTrigger is the back-pressure knob replacing the
+    reference's unbuffered-channel blocking (`pipeline.go:403`)."""
+    tune(spark)
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    tune(spark)
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

@@ -1,0 +1,90 @@
+"""Built-in tasks: the rule patterns shipped with the reference,
+declaratively parameterized so pipeline JSON can use them without writing
+Python (the reference requires compiling a Go plugin for each).
+
+Every built-in compiles to pure Column expressions — a pipeline composed
+of built-ins is fully Catalyst-optimizable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import project
+from .protocol import BasicTask
+from .registry import register_task
+
+
+@register_task("filter_eq")
+class FilterEq(BasicTask):
+    """≡ `testdata/rules/a.go:12-18` (Str == "a"). Options: column, value."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.col(self.options["column"]) == F.lit(self.options["value"]))
+
+
+@register_task("filter_length")
+class FilterLength(BasicTask):
+    """≡ `testdata/rules/length.go:12-18` (len(Str) == 1).
+    Options: column, length (exact) or max_length."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        c = F.length(F.col(self.options["column"]))
+        if "length" in self.options:
+            return df.filter(c == self.options["length"])
+        return df.filter(c < self.options["max_length"])
+
+
+@register_task("filter_regex")
+class FilterRegex(BasicTask):
+    """≡ `domain_cert_issued.go:19,40`. Options: column, pattern."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(F.col(self.options["column"]).rlike(self.options["pattern"]))
+
+
+@register_task("filter_array_exists")
+class FilterArrayExists(BasicTask):
+    """≡ the AllDomains loop (`domain_cert_issued.go:39-41`).
+    Options: column (array<string>), pattern."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.exists(F.col(self.options["column"]), lambda x: x.rlike(self.options["pattern"]))
+        )
+
+
+@register_task("select")
+class Select(BasicTask):
+    """Projection/rename ≡ the OutputEvent construction pattern
+    (`cloudTrail_s2s_join.go:80-96`). Options: exprs = {alias: SQL expr}."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            *[F.expr(e).alias(a) for a, e in dict(self.options["exprs"]).items()]
+        )
+
+
+@register_task("derive_principal")
+class DerivePrincipal(BasicTask):
+    """≡ generatePrincipalName (`cloudTrail_s2s_join.go:98-130`).
+    Options: kind_column, id_column, mapping {kind: prefix}, alias."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.options.get("alias", "principal"),
+            project.principal_name(
+                F.col(self.options["kind_column"]),
+                F.col(self.options["id_column"]),
+                dict(self.options["mapping"]),
+            ),
+        )
+
+
+@register_task("passthrough")
+class Passthrough(BasicTask):
+    """Identity — useful as a named fan-out junction."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return df

@@ -1,0 +1,139 @@
+"""Pipeline control-plane tests, mirroring the reference's test strategy:
+
+* spec validation rejections with exact failure classes
+  (≡ `pipeline_test.go:122-206`: duplicate keys, invalid state,
+  shared state)
+* end-to-end stateless pipeline over the reference's literal corpus
+  a/ab/abc/abcd (≡ `integration_test.go:144-168` + fixtures
+  `testdata/pipelines/input`): equality rule matches only "a", length
+  rule matches only 1-char lines.
+* task protocol check ≡ `go-fish -checkRule` (`rule.go:31-43`).
+* registry store/get roundtrip ≡ `backend_test.go:38-85`.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from go_fish_spark.plans import ValidationError, compile_pipeline, parse_spec
+from go_fish_spark.plans.registry import PipelineRegistry
+
+
+def spec_dict(**over):
+    base = {
+        "sources": {"in": {"type": "memory", "options": {"rows": [("a",), ("ab",), ("abc",), ("abcd",)], "schema": "value string"}}},
+        "rules": {
+            "is_a": {"source": "in", "task": "filter_eq", "sink": "out",
+                      "options": {"column": "value", "value": "a"}},
+            "len1": {"source": "in", "task": "filter_length", "sink": "out",
+                      "options": {"column": "value", "length": 1}},
+        },
+        "sinks": {"out": {"type": "memory"}},
+        "states": {},
+    }
+    base.update(over)
+    return base
+
+
+def test_parse_roundtrip():
+    spec = parse_spec(json.dumps(spec_dict()))
+    assert set(spec.rules) == {"is_a", "len1"}
+    assert spec.children_of("in") == ["is_a", "len1"]
+
+
+def test_reject_unknown_source():
+    d = spec_dict()
+    d["rules"]["is_a"]["source"] = "nope"
+    with pytest.raises(ValidationError, match="unknown source"):
+        parse_spec(d)
+
+
+def test_reject_duplicate_name_across_kinds():
+    d = spec_dict()
+    d["sinks"]["is_a"] = {"type": "memory"}
+    with pytest.raises(ValidationError, match="duplicate name"):
+        parse_spec(d)
+
+
+def test_reject_shared_state():
+    d = spec_dict(states={"s1": {"type": "KV"}})
+    d["rules"]["is_a"]["state"] = "s1"
+    d["rules"]["len1"]["state"] = "s1"
+    with pytest.raises(ValidationError, match="rule-local"):
+        parse_spec(d)
+
+
+def test_reject_unknown_state():
+    d = spec_dict()
+    d["rules"]["is_a"]["state"] = "ghost"
+    with pytest.raises(ValidationError, match="unknown state"):
+        parse_spec(d)
+
+
+def test_reject_rule_cycle():
+    d = spec_dict()
+    d["rules"]["is_a"]["source"] = "len1"
+    d["rules"]["len1"]["source"] = "is_a"
+    with pytest.raises(ValidationError, match="cycle"):
+        parse_spec(d)
+
+
+def test_chain_is_not_cycle():
+    # A.source=B and B.sink=A describe the same edge B→A; must validate.
+    d = spec_dict()
+    d["rules"]["is_a"]["source"] = "len1"
+    d["rules"]["len1"]["sink"] = "is_a"
+    parse_spec(d)
+
+
+def test_e2e_stateless_pipeline(spark):
+    """≡ integration_test.go:144-168: input 'a' passes both rules,
+    'abc' passes neither; fan-in union reaches the sink."""
+    compiled = compile_pipeline(spark, parse_spec(spec_dict()))
+    is_a = [r.value for r in compiled.result("is_a").collect()]
+    len1 = [r.value for r in compiled.result("len1").collect()]
+    assert is_a == ["a"]
+    assert len1 == ["a"]
+    # fan-in: both rules name sink "out" → union delivered to the sink
+    merged = sorted(r.value for r in compiled.result("out").collect())
+    assert merged == ["a", "a"]
+
+
+def test_rule_chaining(spark):
+    """Rule sourcing another rule (`pipeline.go:318-322`)."""
+    d = spec_dict()
+    d["rules"]["short"] = {
+        "source": "in", "task": "filter_length", "sink": None,
+        "options": {"column": "value", "max_length": 3},
+    }
+    d["rules"]["is_a"]["source"] = "short"
+    compiled = compile_pipeline(spark, parse_spec(d))
+    assert [r.value for r in compiled.result("is_a").collect()] == ["a"]
+
+
+def test_check_task_rejects_non_task():
+    from go_fish_spark.tasks import TaskCheckError, check_task
+
+    class NotATask:
+        def apply(self, df):
+            return df
+
+    with pytest.raises(TaskCheckError, match="missing"):
+        check_task(NotATask())
+
+
+def test_check_task_accepts_basic_task():
+    from go_fish_spark.tasks import BasicTask, check_task
+
+    check_task(BasicTask())
+
+
+def test_registry_roundtrip(tmp_path):
+    reg = PipelineRegistry(str(tmp_path / "pipelines"))
+    cfg = json.dumps(spec_dict())
+    uid = reg.store(cfg)
+    assert reg.get(uid) == cfg
+    assert reg.get("missing-uuid") is None
+    assert uid in reg.list()

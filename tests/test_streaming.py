@@ -1,0 +1,207 @@
+"""Streaming golden tests — the reference's two stateful integration
+scenarios (`integration_test.go:185-276` s2s join, `:319-416` windowed agg)
+replayed through Structured Streaming with file sources and memory sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, event_type string, key string, "
+    "principal string, principal_id string"
+)
+
+
+def write_events(dirpath, events, fname="batch0.json"):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    with open(dirpath / fname, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def run_to_memory(df, name, mode="append"):
+    from go_fish_spark.streaming import sinks
+
+    q = sinks.memory_sink(df, name, output_mode=mode, trigger_available_now=True)
+    q.awaitTermination(120)
+    return q
+
+
+def test_s2s_enrichment_golden(spark, tmp_path):
+    """≡ integration_test.go:185-276: AssumeRole stores role-id→principal;
+    a later CreateUser by that role emits Entity 'user/Bob'. A read with no
+    prior write falls back to the raw principal id (`cloudTrail_s2s_join.
+    go:124-130`)."""
+    from go_fish_spark.streaming import sources, stateful
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [
+            # ≡ assumeRoleEvent.json: kv.Set("AROLE:Bob-EC2-dev" → "user/Bob")
+            dict(event_id=1, ts="2024-01-01T00:00:00Z", event_type="AssumeRole",
+                 key="AROLE:Bob-EC2-dev", principal="user/Bob", principal_id="ignored"),
+            # ≡ createUserEvent.json: read kv["AROLE:Bob-EC2-dev"] → hit
+            dict(event_id=2, ts="2024-01-01T00:05:00Z", event_type="CreateUser",
+                 key="AROLE:Bob-EC2-dev", principal=None, principal_id="AROLE:Bob-EC2-dev"),
+            # state miss → fallback to raw principal_id
+            dict(event_id=3, ts="2024-01-01T00:06:00Z", event_type="CreateUser",
+                 key="AROLE:nobody", principal=None, principal_id="AROLE:nobody"),
+        ],
+    )
+    events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+    enriched = stateful.s2s_enrichment_stream(
+        events,
+        write_kind="AssumeRole",
+        value_col="principal",
+        emit_kind="CreateUser",
+        fallback_col="principal_id",
+    )
+    run_to_memory(enriched, "s2s_out")
+    rows = {r.event_id: r.entity for r in spark.sql("SELECT * FROM s2s_out").collect()}
+    assert rows == {2: "user/Bob", 3: "AROLE:nobody"}
+
+
+def test_s2s_state_persists_across_batches(spark, tmp_path):
+    """The KV write must survive into later micro-batches (BoltDB
+    durability ≡ checkpointed state)."""
+    from go_fish_spark.streaming import sources, stateful, sinks
+
+    indir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    write_events(indir, [
+        dict(event_id=1, ts="2024-01-01T00:00:00Z", event_type="AssumeRole",
+             key="k1", principal="user/Alice", principal_id="x"),
+    ], "b0.json")
+
+    outdir = str(tmp_path / "out")
+    events = sources.json_stream(spark, str(indir), EVENT_SCHEMA, max_files_per_trigger=1)
+    enriched = stateful.s2s_enrichment_stream(
+        events, write_kind="AssumeRole", value_col="principal",
+        emit_kind="CreateUser", fallback_col="principal_id",
+    )
+    # memory sink can't recover from a checkpoint; use the file sink
+    q = sinks.json_sink(enriched, outdir, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+
+    # second batch, later file: the read must hit batch-1's state
+    write_events(indir, [
+        dict(event_id=2, ts="2024-01-01T01:00:00Z", event_type="CreateUser",
+             key="k1", principal=None, principal_id="fallback"),
+    ], "b1.json")
+    q2 = sinks.json_sink(enriched, outdir, ckpt, trigger_available_now=True)
+    q2.awaitTermination(120)
+    out = spark.read.schema("event_id long, ts timestamp, key string, entity string").json(outdir)
+    rows = {r.event_id: r.entity for r in out.collect()}
+    assert rows == {2: "user/Alice"}
+
+
+def test_windowed_agg_golden(spark, tmp_path):
+    """≡ integration_test.go:319-416: three no-MFA events for one entity →
+    one window row with occurrences=3."""
+    from go_fish_spark.streaming import sources, stateful
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [
+            dict(event_id=i, ts=f"2024-01-01T00:0{i}:00Z", event_type="CreateUser",
+                 key="role/AssumeNothing", principal=None, principal_id="p")
+            for i in range(1, 4)
+        ],
+    )
+    events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+    agged = stateful.windowed_count_stream(events, "ts", "1 hour", ["key"])
+    run_to_memory(agged, "agg_out", mode="update")
+    rows = spark.sql("SELECT key, occurrences FROM agg_out").collect()
+    assert len(rows) == 1
+    assert rows[0].key == "role/AssumeNothing"
+    assert rows[0].occurrences == 3
+
+
+def test_global_count_stream(spark, tmp_path):
+    """≡ Counter (`state/count.go:18-31`)."""
+    from go_fish_spark.streaming import sources, stateful
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [dict(event_id=i, ts="2024-01-01T00:00:00Z", event_type="t",
+              key="k", principal=None, principal_id="p") for i in range(4)],
+    )
+    events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+    counted = stateful.global_count_stream(events)
+    run_to_memory(counted, "cnt_out", mode="update")
+    assert spark.sql("SELECT cnt FROM cnt_out").collect()[0].cnt == 4
+
+
+def test_fanout_single_read(spark, tmp_path):
+    """DAG fan-out from one source read (`pipeline.go:400-404` ≡
+    fanout_sink): both branches see the same micro-batch."""
+    import pyspark.sql.functions as F
+    from go_fish_spark.streaming import sinks, sources
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [dict(event_id=i, ts="2024-01-01T00:00:00Z",
+              event_type="click" if i % 2 else "view",
+              key="k", principal=None, principal_id="p") for i in range(6)],
+    )
+    events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+
+    got: dict[str, list] = {"clicks": [], "views": []}
+
+    def writer(name):
+        def w(df, batch_id):
+            got[name].extend(r.event_id for r in df.collect())
+        return w
+
+    q = sinks.fanout_sink(
+        events,
+        branches={
+            "clicks": lambda df: df.filter(F.col("event_type") == "click"),
+            "views": lambda df: df.filter(F.col("event_type") == "view"),
+        },
+        writers={"clicks": writer("clicks"), "views": writer("views")},
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert sorted(got["clicks"]) == [1, 3, 5]
+    assert sorted(got["views"]) == [0, 2, 4]
+
+
+def test_metrics_listener(spark, tmp_path):
+    """≡ monitoring.go counters via StreamingQueryListener."""
+    from go_fish_spark.streaming import sinks, sources
+    from go_fish_spark.streaming.monitoring import MetricsListener
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        indir = tmp_path / "in"
+        write_events(
+            indir,
+            [dict(event_id=i, ts="2024-01-01T00:00:00Z", event_type="t",
+                  key="k", principal=None, principal_id="p") for i in range(5)],
+        )
+        events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+        q = sinks.memory_sink(events, "mon_out", trigger_available_now=True)
+        q.awaitTermination(120)
+        # listener callbacks are async; poll briefly
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            snap = listener.snapshot()
+            if snap.queries_started >= 1 and snap.events_received >= 5:
+                break
+            time.sleep(0.5)
+        snap = listener.snapshot()
+        assert snap.queries_started >= 1
+        assert snap.events_received >= 5
+    finally:
+        spark.streams.removeListener(listener)
