@@ -51,6 +51,14 @@ def main() -> None:
     spark = get_spark(app_name="go-fish-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM / codegen / parquet footer cache so timings measure
+    # query execution, not session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from go_fish_spark.catalog import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY.get(name)

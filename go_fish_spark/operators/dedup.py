@@ -28,6 +28,14 @@ ops, each designed for the 100 TB shape:
 
 All signature math uses Spark built-ins over 31-bit modular arithmetic so
 products stay far below 2^63 — no silent long overflow.
+
+Performance note: a naive ``array(min(f(shingles)), min(g(shingles)), ...)``
+formulation re-evaluates the shingling/hashing expression once per
+signature component (Catalyst inlines aliased expressions; there is no CSE
+across higher-order-function lambdas) — 64× the tokenization cost per row.
+:func:`_let` binds an expression to a lambda variable so it is evaluated
+exactly once per row, and the pair-generating operators persist their
+signature frames because a self-join consumes them twice.
 """
 
 from __future__ import annotations
@@ -36,12 +44,21 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import vectors
 from ..functions.text import word_shingles
 
 # Mersenne prime 2^31-1: modulus for the MinHash universal hash family.
 _P31 = (1 << 31) - 1
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` once per row
+    and reference it as a lambda variable inside ``body``. (``transform``
+    evaluates its input array once; the lambda sees the bound value, so
+    Catalyst cannot inline-duplicate the expensive expression.)"""
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -59,16 +76,30 @@ def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3, seed: 
 
     h_i(x) = (a_i*x + b_i) mod (2^31-1); a_i,x < 2^31 keeps products
     < 2^62. Empty shingle sets get sentinel 2^31-1 signatures (can only
-    collide with other empty docs)."""
+    collide with other empty docs).
+
+    Shingle hashing runs ONCE per row (let-bound), then the 64 component
+    mins iterate the in-memory hash array — O(shingles × n_hashes) array
+    ops instead of O(n_hashes) re-tokenizations."""
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_params(n_hashes, seed)
+        ]
+    )
     hashes = _shingle_hashes(text, k)
-    sig = [
-        F.coalesce(
-            F.array_min(F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(_P31)))),
-            F.lit(_P31),
-        )
-        for a, b in minhash_params(n_hashes, seed)
-    ]
-    return F.array(*sig)
+    return _let(
+        hashes,
+        lambda hs: F.transform(
+            params,
+            lambda p: F.coalesce(
+                F.array_min(
+                    F.transform(hs, lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_P31)))
+                ),
+                F.lit(_P31),
+            ),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -91,10 +122,13 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
 
+    # Persist: signatures feed the banding explode AND both sides of the
+    # candidate self-join; without this the whole shingle+signature
+    # computation re-runs per consumer. ~0.5 KB/row, spills to disk if big.
     sigs = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(text_col, n_hashes, k, seed).alias("_sig"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_cols = F.array(
         *[
@@ -144,28 +178,44 @@ _N_CHUNKS = 4
 _CHUNK_BITS = 16
 
 
-def simhash_chunks(text: Column | str) -> list[Column]:
-    """64-bit SimHash as 4×16-bit chunks (avoids sign-bit overflow when
-    assembling, and banding needs the chunks anyway).
+def simhash_chunks(text: Column | str) -> Column:
+    """64-bit SimHash as an array of 4×16-bit chunk values (avoids
+    sign-bit overflow when assembling, and banding needs the chunks
+    anyway).
 
     Bit j is set iff the majority of distinct tokens have bit j set in
-    their 64-bit hash. Pure array expressions — no explode, no shuffle.
+    their 64-bit hash. Pure array expressions — no explode, no shuffle;
+    token hashing and the bit counts are each evaluated once per row
+    (let-bound), so cost is O(tokens × 64) array ops.
     """
-    toks = F.array_distinct(F.split(text, " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-    chunks = []
-    for c in range(_N_CHUNKS):
-        val = F.lit(0).cast("long")
-        for j in range(_CHUNK_BITS):
-            bit_idx = c * _CHUNK_BITS + j
-            ones = F.size(
-                F.filter(hashes, lambda h: F.shiftright(h, bit_idx).bitwiseAND(F.lit(1)) == 1)
-            )
-            bit = F.when(ones * 2 >= n, F.lit(1 << j)).otherwise(F.lit(0))
-            val = val + bit
-        chunks.append(val.alias(f"sh_c{c}"))
-    return chunks
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(_CHUNK_BITS)])
+    hashes = F.transform(
+        F.array_distinct(F.split(text, " ")), lambda t: F.xxhash64(t)
+    )
+
+    def bits_of(hs: Column) -> Column:
+        n = F.size(hs)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_N_CHUNKS * _CHUNK_BITS - 1)),
+            lambda j: F.when(
+                F.size(F.filter(hs, lambda h: F.bit_get(h, j) == 1)) * 2 >= n,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    def chunks_of(bs: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_N_CHUNKS - 1)),
+            lambda c: F.aggregate(
+                F.sequence(F.lit(0), F.lit(_CHUNK_BITS - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(bs, c * _CHUNK_BITS + j + 1)
+                * F.element_at(pow2, j + 1),
+            ),
+        )
+
+    return _let(hashes, lambda hs: _let(bits_of(hs), chunks_of))
 
 
 def simhash_pairs(
@@ -173,17 +223,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming distance ≤ max_hamming (≤3 by
     pigeonhole over the 4 chunk bands). One shuffle on (chunk_idx, value)."""
-    sigs = df.select(F.col(id_col).alias("_id"), *simhash_chunks(text_col))
+    sigs = df.select(
+        F.col(id_col).alias("_id"), simhash_chunks(text_col).alias("_chunks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    chunk_arr = F.array(
-        *[
-            F.struct(F.lit(c).alias("ci"), F.col(f"sh_c{c}").alias("cv"))
-            for c in range(_N_CHUNKS)
-        ]
-    )
     exploded = sigs.select(
-        "_id", "sh_c0", "sh_c1", "sh_c2", "sh_c3", F.explode(chunk_arr).alias("ch")
-    ).select("_id", "sh_c0", "sh_c1", "sh_c2", "sh_c3", "ch.ci", "ch.cv")
+        "_id", "_chunks", F.posexplode("_chunks").alias("ci", "cv")
+    )
 
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
@@ -196,15 +242,16 @@ def simhash_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            *[F.col(f"a.sh_c{c}").alias(f"a_c{c}") for c in range(_N_CHUNKS)],
-            *[F.col(f"b.sh_c{c}").alias(f"b_c{c}") for c in range(_N_CHUNKS)],
+            F.col("a._chunks").alias("ca"),
+            F.col("b._chunks").alias("cb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    hamming = sum(
-        F.bit_count(F.col(f"a_c{c}").bitwiseXOR(F.col(f"b_c{c}")))
-        for c in range(_N_CHUNKS)
+    hamming = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return (
         cands.withColumn("hamming", hamming)
@@ -226,9 +273,13 @@ def ngram_jaccard_pairs(
     jaccard = inter / (|A| + |B| - inter). Only pairs sharing ≥1 shingle
     are ever materialized; the shuffle key is the shingle, so work scales
     with index size, not with n²."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
-    ).withColumn("_n", F.size("_sh"))
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+        )
+        .withColumn("_n", F.size("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # consumed by both join sides
+    )
 
     inv = sh.select("_id", "_n", F.explode("_sh").alias("s"))
     a, b = inv.alias("a"), inv.alias("b")
