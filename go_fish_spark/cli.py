@@ -1,0 +1,92 @@
+"""CLI — the reference's three entry points (`main.go:11-34`):
+
+  go-fish -pipelineConfig file.json   →  python -m go_fish_spark.cli run PIPE.json
+  go-fish -checkRule rule.so          →  python -m go_fish_spark.cli check-task NAME
+  go-fish -apiConfig api.json         →  (registry ops) store / get / list
+
+``run`` parses + validates + compiles the pipeline, stores it in the
+registry (≡ `startFromConfig`, `main.go:36-53`, which persists through the
+BoltDB backend), executes every sink, and prints the pipeline UUID.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="go-fish-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="compile + execute a pipeline config")
+    runp.add_argument("config", help="pipeline spec JSON file")
+    runp.add_argument("--registry", default=".go_fish_registry")
+    runp.add_argument("--master", default=None)
+
+    chk = sub.add_parser("check-task", help="validate a registered task (≡ -checkRule)")
+    chk.add_argument("task", help="registered task name")
+
+    get = sub.add_parser("get", help="fetch a stored pipeline config by UUID")
+    get.add_argument("uuid")
+    get.add_argument("--registry", default=".go_fish_registry")
+
+    lst = sub.add_parser("list", help="list stored pipeline UUIDs")
+    lst.add_argument("--registry", default=".go_fish_registry")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "check-task":
+        from .tasks import check_task, get_task
+
+        try:
+            task = get_task(args.task)
+            check_task(task)
+        except (KeyError, TypeError) as e:
+            print(f"FAIL: {e}", file=sys.stderr)
+            return 1
+        print(f"OK: {args.task} satisfies the Task protocol")
+        return 0
+
+    if args.cmd == "get":
+        from .plans.registry import PipelineRegistry
+
+        cfg = PipelineRegistry(args.registry).get(args.uuid)
+        if cfg is None:
+            print(f"not found: {args.uuid}", file=sys.stderr)
+            return 1  # ≡ the API's 404 (`api.go:95-98`)
+        print(cfg)
+        return 0
+
+    if args.cmd == "list":
+        from .plans.registry import PipelineRegistry
+
+        for uid in PipelineRegistry(args.registry).list():
+            print(uid)
+        return 0
+
+    # run
+    from .plans import ValidationError, compile_pipeline, parse_spec
+    from .plans.registry import PipelineRegistry
+    from .session import get_spark
+
+    with open(args.config) as f:
+        raw = f.read()
+    try:
+        spec = parse_spec(raw)  # validate before persisting, like NewPipeline
+    except (ValidationError, json.JSONDecodeError) as e:
+        print(f"invalid pipeline config: {e}", file=sys.stderr)
+        return 1
+    uid = PipelineRegistry(args.registry).store(raw)
+    spark = get_spark(app_name=f"go-fish-pipeline-{uid}", master=args.master)
+    try:
+        compile_pipeline(spark, spec).run()
+    finally:
+        spark.stop()
+    print(uid)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

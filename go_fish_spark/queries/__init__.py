@@ -41,8 +41,9 @@ def _load_all_modules() -> None:
     # Import order defines registry order (q01..q20, then extensions).
     from . import core  # noqa: F401
     from . import relational  # noqa: F401
-    from . import extensions  # noqa: F401
     from . import stateful  # noqa: F401
+    from . import coverage  # noqa: F401
+    from . import extensions  # noqa: F401
 
 
 _load_all_modules()

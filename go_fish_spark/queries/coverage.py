@@ -1,0 +1,111 @@
+"""Q23–Q25 — remaining operator-inventory coverage.
+
+* q23: deduplication via ``distinct`` (≡ ``dropDuplicates`` on the
+  projected key set — the deterministic form; bare dropDuplicates keeps an
+  arbitrary row per key, SURVEY §2.4 dedup row).
+* q24: the trial-decode cascade (operators/decode.py) as a query —
+  deterministic decoder precedence + required-field discrimination + dead
+  letter (≡ `event_types.go:52-65`, `pipeline.go:393-405`).
+* q25: CUBE grouping sets (rollup's sibling, SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..operators import decode
+from . import query
+from .util import duck_money_sum, money_sum
+
+
+@query(
+    "q23_dropduplicates",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+)
+def q23_dropduplicates(spark, sf_dir):
+    """Exact dedup on a key projection (`dropDuplicates` ≡ distinct on the
+    selected columns; one hash-partitioned shuffle on the pair key)."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates()
+        .orderBy("user_id", "event_type")
+    )
+
+
+#: Candidate event types for the props payload: a type requiring key `k`
+#: (matches every event in testdata) tried AFTER a stricter type requiring
+#: a key `z` that no event has — exercising precedence + fallthrough.
+_PROPS_TYPES = [
+    decode.EventType(
+        name="ztype",
+        schema=T.StructType([T.StructField("z", T.LongType())]),
+        required=("z",),
+    ),
+    decode.EventType(
+        name="ktype",
+        schema=T.StructType([T.StructField("k", T.LongType())]),
+        required=("k",),
+    ),
+]
+
+
+@query(
+    "q24_decode_cascade",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN json_extract(props, '$.z') IS NOT NULL THEN 'ztype'
+                WHEN json_extract(props, '$.k') IS NOT NULL THEN 'ktype'
+           END AS event_type_name,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def q24_decode_cascade(spark, sf_dir):
+    """Trial-decode cascade over the events props payload: first candidate
+    whose required fields parse wins; unmatched rows surface with a null
+    type (the dead-letter branch) instead of being dropped."""
+    events = table(spark, sf_dir, "events")
+    decoded = decode.decode_cascade(events, "props", _PROPS_TYPES)
+    return decoded.select(
+        "event_id",
+        "event_type_name",
+        F.col("decoded_ktype.k").alias("k"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q25_cube",
+    oracle=f"""
+    SELECT n_name, o_orderpriority, count(*) AS cnt,
+           {duck_money_sum('o_totalprice')} AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY CUBE(n_name, o_orderpriority)
+    ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q25_cube(spark, sf_dir):
+    """CUBE grouping sets: all four grouping levels from one shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    df = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    ).join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    return (
+        df.cube("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
