@@ -66,9 +66,38 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(n_hashes)]
 
 
+# Horner-combine multiplier for numeric k-shingle hashing (< 2^31 so
+# products stay < 2^62).
+_SHINGLE_A = 1_000_003
+
+
 def _shingle_hashes(text: Column | str, k: int) -> Column:
-    # 31-bit base hash per distinct shingle; xxhash64 runs JVM-side.
-    return F.transform(word_shingles(text, k), lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
+    """31-bit hash per distinct word-k-shingle — numerically, without ever
+    materializing shingle strings: hash each token once (xxhash64), then
+    Horner-combine k consecutive token hashes mod 2^31-1. ~k× cheaper than
+    hashing concatenated shingle strings."""
+    token_hashes = F.transform(
+        F.split(text, " "), lambda t: F.pmod(F.xxhash64(t), F.lit(_P31))
+    )
+
+    def combine(th: Column, i: Column) -> Column:
+        h = F.element_at(th, i)
+        for j in range(1, k):
+            h = F.pmod(h * _SHINGLE_A + F.element_at(th, i + j), F.lit(_P31))
+        return h
+
+    def body(th: Column) -> Column:
+        n = F.size(th)
+        return F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)), lambda i: combine(th, i)
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return _let(token_hashes, body)
 
 
 def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3, seed: int = 42) -> Column:
