@@ -59,12 +59,14 @@ def q02_filter_len(spark, sf_dir):
     "q03_filter_regex",
     oracle="""
     SELECT p_partkey, p_name FROM part
-    WHERE regexp_matches(p_name, '^w') ORDER BY p_partkey
+    WHERE regexp_matches(p_name, '^(red|hot) w') ORDER BY p_partkey
     """,
 )
 def q03_filter_regex(spark, sf_dir):
-    """Regex filter ≡ `domain_cert_issued.go:19,40` (^www.* on domains)."""
-    df = filters.regex_filter(table(spark, sf_dir, "part"), "p_name", "^w")
+    """Regex filter ≡ `domain_cert_issued.go:19,40` (^www.* on domains;
+    the anchored-prefix pattern shape, bound to a pattern that actually
+    matches the synthetic part names)."""
+    df = filters.regex_filter(table(spark, sf_dir, "part"), "p_name", "^(red|hot) w")
     return df.select("p_partkey", "p_name").orderBy("p_partkey")
 
 

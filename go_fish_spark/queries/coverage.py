@@ -79,6 +79,50 @@ def q24_decode_cascade(spark, sf_dir):
 
 
 @query(
+    "q26_array_agg",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           len(list_sort(list(DISTINCT event_type))) AS n_types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q26_array_agg(spark, sf_dir):
+    """Array aggregation: per-key distinct set collected into a sorted
+    array (collect_set is unordered; sort_array makes it deterministic and
+    hash-comparable)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .select("user_id", "types", F.size("types").alias("n_types"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q27_explode_topk",
+    oracle="""
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 20
+    """,
+)
+def q27_explode_topk(spark, sf_dir):
+    """Explode + aggregate + top-k: corpus token frequencies. The explode
+    multiplies rows ~100×, partial aggregation collapses them map-side
+    before the one shuffle; the final top-20 is TakeOrdered."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+@query(
     "q25_cube",
     oracle=f"""
     SELECT n_name, o_orderpriority, count(*) AS cnt,

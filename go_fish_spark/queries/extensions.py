@@ -134,6 +134,19 @@ def x06_ann_cosine_topk(spark, sf_dir):
     )
 
 
+@query("x13_ann_lsh", oracle=None)
+def x13_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (the 100 TB scale path for x06: corpus
+    shuffles once on an 8-bit bucket key; only bucket collisions are
+    scored). Deterministic seeds; rows-only check + recall test vs
+    brute force in tests/test_dedup.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(
+        emb, queries_df, dim=_EMB_DIM, k=10, n_planes=8
+    ).orderBy("query_id", "rank")
+
+
 def _duck_lang_case() -> str:
     scores = tx.duck_lang_scores("text")
     cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())

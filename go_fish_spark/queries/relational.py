@@ -72,16 +72,19 @@ def q13_join_semi(spark, sf_dir):
     "q13_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT user_id FROM events)
     ORDER BY c_custkey
     """,
 )
 def q13_join_anti(spark, sf_dir):
-    """Left-anti join: NOT EXISTS (o_custkey is non-null in testdata, so
-    NOT IN ≡ anti join here)."""
+    """Left-anti join: customers with no event activity (NOT EXISTS; keys
+    are non-null so NOT IN is equivalent). customer⟂orders would be empty
+    in the synthetic data — this pairing isn't (~9% of customers)."""
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return joins.anti_join(customer, orders, "c_custkey").select(
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey")
+    )
+    return joins.anti_join(customer, events, "c_custkey").select(
         "c_custkey", "c_name"
     ).orderBy("c_custkey")
 

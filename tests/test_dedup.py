@@ -77,6 +77,15 @@ def test_simhash_finds_near_dups(spark, exact_pairs):
     )
 
 
+def test_x13_ann_lsh_registered_and_deterministic(spark):
+    from go_fish_spark.queries import REGISTRY
+
+    a = REGISTRY["x13_ann_lsh"].fn(spark, SF_DIR).collect()
+    b = REGISTRY["x13_ann_lsh"].fn(spark, SF_DIR).collect()
+    assert a == b  # fixed hyperplane seed → reproducible
+    assert all(r.rank >= 1 for r in a)
+
+
 def test_lsh_topk_matches_brute_force_mostly(spark):
     from go_fish_spark.operators import similarity
     from go_fish_spark.catalog import table

@@ -176,6 +176,38 @@ def test_fanout_single_read(spark, tmp_path):
     assert sorted(got["views"]) == [0, 2, 4]
 
 
+def test_session_window_stream(spark, tmp_path):
+    """Streaming session windows (gap-based), the idiomatic generalization
+    of the reference's drain-on-interval (`window.go:38-49`) — batch
+    analogue is q22_sessionize."""
+    import pyspark.sql.functions as F
+    from go_fish_spark.streaming import sources
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [
+            # two bursts for k separated by > 30 min → two sessions
+            dict(event_id=1, ts="2024-01-01T00:00:00Z", event_type="t", key="k", principal=None, principal_id="p"),
+            dict(event_id=2, ts="2024-01-01T00:10:00Z", event_type="t", key="k", principal=None, principal_id="p"),
+            dict(event_id=3, ts="2024-01-01T02:00:00Z", event_type="t", key="k", principal=None, principal_id="p"),
+        ],
+    )
+    events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+    sessions = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # session windows only support append mode: a session emits when the
+    # watermark passes its close. The final watermark lands at 02:00, so
+    # the burst of events 1-2 (session closed 00:40) emits with n=2; the
+    # 02:00 session stays open in state.
+    run_to_memory(sessions, "sess_out", mode="append")
+    rows = [(r.key, r.n) for r in spark.sql("SELECT key, n FROM sess_out").collect()]
+    assert rows == [("k", 2)]
+
+
 def test_metrics_listener(spark, tmp_path):
     """≡ monitoring.go counters via StreamingQueryListener."""
     from go_fish_spark.streaming import sinks, sources
