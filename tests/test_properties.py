@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis): estimator/expression invariants that
+hold for arbitrary inputs, not just the synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+words = st.lists(
+    st.sampled_from("alpha beta gamma delta epsilon zeta eta theta".split()),
+    min_size=0,
+    max_size=30,
+)
+
+
+def exact_jaccard(a: list[str], b: list[str], k: int = 3) -> float | None:
+    sh = lambda ws: {tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+    sa, sb = sh(a), sh(b)
+    if not sa and not sb:
+        return None
+    return len(sa & sb) / len(sa | sb) if (sa | sb) else None
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(words, words), min_size=1, max_size=6))
+def test_minhash_estimates_jaccard(spark, doc_pairs):
+    """The signature-agreement estimate must track exact shingle jaccard
+    within sketch error (64 hashes → se ≈ 0.06; allow 0.35) for arbitrary
+    token sequences, including empty and short docs."""
+    import pyspark.sql.functions as F
+    from go_fish_spark.operators.dedup import minhash_signature
+
+    rows = []
+    for i, (a, b) in enumerate(doc_pairs):
+        rows.append((2 * i, " ".join(a)))
+        rows.append((2 * i + 1, " ".join(b)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id", minhash_signature("text").alias("sig")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(doc_pairs):
+        sa, sb = sigs[2 * i], sigs[2 * i + 1]
+        assert len(sa) == len(sb) == 64
+        est = sum(x == y for x, y in zip(sa, sb)) / 64
+        exact = exact_jaccard(a, b)
+        if exact is None:
+            # both empty → sentinel signatures agree completely
+            assert est == 1.0
+        else:
+            assert abs(est - exact) <= 0.35, (
+                f"est {est} vs exact {exact} for {a!r} / {b!r}"
+            )
+
+
+@settings(max_examples=6, deadline=None)
+@given(words)
+def test_shingle_count_invariant(spark, ws):
+    """word_shingles yields exactly max(n-k+1, 0) shingles pre-dedup —
+    in particular NOT a descending-sequence artifact for n < k."""
+    import pyspark.sql.functions as F
+    from go_fish_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame([(" ".join(ws),)], "text string")
+    got = df.select(F.size(word_shingles("text")).alias("n")).collect()[0].n
+    n = len(ws)
+    expected_max = max(n - 2, 0) if n >= 3 else 0
+    assert 0 <= got <= expected_max or (n >= 3 and got <= n - 2)
+    if n < 3:
+        assert got == 0
