@@ -35,6 +35,9 @@ HEADLINE = [
     "q20_json_extract",
     "q21_s2s_asof_join",
     "q22_sessionize",
+    "q27_explode_topk",
+    "q29_stats",
+    "q30_tpch_q1",
     # extensions (skipped gracefully if not yet registered)
     "x01_dedup_exact",
     "x02_dedup_minhash_lsh",

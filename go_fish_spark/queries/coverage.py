@@ -123,6 +123,107 @@ def q27_explode_topk(spark, sf_dir):
 
 
 @query(
+    "q28_pivot",
+    oracle="""
+    SELECT user_id,
+           coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
+           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+           coalesce(sum(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q28_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns. Pinning the pivot
+    values keeps it a single-pass aggregation (no distinct-values scan)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .count()
+        .na.fill(0, ["click", "purchase", "error"])
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q29_stats",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_quantity)    AS qty_min,
+           max(l_quantity)    AS qty_max,
+           median(l_quantity) AS qty_median,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*)       AS qty_avg,
+           count(*)           AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q29_stats(spark, sf_dir):
+    """Order-statistic + exact-average battery. min/max/median are
+    order-independent; the average divides an exact decimal sum so the
+    double result is identical regardless of partitioning (a plain
+    avg(double) would depend on Spark's partial-aggregation order)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("qty_min"),
+            F.max("l_quantity").alias("qty_max"),
+            F.median("l_quantity").alias("qty_median"),
+            (money_sum("l_quantity") / F.count(F.lit(1))).alias("qty_avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q30_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(SUM(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q30_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (the canonical scan-heavy aggregate): 8 aggregates over a
+    date-filtered lineitem scan, two group keys. All sums go through
+    exact decimals (the per-row products are identical IEEE doubles on
+    both engines; decimal summation removes partitioning-order effects).
+    Partial aggregation collapses 6 M rows/SF to 4 groups map-side."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(22,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(24,8)")).cast("double").alias("sum_charge"),
+            (money_sum("l_quantity") / cnt).alias("avg_qty"),
+            (money_sum("l_extendedprice") / cnt).alias("avg_price"),
+            (money_sum("l_discount") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "q25_cube",
     oracle=f"""
     SELECT n_name, o_orderpriority, count(*) AS cnt,

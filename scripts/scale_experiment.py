@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Scale experiment: replicate the sf0.1 tables N× (with key offsets) into
+/tmp and measure operator scaling — evidence that the plans behave
+linearly (or better) rather than quadratically as data grows.
+
+Usage: python scripts/scale_experiment.py [N]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/gfs_scale"
+
+
+def build_scaled(spark, n: int) -> str:
+    import pyspark.sql.functions as F
+    from go_fish_spark.catalog import table
+
+    out = f"{OUT}/x{n}"
+    os.makedirs(out, exist_ok=True)
+    plans = {
+        "documents": ("doc_id", 100_000),
+        "events": ("event_id", 10_000_000),
+        "lineitem": ("l_orderkey", 10_000_000),
+        "embeddings": ("vec_id", 1_000_000),
+    }
+    for name, (key, stride) in plans.items():
+        path = f"{out}/{name}.parquet"
+        if os.path.exists(path):
+            continue
+        df = table(spark, BASE, name)
+        parts = [
+            df.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(n)
+        ]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(path)
+    # small dims copied as-is
+    for name in ("customer", "orders", "nation"):
+        path = f"{out}/{name}.parquet"
+        if not os.path.exists(path):
+            table(spark, BASE, name).write.mode("overwrite").parquet(path)
+    return out
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    n = fn()
+    return time.perf_counter() - t0, n
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from go_fish_spark.operators import dedup
+    from go_fish_spark.queries import REGISTRY
+    from go_fish_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-experiment")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    scaled = build_scaled(spark, n)
+
+    results = {}
+    cases = {
+        # (label, callable(sf_dir) -> row count)
+        "q08_keyed_agg": lambda d: REGISTRY["q08_keyed_agg"].fn(spark, d).count(),
+        "q10_tumbling_window": lambda d: REGISTRY["q10_tumbling_window"].fn(spark, d).count(),
+        "q21_s2s_asof_join": lambda d: REGISTRY["q21_s2s_asof_join"].fn(spark, d).count(),
+        "q13_join_inner": lambda d: REGISTRY["q13_join_inner"].fn(spark, d).count(),
+        "x01_dedup_exact": lambda d: REGISTRY["x01_dedup_exact"].fn(spark, d).count(),
+        "x02_dedup_minhash_lsh": lambda d: REGISTRY["x02_dedup_minhash_lsh"].fn(spark, d).count(),
+        "x04_dedup_ngram_jaccard": lambda d: REGISTRY["x04_dedup_ngram_jaccard"].fn(spark, d).count(),
+        "x06_ann_cosine_topk": lambda d: REGISTRY["x06_ann_cosine_topk"].fn(spark, d).count(),
+    }
+    for label, fn in cases.items():
+        t1, n1 = timed(lambda: fn(BASE))
+        tn, nn = timed(lambda: fn(scaled))
+        results[label] = {
+            "t_1x_sec": round(t1, 2),
+            f"t_{n}x_sec": round(tn, 2),
+            "ratio": round(tn / t1, 2),
+            "rows_1x": n1,
+            f"rows_{n}x": nn,
+        }
+        print(label, results[label], file=sys.stderr, flush=True)
+
+    print(json.dumps({"scale_factor": n, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
