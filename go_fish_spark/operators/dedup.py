@@ -296,35 +296,62 @@ def simhash_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.3
 ) -> DataFrame:
-    """Exact Jaccard over word k-shingles via inverted-index self-join.
+    """Exact Jaccard over word k-shingles via PREFIX-FILTERED inverted
+    index (All-Pairs / PPJoin-style, Bayardo et al., WWW'07).
 
-    Explode distinct shingles → join on shingle → co-occurrence counts →
-    jaccard = inter / (|A| + |B| - inter). Only pairs sharing ≥1 shingle
-    are ever materialized; the shuffle key is the shingle, so work scales
-    with index size, not with n²."""
+    A naive inverted-index self-join materializes every shingle
+    co-occurrence — under duplication-heavy corpora a shingle shared by m
+    docs contributes m² candidate rows, which is what quadratic blowup at
+    scale actually looks like. Prefix filtering restores control: order
+    each doc's shingles by global rarity; a pair with Jaccard ≥ t MUST
+    share a shingle within each doc's first ``n - ceil(t·n) + 1`` shingles
+    (pigeonhole: J ≥ t forces overlap ≥ ceil(t·n)), so only those prefix
+    entries are indexed. Hot shingles land in almost no prefixes, rare
+    shingles discriminate. Verification then computes the EXACT
+    intersection per surviving candidate with array_intersect — results
+    are identical to the naive join.
+
+    Shuffles: shingle-frequency agg, prefix-index self-join, two
+    candidate⋈signature joins — all on keys that shrink with rarity."""
     sh = (
         df.select(
             F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
         )
         .withColumn("_n", F.size("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # consumed by both join sides
+        .persist(StorageLevel.MEMORY_AND_DISK)  # consumed by 3 plan branches
     )
 
     inv = sh.select("_id", "_n", F.explode("_sh").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
+    freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+
+    from pyspark.sql import Window
+
+    rarity = Window.partitionBy("_id").orderBy("_df", "s")
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    prefix = (
+        inv.join(freq, "s")
+        .withColumn("_r", F.row_number().over(rarity))
+        .filter(F.col("_r") <= prefix_len)
+        .select("_id", "s")
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._n").alias("n_a"),
-            F.col("b._n").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_n").alias("n_a"))
+    sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), F.col("_n").alias("n_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sha", "_shb")))
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        inter.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

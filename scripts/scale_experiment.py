@@ -25,26 +25,48 @@ def build_scaled(spark, n: int) -> str:
 
     out = f"{OUT}/x{n}"
     os.makedirs(out, exist_ok=True)
-    plans = {
-        "documents": ("doc_id", 100_000),
-        "events": ("event_id", 10_000_000),
-        "lineitem": ("l_orderkey", 10_000_000),
-        "embeddings": ("vec_id", 1_000_000),
-    }
-    for name, (key, stride) in plans.items():
+
+    def replicate(name, mutate):
         path = f"{out}/{name}.parquet"
         if os.path.exists(path):
-            continue
+            return
         df = table(spark, BASE, name)
-        parts = [
-            df.withColumn(key, F.col(key) + F.lit(i * stride)) for i in range(n)
-        ]
+        parts = [mutate(df, i) for i in range(n)]
         big = parts[0]
         for p in parts[1:]:
             big = big.unionByName(p)
         big.write.mode("overwrite").parquet(path)
-    # small dims copied as-is
-    for name in ("customer", "orders", "nation"):
+
+    # documents: per-copy token salt so copies are near- but not exact
+    # duplicates — the near-dup pair structure scales ~linearly instead of
+    # every doc gaining 9 identical twins.
+    replicate(
+        "documents",
+        lambda df, i: df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(f" copytoken{i} copytoken{i} copytoken{i}"))),
+    )
+    # events: offset both event_id and user_id so keyed aggs/joins grow in
+    # group count, not just group size (user_id stride preserves the
+    # customer-hit/miss ratio).
+    replicate(
+        "events",
+        lambda df, i: df.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * 15_000)),
+    )
+    replicate(
+        "lineitem",
+        lambda df, i: df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000)),
+    )
+    replicate(
+        "embeddings",
+        lambda df, i: df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000)),
+    )
+    # orders scale with key offsets; customer/nation stay dimension-sized.
+    replicate(
+        "orders",
+        lambda df, i: df.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 10_000_000)),
+    )
+    for name in ("customer", "nation"):
         path = f"{out}/{name}.parquet"
         if not os.path.exists(path):
             table(spark, BASE, name).write.mode("overwrite").parquet(path)
