@@ -224,6 +224,83 @@ def q30_tpch_q1(spark, sf_dir):
 
 
 @query(
+    "q31_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 1 AS is_left, event_id,
+             CAST(NULL AS BIGINT) AS click_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0 AS is_left, CAST(NULL AS BIGINT) AS event_id,
+             event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), carried AS (
+      SELECT *,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_left, click_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS asof_click_id
+      FROM u
+    )
+    SELECT event_id, user_id, asof_click_id AS click_id
+    FROM carried WHERE is_left = 1
+    ORDER BY event_id
+    """,
+)
+def q31_asof_join(spark, sf_dir):
+    """As-of join between two streams: each purchase picks up the latest
+    prior click of the same user (null = no prior click, the KV-miss
+    branch). Union-window algorithm — one shuffle on user_id, no range
+    explosion (operators/asof.py)."""
+    from ..operators.asof import asof_join
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["click_id"],
+        tie_break="click_id",
+    )
+    return out.select("event_id", "user_id", "click_id").orderBy("event_id")
+
+
+@query(
+    "q32_range_join",
+    oracle="""
+    SELECT event_id, value,
+           CASE WHEN value >= 0.0   AND value < 1.0    THEN 'small'
+                WHEN value >= 1.0   AND value < 10.0   THEN 'mid'
+                WHEN value >= 10.0  AND value < 100.0  THEN 'large'
+                WHEN value >= 100.0 AND value < 1000.0 THEN 'huge'
+           END AS bucket
+    FROM events ORDER BY event_id
+    """,
+)
+def q32_range_join(spark, sf_dir):
+    """Range join: each event joins the bucket whose [lo, hi) interval
+    contains its value. The bucket table broadcasts, so the fact side
+    never shuffles (BroadcastNestedLoopJoin over a 4-row dim)."""
+    from ..operators.asof import range_join
+
+    events = table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0.0, 1.0, "small"), (1.0, 10.0, "mid"), (10.0, 100.0, "large"), (100.0, 1000.0, "huge")],
+        "lo double, hi double, bucket string",
+    )
+    out = range_join(events, buckets, F.col("value"), "lo", "hi")
+    return out.select("event_id", "value", "bucket").orderBy("event_id")
+
+
+@query(
     "q25_cube",
     oracle=f"""
     SELECT n_name, o_orderpriority, count(*) AS cnt,
