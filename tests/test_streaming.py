@@ -208,6 +208,68 @@ def test_session_window_stream(spark, tmp_path):
     assert rows == [("k", 2)]
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup ≡ the KV get-or-create collapse (`agg_rules/
+    cloudTrail_agg.go:39-63`) via dropDuplicatesWithinWatermark: repeats
+    of the same event_id inside the watermark horizon are suppressed."""
+    from go_fish_spark.streaming import sources
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [
+            dict(event_id=1, ts="2024-01-01T00:00:00Z", event_type="t", key="k", principal=None, principal_id="p"),
+            dict(event_id=1, ts="2024-01-01T00:00:30Z", event_type="t", key="k", principal=None, principal_id="p"),
+            dict(event_id=2, ts="2024-01-01T00:01:00Z", event_type="t", key="k", principal=None, principal_id="p"),
+            dict(event_id=2, ts="2024-01-01T00:01:10Z", event_type="t", key="k", principal=None, principal_id="p"),
+        ],
+    )
+    events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+    deduped = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    run_to_memory(deduped, "dedup_out")
+    ids = sorted(r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect())
+    assert ids == [1, 2]
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Native stream-stream inner join with watermarks — the fully
+    Spark-managed form of the s2s enrichment (state for both sides lives
+    in the state store; SURVEY §2.4 maps the KV join to exactly this)."""
+    import pyspark.sql.functions as F
+    from go_fish_spark.streaming import sources
+
+    adir, bdir = tmp_path / "a", tmp_path / "b"
+    write_events(adir, [
+        dict(event_id=1, ts="2024-01-01T00:00:00Z", event_type="signup", key="u1", principal="user/Ann", principal_id="x"),
+    ])
+    write_events(bdir, [
+        dict(event_id=2, ts="2024-01-01T00:03:00Z", event_type="purchase", key="u1", principal=None, principal_id="y"),
+        dict(event_id=3, ts="2024-01-01T00:04:00Z", event_type="purchase", key="u2", principal=None, principal_id="z"),
+    ])
+    left = (
+        sources.json_stream(spark, str(adir), EVENT_SCHEMA)
+        .select(F.col("key"), F.col("principal"), F.col("ts").alias("reg_ts"))
+        .withWatermark("reg_ts", "1 hour")
+    )
+    right = (
+        sources.json_stream(spark, str(bdir), EVENT_SCHEMA)
+        .select(F.col("key"), F.col("event_id"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = left.join(
+        right,
+        (left["key"] == right["key"])
+        & (right["buy_ts"] >= left["reg_ts"])
+        & (right["buy_ts"] <= left["reg_ts"] + F.expr("INTERVAL 1 HOUR")),
+    ).select(right["event_id"], left["principal"])
+    run_to_memory(joined, "ssj_out")
+    rows = {r.event_id: r.principal for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    # u1's purchase joins the signup inside the window; u2 has no match
+    assert rows == {2: "user/Ann"}
+
+
 def test_metrics_listener(spark, tmp_path):
     """≡ monitoring.go counters via StreamingQueryListener."""
     from go_fish_spark.streaming import sinks, sources
