@@ -25,9 +25,7 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
-    for sf_dir in (SF_SMALL, SF_MED):
-        pass
-    # Views are registered per-test-module against the sf dir in use.
+    # Views are registered per-test against the sf dir in use.
     yield con
     con.close()
 
