@@ -1,0 +1,59 @@
+"""Deterministic sampling & dataset splitting — training-data pipeline
+operators (north-star extensions).
+
+Splits must be (a) stable across runs/engines/cluster sizes, (b) a pure
+function of the record key — never of partitioning or row order (Spark's
+``df.sample`` is seed + partition-layout dependent, so identical data can
+split differently after a repartition). The primitive here is an md5-based
+hash bucket: md5 is available and bit-identical in both Spark and DuckDB,
+so splits are oracle-checkable and reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 md5 hex digits of
+    the key, as an integer, mod n_buckets. Engine- and layout-invariant."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def duck_hash_bucket(key_expr: str, n_buckets: int = 100) -> str:
+    """DuckDB mirror of :func:`hash_bucket`."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS UBIGINT)"
+        f" % {n_buckets}"
+    )
+
+
+def split_assign(
+    key: Column | str,
+    fractions: dict[str, float],
+    alias: str = "split",
+) -> Column:
+    """Assign each record to a named split by cumulative bucket ranges,
+    e.g. {"train": 0.8, "val": 0.1, "test": 0.1} → buckets [0,80) /
+    [80,90) / [90,100)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(key, 100)
+    expr = None
+    lo = 0
+    for name, frac in fractions.items():
+        hi = lo + round(frac * 100)
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return expr.otherwise(F.lit(list(fractions)[-1])).alias(alias)
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, chosen purely by key hash (stable under
+    repartitioning, unlike df.sample)."""
+    return df.filter(hash_bucket(key, 10_000) < int(fraction * 10_000))

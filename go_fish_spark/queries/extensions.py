@@ -147,6 +147,39 @@ def x13_ann_lsh(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+from ..operators.sampling import duck_hash_bucket
+
+
+@query(
+    "x14_train_test_split",
+    oracle=f"""
+    SELECT split, count(*) AS n, min(doc_id) AS first_doc
+    FROM (
+      SELECT doc_id,
+             CASE WHEN {duck_hash_bucket('doc_id')} < 80 THEN 'train'
+                  WHEN {duck_hash_bucket('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split ORDER BY split
+    """,
+)
+def x14_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split via md5 hash buckets —
+    a pure function of the key, invariant to partitioning, run order, and
+    engine (df.sample would be none of these)."""
+    from ..operators.sampling import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id", split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
+        .orderBy("split")
+    )
+
+
 def _duck_lang_case() -> str:
     scores = tx.duck_lang_scores("text")
     cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
