@@ -301,6 +301,132 @@ def q32_range_join(spark, sf_dir):
 
 
 @query(
+    "q33_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+             AS revenue,
+           strftime(any_value(o_orderdate), '%Y-%m-%d %H:%M:%S') AS orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q33_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): selective dimension filter →
+    broadcast customer into orders → join lineitem → top-10 by revenue.
+    The lineitem fact never shuffles for the joins; only the final small
+    aggregate does."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    from .util import ts_str
+
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(revenue.cast("decimal(22,6)")).cast("double").alias("revenue"),
+            ts_str(F.any_value("o_orderdate")).alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q34_tpch_q5",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q34_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): five-way join with the
+    customer-nation = supplier-nation co-location predicate; every
+    dimension broadcasts, lineitem⋈orders is the only shuffle pair."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        df.groupBy("n_name")
+        .agg(F.sum(revenue.cast("decimal(22,6)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q35_tpch_q18",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, o_orderkey
+    HAVING total_qty > 150
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+)
+def q35_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate-then-filter
+    (HAVING) over the fact join — partial aggregation collapses lineitem
+    before the exchange, the HAVING prunes post-agg."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(money_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+@query(
     "q25_cube",
     oracle=f"""
     SELECT n_name, o_orderpriority, count(*) AS cnt,

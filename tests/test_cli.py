@@ -1,0 +1,43 @@
+"""CLI regression tests (≡ main.go dispatch) — the non-Spark subcommands
+in-process; the `run` path is covered end-to-end by examples/ + manual
+drives (it owns its own SparkSession, so it isn't run under the shared
+test session)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from go_fish_spark.cli import main
+
+
+def test_check_task_ok(capsys):
+    assert main(["check-task", "filter_eq"]) == 0
+    assert "satisfies the Task protocol" in capsys.readouterr().out
+
+
+def test_check_task_unknown(capsys):
+    assert main(["check-task", "bogus"]) == 1
+    assert "unknown task" in capsys.readouterr().err
+
+
+def test_registry_get_and_list(tmp_path, capsys):
+    from go_fish_spark.plans.registry import PipelineRegistry
+
+    reg = str(tmp_path / "reg")
+    uid = PipelineRegistry(reg).store('{"sources": {}, "rules": {}, "sinks": {}, "states": {}}')
+    assert main(["get", uid, "--registry", reg]) == 0
+    assert json.loads(capsys.readouterr().out) == {
+        "sources": {}, "rules": {}, "sinks": {}, "states": {}
+    }
+    assert main(["list", "--registry", reg]) == 0
+    assert uid in capsys.readouterr().out
+    assert main(["get", "missing", "--registry", reg]) == 1
+
+
+def test_run_rejects_invalid_config(tmp_path, capsys):
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"sources": {}, "rules": {"r": {"source": "ghost", "task": "t"}}, "sinks": {}, "states": {}}')
+    assert main(["run", str(bad), "--registry", str(tmp_path / "reg")]) == 1
+    assert "invalid pipeline config" in capsys.readouterr().err
