@@ -38,6 +38,8 @@ HEADLINE = [
     "q27_explode_topk",
     "q29_stats",
     "q30_tpch_q1",
+    "q33_tpch_q3",
+    "q34_tpch_q5",
     # extensions (skipped gracefully if not yet registered)
     "x01_dedup_exact",
     "x02_dedup_minhash_lsh",

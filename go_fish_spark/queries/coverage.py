@@ -301,6 +301,29 @@ def q32_range_join(spark, sf_dir):
 
 
 @query(
+    "q36_unpivot",
+    oracle="""
+    SELECT event_id, metric, val FROM (
+      SELECT event_id, 'value' AS metric, value AS val FROM events
+      UNION ALL
+      SELECT event_id, 'user_id' AS metric, CAST(user_id AS DOUBLE) AS val FROM events
+    ) ORDER BY event_id, metric
+    """,
+)
+def q36_unpivot(spark, sf_dir):
+    """Unpivot (wide→long) via stack — the inverse of q28's pivot; stays a
+    single narrow projection (2 output rows per input, no shuffle)."""
+    return (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_id",
+            "stack(2, 'value', value, 'user_id', CAST(user_id AS DOUBLE)) AS (metric, val)",
+        )
+        .orderBy("event_id", "metric")
+    )
+
+
+@query(
     "q33_tpch_q3",
     oracle="""
     SELECT l_orderkey,
