@@ -55,6 +55,60 @@ def test_minhash_estimates_jaccard(spark, doc_pairs):
             )
 
 
+# Adversarial text: repeated/multiple spaces, quotes, unicode, empties.
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c'\"é中\t-")),
+        min_size=0,
+        max_size=40,
+    ).filter(lambda s: "\x1f" not in s),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts)
+def test_text_expressions_mirror_duckdb(spark, ts):
+    """The Spark text expressions and their DuckDB oracle mirrors must
+    agree on arbitrary text, not just the synthetic corpus — this is what
+    makes the x07-x10 oracle claims trustworthy."""
+    import duckdb
+    import pyspark.sql.functions as F
+    from go_fish_spark.functions.text import (
+        bag_fingerprint,
+        content_fingerprint,
+        quality_score,
+        tokens,
+    )
+
+    rows = [(i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.fp, r.bag, r.nw)
+        for r in df.select(
+            "doc_id",
+            content_fingerprint("text").alias("fp"),
+            bag_fingerprint("text").alias("bag"),
+            F.size(tokens("text")).alias("nw"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            """SELECT doc_id, md5(lower(trim(text))),
+                      md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')),
+                      len(string_split(text, ' '))
+               FROM t"""
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
 @settings(max_examples=6, deadline=None)
 @given(words)
 def test_shingle_count_invariant(spark, ws):
