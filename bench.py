@@ -74,6 +74,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        from go_fish_spark.operators.dedup import release_caches
+
+        release_caches()  # dedup ops pin signature caches; free between queries
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

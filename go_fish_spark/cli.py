@@ -67,14 +67,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # run
-    from .plans import ValidationError, compile_pipeline, parse_spec
+    from .plans import ValidationError, compile_pipeline, parse_spec, resolve_tasks
     from .plans.registry import PipelineRegistry
     from .session import get_spark
 
     with open(args.config) as f:
         raw = f.read()
     try:
-        spec = parse_spec(raw)  # validate before persisting, like NewPipeline
+        # validate spec AND load every task before persisting, like
+        # NewPipeline loads every plugin before Store
+        spec = parse_spec(raw)
+        resolve_tasks(spec)
     except (ValidationError, json.JSONDecodeError) as e:
         print(f"invalid pipeline config: {e}", file=sys.stderr)
         return 1

@@ -61,6 +61,31 @@ def _let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+#: Frames persisted by the pair-generating operators (their self-joins
+#: consume the signatures twice). Spark only evicts caches under memory
+#: pressure, so long-lived sessions can call :func:`release_caches` between
+#: corpora to return executor storage eagerly.
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED_FRAMES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every frame cached by dedup operators; returns the count."""
+    n = 0
+    while _CACHED_FRAMES:
+        try:
+            _CACHED_FRAMES.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _P31), rng.randrange(0, _P31)) for _ in range(n_hashes)]
@@ -154,10 +179,12 @@ def minhash_lsh_pairs(
     # Persist: signatures feed the banding explode AND both sides of the
     # candidate self-join; without this the whole shingle+signature
     # computation re-runs per consumer. ~0.5 KB/row, spills to disk if big.
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(text_col, n_hashes, k, seed).alias("_sig"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(text_col, n_hashes, k, seed).alias("_sig"),
+        )
+    )
 
     band_cols = F.array(
         *[
@@ -252,9 +279,11 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming distance ≤ max_hamming (≤3 by
     pigeonhole over the 4 chunk bands). One shuffle on (chunk_idx, value)."""
-    sigs = df.select(
-        F.col(id_col).alias("_id"), simhash_chunks(text_col).alias("_chunks")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _persist(
+        df.select(
+            F.col(id_col).alias("_id"), simhash_chunks(text_col).alias("_chunks")
+        )
+    )
 
     exploded = sigs.select(
         "_id", "_chunks", F.posexplode("_chunks").alias("ci", "cv")
@@ -322,12 +351,10 @@ def ngram_jaccard_pairs(
     if prefix_filter is None:
         prefix_filter = threshold >= 0.6
 
-    sh = (
+    sh = _persist(  # consumed by multiple plan branches
         df.select(
             F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
-        )
-        .withColumn("_n", F.size("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # consumed by multiple branches
+        ).withColumn("_n", F.size("_sh"))
     )
     inv = sh.select("_id", "_n", F.explode("_sh").alias("s"))
 

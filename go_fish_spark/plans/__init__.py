@@ -2,4 +2,4 @@
 the pipeline registry (≡ `pipeline.go`, `backend.go`)."""
 
 from .spec import PipelineSpec, ValidationError, parse_spec  # noqa: F401
-from .compiler import compile_pipeline  # noqa: F401
+from .compiler import compile_pipeline, resolve_tasks  # noqa: F401

@@ -19,6 +19,7 @@ import threading
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from .compiler import resolve_tasks
 from .registry import PipelineRegistry
 from .spec import ValidationError, parse_spec
 
@@ -66,7 +67,8 @@ class PipelineAPI:
                 n = int(self.headers.get("Content-Length", "0"))
                 raw = self.rfile.read(n).decode()
                 try:
-                    parse_spec(raw)
+                    spec = parse_spec(raw)
+                    resolve_tasks(spec)  # every task must load before Store
                 except (ValidationError, ValueError) as e:
                     # ≡ the 400 branch of CreatePipeline (`api.go:113-118`)
                     self._send(400, f"invalid pipeline: {e}")

@@ -120,74 +120,53 @@ class CompiledPipeline:
         (≡ StartPipeline's goroutine swarm, but one query per sink with
         Spark owning scheduling/backpressure/recovery).
 
-        Multiple sinks over one source would each re-read it as separate
-        queries; that fan-out case routes through streaming.sinks.
-        fanout_sink (one read, persist, drive every branch — SURVEY §4.3d).
+        Multiple sinks over one source route through streaming.sinks.
+        fanout_sink — ONE source read, each micro-batch persisted and
+        driven through every branch (SURVEY §4.3d) — instead of N queries
+        each re-reading the source. Sink types are validated up front so
+        an unsupported sink fails here, not asynchronously inside the
+        first micro-batch.
         """
         from ..streaming import sinks as ssinks
 
-        queries = []
         sink_items = list(self.sink_inputs.items())
-        if len(sink_items) > 1 and len(self.spec.sources) == 1:
-            # single-read DAG fan-out
+        fanout = len(sink_items) > 1 and len(self.spec.sources) == 1
+        for name, _ in sink_items:
+            stype = self.spec.sinks[name].type
+            allowed = _FANOUT_SINK_TYPES if fanout else _STREAM_SINK_TYPES
+            if stype not in allowed:
+                mode = "streaming fan-out" if fanout else "streaming"
+                raise ValueError(
+                    f"sink {name!r}: type {stype!r} unsupported in {mode} "
+                    f"(supported: {sorted(allowed)})"
+                )
+
+        if fanout:
             [(src_name, _)] = self.spec.sources.items()
             src_df = self.node_frames[src_name]
+            spec = self.spec
 
-            def make_writer(sink_spec: SinkSpec, path_key: str):
-                def w(batch_df: DataFrame, batch_id: int) -> None:
-                    if sink_spec.type in ("file", "json"):
-                        batch_df.write.mode("append").json(sink_spec.options["path"])
-                    elif sink_spec.type == "parquet":
-                        batch_df.write.mode("append").parquet(sink_spec.options["path"])
-                    elif sink_spec.type == "console":
-                        batch_df.show(truncate=False)
-                    else:
-                        raise ValueError(
-                            f"sink type {sink_spec.type!r} unsupported in streaming fan-out"
-                        )
+            def make_branch(sink_name: str):
+                def branch(batch_df: DataFrame) -> DataFrame:
+                    frames = {src_name: batch_df}
+                    _compute_rule_frames(spec, frames)
+                    outs = [
+                        frames[r.name]
+                        for r in spec.rules.values()
+                        if r.sink == sink_name
+                    ]
+                    merged = outs[0]
+                    for o in outs[1:]:
+                        merged = merged.unionByName(o)
+                    return merged
 
-                return w
+                return branch
 
-            # Branch transformations replayed against the micro-batch: for
-            # each sink, the composition of rules from source to sink.
-            branches = {}
-            writers = {}
-            for sink_name, _df in sink_items:
-                rules_chain = [
-                    r for r in self.spec.rules.values() if r.sink == sink_name
-                ]
-
-                def make_branch(rules_for_sink):
-                    def branch(batch_df: DataFrame) -> DataFrame:
-                        from ..tasks import get_task
-
-                        outs = []
-                        for r in rules_for_sink:
-                            # recompose rule chain bottom-up
-                            chain = []
-                            cur = r
-                            while True:
-                                chain.append(cur)
-                                if cur.source in self.spec.rules:
-                                    cur = self.spec.rules[cur.source]
-                                else:
-                                    break
-                            df = batch_df
-                            for rule in reversed(chain):
-                                task = get_task(rule.task, **rule.options)
-                                task.init(None)
-                                df = task.apply(df)
-                            outs.append(df)
-                        merged = outs[0]
-                        for o in outs[1:]:
-                            merged = merged.unionByName(o)
-                        return merged
-
-                    return branch
-
-                branches[sink_name] = make_branch(rules_chain)
-                writers[sink_name] = make_writer(self.spec.sinks[sink_name], sink_name)
-
+            branches = {name: make_branch(name) for name, _ in sink_items}
+            writers = {
+                name: _stream_batch_writer(self.spec.sinks[name])
+                for name, _ in sink_items
+            }
             q = ssinks.fanout_sink(
                 src_df,
                 branches,
@@ -197,6 +176,7 @@ class CompiledPipeline:
             )
             return [q]
 
+        queries = []
         for name, df in sink_items:
             sink = self.spec.sinks[name]
             ckpt = os.path.join(checkpoint_root, name)
@@ -206,6 +186,22 @@ class CompiledPipeline:
                         df, sink.options["path"], ckpt, trigger_available_now=available_now
                     )
                 )
+            elif sink.type == "parquet":
+                w = (
+                    df.writeStream.format("parquet")
+                    .option("path", sink.options["path"])
+                    .option("checkpointLocation", ckpt)
+                )
+                if available_now:
+                    w = w.trigger(availableNow=True)
+                queries.append(w.start())
+            elif sink.type == "console":
+                w = df.writeStream.format("console").option(
+                    "checkpointLocation", ckpt
+                )
+                if available_now:
+                    w = w.trigger(availableNow=True)
+                queries.append(w.start())
             elif sink.type == "memory":
                 queries.append(
                     ssinks.memory_sink(
@@ -215,9 +211,70 @@ class CompiledPipeline:
                         trigger_available_now=available_now,
                     )
                 )
-            else:
-                raise ValueError(f"sink type {sink.type!r} unsupported in streaming")
         return queries
+
+
+#: Sink types a streaming pipeline supports; fan-out runs writers inside
+#: foreachBatch, where the memory sink does not exist.
+_STREAM_SINK_TYPES = frozenset({"file", "json", "parquet", "console", "memory"})
+_FANOUT_SINK_TYPES = frozenset({"file", "json", "parquet", "console"})
+
+
+def _stream_batch_writer(sink: SinkSpec):
+    """Per-micro-batch writer for the fan-out path."""
+
+    def w(batch_df: DataFrame, batch_id: int) -> None:
+        if sink.type in ("file", "json"):
+            batch_df.write.mode("append").json(sink.options["path"])
+        elif sink.type == "parquet":
+            batch_df.write.mode("append").parquet(sink.options["path"])
+        elif sink.type == "console":
+            batch_df.show(truncate=False)
+
+    return w
+
+
+def resolve_tasks(spec: PipelineSpec) -> None:
+    """Instantiate every rule's task up front (≡ NewPipeline loading every
+    rule plugin BEFORE Store, `pipeline.go:276-322` — the reference never
+    persists a pipeline whose plugins don't load). Raises ValidationError
+    so API/CLI reject with 400/exit-1 instead of storing a broken spec."""
+    from .spec import ValidationError
+
+    for rule in spec.rules.values():
+        try:
+            get_task(rule.task, **rule.options)
+        except (KeyError, TypeError) as e:
+            raise ValidationError(f"rule {rule.name!r}: {e}") from e
+
+
+def _compute_rule_frames(
+    spec: PipelineSpec, frames: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Resolve every rule's output DataFrame in dependency order.
+
+    A rule's input is its source frame UNIONED with the outputs of all
+    rules that name it as their *sink* — the reference wires both edge
+    kinds into the DAG (`pipeline.go:318-322`: addEdge(rule, sink) where
+    the sink may itself be a rule). ``frames`` must contain every source;
+    it is mutated in place and returned."""
+    pending = dict(spec.rules)
+    while pending:
+        progressed = False
+        for name, rule in list(pending.items()):
+            feeders = [r.name for r in spec.rules.values() if r.sink == name]
+            if rule.source in frames and all(f in frames for f in feeders):
+                task = get_task(rule.task, **rule.options)
+                task.init(spec.states.get(rule.state) if rule.state else None)
+                inp = frames[rule.source]
+                for f in feeders:
+                    inp = inp.unionByName(frames[f])
+                frames[name] = task.apply(inp)
+                del pending[name]
+                progressed = True
+        if not progressed:  # pragma: no cover — validate() prevents this
+            raise ValueError(f"unresolvable rules: {sorted(pending)}")
+    return frames
 
 
 def compile_pipeline(
@@ -228,35 +285,24 @@ def compile_pipeline(
     for name, src in spec.sources.items():
         frames[name] = make_source(spark, src, streaming=streaming)
 
-    # Resolve rules in dependency order (spec.validate guarantees a DAG).
-    pending = dict(spec.rules)
-    while pending:
-        progressed = False
-        for name, rule in list(pending.items()):
-            if rule.source in frames:
-                task = get_task(rule.task, **rule.options)
-                state = spec.states.get(rule.state) if rule.state else None
-                task.init(state)
-                frames[name] = task.apply(frames[rule.source])
-                del pending[name]
-                progressed = True
-        if not progressed:  # pragma: no cover — validate() prevents this
-            raise ValueError(f"unresolvable rules: {sorted(pending)}")
+    _compute_rule_frames(spec, frames)
 
-    # Fan-out: persist any node consumed by >1 child so the upstream isn't
-    # recomputed per branch (the reference streams each event to every
-    # child for free; in batch Spark the equivalent is a shared
-    # materialization). Streaming DataFrames can't persist — fan-out there
-    # is handled by start()'s single-read foreachBatch path.
+    # Fan-out: persist any node consumed more than once (by child rules,
+    # by a rule it feeds as sink, or by a sink write) so the upstream
+    # isn't recomputed per consumer. Streaming DataFrames can't persist —
+    # fan-out there is handled by start()'s single-read foreachBatch path.
     if not streaming:
         consumers: dict[str, int] = {}
         for rule in spec.rules.values():
             consumers[rule.source] = consumers.get(rule.source, 0) + 1
+            if rule.sink is not None:
+                consumers[rule.name] = consumers.get(rule.name, 0) + 1
         for node, n in consumers.items():
             if n > 1:
                 frames[node] = frames[node].persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Fan-in: group rules by sink, union.
+    # Fan-in: group rules by sink, union. (Rule→rule sinks were already
+    # delivered inside _compute_rule_frames.)
     sink_inputs: dict[str, DataFrame] = {}
     for rule in spec.rules.values():
         if rule.sink is None or rule.sink not in spec.sinks:

@@ -22,6 +22,10 @@ class PipelineRegistry:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, uuid: str) -> str:
+        # IDs are path components — reject separators/traversal outright
+        # so a crafted GET /pipelines/{id} can't read outside the registry.
+        if not uuid or any(c in uuid for c in ("/", "\\", "\x00")) or ".." in uuid:
+            raise KeyError(f"invalid pipeline id {uuid!r}")
         return os.path.join(self.root, f"{uuid}.json")
 
     def store(self, raw_config: str | dict, uuid: str | None = None) -> str:
@@ -40,7 +44,7 @@ class PipelineRegistry:
         try:
             with open(self._path(uuid)) as f:
                 return f.read()
-        except FileNotFoundError:
+        except (FileNotFoundError, KeyError):
             return None
 
     def list(self) -> list[str]:

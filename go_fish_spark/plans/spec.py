@@ -67,13 +67,30 @@ class PipelineSpec:
 
 
 def parse_spec(raw: str | dict) -> PipelineSpec:
-    """JSON → validated PipelineSpec (≡ `pipeline.go:30-87`)."""
-    cfg = json.loads(raw) if isinstance(raw, str) else raw
+    """JSON → validated PipelineSpec (≡ `pipeline.go:30-87`). Malformed
+    structure raises ValidationError (not TypeError/AttributeError), so
+    the API's 400 path and the CLI's error path always engage."""
+    try:
+        cfg = json.loads(raw) if isinstance(raw, str) else raw
+    except json.JSONDecodeError as e:
+        raise ValidationError(f"config is not valid JSON: {e}") from e
+    if not isinstance(cfg, dict):
+        raise ValidationError(
+            f"config must be a JSON object, got {type(cfg).__name__}"
+        )
 
     def load(key, cls):
+        section = cfg.get(key, {})
+        if not isinstance(section, dict):
+            raise ValidationError(f"{key!r} must be an object of name → body")
         out = {}
-        for name, body in dict(cfg.get(key, {})).items():
-            item = cls(name=name, **body)
+        for name, body in section.items():
+            if not isinstance(body, dict):
+                raise ValidationError(f"{key}.{name}: body must be an object")
+            try:
+                item = cls(name=name, **body)
+            except TypeError as e:
+                raise ValidationError(f"{key}.{name}: {e}") from e
             out[name] = item
         return out
 

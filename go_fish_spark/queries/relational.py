@@ -178,9 +178,7 @@ def q17_setops(spark, sf_dir):
     cust = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     ords = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     both = cust.intersect(ords).withColumn("tag", F.lit("both"))
-    only = cust.exceptAll(ords.distinct()).distinct().withColumn(
-        "tag", F.lit("only_customer")
-    )
+    only = cust.subtract(ords).withColumn("tag", F.lit("only_customer"))
     return both.unionByName(only).orderBy("k", "tag")
 
 

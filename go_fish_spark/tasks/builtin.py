@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import project
+from ..operators import filters, project
 from .protocol import BasicTask
 from .registry import register_task
 
@@ -21,19 +21,20 @@ class FilterEq(BasicTask):
     """≡ `testdata/rules/a.go:12-18` (Str == "a"). Options: column, value."""
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.filter(F.col(self.options["column"]) == F.lit(self.options["value"]))
+        return filters.eq_filter(df, self.options["column"], self.options["value"])
 
 
 @register_task("filter_length")
 class FilterLength(BasicTask):
     """≡ `testdata/rules/length.go:12-18` (len(Str) == 1).
-    Options: column, length (exact) or max_length."""
+    Options: column, length (exact) or max_length (INCLUSIVE upper bound,
+    as the name says)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
-        c = F.length(F.col(self.options["column"]))
+        col = self.options["column"]
         if "length" in self.options:
-            return df.filter(c == self.options["length"])
-        return df.filter(c < self.options["max_length"])
+            return filters.length_filter(df, col, eq=self.options["length"])
+        return filters.length_filter(df, col, lt=self.options["max_length"] + 1)
 
 
 @register_task("filter_regex")
@@ -41,7 +42,7 @@ class FilterRegex(BasicTask):
     """≡ `domain_cert_issued.go:19,40`. Options: column, pattern."""
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.filter(F.col(self.options["column"]).rlike(self.options["pattern"]))
+        return filters.regex_filter(df, self.options["column"], self.options["pattern"])
 
 
 @register_task("filter_array_exists")
@@ -50,8 +51,8 @@ class FilterArrayExists(BasicTask):
     Options: column (array<string>), pattern."""
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.filter(
-            F.exists(F.col(self.options["column"]), lambda x: x.rlike(self.options["pattern"]))
+        return filters.array_exists_filter(
+            df, F.col(self.options["column"]), self.options["pattern"]
         )
 
 
