@@ -301,6 +301,67 @@ def q32_range_join(spark, sf_dir):
 
 
 @query(
+    "q37_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q37_topk_per_group(spark, sf_dir):
+    """Per-group top-k (top 3 orders per customer by price): window
+    row_number with a deterministic tiebreak — the distributed top-k that
+    keeps k rows per group without a global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q38_argmax",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) = 1
+    ORDER BY c_nationkey
+    """,
+)
+def q38_argmax(spark, sf_dir):
+    """Argmax per group (richest customer per nation) — the correlated-
+    subquery pattern (max + join back) expressed as one window pass, no
+    second scan or join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
     "q36_unpivot",
     oracle="""
     SELECT event_id, metric, val FROM (
