@@ -362,6 +362,65 @@ def q38_argmax(spark, sf_dir):
 
 
 @query(
+    "q39_string_null_battery",
+    oracle="""
+    SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0')        AS padded,
+           translate(lang, 'aeiou', 'AEIOU')            AS lang_t,
+           regexp_replace(source, '[0-9]+', '#', 'g')   AS src_masked,
+           repeat(lang, 2)                              AS lang2,
+           reverse(lang)                                AS lang_r,
+           split_part(source, 'rc', 2)                  AS src_part,
+           strpos(text, 'spark')                        AS spark_pos,
+           nullif(lang, 'en')                           AS lang_non_en,
+           coalesce(nullif(lang, 'en'), 'english')      AS lang_label
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q39_string_null_battery(spark, sf_dir):
+    """String + null-handling battery (lpad/translate/regexp_replace/
+    repeat/reverse/split_part/locate/nullif/coalesce) — all codegen'd
+    built-ins, verified identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_t"),
+        F.regexp_replace("source", "[0-9]+", "#").alias("src_masked"),
+        F.repeat("lang", 2).alias("lang2"),
+        F.reverse("lang").alias("lang_r"),
+        F.split_part(F.col("source"), F.lit("rc"), F.lit(2)).alias("src_part"),
+        F.locate("spark", F.col("text")).cast("long").alias("spark_pos"),
+        F.nullif(F.col("lang"), F.lit("en")).alias("lang_non_en"),
+        F.coalesce(F.nullif(F.col("lang"), F.lit("en")), F.lit("english")).alias(
+            "lang_label"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q40_map_json",
+    oracle="""
+    SELECT event_id,
+           json_object('type', event_type, 'uid', user_id)::VARCHAR AS payload
+    FROM events ORDER BY event_id
+    """,
+)
+def q40_map_json(spark, sf_dir):
+    """Map construction + JSON serialization: create_map → to_json (the
+    OutputEvent Body pattern, `output/event.go:18` map<string,any> →
+    JSON-marshal at the sink, `output/file.go:41`)."""
+    e = table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.col("user_id").alias("uid"),
+        )
+    )
+    return e.select("event_id", payload.alias("payload")).orderBy("event_id")
+
+
+@query(
     "q36_unpivot",
     oracle="""
     SELECT event_id, metric, val FROM (
