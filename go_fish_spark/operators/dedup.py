@@ -186,6 +186,10 @@ def minhash_lsh_pairs(
         )
     )
 
+    # Slim banding rows: (id, band, band_hash) ONLY — carrying the 64-long
+    # signature through the 16×-exploded self-join would shuffle 16 copies
+    # of every signature; instead candidates join back to the persisted
+    # sigs (2 hash joins over the small candidate set) for verification.
     band_cols = F.array(
         *[
             F.struct(
@@ -195,26 +199,24 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    exploded = sigs.select("_id", "_sig", F.explode(band_cols).alias("bd")).select(
-        "_id", "_sig", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    exploded = sigs.select("_id", F.explode(band_cols).alias("bd")).select(
+        "_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
     )
 
     a, b = exploded.alias("a"), exploded.alias("b")
-    candidates = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    candidates = cand_ids.join(sig_a, "id_a").join(sig_b, "id_b")
 
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)

@@ -109,6 +109,55 @@ def test_text_expressions_mirror_duckdb(spark, ts):
     assert got == want
 
 
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key
+        st.integers(min_value=0, max_value=100),   # time
+        st.booleans(),                              # is_left (read) vs write
+        st.integers(min_value=0, max_value=999),   # value / id
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(asof_events)
+def test_asof_join_matches_reference_impl(spark, evs):
+    """operators.asof.asof_join must agree with a simple per-key replay:
+    for each left row, the latest right row at-or-before it (same-instant
+    writes visible, ties on the tie-break column)."""
+    from pyspark.sql import types as T
+    from go_fish_spark.operators.asof import asof_join
+
+    lefts = [
+        (i, k, t) for i, (k, t, is_l, v) in enumerate(evs) if is_l
+    ]  # (left_id, key, time)
+    rights = [
+        (k, t, v, i) for i, (k, t, is_l, v) in enumerate(evs) if not is_l
+    ]  # (key, time, value, tb)
+    if not lefts or not rights:
+        return
+
+    left_df = spark.createDataFrame(lefts, "left_id long, key long, t long")
+    right_df = spark.createDataFrame(rights, "key long, t long, val long, tb long")
+    got = {
+        r.left_id: r.val
+        for r in asof_join(
+            left_df, right_df, key="key", left_time="t", right_time="t",
+            value_cols=["val"], tie_break="tb",
+        ).collect()
+    }
+
+    # reference replay: latest (t, tb) right row with t <= left.t per key
+    expected = {}
+    for left_id, k, t in lefts:
+        cands = [(rt, tb, v) for (rk, rt, v, tb) in rights if rk == k and rt <= t]
+        expected[left_id] = max(cands)[2] if cands else None
+
+    assert got == expected
+
+
 @settings(max_examples=6, deadline=None)
 @given(words)
 def test_shingle_count_invariant(spark, ws):
