@@ -71,6 +71,74 @@ def bucket_key(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return key
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into cells; each query scores only the
+    ``n_probe`` nearest cells.
+
+    Scale shape: training samples the corpus (KMeans on a bounded sample),
+    assignment is one ML transform pass, and the search join hits
+    n_probe/n_cells of the corpus — with cell id as the shuffle/cluster
+    key, this is the classic billion-vector layout. Recall/cost is tuned
+    by n_cells × n_probe.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        "vec_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def nearest_cells(vec: list[float]) -> list[int]:
+        v = np.asarray(vec, dtype=np.float64)
+        dists = [float(np.linalg.norm(v - np.asarray(c))) for c in centers]
+        return sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    probe = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [
+                (r.query_id, list(r.qv), cell)
+                for r in qrows
+                for cell in nearest_cells(list(r.qv))
+            ],
+            f"query_id long, qv array<float>, cell int",
+        )
+    )
+    scored = (
+        assigned.join(probe, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", vectors.cosine("cv", "qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -180,6 +180,50 @@ def x14_train_test_split(spark, sf_dir):
     )
 
 
+@query("x15_ann_ivf", oracle=None)
+def x15_ann_ivf(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer, probe 4/16 cells) — the
+    inverted-file billion-vector layout; recall vs brute force asserted in
+    tests/test_dedup.py. Rows-only: KMeans cell assignment depends on
+    sampling/partitioning, so results are stable per-session but not
+    oracle-hashable."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries_df, dim=_EMB_DIM, k=10, n_cells=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "x16_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20 ORDER BY lang, doc_id
+    """,
+)
+def x16_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 20 docs per language,
+    chosen by md5-hash order — a pure function of the keys (stable across
+    engines, partitionings, and runs; df.sampleBy is none of these)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def _duck_lang_case() -> str:
     scores = tx.duck_lang_scores("text")
     cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())

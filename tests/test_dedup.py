@@ -86,6 +86,28 @@ def test_x13_ann_lsh_registered_and_deterministic(spark):
     assert all(r.rank >= 1 for r in a)
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with 4/16 probed cells must recover a solid fraction of the
+    true cosine top-k (cells hold ~1/16 of the corpus; 4 probes cover the
+    likeliest neighborhoods)."""
+    from go_fish_spark.operators import similarity
+    from go_fish_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, queries, dim=64, k=5, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
 def test_lsh_topk_matches_brute_force_mostly(spark):
     from go_fish_spark.operators import similarity
     from go_fish_spark.catalog import table
