@@ -82,20 +82,28 @@ def q24_decode_cascade(spark, sf_dir):
     "q26_array_agg",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
-           len(list_sort(list(DISTINCT event_type))) AS n_types
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           len(list(DISTINCT event_type)) AS n_types
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )
 def q26_array_agg(spark, sf_dir):
     """Array aggregation: per-key distinct set collected into a sorted
-    array (collect_set is unordered; sort_array makes it deterministic and
-    hash-comparable)."""
+    array (collect_set is unordered; sort_array makes it deterministic).
+    The array is emitted as a comma-joined string on both engines — the
+    driver's canonicalizer sorts/hashes rows with pandas, which cannot
+    factorize ndarray cells (CORRECTNESS_r01 q26 crash); the string form
+    is the same aggregation, hash-comparable."""
+    arr = F.sort_array(F.collect_set("event_type"))
     return (
         table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
-        .select("user_id", "types", F.size("types").alias("n_types"))
+        .agg(arr.alias("types_arr"))
+        .select(
+            "user_id",
+            F.array_join("types_arr", ",").alias("types"),
+            F.size("types_arr").alias("n_types"),
+        )
         .orderBy("user_id")
     )
 
@@ -126,9 +134,9 @@ def q27_explode_topk(spark, sf_dir):
     "q28_pivot",
     oracle="""
     SELECT user_id,
-           coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS click,
-           coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-           coalesce(sum(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS error
+           CAST(coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error'    THEN 1 END), 0) AS BIGINT) AS error
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -462,9 +470,15 @@ def q36_unpivot(spark, sf_dir):
 )
 def q33_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape (shipping priority): selective dimension filter →
-    broadcast customer into orders → join lineitem → top-10 by revenue.
-    The lineitem fact never shuffles for the joins; only the final small
-    aggregate does."""
+    broadcast the filtered customer key-list into orders → shuffle join
+    with lineitem → top-10 by revenue.
+
+    Scale shape: only the ~1/5-segment customer KEY projection gets an
+    explicit broadcast hint (bounded: custkeys are 8 bytes/row). The
+    date-filtered orders side is still ~half the fact table — it scales
+    with SF, so it must NOT be force-broadcast (an explicit hint overrides
+    autoBroadcastJoinThreshold and OOMs at 100 TB); AQE picks the
+    orders⋈lineitem strategy from runtime sizes instead."""
     cust = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -481,7 +495,7 @@ def q33_tpch_q3(spark, sf_dir):
 
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey")
@@ -512,8 +526,14 @@ def q33_tpch_q3(spark, sf_dir):
 )
 def q34_tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape (local supplier volume): five-way join with the
-    customer-nation = supplier-nation co-location predicate; every
-    dimension broadcasts, lineitem⋈orders is the only shuffle pair."""
+    customer-nation = supplier-nation co-location predicate.
+
+    Scale shape: true dimensions (supplier/nation/region — fixed-size or
+    sub-linear in SF) carry explicit broadcast hints; orders and customer
+    SCALE with the fact data, so their joins carry no hint — lineitem⋈orders
+    and ⋈customer shuffle on their keys (AQE still broadcasts them at small
+    SF where they fit under autoBroadcastJoinThreshold, so the local bench
+    is unchanged; at 100 TB a forced broadcast would OOM)."""
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem")
@@ -522,8 +542,8 @@ def q34_tpch_q5(spark, sf_dir):
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     df = (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
             F.broadcast(supp),
             (li["l_suppkey"] == supp["s_suppkey"])
@@ -555,13 +575,18 @@ def q34_tpch_q5(spark, sf_dir):
 def q35_tpch_q18(spark, sf_dir):
     """TPC-H Q18 shape (large-volume orders): aggregate-then-filter
     (HAVING) over the fact join — partial aggregation collapses lineitem
-    before the exchange, the HAVING prunes post-agg."""
+    before the exchange, the HAVING prunes post-agg.
+
+    Scale shape: orders and customer scale with SF, so neither is
+    force-broadcast — both joins are left to AQE (broadcast at bench SF,
+    shuffle at scale). Columns are pruned to the join/agg keys so the
+    shuffled orders side is two 8-byte columns."""
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     cust = table(spark, sf_dir, "customer").select("c_custkey")
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "o_orderkey")
         .agg(money_sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 150)

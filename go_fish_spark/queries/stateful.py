@@ -88,9 +88,9 @@ def q21_s2s_asof_join(spark, sf_dir):
       FROM events
     ), sessions AS (
       SELECT user_id, ts, event_id,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -107,9 +107,12 @@ def q22_sessionize(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
+    # Gap compared at full microsecond precision (events.ts carries µs);
+    # cast("long") would truncate to seconds and misclassify any gap
+    # within 1 s of the 30-min boundary vs the oracle's interval compare.
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
         1,
     ).otherwise(0)
     sessions = events.withColumn("session_id", F.sum(new_session).over(run))

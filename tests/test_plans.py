@@ -55,3 +55,56 @@ def test_q13_semi_anti_join_types(spark):
 def test_x06_queries_broadcast_corpus_never_shuffles(spark):
     plan = plan_of(spark, "x06_ann_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def _hinted_relations(spark, name: str) -> list[set[str]]:
+    """Tables scanned under each explicit broadcast hint in the analyzed
+    logical plan (detected by relation column prefixes, e.g. c_custkey →
+    customer). AQE may still broadcast un-hinted sides at small SF — the
+    assertion here is about *forced* hints only, which override size checks
+    at every SF."""
+    import re
+
+    from go_fish_spark.queries import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    prefixes = {"c_": "customer", "o_": "orders", "l_": "lineitem",
+                "s_": "supplier", "n_": "nation", "r_": "region"}
+    subtrees: list[str] = []
+
+    def walk(node):
+        if node.nodeName() == "ResolvedHint":
+            subtrees.append(node.toString())
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    out = []
+    for sub in subtrees:
+        tables = set()
+        for cols in re.findall(r"Relation \[([^\]]*)\]", sub):
+            first = cols.split(",")[0]
+            for p, t in prefixes.items():
+                if first.startswith(p):
+                    tables.add(t)
+        out.append(tables)
+    return out
+
+
+def test_tpch_shapes_never_force_broadcast_fact_tables(spark):
+    """q33/q34/q35 scale-killers (VERDICT r01): an explicit F.broadcast on
+    orders/customer/lineitem OOMs at 100 TB. Only true dimensions may carry
+    a hint; the fact-side strategy belongs to AQE."""
+    facts = {"orders", "lineitem"}
+    hinted33 = _hinted_relations(spark, "q33_tpch_q3")
+    assert all(not (h & facts) for h in hinted33), hinted33
+    # q33's one allowed hint: the segment-filtered customer key projection
+    assert hinted33 == [{"customer"}]
+
+    hinted34 = _hinted_relations(spark, "q34_tpch_q5")
+    assert all(not (h & (facts | {"customer"})) for h in hinted34), hinted34
+    assert sorted(t for h in hinted34 for t in h) == ["nation", "region", "supplier"]
+
+    # q35 joins only scaling tables — no hint at all is allowed
+    assert _hinted_relations(spark, "q35_tpch_q18") == []
