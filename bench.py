@@ -40,11 +40,16 @@ HEADLINE = [
     "q30_tpch_q1",
     "q33_tpch_q3",
     "q34_tpch_q5",
+    "q41_session_window",
     # extensions (skipped gracefully if not yet registered)
     "x01_dedup_exact",
     "x02_dedup_minhash_lsh",
     "x06_ann_cosine_topk",
+    # text-analysis battery over documents
+    "x07_lang_id",
     "x08_quality_score",
+    "x09_token_count",
+    "x10_fingerprint",
 ]
 
 

@@ -81,27 +81,46 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_cap: int = 100_000,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into cells; each query scores only the
     ``n_probe`` nearest cells.
 
-    Scale shape: training samples the corpus (KMeans on a bounded sample),
-    assignment is one ML transform pass, and the search join hits
-    n_probe/n_cells of the corpus — with cell id as the shuffle/cluster
-    key, this is the classic billion-vector layout. Recall/cost is tuned
-    by n_cells × n_probe.
+    Scale shape: the quantizer trains on a bounded, seeded sample of at
+    most ``train_cap`` rows (a coarse quantizer needs only a sketch of the
+    distribution — fitting the full corpus would iterate over 100 TB
+    ``maxIter`` times); assignment is one transform pass over the full
+    corpus, and the search join hits n_probe/n_cells of it — with cell id
+    as the shuffle/cluster key, this is the classic billion-vector layout.
+    Recall/cost is tuned by n_cells × n_probe.
+
+    Contract: the QUERY set is driver-resident (collected to compute the
+    probe list against the broadcast centroids) and is capped at
+    ``max_queries`` rows — this operator answers "score a batch of probe
+    vectors against a huge corpus", not corpus×corpus joins (use
+    ``lsh_topk``/dedup for those).
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
 
     ml_df = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(ml_df)
+    n_corpus = corpus.count()
+    if n_corpus > train_cap:
+        # Seeded Bernoulli sample, oversampled 10% then capped so the fit
+        # input is bounded regardless of corpus size.
+        frac = min(1.0, 1.1 * train_cap / n_corpus)
+        train_df = ml_df.sample(fraction=frac, seed=seed).limit(train_cap)
+    else:
+        train_df = ml_df
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train_df)
     assigned = model.transform(ml_df).select(
         "vec_id", "cv", F.col("prediction").alias("cell")
     )
@@ -115,7 +134,24 @@ def ivf_topk(
 
     qrows = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
+    ).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_topk query set exceeds max_queries={max_queries}; "
+            "probe lists are computed driver-side against the broadcast "
+            "centroids, so the query batch must be small — split the batch "
+            "or use lsh_topk for corpus-scale query sets"
+        )
+    # Probe schema is derived from the input dtypes so string/int32 ids and
+    # double embeddings round-trip unchanged.
+    q_schema = dict(zip(queries.schema.names, queries.schema.fields))
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", q_schema[id_col].dataType),
+            T.StructField("qv", q_schema[vec_col].dataType),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
     probe = F.broadcast(
         corpus.sparkSession.createDataFrame(
             [
@@ -123,7 +159,7 @@ def ivf_topk(
                 for r in qrows
                 for cell in nearest_cells(list(r.qv))
             ],
-            f"query_id long, qv array<float>, cell int",
+            probe_schema,
         )
     )
     scored = (

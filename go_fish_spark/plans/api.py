@@ -1,11 +1,16 @@
 """REST façade ≡ `api.go`.
 
-Routes (`api.go:55-56`):
+Routes (`api.go:55-56` + `monitoring.go:86`):
   POST /pipelines      → validate, store, start async; 201 + UUID text
                          (`CreatePipeline`, `api.go:104-143` — the
                          reference also starts the pipeline in a goroutine)
   GET  /pipelines/{id} → stored raw config, 404 if absent
                          (`GetPipelines`, `api.go:84-101`)
+  GET  /metrics        → Prometheus text exposition of the reference's two
+                         metric families (`monitoring.go:65-86`): one
+                         Pipelines gauge sample per stored pipeline, one
+                         EventsReceived counter sample per streaming query
+                         from the MetricsListener snapshot
 
 stdlib http.server — the control plane's write rate is human-scale; query
 execution stays entirely in Spark. The ``runner`` callable (invoked on a
@@ -31,9 +36,13 @@ class PipelineAPI:
         runner: Callable[[str], None] | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        metrics=None,  # streaming.monitoring.MetricsListener | None
+        metrics_namespace: str = "go-fish",
     ) -> None:
         self.registry = registry
         self.runner = runner
+        self.metrics = metrics
+        self.metrics_namespace = metrics_namespace
         api = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -49,6 +58,17 @@ class PipelineAPI:
                 self.wfile.write(data)
 
             def do_GET(self) -> None:
+                if self.path.rstrip("/") == "/metrics":
+                    from ..streaming.monitoring import prometheus_text
+
+                    snap = api.metrics.snapshot() if api.metrics else None
+                    body = prometheus_text(
+                        pipelines=dict.fromkeys(api.registry.list(), 1),
+                        events=snap.by_query if snap else {},
+                        namespace=api.metrics_namespace,
+                    )
+                    self._send(200, body, "text/plain; version=0.0.4")
+                    return
                 if not self.path.startswith("/pipelines/"):
                     self._send(404, "not found")
                     return

@@ -9,9 +9,16 @@ optimizer the reference lacks (SURVEY §4.1) comes free.
 Structural semantics reproduced:
   * rule chaining — a rule's source may be another rule (`pipeline.go:
     318-322`): compose on the upstream's DataFrame.
-  * fan-out — a node's output feeds every child (`pipeline.go:400-404`):
-    children share the same DataFrame; nodes with >1 consumer are
-    persisted (MEMORY_AND_DISK) so the source isn't recomputed per branch.
+  * fan-out — a node's output feeds every child: children share the same
+    DataFrame; nodes with >1 consumer are persisted (MEMORY_AND_DISK) so
+    the source isn't recomputed per branch. Documented divergence: the
+    reference COPIES only for source-level fan-out (`pipeline.go:400-404`);
+    for a rule with multiple children it starts one forwarder per child
+    competing on a single output channel (`pipeline.go:354-356`), which
+    load-balances (splits) events among children nondeterministically.
+    This engine copies in both cases — deterministic multicast is the
+    saner contract, and the reference's split behavior looks accidental
+    (no test pins it); anyone relying on it gets a superset of events.
   * fan-in — several rules naming one sink (`pipeline.go:387-391`):
     ``unionByName`` before the write.
 """
@@ -73,6 +80,35 @@ def make_source(
             .option("rowsPerSecond", str(opts.get("rows_per_second", 10)))
             .load()
         )
+    if src.type == "kinesis":
+        # ≡ `input/kinesis.go:44-64`: gokini consumer starting at
+        # TRIM_HORIZON with its checkpoint lease table in DynamoDB. Maps
+        # to the public Structured Streaming Kinesis connector
+        # (format "aws-kinesis"); the lease table ≡ checkpointLocation.
+        # The connector jar is not bundled in this environment, so the
+        # dispatch is config-level: options are mapped and validated here,
+        # and .load() surfaces a clear install error rather than
+        # "unknown source type".
+        mapped = {
+            "kinesis.streamName": opts["stream_name"],
+            "kinesis.region": opts.get("region", "us-east-1"),
+            "kinesis.startingPosition": opts.get(
+                "starting_position", "TRIM_HORIZON"
+            ),
+        }
+        if "endpoint_url" in opts:
+            mapped["kinesis.endpointUrl"] = opts["endpoint_url"]
+        reader = spark.readStream.format("aws-kinesis")
+        for k, v in mapped.items():
+            reader = reader.option(k, v)
+        try:
+            return reader.load()
+        except Exception as e:
+            raise RuntimeError(
+                f"source {src.name!r}: kinesis connector (format "
+                f"'aws-kinesis') is not installed in this Spark build; "
+                f"mapped options: {mapped}"
+            ) from e
     raise ValueError(f"unknown source type {src.type!r}")
 
 
@@ -88,10 +124,58 @@ def write_sink(df: DataFrame, sink: SinkSpec) -> None:
         df.write.mode(opts.get("mode", "overwrite")).parquet(opts["path"])
     elif sink.type == "console":
         df.show(int(opts.get("num_rows", 20)), truncate=False)
+    elif sink.type == "sqs":
+        _sqs_writer(sink)(df, 0)
     elif sink.type == "memory":
         pass  # results are read via CompiledPipeline.result()
     else:
         raise ValueError(f"unknown sink type {sink.type!r}")
+
+
+def _sqs_writer(sink: SinkSpec):
+    """SQS-shaped sink ≡ `output/sqs.go:40-61`: JSON-marshal each event,
+    SendMessage per event. Sends run executor-side (foreachPartition, one
+    client per partition) so the driver never materializes the batch —
+    the per-partition loop is the per-event SendMessage loop. Default
+    transport is boto3 (absent in this environment → clear error at
+    submit time, checked driver-side); tests/alt transports inject
+    ``options.sender`` = callable(body_json_str)."""
+    opts = sink.options
+    queue_url = opts.get("queue_url", "")
+    sender = opts.get("sender")
+
+    def write(batch_df: DataFrame, batch_id: int = 0) -> None:
+        if sender is None:
+            import importlib.util
+
+            if importlib.util.find_spec("boto3") is None:
+                raise RuntimeError(
+                    f"sink {sink.name!r}: sqs sink requires boto3 (not "
+                    "installed in this environment); pass options['sender'] "
+                    "to supply a custom transport"
+                )
+        payloads = batch_df.select(
+            F.to_json(F.struct(*[F.col(c) for c in batch_df.columns])).alias(
+                "body"
+            )
+        )
+
+        def send_partition(rows):
+            send = sender
+            if send is None:
+                import boto3
+
+                client = boto3.client("sqs")
+
+                def send(body):
+                    client.send_message(QueueUrl=queue_url, MessageBody=body)
+
+            for r in rows:
+                send(r.body)
+
+        payloads.foreachPartition(send_partition)
+
+    return write
 
 
 @dataclass
@@ -202,6 +286,12 @@ class CompiledPipeline:
                 if available_now:
                     w = w.trigger(availableNow=True)
                 queries.append(w.start())
+            elif sink.type == "sqs":
+                # ≡ output/sqs.go:40-61 via the generic foreach adapter —
+                # each micro-batch runs the per-event SendMessage loop.
+                queries.append(
+                    ssinks.foreach_sink(df, _sqs_writer(sink), ckpt)
+                )
             elif sink.type == "memory":
                 queries.append(
                     ssinks.memory_sink(
@@ -216,8 +306,10 @@ class CompiledPipeline:
 
 #: Sink types a streaming pipeline supports; fan-out runs writers inside
 #: foreachBatch, where the memory sink does not exist.
-_STREAM_SINK_TYPES = frozenset({"file", "json", "parquet", "console", "memory"})
-_FANOUT_SINK_TYPES = frozenset({"file", "json", "parquet", "console"})
+_STREAM_SINK_TYPES = frozenset(
+    {"file", "json", "parquet", "console", "memory", "sqs"}
+)
+_FANOUT_SINK_TYPES = frozenset({"file", "json", "parquet", "console", "sqs"})
 
 
 def _stream_batch_writer(sink: SinkSpec):
@@ -230,6 +322,8 @@ def _stream_batch_writer(sink: SinkSpec):
             batch_df.write.mode("append").parquet(sink.options["path"])
         elif sink.type == "console":
             batch_df.show(truncate=False)
+        elif sink.type == "sqs":
+            _sqs_writer(sink)(batch_df, batch_id)
 
     return w
 
@@ -257,12 +351,23 @@ def _compute_rule_frames(
     rules that name it as their *sink* — the reference wires both edge
     kinds into the DAG (`pipeline.go:318-322`: addEdge(rule, sink) where
     the sink may itself be a rule). ``frames`` must contain every source;
-    it is mutated in place and returned."""
+    it is mutated in place and returned.
+
+    Doubly-declared edges deliver ONCE: if rule A declares ``source=B``
+    AND rule B declares ``sink=A``, that is the SAME edge stated from both
+    ends (validate() accepts it, spec.py). The reference's duplicate
+    AddChild collapses into competing channel consumers delivering each
+    event once (`pipeline.go:354-356`), so B is excluded from A's feeder
+    union when it is already A's source."""
     pending = dict(spec.rules)
     while pending:
         progressed = False
         for name, rule in list(pending.items()):
-            feeders = [r.name for r in spec.rules.values() if r.sink == name]
+            feeders = [
+                r.name
+                for r in spec.rules.values()
+                if r.sink == name and r.name != rule.source
+            ]
             if rule.source in frames and all(f in frames for f in feeders):
                 task = get_task(rule.task, **rule.options)
                 task.init(spec.states.get(rule.state) if rule.state else None)

@@ -27,14 +27,14 @@ class ValidationError(ValueError):
 @dataclass(frozen=True)
 class SourceSpec:
     name: str
-    type: str  # file | parquet | kafka | rate | memory
+    type: str  # file | parquet | json | kafka | kinesis | rate | memory
     options: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
 class SinkSpec:
     name: str
-    type: str  # file | json | parquet | memory | console
+    type: str  # file | json | parquet | sqs | memory | console
     options: dict = field(default_factory=dict)
 
 

@@ -66,6 +66,9 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x02_dedup_minhash_lsh",
     "x03_dedup_simhash",
     "x13_ann_lsh",
+    # new in round 2 — oracle-verified by CORRECTNESS_SELF this round;
+    # rotates into the driver window next round
+    "q41_session_window",
 )
 
 

@@ -124,3 +124,55 @@ def q22_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "q41_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           {duck_ts_str('min(ts)')} AS session_start,
+           {duck_ts_str("max(ts) + INTERVAL 30 MINUTE")} AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q41_session_window(spark, sf_dir):
+    """The native ``F.session_window`` operator itself (not the q22
+    gap-sum emulation), batch-side: per-user 30-min-gap sessions with
+    merged [start, last+gap) bounds — the declarative generalization of
+    the reference's drain-on-interval state pattern (`window.go:38-49`).
+
+    Semantics pinned by the oracle: Spark's session window END is
+    exclusive (an event arriving exactly at prev_ts + gap starts a NEW
+    session), hence the oracle's ``>= INTERVAL 30 MINUTE`` flag — q22's
+    emulation uses ``>`` and is a deliberately different (SQL-classic)
+    contract. One shuffle on user_id; in streaming the same expression
+    runs under a watermark (tests/test_streaming.py)."""
+    events = table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ts_str(F.col("session_window.start")).alias("session_start"),
+            ts_str(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -56,3 +56,36 @@ class MetricsListener(StreamingQueryListener):
                 events_received=self.metrics.events_received,
                 by_query=dict(self.metrics.by_query),
             )
+
+
+def _fmt_value(v: float | int) -> str:
+    # Prometheus text format renders integral values without a decimal
+    # point (client_golang prints `1`, not `1.0`).
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def prometheus_text(
+    pipelines: dict[str, float],
+    events: dict[str, float],
+    namespace: str = "go-fish",
+) -> str:
+    """Prometheus exposition text for the reference's two metric families
+    (`monitoring.go:65-72`): gauge ``<ns>Pipelines`` ("The number of
+    pipelines configured") and counter ``<ns>EventsReceived`` ("The number
+    of events received"), both labeled ``pipelineName`` — the same body
+    golden-compared by `monitoring_test.go:45-83`. Label values are sorted
+    for deterministic scrapes."""
+    out: list[str] = []
+    fams = (
+        ("Pipelines", "The number of pipelines configured", "gauge", pipelines),
+        ("EventsReceived", "The number of events received", "counter", events),
+    )
+    for name, help_text, mtype, values in fams:
+        fq = f"{namespace}{name}"
+        out.append(f"# HELP {fq} {help_text}")
+        out.append(f"# TYPE {fq} {mtype}")
+        for label in sorted(values):
+            out.append(
+                f'{fq}{{pipelineName="{label}"}} {_fmt_value(values[label])}'
+            )
+    return "\n".join(out) + "\n"

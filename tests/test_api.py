@@ -67,3 +67,44 @@ def test_post_invalid_is_400(api):
     assert status == 400
     assert "unknown source" in body
     assert api.ran == []
+
+
+def test_prometheus_text_golden():
+    """≡ monitoring_test.go:45-83: exact exposition body for one pipeline
+    gauge sample under a custom namespace."""
+    from go_fish_spark.streaming.monitoring import prometheus_text
+
+    body = prometheus_text(
+        pipelines={"pipeline": 1},
+        events={},
+        namespace="TestPrometheusMonitoring",
+    )
+    assert body == (
+        "# HELP TestPrometheusMonitoringPipelines The number of pipelines configured\n"
+        "# TYPE TestPrometheusMonitoringPipelines gauge\n"
+        'TestPrometheusMonitoringPipelines{pipelineName="pipeline"} 1\n'
+        "# HELP TestPrometheusMonitoringEventsReceived The number of events received\n"
+        "# TYPE TestPrometheusMonitoringEventsReceived counter\n"
+    )
+
+
+def test_metrics_endpoint_scrape(tmp_path):
+    """GET /metrics serves the text format off the registry + listener
+    snapshot (≡ monitoring.go:86 route registration)."""
+    from go_fish_spark.streaming.monitoring import MetricsListener
+
+    listener = MetricsListener()
+    listener.metrics.by_query = {"sess_q": 42}
+    a = PipelineAPI(
+        PipelineRegistry(str(tmp_path / "reg")), metrics=listener
+    )
+    a.start()
+    try:
+        _req(a, "POST", "/pipelines", SPEC)
+        status, body = _req(a, "GET", "/metrics")
+    finally:
+        a.stop()
+    assert status == 200
+    assert "# TYPE go-fishPipelines gauge" in body
+    assert body.count('go-fishPipelines{pipelineName="') == 1
+    assert 'go-fishEventsReceived{pipelineName="sess_q"} 42' in body

@@ -108,6 +108,41 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
 
 
+def test_ivf_topk_sampled_fit_and_derived_schema(spark):
+    """The quantizer fit must stay bounded (train_cap forces the sampled
+    path here) and the probe schema must follow the input dtypes — string
+    ids and double embeddings round-trip unchanged."""
+    from go_fish_spark.operators import similarity
+    from go_fish_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    emb = (
+        table(spark, SF_DIR, "embeddings")
+        .select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id").isin("v0", "v1"))
+    out = similarity.ivf_topk(
+        emb, queries, dim=64, k=3, n_cells=4, n_probe=2, train_cap=50
+    )
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {"v0", "v1"}
+    assert all(isinstance(r.vec_id, str) for r in rows)
+    assert dict(out.dtypes)["query_id"] == "string"
+
+
+def test_ivf_topk_query_cap_raises(spark):
+    from go_fish_spark.operators import similarity
+    from go_fish_spark.catalog import table
+    import pytest
+
+    emb = table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.ivf_topk(emb, emb, dim=64, k=3, max_queries=5)
+
+
 def test_lsh_topk_matches_brute_force_mostly(spark):
     from go_fish_spark.operators import similarity
     from go_fish_spark.catalog import table

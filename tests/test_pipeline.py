@@ -88,6 +88,79 @@ def test_chain_is_not_cycle():
     parse_spec(d)
 
 
+def test_doubly_declared_edge_delivers_once(spark):
+    """A.source=B AND B.sink=A declare the SAME edge B→A from both ends;
+    each event must be delivered to A exactly once, not unioned twice
+    (≡ the reference's duplicate AddChild collapsing into competing
+    consumers that deliver once, `pipeline.go:354-356`)."""
+    d = spec_dict()
+    d["rules"]["is_a"]["source"] = "len1"
+    d["rules"]["len1"]["sink"] = "is_a"
+    compiled = compile_pipeline(spark, parse_spec(d))
+    # len1 keeps only "a"; is_a must see it exactly once.
+    assert [r.value for r in compiled.result("is_a").collect()] == ["a"]
+    assert [r.value for r in compiled.result("out").collect()] == ["a"]
+
+
+def test_kinesis_source_dispatch_arm(spark):
+    """≡ input/kinesis.go:44-64 at config level: the kinesis type is
+    recognized and its options map to the public aws-kinesis connector
+    surface; in a build without the connector jar the error must say so
+    (NOT 'unknown source type')."""
+    from go_fish_spark.plans.compiler import make_source
+    from go_fish_spark.plans.spec import SourceSpec
+
+    src = SourceSpec(
+        name="k",
+        type="kinesis",
+        options={"stream_name": "events", "region": "eu-west-1",
+                 "starting_position": "TRIM_HORIZON"},
+    )
+    with pytest.raises(RuntimeError) as ei:
+        make_source(spark, src, streaming=True)
+    msg = str(ei.value)
+    assert "aws-kinesis" in msg and "kinesis.streamName" in msg
+    assert "'events'" in msg and "eu-west-1" in msg
+
+
+def test_sqs_sink_batch_sends_json_per_event(spark, tmp_path):
+    """≡ output/sqs.go:40-61: each event is JSON-marshaled and sent as one
+    message; sends run executor-side (foreachPartition). The test injects
+    a file-append transport in place of boto3."""
+    out = tmp_path / "sqs_messages.jsonl"
+
+    def file_sender(body: str) -> None:
+        with open(out, "a") as f:
+            f.write(body + "\n")
+
+    d = spec_dict()
+    d["sinks"]["out"] = {"type": "sqs",
+                         "options": {"queue_url": "q", "sender": file_sender}}
+    compiled = compile_pipeline(spark, parse_spec(d))
+    compiled.run()
+    msgs = [json.loads(line) for line in out.read_text().splitlines()]
+    # both rules pass only "a" → two messages, each a JSON event body
+    assert sorted(m["value"] for m in msgs) == ["a", "a"]
+
+
+def test_sqs_sink_without_transport_fails_at_submit(spark, monkeypatch):
+    """In a build without boto3 the sqs sink must fail driver-side at
+    submit with a clear message, not inside an executor task."""
+    import importlib.util
+
+    real = importlib.util.find_spec
+    monkeypatch.setattr(
+        importlib.util,
+        "find_spec",
+        lambda name, *a: None if name == "boto3" else real(name, *a),
+    )
+    d = spec_dict()
+    d["sinks"]["out"] = {"type": "sqs", "options": {"queue_url": "q"}}
+    compiled = compile_pipeline(spark, parse_spec(d))
+    with pytest.raises(RuntimeError, match="boto3"):
+        compiled.run()
+
+
 def test_e2e_stateless_pipeline(spark):
     """≡ integration_test.go:144-168: input 'a' passes both rules,
     'abc' passes neither; fan-in union reaches the sink."""
@@ -137,3 +210,41 @@ def test_registry_roundtrip(tmp_path):
     assert reg.get(uid) == cfg
     assert reg.get("missing-uuid") is None
     assert uid in reg.list()
+
+
+def test_sqlite_registry_roundtrip(tmp_path):
+    """≡ backend_test.go:38-85 (DynamoDB store/get roundtrip), on the
+    second pluggable backend."""
+    from go_fish_spark.plans.registry import SQLiteRegistry
+
+    reg = SQLiteRegistry(str(tmp_path / "pipelines.db"))
+    cfg = json.dumps(spec_dict())
+    uid = reg.store(cfg)
+    assert reg.get(uid) == cfg
+    assert reg.get("missing-uuid") is None
+    assert reg.list() == [uid]
+    # upsert on same uuid ≡ PutItem overwrite
+    reg.store('{"v": 2}', uuid=uid)
+    assert reg.get(uid) == '{"v": 2}'
+    # durable across connections
+    assert SQLiteRegistry(str(tmp_path / "pipelines.db")).get(uid) == '{"v": 2}'
+
+
+def test_make_registry_dispatch(tmp_path):
+    """≡ backendConfig.Create (`backend.go:29-56`) incl. the invalid-type
+    branch (`backend.go:55`)."""
+    from go_fish_spark.plans.registry import (
+        SQLiteRegistry,
+        make_registry,
+    )
+
+    assert isinstance(
+        make_registry({"type": "file", "root": str(tmp_path / "r")}),
+        PipelineRegistry,
+    )
+    assert isinstance(
+        make_registry({"type": "sqlite", "path": str(tmp_path / "r.db")}),
+        SQLiteRegistry,
+    )
+    with pytest.raises(ValueError, match="invalid backend type"):
+        make_registry({"type": "etcd"})
