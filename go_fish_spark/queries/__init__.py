@@ -44,6 +44,7 @@ def _load_all_modules() -> None:
     from . import stateful  # noqa: F401
     from . import coverage  # noqa: F401
     from . import extensions  # noqa: F401
+    from . import battery  # noqa: F401
 
 
 #: The driver's per-round CORRECTNESS_r{N}.json records rows for at most the
@@ -69,6 +70,14 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     # new in round 2 — oracle-verified by CORRECTNESS_SELF this round;
     # rotates into the driver window next round
     "q41_session_window",
+    "q42_percentiles",
+    "q43_exact_corr",
+    "q44_date_battery",
+    "q45_array_battery",
+    "q46_conditional_argmax_agg",
+    "q47_distinct_agg",
+    "q48_range_frame",
+    "q49_regexp_extract",
 )
 
 

@@ -1,0 +1,303 @@
+"""Q42–Q49 — second relational-coverage battery (round 2).
+
+Widens SURVEY §2.6 gap coverage with operator families the first battery
+didn't touch: exact interpolated percentiles, correlation/variance from
+exact decimal moments, date-part extraction, array functions, conditional
+and argmax aggregation, multi-column distinct aggregation, time-range
+window frames, and regex group extraction.
+
+Determinism notes (same discipline as queries/util.py):
+  * correlation/variance are NOT computed with corr()/var_samp() — their
+    streaming merge formulas accumulate doubles in partition order. Both
+    engines instead sum exact decimal moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    and combine them in double with the identical expression, so results
+    are bit-identical regardless of partitioning.
+  * Spark dayofweek() is 1=Sunday; DuckDB dayofweek() is 0=Sunday — the
+    oracle adds 1.
+  * Spark array_position() returns 0 when absent; DuckDB list_position()
+    returns NULL — the oracle coalesces to 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from . import query
+
+
+@query(
+    "q42_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_cont(l_quantity, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q42_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``: same linear interpolation, order-independent
+    by definition). The approx_percentile contract is covered by q19-style
+    testing; this is the exact operator."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("p25"),
+            F.percentile("l_quantity", 0.50).alias("p50"),
+            F.percentile("l_quantity", 0.75).alias("p75"),
+            F.percentile("l_quantity", 0.99).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_DUCK_MOMENTS = """
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q43_exact_corr",
+    oracle=f"""
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty
+    FROM ({_DUCK_MOMENTS})
+    ORDER BY l_returnflag
+    """,
+)
+def q43_exact_corr(spark, sf_dir):
+    """Correlation + sample variance from exact decimal moments. The
+    built-in corr()/var_samp() merge partial double states in partition
+    order (nondeterministic low bits at scale); summing exact decimals and
+    combining in double makes the result partitioning-invariant — and both
+    engines evaluate the identical final expression."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    price = F.col("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty.cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(price.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((qty * price).cast("decimal(24,4)")).cast("double").alias("sxy"),
+        F.sum((qty * qty).cast("decimal(18,4)")).cast("double").alias("sxx"),
+        F.sum((price * price).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return g.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+        ((n * sxx - sx * sx) / (n * (n - 1))).alias("var_qty"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q44_date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                  AS y,
+           quarter(o_orderdate)                               AS q,
+           month(o_orderdate)                                 AS m,
+           day(o_orderdate)                                   AS d,
+           dayofweek(o_orderdate) + 1                         AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS plus30,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')        AS month_end,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q44_date_battery(spark, sf_dir):
+    """Date-part extraction battery (year/quarter/month/day/dow,
+    truncation, interval add, last_day, datediff) — all codegen'd
+    built-ins; dow normalized to Spark's 1=Sunday convention."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q45_array_battery",
+    oracle="""
+    SELECT doc_id,
+           len(ws)                                            AS n_tokens,
+           ws[1]                                              AS first_tok,
+           ws[-1]                                             AS last_tok,
+           array_to_string(list_slice(ws, 1, 5), ' ')         AS head5,
+           list_contains(ws, 'the')                           AS has_the,
+           CAST(coalesce(list_position(ws, 'the'), 0) AS BIGINT) AS the_pos,
+           array_to_string(list_sort(list_distinct(ws)), ' ') AS vocab
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q45_array_battery(spark, sf_dir):
+    """Array function battery (size/element_at/slice/contains/position/
+    distinct-sort) over tokenized documents; engine-divergent null/zero
+    conventions pinned in the oracle (module docstring)."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    d = docs.select("doc_id", ws.alias("ws"))
+    return d.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.element_at("ws", 1).alias("first_tok"),
+        F.element_at("ws", -1).alias("last_tok"),
+        F.array_join(F.slice("ws", 1, 5), " ").alias("head5"),
+        F.array_contains("ws", "the").alias("has_the"),
+        F.array_position("ws", "the").alias("the_pos"),
+        F.array_join(F.sort_array(F.array_distinct("ws")), " ").alias("vocab"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q46_conditional_argmax_agg",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE value > 10.0) AS n_big,
+             bool_or(value > 100.0)               AS any_huge,
+             bool_and(value >= 0.0)               AS all_nonneg
+      FROM events GROUP BY event_type
+    ), amax AS (
+      SELECT event_type, event_id AS argmax_event FROM events
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value DESC, event_id DESC) = 1
+    ), amin AS (
+      SELECT event_type, event_id AS argmin_event FROM events
+      QUALIFY row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value ASC, event_id DESC) = 1
+    )
+    SELECT event_type, n_big, any_huge, all_nonneg, argmax_event, argmin_event
+    FROM agg JOIN amax USING (event_type) JOIN amin USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q46_conditional_argmax_agg(spark, sf_dir):
+    """Conditional + argmax aggregation: count_if / bool_or / bool_and /
+    max_by / min_by (≡ DuckDB FILTER / arg_max). Argmax ties are broken by
+    event_id through struct-ordered comparison so both engines pick the
+    same row (bare max_by on a tied measure is engine-arbitrary)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 10.0).alias("n_big"),
+            F.bool_or(F.col("value") > 100.0).alias("any_huge"),
+            F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+            F.max_by("event_id", F.struct("value", "event_id")).alias(
+                "argmax_event"
+            ),
+            F.min_by(
+                "event_id", F.struct(F.col("value"), (-F.col("event_id")))
+            ).alias("argmin_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q47_distinct_agg",
+    oracle="""
+    SELECT count(DISTINCT user_id)                 AS n_users,
+           count(DISTINCT (user_id, event_type))   AS n_user_types,
+           CAST(sum(DISTINCT user_id) AS BIGINT)   AS sum_distinct_uid,
+           count(DISTINCT CASE WHEN value > 50.0 THEN user_id END) AS n_users_big
+    FROM events
+    """,
+)
+def q47_distinct_agg(spark, sf_dir):
+    """Multi-column and conditional DISTINCT aggregation — each distinct
+    spec is its own expand+dedup path; Spark plans them in one Expand."""
+    e = table(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("user_id", "event_type").alias("n_user_types"),
+        F.sum_distinct(F.col("user_id")).alias("sum_distinct_uid"),
+        F.countDistinct(
+            F.when(F.col("value") > 50.0, F.col("user_id"))
+        ).alias("n_users_big"),
+    )
+
+
+@query(
+    "q48_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS n_last_hour
+    FROM events ORDER BY event_id
+    """,
+)
+def q48_range_frame(spark, sf_dir):
+    """Time-range window frame: events per user in the trailing hour —
+    RANGE BETWEEN over microsecond epoch (value-based frames, unlike the
+    row-based frames of q15/q22). One shuffle on user_id."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q49_regexp_extract",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(source, '([a-z]+)-([0-9]+)', 1) AS src_kind,
+           regexp_extract(source, '([a-z]+)-([0-9]+)', 2) AS src_num,
+           regexp_matches(source, '[0-9]$')               AS ends_digit
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q49_regexp_extract(spark, sf_dir):
+    """Regex group extraction + boolean match (regexp_extract group
+    indexing ≡ DuckDB; rlike ≡ regexp_matches)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", "([a-z]+)-([0-9]+)", 1).alias("src_kind"),
+        F.regexp_extract("source", "([a-z]+)-([0-9]+)", 2).alias("src_num"),
+        F.col("source").rlike("[0-9]$").alias("ends_digit"),
+    ).orderBy("doc_id")
