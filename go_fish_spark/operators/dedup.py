@@ -134,12 +134,19 @@ def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3, seed: 
 
     Shingle hashing runs ONCE per row (let-bound), then the 64 component
     mins iterate the in-memory hash array — O(shingles × n_hashes) array
-    ops instead of O(n_hashes) re-tokenizations."""
-    params = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+    ops instead of O(n_hashes) re-tokenizations.
+
+    The parameter table is built as ONE parsed SQL literal rather than
+    n_hashes × 3 nested Column calls: each F.lit/F.struct is a py4j
+    round-trip, and at 64 hashes that alone cost ~1 s of driver time per
+    query build (measured; see SCALE.md round 2)."""
+    params = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('a',{a},'b',{b})"
             for a, b in minhash_params(n_hashes, seed)
-        ]
+        )
+        + ")"
     )
     hashes = _shingle_hashes(text, k)
     return _let(
@@ -190,14 +197,15 @@ def minhash_lsh_pairs(
     # signature through the 16×-exploded self-join would shuffle 16 copies
     # of every signature; instead candidates join back to the persisted
     # sigs (2 hash joins over the small candidate set) for verification.
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice("_sig", b * rows_per_band + 1, rows_per_band)).alias("bh"),
-            )
+    # One parsed SQL literal, not bands × 4 Column calls (py4j overhead).
+    band_cols = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('band',{b},"
+            f"'bh',xxhash64(slice(_sig,{b * rows_per_band + 1},{rows_per_band})))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     exploded = sigs.select("_id", F.explode(band_cols).alias("bd")).select(
         "_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
@@ -246,7 +254,7 @@ def simhash_chunks(text: Column | str) -> Column:
     token hashing and the bit counts are each evaluated once per row
     (let-bound), so cost is O(tokens × 64) array ops.
     """
-    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(_CHUNK_BITS)])
+    pow2 = F.lit([1 << j for j in range(_CHUNK_BITS)]).cast("array<bigint>")
     hashes = F.transform(
         F.array_distinct(F.split(text, " ")), lambda t: F.xxhash64(t)
     )

@@ -57,11 +57,19 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
 
 
 def bucket_key(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket key: bit i = 1 iff dot(vec, plane_i) >= 0."""
+    """Sign-bit bucket key: bit i = 1 iff dot(vec, plane_i) >= 0.
+
+    Each plane is ONE parsed SQL array literal — both per-element
+    ``F.lit`` and ``F.lit(list)`` (which expands per-element internally)
+    cost a py4j round-trip per element at 8×64 dims (~0.4 s of driver time
+    per build; measured, SCALE.md round 2). ``repr(x)D`` literals parse
+    to bit-identical doubles (shortest-repr round-trip)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     key = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
+        )
         d = F.aggregate(
             F.zip_with(v.cast("array<double>"), p, lambda x, y: x * y),
             F.lit(0.0),
