@@ -16,6 +16,17 @@ import json
 import sys
 
 
+def _registry(arg: str):
+    """Registry selection ≡ the typed backend config (`backend.go:29-56`):
+    a plain path = file backend (BoltDB analogue), ``sqlite://PATH`` =
+    the sqlite table backend (DynamoDB analogue)."""
+    from .plans.registry import make_registry
+
+    if arg.startswith("sqlite://"):
+        return make_registry({"type": "sqlite", "path": arg[len("sqlite://") :]})
+    return make_registry({"type": "file", "root": arg})
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="go-fish-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -50,9 +61,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "get":
-        from .plans.registry import PipelineRegistry
-
-        cfg = PipelineRegistry(args.registry).get(args.uuid)
+        cfg = _registry(args.registry).get(args.uuid)
         if cfg is None:
             print(f"not found: {args.uuid}", file=sys.stderr)
             return 1  # ≡ the API's 404 (`api.go:95-98`)
@@ -60,15 +69,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "list":
-        from .plans.registry import PipelineRegistry
-
-        for uid in PipelineRegistry(args.registry).list():
+        for uid in _registry(args.registry).list():
             print(uid)
         return 0
 
     # run
     from .plans import ValidationError, compile_pipeline, parse_spec, resolve_tasks
-    from .plans.registry import PipelineRegistry
     from .session import get_spark
 
     with open(args.config) as f:
@@ -81,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     except (ValidationError, json.JSONDecodeError) as e:
         print(f"invalid pipeline config: {e}", file=sys.stderr)
         return 1
-    uid = PipelineRegistry(args.registry).store(raw)
+    uid = _registry(args.registry).store(raw)
     spark = get_spark(app_name=f"go-fish-pipeline-{uid}", master=args.master)
     try:
         compile_pipeline(spark, spec).run()

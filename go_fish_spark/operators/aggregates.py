@@ -39,3 +39,60 @@ def tumbling_window_count(df: DataFrame, time_col: str, interval: str, keys: lis
     return df.groupBy(w.alias("win"), *[F.col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias(count_alias)
     )
+
+
+#: Algebraic aggregate specs supported by :func:`salted_agg` —
+#: (partial_fn, merge_fn): stage 1 computes partial_fn per (key, salt),
+#: stage 2 merges partials per key. Only aggregates with an associative
+#: merge belong here (avg must be decomposed into sum+count by the caller).
+_SALTED_MERGE = {
+    "count": (lambda c: F.count(c), F.sum),
+    "sum": (lambda c: F.sum(c), F.sum),
+    "min": (lambda c: F.min(c), F.min),
+    "max": (lambda c: F.max(c), F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column | str]],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation over a random salt for EXTREME key skew.
+
+    ``aggs`` maps output alias → (kind, column) with kind in
+    ``{count, sum, min, max}``. Stage 1 groups by (keys…, salt) so a hot
+    key's rows spread over ``n_salt`` reducers; stage 2 merges the ≤n_salt
+    partial rows per key — input size to the second shuffle is
+    O(distinct_keys × n_salt), independent of row count.
+
+    When to use: Spark's own partial aggregation (map-side combine)
+    already handles MOST skew — each input partition emits one row per
+    key before the shuffle — and AQE splits skewed JOIN partitions. The
+    residual case is a low-cardinality groupBy where a single reducer
+    must merge millions of map-side partials for one hot key AND the
+    per-group combine is expensive (e.g. collect-like or high-cardinality
+    distinct under the key). This operator exists for that case and as
+    the documented pattern; results are bitwise-equal to the direct
+    groupBy for algebraic aggregates (oracle-checked by q50).
+
+    The salt is ``pmod(xxhash64(monotonically_increasing_id()), n_salt)``
+    — spreading rows deterministically-per-run without requiring a
+    natural secondary key; no output value depends on the salt.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    partials = []
+    finals = []
+    for alias, (kind, col) in aggs.items():
+        try:
+            partial_fn, merge_fn = _SALTED_MERGE[kind]
+        except KeyError:
+            raise ValueError(
+                f"salted_agg supports {sorted(_SALTED_MERGE)}; got {kind!r}"
+            ) from None
+        c = F.col(col) if isinstance(col, str) else col
+        partials.append(partial_fn(c).alias(f"_p_{alias}"))
+        finals.append(merge_fn(f"_p_{alias}").alias(alias))
+    stage1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*finals)

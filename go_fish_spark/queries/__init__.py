@@ -78,6 +78,7 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "q47_distinct_agg",
     "q48_range_frame",
     "q49_regexp_extract",
+    "q50_salted_agg",
 )
 
 

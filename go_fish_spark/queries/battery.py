@@ -282,6 +282,42 @@ def q48_range_frame(spark, sf_dir):
 
 
 @query(
+    "q50_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid,
+           min(value) AS vmin,
+           max(value) AS vmax
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q50_salted_agg(spark, sf_dir):
+    """Skew-salted two-stage aggregation over a genuinely hot key space
+    (events has ~5 distinct event_types for every row in the table —
+    exactly the shape where one reducer would merge all map-side partials
+    of a hot key). The oracle is the PLAIN group-by: salting is a physical
+    rewrite, so the result must be bitwise identical. Only exact
+    aggregates (count / integer sum / min / max) are emitted — salting
+    changes double-addition order, so float sums go through decimal
+    moments as usual (q43)."""
+    from ..operators.aggregates import salted_agg
+
+    e = table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        ["event_type"],
+        {
+            "n": ("count", F.lit(1)),
+            "sum_uid": ("sum", "user_id"),
+            "vmin": ("min", "value"),
+            "vmax": ("max", "value"),
+        },
+        n_salt=16,
+    ).orderBy("event_type")
+
+
+@query(
     "q49_regexp_extract",
     oracle="""
     SELECT doc_id,

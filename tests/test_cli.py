@@ -41,3 +41,18 @@ def test_run_rejects_invalid_config(tmp_path, capsys):
     bad.write_text('{"sources": {}, "rules": {"r": {"source": "ghost", "task": "t"}}, "sinks": {}, "states": {}}')
     assert main(["run", str(bad), "--registry", str(tmp_path / "reg")]) == 1
     assert "invalid pipeline config" in capsys.readouterr().err
+
+
+def test_cli_sqlite_registry_backend(tmp_path, capsys):
+    """sqlite:// registry URIs route through the second backend
+    (≡ selecting the DynamoDB backend via config, backend.go:29-56)."""
+    from go_fish_spark.cli import main
+    from go_fish_spark.plans.registry import SQLiteRegistry
+
+    db = str(tmp_path / "reg.db")
+    uid = SQLiteRegistry(db).store('{"sources":{},"rules":{},"sinks":{},"states":{}}')
+    assert main(["list", "--registry", f"sqlite://{db}"]) == 0
+    assert capsys.readouterr().out.strip() == uid
+    assert main(["get", uid, "--registry", f"sqlite://{db}"]) == 0
+    assert "sources" in capsys.readouterr().out
+    assert main(["get", "nope", "--registry", f"sqlite://{db}"]) == 1

@@ -108,3 +108,34 @@ def test_tpch_shapes_never_force_broadcast_fact_tables(spark):
 
     # q35 joins only scaling tables — no hint at all is allowed
     assert _hinted_relations(spark, "q35_tpch_q18") == []
+
+
+def test_salted_agg_equals_direct_groupby(spark):
+    """Salting is a physical rewrite: two-stage salted aggregation must
+    be bitwise-equal to the direct groupBy, and its second shuffle input
+    is bounded by distinct_keys x n_salt."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators.aggregates import salted_agg
+
+    e = table(spark, SF_DIR, "events")
+    salted = salted_agg(
+        e, ["event_type"],
+        {"n": ("count", F.lit(1)), "s": ("sum", "user_id"),
+         "lo": ("min", "value"), "hi": ("max", "value")},
+        n_salt=8,
+    ).orderBy("event_type").collect()
+    direct = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("user_id").alias("s"),
+             F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .orderBy("event_type")
+        .collect()
+    )
+    assert salted == direct
+
+    import pytest
+
+    with pytest.raises(ValueError, match="salted_agg supports"):
+        salted_agg(e, ["event_type"], {"a": ("avg", "value")})
