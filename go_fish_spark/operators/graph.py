@@ -1,0 +1,77 @@
+"""Connected components over a pair/edge list — duplicate-cluster
+resolution.
+
+The dedup operators (x01–x05) emit PAIRS; a training-data pipeline needs
+CLUSTERS ("keep one canonical doc per near-dup group"), and pairs compose
+transitively: A~B, B~C puts A,C in one cluster even if they never paired.
+That is connected components, with min(doc_id) as the canonical label.
+
+Algorithm: iterative min-label propagation — each round every node takes
+the minimum label among itself and its neighbors; converges in
+O(component diameter) rounds. Per round: ONE shuffle-join of labels to
+the adjacency list + one min-aggregation, and the label frame is
+``localCheckpoint``-ed so the plan does not grow with the iteration count
+(without this, round k re-executes rounds 1..k-1 — the classic iterative-
+DataFrame trap). Near-dup graphs have tiny diameters (dup clusters are
+dense), so rounds stay single-digit at any corpus size; for adversarial
+long-chain graphs the two-phase large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond") drops
+rounds to O(log n) — out of scope here, pairs from the dedup family give
+star-shaped components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node; component = min node id reachable.
+
+    ``nodes``: one column ``id_col``. ``edges``: undirected pairs
+    ``src_col``/``dst_col`` (direction-agnostic; self-loops harmless).
+    Raises if not converged within ``max_iter`` rounds."""
+    adj = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # neighbor labels flow along edges; min with own label
+        prop = adj.join(labels, adj["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # truncate lineage: round k must not replan 1..k-1
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            adj.unpersist()
+            return labels
+    adj.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )

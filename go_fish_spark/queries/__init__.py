@@ -79,6 +79,8 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "q48_range_frame",
     "q49_regexp_extract",
     "q50_salted_agg",
+    "x17_tfidf",
+    "x18_dup_components",
 )
 
 

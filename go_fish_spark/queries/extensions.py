@@ -224,6 +224,91 @@ def x16_stratified_sample(spark, sf_dir):
     )
 
 
+@query(
+    "x17_tfidf",
+    oracle="""
+    WITH term AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT id, token, count(*) AS tf FROM term GROUP BY id, token),
+    df AS (SELECT token, count(DISTINCT id) AS df FROM term GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT id, token, tf, df, idf, tfidf, rank FROM (
+      SELECT tf.id, tf.token, tf.tf, df.df,
+             ln((n_docs + 1.0) / (df.df + 1.0)) + 1.0 AS idf,
+             CAST(tf.tf AS DOUBLE) * (ln((n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+               AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.id
+               ORDER BY CAST(tf.tf AS DOUBLE)
+                          * (ln((n_docs + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                        tf.token
+             ) AS rank
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ) WHERE rank <= 3
+    ORDER BY id, rank
+    """,
+)
+def x17_tfidf(spark, sf_dir):
+    """TF-IDF top-3 salient terms per document (operators/tfidf.py):
+    explode collapses map-side into one (doc,token) shuffle, df is
+    vocabulary-sized, N joins in as a broadcast aggregate (no driver
+    action), per-doc top-k is a WindowGroupLimit window. tf/df are exact
+    longs and idf/tfidf are per-row double expressions, so the output is
+    hash-comparable with no float-accumulation caveats."""
+    from ..operators.tfidf import tf_idf
+
+    return tf_idf(
+        table(spark, sf_dir, "documents"), "doc_id", "text", top_k=3
+    ).orderBy("id", "rank")
+
+
+@query(
+    "x18_dup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    )
+    SELECT src AS doc_id, min(dst) AS component FROM reach
+    GROUP BY src ORDER BY doc_id
+    """,
+)
+def x18_dup_components(spark, sf_dir):
+    """Near-dup CLUSTERS from pair output: connected components over the
+    exact-Jaccard pairs (operators/graph.py min-label propagation,
+    localCheckpoint per round), component = min reachable doc_id — the
+    canonical-document assignment a dedup pipeline actually keeps. The
+    oracle computes the same transitive closure with a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component").orderBy(
+        "doc_id"
+    )
+
+
 def _duck_lang_case() -> str:
     scores = tx.duck_lang_scores("text")
     cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())

@@ -159,3 +159,46 @@ def test_lsh_topk_matches_brute_force_mostly(spark):
     assert len(brute_set & approx_set) >= 1
     # And every LSH result must rank by true cosine (spot determinism).
     assert approx == sorted(approx, key=lambda r: (r.query_id, r.rank))
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A 4-node chain (needs multiple propagation rounds), a 2-node pair,
+    and a singleton all resolve to min-id components."""
+    from go_fish_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (6, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r.id: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from go_fish_spark.operators.graph import connected_components
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    edges = spark.createDataFrame([(4, 3), (3, 2), (2, 1)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(nodes, edges, max_iter=1)
+
+
+def test_tfidf_scores_rare_terms_higher(spark):
+    from go_fish_spark.operators.tfidf import tf_idf
+
+    docs = spark.createDataFrame(
+        [(1, "common rare common"), (2, "common common"), (3, "common only")],
+        "doc_id long, text string",
+    )
+    rows = {(r.id, r.token): r for r in tf_idf(docs, "doc_id", "text").collect()}
+    # 'common' appears in every doc -> lowest idf; 'rare' in one doc
+    assert rows[(1, "rare")].idf > rows[(1, "common")].idf
+    assert rows[(1, "common")].tf == 2 and rows[(1, "common")].df == 3
+    # top-1: doc 3's distinctive term wins; in doc 1 tf=2 of 'common'
+    # (2 × idf 1.0) outweighs 'rare' (1 × idf ln2+1 ≈ 1.69)
+    top = {r.id: r.token for r in tf_idf(docs, top_k=1).collect()}
+    assert top[3] == "only" and top[1] == "common"
