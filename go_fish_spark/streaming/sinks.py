@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -53,6 +54,44 @@ def foreach_sink(
     if per_batch:
         return w.foreachBatch(fn).start()
     return w.foreach(fn).start()
+
+
+def idempotent_json_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Exactly-once-per-batch JSON sink for at-least-once delivery.
+
+    Structured Streaming replays a micro-batch after a crash between
+    "sink wrote" and "checkpoint committed"; a plain append sink then
+    duplicates that batch's rows. Spark's file sink solves this with a
+    transaction log; this is the same idea for foreachBatch-style custom
+    sinks (the reference's SQS sink has no such story — `output/sqs.go`
+    is fire-and-forget per event): each batch writes to
+    ``path/batch_id=N`` with overwrite, so a replayed batch id rewrites
+    the SAME directory instead of appending a duplicate. Readers see each
+    batch exactly once; the partition column also records provenance."""
+    w = df.writeStream.option("checkpointLocation", checkpoint).foreachBatch(
+        idempotent_batch_writer(path)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def idempotent_batch_writer(path: str) -> Callable[[DataFrame, int], None]:
+    """The replay-safe write used by :func:`idempotent_json_sink` —
+    overwrite-into-batch_id-directory, so re-delivery of a batch id is a
+    rewrite, not a duplicate append."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").json(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    return write
 
 
 def fanout_sink(
