@@ -91,3 +91,91 @@ def decode_features(binary_df: DataFrame, codec: str = "fake") -> DataFrame:
             )
 
     return binary_df.select("doc_id", "content").mapInPandas(run, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    binary_df: DataFrame, width: int, height: int, codec: str = "fake"
+) -> DataFrame:
+    """Resize pass: binary in → (smaller) binary out, batch-at-a-time.
+
+    Same integration shape as :func:`decode_features` (Arrow
+    ``mapInPandas``; resize parallelism == partition count, output
+    partitioning preserved for a downstream write). The fake codec
+    deterministically truncates the payload to width×height/8 bytes —
+    REPLACE the inner function with PIL ``Image.resize`` when codecs are
+    available."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: media libraries not available in this build; "
+            "only the deterministic 'fake' codec is implemented"
+        )
+    cap = max(width * height // 8, 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["content"].map(lambda b: bytes(b)[:cap])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": out,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame, n_frames: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Frame sampling: ONE media row fans out to ≤ ``n_frames`` frame
+    rows — the 1→N ``mapInPandas`` batch shape a video pipeline needs
+    (each output row carries its provenance: index, byte offset, length).
+
+    Frames are evenly-strided byte windows of the payload (the fake
+    "keyframe" stand-in; a real codec would seek timestamps instead).
+    Deterministic pure function of (n_bytes, n_frames, frame_bytes), so
+    the offset/length math is oracle-checkable in SQL (x19)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(content)
+                n = len(buf)
+                stride = max(n // n_frames, 1)
+                for i in range(n_frames):
+                    off = i * stride
+                    if off >= n:
+                        break
+                    ln = min(frame_bytes, n - off)
+                    rows.append((doc_id, i, off, ln, buf[off : off + ln]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_off", "frame_len", "frame"]
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(run, FRAME_SCHEMA)

@@ -79,8 +79,12 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "q48_range_frame",
     "q49_regexp_extract",
     "q50_salted_agg",
+    "q51_tpch_q7",
+    "q52_tpch_q21",
+    "q53_null_safe_join",
     "x17_tfidf",
     "x18_dup_components",
+    "x19_frame_sample",
 )
 
 

@@ -318,6 +318,147 @@ def q50_salted_agg(spark, sf_dir):
 
 
 @query(
+    "q51_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q51_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between a nation PAIR, either
+    direction): the disjunctive cross-table predicate
+    ((n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)) cannot be pushed below the joins, so
+    the plan quality comes from join ordering — supplier and the two
+    nation aliases broadcast (bounded dims), orders/customer carry no
+    hint (they scale; AQE decides). Yearly decimal revenue sums."""
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    df = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("n2_key"))
+        .filter(pair)
+    )
+    return (
+        df.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(volume.cast("decimal(22,6)")).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q52_tpch_q21",
+    oracle="""
+    SELECT s_suppkey, count(*) AS numwait FROM (
+      SELECT DISTINCT l1.l_suppkey AS s_suppkey, l1.l_orderkey
+      FROM lineitem l1
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+    ) GROUP BY s_suppkey
+    HAVING numwait >= 2
+    ORDER BY numwait DESC, s_suppkey
+    """,
+)
+def q52_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS / NOT-EXISTS pair over the same fact with a non-equi
+    component (same order, DIFFERENT supplier) — compiled to a left-semi
+    and a left-anti self-join on l_orderkey with the inequality inside
+    the join condition, so neither subquery materializes; both sides are
+    column-pruned to (orderkey, suppkey[, returnflag])."""
+    li = table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o_ok"),
+        F.col("l_suppkey").alias("o_sk"),
+        "l_returnflag",
+    )
+    semi = l1.join(
+        other,
+        (l1["l_orderkey"] == other["o_ok"]) & (l1["l_suppkey"] != other["o_sk"]),
+        "left_semi",
+    )
+    anti = semi.join(
+        other.filter(F.col("l_returnflag") == "R"),
+        (semi["l_orderkey"] == other["o_ok"]) & (semi["l_suppkey"] != other["o_sk"]),
+        "left_anti",
+    )
+    return (
+        anti.dropDuplicates(["l_suppkey", "l_orderkey"])
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .filter(F.col("numwait") >= 2)
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
+@query(
+    "q53_null_safe_join",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT nullif(event_type, 'error') AS k FROM events)
+    SELECT dim.k, count(e.event_id) AS n
+    FROM dim JOIN (SELECT event_id, nullif(event_type, 'error') AS k FROM events) e
+      ON dim.k IS NOT DISTINCT FROM e.k
+    GROUP BY dim.k
+    ORDER BY dim.k NULLS FIRST
+    """,
+)
+def q53_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> ≡ IS NOT DISTINCT FROM): the NULL
+    key row joins and counts, where a plain equi-join would silently drop
+    it — the classic silent-data-loss bug in key-nullable enrichment."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.nullif("event_type", F.lit("error")).alias("k")
+    )
+    dim = e.select("k").distinct().select(F.col("k").alias("dim_k"))
+    return (
+        dim.join(e, dim["dim_k"].eqNullSafe(e["k"]))
+        .groupBy(F.col("dim_k").alias("k"))
+        .agg(F.count("event_id").alias("n"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+@query(
     "q49_regexp_extract",
     oracle="""
     SELECT doc_id,

@@ -309,6 +309,39 @@ def x18_dup_components(spark, sf_dir):
     )
 
 
+@query(
+    "x19_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * stride AS BIGINT) AS frame_off,
+           CAST(least(16, n - i * stride) AS BIGINT) AS frame_len
+    FROM (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             greatest(octet_length(encode(text)) // 4, 1) AS stride
+      FROM documents
+    )
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+    WHERE i * stride < n
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def x19_frame_sample(spark, sf_dir):
+    """Frame sampling plumbing: each media row fans out to ≤4 evenly-
+    strided frame rows via mapInPandas (the 1→N batch shape; fake
+    keyframes = byte windows). The offset/length math is a pure function
+    of payload size, so the fan-out is fully oracle-checked; the frame
+    bytes themselves are dropped from the comparison (binary column)."""
+    binary_df = multimodal.ingest_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    frames = multimodal.sample_frames(binary_df, n_frames=4, frame_bytes=16)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_off", "frame_len"
+    ).orderBy("doc_id", "frame_idx")
+
+
 def _duck_lang_case() -> str:
     scores = tx.duck_lang_scores("text")
     cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
