@@ -286,6 +286,15 @@ class CompiledPipeline:
                 if available_now:
                     w = w.trigger(availableNow=True)
                 queries.append(w.start())
+            elif sink.type == "json_idempotent":
+                # replay-safe: a re-delivered micro-batch rewrites its
+                # batch_id partition instead of appending duplicates.
+                queries.append(
+                    ssinks.idempotent_json_sink(
+                        df, sink.options["path"], ckpt,
+                        trigger_available_now=available_now,
+                    )
+                )
             elif sink.type == "sqs":
                 # ≡ output/sqs.go:40-61 via the generic foreach adapter —
                 # each micro-batch runs the per-event SendMessage loop.
@@ -307,9 +316,11 @@ class CompiledPipeline:
 #: Sink types a streaming pipeline supports; fan-out runs writers inside
 #: foreachBatch, where the memory sink does not exist.
 _STREAM_SINK_TYPES = frozenset(
-    {"file", "json", "parquet", "console", "memory", "sqs"}
+    {"file", "json", "json_idempotent", "parquet", "console", "memory", "sqs"}
 )
-_FANOUT_SINK_TYPES = frozenset({"file", "json", "parquet", "console", "sqs"})
+_FANOUT_SINK_TYPES = frozenset(
+    {"file", "json", "json_idempotent", "parquet", "console", "sqs"}
+)
 
 
 def _stream_batch_writer(sink: SinkSpec):
@@ -320,6 +331,10 @@ def _stream_batch_writer(sink: SinkSpec):
             batch_df.write.mode("append").json(sink.options["path"])
         elif sink.type == "parquet":
             batch_df.write.mode("append").parquet(sink.options["path"])
+        elif sink.type == "json_idempotent":
+            from ..streaming.sinks import idempotent_batch_writer
+
+            idempotent_batch_writer(sink.options["path"])(batch_df, batch_id)
         elif sink.type == "console":
             batch_df.show(truncate=False)
         elif sink.type == "sqs":

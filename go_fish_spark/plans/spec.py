@@ -137,6 +137,15 @@ def validate(spec: PipelineSpec) -> None:
                 f"rule {rule.name!r}: unknown state {rule.state!r}"
             )
 
+    # 3a. state types are closed (`state/state.go:20-32`: factory errors
+    # on anything but KV/Count).
+    for st in spec.states.values():
+        if st.type not in ("KV", "Count"):
+            raise ValidationError(
+                f"state {st.name!r}: unknown state type {st.type!r} "
+                "(supported: KV, Count)"
+            )
+
     # 3. one rule per state (`pipeline.go:79-85`).
     users: dict[str, str] = {}
     for rule in spec.rules.values():

@@ -72,6 +72,13 @@ def test_reject_unknown_state():
         parse_spec(d)
 
 
+def test_reject_unknown_state_type():
+    """≡ state.Create's closed type set (`state/state.go:20-32`)."""
+    d = spec_dict(states={"s1": {"type": "Redis"}})
+    with pytest.raises(ValidationError, match="unknown state type"):
+        parse_spec(d)
+
+
 def test_reject_rule_cycle():
     d = spec_dict()
     d["rules"]["is_a"]["source"] = "len1"

@@ -173,3 +173,78 @@ def test_shingle_count_invariant(spark, ws):
     assert 0 <= got <= expected_max or (n >= 3 and got <= n - 2)
     if n < 3:
         assert got == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Distributed min-label propagation must equal a sequential
+    union-find on arbitrary small graphs (chains, cliques, self-loops,
+    parallel edges, isolated nodes)."""
+    from go_fish_spark.operators.graph import connected_components
+
+    n_nodes = 20
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n_nodes)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edges = spark.createDataFrame(
+        edge_list or [(0, 0)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, max_iter=40).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 7),
+)
+def test_salted_agg_invariant_to_salt_count(spark, rows, n_salt):
+    """Salted aggregation must equal the direct groupBy for ANY data and
+    ANY salt fan-out (the salt must never leak into results)."""
+    import pyspark.sql.functions as F
+    from go_fish_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = {
+        (r.k): (r.n, r.s, r.lo, r.hi)
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("count", F.lit(1)), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+            n_salt=n_salt,
+        ).collect()
+    }
+    direct = {
+        (r.k): (r.n, r.s, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert salted == direct
