@@ -20,10 +20,12 @@ from go_fish_spark.queries import REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: broadcast-join revenue per
-    nation (q13_join_inner) — exercises scan → broadcast joins → exact
-    decimal aggregation → sort."""
-    return REGISTRY["q13_join_inner"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the end-to-end curation
+    pipeline (x20) — language ID → quality gate → exact dedup → near-dup
+    connected components → canonical doc per cluster → train/val/test
+    split, as one composed DataFrame plan (every stage oracle-verified
+    individually AND in composition at sf0.01)."""
+    return REGISTRY["x20_curation_pipeline"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

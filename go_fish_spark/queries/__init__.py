@@ -85,6 +85,7 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x17_tfidf",
     "x18_dup_components",
     "x19_frame_sample",
+    "x20_curation_pipeline",
 )
 
 

@@ -486,3 +486,113 @@ def x12_multimodal_decode(spark, sf_dir):
         "n_pixels",
         "status",
     ).orderBy("doc_id")
+
+
+def _duck_curation_oracle() -> str:
+    """x20's oracle: the whole curation pipeline composed from the
+    per-stage SQL shapes that x07/x08/x01/x04/x18/x14 each hash-matched
+    individually."""
+    scores = tx.duck_lang_scores("text")
+    score_cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    whens = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in scores)
+    quality = """
+      0.4 * least(len(ws) / 100.0, 1.0)
+      + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ({stop}))) / len(ws))
+      + 0.3 * least(((length(text) - (len(ws) - 1)) / len(ws)) / 10.0, 1.0)
+    """.format(stop=_DUCK_STOP)
+    from ..operators.sampling import duck_hash_bucket
+
+    bucket = duck_hash_bucket("doc_id")
+    return f"""
+    WITH RECURSIVE
+    langs AS (
+      SELECT doc_id, text, ws, {score_cols}
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    ),
+    best_t AS (SELECT *, {best} AS best FROM langs),
+    scored AS (
+      SELECT doc_id, text, ws,
+             CASE WHEN best <= 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred,
+             {quality} AS score
+      FROM best_t
+    ),
+    kept AS (SELECT * FROM scored WHERE lang_pred = 'en' AND score >= 0.5),
+    surv AS (
+      SELECT doc_id, text, ws, lang_pred, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    sh_t AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM surv),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh_t),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT surv.doc_id, lang_pred, score,
+           CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv JOIN comp USING (doc_id)
+    WHERE comp.component = surv.doc_id
+    ORDER BY surv.doc_id
+    """
+
+
+@query("x20_curation_pipeline", oracle=_duck_curation_oracle())
+def x20_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation: the full training-data flow as ONE composed
+    DataFrame plan — language ID → quality gate (en, score ≥ 0.5) →
+    exact dedup (min doc_id per content hash) → near-dup clustering
+    (exact-Jaccard pairs → connected components) → keep each cluster's
+    canonical doc → deterministic train/val/test assignment. Every stage
+    is the already-oracle-verified operator (x07/x08/x01/x04/x18/x14);
+    this query verifies their COMPOSITION hash-exactly."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+    from ..operators.sampling import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("score"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("score") >= 0.5)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surv = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
+    pairs = dedup.ngram_jaccard_pairs(surv, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(surv.select("doc_id"), pairs, id_col="doc_id")
+    return (
+        surv.join(comp, surv["doc_id"] == comp["id"])
+        .filter(F.col("doc_id") == F.col("component"))
+        .select(
+            "doc_id",
+            "lang_pred",
+            "score",
+            split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        )
+        .orderBy("doc_id")
+    )

@@ -73,7 +73,7 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert df.columns == ["n_name", "orders_cnt", "revenue"]
+    assert df.columns == ["doc_id", "lang_pred", "score", "split"]
 
 
 def test_registry_shape():
