@@ -50,6 +50,10 @@ HEADLINE = [
     "x08_quality_score",
     "x09_token_count",
     "x10_fingerprint",
+    # the end-to-end curation flagship (lang → quality → dedup →
+    # components → canonical → split; ~half its wall is the iterative
+    # connected-components rounds)
+    "x20_curation_pipeline",
 ]
 
 
