@@ -577,11 +577,12 @@ def x20_curation_pipeline(spark, sf_dir):
         (F.col("lang_pred") == "en") & (F.col("score") >= 0.5)
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    surv = (
+    # Persisted via the dedup cache registry so bench/release_caches()
+    # can return executor storage between queries.
+    surv = dedup._persist(
         kept.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-        .persist()
     )
     pairs = dedup.ngram_jaccard_pairs(surv, "doc_id", "text", k=3, threshold=0.3)
     comp = connected_components(surv.select("doc_id"), pairs, id_col="doc_id")
