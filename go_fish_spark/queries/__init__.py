@@ -82,6 +82,8 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "q51_tpch_q7",
     "q52_tpch_q21",
     "q53_null_safe_join",
+    "q54_analytic_windows",
+    "q55_timestamp_battery",
     "x17_tfidf",
     "x18_dup_components",
     "x19_frame_sample",

@@ -459,6 +459,95 @@ def q53_null_safe_join(spark, sf_dir):
 
 
 @query(
+    "q54_analytic_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank()   OVER w_ties                          AS drnk,
+           ntile(4)       OVER w_uniq                          AS quartile,
+           percent_rank() OVER w_ties                          AS prnk,
+           cume_dist()    OVER w_ties                          AS cdist,
+           lead(o_totalprice, 1, -1.0) OVER w_uniq             AS next_price,
+           first_value(o_orderkey) OVER w_uniq                 AS first_ok,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           )                                                   AS last_ok,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           )                                                   AS second_ok
+    FROM orders
+    WINDOW
+      w_uniq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w_ties AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q54_analytic_windows(spark, sf_dir):
+    """The rest of the analytic-window family beyond q15: dense_rank,
+    ntile, percent_rank, cume_dist, lead-with-default, first/last/nth
+    value with explicit unbounded frames (last_value's default frame ends
+    at CURRENT ROW — the classic silent-wrong-answer; both engines get
+    the full frame spelled out)."""
+    o = table(spark, sf_dir, "orders")
+    w_uniq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_ties = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    w_full = w_uniq.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_uniq).alias("quartile"),
+        F.percent_rank().over(w_ties).alias("prnk"),
+        F.cume_dist().over(w_ties).alias("cdist"),
+        F.lead("o_totalprice", 1, -1.0).over(w_uniq).alias("next_price"),
+        F.first_value("o_orderkey").over(w_uniq).alias("first_ok"),
+        F.last_value("o_orderkey").over(w_full).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_ok"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q55_timestamp_battery",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts)                                            AS micros,
+           epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')         AS us_since_2024,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')   AS hour_start,
+           strftime(date_trunc('week', ts), '%Y-%m-%d')            AS week_start,
+           hour(ts)                                                AS h,
+           minute(ts)                                              AS m,
+           second(ts)                                              AS s,
+           CAST(epoch_us(ts) % 1000000 AS BIGINT)                  AS sub_second_us
+    FROM events ORDER BY event_id
+    """,
+)
+def q55_timestamp_battery(spark, sf_dir):
+    """Timestamp arithmetic at full µs precision: epoch micros, interval
+    since a fixed instant, hour/week truncation, part extraction, and the
+    sub-second µs component (events.ts genuinely carries microseconds —
+    q22's original bug was truncating them)."""
+    e = table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    epoch = F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    return e.select(
+        "event_id",
+        F.unix_micros(ts).alias("micros"),
+        (F.unix_micros(ts) - epoch).alias("us_since_2024"),
+        F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        ),
+        F.date_format(F.date_trunc("week", ts), "yyyy-MM-dd").alias("week_start"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("m"),
+        F.second(ts).alias("s"),
+        F.pmod(F.unix_micros(ts), F.lit(1_000_000)).alias("sub_second_us"),
+    ).orderBy("event_id")
+
+
+@query(
     "q49_regexp_extract",
     oracle="""
     SELECT doc_id,

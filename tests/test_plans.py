@@ -139,3 +139,22 @@ def test_salted_agg_equals_direct_groupby(spark):
 
     with pytest.raises(ValueError, match="salted_agg supports"):
         salted_agg(e, ["event_type"], {"a": ("avg", "value")})
+
+
+def test_q52_compiles_to_semi_and_anti_joins(spark):
+    """The EXISTS / NOT-EXISTS pair must stay semi/anti joins (no
+    subquery materialization), with lineitem scans pruned to the 2-3
+    needed columns."""
+    plan = plan_of(spark, "q52_tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans and all(len(s.split(",")) <= 3 for s in scans), scans
+
+
+def test_q51_hints_only_bounded_dims(spark):
+    """TPC-H Q7 shape: only supplier + the two nation aliases may carry
+    broadcast hints; orders/customer/lineitem stay AQE-decided."""
+    hinted = _hinted_relations(spark, "q51_tpch_q7")
+    assert sorted(t for h in hinted for t in h) == ["nation", "nation", "supplier"]

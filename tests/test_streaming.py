@@ -371,3 +371,36 @@ def test_json_idempotent_sink_type_in_pipeline_spec(spark, tmp_path):
     got = spark.read.json(outdir)
     assert [r.value for r in got.collect()] == ["a"]
     assert "batch_id" in got.columns
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a batch
+    dimension table (the lookup-table pattern; the static side is
+    re-resolved per batch, no state store involved)."""
+    import json as _json
+
+    from go_fish_spark.streaming import sources
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    with open(indir / "b0.json", "w") as f:
+        for uid, v in [(1, 10.0), (2, 20.0), (9, 90.0)]:
+            f.write(_json.dumps({"user_id": uid, "v": v}) + "\n")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = sources.json_stream(spark, str(indir), "user_id long, v double")
+    from pyspark.sql import functions as F
+
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "user_id", "v", F.coalesce("tier", F.lit("none")).alias("tier")
+    )
+    q = (
+        enriched.writeStream.format("memory").queryName("ss_join_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.user_id, r.tier) for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    )
+    assert rows == [(1, "gold"), (2, "silver"), (9, "none")]
