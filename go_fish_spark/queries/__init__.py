@@ -84,6 +84,8 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "q53_null_safe_join",
     "q54_analytic_windows",
     "q55_timestamp_battery",
+    "q56_map_battery",
+    "q57_hof_battery",
     "x17_tfidf",
     "x18_dup_components",
     "x19_frame_sample",

@@ -548,6 +548,88 @@ def q55_timestamp_battery(spark, sf_dir):
 
 
 @query(
+    "q56_map_battery",
+    oracle="""
+    SELECT event_id,
+           m['type'][1]                          AS mtype,
+           m['uid'][1]                           AS muid,
+           CAST(cardinality(m) AS INTEGER)       AS n_entries,
+           array_to_string(map_keys(m), ',')     AS ks
+    FROM (
+      SELECT event_id,
+             map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+      FROM events
+    ) ORDER BY event_id
+    """,
+)
+def q56_map_battery(spark, sf_dir):
+    """Map-typed column battery: construction, key lookup, cardinality,
+    key-list extraction (the OutputEvent Body map surface,
+    `output/event.go:18`, beyond q40's to_json serialization). Insertion
+    order of literal maps matches across engines; DuckDB subscripts
+    return single-element lists, unwrapped in the oracle."""
+    e = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("mtype"),
+        F.element_at(m, "uid").alias("muid"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q57_hof_battery",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b)
+                AS BIGINT)                                              AS total_chars,
+           CAST(len(list_filter(ws, w -> length(w) > 3)) AS INTEGER)   AS n_long,
+           len(list_filter(ws, w -> w = 'the')) > 0                    AS has_the,
+           len(list_filter(ws, w -> NOT length(w) < 20)) = 0           AS all_short,
+           array_to_string(
+             list_transform(list_zip(ws, range(1, len(ws) + 1)),
+                            p -> p[1] || ':' || CAST(p[2] AS VARCHAR)),
+             ' ')                                                      AS indexed
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q57_hof_battery(spark, sf_dir):
+    """Higher-order array functions: transform+aggregate (fold), filter,
+    exists, forall, zip_with — the lambda surface the sketch operators
+    build on, isolated and oracle-checked (DuckDB: list_transform /
+    list_reduce / list_filter / list_zip)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    total = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)),
+        F.lit(0),
+        lambda a, x: a + x,
+    ).cast("long")
+    indexed = F.array_join(
+        F.zip_with(
+            ws,
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda w, i: F.concat(w, F.lit(":"), i.cast("string")),
+        ),
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        total.alias("total_chars"),
+        F.size(F.filter(ws, lambda w: F.length(w) > 3)).alias("n_long"),
+        F.exists(ws, lambda w: w == "the").alias("has_the"),
+        F.forall(ws, lambda w: F.length(w) < 20).alias("all_short"),
+        indexed.alias("indexed"),
+    ).orderBy("doc_id")
+
+
+@query(
     "q49_regexp_extract",
     oracle="""
     SELECT doc_id,
