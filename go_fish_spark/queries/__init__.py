@@ -57,7 +57,52 @@ def _load_all_modules() -> None:
 #: scripts/check_correctness.py → CORRECTNESS_SELF.json (same compare:
 #: rows + schema + dtype-sensitive value hash).
 _VERIFIED_TAIL: tuple[str, ...] = (
-    # green in CORRECTNESS_r01 (rows/schema/hash all true)
+    # green in CORRECTNESS_r01 (rows/schema/hash all true). Everything the
+    # driver has ALREADY verified rotates here so that every entry it has
+    # NOT yet seen (r01 fails now fixed: q22/q26/q28; the 8 entries r01's
+    # cap skipped: x07-x12/x15/x16; everything registered since: q41-q61,
+    # x17-x20) fits inside the 50-entry window. The first window slots
+    # after the unverified head re-check the earliest tail entries — free
+    # regression coverage, not lost capacity.
+    "q01_filter_eq",
+    "q02_filter_len",
+    "q03_filter_regex",
+    "q04_project",
+    "q05_case_derive",
+    "q06_dispatch_union",
+    "q07_enrich_join",
+    "q08_keyed_agg",
+    "q09_global_count",
+    "q10_tumbling_window",
+    "q11_fanin_union",
+    "q12_array_exists",
+    "q13_join_inner",
+    "q13_join_semi",
+    "q13_join_anti",
+    "q14_rollup",
+    "q15_window_funcs",
+    "q16_topk",
+    "q17_setops",
+    "q18_scalar_battery",
+    "q19_approx_distinct",
+    "q20_json_extract",
+    "q21_s2s_asof_join",
+    "q23_dropduplicates",
+    "q24_decode_cascade",
+    "q25_cube",
+    "q27_explode_topk",
+    "q29_stats",
+    "q30_tpch_q1",
+    "q31_asof_join",
+    "q32_range_join",
+    "q33_tpch_q3",
+    "q34_tpch_q5",
+    "q35_tpch_q18",
+    "q36_unpivot",
+    "q37_topk_per_group",
+    "q38_argmax",
+    "q39_string_null_battery",
+    "q40_map_json",
     "x01_dedup_exact",
     "x04_dedup_ngram_jaccard",
     "x05_dedup_embedding",
@@ -67,29 +112,6 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x02_dedup_minhash_lsh",
     "x03_dedup_simhash",
     "x13_ann_lsh",
-    # new in round 2 — oracle-verified by CORRECTNESS_SELF this round;
-    # rotates into the driver window next round
-    "q41_session_window",
-    "q42_percentiles",
-    "q43_exact_corr",
-    "q44_date_battery",
-    "q45_array_battery",
-    "q46_conditional_argmax_agg",
-    "q47_distinct_agg",
-    "q48_range_frame",
-    "q49_regexp_extract",
-    "q50_salted_agg",
-    "q51_tpch_q7",
-    "q52_tpch_q21",
-    "q53_null_safe_join",
-    "q54_analytic_windows",
-    "q55_timestamp_battery",
-    "q56_map_battery",
-    "q57_hof_battery",
-    "x17_tfidf",
-    "x18_dup_components",
-    "x19_frame_sample",
-    "x20_curation_pipeline",
 )
 
 

@@ -629,6 +629,34 @@ def q57_hof_battery(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_GROUPING_SETS_SQL = """
+    SELECT n_name, o_orderpriority,
+           CAST(grouping(n_name) AS INTEGER)          AS g_nation,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+           count(*) AS cnt
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+    ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@query("q58_grouping_sets_sql", oracle=_GROUPING_SETS_SQL)
+def q58_grouping_sets_sql(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() flags, submitted through
+    ``spark.sql`` — exercising the SQL parser entry point itself (SURVEY
+    §2.6 lists SQL parsing among the reference's absent categories; every
+    other query uses the DataFrame API). The oracle is the IDENTICAL SQL
+    text run by DuckDB: one dialect-shared statement, two engines.
+    grouping() distinguishes a real NULL group key from a rollup
+    placeholder — the flag cube/rollup consumers actually need."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 @query(
     "q49_regexp_extract",
     oracle="""
@@ -649,3 +677,99 @@ def q49_regexp_extract(spark, sf_dir):
         F.regexp_extract("source", "([a-z]+)-([0-9]+)", 2).alias("src_num"),
         F.col("source").rlike("[0-9]$").alias("ends_digit"),
     ).orderBy("doc_id")
+
+
+# --- q59-q61: correlated-subquery battery ----------------------------------
+# Each statement is ONE dialect-shared SQL text executed verbatim by both
+# engines (the q58 pattern): Spark must decorrelate the subquery (Catalyst
+# RewriteCorrelatedScalarSubquery / RewritePredicateSubquery plan semi/anti
+# or aggregate joins — guarded in tests/test_plans.py), DuckDB runs its own
+# flatten. Determinism: every aggregate the predicate depends on is an EXACT
+# decimal/integer sum, so no double-summation-order boundary flip can occur.
+
+_EXISTS_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("q59_tpch_q4_exists", oracle=_EXISTS_SQL)
+def q59_tpch_q4_exists(spark, sf_dir):
+    """TPC-H Q4 shape (priority census of orders with >=1 returned line;
+    the ref schema lacks commit/receipt dates so l_returnflag='R' stands in
+    for the late-delivery mark): a correlated EXISTS that the engine must
+    compile to a LEFT-SEMI join on l_orderkey — never a count-then-filter
+    materialization. At 100 TB the semi join keeps only (l_orderkey) from
+    the probe side after pushdown of the returnflag filter."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_CORR_SQL = """
+    SELECT p_brand,
+           count(*) AS small_lots,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE)
+               AS small_lot_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 *
+            (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+@query("q60_tpch_q17_scalar", oracle=_SCALAR_CORR_SQL)
+def q60_tpch_q17_scalar(spark, sf_dir):
+    """TPC-H Q17 shape (small-lot revenue: lines whose quantity is below
+    20% of the part's average). The textbook predicate `l_quantity <
+    0.2*avg(l_quantity)` divides in double, whose value depends on
+    summation order; here it is algebraically rearranged to
+    `5*qty*cnt < sum(qty)` over exact decimals, so the two correlated
+    scalar aggregates are order-independent and the engines agree
+    bit-for-bit. Catalyst decorrelates each subquery into an aggregate of
+    lineitem grouped by l_partkey joined back — slim pruned scans, never a
+    per-outer-row re-scan (plan-guarded in tests/test_plans.py)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_CORR_SQL)
+
+
+_GLOBAL_SCALAR_SQL = """
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(22,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(22,6)))
+                                   AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@query("q61_tpch_q22_anti", oracle=_GLOBAL_SCALAR_SQL)
+def q61_tpch_q22_anti(spark, sf_dir):
+    """TPC-H Q22 shape (well-funded customers with no urgent order):
+    an UNCORRELATED scalar subquery (global mean balance — broadcast as a
+    one-row value, computed once) plus a correlated NOT EXISTS that must
+    become a LEFT-ANTI join on o_custkey. The mean is sum(exact
+    decimal)/count evaluated with the identical expression on both
+    engines, so the > comparison cannot flip on the boundary."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GLOBAL_SCALAR_SQL)

@@ -158,3 +158,44 @@ def test_q51_hints_only_bounded_dims(spark):
     broadcast hints; orders/customer/lineitem stay AQE-decided."""
     hinted = _hinted_relations(spark, "q51_tpch_q7")
     assert sorted(t for h in hinted for t in h) == ["nation", "nation", "supplier"]
+
+
+def test_q59_exists_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS (TPC-H Q4 shape) must become a LeftSemi join on
+    l_orderkey with the returnflag filter pushed into the probe-side scan —
+    never a materialized subquery per outer row."""
+    plan = plan_of(spark, "q59_tpch_q4_exists")
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # the semi-join probe side reads only the join key + filter column
+    assert "struct<l_orderkey:bigint,l_returnflag:string>" in plan
+
+
+def test_q60_scalar_subqueries_decorrelate_to_one_aggregate(spark):
+    """Both correlated scalar aggregates over lineitem-by-partkey must be
+    decorrelated into aggregate-then-join (no per-row rescan). Catalyst
+    rewrites each correlated scalar separately (MergeScalarSubqueries only
+    coalesces UNcorrelated ones), so the plan carries the outer scan plus
+    two grouped-aggregate scans — every one pruned to the few needed
+    columns, never a full-width lineitem read."""
+    plan = plan_of(spark, "q60_tpch_q17_scalar")
+    assert "LeftSemi" not in plan  # scalar, not predicate, decorrelation
+    import re
+
+    li_scans = [s for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+                if s.startswith("l_")]
+    # outer scan + one decorrelated aggregate per scalar subquery
+    assert len(li_scans) == 3, li_scans
+    assert all(len(s.split(",")) <= 3 for s in li_scans), li_scans
+    assert any(s == "l_partkey:bigint,l_quantity:double" for s in li_scans), li_scans
+
+
+def test_q61_not_exists_decorrelates_to_anti_join(spark):
+    """NOT EXISTS (TPC-H Q22 shape) must become a LeftAnti join on
+    o_custkey; the uncorrelated mean-balance subquery stays a scalar
+    (Subquery/ReusedSubquery node), evaluated once, not joined."""
+    plan = plan_of(spark, "q61_tpch_q22_anti")
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan
+    # orders probe side pruned to the join key + priority filter column
+    assert "struct<o_custkey:bigint,o_orderpriority:string>" in plan
