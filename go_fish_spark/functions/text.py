@@ -126,6 +126,138 @@ def quality_score(text: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding (see operators/dedup.py:_let — duplicated here to keep
+    functions/ free of operators/ imports): evaluate ``value`` once per
+    row; Catalyst cannot inline-duplicate through the lambda variable."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def repetition_metrics(text: Column | str) -> dict[str, Column]:
+    """Per-document repetition signals (the Gopher/MassiveText family of
+    quality rules): fraction of duplicated words, and the fraction of all
+    word-2-grams taken by the single most frequent 2-gram.
+
+    Pure Column expressions, zero shuffle, and — critically for the 100 TB
+    path, where HOF lambdas run interpreted — LINEAR per row after a
+    2-gram sort: the most-frequent-2-gram count equals the longest run of
+    equal adjacent elements in the SORTED 2-gram array, computed by one
+    ``aggregate`` fold (the naive distinct×filter argmax is O(words²) per
+    document and measured ~30× slower on this corpus). The DuckDB mirror
+    keeps the quadratic list form — both reduce to the same exact integer,
+    so the double ratios divide bit-identically. Zero-/one-word documents
+    define every ratio as 0.0 on both engines.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+
+    def dup_ratio(wv: Column) -> Column:
+        n = F.size(wv)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(wv)) / n
+        )
+
+    def sorted_g2(wv: Column) -> Column:
+        n = F.size(wv)
+        return F.array_sort(
+            F.when(n >= 2, F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(wv, i, 2)),
+            )).otherwise(F.array().cast("array<string>"))
+        )
+
+    def top_frac(gs: Column) -> Column:
+        # longest equal-run fold over the sorted array: (prev, run, best)
+        best = F.aggregate(
+            gs,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: _let(
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+                lambda run: F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(run, acc["best"]).alias("best"),
+                ),
+            ),
+        )["best"]
+        return F.when(F.size(gs) <= 0, F.lit(0.0)).otherwise(best / F.size(gs))
+
+    return {
+        "dup_word_ratio": _let(tokens(t), dup_ratio),
+        "top_2gram_frac": _let(
+            tokens(t), lambda wv: _let(sorted_g2(wv), top_frac)
+        ),
+    }
+
+
+# (The DuckDB mirror for repetition_metrics lives inline in the x22 oracle:
+# it needs CTE-level let-binding - MATERIALIZED ws/g2 layers - which a
+# per-expression string helper cannot express.)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / scrubbing
+
+#: Pattern dialect chosen for Java-regex / DuckDB-RE2 agreement: character
+#: classes, bounded quantifiers and \b only — no lookaround, no backrefs.
+#: Replacement order is the dict order (email first so the IP-like dots
+#: inside a hostname are already gone before the IPv4 pass).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM-side regexp_count)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.regexp_count(t, F.lit(pat))
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder, in the fixed
+    PII_PATTERNS order (Spark regexp_replace is global by default; the
+    DuckDB mirror must pass the 'g' flag)."""
+    t = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS.values():
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def duck_scrub_pii(text_expr: str = "text") -> str:
+    """DuckDB mirror of :func:`scrub_pii` (same patterns, same order,
+    global flag)."""
+    out = text_expr
+    for pat, repl in PII_PATTERNS.values():
+        # DuckDB single-quoted literals are escape-free: '\d' IS \d.
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
+
+
+def duck_pii_counts(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB mirror of :func:`pii_counts`. DuckDB has no regexp_count;
+    len(regexp_extract_all(...)) is the same number."""
+    out = {}
+    for kind, (pat, _) in PII_PATTERNS.items():
+        sql_pat = pat.replace("'", "''")
+        out[kind] = f"len(regexp_extract_all({text_expr}, '{sql_pat}'))"
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Fingerprinting
 
 

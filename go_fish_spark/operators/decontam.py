@@ -1,0 +1,79 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set.
+
+The reference has no analogue (its rules are per-event filters); this is a
+north-star extension (BASELINE.json) — the standard pre-training hygiene
+step: any training document that overlaps an eval benchmark by >= one
+k-shingle is a leakage risk and must be flagged/dropped before training.
+
+100 TB design: the eval side is a BENCHMARK — thousands of documents, not
+billions — so its distinct shingle set is broadcast. The training corpus
+is never shuffled for the membership test: shingling is a per-row map,
+the broadcast hash join streams through each partition, and the only
+shuffle is the final groupBy on (matched) doc_id — a tiny fraction of the
+corpus by construction. Contrast with a shuffle-both-sides inverted-index
+join (x04's shape), which is the right tool when BOTH sides are large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+
+
+def eval_shingle_set(eval_docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word-k-shingles of the benchmark set: one column ``sh``.
+
+    Distinct BEFORE broadcast keeps the broadcast payload minimal (the
+    benchmark's vocabulary of shingles, not its document count).
+    """
+    return (
+        eval_docs.select(F.explode(tx.word_shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+
+
+def contaminated_docs(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training docs sharing >= ``min_hits`` distinct k-shingles with the
+    eval set → ``(id_col, n_hits)``.
+
+    ``n_hits`` counts the train document's *distinct* shingles that appear
+    anywhere in the benchmark (word_shingles is already distinct per row,
+    and the eval set is distinct, so a plain count after the inner join is
+    exact — no double counting).
+    """
+    ev = F.broadcast(eval_shingle_set(eval_docs, text_col, k))
+    train_sh = train_docs.select(
+        F.col(id_col), F.explode(tx.word_shingles(text_col, k)).alias("sh")
+    )
+    return (
+        train_sh.join(ev, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The complement: training docs that survive decontamination
+    (left-anti join against the contaminated id set)."""
+    bad = contaminated_docs(
+        train_docs, eval_docs, id_col, text_col, k=k, min_hits=min_hits
+    ).select(id_col)
+    return train_docs.join(bad, id_col, "left_anti")

@@ -773,3 +773,57 @@ def q61_tpch_q22_anti(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_GLOBAL_SCALAR_SQL)
+
+
+_CORR_MIN_SQL = """
+    SELECT o_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) AS min_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                             FROM lineitem l2
+                             WHERE l2.l_orderkey = o_orderkey)
+    ORDER BY o_orderkey, l_linenumber
+"""
+
+
+@query("q62_tpch_q2_corr_min", oracle=_CORR_MIN_SQL)
+def q62_tpch_q2_corr_min(spark, sf_dir):
+    """TPC-H Q2 shape (the cheapest supplier per part, here: the cheapest
+    line per urgent order): a correlated `= (SELECT min(...))` equality.
+    The comparison is between a STORED double and the exact min of stored
+    doubles — no arithmetic — so equality cannot drift between engines.
+    Catalyst decorrelates to min-aggregate-then-join on l_orderkey; ties
+    (several lines at the min price) all survive, identically on both
+    engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_MIN_SQL)
+
+
+_NOT_IN_SQL = """
+    SELECT c_mktsegment, count(*) AS n_quiet,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(22,6))) AS DOUBLE) AS bal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@query("q63_not_in_null_aware", oracle=_NOT_IN_SQL)
+def q63_not_in_null_aware(spark, sf_dir):
+    """NOT IN subquery — the null-aware anti join. Semantically equal to
+    q61's NOT EXISTS only because o_custkey is non-null; under NULLs,
+    NOT IN returns no rows at all, and Spark must plan a NULL-AWARE anti
+    join to honor that (plan guard asserts NullAwareAntiJoin). 100 TB
+    note: Spark supports NAAJ exclusively as a BROADCAST hash join — the
+    subquery side must be bounded. When keys are provably non-null,
+    rewrite to NOT EXISTS (q61) and get a shuffle-capable LeftAnti; this
+    entry exists to cover the semantics, and to document that trap."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions import text as tx
 from ..functions import vectors
-from ..operators import dedup, multimodal, similarity
+from ..operators import decontam, dedup, multimodal, similarity
 from . import query
 
 _EMB_DIM = 64
@@ -594,6 +594,160 @@ def x20_curation_pipeline(spark, sf_dir):
             "lang_pred",
             "score",
             split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- x21-x23: curation hygiene ops (decontamination, repetition, PII) ------
+
+# Eval-benchmark membership: doc_id % 97 == 0 — a deterministic stand-in
+# for "the benchmark set" (~1% of docs), identical on both engines.
+_DUCK_EVAL = "doc_id % 97 = 0"
+
+
+@query(
+    "x21_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE {_DUCK_EVAL}),
+    tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE NOT ({_DUCK_EVAL}))
+    SELECT tr.doc_id, count(*) AS n_hits
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    ORDER BY doc_id
+    """,
+)
+def x21_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): training docs
+    sharing >= 1 word-3-shingle with the eval set, with the hit count.
+    100 TB shape: the eval shingle set is DISTINCT'd then broadcast — the
+    training corpus is never shuffled for the membership probe (plan
+    guard in tests/test_plans.py); only matched doc_ids reach the final
+    groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return decontam.contaminated_docs(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=3
+    ).orderBy("doc_id")
+
+
+@query(
+    "x22_repetition_filter",
+    # ws/g2 bound once per layer (MATERIALIZED stops DuckDB re-inlining
+    # the split/comprehension into every consumer — same let-binding
+    # discipline the Spark side applies via functions.text._let).
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, ws,
+             [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS g2
+      FROM w
+    ),
+    m AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(ws) <= 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(ws)) / len(ws) END
+               AS dup_word_ratio,
+             CASE WHEN len(g2) <= 0 THEN 0.0
+                  ELSE list_max(list_transform(list_distinct(g2),
+                         x -> len(list_filter(g2, y -> y = x)))) / len(g2) END
+               AS top_2gram_frac
+      FROM g
+    )
+    SELECT doc_id, dup_word_ratio, top_2gram_frac,
+           dup_word_ratio < 0.6 AND top_2gram_frac < 0.2 AS rep_pass
+    FROM m ORDER BY doc_id
+    """,
+)
+def x22_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-word ratio and
+    most-frequent-2-gram fraction, plus the pass/fail gate — all array-side
+    Column expressions (zero shuffle; frequency argmax is per-row)."""
+    m = tx.repetition_metrics("text")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            m["dup_word_ratio"].alias("dup_word_ratio"),
+            m["top_2gram_frac"].alias("top_2gram_frac"),
+            ((m["dup_word_ratio"] < 0.6) & (m["top_2gram_frac"] < 0.2)).alias(
+                "rep_pass"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Deterministic PII injection: the synthetic corpus carries none, so both
+# engines append the SAME synthetic contact lines to every 4th/5th doc
+# before detection — the scrubber is exercised on real matches.
+_DUCK_PII_TEXT = (
+    "text || CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id "
+    "|| '@example.com now' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 200) "
+    "|| '.1 call 555-867-5309' ELSE '' END"
+)
+
+
+def _pii_text_col() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".1 call 555-867-5309"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_DUCK_PII_N = tx.duck_pii_counts(f"({_DUCK_PII_TEXT})")
+
+
+@query(
+    "x23_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {_DUCK_PII_N['email']} AS n_email,
+           {_DUCK_PII_N['ipv4']} AS n_ip,
+           {_DUCK_PII_N['phone']} AS n_phone,
+           md5({tx.duck_scrub_pii(f'({_DUCK_PII_TEXT})')}) AS scrub_sig
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def x23_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (functions/text.py PII_PATTERNS): count
+    email/IPv4/phone matches and emit the md5 of the scrubbed text (typed
+    placeholders, fixed replacement order). Patterns are restricted to the
+    Java-regex ∩ RE2 dialect so both engines match identically; all
+    JVM-side regexp_count/regexp_replace — no UDFs, no shuffle."""
+    t = _pii_text_col()
+    n = tx.pii_counts(t)
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n["email"].alias("n_email"),
+            n["ipv4"].alias("n_ip"),
+            n["phone"].alias("n_phone"),
+            F.md5(tx.scrub_pii(t)).alias("scrub_sig"),
         )
         .orderBy("doc_id")
     )

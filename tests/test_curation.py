@@ -1,0 +1,90 @@
+"""Curation-hygiene operators: benchmark decontamination, repetition
+signals, PII scrubbing. Golden-value unit tests on constructed inputs (the
+sf-corpus oracle compare is x21/x22/x23 in test_correctness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_fish_spark.functions import text as tx
+from go_fish_spark.operators import decontam
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contaminated_docs_flags_shared_shingles(spark):
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps"),       # shares "quick brown fox"
+        (2, "totally unrelated words here now"),
+        (3, "quick brown fox again and again"),  # shares it too
+    ])
+    ev = _docs(spark, [(100, "a quick brown fox ran")])
+    got = {
+        r.doc_id: r.n_hits
+        for r in decontam.contaminated_docs(train, ev, "doc_id", "text").collect()
+    }
+    # doc1 shares {"quick brown fox", "brown fox jumps"?} — eval shingles:
+    # {"a quick brown", "quick brown fox", "brown fox ran"} → 1 hit each
+    assert got == {1: 1, 3: 1}
+
+
+def test_decontaminate_keeps_clean_docs_only(spark):
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps"),
+        (2, "totally unrelated words here now"),
+    ])
+    ev = _docs(spark, [(100, "a quick brown fox ran")])
+    kept = decontam.decontaminate(train, ev, "doc_id", "text")
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_min_hits_threshold(spark):
+    train = _docs(spark, [(1, "one two three four five")])
+    ev = _docs(spark, [(9, "one two three four nine")])
+    # shared shingles: "one two three", "two three four" → 2 hits
+    assert decontam.contaminated_docs(
+        train, ev, "doc_id", "text", min_hits=3
+    ).count() == 0
+    assert decontam.contaminated_docs(
+        train, ev, "doc_id", "text", min_hits=2
+    ).count() == 1
+
+
+def test_repetition_metrics_golden(spark):
+    df = _docs(spark, [
+        (1, "a a a a"),          # 1 distinct of 4 words; 2-grams all "a a"
+        (2, "w x y z"),          # no repetition
+        (3, "a b a b a"),        # 2-grams: ab,ba,ab,ba → top frac 0.5
+        (4, "solo"),             # 1 word → both ratios 0.0
+    ])
+    m = tx.repetition_metrics("text")
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id",
+        m["dup_word_ratio"].alias("dup"),
+        m["top_2gram_frac"].alias("top"),
+    ).collect()}
+    assert rows[1].dup == 0.75 and rows[1].top == 1.0
+    assert rows[2].dup == 0.0 and rows[2].top == 1.0 / 3.0  # 3 distinct 2-grams
+    assert rows[3].dup == 0.6 and rows[3].top == 0.5
+    assert rows[4].dup == 0.0 and rows[4].top == 0.0
+
+
+def test_pii_scrub_and_counts_golden(spark):
+    df = _docs(spark, [
+        (1, "mail bob@corp.example.com or sue@x.io from 192.168.1.17 call 555-123-4567"),
+        (2, "no pii at all here"),
+    ])
+    n = tx.pii_counts("text")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        n["email"].alias("n_email"),
+        n["ipv4"].alias("n_ip"),
+        n["phone"].alias("n_phone"),
+        tx.scrub_pii("text").alias("scrubbed"),
+    ).collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 1, 1)
+    assert out[1].scrubbed == "mail [EMAIL] or [EMAIL] from [IP] call [PHONE]"
+    assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 0, 0)
+    assert out[2].scrubbed == "no pii at all here"

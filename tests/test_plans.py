@@ -199,3 +199,27 @@ def test_q61_not_exists_decorrelates_to_anti_join(spark):
     assert "Subquery" in plan
     # orders probe side pruned to the join key + priority filter column
     assert "struct<o_custkey:bigint,o_orderpriority:string>" in plan
+
+
+def test_x21_decontaminate_broadcasts_eval_side(spark):
+    """Decontamination probes the training corpus against a BROADCAST of
+    the benchmark's distinct shingle set — the corpus-side join input must
+    never shuffle (its only Exchange is the final groupBy of matched
+    ids)."""
+    plan = plan_of(spark, "x21_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q63_not_in_plans_null_aware_anti_join(spark):
+    """NOT IN must compile to Spark's null-aware anti join (broadcast-only
+    by engine design — the reason q61's NOT EXISTS is the 100 TB
+    phrasing)."""
+    from go_fish_spark.queries import REGISTRY
+
+    df = REGISTRY["q63_not_in_null_aware"].fn(spark, SF_DIR)
+    # formatted mode hides the flag; the simple string prints the BHJ as
+    # "BroadcastHashJoin [keys], [keys], LeftAnti, BuildRight, true" where
+    # the trailing boolean IS isNullAwareAntiJoin.
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "LeftAnti, BuildRight, true" in plan, plan
