@@ -45,11 +45,24 @@ HEADLINE = [
     "x01_dedup_exact",
     "x02_dedup_minhash_lsh",
     "x06_ann_cosine_topk",
+    # correlated-subquery decorrelation shapes
+    "q59_tpch_q4_exists",
+    "q62_tpch_q2_corr_min",
     # text-analysis battery over documents
     "x07_lang_id",
     "x08_quality_score",
     "x09_token_count",
     "x10_fingerprint",
+    # multimodal plumbing (binary ingest + Arrow mapInPandas decode)
+    "x11_multimodal_ingest",
+    "x12_multimodal_decode",
+    # curation hygiene (broadcast decontamination, repetition, PII)
+    "x21_decontaminate",
+    "x22_repetition_filter",
+    "x23_pii_scrub",
+    # chunking + packing (the training-stream last mile)
+    "x24_chunk_documents",
+    "x25_pack_documents",
     # the end-to-end curation flagship (lang → quality → dedup →
     # components → canonical → split; ~half its wall is the iterative
     # connected-components rounds)

@@ -1,0 +1,104 @@
+"""Document chunking and context-window packing — the last mile of a
+training-data pipeline: turn curated documents into fixed-size token
+windows and pack them into capacity-bounded training streams.
+
+No reference analogue (the reference stops at event filtering); north-star
+extensions (BASELINE.json).
+
+100 TB design notes:
+  * ``chunk_documents`` is a pure per-row map + explode — zero shuffles,
+    embarrassingly parallel; output row count = Σ per-doc chunk counts.
+  * ``pack_documents`` needs a running token offset, which is inherently
+    ordered. A single global cumulative sum would serialize the corpus
+    through ONE window partition (the classic global-window bottleneck),
+    so packing is SHARDED: a deterministic md5 bucket of the doc key
+    fans the corpus into ``n_shards`` independent streams, each with its
+    own local cumulative offset — the window shuffles on shard, keeping
+    every executor busy; a pack is identified by (shard, pack_id).
+    Training jobs consume shards independently, so sharded packs are the
+    natural unit anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .sampling import hash_bucket
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    win: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token windows per document →
+    ``(id_col, chunk_id, n_tokens, chunk)``.
+
+    ``n_chunks = ceil(max(n_tokens - win, 0) / stride) + 1`` — every token
+    is covered, the final window may be short, and a doc shorter than
+    ``win`` yields exactly one chunk. Chunk construction is array-side
+    (sequence → slice → concat), exploded with position as ``chunk_id``.
+    """
+    if stride <= 0 or win <= 0:
+        raise ValueError("win and stride must be positive")
+    w = tokens(F.col(text_col))
+    n = F.size(w)
+    n_chunks = (
+        F.ceil(F.greatest(n - win, F.lit(0)) / F.lit(float(stride))) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            F.least(F.lit(win), n - (i - 1) * stride).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(w, (i - 1) * stride + 1, win)).alias(
+                "chunk"
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    capacity: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Concatenate-and-cut packing: within each deterministic shard,
+    documents are laid out in ``id_col`` order and the stream is cut every
+    ``capacity`` tokens; a document belongs to the pack where it STARTS
+    (so packs can overrun by at most one document's tail — the standard
+    concat-then-chunk pretraining layout, where the cut is applied later
+    at the token level).
+
+    Returns ``(id_col, shard, pack_id, n_tokens, offset)`` with ``offset``
+    the document's start position in its shard stream.
+    """
+    if capacity <= 0 or n_shards <= 0:
+        raise ValueError("capacity and n_shards must be positive")
+    n_tok = F.size(tokens(F.col(text_col)))
+    shard = hash_bucket(F.col(id_col), n_shards)
+    win = Window.partitionBy("shard").orderBy(id_col)
+    sized = docs.select(
+        F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens")
+    )
+    return sized.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(win) - F.col("n_tokens")).alias("offset"),
+    ).withColumn(
+        "pack_id", F.floor(F.col("offset") / F.lit(capacity)).cast("bigint")
+    ).select(id_col, "shard", "pack_id", "n_tokens", "offset")

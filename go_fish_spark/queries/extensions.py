@@ -751,3 +751,70 @@ def x23_pii_scrub(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x24_chunk_documents",
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS MATERIALIZED (
+      SELECT doc_id, ws,
+             CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT) + 1 AS n_chunks
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, unnest(generate_series(1, n_chunks)) AS i, ws FROM c
+    )
+    SELECT doc_id, i - 1 AS chunk_id,
+           least(64, len(ws) - (i-1)*48) AS n_tokens,
+           array_to_string(list_slice(ws, (i-1)*48 + 1, (i-1)*48 + 64), ' ')
+             AS chunk
+    FROM e ORDER BY doc_id, chunk_id
+    """,
+)
+def x24_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (operators/chunking.py): 64-token
+    windows, stride 48 — every token covered, final window short, one
+    chunk for sub-window docs. Pure per-row map + posexplode: zero
+    shuffles, linear in corpus size."""
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), "doc_id", "text", win=64, stride=48
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "x25_pack_documents",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id,
+             CAST({duck_hash_bucket('doc_id', 64)} AS BIGINT) AS shard,
+             len(string_split(text,' ')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  AS BIGINT) - n_tokens AS "offset"
+      FROM s
+    )
+    SELECT doc_id, shard, CAST(floor("offset" / 2048.0) AS BIGINT) AS pack_id,
+           n_tokens, "offset"
+    FROM o ORDER BY doc_id
+    """,
+)
+def x25_pack_documents(spark, sf_dir):
+    """Concatenate-and-cut context-window packing (operators/chunking.py):
+    md5-sharded streams (64 shards — the cumulative offset window
+    parallelizes per shard instead of serializing the corpus through one
+    global sort), 2048-token cuts, each doc assigned to the pack where it
+    starts. Deterministic: shard and order are pure functions of doc_id."""
+    from ..operators.chunking import pack_documents
+
+    return pack_documents(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        capacity=2048, n_shards=64,
+    ).orderBy("doc_id")

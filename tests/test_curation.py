@@ -88,3 +88,52 @@ def test_pii_scrub_and_counts_golden(spark):
     assert out[1].scrubbed == "mail [EMAIL] or [EMAIL] from [IP] call [PHONE]"
     assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 0, 0)
     assert out[2].scrubbed == "no pii at all here"
+
+
+def test_chunk_documents_boundaries(spark):
+    import pytest
+
+    from go_fish_spark.operators.chunking import chunk_documents
+
+    df = _docs(spark, [
+        (1, "a b c"),                       # 3 tokens < win → one chunk
+        (2, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+    ])
+    out = chunk_documents(df, "doc_id", "text", win=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0].chunk == "a b c" and by_doc[1][0].n_tokens == 3
+    # n_chunks = ceil((10-4)/3)+1 = 3; starts 1,4,7 → lengths 4,4,4
+    assert [(r.chunk_id, r.n_tokens, r.chunk) for r in by_doc[2]] == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(df, "doc_id", "text", win=4, stride=0)
+
+
+def test_pack_documents_concat_and_cut(spark):
+    from go_fish_spark.operators.chunking import pack_documents
+
+    # one shard → a single ordered stream; capacity 5, doc sizes 3,3,3:
+    # offsets 0,3,6 → packs 0,0,1 (doc 2 STARTS in pack 0 and overruns)
+    df = _docs(spark, [(1, "a b c"), (2, "d e f"), (3, "g h i")])
+    out = {r.doc_id: r for r in pack_documents(
+        df, "doc_id", "text", capacity=5, n_shards=1
+    ).collect()}
+    assert [(out[i].shard, out[i].offset, out[i].pack_id) for i in (1, 2, 3)] \
+        == [(0, 0, 0), (0, 3, 0), (0, 6, 1)]
+
+
+def test_pack_documents_shards_are_deterministic(spark):
+    from go_fish_spark.operators.chunking import pack_documents
+
+    df = _docs(spark, [(i, "w " * 10) for i in range(50)])
+    a = sorted(map(tuple, pack_documents(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, pack_documents(
+        df.repartition(7), "doc_id", "text"
+    ).collect()))
+    assert a == b  # invariant to physical layout
