@@ -122,6 +122,19 @@ def write_sink(df: DataFrame, sink: SinkSpec) -> None:
         df.write.mode(opts.get("mode", "overwrite")).json(opts["path"])
     elif sink.type == "parquet":
         df.write.mode(opts.get("mode", "overwrite")).parquet(opts["path"])
+    elif sink.type == "parquet_upsert":
+        # MERGE-style keyed table sink (see operators/upsert.py; the
+        # reference has only append sinks — this is the keyed-TABLE
+        # counterpart a latest-state-per-entity pipeline needs).
+        from ..operators.upsert import upsert_parquet
+
+        upsert_parquet(
+            df.sparkSession,
+            opts["path"],
+            df,
+            key_cols=list(opts["keys"]),
+            partition_col=opts.get("partition_col"),
+        )
     elif sink.type == "console":
         df.show(int(opts.get("num_rows", 20)), truncate=False)
     elif sink.type == "sqs":
@@ -301,6 +314,22 @@ class CompiledPipeline:
                 queries.append(
                     ssinks.foreach_sink(df, _sqs_writer(sink), ckpt)
                 )
+            elif sink.type == "parquet_upsert":
+                # keyed-table sink: each micro-batch MERGEs by key
+                # (replay-safe — re-asserting a batch is idempotent).
+                from ..operators.upsert import upsert_batch_writer
+
+                queries.append(
+                    ssinks.foreach_sink(
+                        df,
+                        upsert_batch_writer(
+                            sink.options["path"],
+                            list(sink.options["keys"]),
+                            sink.options.get("partition_col"),
+                        ),
+                        ckpt,
+                    )
+                )
             elif sink.type == "memory":
                 queries.append(
                     ssinks.memory_sink(
@@ -316,10 +345,12 @@ class CompiledPipeline:
 #: Sink types a streaming pipeline supports; fan-out runs writers inside
 #: foreachBatch, where the memory sink does not exist.
 _STREAM_SINK_TYPES = frozenset(
-    {"file", "json", "json_idempotent", "parquet", "console", "memory", "sqs"}
+    {"file", "json", "json_idempotent", "parquet", "parquet_upsert",
+     "console", "memory", "sqs"}
 )
 _FANOUT_SINK_TYPES = frozenset(
-    {"file", "json", "json_idempotent", "parquet", "console", "sqs"}
+    {"file", "json", "json_idempotent", "parquet", "parquet_upsert",
+     "console", "sqs"}
 )
 
 
@@ -335,6 +366,14 @@ def _stream_batch_writer(sink: SinkSpec):
             from ..streaming.sinks import idempotent_batch_writer
 
             idempotent_batch_writer(sink.options["path"])(batch_df, batch_id)
+        elif sink.type == "parquet_upsert":
+            from ..operators.upsert import upsert_batch_writer
+
+            upsert_batch_writer(
+                sink.options["path"],
+                list(sink.options["keys"]),
+                sink.options.get("partition_col"),
+            )(batch_df, batch_id)
         elif sink.type == "console":
             batch_df.show(truncate=False)
         elif sink.type == "sqs":

@@ -34,7 +34,7 @@ class SourceSpec:
 @dataclass(frozen=True)
 class SinkSpec:
     name: str
-    type: str  # file | json | parquet | sqs | memory | console
+    type: str  # file | json | json_idempotent | parquet | parquet_upsert | sqs | memory | console
     options: dict = field(default_factory=dict)
 
 

@@ -827,3 +827,33 @@ def q63_not_in_null_aware(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_NOT_IN_SQL)
+
+
+_DISJUNCTIVE_SQL = """
+    SELECT p_brand, count(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+@query("q64_tpch_q19_disjunctive", oracle=_DISJUNCTIVE_SQL)
+def q64_tpch_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: an OR-of-ANDs predicate mixing both join sides.
+    The engine must keep the p_partkey = l_partkey equi-join and evaluate
+    the disjunction as a post-join filter — NOT degrade to a nested-loop
+    join — and push the single-sided prefix of the OR (brand/size on
+    part, quantity on lineitem) down each scan. Plan guard asserts a hash
+    join plus an OR'd DataFilter on both scans."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DISJUNCTIVE_SQL)

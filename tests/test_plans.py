@@ -223,3 +223,14 @@ def test_q63_not_in_plans_null_aware_anti_join(spark):
     # the trailing boolean IS isNullAwareAntiJoin.
     plan = df._jdf.queryExecution().sparkPlan().toString()
     assert "LeftAnti, BuildRight, true" in plan, plan
+
+
+def test_q64_disjunctive_keeps_equi_join_and_pushes_or_prefixes(spark):
+    """TPC-H Q19 shape: the OR-of-ANDs must not break the p_partkey
+    equi-join (no nested-loop/cartesian), and each side's single-sided OR
+    prefix (brand/size on part, quantity on lineitem) must reach its
+    parquet scan as a pushed filter."""
+    plan = plan_of(spark, "q64_tpch_q19_disjunctive")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "EqualTo(p_brand,Brand#1)" in plan          # part-side prefix
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem-side prefix
