@@ -442,6 +442,61 @@ def embedding_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    n_cells: int = 16,
+    train_cap: int = 100_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style clustered near-dup: the 100 TB scale path for
+    :func:`embedding_dup_pairs` (Abbas et al. 2023's recipe, public).
+
+    A sampled-fit KMeans coarse quantizer assigns every vector to one of
+    ``n_cells`` cells in a single transform pass; EXACT cosine runs only
+    within a cell, so the pair space shrinks from O(n²) to Σ|cell|² — and
+    because near-duplicates are near in embedding space, they land in the
+    same cell with high probability (recall vs the exact baseline is
+    asserted in tests/test_dedup.py). The self-join equi-keys on the cell
+    id: ONE shuffle of (id, vec, cell). At scale, ``n_cells`` grows ~√n so
+    the expected cell stays bounded; the fit cost does not grow at all
+    (bounded sample, see ``similarity.fit_quantizer``).
+
+    Output matches embedding_dup_pairs: (id_a, id_b, cos), id_a < id_b,
+    cos ≥ threshold — emitted pairs carry EXACT cosine (precision 1.0 by
+    construction; only recall is approximate)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from . import similarity
+
+    model = similarity.fit_quantizer(df, vec_col, n_cells, train_cap, seed)
+    assigned = _persist(
+        model.transform(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_v"),
+                array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                    "features"
+                ),
+            )
+        ).select("_id", "_v", F.col("prediction").alias("_cell"))
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_cell").alias("cell")
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_cell").alias("cell")
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", vectors.cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: canonical (min id) representative + duplicate count per
     identical content. Groups on the md5 digest so the shuffle key is 16

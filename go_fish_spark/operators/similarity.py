@@ -79,6 +79,34 @@ def bucket_key(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return key
 
 
+def fit_quantizer(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    train_cap: int = 100_000,
+    seed: int = 42,
+):
+    """Fit a KMeans coarse quantizer on a bounded, seeded sample.
+
+    A coarse quantizer needs only a sketch of the vector distribution —
+    fitting the full corpus would iterate over 100 TB ``maxIter`` times,
+    so when the corpus exceeds ``train_cap`` the fit input is a Bernoulli
+    sample (oversampled 10%, then capped) whose size is bounded
+    regardless of corpus size. Shared by :func:`ivf_topk` and
+    ``dedup.semantic_dedup_pairs``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    n = df.count()
+    if n > train_cap:
+        frac = min(1.0, 1.1 * train_cap / n)
+        ml_df = ml_df.sample(fraction=frac, seed=seed).limit(train_cap)
+    return KMeans(k=n_cells, seed=seed, maxIter=20).fit(ml_df)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -111,7 +139,6 @@ def ivf_topk(
     ``lsh_topk``/dedup for those).
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import types as T
 
@@ -120,15 +147,7 @@ def ivf_topk(
         F.col(vec_col).alias("cv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    n_corpus = corpus.count()
-    if n_corpus > train_cap:
-        # Seeded Bernoulli sample, oversampled 10% then capped so the fit
-        # input is bounded regardless of corpus size.
-        frac = min(1.0, 1.1 * train_cap / n_corpus)
-        train_df = ml_df.sample(fraction=frac, seed=seed).limit(train_cap)
-    else:
-        train_df = ml_df
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train_df)
+    model = fit_quantizer(corpus, vec_col, n_cells, train_cap, seed)
     assigned = model.transform(ml_df).select(
         "vec_id", "cv", F.col("prediction").alias("cell")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from . import query
+from .util import money_sum, money_sum6
 
 
 @query(
@@ -857,3 +858,235 @@ def q64_tpch_q19_disjunctive(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_DISJUNCTIVE_SQL)
+
+
+@query(
+    "q65_tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q65_tpch_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution). The teaching
+    point: the o_orderpriority predicate lives in the OUTER-join
+    condition, not a WHERE — moving it to a post-join filter would drop
+    zero-order customers, so the engine must keep it join-local (where it
+    still pushes to the orders scan, which is safe for the preserved
+    side's NULL-extension). Double aggregation: the first groupBy shuffles
+    on c_custkey; the second input is one row per customer with a tiny
+    integer key — cheap at any scale."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q66_tpch_q20_nested_in",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem l1
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l_suppkey, l_partkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+             0.15 * (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                AS DOUBLE)
+                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q66_tpch_q20_nested_in(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp table in the testdata, so the
+    correlated quantity threshold moves onto lineitem): suppliers that
+    shipped >15% of some PROMO part's total shipped quantity. The oracle
+    keeps the reference formulation — IN-subquery wrapping a correlated
+    scalar aggregate in HAVING; the Spark side is the decorrelated plan a
+    100 TB engine should run: both aggregates group/shuffle on l_partkey
+    (co-partitioned join, no broadcast of fact-derived data), then a
+    left-semi join reduces supplier. Quantity sums are exact decimal so
+    the 0.15× comparison is bit-identical across engines."""
+    part_promo = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey", "l_quantity")
+        .join(
+            part_promo,
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    per_supp_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        money_sum("l_quantity").alias("sp_qty")
+    )
+    per_part = li.groupBy("l_partkey").agg(money_sum("l_quantity").alias("p_qty"))
+    qualified = (
+        per_supp_part.join(per_part, "l_partkey")
+        .filter(F.col("sp_qty") > 0.15 * F.col("p_qty"))
+        .select("l_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "q67_tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(22,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q67_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: an aggregated view compared against its own
+    global max (scalar subquery). Spark side reuses ONE revenue frame for
+    both the rows and the scalar (the SQL view is named once for the same
+    reason); the 1-row max side broadcasts, so the "scalar subquery" is a
+    broadcast join, never a second shuffle. Revenue is decimal-summed,
+    making the double equality against max() exact on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money_sum6(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = F.broadcast(revenue.agg(F.max("total_revenue").alias("mx")))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(mx, F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q68_tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE 0 END AS DECIMAL(22,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE)
+             AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q68_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the widest join tree in
+    the inventory — lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈
+    nation×2 ⋈ region — with a conditional-fraction aggregate. Bounded
+    dims (nation aliases, region, supplier) broadcast; part, orders,
+    customer scale with SF and carry no hint (AQE decides). Numerator and
+    denominator are decimal-summed independently, then divided in double
+    — same expression order as the oracle, so the ratio is bit-stable."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,6)"
+    )
+    df = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), cust["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), supp["s_nationkey"] == F.col("n2_key"))
+    )
+    num = F.when(F.col("nation") == "NATION_3", volume).otherwise(
+        F.lit(0).cast("decimal(22,6)")
+    )
+    return (
+        df.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(num).cast("double") / F.sum(volume).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

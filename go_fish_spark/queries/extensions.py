@@ -818,3 +818,17 @@ def x25_pack_documents(spark, sf_dir):
         table(spark, sf_dir, "documents"), "doc_id", "text",
         capacity=2048, n_shards=64,
     ).orderBy("doc_id")
+
+
+@query("x26_dedup_semantic", oracle=None)
+def x26_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style clustered embedding dedup (dedup.semantic_dedup_pairs):
+    the 100 TB scale path for x05 — a sampled-fit KMeans coarse quantizer
+    shrinks the pair space to within-cell, so emitted cosines are EXACT
+    (precision 1.0 vs x05 by construction); recall vs the exact baseline is
+    asserted in tests/test_dedup.py. Rows-only here because cell assignment
+    is model-dependent (no SQL oracle can reproduce the KMeans fit)."""
+    return dedup.semantic_dedup_pairs(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.45, n_cells=8,
+    ).orderBy("id_a", "id_b")

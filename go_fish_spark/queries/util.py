@@ -40,3 +40,10 @@ def money_sum(col: Column | str) -> Column:
 def duck_money_sum(expr: str) -> str:
     """DuckDB mirror of :func:`money_sum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def money_sum6(col: Column | str) -> Column:
+    """Exact sum for derived money expressions (price×discount products
+    need 6 fractional digits before the sum is exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(22,6)")).cast("double")

@@ -202,3 +202,25 @@ def test_tfidf_scores_rare_terms_higher(spark):
     # (2 × idf 1.0) outweighs 'rare' (1 × idf ln2+1 ≈ 1.69)
     top = {r.id: r.token for r in tf_idf(docs, top_k=1).collect()}
     assert top[3] == "only" and top[1] == "common"
+
+
+def test_semantic_dedup_precision_and_recall(spark):
+    """semantic_dedup_pairs emits EXACT cosines, so every emitted pair must
+    appear in the exact x05 baseline with the identical cosine (precision
+    1.0 by construction); recall is approximate — near-dups land in the
+    same KMeans cell with high probability."""
+    from go_fish_spark.queries import REGISTRY
+
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in REGISTRY["x05_dedup_embedding"].fn(spark, SF_DIR).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in REGISTRY["x26_dedup_semantic"].fn(spark, SF_DIR).collect()
+    }
+    assert got, "semantic dedup found no pairs"
+    for p, c in got.items():
+        assert p in exact and abs(exact[p] - c) < 1e-9, f"false pair {p}"
+    recall = len(got) / len(exact)
+    assert recall >= 0.5, f"semantic dedup recall too low: {recall}"
