@@ -118,6 +118,12 @@ _VERIFIED_TAIL: tuple[str, ...] = (
 def _reorder_for_driver_window() -> None:
     tail = [n for n in _VERIFIED_TAIL if n in REGISTRY]
     head = [n for n in REGISTRY if n not in _VERIFIED_TAIL]
+    # Within the unverified head, oracle-backed entries go first: if the
+    # head ever exceeds the 50-entry window, what overflows (until next
+    # round's rotation) should be the rows-only entries — they carry
+    # recall/property tests instead of a hash compare, so a driver row
+    # adds the least over CORRECTNESS_SELF.json for them.
+    head.sort(key=lambda n: REGISTRY[n].oracle is None)
     ordered = {n: REGISTRY[n] for n in head + tail}
     REGISTRY.clear()
     REGISTRY.update(ordered)

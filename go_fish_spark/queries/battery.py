@@ -1090,3 +1090,375 @@ def q68_tpch_q8_market_share(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+@query(
+    "q69_tpch_q6_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q69_tpch_q6_forecast(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): the pure scan-filter-agg
+    — no join, no groupBy, ONE row out. Every predicate is
+    parquet-pushable (range on shipdate, between on discount, < on
+    quantity), so at 100 TB this is an embarrassingly parallel scan whose
+    only exchange is the final 1-row partial-agg merge. The l_ext*l_disc
+    product is computed in double (identical IEEE expression both
+    engines) then decimal-summed, so the single output value is
+    bit-identical under any partitioning."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        money_sum6(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q70_tpch_q9_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(22,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q70_tpch_q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation/year). The slimmed
+    schema has no partsupp, so supply cost is proxied as
+    0.1*p_retailprice*l_quantity — the SHAPE is unchanged: a LIKE-filtered
+    part list prunes lineitem, then supplier/orders/nation attach
+    attributes and profit aggregates over (nation, year). part filtered by
+    LIKE scales with SF → no broadcast hint (AQE decides); nation is the
+    only forced broadcast. The profit expression is evaluated in double
+    with the identical operand order both engines, then decimal-summed."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(money_sum6(amount).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "q71_tpch_q10_returns",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q71_tpch_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape (top returned-item customers): fact⋈fact join on
+    a quarter-pruned orders, flag-filtered lineitem, then top-20 by
+    revenue. orders/customer scale with SF → no hint; nation broadcasts.
+    The final ORDER BY ... LIMIT is a TakeOrdered — per-partition top-20
+    before a single 20-row merge, so the sort never materializes globally.
+    c_custkey tie-break pins the LIMIT boundary deterministically."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            money_sum6(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q72_tpch_q11_important",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(22,6))) AS DOUBLE) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (
+      SELECT CAST(SUM(CAST(part_value AS DECIMAL(22,6))) AS DOUBLE) * 0.001
+      FROM pv
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q72_tpch_q11_important(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): a grouped value compared against
+    a FRACTION of its own global total — HAVING against a scalar subquery
+    over the same derived table. No partsupp in the slimmed schema, so
+    part value = nation-filtered lineitem revenue per part. The pv frame
+    is built ONCE and feeds both the rows and the 1-row global sum (which
+    broadcasts — the "scalar subquery" costs one extra partial-agg, never
+    a second scan of lineitem). Threshold arithmetic: decimal-exact sums
+    on both sides, scaled by 0.001 in double with identical expression
+    order, so the > comparison is bit-stable."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    pv = (
+        li.join(F.broadcast(supp.join(F.broadcast(nation),
+                supp["s_nationkey"] == nation["n_nationkey"]).select("s_suppkey")),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            money_sum6(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("part_value")
+        )
+    )
+    threshold = F.broadcast(
+        pv.agg(
+            (
+                F.sum(F.col("part_value").cast("decimal(22,6)")).cast("double")
+                * 0.001
+            ).alias("thr")
+        )
+    )
+    return (
+        pv.join(threshold, F.col("part_value") > F.col("thr"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+    )
+
+
+@query(
+    "q73_tpch_q12_shipmode",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+                THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) < 90
+                THEN 'normal' ELSE 'slow' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ship_bucket
+    ORDER BY ship_bucket
+    """,
+)
+def q73_tpch_q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority split). No l_shipmode in
+    the slimmed schema, so the grouping key is a derived ship-latency
+    bucket (orderdate→shipdate gap) — the shape is intact: fact⋈fact
+    equi-join, a CASE-derived low-cardinality group key, and two
+    conditional counts in one pass. Both CASE sums are integer (no float
+    drift); datediff on midnight-aligned timestamps is exact in both
+    engines."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "fast").when(delay < 90, "normal").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@query(
+    "q74_tpch_q14_promo",
+    oracle="""
+    SELECT 100.0
+           * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END AS DECIMAL(22,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(22,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q74_tpch_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): month-pruned lineitem joins
+    part for a conditional-fraction single-row aggregate. part carries no
+    filter but scales with SF → no broadcast hint; the month filter prunes
+    lineitem at the scan. Numerator and denominator decimal-summed
+    independently, then 100.0*num/den evaluated in double with identical
+    operand order both engines."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("double")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(22,6)")).cast("double")
+                / F.sum(rev.cast("decimal(22,6)")).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q75_tpch_q16_suppcnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q75_tpch_q16_suppcnt(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count by part class): negated predicates
+    + IN-list on part, a NOT IN subquery excluding complaint suppliers
+    (≡ anti-join — s_suppkey is non-null so NOT IN and ANTI agree), and
+    COUNT(DISTINCT) per group. The anti-join side is a filtered supplier
+    key list → broadcast anti. distinct-count shuffles once on the group
+    key with partial distinct aggregation map-side."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li["l_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
