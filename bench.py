@@ -48,6 +48,13 @@ HEADLINE = [
     # correlated-subquery decorrelation shapes
     "q59_tpch_q4_exists",
     "q62_tpch_q2_corr_min",
+    # round-2 TPC-H completions: pure scan-agg, widest join tree,
+    # fact⋈fact top-k, HAVING-vs-global-scalar, clustered semantic dedup
+    "q69_tpch_q6_forecast",
+    "q68_tpch_q8_market_share",
+    "q71_tpch_q10_returns",
+    "q72_tpch_q11_important",
+    "x26_dedup_semantic",
     # text-analysis battery over documents
     "x07_lang_id",
     "x08_quality_score",

@@ -459,42 +459,66 @@ def semantic_dedup_pairs(
     within a cell, so the pair space shrinks from O(n²) to Σ|cell|² — and
     because near-duplicates are near in embedding space, they land in the
     same cell with high probability (recall vs the exact baseline is
-    asserted in tests/test_dedup.py). The self-join equi-keys on the cell
-    id: ONE shuffle of (id, vec, cell). At scale, ``n_cells`` grows ~√n so
+    asserted in tests/test_dedup.py). At scale, ``n_cells`` grows ~√n so
     the expected cell stays bounded; the fit cost does not grow at all
     (bounded sample, see ``similarity.fit_quantizer``).
+
+    Physical shape: ONE shuffle of (id, vec) on the cell id, then the
+    per-cell pairwise scoring runs as a BLAS gram matrix inside
+    ``applyInPandas`` (Arrow-batched). Measured vs the HOF-expression
+    self-join it replaces (SCALE.md): 20.4 s → 4.7 s at 20 000×64-dim
+    (the interpreted per-pair fold was ~40 µs/pair; one dgemm per cell is
+    not). At small corpora the sampled KMeans fit dominates wall time
+    (~20 driver-scheduled iterations); that cost is bounded and amortizes
+    at scale. This is the one place a pandas UDF beats built-ins:
+    O(|cell|²·dim) float work with no per-row logic. Skew note: a
+    degenerate quantizer could route many rows to one cell → one hot
+    task; re-fit with larger ``n_cells`` if a cell dwarfs the rest.
 
     Output matches embedding_dup_pairs: (id_a, id_b, cos), id_a < id_b,
     cos ≥ threshold — emitted pairs carry EXACT cosine (precision 1.0 by
     construction; only recall is approximate)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.ml.functions import array_to_vector
 
     from . import similarity
 
     model = similarity.fit_quantizer(df, vec_col, n_cells, train_cap, seed)
-    assigned = _persist(
-        model.transform(
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.col(vec_col).alias("_v"),
-                array_to_vector(F.col(vec_col).cast("array<double>")).alias(
-                    "features"
-                ),
-            )
-        ).select("_id", "_v", F.col("prediction").alias("_cell"))
-    )
-    a = assigned.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_cell").alias("cell")
-    )
-    b = assigned.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_cell").alias("cell")
-    )
-    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cos", vectors.cosine("va", "vb"))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
-    )
+    assigned = model.transform(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+                "features"
+            ),
+        )
+    ).select("_id", "_v", F.col("prediction").alias("_cell"))
+
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_dtype}, id_b {id_dtype}, cos double"
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        # id_a < id_b with exact-cosine emission ≡ the crossJoin baseline.
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        G = (V @ V.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(m, k=1)
+        keep = G[ia, ib] >= threshold
+        ids = pdf["_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos": np.round(G[ia[keep], ib[keep]], 6),
+            }
+        )
+
+    return assigned.groupBy("_cell").applyInPandas(score_cell, out_schema)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -81,6 +81,7 @@ def timed(fn):
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from go_fish_spark.catalog import table
     from go_fish_spark.operators import dedup
     from go_fish_spark.queries import REGISTRY
     from go_fish_spark.session import get_spark
@@ -102,6 +103,15 @@ def main() -> None:
         "x02_dedup_minhash_lsh": lambda d: REGISTRY["x02_dedup_minhash_lsh"].fn(spark, d).count(),
         "x04_dedup_ngram_jaccard": lambda d: REGISTRY["x04_dedup_ngram_jaccard"].fn(spark, d).count(),
         "x06_ann_cosine_topk": lambda d: REGISTRY["x06_ann_cosine_topk"].fn(spark, d).count(),
+        # clustered semantic dedup: n_cells grows ~sqrt(n) with the corpus
+        # (16 at 1x, 64 at 10x) so the per-cell pair budget stays fixed —
+        # see SCALE.md. The exact x05 baseline is deliberately absent: it
+        # measured 81 s at 2k rows and is quadratic.
+        "x26_dedup_semantic": lambda d: dedup.semantic_dedup_pairs(
+            table(spark, d, "embeddings"),
+            "vec_id", "embedding", threshold=0.45,
+            n_cells=16 if d == BASE else 64,
+        ).count(),
     }
     for label, fn in cases.items():
         t1, n1 = timed(lambda: fn(BASE))

@@ -234,3 +234,73 @@ def test_q64_disjunctive_keeps_equi_join_and_pushes_or_prefixes(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "EqualTo(p_brand,Brand#1)" in plan          # part-side prefix
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem-side prefix
+
+
+def _hint_subtrees(spark, name: str):
+    """(root nodeName, tables under it) for each ResolvedHint in the
+    analyzed logical plan of a registered query."""
+    import re
+
+    from go_fish_spark.queries import REGISTRY
+
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    prefixes = {"c_": "customer", "o_": "orders", "l_": "lineitem",
+                "s_": "supplier", "n_": "nation", "r_": "region",
+                "p_": "part"}
+    found = []
+
+    def walk(node):
+        if node.nodeName() == "ResolvedHint":
+            child = node.children().apply(0)
+            tables = set()
+            for cols in re.findall(r"Relation \[([^\]]*)\]", node.toString()):
+                first = cols.split(",")[0]
+                for p, t in prefixes.items():
+                    if first.startswith(p):
+                        tables.add(t)
+            found.append((child.nodeName(), tables))
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return found
+
+
+def test_tpch_battery_hints_bounded_or_scalar(spark):
+    """Rounds-2 TPC-H additions must follow the r01-verdict broadcast
+    discipline: a forced hint may cover (a) bounded dimensions
+    (nation/region/supplier and SF-filtered key lists) or (b) a 1-row
+    Aggregate (scalar-subquery emulation). Never a raw fact table —
+    part/orders/customer/lineitem strategy belongs to AQE."""
+    facts = {"part", "orders", "customer", "lineitem"}
+    for q in ("q65_tpch_q13_custdist", "q66_tpch_q20_nested_in",
+              "q73_tpch_q12_shipmode", "q74_tpch_q14_promo",
+              "q69_tpch_q6_forecast"):
+        assert _hint_subtrees(spark, q) == [], q
+    for q in ("q70_tpch_q9_profit", "q71_tpch_q10_returns"):
+        assert [t for _, t in _hint_subtrees(spark, q)] == [{"nation"}], q
+    for root, tables in _hint_subtrees(spark, "q68_tpch_q8_market_share"):
+        assert tables <= {"supplier", "nation", "region"}, tables
+    # q67/q72: hints touching lineitem are the 1-row scalar aggregates
+    # (global max / 0.1% threshold), not the table itself.
+    for q in ("q67_tpch_q15_top_supplier", "q72_tpch_q11_important"):
+        for root, tables in _hint_subtrees(spark, q):
+            if tables & facts:
+                assert root == "Aggregate", (q, root, tables)
+
+
+def test_q71_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "q71_tpch_q10_returns")
+
+
+def test_q75_not_in_is_broadcast_anti(spark):
+    plan = plan_of(spark, "q75_tpch_q16_suppcnt")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q69_predicates_pushed_to_scan(spark):
+    plan = plan_of(spark, "q69_tpch_q6_forecast")
+    assert "PushedFilters:" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
