@@ -59,6 +59,16 @@ def make_source(
         if streaming:
             return spark.readStream.schema(opts["schema"]).json(opts["path"])
         return spark.read.schema(opts["schema"]).json(opts["path"])
+    if src.type == "csv":
+        # Spark-native extension of the file-source family (the reference
+        # only reads raw lines, `input/file.go:22-37`; csv is the same
+        # surface with schema projection at the scan).
+        reader = spark.readStream if streaming else spark.read
+        return (
+            reader.schema(opts["schema"])
+            .option("header", str(opts.get("header", False)).lower())
+            .csv(opts["path"])
+        )
     if src.type == "memory":
         if streaming:
             raise ValueError("memory source is batch-only")

@@ -832,3 +832,31 @@ def x26_dedup_semantic(spark, sf_dir):
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.45, n_cells=8,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x27_ngram_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])
+               AS ngram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT ngram,
+           CAST(count(*) AS BIGINT) AS term_freq,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM g GROUP BY ngram
+    ORDER BY term_freq DESC, ngram
+    LIMIT 100
+    """,
+)
+def x27_ngram_stats(spark, sf_dir):
+    """Corpus bigram frequency table (operators/ngrams.py): array-side
+    n-gram construction, one shuffle with map-side combine (Zipf-skew
+    tolerant), TakeOrdered top-100 over the vocab-sized aggregate."""
+    from ..operators.ngrams import ngram_stats
+
+    return ngram_stats(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=2, top_k=100
+    )

@@ -255,3 +255,24 @@ def test_make_registry_dispatch(tmp_path):
     )
     with pytest.raises(ValueError, match="invalid backend type"):
         make_registry({"type": "etcd"})
+
+
+def test_csv_source_batch_and_stream(spark, tmp_path):
+    """csv source arm: schema-projected scan, batch and incremental
+    directory-stream compile to the same surface."""
+    from go_fish_spark.plans.compiler import make_source
+    from go_fish_spark.plans.spec import SourceSpec
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.csv").write_text("id,name\n1,ann\n2,bob\n")
+    src = SourceSpec(
+        name="c", type="csv",
+        options={"path": str(p), "schema": "id long, name string",
+                 "header": True},
+    )
+    rows = {(r.id, r.name) for r in make_source(spark, src).collect()}
+    assert rows == {(1, "ann"), (2, "bob")}
+    sdf = make_source(spark, src, streaming=True)
+    assert sdf.isStreaming and sdf.schema.simpleString() == \
+        "struct<id:bigint,name:string>"
