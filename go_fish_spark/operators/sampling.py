@@ -57,3 +57,36 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ~fraction of rows, chosen purely by key hash (stable under
     repartitioning, unlike df.sample)."""
     return df.filter(hash_bucket(key, 10_000) < int(fraction * 10_000))
+
+
+def hash_uniform(key: Column | str) -> Column:
+    """Deterministic uniform in [0, 1): first 8 md5 hex digits / 2^32.
+    Same recipe as :func:`hash_bucket` but continuous — the acceptance
+    variate for weighted sampling. Engine- and layout-invariant."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return h / F.lit(float(2**32))
+
+
+def duck_hash_uniform(key_expr: str) -> str:
+    """DuckDB mirror of :func:`hash_uniform`."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))"
+        f" AS UBIGINT) AS DOUBLE) / 4294967296.0"
+    )
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: Column | str, scale: float = 1.0
+) -> DataFrame:
+    """Importance sampling: keep each row with probability
+    ``clamp(scale * weight, 0, 1)``, decided purely by the row key's hash
+    (quality-proportional corpus downsampling — the standard curation move
+    of keeping high-quality documents at a higher rate).
+
+    Unlike ``df.sample``, inclusion is a pure function of (key, weight):
+    stable under repartitioning, re-runs, and engines (oracle-checkable).
+    A pure per-row filter — pushes to the scan, zero shuffles, trivially
+    100 TB-safe."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return df.filter(hash_uniform(key) < F.least(w * scale, F.lit(1.0)))

@@ -131,7 +131,15 @@ def write_sink(df: DataFrame, sink: SinkSpec) -> None:
         # SURVEY §4.2).
         df.write.mode(opts.get("mode", "overwrite")).json(opts["path"])
     elif sink.type == "parquet":
-        df.write.mode(opts.get("mode", "overwrite")).parquet(opts["path"])
+        # Optional hive-style layout: options.partition_by prunes reads on
+        # the partition column at any scale (dynamic partition overwrite
+        # so re-runs replace only touched partitions, not the table).
+        writer = df.write.mode(opts.get("mode", "overwrite"))
+        if "partition_by" in opts:
+            writer = writer.partitionBy(*opts["partition_by"]).option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        writer.parquet(opts["path"])
     elif sink.type == "parquet_upsert":
         # MERGE-style keyed table sink (see operators/upsert.py; the
         # reference has only append sinks — this is the keyed-TABLE

@@ -860,3 +860,46 @@ def x27_ngram_stats(spark, sf_dir):
     return ngram_stats(
         table(spark, sf_dir, "documents"), "doc_id", "text", n=2, top_k=100
     )
+
+
+_DUCK_UNIFORM_DOCID = (
+    "(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS UBIGINT) AS DOUBLE) / 4294967296.0)"
+)
+
+_X28_ORACLE = f"""
+    WITH q AS (
+      SELECT doc_id,
+             0.4 * least(n_words / 100.0, 1.0)
+               + 0.3 * (1.0 - stop_ratio)
+               + 0.3 * least(mean_word_len / 10.0, 1.0) AS score
+      FROM (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               len(list_filter(ws, w -> w IN ({_DUCK_STOP}))) / len(ws)
+                 AS stop_ratio,
+               (length(text) - (len(ws) - 1)) / len(ws) AS mean_word_len
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+              FROM documents)
+      )
+    )
+    SELECT doc_id, score FROM q
+    WHERE {_DUCK_UNIFORM_DOCID} < least(score * 0.8, 1.0)
+    ORDER BY doc_id
+    """
+
+
+@query("x28_weighted_sample", oracle=_X28_ORACLE)
+def x28_weighted_sample(spark, sf_dir):
+    """Quality-proportional importance sampling (sampling.weighted_sample):
+    keep each document with probability 0.8×quality_score, decided by the
+    doc_id's md5-uniform (sampling.hash_uniform ≡ _DUCK_UNIFORM_DOCID) —
+    layout/engine-invariant, a pure pushable filter. The weight is x08's
+    (hash-verified bit-identical) score, so the acceptance decision is
+    reproducible across engines."""
+    from ..operators.sampling import weighted_sample
+
+    df = table(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score("text").alias("score")
+    )
+    return weighted_sample(df, "doc_id", "score", scale=0.8).orderBy("doc_id")

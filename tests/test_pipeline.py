@@ -276,3 +276,23 @@ def test_csv_source_batch_and_stream(spark, tmp_path):
     sdf = make_source(spark, src, streaming=True)
     assert sdf.isStreaming and sdf.schema.simpleString() == \
         "struct<id:bigint,name:string>"
+
+
+def test_parquet_sink_partition_by_layout_and_dynamic_overwrite(spark, tmp_path):
+    """partition_by writes hive-style dirs (reads prune on the partition
+    column); dynamic overwrite replaces only touched partitions."""
+    import os
+
+    from go_fish_spark.plans.compiler import write_sink
+    from go_fish_spark.plans.spec import SinkSpec
+
+    out = str(tmp_path / "t")
+    sink = SinkSpec(name="s", type="parquet",
+                    options={"path": out, "partition_by": ["k"]})
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    write_sink(df, sink)
+    assert {d for d in os.listdir(out) if d.startswith("k=")} == {"k=a", "k=b"}
+    # overwrite only k=a; k=b must survive
+    write_sink(spark.createDataFrame([(9, "a")], "id long, k string"), sink)
+    rows = {(r.id, r.k) for r in spark.read.parquet(out).collect()}
+    assert rows == {(9, "a"), (2, "b")}

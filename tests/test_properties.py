@@ -248,3 +248,30 @@ def test_salted_agg_invariant_to_salt_count(spark, rows, n_salt):
         .collect()
     }
     assert salted == direct
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(words, min_size=1, max_size=6))
+def test_ngram_stats_matches_pure_python(spark, docs):
+    """ngram_stats ≡ a dict-based bigram counter for arbitrary corpora:
+    same (ngram, term_freq, doc_freq) multiset, and term_freq ≥ doc_freq
+    always."""
+    from collections import Counter
+
+    from go_fish_spark.operators.ngrams import ngram_stats
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.ngram: (r.term_freq, r.doc_freq)
+        for r in ngram_stats(df, "doc_id", "text", n=2, top_k=10_000).collect()
+    }
+    tf, dfreq = Counter(), Counter()
+    for ws in docs:
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        tf.update(grams)
+        dfreq.update(set(grams))
+    assert got == {g: (tf[g], dfreq[g]) for g in tf}
+    assert all(t >= d for t, d in got.values())

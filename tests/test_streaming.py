@@ -404,3 +404,57 @@ def test_stream_static_dimension_join(spark, tmp_path):
         (r.user_id, r.tier) for r in spark.sql("SELECT * FROM ss_join_out").collect()
     )
     assert rows == [(1, "gold"), (2, "silver"), (9, "none")]
+
+
+def test_stream_stream_left_outer_join_null_extends_after_watermark(spark, tmp_path):
+    """Outer stream-stream join: unmatched left rows may only emit once
+    the watermark has passed their join window (until then a match could
+    still arrive). A later second batch pushes the watermark; the
+    unmatched row must then appear NULL-extended — this is the
+    state-eviction contract that bounds join state at scale."""
+    import pyspark.sql.functions as F
+    from go_fish_spark.streaming import sinks, sources
+
+    adir, bdir = tmp_path / "a", tmp_path / "b"
+    write_events(adir, [
+        dict(event_id=1, ts="2024-01-01T00:00:00Z", event_type="signup", key="u1", principal="user/Ann", principal_id="x"),
+        dict(event_id=4, ts="2024-01-01T00:01:00Z", event_type="signup", key="u9", principal="user/Zed", principal_id="w"),
+    ])
+    write_events(bdir, [
+        dict(event_id=2, ts="2024-01-01T00:03:00Z", event_type="purchase", key="u1", principal=None, principal_id="y"),
+    ])
+    left = (
+        sources.json_stream(spark, str(adir), EVENT_SCHEMA)
+        .select(F.col("key"), F.col("principal"), F.col("ts").alias("reg_ts"))
+        .withWatermark("reg_ts", "10 minutes")
+    )
+    right = (
+        sources.json_stream(spark, str(bdir), EVENT_SCHEMA)
+        .select(F.col("key").alias("rkey"), F.col("event_id"), F.col("ts").alias("buy_ts"))
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        (left["key"] == right["rkey"])
+        & (right["buy_ts"] >= left["reg_ts"])
+        & (right["buy_ts"] <= left["reg_ts"] + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("key", "principal", "event_id")
+    q = sinks.memory_sink(joined, "ssloj_out", output_mode="append",
+                          trigger_available_now=True)
+    q.awaitTermination(120)
+    got = {(r.key, r.event_id) for r in spark.sql("SELECT * FROM ssloj_out").collect()}
+    assert got == {("u1", 2)}  # u9 still pending: a match could arrive
+
+    # Batch 2: an event far past u9's window pushes both watermarks.
+    write_events(bdir, [
+        dict(event_id=3, ts="2024-01-02T12:00:00Z", event_type="purchase", key="zz", principal=None, principal_id="z"),
+    ], fname="batch1.json")
+    write_events(adir, [
+        dict(event_id=5, ts="2024-01-02T12:00:00Z", event_type="signup", key="zz2", principal="user/New", principal_id="v"),
+    ], fname="batch1.json")
+    q2 = sinks.memory_sink(joined, "ssloj_out2", output_mode="append",
+                           trigger_available_now=True)
+    q2.awaitTermination(120)
+    got2 = {(r.key, r.event_id) for r in spark.sql("SELECT * FROM ssloj_out2").collect()}
+    assert ("u9", None) in got2, got2
