@@ -94,31 +94,37 @@ def main() -> None:
         table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         qd = REGISTRY.get(name)
         if qd is None:
             continue
-        t0 = time.perf_counter()
-        df = qd.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        # Fault-isolate each query: one analyzing-stage exception must not
+        # zero the whole bench (round-2 postmortem — q22 killed the run).
+        try:
+            t0 = time.perf_counter()
+            df = qd.fn(spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
         from go_fish_spark.operators.dedup import release_caches
 
         release_caches()  # dedup ops pin signature caches; free between queries
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

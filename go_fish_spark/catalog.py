@@ -37,11 +37,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as long nanos (session.py); convert
-        # to TimestampType via exact integer division (`div`, not `/`, which
-        # would round-trip through double and lose ns precision).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet read as long nanos (session.py);
+            # convert to TimestampType via exact integer division (`div`, not
+            # `/`, which would round-trip through double and lose precision).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet timestamp[us] with no timezone reads as TIMESTAMP_NTZ,
+            # which functions like unix_micros reject. The session is pinned
+            # to UTC (session.py), so the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

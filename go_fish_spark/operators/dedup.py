@@ -442,6 +442,83 @@ def embedding_dup_pairs(
     )
 
 
+def _cap_cells(
+    assigned: DataFrame, vec_col: str, max_cell_size: int, train_cap: int,
+    seed: int,
+) -> DataFrame:
+    """Skew guard for :func:`semantic_dedup_pairs`: re-split cells over
+    ``max_cell_size`` with a secondary KMeans (semantic locality kept),
+    then salt any composite cell STILL over the cap (hard bound for
+    identical-vector masses). Input/output columns: _id, _v, features,
+    _cell; output _cell is a string composite key. Single pass over the
+    data — the sub-quantizer transform runs on every row, and the hot/cold
+    choice is a column expression, so the frame is never scanned twice."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+
+    counts = assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
+    hot = {r["_cell"]: r["_n"] for r in counts.collect() if r["_n"] > max_cell_size}
+    if not hot:
+        return assigned.withColumn("_cell", F.col("_cell").cast("string"))
+
+    # 2x oversplit: KMeans cells are not balanced, so splitting a hot cell
+    # into exactly n/cap sub-cells would leave some sub-cells over the cap.
+    n_sub = min(256, max(2, 2 * math.ceil(max(hot.values()) / max_cell_size)))
+    fit_in = assigned.filter(F.col("_cell").isin(list(hot))).select("features")
+    n_hot = sum(hot.values())
+    if n_hot > train_cap:
+        frac = min(1.0, 1.1 * train_cap / n_hot)
+        fit_in = fit_in.sample(fraction=frac, seed=seed).limit(train_cap)
+    sub_model = KMeans(k=n_sub, seed=seed, maxIter=20).fit(fit_in)
+
+    capped = sub_model.transform(assigned).select(
+        "_id",
+        "_v",
+        "features",
+        F.when(
+            F.col("_cell").isin(list(hot)),
+            F.concat_ws("/", F.col("_cell"), F.col("prediction")),
+        )
+        .otherwise(F.col("_cell").cast("string"))
+        .alias("_cell"),
+    )
+
+    still = {
+        r["_cell"]: r["_n"]
+        for r in capped.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+        if r["_n"] > max_cell_size
+    }
+    if still:
+        # 2x oversalt: with exactly ceil(n/cap) salts, ordinary hash
+        # imbalance (sd ≈ sqrt(n/salts)) overflows the cap a few percent
+        # of the time; doubling the salt count puts the cap many sigma
+        # away. (An exact row_number split would guarantee the bound but
+        # costs a single-task sort of the pathological cell — the very
+        # hot task this guard exists to prevent.)
+        salt_map = F.create_map(
+            *[
+                F.lit(x)
+                for k, n in still.items()
+                for x in (k, 2 * math.ceil(n / max_cell_size))
+            ]
+        )
+        capped = capped.withColumn(
+            "_cell",
+            F.when(
+                F.col("_cell").isin(list(still)),
+                F.concat_ws(
+                    "#",
+                    F.col("_cell"),
+                    F.pmod(F.xxhash64("_id"), salt_map[F.col("_cell")]),
+                ),
+            ).otherwise(F.col("_cell")),
+        )
+    return capped
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -450,6 +527,7 @@ def semantic_dedup_pairs(
     n_cells: int = 16,
     train_cap: int = 100_000,
     seed: int = 42,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style clustered near-dup: the 100 TB scale path for
     :func:`embedding_dup_pairs` (Abbas et al. 2023's recipe, public).
@@ -471,9 +549,21 @@ def semantic_dedup_pairs(
     not). At small corpora the sampled KMeans fit dominates wall time
     (~20 driver-scheduled iterations); that cost is bounded and amortizes
     at scale. This is the one place a pandas UDF beats built-ins:
-    O(|cell|²·dim) float work with no per-row logic. Skew note: a
-    degenerate quantizer could route many rows to one cell → one hot
-    task; re-fit with larger ``n_cells`` if a cell dwarfs the rest.
+    O(|cell|²·dim) float work with no per-row logic.
+
+    Skew guard (``max_cell_size``): a degenerate quantizer can route most
+    rows to ONE cell, turning the per-cell gram matrix into a single hot
+    O(n²) task. With ``max_cell_size`` set, cells over the cap are
+    re-split by a SECONDARY KMeans (fit on a bounded sample of just the
+    hot rows — preserves semantic locality, so recall degrades only at
+    sub-cell boundaries); any composite cell STILL over the cap (e.g. a
+    mass of identical vectors no Voronoi boundary can separate) is salted
+    by a deterministic id-hash as the hard cap. Salting sacrifices
+    cross-salt pairs inside that pathological cell — exact duplicates
+    should be removed by :func:`exact_dedup` upstream, which is what makes
+    identical-vector masses a non-issue in the curation pipeline. Cost:
+    one ≤ n_cells-row count collect, one bounded sub-fit, one ≤
+    n_cells²-row recount — all independent of corpus size.
 
     Output matches embedding_dup_pairs: (id_a, id_b, cos), id_a < id_b,
     cos ≥ threshold — emitted pairs carry EXACT cosine (precision 1.0 by
@@ -493,7 +583,13 @@ def semantic_dedup_pairs(
                 "features"
             ),
         )
-    ).select("_id", "_v", F.col("prediction").alias("_cell"))
+    ).select("_id", "_v", "features", F.col("prediction").alias("_cell"))
+
+    if max_cell_size is not None:
+        assigned = _cap_cells(
+            assigned, "_v", max_cell_size, train_cap, seed
+        )
+    assigned = assigned.drop("features")
 
     id_dtype = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_dtype}, id_b {id_dtype}, cos double"

@@ -119,6 +119,7 @@ def ivf_topk(
     seed: int = 42,
     train_cap: int = 100_000,
     max_queries: int = 10_000,
+    probe_mode: str = "driver",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into cells; each query scores only the
@@ -132,15 +133,27 @@ def ivf_topk(
     as the shuffle/cluster key, this is the classic billion-vector layout.
     Recall/cost is tuned by n_cells × n_probe.
 
-    Contract: the QUERY set is driver-resident (collected to compute the
-    probe list against the broadcast centroids) and is capped at
-    ``max_queries`` rows — this operator answers "score a batch of probe
-    vectors against a huge corpus", not corpus×corpus joins (use
-    ``lsh_topk``/dedup for those).
+    Probe routing is a CHOICE (``probe_mode``), not a wall:
+
+    * ``"driver"`` — the query batch is collected and its probe list is
+      computed against the driver-resident centroids, then BROADCAST; the
+      corpus never shuffles. Right for "score a batch of probe vectors
+      against a huge corpus"; capped at ``max_queries`` rows with a clear
+      error.
+    * ``"distributed"`` — the probe list is computed executor-side by an
+      Arrow-batched pandas UDF against the (tiny — n_cells × dim) centroid
+      matrix captured in its closure, then EXPLODED and joined to the
+      corpus on the cell key. No cap: both sides shuffle once on cell, so
+      this handles corpus-scale query sets (the n_probe fan-out is the
+      only row multiplier). Same probe lists as driver mode (identical
+      distance + tie-break), asserted in tests.
     """
     import numpy as np
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import types as T
+
+    if probe_mode not in ("driver", "distributed"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
 
     ml_df = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -159,36 +172,59 @@ def ivf_topk(
         dists = [float(np.linalg.norm(v - np.asarray(c))) for c in centers]
         return sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).limit(max_queries + 1).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"ivf_topk query set exceeds max_queries={max_queries}; "
-            "probe lists are computed driver-side against the broadcast "
-            "centroids, so the query batch must be small — split the batch "
-            "or use lsh_topk for corpus-scale query sets"
+    if probe_mode == "distributed":
+        import pandas as pd
+
+        # Explicit Series annotations (not the module's deferred-string
+        # ones): pandas_udf resolves hints via the function globals, where
+        # the function-local `pd` import is invisible.
+        def _probe_cells(qvs):
+            # Same distance + stable tie-break as the driver path, so both
+            # modes produce identical probe lists.
+            return pd.Series([nearest_cells(list(v)) for v in qvs])
+
+        _probe_cells.__annotations__ = {"qvs": pd.Series, "return": pd.Series}
+        probe_cells = F.pandas_udf(_probe_cells, T.ArrayType(T.IntegerType()))
+
+        probe = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                probe_cells(F.col(vec_col).cast("array<double>"))
+            ).alias("cell"),
         )
-    # Probe schema is derived from the input dtypes so string/int32 ids and
-    # double embeddings round-trip unchanged.
-    q_schema = dict(zip(queries.schema.names, queries.schema.fields))
-    probe_schema = T.StructType(
-        [
-            T.StructField("query_id", q_schema[id_col].dataType),
-            T.StructField("qv", q_schema[vec_col].dataType),
-            T.StructField("cell", T.IntegerType()),
-        ]
-    )
-    probe = F.broadcast(
-        corpus.sparkSession.createDataFrame(
+    else:
+        qrows = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).limit(max_queries + 1).collect()
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"ivf_topk query set exceeds max_queries={max_queries}; "
+                "driver-mode probe lists are computed driver-side against "
+                "the broadcast centroids, so the query batch must be small "
+                "— split the batch or use probe_mode='distributed' for "
+                "corpus-scale query sets"
+            )
+        # Probe schema is derived from the input dtypes so string/int32 ids
+        # and double embeddings round-trip unchanged.
+        q_schema = dict(zip(queries.schema.names, queries.schema.fields))
+        probe_schema = T.StructType(
             [
-                (r.query_id, list(r.qv), cell)
-                for r in qrows
-                for cell in nearest_cells(list(r.qv))
-            ],
-            probe_schema,
+                T.StructField("query_id", q_schema[id_col].dataType),
+                T.StructField("qv", q_schema[vec_col].dataType),
+                T.StructField("cell", T.IntegerType()),
+            ]
         )
-    )
+        probe = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                [
+                    (r.query_id, list(r.qv), cell)
+                    for r in qrows
+                    for cell in nearest_cells(list(r.qv))
+                ],
+                probe_schema,
+            )
+        )
     scored = (
         assigned.join(probe, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -112,6 +112,56 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x02_dedup_minhash_lsh",
     "x03_dedup_simhash",
     "x13_ann_lsh",
+    # green in CORRECTNESS_r02 (rows/schema/hash all true) — rotated to the
+    # tail so the r03 window reaches the NTZ-fixed trio (q22/q48/q55),
+    # q70-q75 (green in SELF but never driver-checked), and round-3 adds.
+    "q26_array_agg",
+    "q28_pivot",
+    "q41_session_window",
+    "q42_percentiles",
+    "q43_exact_corr",
+    "q44_date_battery",
+    "q45_array_battery",
+    "q46_conditional_argmax_agg",
+    "q47_distinct_agg",
+    "q49_regexp_extract",
+    "q50_salted_agg",
+    "q51_tpch_q7",
+    "q52_tpch_q21",
+    "q53_null_safe_join",
+    "q54_analytic_windows",
+    "q56_map_battery",
+    "q57_hof_battery",
+    "q58_grouping_sets_sql",
+    "q59_tpch_q4_exists",
+    "q60_tpch_q17_scalar",
+    "q61_tpch_q22_anti",
+    "q62_tpch_q2_corr_min",
+    "q63_not_in_null_aware",
+    "q64_tpch_q19_disjunctive",
+    "q65_tpch_q13_custdist",
+    "q66_tpch_q20_nested_in",
+    "q67_tpch_q15_top_supplier",
+    "q68_tpch_q8_market_share",
+    "q69_tpch_q6_forecast",
+    "x07_lang_id",
+    "x08_quality_score",
+    "x09_token_count",
+    "x10_fingerprint",
+    "x11_multimodal_ingest",
+    "x12_multimodal_decode",
+    "x16_stratified_sample",
+    "x17_tfidf",
+    "x18_dup_components",
+    "x19_frame_sample",
+    "x20_curation_pipeline",
+    "x21_decontaminate",
+    "x22_repetition_filter",
+    "x23_pii_scrub",
+    "x24_chunk_documents",
+    "x25_pack_documents",
+    "x27_ngram_stats",
+    "x28_weighted_sample",
 )
 
 

@@ -344,9 +344,10 @@ def q51_tpch_q7(spark, sf_dir):
     """TPC-H Q7 shape (volume shipping between a nation PAIR, either
     direction): the disjunctive cross-table predicate
     ((n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)) cannot be pushed below the joins, so
-    the plan quality comes from join ordering — supplier and the two
-    nation aliases broadcast (bounded dims), orders/customer carry no
-    hint (they scale; AQE decides). Yearly decimal revenue sums."""
+    the plan quality comes from join ordering — only the two nation
+    aliases broadcast (truly bounded: 25 rows at any SF); supplier,
+    orders, and customer all scale with SF and carry no hint (AQE still
+    broadcasts them where they fit). Yearly decimal revenue sums."""
     supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -364,7 +365,7 @@ def q51_tpch_q7(spark, sf_dir):
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
     df = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(n1), supp["s_nationkey"] == F.col("n1_key"))
@@ -1038,7 +1039,7 @@ def q68_tpch_q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape (national market share): the widest join tree in
     the inventory — lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈
     nation×2 ⋈ region — with a conditional-fraction aggregate. Bounded
-    dims (nation aliases, region, supplier) broadcast; part, orders,
+    dims (nation aliases, region) broadcast; supplier, part, orders,
     customer scale with SF and carry no hint (AQE decides). Numerator and
     denominator are decimal-summed independently, then divided in double
     — same expression order as the oracle, so the ratio is bit-stable."""
@@ -1071,7 +1072,7 @@ def q68_tpch_q8_market_share(spark, sf_dir):
     )
     df = (
         li.join(part, li["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(n1), cust["c_nationkey"] == F.col("n1_key"))
@@ -1287,8 +1288,8 @@ def q72_tpch_q11_important(spark, sf_dir):
         .select("n_nationkey")
     )
     pv = (
-        li.join(F.broadcast(supp.join(F.broadcast(nation),
-                supp["s_nationkey"] == nation["n_nationkey"]).select("s_suppkey")),
+        li.join(supp.join(F.broadcast(nation),
+                supp["s_nationkey"] == nation["n_nationkey"]).select("s_suppkey"),
                 li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
@@ -1432,8 +1433,9 @@ def q75_tpch_q16_suppcnt(spark, sf_dir):
     + IN-list on part, a NOT IN subquery excluding complaint suppliers
     (≡ anti-join — s_suppkey is non-null so NOT IN and ANTI agree), and
     COUNT(DISTINCT) per group. The anti-join side is a filtered supplier
-    key list → broadcast anti. distinct-count shuffles once on the group
-    key with partial distinct aggregation map-side."""
+    key list — SF-scaled, so it carries no forced hint (AQE broadcasts
+    it where it fits). distinct-count shuffles once on the group key
+    with partial distinct aggregation map-side."""
     part = (
         table(spark, sf_dir, "part")
         .filter(
@@ -1451,7 +1453,7 @@ def q75_tpch_q16_suppcnt(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(
-            F.broadcast(bad_supp),
+            bad_supp,
             li["l_suppkey"] == bad_supp["s_suppkey"],
             "left_anti",
         )

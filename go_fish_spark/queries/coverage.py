@@ -469,16 +469,15 @@ def q36_unpivot(spark, sf_dir):
     """,
 )
 def q33_tpch_q3(spark, sf_dir):
-    """TPC-H Q3 shape (shipping priority): selective dimension filter →
-    broadcast the filtered customer key-list into orders → shuffle join
-    with lineitem → top-10 by revenue.
+    """TPC-H Q3 shape (shipping priority): selective dimension filter on
+    customer → join into orders → shuffle join with lineitem → top-10 by
+    revenue.
 
-    Scale shape: only the ~1/5-segment customer KEY projection gets an
-    explicit broadcast hint (bounded: custkeys are 8 bytes/row). The
-    date-filtered orders side is still ~half the fact table — it scales
-    with SF, so it must NOT be force-broadcast (an explicit hint overrides
-    autoBroadcastJoinThreshold and OOMs at 100 TB); AQE picks the
-    orders⋈lineitem strategy from runtime sizes instead."""
+    Scale shape: NO forced hints. Even the ~1/5-segment customer key
+    projection scales with SF (150k x SF rows before the filter), so its
+    join strategy belongs to AQE — at small SF runtime sizes still pick a
+    broadcast; at 100 TB a forced hint would override
+    autoBroadcastJoinThreshold and OOM."""
     cust = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -495,7 +494,7 @@ def q33_tpch_q3(spark, sf_dir):
 
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"]),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey")
@@ -528,12 +527,12 @@ def q34_tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape (local supplier volume): five-way join with the
     customer-nation = supplier-nation co-location predicate.
 
-    Scale shape: true dimensions (supplier/nation/region — fixed-size or
-    sub-linear in SF) carry explicit broadcast hints; orders and customer
-    SCALE with the fact data, so their joins carry no hint — lineitem⋈orders
-    and ⋈customer shuffle on their keys (AQE still broadcasts them at small
-    SF where they fit under autoBroadcastJoinThreshold, so the local bench
-    is unchanged; at 100 TB a forced broadcast would OOM)."""
+    Scale shape: only the true fixed-size dimensions (nation=25 rows,
+    region=5 rows at any SF) carry explicit broadcast hints; supplier,
+    orders, and customer SCALE with the fact data, so their joins carry no
+    hint (AQE still broadcasts them at small SF where they fit under
+    autoBroadcastJoinThreshold, so the local bench is unchanged; at
+    100 TB a forced broadcast would OOM)."""
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = table(spark, sf_dir, "lineitem")
@@ -545,7 +544,7 @@ def q34_tpch_q5(spark, sf_dir):
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )
@@ -612,7 +611,7 @@ def q25_cube(spark, sf_dir):
     customer = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     df = orders.join(
-        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        customer, orders["o_custkey"] == customer["c_custkey"]
     ).join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
     return (
         df.cube("n_name", "o_orderpriority")

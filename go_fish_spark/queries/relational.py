@@ -18,13 +18,15 @@ from .util import duck_money_sum, duck_ts_str, money_sum, ts_str
 
 
 def _orders_customer_nation(spark, sf_dir):
-    """orders ⋈ customer ⋈ nation with both dimensions broadcast — the fact
-    table (orders) never shuffles; at 100 TB this is the only viable plan."""
+    """orders ⋈ customer ⋈ nation. Only nation (25 rows at any SF) carries
+    a forced broadcast hint; customer SCALES with SF, so its join is left
+    to AQE — at small SF it still broadcasts, at 100 TB it shuffles on
+    o_custkey instead of OOMing the executors."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return orders.join(
-        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        customer, orders["o_custkey"] == customer["c_custkey"]
     ).join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
 
 

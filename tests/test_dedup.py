@@ -143,6 +143,37 @@ def test_ivf_topk_query_cap_raises(spark):
         similarity.ivf_topk(emb, emb, dim=64, k=3, max_queries=5)
 
 
+def test_ivf_probe_modes_agree(spark):
+    """VERDICT r02 #7: the distributed probe route (queries assigned to
+    cells executor-side, exploded, joined on the cell key — no driver cap)
+    must produce EXACTLY the driver-broadcast route's results: same
+    centroids, same distance, same tie-break. Also: corpus-scale query
+    sets that the driver cap rejects must pass through distributed mode."""
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import similarity
+    import pyspark.sql.functions as F
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(dim=64, k=5, n_cells=8, n_probe=3)
+    driver = sorted(
+        tuple(r) for r in similarity.ivf_topk(emb, queries, **kw).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, queries, probe_mode="distributed", **kw
+        ).collect()
+    )
+    assert driver == dist
+
+    # the whole corpus as the query set: over the driver cap, fine here
+    big = similarity.ivf_topk(
+        emb, emb, probe_mode="distributed", max_queries=5, **kw
+    )
+    assert big.count() > 0
+
+
 def test_lsh_topk_matches_brute_force_mostly(spark):
     from go_fish_spark.operators import similarity
     from go_fish_spark.catalog import table
@@ -224,3 +255,81 @@ def test_semantic_dedup_precision_and_recall(spark):
         assert p in exact and abs(exact[p] - c) < 1e-9, f"false pair {p}"
     recall = len(got) / len(exact)
     assert recall >= 0.5, f"semantic dedup recall too low: {recall}"
+
+
+def test_semantic_dedup_cell_cap_survives_adversarial_skew(spark):
+    """Quantizer-skew guard (VERDICT r02 #6): a corpus where ~80% of rows
+    form one tight blob routes almost everything into a single KMeans cell
+    — without a cap that is one hot O(n²) task at scale. With
+    max_cell_size set, the secondary re-split (plus salt fallback) must
+    bound every scoring group, and precision must stay 1.0 (emitted
+    cosines are exact regardless of the grouping)."""
+    import numpy as np
+
+    from go_fish_spark.operators import dedup
+
+    rng = np.random.default_rng(7)
+    dim, n_blob, n_rest = 16, 800, 200
+    center = rng.normal(size=dim)
+    blob = center + 0.01 * rng.normal(size=(n_blob, dim))
+    rest = rng.normal(size=(n_rest, dim))
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([blob, rest]))
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    cap = 100
+    pairs = dedup.semantic_dedup_pairs(
+        df, "id", "embedding", threshold=0.99, n_cells=4, max_cell_size=cap
+    )
+    # The scoring groups are the capped cells; reproduce the capped
+    # assignment and assert the bound the applyInPandas tasks would see.
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators import similarity
+
+    model = similarity.fit_quantizer(df, "embedding", 4, 100_000, 42)
+    assigned = model.transform(
+        df.select(
+            F.col("id").alias("_id"),
+            F.col("embedding").alias("_v"),
+            array_to_vector(F.col("embedding").cast("array<double>")).alias(
+                "features"
+            ),
+        )
+    ).select("_id", "_v", "features", F.col("prediction").alias("_cell"))
+    raw_max = max(
+        r["n"]
+        for r in assigned.groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    )
+    assert raw_max > cap, "fixture not adversarial — blob did not skew a cell"
+    capped = dedup._cap_cells(assigned, "_v", cap, 100_000, 42)
+    sizes = [
+        r["n"]
+        for r in capped.groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) <= cap, f"cell cap violated: max={max(sizes)}"
+
+    # Precision 1.0: every emitted pair is in the exact baseline with the
+    # identical cosine (the cap only changes WHICH pairs are examined).
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_dup_pairs(
+            df, "id", "embedding", threshold=0.99
+        ).collect()
+    }
+    got = {(r.id_a, r.id_b): r.cos for r in pairs.collect()}
+    assert got, "capped semantic dedup found no pairs"
+    for p, c in got.items():
+        assert p in exact and abs(exact[p] - c) < 1e-9, f"false pair {p}"
+    # PAIR recall is structurally bounded by the cap here (an 800-row
+    # all-pairs blob capped at 100-row groups can cover at most
+    # ~8·C(100,2)/C(800,2) ≈ 12% of pairs) — that loss is the documented
+    # price of the hard cap. What must survive for dedup is per-ROW
+    # coverage: every blob row still links into the duplicate graph.
+    linked = {i for p in got for i in p}
+    blob_ids = set(range(n_blob))
+    coverage = len(linked & blob_ids) / n_blob
+    assert coverage >= 0.95, f"blob rows escaping dedup: coverage={coverage}"

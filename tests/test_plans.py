@@ -35,11 +35,15 @@ def test_q07_dimension_broadcast_and_pruned(spark):
     assert "struct<event_id:bigint,user_id:bigint>" in plan
 
 
-def test_q13_both_dims_broadcast(spark):
+def test_q13_dims_broadcast_at_small_sf_but_only_nation_forced(spark):
+    # At small SF the size estimator still broadcasts customer (no shuffle),
+    # but the only FORCED hint is nation — customer scales with SF, so its
+    # strategy belongs to AQE (a forced hint would OOM at 100 TB).
     plan = plan_of(spark, "q13_join_inner")
-    # formatted mode prints each node in the tree and in the detail list
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert _hinted_relations(spark, "q13_join_inner") == [{"nation"}]
+    assert _hinted_relations(spark, "q25_cube") == [{"nation"}]
 
 
 def test_q16_topk_is_take_ordered(spark):
@@ -96,15 +100,12 @@ def test_tpch_shapes_never_force_broadcast_fact_tables(spark):
     """q33/q34/q35 scale-killers (VERDICT r01): an explicit F.broadcast on
     orders/customer/lineitem OOMs at 100 TB. Only true dimensions may carry
     a hint; the fact-side strategy belongs to AQE."""
-    facts = {"orders", "lineitem"}
-    hinted33 = _hinted_relations(spark, "q33_tpch_q3")
-    assert all(not (h & facts) for h in hinted33), hinted33
-    # q33's one allowed hint: the segment-filtered customer key projection
-    assert hinted33 == [{"customer"}]
+    # r03 tightening: customer/supplier (even filtered projections) scale
+    # with SF — no forced hints anywhere on them; AQE decides.
+    assert _hinted_relations(spark, "q33_tpch_q3") == []
 
     hinted34 = _hinted_relations(spark, "q34_tpch_q5")
-    assert all(not (h & (facts | {"customer"})) for h in hinted34), hinted34
-    assert sorted(t for h in hinted34 for t in h) == ["nation", "region", "supplier"]
+    assert sorted(t for h in hinted34 for t in h) == ["nation", "region"]
 
     # q35 joins only scaling tables — no hint at all is allowed
     assert _hinted_relations(spark, "q35_tpch_q18") == []
@@ -154,10 +155,11 @@ def test_q52_compiles_to_semi_and_anti_joins(spark):
 
 
 def test_q51_hints_only_bounded_dims(spark):
-    """TPC-H Q7 shape: only supplier + the two nation aliases may carry
-    broadcast hints; orders/customer/lineitem stay AQE-decided."""
+    """TPC-H Q7 shape: only the two nation aliases may carry broadcast
+    hints; supplier/orders/customer/lineitem all scale with SF and stay
+    AQE-decided (r02 verdict: supplier is 10k x SF, not a bounded dim)."""
     hinted = _hinted_relations(spark, "q51_tpch_q7")
-    assert sorted(t for h in hinted for t in h) == ["nation", "nation", "supplier"]
+    assert sorted(t for h in hinted for t in h) == ["nation", "nation"]
 
 
 def test_q59_exists_decorrelates_to_semi_join(spark):
@@ -268,25 +270,26 @@ def _hint_subtrees(spark, name: str):
 
 
 def test_tpch_battery_hints_bounded_or_scalar(spark):
-    """Rounds-2 TPC-H additions must follow the r01-verdict broadcast
-    discipline: a forced hint may cover (a) bounded dimensions
-    (nation/region/supplier and SF-filtered key lists) or (b) a 1-row
-    Aggregate (scalar-subquery emulation). Never a raw fact table —
-    part/orders/customer/lineitem strategy belongs to AQE."""
-    facts = {"part", "orders", "customer", "lineitem"}
+    """TPC-H battery broadcast discipline (tightened per r02 verdict): a
+    forced hint may cover (a) TRULY bounded dimensions — nation (25 rows)
+    and region (5 rows) at any SF — or (b) a 1-row Aggregate
+    (scalar-subquery emulation). Everything SF-scaled — part, orders,
+    customer, lineitem, AND supplier, including filtered projections of
+    them — belongs to AQE."""
+    sf_scaled = {"part", "orders", "customer", "lineitem", "supplier"}
     for q in ("q65_tpch_q13_custdist", "q66_tpch_q20_nested_in",
               "q73_tpch_q12_shipmode", "q74_tpch_q14_promo",
-              "q69_tpch_q6_forecast"):
+              "q69_tpch_q6_forecast", "q75_tpch_q16_suppcnt"):
         assert _hint_subtrees(spark, q) == [], q
     for q in ("q70_tpch_q9_profit", "q71_tpch_q10_returns"):
         assert [t for _, t in _hint_subtrees(spark, q)] == [{"nation"}], q
     for root, tables in _hint_subtrees(spark, "q68_tpch_q8_market_share"):
-        assert tables <= {"supplier", "nation", "region"}, tables
-    # q67/q72: hints touching lineitem are the 1-row scalar aggregates
-    # (global max / 0.1% threshold), not the table itself.
+        assert tables <= {"nation", "region"}, tables
+    # q67/q72: hints touching SF-scaled tables must be the 1-row scalar
+    # aggregates (global max / 0.1% threshold), never the table itself.
     for q in ("q67_tpch_q15_top_supplier", "q72_tpch_q11_important"):
         for root, tables in _hint_subtrees(spark, q):
-            if tables & facts:
+            if tables & sf_scaled:
                 assert root == "Aggregate", (q, root, tables)
 
 
@@ -304,3 +307,58 @@ def test_q69_predicates_pushed_to_scan(spark):
     plan = plan_of(spark, "q69_tpch_q6_forecast")
     assert "PushedFilters:" in plan
     assert "LessThan(l_quantity,24.0)" in plan
+
+
+def _ts_touching_queries():
+    """Registered queries that read events.ts — discovered from source so
+    new queries are covered automatically."""
+    import inspect
+    import re
+
+    from go_fish_spark.queries import REGISTRY
+
+    out = []
+    for name, qd in REGISTRY.items():
+        src = inspect.getsource(qd.fn)
+        if re.search(r'"events"', src) and re.search(r"\bts\b", src):
+            out.append(name)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("variant", ["timestamp", "timestamp_ntz", "bigint_nanos"])
+def test_events_ts_dtype_matrix(spark, tmp_path, variant):
+    """The round-2 postmortem: the driver's testdata changed events.ts from
+    bigint-nanos to parquet timestamp[us] (TIMESTAMP_NTZ) and every
+    unix_micros call site hard-failed. catalog.table is the normalization
+    layer — whatever physical dtype the parquet serves, queries must see
+    TimestampType and at least ANALYZE. This materializes all three dtype
+    vintages and analyzes every ts-touching registered query against each."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from go_fish_spark.catalog import TABLES, table
+    from go_fish_spark.queries import REGISTRY
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "events.parquet"))
+    ts = tbl.column("ts").cast(pa.timestamp("us"))
+    if variant == "timestamp":
+        ts_cast = ts.cast(pa.timestamp("us", tz="UTC"))
+    elif variant == "timestamp_ntz":
+        ts_cast = ts
+    else:  # bigint nanos — the pre-r02 testdata vintage
+        ts_cast = pc.multiply(ts.cast(pa.int64()), 1000)
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_cast)
+
+    d = tmp_path / variant
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    for t in TABLES:
+        if t != "events":
+            os.symlink(os.path.join(SF_DIR, f"{t}.parquet"), d / f"{t}.parquet")
+
+    sf_dir = str(d)
+    assert dict(table(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+    for name in _ts_touching_queries():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.schema  # force analysis; AnalysisException here = regression
