@@ -39,16 +39,28 @@ def connected_components(
     ``nodes``: one column ``id_col``. ``edges``: undirected pairs
     ``src_col``/``dst_col`` (direction-agnostic; self-loops harmless).
     Raises if not converged within ``max_iter`` rounds."""
+    # Pre-partition the (static) adjacency on the join key: the cached
+    # frame's HashPartitioning(src) satisfies each round's join
+    # requirement, so only the (changing) label side shuffles per round.
     adj = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .dropDuplicates(["src", "dst"])
+        .repartition("src")
         .persist()
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
 
+    def label_sum(frame: DataFrame):
+        # decimal(38,0): exact at any id range/corpus size (a bigint sum
+        # overflows around 1e9 ids × 1e9-magnitude labels).
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         # neighbor labels flow along edges; min with own label
         prop = adj.join(labels, adj["src"] == labels["id"]).select(
@@ -60,16 +72,15 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()  # truncate lineage: round k must not replan 1..k-1
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        # Convergence: min-propagation can only DECREASE labels, so the
+        # exact label sum is strictly monotone — equal sums ⟺ fixpoint.
+        # One slim agg job per round instead of a join + count.
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             adj.unpersist()
             return labels
+        prev_sum = new_sum
     adj.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "

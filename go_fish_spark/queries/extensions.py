@@ -827,10 +827,13 @@ def x26_dedup_semantic(spark, sf_dir):
     shrinks the pair space to within-cell, so emitted cosines are EXACT
     (precision 1.0 vs x05 by construction); recall vs the exact baseline is
     asserted in tests/test_dedup.py. Rows-only here because cell assignment
-    is model-dependent (no SQL oracle can reproduce the KMeans fit)."""
+    is model-dependent (no SQL oracle can reproduce the KMeans fit).
+    max_cell_size arms the quantizer-skew guard (secondary re-split +
+    salt): inert on healthy corpora (cells here hold ~n/8 rows, far under
+    the cap), it bounds the worst per-cell O(|cell|²) task at scale."""
     return dedup.semantic_dedup_pairs(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.45, n_cells=8,
+        threshold=0.45, n_cells=8, max_cell_size=100_000,
     ).orderBy("id_a", "id_b")
 
 

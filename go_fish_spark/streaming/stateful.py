@@ -111,6 +111,86 @@ def windowed_count_stream(
     ).agg(F.count(F.lit(1)).alias(count_alias))
 
 
+def has_transform_with_state() -> bool:
+    """Capability check for Spark 4's StatefulProcessor API
+    (``transformWithStateInPandas``) — gate callers and tests on this so
+    the module still imports on older runtimes. Beyond the method itself,
+    the TWS state-server worker needs ``google.protobuf`` at runtime (the
+    query CRASHES mid-stream without it, it does not fail fast), so the
+    check probes that import too."""
+    from pyspark.sql.group import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def keyed_counter_tws_stream(
+    events: DataFrame,
+    key_col: str = "key",
+    count_alias: str = "occurrences",
+    drain_interval_ms: int | None = None,
+) -> DataFrame:
+    """Keyed running counter on ``transformWithStateInPandas`` — the
+    Spark-4 StatefulProcessor upgrade of the ``applyInPandasWithState``
+    runtime. Its TIMERS map even closer to the reference's
+    drain-on-interval than watermark windows do: `window.go:38-49` polls
+    every interval and drains (emit + reset) each keyed count, which is
+    exactly a processing-time timer firing ``handleExpiredTimer``.
+
+    Semantics: every micro-batch emits the running total per key
+    (≡ the reference's repeated emissions, `state/count.go:18-31`); with
+    ``drain_interval_ms`` set, a processing-time timer re-registered on
+    every input batch drains the count — emit final, clear state — when
+    it fires (read-and-reset, `cloudTrail_agg.go:77-96`). State lives in
+    the checkpointed per-key store, partitioned across executors."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} string, {count_alias} long"
+
+    class _KeyedCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._cnt = handle.getValueState("cnt", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._cnt.get()[0] if self._cnt.exists() else 0
+            total = prev + n
+            self._cnt.update((total,))
+            if drain_interval_ms is not None:
+                self._handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs()
+                    + drain_interval_ms
+                )
+            yield pd.DataFrame({key_col: [key[0]], count_alias: [total]})
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            # The drain: emit the final count and reset — the destructive
+            # interval read of the reference's poller.
+            if self._cnt.exists():
+                total = self._cnt.get()[0]
+                self._cnt.clear()
+                yield pd.DataFrame({key_col: [key[0]], count_alias: [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(F.col(key_col)).transformWithStateInPandas(
+        statefulProcessor=_KeyedCounter(),
+        outputStructType=out_schema,
+        outputMode="update",
+        timeMode="processingTime",
+    )
+
+
 def global_count_stream(events: DataFrame) -> DataFrame:
     """≡ Counter.Increment + destructive Window() read (`state/count.go:
     18-31`): in update mode each micro-batch emits the running total; the

@@ -139,6 +139,57 @@ def test_global_count_stream(spark, tmp_path):
     assert spark.sql("SELECT cnt FROM cnt_out").collect()[0].cnt == 4
 
 
+def test_keyed_counter_tws_golden(spark, tmp_path):
+    """≡ integration_test.go:319-416 keyed agg on the Spark-4
+    StatefulProcessor API (transformWithStateInPandas): three no-MFA
+    events for one entity → running count reaches 3; a second micro-batch
+    proves the ValueState persists across batches (BoltDB durability ≡
+    checkpointed state). Skipped on runtimes without the API."""
+    from go_fish_spark.streaming import sinks, sources, stateful
+
+    if not stateful.has_transform_with_state():
+        pytest.skip("transformWithStateInPandas not available")
+
+    indir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    write_events(
+        indir,
+        [
+            dict(event_id=i, ts=f"2024-01-01T00:0{i}:00Z", event_type="CreateUser",
+                 key="role/AssumeNothing", principal=None, principal_id="p")
+            for i in range(1, 4)
+        ],
+        "b0.json",
+    )
+    events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+    counted = stateful.keyed_counter_tws_stream(events)
+    q = sinks.json_sink(counted, outdir, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+
+    out_schema = "key string, occurrences long"
+    rows = spark.read.schema(out_schema).json(outdir).collect()
+    assert [(r.key, r.occurrences) for r in rows] == [("role/AssumeNothing", 3)]
+
+    # batch 2: two more events for the same key — state must carry the 3
+    write_events(
+        indir,
+        [
+            dict(event_id=i, ts=f"2024-01-01T01:0{i}:00Z", event_type="CreateUser",
+                 key="role/AssumeNothing", principal=None, principal_id="p")
+            for i in range(4, 6)
+        ],
+        "b1.json",
+    )
+    q2 = sinks.json_sink(counted, outdir, ckpt, trigger_available_now=True)
+    q2.awaitTermination(120)
+    totals = sorted(
+        r.occurrences
+        for r in spark.read.schema(out_schema).json(outdir).collect()
+    )
+    assert totals == [3, 5]
+
+
 def test_fanout_single_read(spark, tmp_path):
     """DAG fan-out from one source read (`pipeline.go:400-404` ≡
     fanout_sink): both branches see the same micro-batch."""
