@@ -74,6 +74,10 @@ HEADLINE = [
     # components → canonical → split; ~half its wall is the iterative
     # connected-components rounds)
     "x20_curation_pipeline",
+    # round-3: recurring-crawl dedup, per-language quality bar, mix report
+    "x29_incremental_dedup",
+    "x30_quality_topq",
+    "x31_source_mix",
 ]
 
 

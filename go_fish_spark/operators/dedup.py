@@ -617,6 +617,39 @@ def semantic_dedup_pairs(
     return assigned.groupBy("_cell").applyInPandas(score_cell, out_schema)
 
 
+def incremental_dedup(
+    new_df: DataFrame, hist_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Dedup a NEW batch against a historical corpus, then within itself —
+    the recurring-crawl shape: yesterday's corpus is already deduped, so
+    today's batch only needs (a) an anti-join against the historical
+    fingerprint store and (b) exact dedup within the batch.
+
+    Output: (canonical_id, n_copies) per surviving distinct content —
+    same contract as :func:`exact_dedup`, restricted to content unseen in
+    ``hist_df``.
+
+    100 TB shape: both sides reduce to 16-byte md5 digests before any
+    join, so the anti-join shuffles slim keys on the digest; the
+    historical side is corpus-scale and carries NO broadcast hint (in a
+    real deployment the digest store would be bucketed by digest, making
+    the anti-join zero-exchange on the stored side — see
+    tests/test_bucketing.py for the pattern)."""
+    hist = hist_df.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
+    fresh = (
+        new_df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_digest"))
+        .join(hist, "_digest", "left_anti")
+    )
+    return (
+        fresh.groupBy("_digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: canonical (min id) representative + duplicate count per
     identical content. Groups on the md5 digest so the shuffle key is 16

@@ -76,6 +76,41 @@ def duck_hash_uniform(key_expr: str) -> str:
     )
 
 
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    frac: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Keep the top ``frac`` of each group by ``order_col`` (descending) —
+    per-language/per-source quality selection, the curation move of
+    applying a SEPARATE quality bar to each stratum instead of one global
+    cutoff (which would drown low-resource strata).
+
+    Deterministic: ordering is (order_col DESC, tiebreak_col ASC), which
+    is total when the tiebreak is unique; selection uses percent_rank —
+    identical semantics in DuckDB, so the op is oracle-checkable.
+
+    100 TB shape: one shuffle on the group key; within-group sort is the
+    window sort. Group count is bounded (languages/sources), so per-group
+    data is the skew consideration — for a very hot group this becomes
+    the same single-partition-sort hazard as any global window; if a
+    group outgrows an executor, switch to the two-pass approx-quantile
+    cutoff (compute the per-group score threshold, then a pure filter)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(tiebreak_col).asc())
+    )
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= frac)
+        .drop("_pr")
+    )
+
+
 def weighted_sample(
     df: DataFrame, key: str, weight: Column | str, scale: float = 1.0
 ) -> DataFrame:

@@ -906,3 +906,125 @@ def x28_weighted_sample(spark, sf_dir):
         "doc_id", tx.quality_score("text").alias("score")
     )
     return weighted_sample(df, "doc_id", "score", scale=0.8).orderBy("doc_id")
+
+
+# --- x29-x31: recurring-crawl dedup, per-stratum quality bar, mix report ---
+
+# "Historical corpus" vs "new crawl batch": deterministic doc_id split
+# (~80% historical), identical on both engines.
+_DUCK_NEW = "doc_id % 5 = 0"
+
+
+@query(
+    "x29_incremental_dedup",
+    oracle=f"""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS d FROM documents WHERE NOT ({_DUCK_NEW})
+    ),
+    fresh AS (
+      SELECT doc_id, md5(text) AS d FROM documents
+      WHERE {_DUCK_NEW} AND md5(text) NOT IN (SELECT d FROM hist)
+    )
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM fresh GROUP BY d
+    ORDER BY canonical_id
+    """,
+)
+def x29_incremental_dedup(spark, sf_dir):
+    """Incremental dedup (dedup.incremental_dedup): today's crawl batch
+    anti-joined against the historical corpus's md5 fingerprint store,
+    then exact-deduped within itself — the recurring-ingest shape where
+    the full-corpus dedup (x01) has already run on everything older.
+    Both sides reduce to 16-byte digests before the join; the historical
+    store carries no broadcast hint (it is corpus-scale)."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    return dedup.incremental_dedup(
+        docs.filter(is_new), docs.filter(~is_new), "doc_id", "text"
+    ).orderBy("canonical_id")
+
+
+@query(
+    "x30_quality_topq",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             0.4 * least(len(ws) / 100.0, 1.0)
+               + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ({_DUCK_STOP}))) / len(ws))
+               + 0.3 * least((length(text) - (len(ws) - 1)) / len(ws) / 10.0, 1.0)
+               AS score
+      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT doc_id, lang, score FROM (
+      SELECT *, percent_rank() OVER (
+        PARTITION BY lang ORDER BY score DESC, doc_id ASC
+      ) AS pr FROM scored
+    ) WHERE pr <= 0.2
+    ORDER BY doc_id
+    """,
+)
+def x30_quality_topq(spark, sf_dir):
+    """Per-language quality bar (sampling.top_fraction_per_group): keep
+    each language's top 20% by quality score — a SEPARATE bar per
+    stratum, the curation move that stops a global cutoff from drowning
+    low-resource languages. percent_rank over (score DESC, doc_id ASC)
+    is total-ordered, so the kept set is deterministic and
+    engine-portable."""
+    from ..operators.sampling import top_fraction_per_group
+
+    scored = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tx.quality_score("text").alias("score")
+    )
+    return top_fraction_per_group(
+        scored, "lang", "score", 0.2, "doc_id"
+    ).orderBy("doc_id")
+
+
+@query(
+    "x31_source_mix",
+    oracle=r"""
+    WITH per_src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             count(DISTINCT md5(text)) AS n_distinct
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+           CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate
+    FROM per_src
+    ORDER BY source
+    """,
+)
+def x31_source_mix(spark, sf_dir):
+    """Corpus composition report: per-source doc/token counts, each
+    source's share of the token budget, and its exact-dup rate — the
+    numbers a data-mixture plan is written against. One groupBy on the
+    (bounded-cardinality) source key with distinct-digest counting
+    map-side; the share is a window over the handful of source rows, so
+    the second pass is O(#sources)."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tx.tokens("text"))).alias("n_tokens"),
+        F.count_distinct(F.md5("text")).alias("n_distinct"),
+    )
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(Window.partitionBy())
+            ).alias("token_share"),
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

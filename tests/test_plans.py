@@ -309,6 +309,20 @@ def test_q69_predicates_pushed_to_scan(spark):
     assert "LessThan(l_quantity,24.0)" in plan
 
 
+def test_x29_incremental_dedup_is_unhinted_anti_join_on_digest(spark):
+    """The historical fingerprint store is corpus-scale: the anti-join
+    must carry no forced broadcast hint (AQE decides), and both join
+    inputs must be reduced to the 16-byte digest before the exchange —
+    scans read only (doc_id, text) / (text)."""
+    plan = plan_of(spark, "x29_incremental_dedup")
+    assert "LeftAnti" in plan
+    assert _hint_subtrees(spark, "x29_incremental_dedup") == []
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans and all(len(s.split(",")) <= 2 for s in scans), scans
+
+
 def _ts_touching_queries():
     """Registered queries that read events.ts — discovered from source so
     new queries are covered automatically."""
