@@ -74,10 +74,13 @@ HEADLINE = [
     # components → canonical → split; ~half its wall is the iterative
     # connected-components rounds)
     "x20_curation_pipeline",
-    # round-3: recurring-crawl dedup, per-language quality bar, mix report
+    # round-3: recurring-crawl dedup, per-language quality bar, mix report,
+    # verbatim-probe decontamination, mixture rebalancing
     "x29_incremental_dedup",
     "x30_quality_topq",
     "x31_source_mix",
+    "x32_substring_decontam",
+    "x33_mix_rebalance",
 ]
 
 

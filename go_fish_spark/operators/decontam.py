@@ -63,6 +63,37 @@ def contaminated_docs(
     )
 
 
+def substring_contaminated_docs(
+    train_docs: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe_col: str = "probe",
+) -> DataFrame:
+    """Exact-substring decontamination: training docs containing any probe
+    string VERBATIM → ``(id_col, n_probe_hits)``. The stronger form of
+    :func:`contaminated_docs` — shingle overlap catches paraphrase-level
+    leakage, substring containment catches the canary/verbatim case
+    (eval questions, licensed strings, canaries) with zero false
+    positives.
+
+    100 TB shape: probes are a benchmark artifact (bounded, thousands),
+    so the probe list broadcasts and the corpus side is MAP-ONLY — a
+    broadcast nested-loop join whose per-row cost is |probes| substring
+    searches. For probe sets beyond ~10⁴, the per-row loop should become
+    one Aho-Corasick automaton pass (a Pandas-UDF holding the automaton —
+    same broadcast-probes shape, per-row cost independent of |probes|);
+    the join below is the built-in-operator form that DuckDB can mirror
+    exactly."""
+    p = F.broadcast(probes.select(F.col(probe_col).alias("_probe")).distinct())
+    return (
+        train_docs.select(F.col(id_col), F.col(text_col))
+        .join(p, F.contains(F.col(text_col), F.col("_probe")))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+    )
+
+
 def decontaminate(
     train_docs: DataFrame,
     eval_docs: DataFrame,

@@ -111,6 +111,56 @@ def top_fraction_per_group(
     )
 
 
+def rebalance_mix(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    size_col: Column | str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Downsample groups to a TARGET mixture — the data-budget move: given
+    per-source token totals, compute each source's acceptance rate so the
+    kept corpus approaches ``target_shares`` (default: uniform across
+    groups), then keep each row by its key-hash (deterministic, layout/
+    engine-invariant — same primitive as :func:`weighted_sample`).
+
+    Rates are ``min(1, target_tokens_g / actual_tokens_g)`` — groups
+    under their target are kept whole (no upsampling), oversized groups
+    are thinned. Two-pass shape: pass 1 is one groupBy on the BOUNDED
+    group key (sources/languages — dozens, not billions) producing a
+    rates table that broadcasts; pass 2 is a pure per-row filter. The
+    rebalance never shuffles the corpus."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    totals = df.groupBy(group_col).agg(F.sum(size).alias("_tok"))
+    if target_shares is None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        target_tok = F.sum("_tok").over(w) / F.count(F.lit(1)).over(w)
+    else:
+        from pyspark.sql import Window
+
+        total = F.sum("_tok").over(Window.partitionBy())
+        share = None
+        for name, s in target_shares.items():
+            lit = F.lit(float(s))
+            share = (
+                F.when(F.col(group_col) == name, lit)
+                if share is None
+                else share.when(F.col(group_col) == name, lit)
+            )
+        target_tok = total * share.otherwise(F.lit(0.0))
+    rates = totals.select(
+        group_col,
+        F.least(F.lit(1.0), target_tok / F.col("_tok")).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_uniform(key) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def weighted_sample(
     df: DataFrame, key: str, weight: Column | str, scale: float = 1.0
 ) -> DataFrame:

@@ -1028,3 +1028,75 @@ def x31_source_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x32_substring_decontam",
+    oracle=f"""
+    WITH probes AS (
+      SELECT DISTINCT substr(text, 1, 12) AS p FROM documents
+      WHERE {_DUCK_EVAL} AND length(substr(text, 1, 12)) >= 12
+    ),
+    train AS (SELECT doc_id, text FROM documents WHERE NOT ({_DUCK_EVAL}))
+    SELECT doc_id, count(*) AS n_probe_hits
+    FROM train JOIN probes ON contains(train.text, probes.p)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def x32_substring_decontam(spark, sf_dir):
+    """Exact-substring decontamination (decontam.substring_contaminated_docs):
+    training docs containing an eval probe VERBATIM — the canary/verbatim
+    complement to x21's shingle overlap. Probes here are 12-char prefixes
+    of the eval docs (the longest slice that actually collides in this
+    synthetic corpus — real canaries are longer; probes shorter than 12
+    chars are dropped so no trivially-matching probe survives); the probe
+    list broadcasts and the corpus side is map-only."""
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    probes = (
+        docs.filter(is_eval)
+        .select(F.substring("text", 1, 12).alias("probe"))
+        .filter(F.length("probe") >= 12)
+    )
+    return decontam.substring_contaminated_docs(
+        docs.filter(~is_eval), probes, "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+@query(
+    "x33_mix_rebalance",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    s AS (SELECT source, CAST(sum(n) AS DOUBLE) AS tok FROM t GROUP BY source),
+    r AS (
+      SELECT source,
+             least(1.0, ((SELECT sum(tok) FROM s) / (SELECT count(*) FROM s))
+                          / tok) AS rate
+      FROM s
+    )
+    SELECT t.doc_id, t.source FROM t JOIN r ON t.source = r.source
+    WHERE {_DUCK_UNIFORM_DOCID} < rate
+    ORDER BY doc_id
+    """,
+)
+def x33_mix_rebalance(spark, sf_dir):
+    """Mixture rebalancing (sampling.rebalance_mix): downsample each
+    source toward a UNIFORM token budget — oversized sources are thinned
+    to the per-source target, undersized ones kept whole. Pass 1 is one
+    groupBy on the bounded source key → a broadcast rates table; pass 2
+    is a pure per-row hash filter, so the corpus itself never shuffles.
+    Acceptance is the doc_id's md5-uniform — deterministic and
+    engine-portable (hash-verified here)."""
+    from ..operators.sampling import rebalance_mix
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tx.tokens("text")).alias("n")
+    )
+    return (
+        rebalance_mix(docs, "doc_id", "source", "n")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

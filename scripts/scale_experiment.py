@@ -112,6 +112,16 @@ def main() -> None:
             "vec_id", "embedding", threshold=0.45,
             n_cells=16 if d == BASE else 64,
         ).count(),
+        # round-3 additions: CC-backed components + curation pipeline
+        # (measures the label-sum convergence upgrade at 10x), and the
+        # x29-x33 recurring-pipeline ops (all documents-only).
+        "x18_dup_components": lambda d: REGISTRY["x18_dup_components"].fn(spark, d).count(),
+        "x20_curation_pipeline": lambda d: REGISTRY["x20_curation_pipeline"].fn(spark, d).count(),
+        "x29_incremental_dedup": lambda d: REGISTRY["x29_incremental_dedup"].fn(spark, d).count(),
+        "x30_quality_topq": lambda d: REGISTRY["x30_quality_topq"].fn(spark, d).count(),
+        "x31_source_mix": lambda d: REGISTRY["x31_source_mix"].fn(spark, d).count(),
+        "x32_substring_decontam": lambda d: REGISTRY["x32_substring_decontam"].fn(spark, d).count(),
+        "x33_mix_rebalance": lambda d: REGISTRY["x33_mix_rebalance"].fn(spark, d).count(),
     }
     for label, fn in cases.items():
         t1, n1 = timed(lambda: fn(BASE))

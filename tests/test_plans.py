@@ -323,6 +323,24 @@ def test_x29_incremental_dedup_is_unhinted_anti_join_on_digest(spark):
     assert scans and all(len(s.split(",")) <= 2 for s in scans), scans
 
 
+def test_x32_substring_decontam_broadcasts_probes(spark):
+    """Verbatim-probe decontamination: the probe list (bounded benchmark
+    artifact) broadcasts into a nested-loop contains-join; the corpus side
+    must never shuffle before the matched-ids groupBy."""
+    plan = plan_of(spark, "x32_substring_decontam")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_x33_mix_rebalance_broadcasts_rates(spark):
+    """Mixture rebalance: the per-source rates table (bounded cardinality)
+    broadcasts; the corpus-side join input must carry no shuffle (its only
+    Exchanges are the pass-1 totals groupBy and the final sort)."""
+    plan = plan_of(spark, "x33_mix_rebalance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def _ts_touching_queries():
     """Registered queries that read events.ts — discovered from source so
     new queries are covered automatically."""
