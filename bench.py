@@ -7,6 +7,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed once as a warm-up-free wall-clock measurement of
 plan + execute + collect-count (count() keeps the full plan but avoids
 driver-side result materialization skew for wide outputs).
+
+NOTE on cross-round comparison: the HEADLINE set GROWS each round (22
+queries in r01 → 41 in r02 → 46 in r03), so the headline TOTAL is not
+comparable across rounds — compare per-query timings. Every query in the
+r01 set runs faster in r03 (ratios 0.42–0.88 at the same sf0.1,
+local[32]); the r03 total is larger only because 24 queries were added.
 """
 
 from __future__ import annotations

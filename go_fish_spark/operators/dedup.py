@@ -449,13 +449,13 @@ def _cap_cells(
     """Skew guard for :func:`semantic_dedup_pairs`: re-split cells over
     ``max_cell_size`` with a secondary KMeans (semantic locality kept),
     then salt any composite cell STILL over the cap (hard bound for
-    identical-vector masses). Input/output columns: _id, _v, features,
-    _cell; output _cell is a string composite key. Single pass over the
-    data — the sub-quantizer transform runs on every row, and the hot/cold
-    choice is a column expression, so the frame is never scanned twice."""
+    identical-vector masses). Input/output columns: _id, _v, _cell;
+    output _cell is a string composite key. Single pass over the data —
+    the sub-quantizer assignment is a column expression on every row, and
+    the hot/cold choice wraps it, so the frame is never scanned twice."""
     import math
 
-    from pyspark.ml.clustering import KMeans
+    from . import similarity
 
     counts = assigned.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
     hot = {r["_cell"]: r["_n"] for r in counts.collect() if r["_n"] > max_cell_size}
@@ -465,20 +465,17 @@ def _cap_cells(
     # 2x oversplit: KMeans cells are not balanced, so splitting a hot cell
     # into exactly n/cap sub-cells would leave some sub-cells over the cap.
     n_sub = min(256, max(2, 2 * math.ceil(max(hot.values()) / max_cell_size)))
-    fit_in = assigned.filter(F.col("_cell").isin(list(hot))).select("features")
-    n_hot = sum(hot.values())
-    if n_hot > train_cap:
-        frac = min(1.0, 1.1 * train_cap / n_hot)
-        fit_in = fit_in.sample(fraction=frac, seed=seed).limit(train_cap)
-    sub_model = KMeans(k=n_sub, seed=seed, maxIter=20).fit(fit_in)
+    X = similarity.sample_vectors(
+        assigned.filter(F.col("_cell").isin(list(hot))), vec_col, train_cap, seed
+    )
+    sub_model = similarity.Quantizer(similarity._kmeans_fit(X, n_sub, seed))
 
-    capped = sub_model.transform(assigned).select(
+    capped = assigned.select(
         "_id",
         "_v",
-        "features",
         F.when(
             F.col("_cell").isin(list(hot)),
-            F.concat_ws("/", F.col("_cell"), F.col("prediction")),
+            F.concat_ws("/", F.col("_cell"), sub_model.assign_col(vec_col)),
         )
         .otherwise(F.col("_cell").cast("string"))
         .alias("_cell"),
@@ -570,26 +567,20 @@ def semantic_dedup_pairs(
     construction; only recall is approximate)."""
     import numpy as np
     import pandas as pd
-    from pyspark.ml.functions import array_to_vector
 
     from . import similarity
 
     model = similarity.fit_quantizer(df, vec_col, n_cells, train_cap, seed)
-    assigned = model.transform(
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias(
-                "features"
-            ),
-        )
-    ).select("_id", "_v", "features", F.col("prediction").alias("_cell"))
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        model.assign_col(vec_col).alias("_cell"),
+    )
 
     if max_cell_size is not None:
         assigned = _cap_cells(
             assigned, "_v", max_cell_size, train_cap, seed
         )
-    assigned = assigned.drop("features")
 
     id_dtype = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_dtype}, id_b {id_dtype}, cos double"
