@@ -63,28 +63,103 @@ def contaminated_docs(
     )
 
 
+def _aho_build(patterns: list[str]):
+    """Aho-Corasick automaton over ``patterns``: (goto, fail, out) where
+    ``out[state]`` lists the indices of patterns ending at that state
+    (including via suffix links) — one text pass finds every DISTINCT
+    pattern contained, regardless of how many patterns there are."""
+    from collections import deque
+
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for idx, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(idx)
+    fail = [0] * len(goto)
+    q = deque(goto[0].values())
+    while q:
+        s = q.popleft()
+        for ch, t in goto[s].items():
+            q.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            cand = goto[f].get(ch, 0)
+            fail[t] = cand if cand != t else 0
+            out[t] = out[t] + out[fail[t]]
+    return goto, fail, out
+
+
 def substring_contaminated_docs(
     train_docs: DataFrame,
     probes: DataFrame,
     id_col: str,
     text_col: str,
     probe_col: str = "probe",
+    method: str = "join",
 ) -> DataFrame:
     """Exact-substring decontamination: training docs containing any probe
-    string VERBATIM → ``(id_col, n_probe_hits)``. The stronger form of
-    :func:`contaminated_docs` — shingle overlap catches paraphrase-level
-    leakage, substring containment catches the canary/verbatim case
-    (eval questions, licensed strings, canaries) with zero false
-    positives.
+    string VERBATIM → ``(id_col, n_probe_hits)`` (count of DISTINCT
+    probes contained). The stronger form of :func:`contaminated_docs` —
+    shingle overlap catches paraphrase-level leakage, substring
+    containment catches the canary/verbatim case (eval questions,
+    licensed strings, canaries) with zero false positives.
 
     100 TB shape: probes are a benchmark artifact (bounded, thousands),
-    so the probe list broadcasts and the corpus side is MAP-ONLY — a
-    broadcast nested-loop join whose per-row cost is |probes| substring
-    searches. For probe sets beyond ~10⁴, the per-row loop should become
-    one Aho-Corasick automaton pass (a Pandas-UDF holding the automaton —
-    same broadcast-probes shape, per-row cost independent of |probes|);
-    the join below is the built-in-operator form that DuckDB can mirror
-    exactly."""
+    so the probe side broadcasts either way and the corpus is MAP-ONLY.
+    ``method`` picks the per-row cost:
+
+    * ``"join"`` — broadcast nested-loop contains-join: |probes|
+      substring searches per row, entirely built-in operators (DuckDB
+      can mirror it exactly — the oracle-checkable form).
+    * ``"automaton"`` — ONE Aho-Corasick pass per row (pandas UDF whose
+      closure carries the automaton built driver-side from the collected
+      probe list): per-row cost independent of |probes| — the route for
+      probe sets beyond ~10⁴. Identical output to ``"join"``
+      (equality-tested in tests/test_curation.py)."""
+    if method == "automaton":
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        plist = sorted(
+            r[0]
+            for r in probes.select(F.col(probe_col)).distinct().collect()
+            if r[0]
+        )
+        goto, fail, out = _aho_build(plist)
+
+        def _n_hits(texts):
+            res = []
+            for text in texts:
+                s = 0
+                matched: set[int] = set()
+                for ch in text:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    if out[s]:
+                        matched.update(out[s])
+                res.append(len(matched))
+            return pd.Series(res, dtype="int64")
+
+        _n_hits.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        u = F.pandas_udf(_n_hits, T.LongType())
+        return (
+            train_docs.select(
+                F.col(id_col), u(F.col(text_col)).alias("n_probe_hits")
+            )
+            .filter(F.col("n_probe_hits") > 0)
+        )
+    if method != "join":
+        raise ValueError(f"unknown method {method!r}")
     p = F.broadcast(probes.select(F.col(probe_col).alias("_probe")).distinct())
     return (
         train_docs.select(F.col(id_col), F.col(text_col))

@@ -137,3 +137,66 @@ def test_pack_documents_shards_are_deterministic(spark):
         df.repartition(7), "doc_id", "text"
     ).collect()))
     assert a == b  # invariant to physical layout
+
+
+def test_substring_decontam_automaton_equals_join(spark):
+    """The Aho-Corasick route (per-row cost independent of |probes|) must
+    produce EXACTLY the contains-join's rows — including overlapping
+    probes, probe-inside-probe, and repeated occurrences (both count
+    DISTINCT probes contained, not occurrences)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "quick brown quick brown quick brown"),  # repeats: still 1 hit each
+            (4, "nothing to see here"),
+            (5, "a quick brown fox in a box"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        # overlapping + nested probes: "quick brown" contains "quick";
+        # "box" also appears inside no other probe
+        [("quick brown",), ("quick",), ("box",), ("zebra",), ("quick",)],
+        "probe string",
+    )
+    j = {
+        (r.doc_id, r.n_probe_hits)
+        for r in decontam.substring_contaminated_docs(
+            docs, probes, "doc_id", "text", method="join"
+        ).collect()
+    }
+    a = {
+        (r.doc_id, r.n_probe_hits)
+        for r in decontam.substring_contaminated_docs(
+            docs, probes, "doc_id", "text", method="automaton"
+        ).collect()
+    }
+    assert j == a
+    assert j == {(1, 2), (2, 1), (3, 2), (5, 3)}
+
+    # and on the real corpus with x32's probe construction
+    from go_fish_spark.catalog import table
+    from conftest import SF_SMALL
+
+    corpus = table(spark, SF_SMALL, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    real_probes = (
+        corpus.filter(is_eval)
+        .select(F.substring("text", 1, 12).alias("probe"))
+        .filter(F.length("probe") >= 12)
+    )
+    train = corpus.filter(~is_eval)
+    jr = sorted(
+        tuple(r)
+        for r in decontam.substring_contaminated_docs(
+            train, real_probes, "doc_id", "text", method="join"
+        ).collect()
+    )
+    ar = sorted(
+        tuple(r)
+        for r in decontam.substring_contaminated_docs(
+            train, real_probes, "doc_id", "text", method="automaton"
+        ).collect()
+    )
+    assert jr == ar and jr
