@@ -6,18 +6,20 @@ CLUSTERS ("keep one canonical doc per near-dup group"), and pairs compose
 transitively: A~B, B~C puts A,C in one cluster even if they never paired.
 That is connected components, with min(doc_id) as the canonical label.
 
-Algorithm: iterative min-label propagation — each round every node takes
-the minimum label among itself and its neighbors; converges in
-O(component diameter) rounds. Per round: ONE shuffle-join of labels to
-the adjacency list + one min-aggregation, and the label frame is
-``localCheckpoint``-ed so the plan does not grow with the iteration count
-(without this, round k re-executes rounds 1..k-1 — the classic iterative-
-DataFrame trap). Near-dup graphs have tiny diameters (dup clusters are
-dense), so rounds stay single-digit at any corpus size; for adversarial
-long-chain graphs the two-phase large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond") drops
-rounds to O(log n) — out of scope here, pairs from the dedup family give
-star-shaped components.
+Algorithm: iterative min-label propagation with pointer jumping — each
+round every node takes the minimum label among itself and its neighbors,
+and (from round ``jump_after`` on) additionally hops to its label's own
+label (path halving), the same doubling trick that gives the two-phase
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond") its O(log n) bound. Per round: ONE
+shuffle-join of labels to the (pre-partitioned, static) adjacency + one
+min-aggregation (+ one labels⋈labels join once jumping engages), and the
+label frame is ``localCheckpoint``-ed so the plan does not grow with the
+iteration count (without this, round k re-executes rounds 1..k-1 — the
+classic iterative-DataFrame trap). Near-dup graphs have tiny diameters
+(dup clusters are dense), so rounds stay single-digit at any corpus
+size; the jumping rounds are the guard for adversarial long-chain
+graphs, which converge in O(log diameter) instead of O(diameter).
 """
 
 from __future__ import annotations
@@ -33,12 +35,22 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    jump_after: int = 2,
 ) -> DataFrame:
     """(id, component) for every node; component = min node id reachable.
 
     ``nodes``: one column ``id_col``. ``edges``: undirected pairs
     ``src_col``/``dst_col`` (direction-agnostic; self-loops harmless).
-    Raises if not converged within ``max_iter`` rounds."""
+    Raises if not converged within ``max_iter`` rounds.
+
+    Adversarial-diameter guard: plain min-label propagation needs
+    O(diameter) rounds — a 10⁶-node chain would never finish. From round
+    ``jump_after`` on, each round adds POINTER JUMPING (path halving:
+    ``component ← component[component]``, one extra labels⋈labels join),
+    which doubles the distance a label travels per round → O(log
+    diameter) total. The first ``jump_after`` rounds stay plain because
+    the dominant dedup graphs (dup cliques, diameter ≤ 2) converge in
+    2-3 rounds and shouldn't pay the extra join."""
     # Pre-partition the (static) adjacency on the join key: the cached
     # frame's HashPartitioning(src) satisfies each round's join
     # requirement, so only the (changing) label side shuffles per round.
@@ -61,7 +73,7 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sum = label_sum(labels)
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # neighbor labels flow along edges; min with own label
         prop = adj.join(labels, adj["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "component"
@@ -70,7 +82,28 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # truncate lineage: round k must not replan 1..k-1
+        )
+        if rnd >= jump_after:
+            # path halving: component ← component's own label. Labels only
+            # decrease, so least() is the min of the two hops; coalesce
+            # covers edge endpoints absent from `nodes`.
+            l2 = new_labels.select(
+                F.col("id").alias("_cid"), F.col("component").alias("_cc")
+            )
+            new_labels = (
+                new_labels.join(
+                    l2, new_labels["component"] == l2["_cid"], "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_cc"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+        new_labels = (
+            new_labels.localCheckpoint()  # truncate lineage: round k must not replan 1..k-1
         )
         # Convergence: min-propagation can only DECREASE labels, so the
         # exact label sum is strictly monotone — equal sums ⟺ fixpoint.

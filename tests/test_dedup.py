@@ -218,6 +218,22 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(nodes, edges, max_iter=1)
 
 
+def test_connected_components_adversarial_long_chain(spark):
+    """A 200-node PATH graph has diameter 199: plain min-label propagation
+    would need ~200 rounds — far past max_iter — so this converging within
+    the default 25 is direct evidence the pointer-jumping (path-halving)
+    rounds deliver their O(log diameter) bound."""
+    from go_fish_spark.operators.graph import connected_components
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
 def test_tfidf_scores_rare_terms_higher(spark):
     from go_fish_spark.operators.tfidf import tf_idf
 
