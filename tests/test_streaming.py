@@ -190,6 +190,45 @@ def test_keyed_counter_tws_golden(spark, tmp_path):
     assert totals == [3, 5]
 
 
+def test_stream_incremental_dedup_vs_static_store(spark, tmp_path):
+    """x29's streaming form: a recurring crawl arrives as a STREAM and is
+    deduped against the static historical digest store via a stream-static
+    LEFT ANTI join on md5(text) — the store stays a bounded-per-batch
+    lookup, no stream-side state needed for the cross-corpus half."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.streaming import sources
+
+    hist = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    hist_digests = hist.select(F.md5("text").alias("_digest")).distinct()
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [
+            dict(event_id=10, ts="2024-01-01T00:00:00Z", event_type="doc",
+                 key="seen before", principal=None, principal_id="p"),
+            dict(event_id=11, ts="2024-01-01T00:01:00Z", event_type="doc",
+                 key="brand new", principal=None, principal_id="p"),
+            dict(event_id=12, ts="2024-01-01T00:02:00Z", event_type="doc",
+                 key="also seen", principal=None, principal_id="p"),
+        ],
+    )
+    stream = sources.json_stream(spark, str(indir), EVENT_SCHEMA).select(
+        F.col("event_id").alias("doc_id"), F.col("key").alias("text")
+    )
+    fresh = stream.join(
+        hist_digests,
+        F.md5(stream["text"]) == hist_digests["_digest"],
+        "left_anti",
+    )
+    run_to_memory(fresh, "incr_dedup_out")
+    rows = spark.sql("SELECT doc_id, text FROM incr_dedup_out").collect()
+    assert [(r.doc_id, r.text) for r in rows] == [(11, "brand new")]
+
+
 def test_fanout_single_read(spark, tmp_path):
     """DAG fan-out from one source read (`pipeline.go:400-404` ≡
     fanout_sink): both branches see the same micro-batch."""
