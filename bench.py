@@ -87,6 +87,8 @@ HEADLINE = [
     "x31_source_mix",
     "x32_substring_decontam",
     "x33_mix_rebalance",
+    "x34_unigram_logprob",
+    "x35_normalized_dedup",
 ]
 
 

@@ -641,6 +641,33 @@ def incremental_dedup(
     )
 
 
+def normalized_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup under content NORMALIZATION (lowercase, non-alphanumeric
+    runs collapsed to one space, trimmed) — catches the near-exact tier
+    between x01 (byte-identical) and the similarity family: re-encoded,
+    re-punctuated, case-shifted copies. Output per normalized-content
+    group: (canonical_id, n_copies, n_raw_variants) where n_raw_variants
+    counts the distinct RAW byte-contents merged by normalization (1 ⇒
+    normalization added nothing for that group).
+
+    Same 100 TB shape as exact_dedup: normalization is a per-row map and
+    the shuffle key is the 16-byte digest of the normalized text. The
+    regex is shared Java∩RE2 dialect ([^a-z0-9]+), so DuckDB mirrors it
+    exactly."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    return (
+        df.groupBy(F.md5(norm).alias("_digest"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct(F.md5(F.col(text_col))).alias("n_raw_variants"),
+        )
+        .select("canonical_id", "n_copies", "n_raw_variants")
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: canonical (min id) representative + duplicate count per
     identical content. Groups on the md5 digest so the shuffle key is 16

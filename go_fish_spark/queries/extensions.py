@@ -1100,3 +1100,53 @@ def x33_mix_rebalance(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x34_unigram_logprob",
+    oracle="""
+    WITH term AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS cnt FROM term GROUP BY token),
+    tot AS (SELECT count(*) AS n_total FROM term)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))
+                          AS DECIMAL(27,18))) AS DOUBLE) / count(*), 9)
+             AS avg_logprob
+    FROM term JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def x34_unigram_logprob(spark, sf_dir):
+    """Mean unigram log-probability per document under the corpus's own
+    unigram distribution (ngrams.unigram_logprob) — the KenLM-shaped
+    fluency score. Per-token ln is a per-row double (x17 precedent for
+    cross-engine bit-equality); the per-doc mean sums decimal(27,18)
+    casts so accumulation is exact and order-independent."""
+    from ..operators.ngrams import unigram_logprob
+
+    return unigram_logprob(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+@query(
+    "x35_normalized_dedup",
+    oracle=r"""
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+           count(DISTINCT md5(text)) AS n_raw_variants
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    ORDER BY canonical_id
+    """,
+)
+def x35_normalized_dedup(spark, sf_dir):
+    """Exact dedup under normalization (dedup.normalized_dedup): lowercase
+    + collapse non-alphanumeric runs + trim before digesting — merges
+    re-punctuated/case-shifted copies that byte-exact x01 keeps apart;
+    n_raw_variants shows how many raw contents each group merged."""
+    return dedup.normalized_dedup(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("canonical_id")
