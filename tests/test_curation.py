@@ -200,3 +200,34 @@ def test_substring_decontam_automaton_equals_join(spark):
         ).collect()
     )
     assert jr == ar and jr
+
+
+def test_rebalance_mix_explicit_target_shares(spark):
+    """The non-uniform branch: with target_shares={'a': 0.75, 'b': 0.25}
+    over equal-sized groups, group 'a' (under its 75% target) must be
+    kept WHOLE (rate 1 — no upsampling, so its share can't actually reach
+    75%) while 'b' is thinned toward its 25% target; a group absent from
+    target_shares gets rate 0 and vanishes."""
+    from go_fish_spark.operators.sampling import rebalance_mix
+
+    rows = (
+        [(i, "a", 10) for i in range(100)]
+        + [(i + 100, "b", 10) for i in range(100)]
+        + [(i + 200, "c", 10) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    kept = rebalance_mix(
+        df, "doc_id", "source", "n", target_shares={"a": 0.75, "b": 0.25}
+    ).groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    assert by_src.get("a") == 100          # rate 1: kept whole
+    # b: target_tok = 0.25*2500 = 625 of actual 1000 -> rate 0.625;
+    # md5-uniform acceptance keeps ~62 of 100 (hash variance ±~15)
+    assert 45 <= by_src.get("b", 0) <= 80
+    assert "c" not in by_src               # no target share -> rate 0
+
+    # determinism: the kept set is a pure function of (doc_id, rates)
+    kept2 = rebalance_mix(
+        df, "doc_id", "source", "n", target_shares={"a": 0.75, "b": 0.25}
+    ).groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in kept2} == by_src
