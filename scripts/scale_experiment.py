@@ -122,6 +122,8 @@ def main() -> None:
         "x31_source_mix": lambda d: REGISTRY["x31_source_mix"].fn(spark, d).count(),
         "x32_substring_decontam": lambda d: REGISTRY["x32_substring_decontam"].fn(spark, d).count(),
         "x33_mix_rebalance": lambda d: REGISTRY["x33_mix_rebalance"].fn(spark, d).count(),
+        "x34_unigram_logprob": lambda d: REGISTRY["x34_unigram_logprob"].fn(spark, d).count(),
+        "x35_normalized_dedup": lambda d: REGISTRY["x35_normalized_dedup"].fn(spark, d).count(),
     }
     for label, fn in cases.items():
         t1, n1 = timed(lambda: fn(BASE))
