@@ -160,6 +160,8 @@ class Quantizer:
         c_sq = (centers**2).sum(axis=1)
 
         def _assign(batch):
+            if len(batch) == 0:  # empty Arrow batch: np.stack would raise
+                return pd.Series([], dtype="int32")
             V = np.stack(batch.to_numpy()).astype(np.float64)
             D = -2.0 * (V @ centers.T) + c_sq[None, :]
             return pd.Series(D.argmin(axis=1).astype(np.int32))
