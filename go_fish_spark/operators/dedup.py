@@ -429,8 +429,8 @@ def ngram_jaccard_pairs(
 def embedding_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.45
 ) -> DataFrame:
-    """Exact cosine pair scan (O(n²)) — the correctness baseline. For the
-    bucketed scale path see similarity.lsh_buckets."""
+    """Exact cosine pair scan (O(n²)) — the correctness baseline. The
+    clustered scale path is :func:`semantic_dedup_pairs` (x26)."""
     left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = left.join(right, F.col("id_a") < F.col("id_b"))
