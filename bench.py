@@ -89,6 +89,7 @@ HEADLINE = [
     "x33_mix_rebalance",
     "x34_unigram_logprob",
     "x35_normalized_dedup",
+    "x36_passage_dedup",
 ]
 
 

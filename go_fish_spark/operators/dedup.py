@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -638,6 +638,68 @@ def incremental_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select("canonical_id", "n_copies")
+    )
+
+
+def passage_dedup(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 20
+) -> DataFrame:
+    """Passage-level (span) dedup — the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" move, operating BELOW
+    document granularity: boilerplate repeated across otherwise-distinct
+    documents (headers, licenses, navigation chrome) is removed span by
+    span while the unique prose stays. Each document is cut into
+    non-overlapping ``span_tokens``-token spans; a span is kept iff it is
+    the corpus-wide FIRST occurrence of its content (min (doc, position)
+    — deterministic), and each document is rebuilt from its kept spans
+    in order. Output: (id_col, n_spans, n_kept, text_dedup).
+
+    100 TB shape: span construction is array-side per row (zero
+    shuffles); first-occurrence election is ONE shuffle on the 16-byte
+    span digest (window rn=1 — hot boilerplate digests are the skew
+    consideration: each group holds every copy of one span, same hazard
+    class as exact dedup's digest groupBy); document reassembly is one
+    groupBy on the doc id with an order-preserving sort_array, not a
+    global sort."""
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.when(F.size(toks) > 0, spans).otherwise(
+            F.array().cast("array<string>")
+        )).alias("_pos", "_span"),
+    )
+    w = Window.partitionBy(F.md5("_span")).orderBy("_id", "_pos")
+    kept = exploded.withColumn("_rn", F.row_number().over(w))
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("_pos"), F.col("_span")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_span"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_spans", "n_kept", "text_dedup"
+        )
     )
 
 

@@ -1150,3 +1150,42 @@ def x35_normalized_dedup(spark, sf_dir):
     return dedup.normalized_dedup(
         table(spark, sf_dir, "documents"), "doc_id", "text"
     ).orderBy("canonical_id")
+
+
+@query(
+    "x36_passage_dedup",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             [array_to_string(ws[(i-1)*20 + 1 : i*20], ' ')
+              for i in range(1, CAST(ceil(len(ws)/20.0) AS BIGINT) + 1)]
+               AS spans
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    e AS (
+      SELECT doc_id, unnest(range(len(spans))) AS pos, unnest(spans) AS span
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos)
+               AS rn
+      FROM e
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                               ORDER BY pos), '') AS text_dedup
+    FROM r GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def x36_passage_dedup(spark, sf_dir):
+    """Passage-level dedup (dedup.passage_dedup): 20-token spans, keep
+    only each span content's corpus-wide first occurrence (min (doc,pos)),
+    rebuild documents from their kept spans — removes cross-document
+    boilerplate below document granularity (Lee et al. 2022's span-dedup
+    recipe). One shuffle on the span digest + one doc-id groupBy."""
+    return dedup.passage_dedup(
+        table(spark, sf_dir, "documents"), "doc_id", "text", span_tokens=20
+    ).orderBy("doc_id")

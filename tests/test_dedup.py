@@ -371,3 +371,29 @@ def test_semantic_dedup_cell_cap_survives_adversarial_skew(spark):
     blob_ids = set(range(n_blob))
     coverage = len(linked & blob_ids) / n_blob
     assert coverage >= 0.95, f"blob rows escaping dedup: coverage={coverage}"
+
+
+def test_passage_dedup_removes_cross_document_boilerplate(spark):
+    """Two documents share a boilerplate span; the earlier (doc, pos)
+    occurrence survives, the later one is stripped, and unique prose is
+    untouched. Within-document repeats dedup too."""
+    from go_fish_spark.operators import dedup
+
+    span = " ".join(f"b{i}" for i in range(20))          # one exact span
+    uniq1 = " ".join(f"u{i}" for i in range(20))
+    uniq2 = " ".join(f"v{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} {uniq1}"),              # first occurrence of span
+            (2, f"{uniq2} {span}"),              # later copy -> stripped
+            (3, f"{span} {span}"),               # within-doc repeat (later than doc 1)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_spans, r.n_kept, r.text_dedup)
+        for r in dedup.passage_dedup(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (2, 2, f"{span} {uniq1}")
+    assert out[2] == (2, 1, uniq2)
+    assert out[3] == (2, 0, "")
