@@ -90,6 +90,7 @@ HEADLINE = [
     "x34_unigram_logprob",
     "x35_normalized_dedup",
     "x36_passage_dedup",
+    "x37_dedup_lsh_bucketed",
 ]
 
 

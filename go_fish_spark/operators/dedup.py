@@ -442,6 +442,67 @@ def embedding_dup_pairs(
     )
 
 
+def lsh_bucketed_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed embedding near-dup via random-hyperplane LSH — the same
+    clustered shape as :func:`semantic_dedup_pairs` (exact cosine only
+    WITHIN a bucket), but with a fully DETERMINISTIC partitioner: bucket
+    bit i = sign(dot(v, plane_i)) with seeded literal planes, which —
+    unlike a fitted KMeans quantizer — a SQL oracle can reproduce
+    expression-for-expression. This makes the scale-path *structure*
+    (one shuffle on the bucket key, within-bucket pair scoring)
+    hash-checkable end-to-end, complementing x26's rows-only check.
+
+    Recall: sign-identical vectors always share a bucket, so the
+    near-identical dedup regime is fully recalled; borderline pairs split
+    across a sign boundary are the approximation (2^n_planes buckets
+    trade recall for pair-space reduction). Emitted cosines are exact.
+
+    100 TB shape: both join inputs shuffle ONCE on the integer bucket
+    key; per-bucket pair work is Σ|bucket|² — size n_planes so buckets
+    fit an executor (and see semantic_dedup's cap discussion for the
+    pathological-mass case)."""
+    from . import similarity
+
+    planes = similarity.hyperplanes(dim, n_planes, seed)
+    bk = similarity.bucket_key(vec_col, planes)
+    left = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), bk.alias("_bk")
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), bk.alias("_bk2")
+    )
+    pairs = left.join(
+        right, (F.col("_bk") == F.col("_bk2")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos = vectors.cosine("va", "vb")
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def duck_bucket_key(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB mirror of ``similarity.bucket_key`` over the same literal
+    planes: explicit left-associative double sums (same fold order as the
+    Spark ``aggregate``), signs composed into the integer bucket."""
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = " + ".join(
+            f"{vec}[{j + 1}]::DOUBLE * {float(x)!r}" for j, x in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
 def _cap_cells(
     assigned: DataFrame, vec_col: str, max_cell_size: int, train_cap: int,
     seed: int,

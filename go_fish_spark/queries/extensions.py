@@ -1189,3 +1189,33 @@ def x36_passage_dedup(spark, sf_dir):
     return dedup.passage_dedup(
         table(spark, sf_dir, "documents"), "doc_id", "text", span_tokens=20
     ).orderBy("doc_id")
+
+
+def _x37_oracle() -> str:
+    from ..operators import similarity as _sim
+    from ..operators.dedup import duck_bucket_key
+
+    planes = _sim.hyperplanes(_EMB_DIM, 6, 42)
+    bk = duck_bucket_key("embedding", planes)
+    cos = vectors.duck_cosine("a.embedding", "b.embedding", _EMB_DIM)
+    return f"""
+    WITH bk_t AS (SELECT vec_id, embedding, {bk} AS bk FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+    FROM bk_t a JOIN bk_t b ON a.bk = b.bk AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.45
+    ORDER BY id_a, id_b
+    """
+
+
+@query("x37_dedup_lsh_bucketed", oracle=_x37_oracle())
+def x37_dedup_lsh_bucketed(spark, sf_dir):
+    """Bucketed LSH embedding near-dup (dedup.lsh_bucketed_dup_pairs):
+    the clustered-dedup SHAPE — one shuffle on a bucket key, exact cosine
+    only within a bucket — under a DETERMINISTIC sign-bit partitioner
+    that the DuckDB oracle reproduces expression-for-expression, so the
+    whole scale path is hash-checked (x26's KMeans variant is rows-only
+    by nature; this is its oracle-backed sibling)."""
+    return dedup.lsh_bucketed_dup_pairs(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=_EMB_DIM, threshold=0.45, n_planes=6, seed=42,
+    ).orderBy("id_a", "id_b")

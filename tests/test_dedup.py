@@ -397,3 +397,38 @@ def test_passage_dedup_removes_cross_document_boilerplate(spark):
     assert out[1] == (2, 2, f"{span} {uniq1}")
     assert out[2] == (2, 1, uniq2)
     assert out[3] == (2, 0, "")
+
+
+def test_lsh_bucketed_pairs_subset_of_exact_with_twin_recall(spark):
+    """x37's emitted pairs must be a subset of the exact x05 baseline with
+    identical cosines (precision 1.0 — bucketing only prunes which pairs
+    are examined), and near-identical twins (sign-identical dots) must be
+    fully recalled."""
+    import numpy as np
+
+    from go_fish_spark.operators import dedup
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 16))
+    twins = base + 0.001 * rng.normal(size=base.shape)
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(np.vstack([base, twins]))
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_dup_pairs(df, "id", "embedding", 0.99).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.lsh_bucketed_dup_pairs(
+            df, "id", "embedding", dim=16, threshold=0.99, n_planes=4
+        ).collect()
+    }
+    for p, c in got.items():
+        assert p in exact and abs(exact[p] - c) < 1e-9, f"false pair {p}"
+    missing_twins = {(i, i + 40) for i in range(40)} - set(got)
+    # a 0.1% perturbation flips a sign only if a dot sits within ~1e-3 of
+    # zero; allow at most a couple of boundary flips out of 40
+    assert len(missing_twins) <= 2, f"twin pairs lost to buckets: {missing_twins}"
