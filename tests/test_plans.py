@@ -332,6 +332,17 @@ def test_x32_substring_decontam_broadcasts_probes(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_x37_bucketed_pairs_is_equi_join_on_bucket_key(spark):
+    """The sign-bit bucket key must drive an EQUI-join (hash/sort on the
+    integer key — one shuffle per side), never a nested-loop/cartesian
+    pair scan; the id_a < id_b predicate rides as a join condition."""
+    plan = plan_of(spark, "x37_dedup_lsh_bucketed")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan  # size estimator may broadcast at tiny SF
+    )
+
+
 def test_x33_mix_rebalance_broadcasts_rates(spark):
     """Mixture rebalance: the per-source rates table (bounded cardinality)
     broadcasts; the corpus-side join input must carry no shuffle (its only
