@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""End-to-end curation demo over the synthetic documents/embeddings tables.
+
+Shows the Python API for the full training-data flow — the same operators
+the x-series registry entries expose, composed directly:
+
+    mix report -> quality + language gates -> exact/normalized dedup ->
+    near-dup clustering -> decontamination -> per-language quality bar ->
+    mixture rebalance -> chunk -> pack -> split
+
+Run:  python examples/curation_demo.py [sf_dir]   (default sf0.001)
+
+Every step prints a one-line row count so the funnel is visible; the
+result is a packed, split training stream as a DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_fish_spark.catalog import table  # noqa: E402
+from go_fish_spark.functions import text as tx  # noqa: E402
+from go_fish_spark.operators import decontam, dedup  # noqa: E402
+from go_fish_spark.operators.chunking import chunk_documents, pack_documents  # noqa: E402
+from go_fish_spark.operators.graph import connected_components  # noqa: E402
+from go_fish_spark.operators.sampling import (  # noqa: E402
+    rebalance_mix,
+    split_assign,
+    top_fraction_per_group,
+)
+
+
+def curate(spark, sf_dir: str, *, verbose: bool = True):
+    def log(stage, df):
+        if verbose:
+            print(f"{stage:28s} {df.count():>8} rows")
+        return df
+
+    docs = log("load", table(spark, sf_dir, "documents"))
+
+    # 1. what are we starting from? (per-source docs/tokens/dup-rate)
+    if verbose:
+        from go_fish_spark.queries import REGISTRY
+
+        REGISTRY["x31_source_mix"].fn(spark, sf_dir).show(5, truncate=False)
+
+    # 2. language + quality gates (pure column expressions)
+    scored = docs.select(
+        "doc_id", "text", "lang", "source",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("score"),
+    )
+    kept = log("quality+lang gate", scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("score") >= 0.5)
+    ))
+
+    # 3. exact dedup (keep min doc_id per content digest)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = log("exact dedup", kept.withColumn(
+        "_rn", F.row_number().over(w)
+    ).filter(F.col("_rn") == 1).drop("_rn"))
+
+    # 4. near-dup clustering -> canonical doc per cluster
+    pairs = dedup.ngram_jaccard_pairs(uniq, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(uniq.select("doc_id"), pairs, id_col="doc_id")
+    canon = log("near-dup canonical", uniq.join(
+        comp, uniq["doc_id"] == comp["id"]
+    ).filter(F.col("doc_id") == F.col("component")).drop("id", "component"))
+
+    # 5. decontaminate against the (synthetic) benchmark slice
+    is_eval = F.col("doc_id") % 97 == 0
+    clean = log("decontaminated", decontam.decontaminate(
+        canon.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=3
+    ))
+
+    # 6. per-language quality bar, then rebalance sources to a uniform
+    #    token budget
+    topq = log("per-lang top 60%", top_fraction_per_group(
+        clean, "lang_pred", "score", 0.6, "doc_id"
+    ))
+    sized = topq.withColumn("n_tok", F.size(tx.tokens("text")))
+    balanced = log("mix rebalanced", rebalance_mix(
+        sized, "doc_id", "source", "n_tok"
+    ))
+
+    # 7. chunk -> pack -> split: the training stream
+    chunks = log("chunked", chunk_documents(
+        balanced, "doc_id", "text", win=128, stride=112
+    ))
+    packed = log("packed", pack_documents(
+        chunks.select(
+            F.concat_ws("_", "doc_id", "chunk_id").alias("doc_id"),
+            F.col("chunk").alias("text"),
+        ),
+        "doc_id", "text", capacity=2048, n_shards=8,
+    ))
+    return packed.select(
+        "*", split_assign("doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    )
+
+
+def main() -> None:
+    from go_fish_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="curation-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = curate(spark, sf_dir)
+    print("final training stream:")
+    out.show(5, truncate=60)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -362,3 +362,23 @@ def test_shipped_example_specs_run_end_to_end(spark, tmp_path):
     alerts = spark.read.json(str(tmp_path / "alert_out"))
     counts = {r.role_id: r.occurrences for r in alerts.collect()}
     assert counts == {"AROLE:Bob": 1, "AROLE:nobody": 1}
+
+
+def test_curation_demo_example_runs(spark):
+    """examples/curation_demo.py's composed flow must keep working as the
+    operator APIs evolve (it is the user-facing showcase of the Python
+    API)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "curation_demo", os.path.join(repo, "examples/curation_demo.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from conftest import SF_SMALL
+
+    out = mod.curate(spark, SF_SMALL, verbose=False)
+    rows = out.collect()
+    assert rows and {"train", "val", "test"} >= {r.split for r in rows}
