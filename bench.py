@@ -118,11 +118,18 @@ def main() -> None:
             continue
         # Fault-isolate each query: one analyzing-stage exception must not
         # zero the whole bench (round-2 postmortem — q22 killed the run).
+        # SPARK_GRAFT_BENCH_REPS>1 records the MEDIAN of N runs (local
+        # timing studies; the driver default of 1 keeps its runtime flat).
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
         try:
-            t0 = time.perf_counter()
-            df = qd.fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            walls = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = qd.fn(spark, sf_dir)
+                n = df.count()
+                walls.append(time.perf_counter() - t0)
+            walls.sort()
+            timings[name] = round(walls[len(walls) // 2], 3)
             print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
