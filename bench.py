@@ -47,6 +47,7 @@ HEADLINE = [
     "q33_tpch_q3",
     "q34_tpch_q5",
     "q41_session_window",
+    "q76_sliding_window",
     # extensions (skipped gracefully if not yet registered)
     "x01_dedup_exact",
     "x02_dedup_minhash_lsh",

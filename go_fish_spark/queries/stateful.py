@@ -176,3 +176,42 @@ def q41_session_window(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q76_sliding_window",
+    oracle=f"""
+    WITH w AS (
+      SELECT {duck_ts_str("time_bucket(INTERVAL '15 minutes', ts) "
+                          "- k * INTERVAL '15 minutes'")} AS win_start,
+             event_type
+      FROM events, (SELECT unnest(range(4)) AS k)
+    )
+    SELECT win_start, event_type, count(*) AS occurrences
+    FROM w GROUP BY win_start, event_type
+    ORDER BY win_start, event_type
+    """,
+)
+def q76_sliding_window(spark, sf_dir):
+    """SLIDING windows (1 h window, 15 min slide) — the overlapping
+    upgrade of q10's tumbling windows: each event lands in exactly
+    window/slide = 4 windows. Spark's ``window(ts, '1 hour', '15
+    minutes')`` generates slide-aligned (epoch/UTC) window starts; the
+    oracle reproduces the membership arithmetic directly — the k-th
+    containing window starts at time_bucket(15 min, ts) − k·15 min for
+    k ∈ 0..3 (ts − start = (ts − bucket) + k·15 min < 1 h always, so
+    membership is exactly these four). Same groupBy shuffle shape as
+    tumbling — the ×4 row fan-out happens map-side before the partial
+    aggregation."""
+    e = table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        e.groupBy(win.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .select(
+            ts_str(F.col("win.start")).alias("win_start"),
+            "event_type",
+            "occurrences",
+        )
+        .orderBy("win_start", "event_type")
+    )

@@ -56,3 +56,37 @@ def test_cli_sqlite_registry_backend(tmp_path, capsys):
     assert main(["get", uid, "--registry", f"sqlite://{db}"]) == 0
     assert "sources" in capsys.readouterr().out
     assert main(["get", "nope", "--registry", f"sqlite://{db}"]) == 1
+
+
+def test_sql_udtf_chunk_text_matches_column_operator(spark):
+    """The SQL-callable chunk_text UDTF (pluggability surface, SURVEY
+    §2.8's UDTF arm) must produce EXACTLY the rows of the Column-based
+    chunk_documents fast path — the convenience form can't drift."""
+    from conftest import SF_SMALL
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators.chunking import chunk_documents
+    from go_fish_spark.tasks.sql_udtf import has_udtf, register_sql_udtfs
+
+    if not has_udtf():
+        import pytest
+
+        pytest.skip("UDTF not available on this runtime")
+
+    assert "chunk_text" in register_sql_udtfs(spark)
+    docs = table(spark, SF_SMALL, "documents").limit(50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    via_sql = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk
+            FROM _udtf_docs d, LATERAL chunk_text(d.text, 64, 48) c
+            """
+        ).collect()
+    )
+    via_op = sorted(
+        tuple(r)
+        for r in chunk_documents(docs, "doc_id", "text", 64, 48).collect()
+    )
+    assert via_sql == via_op and via_sql
