@@ -39,6 +39,7 @@ HEADLINE = [
     "q16_topk",
     "q18_scalar_battery",
     "q20_json_extract",
+    "q77_variant_json",
     "q21_s2s_asof_join",
     "q22_sessionize",
     "q27_explode_topk",

@@ -265,3 +265,34 @@ def q20_json_extract(spark, sf_dir):
         .select("event_id", F.get_json_object("props", "$.k").alias("k"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "q77_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.missing') AS absent,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events ORDER BY event_id
+    """,
+)
+def q77_variant_json(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured payloads — the typed
+    upgrade of q20's string-based get_json_object: ``parse_json`` builds
+    the binary variant once, ``variant_get`` extracts with a TYPE (a cast
+    error becomes an analysis-time contract, not a silent null), and
+    ``try_variant_get`` gives the null-on-missing form. At scale the win
+    is parse-once-extract-many: the variant column amortizes JSON parsing
+    across every extraction, where get_json_object re-parses per call."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+            F.try_variant_get(v, "$.missing", "string").alias("absent"),
+            F.try_parse_json("props").isNotNull().alias("is_valid"),
+        )
+        .orderBy("event_id")
+    )
