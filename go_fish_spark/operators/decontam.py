@@ -160,7 +160,15 @@ def substring_contaminated_docs(
         )
     if method != "join":
         raise ValueError(f"unknown method {method!r}")
-    p = F.broadcast(probes.select(F.col(probe_col).alias("_probe")).distinct())
+    # Drop null/empty probes with the same predicate the automaton path
+    # applies to its collected list (`if r[0]`): contains(text, '') is
+    # true for EVERY doc, so a stray '' probe would flag the whole corpus
+    # and break the documented identical-output contract between methods.
+    p = F.broadcast(
+        probes.select(F.col(probe_col).alias("_probe"))
+        .where(F.col("_probe").isNotNull() & (F.length("_probe") > 0))
+        .distinct()
+    )
     return (
         train_docs.select(F.col(id_col), F.col(text_col))
         .join(p, F.contains(F.col(text_col), F.col("_probe")))

@@ -61,18 +61,45 @@ def connected_components(
         .repartition("src")
         .persist()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint()
+    # Seed labels from nodes ∪ edge endpoints: the propagation join adds a
+    # row for any edge endpoint missing from `nodes`, and the sum-based
+    # convergence check below assumes a FIXED row set (labels only ever
+    # decrease on a fixed set ⟹ the sum is strictly monotone). Fixing the
+    # set from round 0 keeps that invariant exact.
+    labels = (
+        nodes.select(F.col(id_col).alias("id"))
+        .unionByName(adj.select("src").withColumnRenamed("src", "id"))
+        .dropDuplicates(["id"])
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+
+    # Convergence test depends on the label dtype. For integral ids the
+    # exact decimal(38,0) sum is monotone-decreasing and one slim agg job
+    # per round suffices (a bigint sum would overflow around 1e9 ids ×
+    # 1e9-magnitude labels). For string/float ids the cast yields NULLs
+    # (or truncates fractions into aliasing), so fall back to a
+    # changed-row count via a self-join — type-agnostic, one extra join
+    # per round.
+    comp_type = dict(labels.dtypes)["component"]
+    sum_based = comp_type in ("tinyint", "smallint", "int", "bigint") or (
+        comp_type.startswith("decimal") and comp_type.endswith(",0)")
+    )
 
     def label_sum(frame: DataFrame):
-        # decimal(38,0): exact at any id range/corpus size (a bigint sum
-        # overflows around 1e9 ids × 1e9-magnitude labels).
         return frame.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = label_sum(labels)
+    def changed_count(old: DataFrame, new: DataFrame) -> int:
+        o = old.select(F.col("id").alias("_oid"), F.col("component").alias("_oc"))
+        return (
+            new.join(o, new["id"] == o["_oid"])
+            .where(F.col("component") != F.col("_oc"))
+            .count()
+        )
+
+    prev_sum = label_sum(labels) if sum_based else None
     for rnd in range(max_iter):
         # neighbor labels flow along edges; min with own label
         prop = adj.join(labels, adj["src"] == labels["id"]).select(
@@ -105,15 +132,20 @@ def connected_components(
         new_labels = (
             new_labels.localCheckpoint()  # truncate lineage: round k must not replan 1..k-1
         )
-        # Convergence: min-propagation can only DECREASE labels, so the
-        # exact label sum is strictly monotone — equal sums ⟺ fixpoint.
-        # One slim agg job per round instead of a join + count.
-        new_sum = label_sum(new_labels)
+        # Convergence: min-propagation can only DECREASE labels over a
+        # fixed row set, so for integral ids the exact label sum is
+        # strictly monotone — equal sums ⟺ fixpoint (one slim agg job per
+        # round). Non-integral ids use the join-based changed-row count.
+        if sum_based:
+            new_sum = label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = changed_count(labels, new_labels) == 0
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             adj.unpersist()
             return labels
-        prev_sum = new_sum
     adj.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "

@@ -166,6 +166,15 @@ def keyed_counter_tws_stream(
             total = prev + n
             self._cnt.update((total,))
             if drain_interval_ms is not None:
+                # Re-register = delete-then-register: without the delete,
+                # every input batch would stack one more timer on the key
+                # and each expiry would fire its own drain — the
+                # reference's poller (`window.go:38-49`) is ONE interval
+                # per key, not one per batch.
+                for ts in self._handle.listTimers():
+                    self._handle.deleteTimer(
+                        ts if isinstance(ts, int) else ts[0]
+                    )
                 self._handle.registerTimer(
                     timer_values.getCurrentProcessingTimeInMs()
                     + drain_interval_ms

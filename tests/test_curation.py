@@ -202,6 +202,36 @@ def test_substring_decontam_automaton_equals_join(spark):
     assert jr == ar and jr
 
 
+def test_substring_decontam_empty_probe_parity(spark):
+    """Null / empty-string probes must be ignored by BOTH methods:
+    contains(text, '') matches every doc, so an unfiltered '' in the join
+    path would flag the whole corpus while the automaton path (which
+    drops falsy probes) would not — breaking the identical-output
+    contract."""
+    from go_fish_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "beta epsilon")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [("beta",), ("",), (None,)], "probe string"
+    )
+    j = {
+        (r.doc_id, r.n_probe_hits)
+        for r in decontam.substring_contaminated_docs(
+            docs, probes, "doc_id", "text", method="join"
+        ).collect()
+    }
+    a = {
+        (r.doc_id, r.n_probe_hits)
+        for r in decontam.substring_contaminated_docs(
+            docs, probes, "doc_id", "text", method="automaton"
+        ).collect()
+    }
+    assert j == a == {(1, 1), (3, 1)}
+
+
 def test_rebalance_mix_explicit_target_shares(spark):
     """The non-uniform branch: with target_shares={'a': 0.75, 'b': 0.25}
     over equal-sized groups, group 'a' (under its 75% target) must be

@@ -234,6 +234,46 @@ def test_connected_components_adversarial_long_chain(spark):
     assert out == {i: 0 for i in range(n)}
 
 
+def test_connected_components_string_ids(spark):
+    """String ids can't use the decimal-sum convergence check (the cast
+    yields NULL sums and None==None would exit after round 1 with wrong
+    components); the changed-count fallback must still converge to the
+    lexicographic-min label."""
+    from go_fish_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame(
+        [("d",), ("c",), ("b",), ("a",), ("x",), ("y",), ("solo",)],
+        "id string",
+    )
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    out = {
+        r.id: r.component for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x", "solo": "solo",
+    }
+
+
+def test_connected_components_edge_endpoint_not_in_nodes(spark):
+    """Edges referencing ids absent from `nodes` must not break the
+    fixed-row-set convergence invariant: endpoints are seeded into the
+    label frame at round 0 and resolve like any other node."""
+    from go_fish_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4)], "id_a long, id_b long"  # 3 and 4 not in nodes
+    )
+    out = {
+        r.id: r.component for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2, 4: 2}
+
+
 def test_tfidf_scores_rare_terms_higher(spark):
     from go_fish_spark.operators.tfidf import tf_idf
 
