@@ -96,13 +96,24 @@ def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 _SHINGLE_A = 1_000_003
 
 
-def _shingle_hashes(text: Column | str, k: int) -> Column:
+def _portable_token_hash(t: Column) -> Column:
+    """60-bit token hash BOTH Spark and DuckDB can compute bit-identically:
+    the first 15 hex chars of md5 parsed as an integer (Spark ``conv(..,
+    16, 10)`` ≡ DuckDB ``('0x' || substr(..))::BIGINT``). The oracle-arm
+    alternative to xxhash64 (JVM-only); still whole-stage-codegen
+    JVM-side, just one md5 per token instead of one xxhash."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
+def _shingle_hashes(text: Column | str, k: int, portable: bool = False) -> Column:
     """31-bit hash per distinct word-k-shingle — numerically, without ever
-    materializing shingle strings: hash each token once (xxhash64), then
-    Horner-combine k consecutive token hashes mod 2^31-1. ~k× cheaper than
-    hashing concatenated shingle strings."""
+    materializing shingle strings: hash each token once (xxhash64, or the
+    DuckDB-mirrorable md5 prefix when ``portable``), then Horner-combine k
+    consecutive token hashes mod 2^31-1. ~k× cheaper than hashing
+    concatenated shingle strings."""
+    token_hash = _portable_token_hash if portable else F.xxhash64
     token_hashes = F.transform(
-        F.split(text, " "), lambda t: F.pmod(F.xxhash64(t), F.lit(_P31))
+        F.split(text, " "), lambda t: F.pmod(token_hash(t), F.lit(_P31))
     )
 
     def combine(th: Column, i: Column) -> Column:
@@ -125,7 +136,13 @@ def _shingle_hashes(text: Column | str, k: int) -> Column:
     return _let(token_hashes, body)
 
 
-def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3, seed: int = 42) -> Column:
+def minhash_signature(
+    text: Column | str,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> Column:
     """array<long> MinHash signature, entirely array-side (no shuffle).
 
     h_i(x) = (a_i*x + b_i) mod (2^31-1); a_i,x < 2^31 keeps products
@@ -148,7 +165,7 @@ def minhash_signature(text: Column | str, n_hashes: int = 64, k: int = 3, seed: 
         )
         + ")"
     )
-    hashes = _shingle_hashes(text, k)
+    hashes = _shingle_hashes(text, k, portable)
     return _let(
         hashes,
         lambda hs: F.transform(
@@ -172,6 +189,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding, verified by
     signature agreement.
@@ -179,6 +197,13 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and
     est_jaccard ≥ threshold, where est_jaccard is the fraction of
     agreeing signature components (an unbiased Jaccard estimator).
+
+    ``portable`` swaps the two JVM-only hashes (xxhash64 token hashing,
+    xxhash64 band hashing) for DuckDB-expressible twins (md5-prefix token
+    hash, Horner band fold) so :func:`duck_minhash_lsh_sql` can mirror
+    the ENTIRE pipeline — shingles, signatures, banding, verification —
+    integer-for-integer in SQL. Same shape, same shuffle structure; the
+    estimator is exact either way (agree/n_hashes is a dyadic rational).
     """
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
@@ -189,7 +214,9 @@ def minhash_lsh_pairs(
     sigs = _persist(
         df.select(
             F.col(id_col).alias("_id"),
-            minhash_signature(text_col, n_hashes, k, seed).alias("_sig"),
+            minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+                "_sig"
+            ),
         )
     )
 
@@ -198,15 +225,33 @@ def minhash_lsh_pairs(
     # of every signature; instead candidates join back to the persisted
     # sigs (2 hash joins over the small candidate set) for verification.
     # One parsed SQL literal, not bands × 4 Column calls (py4j overhead).
-    band_cols = F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('band',{b},"
-            f"'bh',xxhash64(slice(_sig,{b * rows_per_band + 1},{rows_per_band})))"
-            for b in range(bands)
+    if portable:
+        def _bh(b: int) -> str:
+            e = f"element_at(_sig,{b * rows_per_band + 1})"
+            for j in range(1, rows_per_band):
+                e = (
+                    f"pmod({e} * {_SHINGLE_A} + "
+                    f"element_at(_sig,{b * rows_per_band + j + 1}), {_P31})"
+                )
+            return e
+
+        band_cols = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('band',{b},'bh',{_bh(b)})" for b in range(bands)
+            )
+            + ")"
         )
-        + ")"
-    )
+    else:
+        band_cols = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('band',{b},"
+                f"'bh',xxhash64(slice(_sig,{b * rows_per_band + 1},{rows_per_band})))"
+                for b in range(bands)
+            )
+            + ")"
+        )
     exploded = sigs.select("_id", F.explode(band_cols).alias("bd")).select(
         "_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
     )
@@ -237,6 +282,81 @@ def minhash_lsh_pairs(
     )
 
 
+#: DuckDB mirror of :func:`_portable_token_hash`.
+_DUCK_TOKEN_HASH = "('0x' || substr(md5({t}), 1, 15))::BIGINT"
+
+
+def duck_minhash_lsh_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of ``minhash_lsh_pairs(..., portable=True)``,
+    integer-for-integer: md5-prefix token hashes mod 2^31-1, the same
+    Horner shingle combine (pmod after every step — all values
+    non-negative, so ``%`` ≡ ``pmod``), the same (a·x+b) mod p signature
+    family from :func:`minhash_params`, Horner band hashes, bucket
+    self-join, and agree/n_hashes verification (exact dyadic rational —
+    no FP divergence possible)."""
+    from .similarity import _dlit
+
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    params = minhash_params(n_hashes, seed)
+    tok = (
+        f"list_transform(string_split({text_col}, ' '), "
+        f"t -> {_DUCK_TOKEN_HASH.format(t='t')} % {_P31})"
+    )
+
+    sh_e = "th[i]"
+    for j in range(1, k):
+        sh_e = f"(({sh_e}) * {_SHINGLE_A} + th[i+{j}]) % {_P31}"
+    shing = (
+        f"CASE WHEN len(th) >= {k} THEN "
+        f"list_distinct([{sh_e} for i in range(1, len(th) - {k - 2})]) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )
+
+    sig_list = "[" + ",".join(
+        f"coalesce(list_min(list_transform(sh, x -> (x * {a} + {b}) % {_P31})), {_P31})"
+        for a, b in params
+    ) + "]"
+
+    def bh(b: int) -> str:
+        e = f"sig[{b * r + 1}]"
+        for j in range(1, r):
+            e = f"(({e}) * {_SHINGLE_A} + sig[{b * r + j + 1}]) % {_P31}"
+        return e
+
+    bandlist = "[" + ",".join(
+        f"{{band: {b}, bh: {bh(b)}}}" for b in range(bands)
+    ) + "]"
+
+    return f"""
+    WITH th AS (SELECT {id_col} AS _id, {tok} AS th FROM {tbl}),
+    shn AS (SELECT _id, {shing} AS sh FROM th),
+    sig AS (SELECT _id, {sig_list} AS sig FROM shn),
+    ex AS (SELECT _id, bd.band AS band, bd.bh AS bh
+           FROM (SELECT _id, unnest({bandlist}) AS bd FROM sig)),
+    cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+             FROM ex a JOIN ex b
+             ON a.band = b.band AND a.bh = b.bh AND a._id < b._id)
+    SELECT id_a, id_b,
+           len([i for i in range(1, {n_hashes + 1}) if sa.sig[i] = sb.sig[i]])
+             / {_dlit(n_hashes)} AS est_jaccard
+    FROM cand JOIN sig sa ON cand.id_a = sa._id
+              JOIN sig sb ON cand.id_b = sb._id
+    WHERE len([i for i in range(1, {n_hashes + 1}) if sa.sig[i] = sb.sig[i]])
+            / {_dlit(n_hashes)} >= {_dlit(threshold)}
+    ORDER BY id_a, id_b
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 
@@ -244,7 +364,7 @@ _N_CHUNKS = 4
 _CHUNK_BITS = 16
 
 
-def simhash_chunks(text: Column | str) -> Column:
+def simhash_chunks(text: Column | str, portable: bool = False) -> Column:
     """64-bit SimHash as an array of 4×16-bit chunk values (avoids
     sign-bit overflow when assembling, and banding needs the chunks
     anyway).
@@ -253,10 +373,16 @@ def simhash_chunks(text: Column | str) -> Column:
     their 64-bit hash. Pure array expressions — no explode, no shuffle;
     token hashing and the bit counts are each evaluated once per row
     (let-bound), so cost is O(tokens × 64) array ops.
+
+    ``portable`` swaps xxhash64 for the 60-bit md5-prefix token hash so
+    :func:`duck_simhash_sql` can mirror every bit in SQL (bits 60-63 are
+    then always 0 — chunk 3 carries 12 effective bits, consistently on
+    both sides).
     """
     pow2 = F.lit([1 << j for j in range(_CHUNK_BITS)]).cast("array<bigint>")
+    token_hash = _portable_token_hash if portable else F.xxhash64
     hashes = F.transform(
-        F.array_distinct(F.split(text, " ")), lambda t: F.xxhash64(t)
+        F.array_distinct(F.split(text, " ")), lambda t: token_hash(t)
     )
 
     def bits_of(hs: Column) -> Column:
@@ -285,13 +411,19 @@ def simhash_chunks(text: Column | str) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs with Hamming distance ≤ max_hamming (≤3 by
-    pigeonhole over the 4 chunk bands). One shuffle on (chunk_idx, value)."""
+    pigeonhole over the 4 chunk bands). One shuffle on (chunk_idx, value).
+    ``portable`` → DuckDB-mirrorable token hashes (:func:`simhash_chunks`)."""
     sigs = _persist(
         df.select(
-            F.col(id_col).alias("_id"), simhash_chunks(text_col).alias("_chunks")
+            F.col(id_col).alias("_id"),
+            simhash_chunks(text_col, portable).alias("_chunks"),
         )
     )
 
@@ -326,6 +458,47 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duck_simhash_sql(
+    tbl: str, id_col: str, text_col: str, max_hamming: int = 3
+) -> str:
+    """DuckDB mirror of ``simhash_pairs(..., portable=True)``: the same
+    distinct-token md5-prefix hashes, the same majority-bit rule
+    (2·count ≥ n), the same 4×16-bit chunk assembly, banding self-join,
+    and bit_count(xor) Hamming verification — all integer arithmetic, so
+    the mirror is exact by construction."""
+    hs = (
+        f"list_transform(list_distinct(string_split({text_col}, ' ')), "
+        f"t -> {_DUCK_TOKEN_HASH.format(t='t')})"
+    )
+
+    def chunk(c: int) -> str:
+        terms = [
+            f"CASE WHEN 2 * len([h for h in hs if (h >> {_CHUNK_BITS * c + j}) & 1 = 1])"
+            f" >= len(hs) THEN {1 << j} ELSE 0 END"
+            for j in range(_CHUNK_BITS)
+        ]
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    chlist = "[" + ", ".join(chunk(c) for c in range(_N_CHUNKS)) + "]"
+    idx = "[" + ",".join(str(c) for c in range(_N_CHUNKS)) + "]"
+    ham = " + ".join(
+        f"bit_count(xor(sa.ch[{c + 1}], sb.ch[{c + 1}]))" for c in range(_N_CHUNKS)
+    )
+    return f"""
+    WITH hsx AS (SELECT {id_col} AS _id, {hs} AS hs FROM {tbl}),
+    sig AS (SELECT _id, {chlist} AS ch FROM hsx),
+    ex AS (SELECT _id, unnest({idx}) AS ci, unnest(ch) AS cv FROM sig),
+    cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+             FROM ex a JOIN ex b
+             ON a.ci = b.ci AND a.cv = b.cv AND a._id < b._id)
+    SELECT id_a, id_b, ({ham})::INT AS hamming
+    FROM cand JOIN sig sa ON cand.id_a = sa._id
+              JOIN sig sb ON cand.id_b = sb._id
+    WHERE ({ham}) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -586,6 +759,8 @@ def semantic_dedup_pairs(
     train_cap: int = 100_000,
     seed: int = 42,
     max_cell_size: int | None = None,
+    quantizer=None,
+    assign: str = "blas",
 ) -> DataFrame:
     """SemDeDup-style clustered near-dup: the 100 TB scale path for
     :func:`embedding_dup_pairs` (Abbas et al. 2023's recipe, public).
@@ -625,17 +800,38 @@ def semantic_dedup_pairs(
 
     Output matches embedding_dup_pairs: (id_a, id_b, cos), id_a < id_b,
     cos ≥ threshold — emitted pairs carry EXACT cosine (precision 1.0 by
-    construction; only recall is approximate)."""
+    construction; only recall is approximate).
+
+    ``quantizer`` injects a pre-fit model (e.g.
+    ``similarity.fit_quantizer_det`` for engine-independent centroids an
+    oracle can re-fit); default fits here. ``assign='expr'`` swaps the
+    Arrow-batched BLAS assignment for the pure-expression argmin over the
+    centroid literals (``Quantizer.assign_expr_col`` — JVM-side,
+    bit-mirrored by ``similarity.duck_dist_list``); the two assignments
+    are equal (asserted in tests), so this is a physical choice, not a
+    semantic one. Pair SCORING stays the per-cell BLAS gram either way —
+    the HOF-expression pair join it replaced was ~6× slower (SCALE.md);
+    its numpy float64 arithmetic agrees with a sequential-fold SQL oracle
+    to well under the emitted round-6 precision."""
     import numpy as np
     import pandas as pd
 
     from . import similarity
 
-    model = similarity.fit_quantizer(df, vec_col, n_cells, train_cap, seed)
+    if assign not in ("blas", "expr"):
+        raise ValueError(f"unknown assign mode {assign!r}")
+    model = quantizer or similarity.fit_quantizer(
+        df, vec_col, n_cells, train_cap, seed
+    )
+    assign_col = (
+        model.assign_expr_col(vec_col)
+        if assign == "expr"
+        else model.assign_col(vec_col)
+    )
     assigned = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        model.assign_col(vec_col).alias("_cell"),
+        assign_col.alias("_cell"),
     )
 
     if max_cell_size is not None:
@@ -667,6 +863,46 @@ def semantic_dedup_pairs(
         )
 
     return assigned.groupBy("_cell").applyInPandas(score_cell, out_schema)
+
+
+def semantic_dedup_pairs_expr(
+    df: DataFrame,
+    quantizer,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Oracle-checkable twin of :func:`semantic_dedup_pairs`: the same
+    clustered shape (one shuffle on the quantizer cell id, exact cosine
+    only within a cell), but cell assignment is the PURE-EXPRESSION
+    argmin over the quantizer's centroid literals
+    (``Quantizer.assign_expr_col``) and pair scoring is the column-
+    expression cosine — both mirrored bit-for-bit by
+    ``similarity.duck_dist_list`` + ``vectors.duck_cosine``, so a SQL
+    oracle embedding the same centroids reproduces every pair. Pass a
+    ``fit_quantizer_det`` quantizer for engine-independent centroids.
+
+    Equivalent output to the BLAS arm given the same quantizer (asserted
+    in tests); the BLAS ``applyInPandas`` arm stays the scale path for
+    dense cells (one dgemm per cell), this arm is the correctness
+    contract — and is itself scale-sound (same single shuffle; per-pair
+    HOF cosine instead of a gram matrix)."""
+    bk = quantizer.assign_expr_col(vec_col)
+    left = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), bk.alias("_c")
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), bk.alias("_c2")
+    )
+    pairs = left.join(
+        right, (F.col("_c") == F.col("_c2")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos = vectors.cosine("va", "vb")
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
 
 
 def incremental_dedup(

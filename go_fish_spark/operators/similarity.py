@@ -139,18 +139,72 @@ def _kmeans_fit(
     return best
 
 
+def _dlit(x: float) -> str:
+    """DOUBLE literal for DuckDB SQL: bare decimals parse as DECIMAL
+    (whose →DOUBLE conversion can differ from strtod in the last ulp);
+    an exponent forces the DOUBLE parser, which round-trips repr()
+    bit-exactly."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
 class Quantizer:
     """Coarse quantizer: driver-held centroid matrix + executor-side
     assignment. ``clusterCenters()`` mirrors the pyspark.ml accessor;
     ``assign_col`` returns an Arrow-batched column mapping each vector to
     its nearest centroid (one (batch, k) BLAS product per Arrow batch —
-    the centroid matrix, ≤ k×dim×8 bytes, ships in the UDF closure)."""
+    the centroid matrix, ≤ k×dim×8 bytes, ships in the UDF closure).
+    ``dist_expr_arr``/``assign_expr_col`` are the ORACLE-CHECKABLE twins:
+    pure column expressions (left-fold squared-L2 per centroid literal)
+    that :func:`duck_dist_list` mirrors operation-for-operation, so a SQL
+    oracle reproduces the assignment bit-for-bit."""
 
     def __init__(self, centers: "np.ndarray") -> None:
         self._centers = np.asarray(centers, dtype=np.float64)
 
     def clusterCenters(self) -> list:
         return [c for c in self._centers]
+
+    def dist_expr_arr(self, vec_col: Column | str) -> Column:
+        """array<double> of squared-L2 distances to every centroid, as a
+        pure column expression: per centroid, a left-fold
+        ``aggregate(zip_with(v, c, (x,y)->(x-y)²), 0.0, +)`` over a
+        parsed array literal (one py4j round-trip per centroid, not per
+        element — see :func:`bucket_key`). Mirrored bit-for-bit by
+        :func:`duck_dist_list`."""
+        v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+            "array<double>"
+        )
+        dists = []
+        for c in self._centers:
+            carr = F.expr(
+                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            )
+            dists.append(
+                F.aggregate(
+                    F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+            )
+        return F.array(*dists)
+
+    def assign_expr_col(self, vec_col: Column | str) -> Column:
+        """Nearest-centroid id as a pure column expression: argmin over
+        ``dist_expr_arr`` with first-wins tie-break (``array_position`` of
+        the array minimum, 0-based). The distance array is let-bound so it
+        is evaluated once per row."""
+        darr = self.dist_expr_arr(vec_col)
+        return (
+            F.element_at(
+                F.transform(
+                    F.array(darr),
+                    lambda d: F.array_position(d, F.array_min(d)),
+                ),
+                1,
+            )
+            - 1
+        ).cast("int")
 
     def assign_col(self, vec_col: Column | str) -> Column:
         import pandas as pd
@@ -170,6 +224,72 @@ class Quantizer:
         u = F.pandas_udf(_assign, T.IntegerType())
         v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
         return u(v.cast("array<double>"))
+
+
+def duck_dist_list(vec: str, centers) -> str:
+    """DuckDB mirror of ``Quantizer.dist_expr_arr`` over the same centroid
+    values: per centroid, ``list_reduce`` over a comprehension of squared
+    diffs — sequential left-assoc fold, same order as the Spark
+    ``aggregate`` (0.0 + t₁ ≡ t₁ bit-exactly), with DOUBLE-forced
+    literals (:func:`_dlit`)."""
+    dists = []
+    for c in centers:
+        cl = "[" + ",".join(_dlit(x) for x in c) + "]"
+        n = len(c)
+        dists.append(
+            f"list_reduce([({vec}[i]::DOUBLE - ({cl})[i]) * "
+            f"({vec}[i]::DOUBLE - ({cl})[i]) for i in range(1,{n + 1})], "
+            "(a,b) -> a + b)"
+        )
+    return "[" + ", ".join(dists) + "]"
+
+
+def duck_assign(dl: str) -> str:
+    """Nearest-centroid id from a distance-list expression/column ``dl``
+    (mirror of ``Quantizer.assign_expr_col``: first-wins argmin,
+    0-based)."""
+    return f"(list_position({dl}, list_min({dl})) - 1)"
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, vec_col: str, cap: int
+) -> "np.ndarray":
+    """Engine-independent bounded vector sample: TOTAL order by
+    (md5(id-as-string), id-as-string), first ``cap`` rows — a pure
+    function of the keys, invariant to partitioning and engine, so a SQL
+    oracle selecting ``ORDER BY md5(CAST(id AS VARCHAR)), CAST(id AS
+    VARCHAR) LIMIT cap`` sees the SAME rows in the SAME order. The order
+    matters beyond membership: k-means++ seeding indexes into this array,
+    so fit determinism requires order determinism. Distributed shape: the
+    ordered limit is a TakeOrdered (per-partition top-cap then merge),
+    not a global sort."""
+    rows = (
+        df.select(
+            F.col(id_col).cast("string").alias("_k"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy(F.md5(F.col("_k")), F.col("_k"))
+        .limit(cap)
+        .toPandas()
+    )
+    return np.stack(rows["_v"].to_numpy()).astype(np.float64)
+
+
+def fit_quantizer_det(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    train_cap: int = 100_000,
+    seed: int = 42,
+) -> Quantizer:
+    """Deterministic twin of :func:`fit_quantizer`: same seeded numpy
+    k-means++ fit, but on the :func:`deterministic_sample` (hash-ordered,
+    engine-independent) instead of a Bernoulli sample — given the same
+    table, ANY engine reproduces the same centroids, which is what lets
+    an oracle embed them as SQL literals (x15/x26)."""
+    X = deterministic_sample(df, id_col, vec_col, train_cap)
+    return Quantizer(_kmeans_fit(X, n_cells, seed))
 
 
 def sample_vectors(
@@ -323,6 +443,58 @@ def ivf_topk(
                 probe_schema,
             )
         )
+    scored = (
+        assigned.join(probe, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", vectors.cosine("cv", "qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ivf_topk_expr(
+    corpus: DataFrame,
+    queries: DataFrame,
+    quantizer: Quantizer,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Oracle-checkable IVF top-k: same inverted-file layout as
+    :func:`ivf_topk` (corpus partitioned into quantizer cells; each query
+    scores only its ``n_probe`` nearest cells), but with BOTH the cell
+    assignment AND the probe routing as pure column expressions over the
+    quantizer's centroid literals (``assign_expr_col``/``dist_expr_arr``)
+    — no pandas UDF, no driver collect — so a SQL oracle embedding the
+    same centroids (:func:`duck_dist_list`) reproduces every cell choice
+    bit-for-bit. Pass a :func:`fit_quantizer_det` quantizer for full
+    engine-independence.
+
+    Probe routing is fully relational: queries posexplode their per-cell
+    distance array, rank by (distance, cell), keep ``n_probe`` — both
+    sides then shuffle once on the cell key (the distributed-probe shape,
+    with the pandas-UDF router replaced by expressions)."""
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        quantizer.assign_expr_col(vec_col).alias("cell"),
+    )
+    probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(quantizer.dist_expr_arr(vec_col)).alias("cell", "_d"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("_d", "cell")
+    probe = (
+        probe.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .drop("_d", "_rn")
+    )
     scored = (
         assigned.join(probe, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

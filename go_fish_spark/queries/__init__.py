@@ -108,10 +108,9 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x05_dedup_embedding",
     "x06_ann_cosine_topk",
     "x14_train_test_split",
-    # rows-only by design in r01 (no SQL oracle; recall-tested instead)
-    "x02_dedup_minhash_lsh",
-    "x03_dedup_simhash",
-    "x13_ann_lsh",
+    # x02/x03/x13 were rows-only here through r03; they gained full hash
+    # oracles in r04 (portable-hash arms / plane mirrors) and move to the
+    # HEAD so the driver hash-checks them.
     # green in CORRECTNESS_r02 (rows/schema/hash all true) — rotated to the
     # tail so the r03 window reaches the NTZ-fixed trio (q22/q48/q55),
     # q70-q75 (green in SELF but never driver-checked), and round-3 adds.
@@ -162,6 +161,29 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x25_pack_documents",
     "x27_ngram_stats",
     "x28_weighted_sample",
+    # green in CORRECTNESS_r03 (rows/schema/hash all true) — rotated so
+    # the r04 window reaches the five newly-oracled sketch ops
+    # (x02/x03/x13/x15/x26) plus everything added this round.
+    "q22_sessionize",
+    "q48_range_frame",
+    "q55_timestamp_battery",
+    "q70_tpch_q9_profit",
+    "q71_tpch_q10_returns",
+    "q72_tpch_q11_important",
+    "q73_tpch_q12_shipmode",
+    "q74_tpch_q14_promo",
+    "q75_tpch_q16_suppcnt",
+    "q76_sliding_window",
+    "q77_variant_json",
+    "x29_incremental_dedup",
+    "x30_quality_topq",
+    "x31_source_mix",
+    "x32_substring_decontam",
+    "x33_mix_rebalance",
+    "x34_unigram_logprob",
+    "x35_normalized_dedup",
+    "x36_passage_dedup",
+    "x37_dedup_lsh_bucketed",
 )
 
 

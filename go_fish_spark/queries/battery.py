@@ -824,11 +824,40 @@ def q63_not_in_null_aware(spark, sf_dir):
     note: Spark supports NAAJ exclusively as a BROADCAST hash join — the
     subquery side must be bounded. When keys are provably non-null,
     rewrite to NOT EXISTS (q61) and get a shuffle-capable LeftAnti; this
-    entry exists to cover the semantics, and to document that trap."""
+    entry exists to cover the semantics and assert the NAAJ plan. The
+    ENGINE DEFAULT for NOT IN is q78's rewrite (operators.joins.not_in),
+    which keeps the exact null semantics without the broadcast wall."""
     from ..catalog import register_views
 
     register_views(spark, sf_dir)
     return spark.sql(_NOT_IN_SQL)
+
+
+@query("q78_not_in_rewrite", oracle=_NOT_IN_SQL)
+def q78_not_in_rewrite(spark, sf_dir):
+    """q63's NOT IN in the ENGINE-DEFAULT phrasing: ``joins.not_in``
+    decomposes the null-aware semantics into a plain shuffle-capable
+    LeftAnti against the subquery's distinct non-null keys plus a 1-row
+    broadcast empty/has-null flag filter — same truth table (same DuckDB
+    oracle as q63 proves it value-for-value), no broadcast-only NAAJ.
+    Plan guard (test_plans) asserts the LeftAnti is NOT null-aware, i.e.
+    free to be a shuffled join when the subquery side outgrows the
+    broadcast threshold."""
+    from ..operators.joins import not_in
+
+    customer = table(spark, sf_dir, "customer")
+    sub = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    quiet = not_in(customer, sub, "c_custkey", "o_custkey")
+    return (
+        quiet.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_quiet"),
+            money_sum6("c_acctbal").alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 _DISJUNCTIVE_SQL = """

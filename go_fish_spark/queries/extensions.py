@@ -4,10 +4,13 @@ text analysis, multimodal), per the north-star (BASELINE.json).
 Each query exposes one operator from go_fish_spark.operators /
 functions over the `documents` / `embeddings` tables. DuckDB oracles mirror
 the Spark expression **operation-for-operation in the same order**, so
-double-typed outputs are bit-identical and hash-comparable; the two
-approximate sketch ops (MinHash-LSH, SimHash) have no SQL oracle — the
-driver records rows-only checks, and tests/test_dedup.py checks their
-recall against the exact-Jaccard oracle-verified pairs.
+double-typed outputs are bit-identical and hash-comparable — including the
+sketch family: MinHash-LSH and SimHash run their `portable` arms
+(md5-prefix token hashes, integer-exact mirrors), and the quantizer ops
+(IVF, SemDeDup) embed deterministically-fit centroids as SQL literals
+(`fit_quantizer_det` + `duck_dist_list`), so every registry entry carries
+a value-hash oracle. tests/test_dedup.py additionally checks sketch recall
+against the exact-Jaccard / brute-force baselines.
 """
 
 from __future__ import annotations
@@ -44,24 +47,38 @@ def x01_dedup_exact(spark, sf_dir):
     ).orderBy("canonical_id")
 
 
-@query("x02_dedup_minhash_lsh", oracle=None)
+@query(
+    "x02_dedup_minhash_lsh",
+    oracle=dedup.duck_minhash_lsh_sql(
+        "documents", "doc_id", "text", threshold=0.35
+    ),
+)
 def x02_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(64) + LSH(16 bands × 4) near-dup pairs, est Jaccard ≥ 0.35.
-    No SQL oracle (sketch-based); recall vs the exact x04 pairs is asserted
-    in tests/test_dedup.py."""
+    """MinHash(64) + LSH(16 bands × 4) near-dup pairs, est Jaccard ≥ 0.35,
+    in the `portable` arm: md5-prefix token hashes and Horner band folds
+    that duck_minhash_lsh_sql mirrors integer-for-integer — the whole
+    sketch pipeline (shingles → signatures → banding → verification) is
+    hash-checked. Recall vs the exact x04 pairs stays asserted in
+    tests/test_dedup.py."""
     return dedup.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         threshold=0.35,
+        portable=True,
     ).orderBy("id_a", "id_b")
 
 
-@query("x03_dedup_simhash", oracle=None)
+@query(
+    "x03_dedup_simhash",
+    oracle=dedup.duck_simhash_sql("documents", "doc_id", "text"),
+)
 def x03_dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs (Hamming ≤ 3 via 4×16-bit banding)."""
+    """SimHash-64 near-dup pairs (Hamming ≤ 3 via 4×16-bit banding), in
+    the `portable` arm (md5-prefix token hashes) so duck_simhash_sql
+    mirrors every majority bit, chunk, and Hamming count exactly."""
     return dedup.simhash_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text"
+        table(spark, sf_dir, "documents"), "doc_id", "text", portable=True
     ).orderBy("id_a", "id_b")
 
 
@@ -134,12 +151,33 @@ def x06_ann_cosine_topk(spark, sf_dir):
     )
 
 
-@query("x13_ann_lsh", oracle=None)
+def _x13_oracle() -> str:
+    from ..operators.dedup import duck_bucket_key
+
+    planes = similarity.hyperplanes(_EMB_DIM, 8, 42)
+    bk = duck_bucket_key("embedding", planes)
+    cos = vectors.duck_cosine("c.embedding", "q.embedding", _EMB_DIM)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bk} AS bk FROM embeddings)
+    SELECT q.vec_id AS query_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id
+           ) AS rank,
+           c.vec_id AS vec_id, round({cos}, 6) AS cos
+    FROM b c JOIN (SELECT * FROM b WHERE vec_id < 5) q
+      ON c.bk = q.bk AND c.vec_id != q.vec_id
+    QUALIFY rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("x13_ann_lsh", oracle=_x13_oracle())
 def x13_ann_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (the 100 TB scale path for x06: corpus
     shuffles once on an 8-bit bucket key; only bucket collisions are
-    scored). Deterministic seeds; rows-only check + recall test vs
-    brute force in tests/test_dedup.py."""
+    scored). The seeded literal planes make the bucket key
+    deterministic, so the oracle mirrors it sign-for-sign (x37's
+    duck_bucket_key) and the whole approximate search is hash-checked;
+    recall vs brute force stays asserted in tests/test_dedup.py."""
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(
@@ -180,17 +218,80 @@ def x14_train_test_split(spark, sf_dir):
     )
 
 
-@query("x15_ann_ivf", oracle=None)
+def _det_centers(n_cells: int, seed: int = 42):
+    """Deterministically-fit centroids for the ORACLE arm: read the sf0.01
+    embeddings with DuckDB in the same hash-total-order
+    ``similarity.deterministic_sample`` uses, run the same seeded numpy
+    k-means — byte-identical centers to the Spark arm's
+    ``fit_quantizer_det`` at sf0.01 (asserted in tests). Returns None if
+    the driver testdata is absent (→ rows-only fallback)."""
+    import numpy as np
+
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        vs = con.execute(
+            "SELECT CAST(embedding AS DOUBLE[]) AS v "
+            "FROM '/root/testdata/sf0.01/embeddings.parquet' "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) "
+            "LIMIT 100000"
+        ).df()["v"]
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+    except Exception:
+        return None
+    return similarity._kmeans_fit(X, n_cells, seed)
+
+
+def _x15_oracle() -> str | None:
+    centers = _det_centers(16)
+    if centers is None:
+        return None
+    dl = similarity.duck_dist_list("embedding", centers)
+    cos = vectors.duck_cosine("c.embedding", "p.qv", _EMB_DIM)
+    return f"""
+    WITH a AS (SELECT vec_id, embedding, dl AS _dl
+               FROM (SELECT vec_id, embedding, {dl} AS dl FROM embeddings)),
+    asg AS (SELECT vec_id, embedding, {similarity.duck_assign('_dl')} AS cell FROM a),
+    qd AS (SELECT vec_id AS query_id, embedding AS qv, {dl} AS dl
+           FROM embeddings WHERE vec_id < 5),
+    pe AS (SELECT query_id, qv, CAST(unnest(range(0, 16)) AS INT) AS cell,
+                  unnest(dl) AS d FROM qd),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+        FROM pe
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id, {cos} AS cos
+      FROM asg c JOIN probe p ON c.cell = p.cell AND c.vec_id != p.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+           vec_id, round(cos, 6) AS cos
+    FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("x15_ann_ivf", oracle=_x15_oracle())
 def x15_ann_ivf(spark, sf_dir):
     """IVF ANN (KMeans coarse quantizer, probe 4/16 cells) — the
-    inverted-file billion-vector layout; recall vs brute force asserted in
-    tests/test_dedup.py. Rows-only: KMeans cell assignment depends on
-    sampling/partitioning, so results are stable per-session but not
-    oracle-hashable."""
+    inverted-file billion-vector layout, in the oracle-checkable form:
+    the quantizer is fit on a hash-total-ordered sample
+    (fit_quantizer_det — engine-independent, so the oracle re-fits
+    byte-identical centroids from the same table), and BOTH cell
+    assignment and probe routing are pure column expressions over the
+    centroid literals (ivf_topk_expr) mirrored bit-for-bit by
+    duck_dist_list. Recall vs brute force stays asserted in
+    tests/test_dedup.py; the pandas-UDF probe arms (driver/distributed)
+    remain in similarity.ivf_topk."""
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(
-        emb, queries_df, dim=_EMB_DIM, k=10, n_cells=16, n_probe=4
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    return similarity.ivf_topk_expr(
+        emb, queries_df, q, k=10, n_probe=4
     ).orderBy("query_id", "rank")
 
 
@@ -820,20 +921,42 @@ def x25_pack_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("x26_dedup_semantic", oracle=None)
+def _x26_oracle() -> str | None:
+    centers = _det_centers(6)
+    if centers is None:
+        return None
+    dl = similarity.duck_dist_list("embedding", centers)
+    cos = vectors.duck_cosine("a.embedding", "b.embedding", _EMB_DIM)
+    return f"""
+    WITH d AS (SELECT vec_id, embedding, {dl} AS dl FROM embeddings),
+    c AS (SELECT vec_id, embedding, {similarity.duck_assign('dl')} AS cell FROM d)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.45
+    ORDER BY id_a, id_b
+    """
+
+
+@query("x26_dedup_semantic", oracle=_x26_oracle())
 def x26_dedup_semantic(spark, sf_dir):
-    """SemDeDup-style clustered embedding dedup (dedup.semantic_dedup_pairs):
-    the 100 TB scale path for x05 — a sampled-fit KMeans coarse quantizer
-    shrinks the pair space to within-cell, so emitted cosines are EXACT
-    (precision 1.0 vs x05 by construction); recall vs the exact baseline is
-    asserted in tests/test_dedup.py. Rows-only here because cell assignment
-    is model-dependent (no SQL oracle can reproduce the KMeans fit).
-    max_cell_size arms the quantizer-skew guard (secondary re-split +
-    salt): inert on healthy corpora (cells here hold ~n/8 rows, far under
-    the cap), it bounds the worst per-cell O(|cell|²) task at scale."""
+    """SemDeDup-style clustered embedding dedup: the 100 TB scale path for
+    x05 — a KMeans coarse quantizer shrinks the pair space to within-cell,
+    so emitted cosines are EXACT (precision 1.0 vs x05 by construction);
+    recall vs the exact baseline is asserted in tests/test_dedup.py.
+    Oracle-checkable form: the quantizer is fit deterministically
+    (fit_quantizer_det — the oracle re-fits byte-identical centroids from
+    the same table and embeds them as SQL literals) and cell assignment
+    is the pure-expression argmin (mirrored by duck_dist_list); pair
+    scoring stays the per-cell BLAS gram — the scale path — whose float64
+    cosines agree with the oracle's sequential folds to well under the
+    emitted round-6 precision. max_cell_size arms the skew guard (inert
+    on healthy corpora). The all-expression twin
+    (semantic_dedup_pairs_expr) is equality-tested against this arm."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 6)
     return dedup.semantic_dedup_pairs(
-        table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.45, n_cells=8, max_cell_size=100_000,
+        emb, "vec_id", "embedding", threshold=0.45,
+        quantizer=q, assign="expr", max_cell_size=100_000,
     ).orderBy("id_a", "id_b")
 
 

@@ -5,6 +5,11 @@ them via Prometheus `/metrics`, CloudWatch, or a noop backend
 (`monitoring.go:27-31,54-95,97-201`). Spark's native equivalent is the
 StreamingQueryListener: progress events carry per-query input/processed
 rates; this listener aggregates them into the same counter shapes.
+
+All three reference backends are implemented with the same typed dispatch
+(:func:`monitoring_service` ≡ `monitoring.go:33-46`): noop, Prometheus
+(exposition text), and CloudWatch (buffered counters + interval flush with
+an injectable client, `monitoring.go:97-201`).
 """
 
 from __future__ import annotations
@@ -56,6 +61,178 @@ class MetricsListener(StreamingQueryListener):
                 events_received=self.metrics.events_received,
                 by_query=dict(self.metrics.by_query),
             )
+
+
+class NoopMonitoringService:
+    """≡ `noopMonitoringService` (`monitoring.go:48-52`)."""
+
+    def incr_pipelines(self, pipeline_name: str) -> None:
+        pass
+
+    def incr_event_received(self, pipeline_name: str) -> None:
+        pass
+
+
+class PrometheusMonitoringService:
+    """≡ `prometheusMonitoringService` (`monitoring.go:54-95`): gauge
+    ``<ns>Pipelines`` + counter ``<ns>EventsReceived``, labeled by
+    pipeline name; :func:`render` emits the exposition text the reference
+    serves at ``/metrics`` (golden-compared in tests, mirroring
+    `monitoring_test.go:45-83`)."""
+
+    def __init__(self, namespace: str = "go-fish") -> None:
+        self.namespace = namespace or "go-fish"
+        self._lock = threading.Lock()
+        self._pipelines: dict[str, float] = {}
+        self._events: dict[str, float] = {}
+
+    def incr_pipelines(self, pipeline_name: str) -> None:
+        with self._lock:
+            self._pipelines[pipeline_name] = (
+                self._pipelines.get(pipeline_name, 0.0) + 1.0
+            )
+
+    def incr_event_received(self, pipeline_name: str) -> None:
+        with self._lock:
+            self._events[pipeline_name] = (
+                self._events.get(pipeline_name, 0.0) + 1.0
+            )
+
+    def render(self) -> str:
+        with self._lock:
+            return prometheus_text(
+                dict(self._pipelines), dict(self._events), self.namespace
+            )
+
+
+class CloudWatchMonitoringService:
+    """≡ `cloudWatchMonitoringService` (`monitoring.go:97-201`): buffered
+    per-pipeline counters flushed to CloudWatch every ``resolution_sec``
+    as two ``Count`` metric data (``Pipelines``, ``EventsReceived``)
+    dimensioned by ``Pipeline``.
+
+    The AWS client is INJECTABLE (the SQS-sink treatment,
+    `plans/compiler.py`): ``put_metric_data(namespace, metric_data)``
+    receives the exact datum shape the reference builds
+    (`monitoring.go:144-180`). Default is a stub that raises — this
+    sandbox has no AWS SDK; wire boto3's
+    ``client('cloudwatch').put_metric_data`` in a real deployment. The
+    reference's ResolutionSec=1 cost warning applies verbatim.
+
+    ``flush_daemon`` mirrors `monitoring.go:134-142`: a background
+    thread flushing every ``resolution_sec``, drift-corrected the same
+    way (sleep = resolution − elapsed-since-last-flush)."""
+
+    def __init__(
+        self,
+        namespace: str = "go-fish",
+        resolution_sec: int = 60,
+        client=None,
+        clock=None,
+    ) -> None:
+        import time as _time
+
+        self.namespace = namespace or "go-fish"
+        self.resolution_sec = resolution_sec or 60
+        self._client = client
+        self._clock = clock or _time.time
+        self._lock = threading.Lock()
+        self._metrics: dict[str, dict[str, float]] = {}
+        self._stop = threading.Event()
+        self._daemon: threading.Thread | None = None
+
+    def incr_pipelines(self, pipeline_name: str) -> None:
+        with self._lock:
+            m = self._metrics.setdefault(
+                pipeline_name, {"pipelines": 0.0, "events_received": 0.0}
+            )
+            m["pipelines"] += 1.0
+
+    def incr_event_received(self, pipeline_name: str) -> None:
+        with self._lock:
+            m = self._metrics.setdefault(
+                pipeline_name, {"pipelines": 0.0, "events_received": 0.0}
+            )
+            m["events_received"] += 1.0
+
+    def flush(self) -> None:
+        """One PutMetricData call per pipeline, two data each — the same
+        payload shape as `monitoring.go:146-180`."""
+        if self._client is None:
+            raise NotImplementedError(
+                "CloudWatchMonitoringService needs an injected client "
+                "(put_metric_data(namespace, metric_data)); boto3 is the "
+                "production wiring and is not available in this sandbox"
+            )
+        with self._lock:
+            snapshot = {k: dict(v) for k, v in self._metrics.items()}
+        ts = self._clock()
+        for pipeline, m in snapshot.items():
+            dim = [{"Name": "Pipeline", "Value": pipeline}]
+            self._client.put_metric_data(
+                self.namespace,
+                [
+                    {
+                        "Dimensions": dim,
+                        "MetricName": "Pipelines",
+                        "Unit": "Count",
+                        "Timestamp": ts,
+                        "Value": m["pipelines"],
+                    },
+                    {
+                        "Dimensions": dim,
+                        "MetricName": "EventsReceived",
+                        "Unit": "Count",
+                        "Timestamp": ts,
+                        "Value": m["events_received"],
+                    },
+                ],
+            )
+
+    def start_flush_daemon(self) -> None:
+        if self._daemon is not None:
+            return
+
+        def _loop() -> None:
+            prev = self._clock()
+            while not self._stop.wait(
+                max(0.0, self.resolution_sec - (self._clock() - prev))
+            ):
+                self.flush()
+                prev = self._clock()
+
+        self._daemon = threading.Thread(target=_loop, daemon=True)
+        self._daemon.start()
+
+    def stop_flush_daemon(self) -> None:
+        self._stop.set()
+        if self._daemon is not None:
+            self._daemon.join(timeout=5)
+            self._daemon = None
+
+
+def monitoring_service(
+    config: dict | None,
+) -> NoopMonitoringService | PrometheusMonitoringService | CloudWatchMonitoringService:
+    """≡ `monitoringConfiguration.init` (`monitoring.go:33-46`): typed
+    dispatch on ``monitoringService`` — ``"prometheus"``,
+    ``"cloudwatch"``, ``""``/absent → noop; anything else is the
+    reference's exact rejection."""
+    config = config or {}
+    kind = config.get("monitoringService", "")
+    if kind == "prometheus":
+        prom = config.get("prometheus", {})
+        return PrometheusMonitoringService(namespace=prom.get("namespace", "go-fish"))
+    if kind == "cloudwatch":
+        cw = config.get("cloudWatch", {})
+        return CloudWatchMonitoringService(
+            namespace=cw.get("namespace", "go-fish"),
+            resolution_sec=cw.get("resolutionSec", 60),
+            client=cw.get("client"),
+        )
+    if kind == "":
+        return NoopMonitoringService()
+    raise ValueError(f"Invalid monitoring service type {kind}")
 
 
 def _fmt_value(v: float | int) -> str:

@@ -1,6 +1,9 @@
-"""Sketch-based dedup ops (MinHash-LSH, SimHash) have no SQL oracle; their
-contract is recall/precision against the exact n-gram-Jaccard pairs (which
-ARE oracle-verified in test_correctness)."""
+"""Sketch-based dedup ops (MinHash-LSH, SimHash): recall/precision against
+the exact n-gram-Jaccard pairs (oracle-verified in test_correctness). Since
+r04 the registered arms are hash-oracled too (`portable` token hashes /
+deterministic quantizer fits mirrored into DuckDB); the recall contracts
+below run against those registered arms, and dedicated tests keep the
+xxhash/BLAS fast arms covered."""
 
 from __future__ import annotations
 
@@ -38,6 +41,32 @@ def test_minhash_recall(spark, exact_pairs):
         assert len(true_hits) / len(got) >= 0.5, (
             f"minhash precision too low: {len(true_hits)}/{len(got)}"
         )
+
+
+def test_minhash_default_arm_recall(spark, exact_pairs):
+    """The xxhash64 fast arm (portable=False — no longer the registered
+    query) keeps the same recall contract as the portable arm."""
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import dedup
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            table(spark, SF_DIR, "documents"), "doc_id", "text", threshold=0.35
+        ).collect()
+    }
+    strong = {p for p, j in exact_pairs.items() if j >= 0.5}
+    assert strong <= got, f"default-arm minhash missed: {strong - got}"
+
+
+def test_simhash_default_arm_finds_pairs(spark):
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import dedup
+
+    got = dedup.simhash_pairs(
+        table(spark, SF_DIR, "documents"), "doc_id", "text"
+    ).collect()
+    assert got and all(r.hamming <= 3 for r in got)
 
 
 def test_simhash_finds_near_dups(spark, exact_pairs):
@@ -338,6 +367,98 @@ def test_semantic_dedup_precision_and_recall(spark):
     }
     expected = {(i, i + 50) for i in range(50)}
     assert expected <= tgot, f"missing twin pairs: {sorted(expected - tgot)[:5]}"
+
+
+def test_semantic_expr_equals_blas_given_same_quantizer(spark):
+    """The oracle-checkable expression arm (semantic_dedup_pairs_expr) and
+    the BLAS applyInPandas scale arm must emit the same pairs with the
+    same (round-6) cosines when handed the same quantizer — the expr arm
+    is the correctness contract, the BLAS arm is the dense-cell fast
+    path."""
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import dedup, similarity
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 8)
+    expr = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.semantic_dedup_pairs_expr(
+            emb, q, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    # BLAS arm with the same quantizer: inject by monkeypatching the fit
+    # is unnecessary — semantic_dedup_pairs re-fits, so instead score the
+    # expr arm's assignment with the BLAS assign column and compare cells,
+    # then compare pair sets via the x05 exact baseline restricted to
+    # shared cells.
+    cells_expr = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", q.assign_expr_col("embedding").alias("cell")
+        ).collect()
+    }
+    cells_blas = {
+        r.vec_id: r.cell
+        for r in emb.select(
+            "vec_id", q.assign_col("embedding").alias("cell")
+        ).collect()
+    }
+    assert cells_expr == cells_blas, "expr/BLAS assignment diverged"
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in dedup.embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    expected = {
+        p: c for p, c in exact.items() if cells_expr[p[0]] == cells_expr[p[1]]
+    }
+    assert expr == expected
+
+
+def test_fit_quantizer_det_is_engine_independent(spark):
+    """fit_quantizer_det's centroids must be reproducible from the same
+    parquet by a non-Spark engine (the oracle re-fits them via DuckDB) —
+    byte-identical, not approximately equal."""
+    import duckdb
+    import numpy as np
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import similarity
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 8)
+    con = duckdb.connect()
+    vs = con.execute(
+        f"SELECT CAST(embedding AS DOUBLE[]) AS v FROM '{SF_DIR}/embeddings.parquet' "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) "
+        "LIMIT 100000"
+    ).df()["v"]
+    X = np.stack(vs.to_numpy()).astype(np.float64)
+    centers2 = similarity._kmeans_fit(X, 8, 42)
+    assert np.array_equal(q._centers, centers2)
+
+
+def test_ivf_topk_expr_recall_vs_brute_force(spark):
+    """The oracle-checkable IVF arm keeps the recall contract of the
+    pandas-UDF arms."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import similarity
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 8)
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk_expr(emb, queries, q, k=5, n_probe=3).collect()
+    }
+    assert len(brute & ivf) / len(brute) >= 0.3
 
 
 def test_semantic_dedup_cell_cap_survives_adversarial_skew(spark):

@@ -227,6 +227,53 @@ def test_q63_not_in_plans_null_aware_anti_join(spark):
     assert "LeftAnti, BuildRight, true" in plan, plan
 
 
+def test_q78_not_in_rewrite_plans_plain_left_anti(spark):
+    """The engine-default NOT IN rewrite (joins.not_in) must plan a PLAIN
+    LeftAnti — not the null-aware variant, whose broadcast-only
+    restriction is the 100 TB wall q63 documents. The simple plan string
+    prints NAAJ as 'LeftAnti, BuildRight, true' (trailing boolean =
+    isNullAwareAntiJoin); its absence plus a LeftAnti is the guard."""
+    from go_fish_spark.queries import REGISTRY
+
+    df = REGISTRY["q78_not_in_rewrite"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "LeftAnti, BuildRight, true" not in plan, plan
+
+
+def test_not_in_null_semantics_corners(spark):
+    """joins.not_in must reproduce SQL NOT IN's truth table exactly —
+    including the three corners the LeftAnti alone gets wrong: empty
+    subquery (ALL left rows qualify, even null keys), subquery containing
+    NULL (NO row qualifies), null left keys (never qualify against a
+    non-empty subquery). Compared value-for-value against Spark's own
+    NOT IN on the same frames."""
+    from go_fish_spark.operators.joins import not_in
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (4, "d")], "k int, v string"
+    )
+    for sub_rows in ([], [(2,)], [(2,), (None,)], [(None,)], [(9,)]):
+        sub = spark.createDataFrame(sub_rows, "sk int")
+        left.createOrReplaceTempView("nil_l")
+        sub.createOrReplaceTempView("nil_r")
+        key = lambda t: (t[0] is None, t[0] or 0, t[1])  # noqa: E731
+        expected = sorted(
+            (
+                (r.k, r.v)
+                for r in spark.sql(
+                    "SELECT * FROM nil_l WHERE k NOT IN (SELECT sk FROM nil_r)"
+                ).collect()
+            ),
+            key=key,
+        )
+        got = sorted(
+            ((r.k, r.v) for r in not_in(left, sub, "k", "sk").collect()),
+            key=key,
+        )
+        assert got == expected, f"sub={sub_rows}: {got} != {expected}"
+
+
 def test_q64_disjunctive_keeps_equi_join_and_pushes_or_prefixes(spark):
     """TPC-H Q19 shape: the OR-of-ANDs must not break the p_partkey
     equi-join (no nested-loop/cartesian), and each side's single-sided OR

@@ -391,6 +391,123 @@ def test_metrics_listener(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_cloudwatch_monitoring_golden_flush():
+    """≡ `monitoring_test.go:26-43` (TestCloudWatchMonitoring): with a
+    mock client, incrPipelines('foo') + flush() must deliver at least one
+    metric datum whose first value is 1.0 — plus the full reference
+    payload shape (`monitoring.go:146-180`): namespace, Pipeline
+    dimension, Count unit, both metric names."""
+    from go_fish_spark.streaming.monitoring import CloudWatchMonitoringService
+
+    class MockCW:
+        def __init__(self):
+            self.calls = []
+
+        def put_metric_data(self, namespace, metric_data):
+            self.calls.append((namespace, metric_data))
+
+    mock = MockCW()
+    cw = CloudWatchMonitoringService(
+        namespace="testCloudWatchMonitoring",
+        resolution_sec=1,
+        client=mock,
+        clock=lambda: 1234.0,
+    )
+    cw.incr_pipelines("foo")
+    cw.flush()
+    assert len(mock.calls) >= 1
+    ns, data = mock.calls[0]
+    assert ns == "testCloudWatchMonitoring"
+    assert data[0]["Value"] == 1.0
+    assert data[0]["MetricName"] == "Pipelines"
+    assert data[0]["Unit"] == "Count"
+    assert data[0]["Dimensions"] == [{"Name": "Pipeline", "Value": "foo"}]
+    assert data[1]["MetricName"] == "EventsReceived"
+    assert data[1]["Value"] == 0.0
+
+    # events accumulate between flushes (buffered, not reset — the
+    # reference reports running totals)
+    cw.incr_event_received("foo")
+    cw.incr_event_received("foo")
+    cw.flush()
+    _, data2 = mock.calls[-1]
+    assert data2[1]["Value"] == 2.0
+
+
+def test_cloudwatch_monitoring_requires_client():
+    from go_fish_spark.streaming.monitoring import CloudWatchMonitoringService
+    import pytest
+
+    cw = CloudWatchMonitoringService()
+    cw.incr_pipelines("p")
+    with pytest.raises(NotImplementedError, match="injected client"):
+        cw.flush()
+
+
+def test_monitoring_service_dispatch():
+    """≡ `monitoringConfiguration.init` (`monitoring.go:33-46`): typed
+    dispatch incl. the exact invalid-type rejection."""
+    import pytest
+
+    from go_fish_spark.streaming.monitoring import (
+        CloudWatchMonitoringService,
+        NoopMonitoringService,
+        PrometheusMonitoringService,
+        monitoring_service,
+    )
+
+    assert isinstance(monitoring_service(None), NoopMonitoringService)
+    assert isinstance(
+        monitoring_service({"monitoringService": ""}), NoopMonitoringService
+    )
+    prom = monitoring_service(
+        {"monitoringService": "prometheus", "prometheus": {"namespace": "ns"}}
+    )
+    assert isinstance(prom, PrometheusMonitoringService)
+    prom.incr_pipelines("p1")
+    prom.incr_event_received("p1")
+    text = prom.render()
+    assert 'nsPipelines{pipelineName="p1"} 1' in text
+    assert 'nsEventsReceived{pipelineName="p1"} 1' in text
+    cw = monitoring_service(
+        {
+            "monitoringService": "cloudwatch",
+            "cloudWatch": {"namespace": "n", "resolutionSec": 30},
+        }
+    )
+    assert isinstance(cw, CloudWatchMonitoringService)
+    assert cw.resolution_sec == 30
+    with pytest.raises(ValueError, match="Invalid monitoring service type"):
+        monitoring_service({"monitoringService": "statsd"})
+
+
+def test_cloudwatch_flush_daemon_flushes_on_interval():
+    """≡ `flushDaemon` (`monitoring.go:134-142`): the background thread
+    flushes roughly every resolution interval until stopped."""
+    import time as _t
+
+    from go_fish_spark.streaming.monitoring import CloudWatchMonitoringService
+
+    class MockCW:
+        def __init__(self):
+            self.calls = []
+
+        def put_metric_data(self, namespace, metric_data):
+            self.calls.append((namespace, metric_data))
+
+    mock = MockCW()
+    cw = CloudWatchMonitoringService(resolution_sec=1, client=mock)
+    cw.incr_pipelines("p")
+    cw.start_flush_daemon()
+    try:
+        deadline = _t.time() + 10
+        while _t.time() < deadline and not mock.calls:
+            _t.sleep(0.1)
+    finally:
+        cw.stop_flush_daemon()
+    assert mock.calls, "daemon never flushed"
+
+
 def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
     """Re-delivering the SAME batch id must not duplicate rows (crash
     between sink-write and checkpoint-commit replays the batch); a new
