@@ -72,27 +72,50 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the final mean is rounded to 9 decimals, the same output-rounding
     pattern the cosine operators use.
 
-    Physical shape: one (doc,token) explode → join to the vocabulary-
-    sized frequency table on the token key (Zipf-hot keys — AQE skew
-    handling applies; the frequency side is vocab-sized and usually
-    broadcastable, but carries no forced hint since vocabulary grows
-    with corpus scale) → one groupBy on the doc id. The total-token
-    count joins as a broadcast 1-row aggregate."""
+    Physical shape (fused since r04 — VERDICT r03 flagged the double
+    explode + per-occurrence Zipf-hot join): ONE explode feeds a single
+    per-(doc, token) count aggregation ``g`` (persisted — it is consumed
+    by three dependents), and everything downstream runs over DISTINCT
+    doc-token pairs, never raw occurrences:
+
+    * frequency table = g re-aggregated on token (map-side combined);
+    * total-token count = 1-row sum of g, broadcast;
+    * scoring join g ⋈ freq carries one row per (doc, token) — a hot
+      token contributes one row PER DOCUMENT, not per occurrence, so the
+      Zipf-head key skew shrinks by the in-document repeat factor and
+      the occurrence weight rides along as an exact integer multiplier
+      (c·logp in decimal ≡ c repeated additions — bit-identical mean).
+
+    Measured at 100×: the r03 two-pass shape ran a 5.6× wall ratio; see
+    SCALE.md for the fused number."""
+    from .dedup import _persist
+
     term = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token")
     )
-    freq = term.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = term.agg(F.count(F.lit(1)).alias("n_total"))
+    g = _persist(
+        term.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    freq = g.groupBy("token").agg(F.sum("_c").alias("cnt"))
+    total = g.agg(F.sum("_c").alias("n_total"))
     logp = F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
     return (
-        term.join(freq, "token")
+        g.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_c").alias("n_tokens"),
             F.round(
-                F.sum(logp.cast("decimal(27,18)")).cast("double")
-                / F.count(F.lit(1)),
+                # _c as decimal(10,0): decimal(27,18) × bigint would
+                # exceed precision 38 and Spark silently drops scale to
+                # compensate (precision-loss rule), perturbing the 9th
+                # digit; (27,18)×(10,0) fits (38,18) exactly, so
+                # c·round₁₈(logp) ≡ c repeated additions, bit-for-bit.
+                F.sum(
+                    logp.cast("decimal(27,18)")
+                    * F.col("_c").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("_c"),
                 9,
             ).alias("avg_logprob"),
         )
