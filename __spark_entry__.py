@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from go_fish_spark.queries import REGISTRY
+from go_fish_spark.queries import REGISTRY, resolve_oracle
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -34,5 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each hash-checkable query."""
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+    """DuckDB-runnable ANSI SQL equivalent for each hash-checkable query.
+
+    Data-dependent oracles (x15/x26 embed quantizer centroids fit from the
+    embeddings table) are resolved against the driver's sf0.01 here; local
+    tests resolve the same callables against their own SF dir."""
+    out: dict[str, str] = {}
+    for name, qd in REGISTRY.items():
+        sql = resolve_oracle(qd)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -18,18 +18,45 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: SF dir the driver's side-by-side compare runs at — data-dependent oracles
+#: (callable form, below) are resolved against this when no explicit sf_dir
+#: is given (``__spark_entry__.oracle_sql()``).
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+#: An oracle is either a static DuckDB SQL string, or — when the SQL embeds
+#: data-dependent literals (e.g. x15/x26's quantizer centroids, fit from the
+#: embeddings table itself) — a callable ``(sf_dir) -> str | None`` so the
+#: literals are re-derived from whichever SF the compare actually runs at.
+Oracle = "str | Callable[[str], str | None] | None"
+
+
 @dataclass(frozen=True)
 class QueryDef:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    oracle: object  # see ``Oracle``; None → driver does rows-only check
     doc: str = ""
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
+_ORACLE_CACHE: dict[tuple[int, str], str | None] = {}
 
-def query(name: str, oracle: str | None = None):
+
+def resolve_oracle(qd: QueryDef, sf_dir: str = DRIVER_SF_DIR) -> str | None:
+    """Resolve a QueryDef's oracle to a concrete SQL string for ``sf_dir``
+    (None → rows-only). Callable oracles are invoked once per (oracle,
+    sf_dir) and memoized — x15/x26 re-fit their quantizer on resolve."""
+    o = qd.oracle
+    if not callable(o):
+        return o
+    key = (id(o), sf_dir)
+    if key not in _ORACLE_CACHE:
+        _ORACLE_CACHE[key] = o(sf_dir)
+    return _ORACLE_CACHE[key]
+
+
+def query(name: str, oracle=None):
     def deco(fn):
         REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
         return fn

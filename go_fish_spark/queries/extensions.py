@@ -218,13 +218,16 @@ def x14_train_test_split(spark, sf_dir):
     )
 
 
-def _det_centers(n_cells: int, seed: int = 42):
-    """Deterministically-fit centroids for the ORACLE arm: read the sf0.01
+def _det_centers(n_cells: int, sf_dir: str, seed: int = 42):
+    """Deterministically-fit centroids for the ORACLE arm: read ``sf_dir``'s
     embeddings with DuckDB in the same hash-total-order
     ``similarity.deterministic_sample`` uses, run the same seeded numpy
     k-means — byte-identical centers to the Spark arm's
-    ``fit_quantizer_det`` at sf0.01 (asserted in tests). Returns None if
-    the driver testdata is absent (→ rows-only fallback)."""
+    ``fit_quantizer_det`` at the same SF (asserted in tests). The
+    embeddings tables are regenerated per SF (same vec_id ≠ same vector),
+    so the oracle is the CALLABLE form (queries.resolve_oracle) and re-fits
+    at whichever SF the compare runs. Returns None if the testdata is
+    absent (→ rows-only fallback)."""
     import numpy as np
 
     try:
@@ -233,7 +236,7 @@ def _det_centers(n_cells: int, seed: int = 42):
         con = duckdb.connect()
         vs = con.execute(
             "SELECT CAST(embedding AS DOUBLE[]) AS v "
-            "FROM '/root/testdata/sf0.01/embeddings.parquet' "
+            f"FROM '{sf_dir}/embeddings.parquet' "
             "ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) "
             "LIMIT 100000"
         ).df()["v"]
@@ -243,8 +246,8 @@ def _det_centers(n_cells: int, seed: int = 42):
     return similarity._kmeans_fit(X, n_cells, seed)
 
 
-def _x15_oracle() -> str | None:
-    centers = _det_centers(16)
+def _x15_oracle(sf_dir: str) -> str | None:
+    centers = _det_centers(16, sf_dir)
     if centers is None:
         return None
     dl = similarity.duck_dist_list("embedding", centers)
@@ -275,7 +278,7 @@ def _x15_oracle() -> str | None:
     """
 
 
-@query("x15_ann_ivf", oracle=_x15_oracle())
+@query("x15_ann_ivf", oracle=_x15_oracle)
 def x15_ann_ivf(spark, sf_dir):
     """IVF ANN (KMeans coarse quantizer, probe 4/16 cells) — the
     inverted-file billion-vector layout, in the oracle-checkable form:
@@ -921,8 +924,8 @@ def x25_pack_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _x26_oracle() -> str | None:
-    centers = _det_centers(6)
+def _x26_oracle(sf_dir: str) -> str | None:
+    centers = _det_centers(6, sf_dir)
     if centers is None:
         return None
     dl = similarity.duck_dist_list("embedding", centers)
@@ -937,7 +940,7 @@ def _x26_oracle() -> str | None:
     """
 
 
-@query("x26_dedup_semantic", oracle=_x26_oracle())
+@query("x26_dedup_semantic", oracle=_x26_oracle)
 def x26_dedup_semantic(spark, sf_dir):
     """SemDeDup-style clustered embedding dedup: the 100 TB scale path for
     x05 — a KMeans coarse quantizer shrinks the pair space to within-cell,

@@ -69,8 +69,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
+    from go_fish_spark.queries import REGISTRY, resolve_oracle
 
-    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    qs = entrymod.queries()
+    # Resolve data-dependent oracles (x15/x26 centroid literals) against the
+    # SAME sf this check runs at — what the driver's oracle_sql() does
+    # implicitly by always running at sf0.01.
+    osql = {}
+    for name, qd in REGISTRY.items():
+        sql = resolve_oracle(qd, args.sf)
+        if sql is not None:
+            osql[name] = sql
     names = list(qs)
     if args.only:
         names = [n for n in args.only.split(",") if n in qs]

@@ -42,16 +42,19 @@ def all_oracle_queries():
 
 @pytest.mark.parametrize("name", all_oracle_queries())
 def test_query_matches_oracle(name, spark, duck):
-    from go_fish_spark.queries import REGISTRY
+    from go_fish_spark.queries import REGISTRY, resolve_oracle
 
     qd = REGISTRY[name]
     register_duck_views(duck, SF_DIR)
+    oracle = resolve_oracle(qd, SF_DIR)
+    if oracle is None:
+        pytest.skip(f"{name}: oracle unresolvable at {SF_DIR}")
 
     sdf = qd.fn(spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(qd.oracle)
+    res = duck.execute(oracle)
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()
 
