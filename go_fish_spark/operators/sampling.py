@@ -111,6 +111,88 @@ def top_fraction_per_group(
     )
 
 
+def group_quality_thresholds(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    frac: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group score CUTOFF equivalent to :func:`top_fraction_per_group`:
+    the minimum ``order_col`` among each group's kept rows. Returns
+    (group_col, _thr) — a bounded (one row per stratum) table.
+
+    This is the streaming/two-pass form of the per-stratum quality bar:
+    fit the cutoffs on a static/historical corpus (window sort there),
+    broadcast them, and select from a live stream with the pure filter
+    ``order_col >= _thr`` (:func:`apply_quality_thresholds`) — no window,
+    no stream-side state. Equal to the window form whenever no tie
+    straddles the boundary (the window breaks boundary ties by
+    ``tiebreak_col``; a threshold filter keeps all of them)."""
+    kept = top_fraction_per_group(df, group_col, order_col, frac, tiebreak_col)
+    return kept.groupBy(group_col).agg(F.min(order_col).alias("_thr"))
+
+
+def apply_quality_thresholds(
+    df: DataFrame, group_col: str, order_col: str, thresholds: DataFrame
+) -> DataFrame:
+    """Pass 2 of the two-pass quality bar: broadcast the bounded cutoff
+    table and keep rows scoring at or above their stratum's bar. Pure
+    stream-static join + filter — works identically on batch and
+    streaming DataFrames; groups absent from ``thresholds`` are dropped
+    (inner join), matching 'no bar fit → no selection'."""
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(F.col(order_col) >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def group_rates(
+    df: DataFrame,
+    group_col: str,
+    size_col: Column | str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Pass 1 of :func:`rebalance_mix`: per-group acceptance rates
+    ``min(1, target_tokens_g / actual_tokens_g)`` from one groupBy on the
+    BOUNDED group key. Split out so a STREAM can be rebalanced against
+    rates fit on a static/historical corpus (:func:`apply_rates`)."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    totals = df.groupBy(group_col).agg(F.sum(size).alias("_tok"))
+    from pyspark.sql import Window
+
+    if target_shares is None:
+        w = Window.partitionBy()
+        target_tok = F.sum("_tok").over(w) / F.count(F.lit(1)).over(w)
+    else:
+        total = F.sum("_tok").over(Window.partitionBy())
+        share = None
+        for name, s in target_shares.items():
+            lit = F.lit(float(s))
+            share = (
+                F.when(F.col(group_col) == name, lit)
+                if share is None
+                else share.when(F.col(group_col) == name, lit)
+            )
+        target_tok = total * share.otherwise(F.lit(0.0))
+    return totals.select(
+        group_col,
+        F.least(F.lit(1.0), target_tok / F.col("_tok")).alias("_rate"),
+    )
+
+
+def apply_rates(df: DataFrame, key: str, group_col: str, rates: DataFrame) -> DataFrame:
+    """Pass 2 of :func:`rebalance_mix`: broadcast the bounded rates table
+    and keep each row by its deterministic key-hash draw. Pure per-row
+    filter — batch and streaming alike; the corpus never shuffles."""
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_uniform(key) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def rebalance_mix(
     df: DataFrame,
     key: str,
@@ -126,39 +208,13 @@ def rebalance_mix(
 
     Rates are ``min(1, target_tokens_g / actual_tokens_g)`` — groups
     under their target are kept whole (no upsampling), oversized groups
-    are thinned. Two-pass shape: pass 1 is one groupBy on the BOUNDED
-    group key (sources/languages — dozens, not billions) producing a
-    rates table that broadcasts; pass 2 is a pure per-row filter. The
-    rebalance never shuffles the corpus."""
-    size = F.col(size_col) if isinstance(size_col, str) else size_col
-    totals = df.groupBy(group_col).agg(F.sum(size).alias("_tok"))
-    if target_shares is None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy()
-        target_tok = F.sum("_tok").over(w) / F.count(F.lit(1)).over(w)
-    else:
-        from pyspark.sql import Window
-
-        total = F.sum("_tok").over(Window.partitionBy())
-        share = None
-        for name, s in target_shares.items():
-            lit = F.lit(float(s))
-            share = (
-                F.when(F.col(group_col) == name, lit)
-                if share is None
-                else share.when(F.col(group_col) == name, lit)
-            )
-        target_tok = total * share.otherwise(F.lit(0.0))
-    rates = totals.select(
-        group_col,
-        F.least(F.lit(1.0), target_tok / F.col("_tok")).alias("_rate"),
-    )
-    return (
-        df.join(F.broadcast(rates), group_col)
-        .filter(hash_uniform(key) < F.col("_rate"))
-        .drop("_rate")
-    )
+    are thinned. Two-pass shape: pass 1 (:func:`group_rates`) is one
+    groupBy on the BOUNDED group key (sources/languages — dozens, not
+    billions) producing a rates table that broadcasts; pass 2
+    (:func:`apply_rates`) is a pure per-row filter. The rebalance never
+    shuffles the corpus — and because the passes are separable, a STREAM
+    can be rebalanced against rates fit on static history."""
+    return apply_rates(df, key, group_col, group_rates(df, group_col, size_col, target_shares))
 
 
 def weighted_sample(

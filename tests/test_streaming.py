@@ -665,3 +665,121 @@ def test_stream_stream_left_outer_join_null_extends_after_watermark(spark, tmp_p
     q2.awaitTermination(120)
     got2 = {(r.key, r.event_id) for r in spark.sql("SELECT * FROM ssloj_out2").collect()}
     assert ("u9", None) in got2, got2
+
+
+def test_stream_quality_bar_vs_static_thresholds(spark, tmp_path):
+    """x30's streaming form: per-stratum quality cutoffs are FIT on a
+    static/historical corpus (window sort there, bounded output), then a
+    live stream is selected with the pure broadcast-join + filter
+    (apply_quality_thresholds) — no window, no stream-side state. Golden:
+    streaming the same rows keeps exactly the batch window-form's set
+    (no tie straddles the 50% boundary here)."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.operators import sampling
+    from go_fish_spark.streaming import sources
+
+    rows = [
+        (1, "en", 0.9), (2, "en", 0.7), (3, "en", 0.5), (4, "en", 0.3),
+        (5, "fr", 0.8), (6, "fr", 0.2),
+    ]
+    hist = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    thr = sampling.group_quality_thresholds(hist, "lang", "score", 0.5, "doc_id")
+
+    batch_kept = {
+        r.doc_id
+        for r in sampling.top_fraction_per_group(
+            hist, "lang", "score", 0.5, "doc_id"
+        ).collect()
+    }
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [dict(doc_id=i, lang=g, score=s) for i, g, s in rows],
+    )
+    stream = sources.json_stream(
+        spark, str(indir), "doc_id long, lang string, score double"
+    )
+    kept = sampling.apply_quality_thresholds(stream, "lang", "score", thr)
+    run_to_memory(kept, "qbar_out")
+    stream_kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM qbar_out").collect()}
+    # en (4 docs): percent_rank ≤ 0.5 keeps 0.9, 0.7; fr (2 docs): keeps 0.8.
+    assert stream_kept == batch_kept == {1, 2, 5}
+
+
+def test_stream_rebalance_mix_vs_static_rates(spark, tmp_path):
+    """x33's streaming form: acceptance rates are FIT on the static
+    historical mix (group_rates — one bounded groupBy), then the live
+    stream is thinned row-by-row with the broadcast rates + deterministic
+    key-hash draw (apply_rates). Golden: the stream keeps exactly the
+    rows the batch pass-2 keeps for the same rates table."""
+    from go_fish_spark.operators import sampling
+    from go_fish_spark.streaming import sources
+
+    rows = [(i, "web" if i < 8 else "books", 100) for i in range(10)]
+    hist = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    rates = sampling.group_rates(hist, "source", "n_tokens")
+
+    batch_kept = {
+        r.doc_id for r in sampling.apply_rates(hist, "doc_id", "source", rates).collect()
+    }
+    # The mix is 8:2 → web thinned to rate 5/8, books kept whole.
+    assert {i for i in range(8, 10)} <= batch_kept
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [dict(doc_id=i, source=g, n_tokens=t) for i, g, t in rows],
+    )
+    stream = sources.json_stream(
+        spark, str(indir), "doc_id long, source string, n_tokens long"
+    )
+    kept = sampling.apply_rates(stream, "doc_id", "source", rates)
+    run_to_memory(kept, "remix_out")
+    stream_kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM remix_out").collect()}
+    assert stream_kept == batch_kept
+
+
+def test_stream_normalized_dedup_vs_batch(spark, tmp_path):
+    """x35's streaming form: the normalize-then-digest shuffle key works
+    unchanged as a STREAMING aggregation key — groupBy(md5(normalized))
+    with min-id canonical + running count (update-capable aggregates;
+    count_distinct is the one batch-only column). Golden: complete-mode
+    output equals the batch operator's (canonical_id, n_copies)."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.operators.dedup import normalized_dedup
+    from go_fish_spark.streaming import sinks, sources
+
+    rows = [
+        (1, "Hello, World!"), (2, "hello world"), (3, "HELLO  world?!"),
+        (4, "quite different"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_out = {
+        (r.canonical_id, r.n_copies)
+        for r in normalized_dedup(batch, "doc_id", "text").collect()
+    }
+    assert batch_out == {(1, 3), (4, 1)}
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, text=t) for i, t in rows])
+    stream = sources.json_stream(spark, str(indir), "doc_id long, text string")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    agg = (
+        stream.groupBy(F.md5(norm).alias("_digest"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+    q = sinks.memory_sink(agg, "ndedup_out", output_mode="complete",
+                          trigger_available_now=True)
+    q.awaitTermination(120)
+    stream_out = {
+        (r.canonical_id, r.n_copies)
+        for r in spark.sql("SELECT * FROM ndedup_out").collect()
+    }
+    assert stream_out == batch_out
