@@ -93,6 +93,12 @@ HEADLINE = [
     "x35_normalized_dedup",
     "x36_passage_dedup",
     "x37_dedup_lsh_bucketed",
+    # round-4: graded contamination, embedding quantization audit,
+    # multi-epoch upsampling, cross-corpus novelty
+    "x38_contamination_score",
+    "x39_embedding_quantization",
+    "x40_epoch_upsample",
+    "x41_novelty_score",
 ]
 
 

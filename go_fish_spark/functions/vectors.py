@@ -47,3 +47,41 @@ def duck_cosine(a: str, b: str, dim: int) -> str:
     na = s(f"{a}[i]::DOUBLE * {a}[i]::DOUBLE")
     nb = s(f"{b}[i]::DOUBLE * {b}[i]::DOUBLE")
     return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+def truncate(a: Column | str, d: int) -> Column:
+    """First ``d`` dimensions, double-promoted — the matryoshka/MRL cut.
+    A pure slice: at 100 TB this (plus a renorm) is how an embedding
+    store serves multiple precision/cost tiers from one stored vector."""
+    return F.slice(_d(a), 1, d)
+
+
+def energy_fraction(a: Column | str, d: int) -> Column:
+    """||a[:d]||² / ||a||² — how much of the vector's energy the first
+    ``d`` dims retain; the standard matryoshka-truncation quality gauge."""
+    t = truncate(a, d)
+    return dot(t, t) / dot(a, a)
+
+
+def quant_scale(a: Column | str) -> Column:
+    """Symmetric int8 scale: max |aᵢ| / 127 (double). 0.0 only for the
+    all-zero vector — gate on it before dividing."""
+    return F.array_max(F.transform(_d(a), F.abs)) / F.lit(127.0)
+
+
+def quantize_int8(a: Column | str, scale: Column) -> Column:
+    """round(aᵢ/scale) clamped to [-127, 127], as array<bigint>. The
+    rounding is an explicit floor(x + 0.5) — identical text in the DuckDB
+    mirror, dodging the engines' differing round-half conventions."""
+    return F.transform(
+        _d(a),
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)))
+        ).cast("bigint"),
+    )
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """qᵢ · scale — the reconstruction whose cosine against the original
+    measures quantization loss."""
+    return F.transform(q, lambda x: x.cast("double") * scale)

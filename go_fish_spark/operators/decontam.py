@@ -191,3 +191,55 @@ def decontaminate(
         train_docs, eval_docs, id_col, text_col, k=k, min_hits=min_hits
     ).select(id_col)
     return train_docs.join(bad, id_col, "left_anti")
+
+
+def contamination_score(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document contamination FRACTION — the graded complement of
+    :func:`contaminated_docs`' boolean membership: for EVERY training doc,
+    what share of its distinct k-shingles appears anywhere in the
+    benchmark. The standard report for choosing a removal threshold (a
+    doc sharing one idiom is different from a doc that IS the benchmark),
+    e.g. the n-gram-overlap contamination analyses in GPT-3 appendix C /
+    PaLM-style eval cards.
+
+    Output: (id_col, n_shingles BIGINT, n_hits BIGINT, overlap DOUBLE
+    rounded 6) — one row per training doc, 0-hit docs included (the
+    threshold sweep needs the clean mass too).
+
+    100 TB shape: the eval shingle vocabulary is distinct'd then
+    broadcast, so the corpus is never shuffled for the probe (same plan
+    discipline as contaminated_docs); n_shingles is a map-side array
+    length; the only corpus-keyed exchanges are the hit groupBy and the
+    left join back on ``id_col``."""
+    ev = F.broadcast(eval_shingle_set(eval_docs, text_col, k))
+    base = train_docs.select(
+        F.col(id_col),
+        F.size(tx.word_shingles(text_col, k)).cast("bigint").alias("n_shingles"),
+    )
+    hits = (
+        train_docs.select(
+            F.col(id_col), F.explode(tx.word_shingles(text_col, k)).alias("sh")
+        )
+        .join(ev, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+    return base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        n_hits.alias("n_hits"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0,
+                n_hits.cast("double") / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("overlap"),
+    )

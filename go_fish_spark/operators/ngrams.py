@@ -121,3 +121,60 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select(F.col("_id").alias(id_col), "n_tokens", "avg_logprob")
     )
+
+
+def novelty_score(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_df: int = 2
+) -> DataFrame:
+    """Per-document CROSS-CORPUS novelty: the share of a doc's distinct
+    k-shingles that appear in no other document — the within-corpus
+    complement of decontamination's vs-benchmark overlap, and the graded
+    form of boilerplate detection (a doc of template text scores ~0, a
+    doc of unique prose ~1). Filtering low-novelty docs is the
+    document-level cousin of passage dedup (x36 removes the shared spans;
+    this flags the docs that are MOSTLY shared spans).
+
+    Output: (id_col, n_shingles BIGINT, n_common BIGINT, novelty DOUBLE
+    rounded 6), one row per doc with ≥0 shingles; ``n_common`` counts the
+    doc's distinct shingles whose document frequency is ≥ ``min_df``.
+
+    100 TB shape: shingles are distinct per doc array-side (no
+    per-occurrence blowup), so the exchanges are (1) the shingle-key
+    doc-frequency groupBy with map-side combine, (2) the (doc,shingle) ⋈
+    common-shingle equi-join on the shingle key, (3) the per-doc hit
+    groupBy + id join-back. Same digest discipline as passage dedup: the
+    join key is the 16-byte md5 of the shingle, never the text."""
+    from ..functions.text import word_shingles
+
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, k)).alias("_sh"),
+    ).select(F.col(id_col), F.md5("_sh").alias("_d"))
+    common = (
+        sh.groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_d")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(word_shingles(text_col, k)).cast("bigint").alias("n_shingles"),
+    )
+    hits = (
+        sh.join(common, "_d")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0).cast("bigint"))
+    return base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        n_common.alias("n_common"),
+        F.round(
+            F.when(
+                F.col("n_shingles") > 0,
+                1.0 - n_common.cast("double") / F.col("n_shingles"),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("novelty"),
+    )

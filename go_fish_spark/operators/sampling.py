@@ -148,16 +148,18 @@ def apply_quality_thresholds(
     )
 
 
-def group_rates(
+def _repeat_factors(
     df: DataFrame,
     group_col: str,
     size_col: Column | str,
-    target_shares: dict[str, float] | None = None,
+    target_shares: dict[str, float] | None,
+    alias: str,
+    cap_at_one: bool,
 ) -> DataFrame:
-    """Pass 1 of :func:`rebalance_mix`: per-group acceptance rates
-    ``min(1, target_tokens_g / actual_tokens_g)`` from one groupBy on the
-    BOUNDED group key. Split out so a STREAM can be rebalanced against
-    rates fit on a static/historical corpus (:func:`apply_rates`)."""
+    """Shared pass 1 of rebalance/upsample: per-group
+    ``target_tokens_g / actual_tokens_g`` from one groupBy on the BOUNDED
+    group key — capped at 1 for down-only rebalancing, uncapped for
+    epoch upsampling."""
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     totals = df.groupBy(group_col).agg(F.sum(size).alias("_tok"))
     from pyspark.sql import Window
@@ -176,9 +178,24 @@ def group_rates(
                 else share.when(F.col(group_col) == name, lit)
             )
         target_tok = total * share.otherwise(F.lit(0.0))
-    return totals.select(
-        group_col,
-        F.least(F.lit(1.0), target_tok / F.col("_tok")).alias("_rate"),
+    rf = target_tok / F.col("_tok")
+    if cap_at_one:
+        rf = F.least(F.lit(1.0), rf)
+    return totals.select(group_col, rf.alias(alias))
+
+
+def group_rates(
+    df: DataFrame,
+    group_col: str,
+    size_col: Column | str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Pass 1 of :func:`rebalance_mix`: per-group acceptance rates
+    ``min(1, target_tokens_g / actual_tokens_g)`` from one groupBy on the
+    BOUNDED group key. Split out so a STREAM can be rebalanced against
+    rates fit on a static/historical corpus (:func:`apply_rates`)."""
+    return _repeat_factors(
+        df, group_col, size_col, target_shares, "_rate", cap_at_one=True
     )
 
 
@@ -231,3 +248,52 @@ def weighted_sample(
     100 TB-safe."""
     w = F.col(weight) if isinstance(weight, str) else weight
     return df.filter(hash_uniform(key) < F.least(w * scale, F.lit(1.0)))
+
+
+def epoch_upsample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    size_col: Column | str,
+    target_shares: dict[str, float] | None = None,
+    budget_factor: float = 1.0,
+) -> DataFrame:
+    """Mixture rebalancing WITH upsampling — the data-budget move
+    :func:`rebalance_mix` can't make: when a group is UNDER its target
+    share, repeat its documents across epochs instead of thinning the
+    rest (the multi-epoch source weighting of LLaMA/Dolma-style data
+    cards, where a small high-quality source runs 2–3 epochs).
+
+    Per group, the repeat factor is ``rf = budget_factor ·
+    target_tokens_g / actual_tokens_g`` (uncapped — <1 downsamples
+    exactly like rebalance_mix, >1 upsamples). Each row gets
+    ``floor(rf)`` guaranteed copies plus one more iff its deterministic
+    key-hash draw falls under ``frac(rf)`` — so group totals hit the
+    target in expectation while each row's copy count is a pure function
+    of (key, rates): stable across runs, engines, and layout. Output is
+    the input rows with an ``epoch`` column (1..n_copies; a row drawn to
+    0 copies disappears).
+
+    100 TB shape: pass 1 is the bounded-key groupBy (:func:`group_rates`
+    without the cap); pass 2 broadcasts the rates and EXPLODES a
+    1..n_copies sequence per row — map-only on the corpus, output size
+    ≈ budget_factor × input. The explode multiplies rows, not documents:
+    downstream packing/sharding sees epoch as an ordinary column."""
+    rates = _repeat_factors(
+        df, group_col, size_col, target_shares, "_rf", cap_at_one=False
+    ).select(
+        group_col, (F.lit(float(budget_factor)) * F.col("_rf")).alias("_rf")
+    )
+    n_copies = (
+        F.floor(F.col("_rf")).cast("bigint")
+        + (hash_uniform(key) < F.col("_rf") - F.floor(F.col("_rf"))).cast("bigint")
+    )
+    # sequence(1, n) DESCENDS for n < 1 — gate the empty case explicitly.
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("bigint"), n_copies)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("epoch", F.explode(copies))
+        .drop("_rf")
+    )

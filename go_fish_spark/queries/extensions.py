@@ -1345,3 +1345,180 @@ def x37_dedup_lsh_bucketed(spark, sf_dir):
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         dim=_EMB_DIM, threshold=0.45, n_planes=6, seed=42,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x38_contamination_score",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE {_DUCK_EVAL}),
+    tr AS (SELECT doc_id, sh FROM sh WHERE NOT ({_DUCK_EVAL})),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_hits
+      FROM (SELECT doc_id, unnest(sh) AS s FROM tr) t JOIN ev USING (s)
+      GROUP BY t.doc_id
+    )
+    SELECT tr.doc_id, len(tr.sh)::BIGINT AS n_shingles,
+           coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+           round(CASE WHEN len(tr.sh) > 0
+                      THEN coalesce(hits.n_hits, 0)::DOUBLE / len(tr.sh)
+                      ELSE 0.0 END, 6) AS overlap
+    FROM tr LEFT JOIN hits USING (doc_id) ORDER BY doc_id
+    """,
+)
+def x38_contamination_score(spark, sf_dir):
+    """Graded contamination report (decontam.contamination_score): for
+    EVERY training doc, the fraction of its distinct 3-shingles found
+    anywhere in the benchmark — the threshold-sweep complement of x21's
+    boolean membership (GPT-3 appendix-C-style overlap analysis). Same
+    broadcast-probe plan discipline: the corpus never shuffles for the
+    probe; only the hit groupBy and the id join-back exchange corpus
+    keys."""
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return decontam.contamination_score(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=3
+    ).orderBy("doc_id")
+
+
+@query(
+    "x39_embedding_quantization",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             [embedding[i]::DOUBLE for i in range(1, {_EMB_DIM + 1})] AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max([abs(v[i]) for i in range(1, {_EMB_DIM + 1})]) / 127.0
+               AS scale
+      FROM v
+    ),
+    d AS (
+      SELECT vec_id, v, scale,
+             [greatest(-127.0, least(127.0, floor(v[i] / scale + 0.5))) * scale
+              for i in range(1, {_EMB_DIM + 1})] AS deq
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(list_sum([v[i] * v[i] for i in range(1, 17)])
+                 / list_sum([v[i] * v[i] for i in range(1, {_EMB_DIM + 1})]),
+                 6) AS energy16,
+           round(list_sum([v[i] * deq[i] for i in range(1, {_EMB_DIM + 1})])
+                 / (sqrt(list_sum([v[i] * v[i] for i in range(1, {_EMB_DIM + 1})]))
+                    * sqrt(list_sum([deq[i] * deq[i] for i in range(1, {_EMB_DIM + 1})]))),
+                 6) AS cos_int8,
+           round(scale, 9) AS scale
+    FROM d ORDER BY vec_id
+    """,
+)
+def x39_embedding_quantization(spark, sf_dir):
+    """Embedding post-processing audit (functions/vectors.py): per vector,
+    the matryoshka energy retained by a 16-dim truncation and the cosine
+    between the original and its symmetric-int8 reconstruction — the two
+    numbers that decide how an embedding store serves cheaper tiers from
+    one stored vector. Pure array expressions (zip_with/aggregate
+    HOFs, JVM-side, map-only — at 100 TB this runs at scan speed with
+    zero shuffles); the rounding inside quantization is an explicit
+    floor(x+0.5) so the DuckDB mirror is bit-identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    df = (
+        emb.withColumn("_scale", vectors.quant_scale("embedding"))
+        .filter(F.col("_scale") > 0)
+        .withColumn(
+            "_deq",
+            vectors.dequantize(
+                vectors.quantize_int8("embedding", F.col("_scale")),
+                F.col("_scale"),
+            ),
+        )
+    )
+    return df.select(
+        "vec_id",
+        F.round(vectors.energy_fraction("embedding", 16), 6).alias("energy16"),
+        F.round(vectors.cosine("embedding", F.col("_deq")), 6).alias("cos_int8"),
+        F.round(F.col("_scale"), 9).alias("scale"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "x40_epoch_upsample",
+    oracle=f"""
+    WITH t AS (SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source),
+    r AS (
+      SELECT source,
+             2.0 * ((SELECT sum(tok) FROM t)::DOUBLE / (SELECT count(*) FROM t))
+                 / tok AS rf
+      FROM t
+    ),
+    j AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(r.rf) AS BIGINT)
+               + CASE WHEN {_DUCK_UNIFORM_DOCID} < r.rf - floor(r.rf)
+                      THEN 1 ELSE 0 END AS n
+      FROM documents d JOIN r USING (source)
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+    FROM j WHERE n >= 1 ORDER BY doc_id, epoch
+    """,
+)
+def x40_epoch_upsample(spark, sf_dir):
+    """Multi-epoch mixture upsampling (sampling.epoch_upsample): with a
+    2× token budget at uniform source shares, each source's repeat factor
+    lands in ~1.7–2.4 — every doc gets 1–2 guaranteed epochs plus a
+    deterministic key-hash draw for the fractional one (the LLaMA/Dolma
+    data-card move x33 can't make: it only thins). Pass 1 is the bounded
+    source-key groupBy; pass 2 broadcasts the factors and explodes
+    1..n_copies map-only — the corpus never shuffles."""
+    from ..operators import sampling
+
+    return (
+        sampling.epoch_upsample(
+            table(spark, sf_dir, "documents"),
+            "doc_id", "source", "n_chars", budget_factor=2.0,
+        )
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+@query(
+    "x41_novelty_score",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    e AS (
+      SELECT doc_id, md5(s) AS d
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+    ),
+    c AS (SELECT d FROM e GROUP BY d HAVING count(*) >= 2),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_common
+      FROM e JOIN c USING (d) GROUP BY e.doc_id
+    )
+    SELECT sh.doc_id, len(sh.sh)::BIGINT AS n_shingles,
+           coalesce(hits.n_common, 0)::BIGINT AS n_common,
+           round(CASE WHEN len(sh.sh) > 0
+                      THEN 1.0 - coalesce(hits.n_common, 0)::DOUBLE / len(sh.sh)
+                      ELSE 1.0 END, 6) AS novelty
+    FROM sh LEFT JOIN hits USING (doc_id) ORDER BY doc_id
+    """,
+)
+def x41_novelty_score(spark, sf_dir):
+    """Cross-corpus novelty (ngrams.novelty_score): the share of each
+    doc's distinct 3-shingles appearing in NO other document — graded
+    boilerplate detection, the document-level cousin of x36's span dedup
+    (x36 removes the shared spans; this flags the docs that are mostly
+    shared). Digest-keyed: the doc-frequency groupBy, the common-shingle
+    join, and the per-doc rollup all exchange 16-byte md5 keys."""
+    from ..operators.ngrams import novelty_score
+
+    return novelty_score(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_df=2
+    ).orderBy("doc_id")

@@ -124,6 +124,13 @@ def main() -> None:
         "x33_mix_rebalance": lambda d: REGISTRY["x33_mix_rebalance"].fn(spark, d).count(),
         "x34_unigram_logprob": lambda d: REGISTRY["x34_unigram_logprob"].fn(spark, d).count(),
         "x35_normalized_dedup": lambda d: REGISTRY["x35_normalized_dedup"].fn(spark, d).count(),
+        # round-4 additions: graded contamination (broadcast probe),
+        # quantization audit (map-only), epoch upsample (broadcast rates
+        # + explode), novelty (shingle-digest DF + join-back).
+        "x38_contamination_score": lambda d: REGISTRY["x38_contamination_score"].fn(spark, d).count(),
+        "x39_embedding_quantization": lambda d: REGISTRY["x39_embedding_quantization"].fn(spark, d).count(),
+        "x40_epoch_upsample": lambda d: REGISTRY["x40_epoch_upsample"].fn(spark, d).count(),
+        "x41_novelty_score": lambda d: REGISTRY["x41_novelty_score"].fn(spark, d).count(),
     }
     for label, fn in cases.items():
         t1, n1 = timed(lambda: fn(BASE))

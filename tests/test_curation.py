@@ -261,3 +261,113 @@ def test_rebalance_mix_explicit_target_shares(spark):
         df, "doc_id", "source", "n", target_shares={"a": 0.75, "b": 0.25}
     ).groupBy("source").count().collect()
     assert {r.source: r["count"] for r in kept2} == by_src
+
+
+def test_contamination_score_graded_and_zero_rows(spark):
+    """x38's operator: overlap is hits/doc-shingles; clean docs appear
+    with 0.0, and a doc too short to shingle gets n_shingles=0 →
+    overlap 0.0 (not null/div-by-zero)."""
+    train = _docs(spark, [
+        (1, "the quick brown fox jumps"),   # 3 shingles, 1 hit
+        (2, "totally unrelated words here"),
+        (3, "too short"),                   # < 3 tokens → no shingles
+    ])
+    ev = _docs(spark, [(100, "a quick brown fox ran")])
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.overlap)
+        for r in decontam.contamination_score(
+            train, ev, "doc_id", "text"
+        ).collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_novelty_score_boilerplate_vs_unique(spark):
+    """x41's operator: a doc whose shingles all recur elsewhere scores 0,
+    an all-unique doc scores 1, a mixed doc scores the exact fraction."""
+    from go_fish_spark.operators.ngrams import novelty_score
+
+    docs = _docs(spark, [
+        (1, "copy pasta line one two"),      # shared with doc 2 entirely
+        (2, "copy pasta line one two"),
+        (3, "entirely fresh unique document text"),
+        (4, "copy pasta line plus novel suffix here"),
+    ])
+    got = {
+        r.doc_id: (r.n_shingles, r.n_common, r.novelty)
+        for r in novelty_score(docs, "doc_id", "text").collect()
+    }
+    assert got[1] == (3, 3, 0.0)
+    assert got[2] == (3, 3, 0.0)
+    assert got[3] == (3, 0, 1.0)
+    # doc 4 shares "copy pasta line" only → 1 of 5 shingles common
+    assert got[4] == (5, 1, round(1 - 1 / 5, 6))
+
+
+def test_epoch_upsample_rates_and_epoch_numbering(spark):
+    """x40's operator: rf=2 exactly → every row gets epochs {1,2}; an
+    under-target group upsamples, group totals land within one draw of
+    target; epoch numbering is 1..n."""
+    from go_fish_spark.operators.sampling import epoch_upsample
+
+    # two sources, 4:1 token mass → uniform target 2.5 each:
+    # rf(big)=0.625, rf(small)=2.5
+    rows = [(i, "big", 100) for i in range(8)] + [(100, "small", 200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = epoch_upsample(df, "doc_id", "source", "n_tokens").collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # the small source's single doc: rf=2.5 → 2 or 3 epochs, numbered 1..n
+    small_epochs = sorted(by_doc[100])
+    assert small_epochs in ([1, 2], [1, 2, 3])
+    # big source: rf<1 → every kept doc has exactly [1]
+    for d, eps in by_doc.items():
+        if d != 100:
+            assert eps == [1]
+    # determinism: a second run yields the identical multiset
+    out2 = epoch_upsample(df, "doc_id", "source", "n_tokens").collect()
+    assert sorted((r.doc_id, r.epoch) for r in out2) == sorted(
+        (r.doc_id, r.epoch) for r in out
+    )
+
+
+def test_quantization_roundtrip_bounds(spark):
+    """x39's helpers: int8 reconstruction stays within the scale/2 grid
+    error per dim (cos ≈ 1), energy fraction is within (0, 1], and the
+    all-zero vector is gated out by scale > 0."""
+    from go_fish_spark.functions import vectors
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.125]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        df.withColumn("_scale", vectors.quant_scale("embedding"))
+        .filter(F.col("_scale") > 0)
+        .withColumn(
+            "_deq",
+            vectors.dequantize(
+                vectors.quantize_int8("embedding", F.col("_scale")),
+                F.col("_scale"),
+            ),
+        )
+        .select(
+            "vec_id",
+            vectors.cosine("embedding", F.col("_deq")).alias("cos"),
+            vectors.energy_fraction("embedding", 2).alias("en"),
+            "_deq",
+        )
+        .collect()
+    )
+    assert [r.vec_id for r in out] == [1]
+    r = out[0]
+    assert r.cos > 0.999
+    # scale = 1/127; each reconstructed dim within scale/2 of the original
+    for orig, deq in zip([1.0, -0.5, 0.25, 0.125], r._deq):
+        assert abs(orig - deq) <= (1.0 / 127) / 2 + 1e-12
+    assert 0.0 < r.en <= 1.0
+    # first-2-dims energy: (1 + .25) / (1 + .25 + .0625 + .015625)
+    assert abs(r.en - 1.25 / 1.328125) < 1e-9

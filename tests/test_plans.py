@@ -452,3 +452,33 @@ def test_events_ts_dtype_matrix(spark, tmp_path, variant):
     for name in _ts_touching_queries():
         df = REGISTRY[name].fn(spark, sf_dir)
         df.schema  # force analysis; AnalysisException here = regression
+
+
+def test_x38_contamination_score_broadcasts_eval_shingles(spark):
+    """Graded contamination: the eval shingle vocabulary broadcasts (same
+    probe discipline as x21) — the corpus-side probe join must be a
+    BroadcastHashJoin; the only sort-merge exchange allowed is the final
+    per-doc left join-back on doc_id."""
+    plan = plan_of(spark, "x38_contamination_score")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_x39_embedding_quantization_is_map_only(spark):
+    """The quantization audit is pure per-row array math: no Exchange at
+    all before the final presentation sort, no Python workers."""
+    plan = plan_of(spark, "x39_embedding_quantization")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # exactly one Exchange: the rangepartitioning for the output orderBy
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all("rangepartitioning" in e for e in exchanges), exchanges
+
+
+def test_x40_epoch_upsample_broadcasts_factors(spark):
+    """Epoch upsampling: the per-source repeat-factor table (bounded key)
+    broadcasts; the corpus side must not shuffle for the join — its only
+    Exchanges are the pass-1 totals groupBy and the output sort."""
+    plan = plan_of(spark, "x40_epoch_upsample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
