@@ -204,6 +204,112 @@ def repetition_metrics(text: Column | str) -> dict[str, Column]:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style heuristic rule gate
+
+#: Thresholds for the non-repetition Gopher/MassiveText document rules
+#: (Rae et al. 2021 §A1.1; the repetition pair lives in
+#: :func:`repetition_metrics` / x22). Word-count bounds, mean-word-length
+#: band, symbol-to-word ceiling, alphabetic-word floor, and a
+#: distinct-stopword floor. Centralized so the Spark flags and the DuckDB
+#: oracle mirror read the SAME numbers.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_ratio": 0.8,
+    "min_distinct_stopwords": 2,
+}
+
+#: Symbols counted against the symbol-to-word ratio ('#' and ellipsis).
+_SYMBOL_PATTERN = r"#|\.\.\."
+
+
+def gopher_metrics(text: Column | str) -> dict[str, Column]:
+    """The raw signals behind the Gopher rule gate — all pure Column
+    expressions (map-only; at 100 TB this runs at scan speed with zero
+    shuffles). ``mean_word_len`` uses the single-space-joined identity
+    (chars − spaces) / words, same as :func:`quality_metrics`."""
+    t = F.col(text) if isinstance(text, str) else text
+    w = tokens(t)
+    n_words = F.size(w)
+    safe_n = F.when(n_words > 0, n_words)  # NULL-div guard for empty docs
+    return {
+        "n_words": n_words,
+        "mean_word_len": (F.length(t) - (n_words - 1)) / safe_n,
+        "symbol_ratio": F.regexp_count(t, F.lit(_SYMBOL_PATTERN)) / safe_n,
+        "alpha_ratio": F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / safe_n,
+        "n_stop_distinct": F.size(
+            F.array_distinct(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+        ),
+    }
+
+
+def gopher_flags(m: dict[str, Column]) -> dict[str, Column]:
+    """Per-rule pass/fail booleans over :func:`gopher_metrics` output.
+    A document KEEPS iff every flag is true (:func:`gopher_keep`)."""
+    th = GOPHER_THRESHOLDS
+    return {
+        "ok_word_count": (m["n_words"] >= th["min_words"])
+        & (m["n_words"] <= th["max_words"]),
+        "ok_mean_word_len": (m["mean_word_len"] >= th["min_mean_word_len"])
+        & (m["mean_word_len"] <= th["max_mean_word_len"]),
+        "ok_symbol_ratio": m["symbol_ratio"] <= th["max_symbol_ratio"],
+        "ok_alpha_ratio": m["alpha_ratio"] >= th["min_alpha_ratio"],
+        "ok_stopwords": m["n_stop_distinct"] >= th["min_distinct_stopwords"],
+    }
+
+
+def gopher_keep(flags: dict[str, Column]) -> Column:
+    out = None
+    for c in flags.values():
+        out = c if out is None else out & c
+    return out
+
+
+def duck_gopher_exprs(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB mirrors of gopher_metrics + gopher_flags + keep, keyed by the
+    same names (reads GOPHER_THRESHOLDS so the numbers cannot drift)."""
+    th = GOPHER_THRESHOLDS
+    w = f"string_split({text_expr}, ' ')"
+    n = f"len({w})"
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    m = {
+        "n_words": n,
+        "mean_word_len": (
+            f"(length({text_expr}) - ({n} - 1))::DOUBLE / nullif({n}, 0)"
+        ),
+        "symbol_ratio": (
+            f"len(regexp_extract_all({text_expr}, '#|\\.\\.\\.'))::DOUBLE"
+            f" / nullif({n}, 0)"
+        ),
+        "alpha_ratio": (
+            f"len(list_filter({w}, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE"
+            f" / nullif({n}, 0)"
+        ),
+        "n_stop_distinct": (
+            f"len(list_distinct(list_filter({w}, x -> x IN ({stop_in}))))"
+        ),
+    }
+    flags = {
+        "ok_word_count": (
+            f"({m['n_words']} >= {th['min_words']}"
+            f" AND {m['n_words']} <= {th['max_words']})"
+        ),
+        "ok_mean_word_len": (
+            f"({m['mean_word_len']} >= {th['min_mean_word_len']}"
+            f" AND {m['mean_word_len']} <= {th['max_mean_word_len']})"
+        ),
+        "ok_symbol_ratio": f"({m['symbol_ratio']} <= {th['max_symbol_ratio']})",
+        "ok_alpha_ratio": f"({m['alpha_ratio']} >= {th['min_alpha_ratio']})",
+        "ok_stopwords": f"({m['n_stop_distinct']} >= {th['min_distinct_stopwords']})",
+    }
+    keep = " AND ".join(flags.values())
+    return {**m, **flags, "keep": f"({keep})"}
+
+
+# ---------------------------------------------------------------------------
 # PII detection / scrubbing
 
 #: Pattern dialect chosen for Java-regex / DuckDB-RE2 agreement: character

@@ -1522,3 +1522,78 @@ def x41_novelty_score(spark, sf_dir):
     return novelty_score(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_df=2
     ).orderBy("doc_id")
+
+
+def _x42_oracle() -> str:
+    g = tx.duck_gopher_exprs("text")
+    cols = ", ".join(
+        [
+            f"{g['n_words']}::BIGINT AS n_words",
+            f"round({g['mean_word_len']}, 6) AS mean_word_len",
+            f"round({g['symbol_ratio']}, 6) AS symbol_ratio",
+            f"round({g['alpha_ratio']}, 6) AS alpha_ratio",
+            f"{g['n_stop_distinct']}::BIGINT AS n_stop_distinct",
+        ]
+        + [
+            f"{g[k]} AS {k}"
+            for k in (
+                "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+                "ok_alpha_ratio", "ok_stopwords",
+            )
+        ]
+        + [f"{g['keep']} AS keep"]
+    )
+    return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
+
+
+@query("x42_gopher_rules", oracle=_x42_oracle())
+def x42_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText heuristic rule gate (Rae et al. 2021 §A1.1, the
+    non-repetition set — the repetition pair is x22): per document, the
+    raw signals (word count, mean word length, symbol-to-word ratio,
+    alphabetic-word ratio, distinct stopwords), one pass/fail flag per
+    rule, and the conjunctive keep decision. Thresholds live in ONE table
+    (functions.text.GOPHER_THRESHOLDS) read by both the Spark flags and
+    the DuckDB mirror. Pure Column expressions — map-only, zero shuffles;
+    at 100 TB this is scan-speed and the filter pushes into the same stage
+    as the parquet read."""
+    m = tx.gopher_metrics("text")
+    flags = tx.gopher_flags(m)
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            m["n_words"].alias("n_words"),
+            F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+            F.round(m["symbol_ratio"], 6).alias("symbol_ratio"),
+            F.round(m["alpha_ratio"], 6).alias("alpha_ratio"),
+            m["n_stop_distinct"].alias("n_stop_distinct"),
+            *[c.alias(k) for k, c in flags.items()],
+            tx.gopher_keep(flags).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from ..operators.dsir import dsir_weights, duck_dsir_sql
+
+
+@query(
+    "x43_dsir_weights",
+    oracle=duck_dsir_sql(
+        "documents", "doc_id", "text", "lang = 'en'", n_buckets=1024
+    )
+    + " ORDER BY doc_id",
+)
+def x43_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every document scored by
+    its average hashed-unigram log importance ratio against a TARGET
+    distribution (here: the English subset — the 'select raw docs that
+    look like the exemplar corpus' move). Downstream,
+    sampling.weighted_sample turns these into the resampling step. One
+    corpus shuffle on md5-uniform (doc, bucket) keys; both bucket models
+    are bounded (1024 rows) and broadcast — see operators/dsir.py."""
+    docs = table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1024
+    ).orderBy("doc_id")

@@ -371,3 +371,88 @@ def test_quantization_roundtrip_bounds(spark):
     assert 0.0 < r.en <= 1.0
     # first-2-dims energy: (1 + .25) / (1 + .25 + .0625 + .015625)
     assert abs(r.en - 1.25 / 1.328125) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# x42: Gopher rule gate
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    good = " ".join(["the", "a", "of"] + ["wordy"] * 60)      # 63 words, stopwords ok
+    short = "the a tiny doc"                                   # < 50 words
+    symbols = " ".join(["the", "a"] + ["###"] * 60)            # symbol ratio + alpha fail
+    nostop = " ".join(["zz"] * 60)                             # no stopwords
+    df = _docs(spark, [(1, good), (2, short), (3, symbols), (4, nostop)])
+    m = tx.gopher_metrics("text")
+    flags = tx.gopher_flags(m)
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in flags.items()],
+            tx.gopher_keep(flags).alias("keep"),
+        ).collect()
+    }
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_symbol_ratio and not out[3].ok_alpha_ratio
+    assert not out[4].ok_stopwords and not out[4].keep
+
+
+def test_gopher_duck_mirror_matches(spark, tmp_path):
+    """The DuckDB expression table reproduces the Spark flags row-for-row
+    on a constructed corpus (the sf-corpus compare is x42 in
+    test_correctness)."""
+    import duckdb
+
+    rows = [
+        (1, " ".join(["the", "a", "of"] + ["wordy"] * 60)),
+        (2, "the a tiny doc"),
+        (3, " ".join(["the", "a"] + ["###"] * 60)),
+        (4, " ".join(["zz"] * 60)),
+    ]
+    df = _docs(spark, rows)
+    m = tx.gopher_metrics("text")
+    flags = tx.gopher_flags(m)
+    spark_rows = sorted(
+        (r.doc_id, tuple(r[k] for k in flags))
+        for r in df.select("doc_id", *[c.alias(k) for k, c in flags.items()]).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    g = tx.duck_gopher_exprs("text")
+    duck_rows = sorted(
+        (r[0], tuple(r[1:]))
+        for r in con.execute(
+            "SELECT doc_id, "
+            + ", ".join(g[k] for k in flags)
+            + " FROM documents"
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
+# x43: DSIR importance weights
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from go_fish_spark.operators.dsir import dsir_weights
+
+    target_vocab = "alpha beta gamma delta epsilon"
+    other_vocab = "zeta eta theta iota kappa"
+    rows = (
+        [(i, target_vocab) for i in range(5)]          # target exemplars
+        + [(10 + i, other_vocab) for i in range(5)]    # bulk raw
+        + [(100, target_vocab), (101, other_vocab)]    # probes
+    )
+    df = _docs(spark, rows)
+    got = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_weights(
+            df, "doc_id", "text", F.col("doc_id") < 10, n_buckets=64
+        ).collect()
+    }
+    # A doc written in the target vocabulary must out-score one written in
+    # the non-target vocabulary, and sit above the corpus-neutral zero.
+    assert got[100] > 0 > got[101]
