@@ -545,3 +545,144 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+
+
+def _pq_fit(X: "np.ndarray", m: int, ksub: int, seed: int) -> list["np.ndarray"]:
+    """Per-subspace k-means codebooks (Jégou et al. 2011, TPAMI — Product
+    Quantization for Nearest Neighbor Search): split the dim into ``m``
+    contiguous blocks and fit an independent ``ksub``-centroid quantizer
+    per block (seed offset by block index). Deterministic given (X, m,
+    ksub, seed) — the engine-independence contract the oracle arm needs."""
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return [
+        _kmeans_fit(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+        for j in range(m)
+    ]
+
+
+class ProductQuantizer:
+    """PQ codebooks: ``m`` sub-quantizers over contiguous dim blocks.
+    A vector compresses to ``m`` small codes (m=4, ksub=16 → 4 nibbles
+    for a 64-dim float vector: 128× smaller than float64) — the memory
+    move that lets a 100 TB embedding corpus live in cluster RAM. All
+    executor-side work is pure column expressions over centroid literals
+    (the :class:`Quantizer` discipline), so a SQL oracle reproduces codes
+    and ADC distances bit-for-bit."""
+
+    def __init__(self, codebooks: list["np.ndarray"]) -> None:
+        self.books = [Quantizer(cb) for cb in codebooks]
+        self.dsub = int(np.asarray(codebooks[0]).shape[1])
+
+    def _sub(self, vec_col: Column | str, j: int) -> Column:
+        v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+            "array<double>"
+        )
+        return F.slice(v, j * self.dsub + 1, self.dsub)
+
+    def codes_col(self, vec_col: Column | str) -> Column:
+        """array<int> of ``m`` nearest-sub-centroid codes (0-based)."""
+        return F.array(
+            *[b.assign_expr_col(self._sub(vec_col, j)) for j, b in enumerate(self.books)]
+        )
+
+    def dtables_col(self, vec_col: Column | str) -> Column:
+        """array<array<double>> ADC distance tables: entry [j][c] is the
+        squared L2 distance from the query's j-th block to sub-centroid c.
+        Computed ONCE per query row (m × ksub folds), after which every
+        corpus candidate costs m lookups — the ADC trick."""
+        return F.array(
+            *[b.dist_expr_arr(self._sub(vec_col, j)) for j, b in enumerate(self.books)]
+        )
+
+
+def fit_pq_det(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 16,
+    train_cap: int = 100_000,
+    seed: int = 42,
+) -> ProductQuantizer:
+    """Deterministic PQ fit on the hash-total-ordered sample
+    (:func:`deterministic_sample`) — same contract as
+    :func:`fit_quantizer_det`: any engine reading the same table
+    reproduces the same codebooks, so an oracle can embed them as SQL
+    literals."""
+    X = deterministic_sample(df, id_col, vec_col, train_cap)
+    return ProductQuantizer(_pq_fit(X, m, ksub, seed))
+
+
+def adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pq: ProductQuantizer,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: the corpus is stored as
+    PQ CODES ONLY (m small ints per vector — the compressed form that
+    fits RAM at 100 TB), each query precomputes its m×ksub distance
+    tables, and a candidate's approximate distance is m table lookups
+    summed left-to-right.
+
+    Output: (query_id, rank, vec_id, adist) — rank 1 = nearest, adist =
+    approximate squared L2, ties broken by vec_id.
+
+    100 TB shape: the query side (with its tables) broadcasts; the coded
+    corpus is scanned map-only — no corpus shuffle, no raw vectors move.
+    The per-query top-k window is the same TakeOrdered shape as
+    brute-force; for corpus-scale query sets, bucket both sides by an IVF
+    cell key first (IVF-PQ = ivf_topk's routing over this scorer)."""
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"), pq.codes_col(vec_col).alias("codes")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), pq.dtables_col(vec_col).alias("dt")
+        )
+    )
+    adist = F.aggregate(
+        F.zip_with("codes", "dt", lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adist", adist)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("adist", 6).alias("adist"))
+    )
+
+
+def duck_pq_codes(vec: str, pq: ProductQuantizer) -> str:
+    """DuckDB mirror of ``ProductQuantizer.codes_col`` (same slicing, same
+    fold order, same first-wins argmin)."""
+    parts = []
+    for j, b in enumerate(pq.books):
+        lo, hi = j * pq.dsub + 1, (j + 1) * pq.dsub
+        dl = duck_dist_list(f"({vec}[{lo}:{hi}])", b._centers)
+        parts.append(duck_assign(dl))
+    return "[" + ", ".join(parts) + "]"
+
+
+def duck_pq_dtables(vec: str, pq: ProductQuantizer) -> str:
+    """DuckDB mirror of ``ProductQuantizer.dtables_col``."""
+    parts = []
+    for j, b in enumerate(pq.books):
+        lo, hi = j * pq.dsub + 1, (j + 1) * pq.dsub
+        parts.append(duck_dist_list(f"({vec}[{lo}:{hi}])", b._centers))
+    return "[" + ", ".join(parts) + "]"

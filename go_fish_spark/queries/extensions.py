@@ -218,16 +218,11 @@ def x14_train_test_split(spark, sf_dir):
     )
 
 
-def _det_centers(n_cells: int, sf_dir: str, seed: int = 42):
-    """Deterministically-fit centroids for the ORACLE arm: read ``sf_dir``'s
-    embeddings with DuckDB in the same hash-total-order
-    ``similarity.deterministic_sample`` uses, run the same seeded numpy
-    k-means — byte-identical centers to the Spark arm's
-    ``fit_quantizer_det`` at the same SF (asserted in tests). The
-    embeddings tables are regenerated per SF (same vec_id ≠ same vector),
-    so the oracle is the CALLABLE form (queries.resolve_oracle) and re-fits
-    at whichever SF the compare runs. Returns None if the testdata is
-    absent (→ rows-only fallback)."""
+def _duck_sample_X(sf_dir: str):
+    """Oracle-arm twin of ``similarity.deterministic_sample``: read
+    ``sf_dir``'s embeddings with DuckDB in the same hash-total-order — the
+    byte-identical fit input any engine reproduces from the same table.
+    Returns None if the testdata is absent (→ rows-only fallback)."""
     import numpy as np
 
     try:
@@ -240,8 +235,21 @@ def _det_centers(n_cells: int, sf_dir: str, seed: int = 42):
             "ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) "
             "LIMIT 100000"
         ).df()["v"]
-        X = np.stack(vs.to_numpy()).astype(np.float64)
+        return np.stack(vs.to_numpy()).astype(np.float64)
     except Exception:
+        return None
+
+
+def _det_centers(n_cells: int, sf_dir: str, seed: int = 42):
+    """Deterministically-fit centroids for the ORACLE arm: the
+    :func:`_duck_sample_X` sample through the same seeded numpy k-means —
+    byte-identical centers to the Spark arm's ``fit_quantizer_det`` at the
+    same SF (asserted in tests). The embeddings tables are regenerated per
+    SF (same vec_id ≠ same vector), so the oracle is the CALLABLE form
+    (queries.resolve_oracle) and re-fits at whichever SF the compare
+    runs."""
+    X = _duck_sample_X(sf_dir)
+    if X is None:
         return None
     return similarity._kmeans_fit(X, n_cells, seed)
 
@@ -1597,3 +1605,47 @@ def x43_dsir_weights(spark, sf_dir):
     return dsir_weights(
         docs, "doc_id", "text", F.col("lang") == "en", n_buckets=1024
     ).orderBy("doc_id")
+
+
+def _x44_oracle(sf_dir: str) -> str | None:
+    X = _duck_sample_X(sf_dir)
+    if X is None:
+        return None
+    pq = similarity.ProductQuantizer(similarity._pq_fit(X, m=4, ksub=16, seed=42))
+    codes = similarity.duck_pq_codes("embedding", pq)
+    dts = similarity.duck_pq_dtables("embedding", pq)
+    m = len(pq.books)
+    return f"""
+    WITH coded AS (SELECT vec_id, {codes} AS codes FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {dts} AS dt
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_reduce(
+               [(q.dt[j])[(c.codes[j]) + 1] for j in range(1, {m + 1})],
+               (a, b) -> a + b) AS adist
+      FROM coded c, q WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank,
+           vec_id, round(adist, 6) AS adist
+    FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("x44_pq_adc", oracle=_x44_oracle)
+def x44_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): the corpus compresses
+    to m=4 sub-codes (4×16-way codebooks over 16-dim blocks — the memory
+    layout that fits a 100 TB embedding store in cluster RAM), each query
+    precomputes its 4×16 ADC distance tables, and candidates cost 4 table
+    lookups each. Codebooks are fit deterministically (fit_pq_det, the
+    x15/x26 contract), codes and tables are pure column expressions over
+    centroid literals, and the oracle re-derives everything from the same
+    table — the full compress→search path is hash-checked. The coded
+    corpus never shuffles; the query side broadcasts."""
+    emb = table(spark, sf_dir, "embeddings")
+    pq = similarity.fit_pq_det(emb, "vec_id", "embedding", m=4, ksub=16)
+    return similarity.adc_topk(
+        emb, emb.filter(F.col("vec_id") < 5), pq, k=10
+    ).orderBy("query_id", "rank")
