@@ -102,3 +102,47 @@ def pack_documents(
     ).withColumn(
         "pack_id", F.floor(F.col("offset") / F.lit(capacity)).cast("bigint")
     ).select(id_col, "shard", "pack_id", "n_tokens", "offset")
+
+
+def token_budget_report(df: DataFrame, text_col: str) -> DataFrame:
+    """Length-distribution / token-budget report: documents binned by
+    power-of-2 whitespace-token count, with per-bin doc and token totals
+    and the cumulative token share — the planning pass before packing
+    (:func:`pack_documents`) that answers "what sequence length covers X%
+    of the corpus" and "how many packed rows will a shard hold".
+
+    Output: (bucket_lo BIGINT — the bin's inclusive lower bound 2^k,
+    n_docs, tok_total, cum_share DOUBLE rounded 6), ordered by bucket_lo.
+
+    100 TB shape: one map-side-combined groupBy on the BOUNDED bucket key
+    (≤ ~40 bins for any corpus); the cumulative window runs over those
+    bins only, never the corpus. Token totals accumulate as integers —
+    exact under any partitioning — and the single share division happens
+    on the bounded frame."""
+    n = F.size(tokens(text_col))
+    # pow(2, k) is exact for integer k < 53 — and shiftleft() only takes a
+    # literal bit count, not a per-row Column.
+    lo = F.pow(F.lit(2.0), F.floor(F.log2(n))).cast("bigint").alias("bucket_lo")
+    g = (
+        df.filter(n >= 1)
+        .groupBy(lo)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n).alias("tok_total"),
+        )
+    )
+    total = g.agg(F.sum("tok_total").alias("_t"))
+    win = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("tok_total").over(win).cast("double") / F.col("_t"), 6
+            ),
+        )
+        .select("bucket_lo", "n_docs", "tok_total", "cum_share")
+        .orderBy("bucket_lo")
+    )

@@ -243,3 +243,42 @@ def contamination_score(
             6,
         ).alias("overlap"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split: Column,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Train/eval LEAKAGE GUARD: near-duplicate pairs that straddle
+    different dataset splits — the hygiene check that a random
+    document-level split silently fails (near-dups of a test doc sitting
+    in train inflate eval scores; Lee et al. 2022 §6 measure the effect).
+    ``split`` is any deterministic split-assignment expression
+    (sampling.split_assign is the canonical one).
+
+    Output: (id_a, id_b, split_a, split_b, jaccard) — only pairs with
+    ``split_a != split_b``, i.e. exactly the leaks. Remediation is the
+    caller's policy (move the pair into one split, or drop the train
+    side).
+
+    100 TB shape: pair generation is dedup.ngram_jaccard_pairs (one
+    shingle-key shuffle; threshold-adaptive index). The split join-back
+    touches only the PAIR ids — two id-key equi-joins on the (much
+    smaller than corpus) pair set; the split column itself is a pure
+    per-row expression, never materialized corpus-wide."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    s = df.select(F.col(id_col), split.alias("_split"))
+    sa = s.select(F.col(id_col).alias("id_a"), F.col("_split").alias("split_a"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col("_split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )

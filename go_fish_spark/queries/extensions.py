@@ -1649,3 +1649,75 @@ def x44_pq_adc(spark, sf_dir):
     return similarity.adc_topk(
         emb, emb.filter(F.col("vec_id") < 5), pq, k=10
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "x45_split_leakage",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING jaccard >= 0.3
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {duck_hash_bucket('doc_id')} < 80 THEN 'train'
+                  WHEN {duck_hash_bucket('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN sp sa ON p.id_a = sa.doc_id
+    JOIN sp sb ON p.id_b = sb.doc_id
+    WHERE sa.split != sb.split
+    ORDER BY id_a, id_b
+    """,
+)
+def x45_split_leakage(spark, sf_dir):
+    """Cross-split leakage guard (decontam.split_leakage): near-duplicate
+    pairs (word-3-shingle Jaccard ≥ 0.3, the x04 pair engine) whose
+    members landed in DIFFERENT train/val/test splits under the canonical
+    hash split (x14) — exactly the pairs that inflate eval scores if left
+    in place. Pair generation is the one shingle-key shuffle; the split
+    join-back touches only pair ids."""
+    from ..operators.sampling import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    return decontam.split_leakage(
+        docs, "doc_id", "text",
+        split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        k=3, threshold=0.3,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x46_token_budget",
+    oracle="""
+    WITH n AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+    g AS (
+      SELECT (1::BIGINT << floor(log2(n))::INT) AS bucket_lo,
+             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tok_total
+      FROM n WHERE n >= 1 GROUP BY 1
+    )
+    SELECT bucket_lo, n_docs, tok_total,
+           round(CAST(sum(tok_total) OVER (ORDER BY bucket_lo) AS DOUBLE)
+                 / (SELECT sum(tok_total) FROM g), 6) AS cum_share
+    FROM g ORDER BY bucket_lo
+    """,
+)
+def x46_token_budget(spark, sf_dir):
+    """Token-budget report (chunking.token_budget_report): corpus length
+    distribution in power-of-2 token bins with cumulative token share —
+    the planning pass before sequence packing (x25). One groupBy on the
+    bounded bin key; the cumulative window runs over ≤ ~40 bin rows."""
+    from ..operators.chunking import token_budget_report
+
+    return token_budget_report(table(spark, sf_dir, "documents"), "text")

@@ -456,3 +456,46 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     # A doc written in the target vocabulary must out-score one written in
     # the non-target vocabulary, and sit above the corpus-neutral zero.
     assert got[100] > 0 > got[101]
+
+
+# ---------------------------------------------------------------------------
+# x45: split leakage guard
+
+
+def test_split_leakage_reports_only_cross_split_pairs(spark):
+    from go_fish_spark.operators.decontam import split_leakage
+
+    near_a = "the quick brown fox jumps over the lazy dog today"
+    near_b = "the quick brown fox jumps over the lazy dog tonight"
+    df = _docs(spark, [
+        (1, near_a), (11, near_b),        # near-dups across the split line
+        (2, near_a), (3, near_b),         # near-dups both in train
+        (12, "completely different words with no shared shingles at all"),
+    ])
+    split = F.when(F.col("doc_id") < 10, F.lit("train")).otherwise(F.lit("test"))
+    leaks = split_leakage(df, "doc_id", "text", split, k=3, threshold=0.3).collect()
+    got = {(r.id_a, r.id_b): (r.split_a, r.split_b) for r in leaks}
+    assert (1, 11) in got and got[(1, 11)] == ("train", "test")
+    assert (2, 11) in got and (3, 11) in got   # cross-split near-dups too
+    assert (2, 3) not in got                    # same-split pair is not a leak
+    assert all(a != b for a, b in got.values())
+
+
+# ---------------------------------------------------------------------------
+# x46: token budget report
+
+
+def test_token_budget_report_bins_and_cumulative_share(spark):
+    from go_fish_spark.operators.chunking import token_budget_report
+
+    df = _docs(spark, [
+        (1, "a b c"),            # 3 tokens  -> bin 2
+        (2, "a b c d e"),        # 5 tokens  -> bin 4
+        (3, " ".join(["w"] * 8)),  # 8 tokens -> bin 8
+    ])
+    rows = {r.bucket_lo: r for r in token_budget_report(df, "text").collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2].n_docs == 1 and rows[2].tok_total == 3
+    assert rows[4].tok_total == 5 and rows[8].tok_total == 8
+    assert abs(rows[8].cum_share - 1.0) < 1e-9
+    assert abs(rows[2].cum_share - 3 / 16) < 1e-6
