@@ -99,6 +99,13 @@ HEADLINE = [
     "x39_embedding_quantization",
     "x40_epoch_upsample",
     "x41_novelty_score",
+    # round-4 part 2: heuristic rule gate, DSIR selection weights, PQ/ADC
+    # compressed ANN, split-leakage guard, token-budget planning
+    "x42_gopher_rules",
+    "x43_dsir_weights",
+    "x44_pq_adc",
+    "x45_split_leakage",
+    "x46_token_budget",
 ]
 
 

@@ -131,7 +131,20 @@ def main() -> None:
         "x39_embedding_quantization": lambda d: REGISTRY["x39_embedding_quantization"].fn(spark, d).count(),
         "x40_epoch_upsample": lambda d: REGISTRY["x40_epoch_upsample"].fn(spark, d).count(),
         "x41_novelty_score": lambda d: REGISTRY["x41_novelty_score"].fn(spark, d).count(),
+        # round-4 part 2: rule gate (map-only), DSIR (one (doc,bucket)
+        # shuffle + broadcast models), PQ/ADC (bounded fit + map-only
+        # coding + broadcast query), token budget (bounded-key groupBy).
+        # x45 (split leakage) is x04's pair engine + id join-backs and
+        # inherits its law — measured via x04 above.
+        "x42_gopher_rules": lambda d: REGISTRY["x42_gopher_rules"].fn(spark, d).count(),
+        "x43_dsir_weights": lambda d: REGISTRY["x43_dsir_weights"].fn(spark, d).count(),
+        "x44_pq_adc": lambda d: REGISTRY["x44_pq_adc"].fn(spark, d).count(),
+        "x46_token_budget": lambda d: REGISTRY["x46_token_budget"].fn(spark, d).count(),
     }
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    if only:
+        keep = {k.strip() for k in only.split(",") if k.strip()}
+        cases = {k: v for k, v in cases.items() if k in keep}
     for label, fn in cases.items():
         t1, n1 = timed(lambda: fn(BASE))
         tn, nn = timed(lambda: fn(scaled))
