@@ -482,3 +482,43 @@ def test_x40_epoch_upsample_broadcasts_factors(spark):
     plan = plan_of(spark, "x40_epoch_upsample")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_x42_gopher_rules_is_map_only(spark):
+    """The rule gate is pure per-row string/array math: no joins, no
+    Python workers; the only Exchange is the presentation orderBy."""
+    import re
+
+    plan = plan_of(spark, "x42_gopher_rules")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all("rangepartitioning" in e for e in exchanges), exchanges
+
+
+def test_x43_dsir_bucket_models_broadcast(spark):
+    """DSIR: the corpus-sized frame exchanges only on the md5-uniform
+    (doc, bucket) key; the 1024-row bucket models (and their 1-row
+    totals) join back as broadcasts — no sort-merge join anywhere."""
+    plan = plan_of(spark, "x43_dsir_weights")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_x44_pq_corpus_never_shuffles_vectors(spark):
+    """PQ/ADC: the coded corpus is scanned map-only against the BROADCAST
+    query tables (the scorer joins via broadcast nested loop); no
+    sort-merge/shuffled-hash join — the only hashpartitioning Exchange is
+    the slim (query_id, vec_id, adist) window input, never raw vectors."""
+    plan = plan_of(spark, "x44_pq_adc")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_x46_token_budget_aggregates_on_bounded_key(spark):
+    """Token budget: one hash aggregation on the bounded bin key with a
+    map-side partial, no joins other than the broadcast 1-row total, no
+    Python workers."""
+    plan = plan_of(spark, "x46_token_budget")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

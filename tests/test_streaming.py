@@ -783,3 +783,34 @@ def test_stream_normalized_dedup_vs_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ndedup_out").collect()
     }
     assert stream_out == batch_out
+
+
+def test_stream_gopher_gate_vs_batch(spark, tmp_path):
+    """x42's streaming form: the rule gate is a pure per-row expression,
+    so the SAME gopher_keep filter runs unchanged on a stream — no state,
+    no watermark, no window. Golden: the stream keeps exactly the docs
+    the batch gate keeps."""
+    from go_fish_spark.functions import text as tx
+    from go_fish_spark.streaming import sources
+
+    rows = [
+        (1, " ".join(["the", "a", "of"] + ["wordy"] * 60)),   # passes
+        (2, "the a tiny doc"),                                 # too short
+        (3, " ".join(["zz"] * 60)),                            # no stopwords
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def gate(df):
+        return df.filter(tx.gopher_keep(tx.gopher_flags(tx.gopher_metrics("text"))))
+
+    batch_kept = {r.doc_id for r in gate(batch).collect()}
+    assert batch_kept == {1}
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, text=t) for i, t in rows])
+    stream = sources.json_stream(spark, str(indir), "doc_id long, text string")
+    run_to_memory(gate(stream), "gopher_out")
+    stream_kept = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM gopher_out").collect()
+    }
+    assert stream_kept == batch_kept
