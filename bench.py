@@ -106,6 +106,7 @@ HEADLINE = [
     "x44_pq_adc",
     "x45_split_leakage",
     "x46_token_budget",
+    "x47_ivfpq",
 ]
 
 

@@ -686,3 +686,182 @@ def duck_pq_dtables(vec: str, pq: ProductQuantizer) -> str:
         lo, hi = j * pq.dsub + 1, (j + 1) * pq.dsub
         parts.append(duck_dist_list(f"({vec}[{lo}:{hi}])", b._centers))
     return "[" + ", ".join(parts) + "]"
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse routing + residual PQ codes (the billion-vector layout)
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding (operators/dedup.py:_let twin): evaluate ``value`` once
+    per row — Catalyst would otherwise inline-duplicate the residual
+    computation into every per-centroid fold (m × ksub copies)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def fit_ivfpq_det(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    train_cap: int = 100_000,
+    seed: int = 42,
+) -> tuple[Quantizer, ProductQuantizer]:
+    """Deterministic IVF-PQ fit (Jégou et al. 2011 §IV: PQ codebooks are
+    trained on coarse-cell RESIDUALS, not raw vectors — residual energy is
+    what the codes must capture once routing has absorbed the cell mean).
+    Same engine-independence contract as :func:`fit_quantizer_det`: both
+    models derive from the hash-total-ordered sample, so an oracle re-fits
+    byte-identical literals."""
+    X = deterministic_sample(df, id_col, vec_col, train_cap)
+    coarse = _kmeans_fit(X, n_cells, seed)
+    D = -2.0 * (X @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
+    R = X - coarse[D.argmin(axis=1)]
+    return Quantizer(coarse), ProductQuantizer(_pq_fit(R, m, ksub, seed))
+
+
+def _centers_lit(centers: "np.ndarray") -> Column:
+    rows = [
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centers
+    ]
+    return F.expr("array(" + ",".join(rows) + ")")
+
+
+def ivfpq_topk_expr(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: Quantizer,
+    pq: ProductQuantizer,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k, fully expression-based (oracle-checkable):
+    the corpus stores (cell, residual-PQ codes) — the compressed inverted
+    file — and each query probes its ``n_probe`` nearest cells, building a
+    PER-PROBED-CELL residual distance table (ADC on q − cell_center).
+
+    100 TB shape: the classic billion-vector layout — both sides exchange
+    ONCE on the cell key; candidates materialize only inside probed cells
+    (n_probe/n_cells of the corpus); per candidate the scorer does m table
+    lookups over nibble codes, and raw vectors never leave their scan.
+    Recall tuning: n_cells × n_probe (routing) and m × ksub (code
+    resolution) are independent knobs."""
+    cl = _centers_lit(coarse._centers)
+
+    def residual(v: Column, cell: Column) -> Column:
+        return F.zip_with(
+            v.cast("array<double>"),
+            F.element_at(cl, cell + 1),
+            lambda x, y: x - y,
+        )
+
+    asg = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        coarse.assign_expr_col(vec_col).alias("cell"),
+    )
+    coded = asg.select(
+        "vec_id",
+        "cell",
+        _let(residual(F.col("_v"), F.col("cell")), pq.codes_col).alias("codes"),
+    )
+    probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(coarse.dist_expr_arr(vec_col)).alias("cell", "_d"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("_d", "cell")
+    probe = (
+        probe.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            _let(residual(F.col("qv"), F.col("cell")), pq.dtables_col).alias("dt"),
+        )
+    )
+    adist = F.aggregate(
+        F.zip_with("codes", "dt", lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        coded.join(probe, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adist", adist)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("adist", 6).alias("adist"))
+    )
+
+
+def duck_centers_lit(centers) -> str:
+    rows = ["[" + ",".join(_dlit(x) for x in c) + "]" for c in centers]
+    return "[" + ", ".join(rows) + "]"
+
+
+def ivfpq_encode_arrow(
+    corpus: DataFrame,
+    coarse: Quantizer,
+    pq: ProductQuantizer,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production encoder for the IVF-PQ inverted file: one Arrow-batched
+    pandas UDF computes (cell, residual PQ codes) per vector with batch
+    BLAS. At local test scale the expression arm's folds actually codegen
+    fine (encode passes measure within ~1.4× of each other, SCALE.md);
+    what this arm buys is a corpus-coding pass whose per-row cost is a
+    BLAS row instead of an expression tree that grows with m × ksub ×
+    dsub — the knob settings a billion-vector corpus needs (m=16+,
+    ksub=256) explode the expression form's size but leave this UDF
+    unchanged. The expression arm (:func:`ivfpq_topk_expr`) remains the
+    oracle-checkable twin; both agree code-for-code on this corpus
+    (asserted in tests — the arithmetic differs by BLAS-vs-fold rounding,
+    so agreement is empirical, not structural)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    centers = coarse._centers
+    c_sq = (centers**2).sum(axis=1)
+    books = [b._centers for b in pq.books]
+    dsub = pq.dsub
+
+    def _enc(batch):
+        if len(batch) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "codes": pd.Series([], dtype=object)})
+        V = np.stack(batch.to_numpy()).astype(np.float64)
+        cell = (-2.0 * (V @ centers.T) + c_sq[None, :]).argmin(axis=1)
+        R = V - centers[cell]
+        cols = []
+        for j, cb in enumerate(books):
+            Rj = R[:, j * dsub : (j + 1) * dsub]
+            Dj = -2.0 * (Rj @ cb.T) + (cb**2).sum(axis=1)[None, :]
+            cols.append(Dj.argmin(axis=1))
+        C = np.stack(cols, axis=1).astype(np.int32)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "codes": list(C)}
+        )
+
+    _enc.__annotations__ = {"batch": pd.Series, "return": pd.DataFrame}
+    u = F.pandas_udf(
+        _enc,
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    )
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), u(v.cast("array<double>")).alias("_s")
+    ).select("vec_id", F.col("_s.cell").alias("cell"), F.col("_s.codes").alias("codes"))

@@ -1721,3 +1721,72 @@ def x46_token_budget(spark, sf_dir):
     from ..operators.chunking import token_budget_report
 
     return token_budget_report(table(spark, sf_dir, "documents"), "text")
+
+
+def _x47_oracle(sf_dir: str) -> str | None:
+    X = _duck_sample_X(sf_dir)
+    if X is None:
+        return None
+    coarse = similarity._kmeans_fit(X, 16, 42)
+    D = -2.0 * (X @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
+    R = X - coarse[D.argmin(axis=1)]
+    pq = similarity.ProductQuantizer(similarity._pq_fit(R, m=4, ksub=16, seed=42))
+    cl = similarity.duck_centers_lit(coarse)
+    dl = similarity.duck_dist_list("embedding", coarse)
+    rv = (
+        f"[embedding[i]::DOUBLE - (({cl})[cell + 1])[i] "
+        f"for i in range(1, {_EMB_DIM + 1})]"
+    )
+    codes = similarity.duck_pq_codes("rv", pq)
+    dts = similarity.duck_pq_dtables("rv", pq)
+    m = len(pq.books)
+    return f"""
+    WITH a0 AS (SELECT vec_id, embedding, {dl} AS dl FROM embeddings),
+    asg AS (SELECT vec_id, embedding, {similarity.duck_assign('dl')} AS cell
+            FROM a0),
+    resc AS (SELECT vec_id, cell, {rv} AS rv FROM asg),
+    coded AS (SELECT vec_id, cell, {codes} AS codes FROM resc),
+    qd AS (SELECT vec_id AS query_id, embedding, {dl} AS dl
+           FROM embeddings WHERE vec_id < 5),
+    pe AS (SELECT query_id, embedding, CAST(unnest(range(0, 16)) AS INT) AS cell,
+                  unnest(dl) AS d FROM qd),
+    probe AS (
+      SELECT query_id, embedding, cell FROM (
+        SELECT query_id, embedding, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+        FROM pe) WHERE rn <= 4
+    ),
+    pres AS (SELECT query_id, cell, {rv} AS rv FROM probe),
+    pdt AS (SELECT query_id, cell, {dts} AS dt FROM pres),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             list_reduce(
+               [(p.dt[j])[(c.codes[j]) + 1] for j in range(1, {m + 1})],
+               (a, b) -> a + b) AS adist
+      FROM coded c JOIN pdt p ON c.cell = p.cell AND c.vec_id != p.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank,
+           vec_id, round(adist, 6) AS adist
+    FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("x47_ivfpq", oracle=_x47_oracle)
+def x47_ivfpq(spark, sf_dir):
+    """IVF-PQ (Jégou et al. 2011): the full billion-vector layout — a
+    16-cell coarse quantizer routes queries to 4 probed cells, the corpus
+    stores residual PQ codes (4×16-way codebooks trained on cell
+    residuals), and scoring is per-probed-cell residual ADC. Both models
+    fit deterministically from the hash-ordered sample (fit_ivfpq_det),
+    every stage is a pure column expression over centroid literals, and
+    the oracle re-derives routing + codes + tables from the same table —
+    the composite x15 ∘ x44 path is hash-checked end to end. Both sides
+    exchange once on the cell key; raw vectors never shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    coarse, pq = similarity.fit_ivfpq_det(
+        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
+    )
+    return similarity.ivfpq_topk_expr(
+        emb, emb.filter(F.col("vec_id") < 5), coarse, pq, k=10, n_probe=4
+    ).orderBy("query_id", "rank")

@@ -635,3 +635,61 @@ def test_pq_codes_shape_and_determinism(spark):
     again = emb.select("vec_id", pq.codes_col("embedding").alias("codes")).collect()
     assert sorted(map(tuple, ((r.vec_id, tuple(r.codes)) for r in rows))) == \
         sorted(map(tuple, ((r.vec_id, tuple(r.codes)) for r in again)))
+
+
+def test_ivfpq_cluster_retrieval_and_arrow_agreement(spark):
+    """x47's operator: IVF-PQ (coarse routing + residual codes + ADC)
+    retrieves same-cluster vectors on structured data, and the production
+    Arrow encoder emits the same (cell, codes) as the oracle-checkable
+    expression arm on the sf corpus."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, 64)) * 10.0
+    rows = [
+        (int(c * 20 + i), (centers[c] + rng.standard_normal(64) * 0.1).tolist())
+        for c in range(5)
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse, pq = similarity.fit_ivfpq_det(
+        emb, "vec_id", "embedding", n_cells=8, m=4, ksub=16
+    )
+    queries = emb.filter(emb.vec_id.isin(0, 20, 40, 60, 80))
+    top = similarity.ivfpq_topk_expr(
+        emb, queries, coarse, pq, k=5, n_probe=2
+    ).collect()
+    same = sum(r.vec_id // 20 == r.query_id // 20 for r in top) / len(top)
+    assert same >= 0.9, f"IVF-PQ top-5 not cluster-faithful: {same:.3f}"
+
+    # Arrow encoder ≡ expression encoder on the sf corpus
+    sf_emb = table(spark, SF_DIR, "embeddings")
+    coarse2, pq2 = similarity.fit_ivfpq_det(
+        sf_emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
+    )
+    cl = similarity._centers_lit(coarse2._centers)
+    asg = sf_emb.select(
+        "vec_id",
+        F.col("embedding").alias("_v"),
+        coarse2.assign_expr_col("embedding").alias("cell"),
+    )
+    res = F.zip_with(
+        F.col("_v").cast("array<double>"),
+        F.element_at(cl, F.col("cell") + 1),
+        lambda x, y: x - y,
+    )
+    expr_codes = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in asg.select(
+            "vec_id", "cell",
+            similarity._let(res, pq2.codes_col).alias("codes"),
+        ).collect()
+    }
+    arrow_codes = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in similarity.ivfpq_encode_arrow(sf_emb, coarse2, pq2).collect()
+    }
+    assert expr_codes == arrow_codes

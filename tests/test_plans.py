@@ -522,3 +522,12 @@ def test_x46_token_budget_aggregates_on_bounded_key(spark):
     plan = plan_of(spark, "x46_token_budget")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_x47_ivfpq_joins_on_cell_key_only(spark):
+    """IVF-PQ: the candidate join is an equi-join on the cell key (both
+    sides exchange once on cell); no broadcast nested loop over the full
+    corpus, no Python workers in the registered expression arm."""
+    plan = plan_of(spark, "x47_ivfpq")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
