@@ -1,0 +1,87 @@
+"""Sharded training-corpus layout — the write-side last mile.
+
+The reference's only file sink appends events to a single handle
+(`output/file.go:31-54`); a training pipeline instead delivers a curated
+corpus as MANY independent, size-balanced shard files so thousands of
+data-loader workers can each own a shard with no coordination. This module
+writes that layout and its manifest.
+
+Design for 100 TB:
+
+* **Deterministic shard assignment** — md5 hash-bucket of the doc key
+  (sampling.hash_bucket): a pure function of the key, so re-runs and
+  engines agree, and shard sizes concentrate tightly around corpus/n
+  (law of large numbers on a uniform hash).
+* **One exchange total** — `repartition(partition_cols + shard)` puts each
+  (partition, shard) combo in exactly one task, so `partitionBy` emits
+  exactly ONE file per shard directory (no small-file explosion, no
+  post-hoc compaction).
+* **Partition pruning on read** — split/source/etc. become physical
+  partition directories: a reader filtering `split = 'train'` never lists
+  the other splits (asserted in tests via PartitionFilters).
+* **Manifest** — per-(partition, shard) doc/token counts, written beside
+  the data; the sanity check a 1000-worker training job runs BEFORE
+  burning cluster hours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_bucket
+
+MANIFEST_DIR = "_manifest"
+
+
+def with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    """Attach the deterministic shard id (md5 bucket of the key)."""
+    return df.withColumn("shard", hash_bucket(id_col, n_shards))
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int = 64,
+    partition_cols: list[str] | None = None,
+    size_col: Column | str | None = None,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` as a sharded parquet corpus and return the manifest.
+
+    Layout: ``path/<p1>=.../shard=K/part-*.parquet`` with exactly one
+    file per shard directory; ``path/_manifest`` holds one row per
+    (partition..., shard) with ``n_docs`` and (when ``size_col`` is
+    given) ``tok_total``. ``sort_col`` orders rows inside each shard file
+    (run-length/dictionary compression locality — sorted doc ids or
+    source keys compress several-fold better than hash order)."""
+    partition_cols = list(partition_cols or [])
+    sharded = with_shard(df, id_col, n_shards)
+    keys = [F.col(c) for c in partition_cols] + [F.col("shard")]
+    out = sharded.repartition(*keys)
+    if sort_col is not None:
+        out = out.sortWithinPartitions(sort_col)
+    (
+        out.write.mode(mode)
+        .partitionBy(*partition_cols, "shard")
+        .parquet(path)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if size_col is not None:
+        size = F.col(size_col) if isinstance(size_col, str) else size_col
+        aggs.append(F.sum(size).alias("tok_total"))
+    manifest = sharded.groupBy(*partition_cols, "shard").agg(*aggs)
+    manifest.coalesce(1).write.mode(mode).parquet(f"{path}/{MANIFEST_DIR}")
+    return df.sparkSession.read.parquet(f"{path}/{MANIFEST_DIR}")
+
+
+def read_sharded(spark, path: str) -> DataFrame:
+    """Read a sharded corpus back; partition filters on the partition
+    columns (and ``shard``) prune directories at planning time."""
+    return spark.read.parquet(path)
+
+
+def read_manifest(spark, path: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/{MANIFEST_DIR}")

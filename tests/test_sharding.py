@@ -1,0 +1,72 @@
+"""Sharded corpus writer (sources/sharding.py): one file per shard dir,
+manifest totals, deterministic assignment, and read-side partition
+pruning."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMALL
+from go_fish_spark.catalog import table
+from go_fish_spark.operators.sampling import split_assign
+from go_fish_spark.sources import sharding
+
+
+def _curated(spark):
+    return table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "n_chars",
+        split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+
+
+def test_write_sharded_layout_and_manifest(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    docs = _curated(spark)
+    manifest = sharding.write_sharded(
+        docs, path, "doc_id", n_shards=8,
+        partition_cols=["split"], size_col="n_chars", sort_col="doc_id",
+    )
+    # exactly one data file per (split, shard) directory
+    shard_dirs = glob.glob(f"{path}/split=*/shard=*")
+    assert shard_dirs
+    for d in shard_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # manifest totals == corpus totals
+    m = manifest.agg(F.sum("n_docs"), F.sum("tok_total")).collect()[0]
+    tot = docs.agg(F.count(F.lit(1)), F.sum("n_chars")).collect()[0]
+    assert (m[0], m[1]) == (tot[0], tot[1])
+    # round trip preserves every row
+    back = sharding.read_sharded(spark, path)
+    assert back.count() == docs.count()
+    assert set(back.columns) >= {"doc_id", "text", "split", "shard"}
+
+
+def test_sharded_read_prunes_partitions(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    sharding.write_sharded(
+        _curated(spark), path, "doc_id", n_shards=4, partition_cols=["split"]
+    )
+    df = sharding.read_sharded(spark, path).filter(F.col("split") == "train")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "split" in plan
+    # pruned read returns only the train split
+    assert df.select("split").distinct().collect() == [("train",)]
+
+
+def test_shard_assignment_is_deterministic_and_balanced(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    a = {r.doc_id: r.shard for r in sharding.with_shard(docs, "doc_id", 16).collect()}
+    b = {r.doc_id: r.shard for r in sharding.with_shard(docs, "doc_id", 16).collect()}
+    assert a == b
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    n, k = len(a), 16
+    # md5-uniform: no shard more than 3x the mean at 500 docs/16 shards
+    assert max(counts.values()) <= 3 * (n / k)
