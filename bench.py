@@ -107,6 +107,8 @@ HEADLINE = [
     "x45_split_leakage",
     "x46_token_budget",
     "x47_ivfpq",
+    "x48_temperature_mix",
+    "x49_best_quality_canonical",
 ]
 
 

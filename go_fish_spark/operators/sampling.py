@@ -297,3 +297,48 @@ def epoch_upsample(
         .withColumn("epoch", F.explode(copies))
         .drop("_rf")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str,
+    size_col: Column | str,
+    tau: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled mixture rates (the multilingual sampling move of
+    mBERT/XLM-R: target share ∝ p_g^τ, τ < 1 flattens the head so
+    low-resource groups keep more mass; τ = 1 is the observed mix, τ = 0
+    is uniform). Returns the bounded (group_col, _rate) table for
+    :func:`apply_rates` — rates are ``min(1, target_tokens_g /
+    actual_tokens_g)`` with ``target_g = total · tok_g^τ / Σ tok_g^τ``.
+
+    The rate is rounded to 12 decimals before the acceptance compare:
+    ``pow`` is libm-dependent (1-ulp divergence across engines), and an
+    unrounded rate sitting exactly at a key's hash draw could flip that
+    row's inclusion between engines. One bounded-key groupBy; the corpus
+    never shuffles (same two-pass shape as :func:`rebalance_mix`)."""
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    totals = df.groupBy(group_col).agg(F.sum(size).alias("_tok"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p_tau = F.pow(F.col("_tok").cast("double"), F.lit(float(tau)))
+    share = p_tau / F.sum(p_tau).over(w)
+    target = F.sum("_tok").over(w) * share
+    rate = F.round(F.least(F.lit(1.0), target / F.col("_tok")), 12)
+    return totals.select(group_col, rate.alias("_rate"))
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    size_col: Column | str,
+    tau: float = 0.7,
+) -> DataFrame:
+    """Downsample to the temperature-flattened mixture: fit
+    :func:`temperature_rates` (bounded), broadcast, keep each row by its
+    deterministic key-hash draw (:func:`apply_rates`)."""
+    return apply_rates(
+        df, key, group_col, temperature_rates(df, group_col, size_col, tau)
+    )

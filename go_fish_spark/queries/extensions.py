@@ -1790,3 +1790,131 @@ def x47_ivfpq(spark, sf_dir):
     return similarity.ivfpq_topk_expr(
         emb, emb.filter(F.col("vec_id") < 5), coarse, pq, k=10, n_probe=4
     ).orderBy("query_id", "rank")
+
+
+from ..operators.sampling import duck_hash_uniform
+
+_DUCK_UNIFORM_DOC = duck_hash_uniform("doc_id")
+
+
+@query(
+    "x48_temperature_mix",
+    oracle=f"""
+    WITH t AS (SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source),
+    r AS (
+      SELECT source,
+             round(least(1.0,
+               ((SELECT sum(tok) FROM t)
+                * (pow(tok::DOUBLE, 0.7)
+                   / (SELECT sum(pow(tok::DOUBLE, 0.7)) FROM t)))
+               / tok), 12) AS rate
+      FROM t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE {_DUCK_UNIFORM_DOC} < r.rate
+    ORDER BY d.doc_id
+    """,
+)
+def x48_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture sampling (sampling.temperature_sample,
+    τ=0.7 — the mBERT/XLM-R exponential-smoothing schedule): oversized
+    sources are thinned toward share ∝ p^τ while small sources keep all
+    their mass. Pass 1 is the bounded source groupBy; pass 2 broadcasts
+    the rates and filters by the deterministic key hash — the corpus
+    never shuffles."""
+    from ..operators.sampling import temperature_sample
+
+    return (
+        temperature_sample(
+            table(spark, sf_dir, "documents"), "doc_id", "source", "n_chars",
+            tau=0.7,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x49_best_quality_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    q AS (
+      SELECT doc_id,
+             0.4 * least(n_words / 100.0, 1.0)
+               + 0.3 * (1.0 - stop_ratio)
+               + 0.3 * least(mean_word_len / 10.0, 1.0) AS q
+      FROM (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               len(list_filter(ws, w -> w IN ({_DUCK_STOP}))) / len(ws) AS stop_ratio,
+               (length(text) - (len(ws) - 1)) / len(ws) AS mean_word_len
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      )
+    ),
+    r AS (
+      SELECT comp.component, comp.doc_id, q.q,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY q.q DESC, comp.doc_id) AS rn,
+             count(*) OVER (PARTITION BY comp.component) AS n_members
+      FROM comp JOIN q USING (doc_id)
+    )
+    SELECT component, doc_id AS canonical_id, n_members,
+           round(q, 6) AS best_quality
+    FROM r WHERE rn = 1 ORDER BY component
+    """,
+)
+def x49_best_quality_canonical(spark, sf_dir):
+    """Quality-argmax canonical selection: collapse each near-dup cluster
+    (connected components over the x04 Jaccard pairs, x18's engine) to
+    its HIGHEST-quality member instead of the min-id — the curation
+    refinement that keeps the cleanest copy of every duplicated document
+    (min-id keeps whichever crawl happened first). Deterministic: ties
+    break to the lower doc_id; the quality expression is bit-identical
+    across engines (x08), so the argmax is oracle-checkable. One window
+    over the component key on top of the CC output."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    q = docs.select(F.col("doc_id"), tx.quality_score("text").alias("_q"))
+    j = comp.select(F.col("id").alias("doc_id"), "component").join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("_q").desc(), F.col("doc_id"))
+    ranked = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_id"),
+            "n_members",
+            F.round("_q", 6).alias("best_quality"),
+        )
+        .orderBy("component")
+    )

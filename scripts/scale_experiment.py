@@ -141,6 +141,7 @@ def main() -> None:
         "x44_pq_adc": lambda d: REGISTRY["x44_pq_adc"].fn(spark, d).count(),
         "x46_token_budget": lambda d: REGISTRY["x46_token_budget"].fn(spark, d).count(),
         "x47_ivfpq": lambda d: REGISTRY["x47_ivfpq"].fn(spark, d).count(),
+        "x48_temperature_mix": lambda d: REGISTRY["x48_temperature_mix"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:

@@ -499,3 +499,52 @@ def test_token_budget_report_bins_and_cumulative_share(spark):
     assert rows[4].tok_total == 5 and rows[8].tok_total == 8
     assert abs(rows[8].cum_share - 1.0) < 1e-9
     assert abs(rows[2].cum_share - 3 / 16) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# x48: temperature mixture / x49: quality-argmax canonical
+
+
+def test_temperature_rates_flatten_toward_uniform(spark):
+    from go_fish_spark.operators import sampling
+
+    rows = [(i, "big" if i < 90 else "small", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # tau=1 reproduces the observed mix: every rate is 1 (no thinning).
+    r1 = {r.source: r._rate for r in sampling.temperature_rates(df, "source", "n_tokens", tau=1.0).collect()}
+    assert r1 == {"big": 1.0, "small": 1.0}
+    # tau=0 is the uniform target: big thinned to 50/90, small kept whole.
+    r0 = {r.source: r._rate for r in sampling.temperature_rates(df, "source", "n_tokens", tau=0.0).collect()}
+    assert r0["small"] == 1.0
+    assert abs(r0["big"] - 50 / 90) < 1e-9
+    # intermediate tau lands between
+    rt = {r.source: r._rate for r in sampling.temperature_rates(df, "source", "n_tokens", tau=0.5).collect()}
+    assert r0["big"] < rt["big"] < 1.0
+
+
+def test_best_quality_canonical_prefers_quality_over_min_id(spark):
+    from pyspark.sql import Window
+    from go_fish_spark.operators.dedup import ngram_jaccard_pairs
+    from go_fish_spark.operators.graph import connected_components
+
+    # 1 and 2 are near-dups; 2 is longer → higher quality score, so the
+    # canonical must be 2 even though min-id is 1.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = _docs(spark, [
+        (1, base),
+        (2, base + " with extra high quality context words included here"),
+        (3, "entirely different text with no shared shingles anywhere at all"),
+    ])
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(df.select("doc_id"), pairs, id_col="doc_id")
+    q = df.select(F.col("doc_id"), tx.quality_score("text").alias("_q"))
+    j = comp.select(F.col("id").alias("doc_id"), "component").join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("_q").desc(), F.col("doc_id"))
+    canon = {
+        r.component: r.doc_id
+        for r in j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert canon[1] == 2     # cluster {1,2} keeps the higher-quality 2
+    assert canon[3] == 3
