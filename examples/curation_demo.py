@@ -4,9 +4,10 @@
 Shows the Python API for the full training-data flow — the same operators
 the x-series registry entries expose, composed directly:
 
-    mix report -> quality + language gates -> exact/normalized dedup ->
-    near-dup clustering -> decontamination -> per-language quality bar ->
-    mixture rebalance -> chunk -> pack -> split
+    mix report -> Gopher rule gate -> quality + language gates ->
+    exact/normalized dedup -> near-dup clustering -> decontamination ->
+    per-language quality bar -> mixture rebalance -> chunk -> pack ->
+    split -> sharded write (+ manifest)
 
 Run:  python examples/curation_demo.py [sf_dir]   (default sf0.001)
 
@@ -49,8 +50,14 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
 
         REGISTRY["x31_source_mix"].fn(spark, sf_dir).show(5, truncate=False)
 
-    # 2. language + quality gates (pure column expressions)
-    scored = docs.select(
+    # 2. Gopher heuristic rule gate (x42) — drop structurally-broken docs
+    #    before any scoring spends cycles on them
+    gated = log("gopher rule gate", docs.filter(
+        tx.gopher_keep(tx.gopher_flags(tx.gopher_metrics("text")))
+    ))
+
+    # 3. language + quality gates (pure column expressions)
+    scored = gated.select(
         "doc_id", "text", "lang", "source",
         tx.lang_id("text").alias("lang_pred"),
         tx.quality_score("text").alias("score"),
@@ -106,6 +113,17 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
     )
 
 
+def deliver(spark, stream, out_path: str):
+    """Last mile: land the split training stream as a sharded parquet
+    corpus (one file per shard dir + per-shard manifest)."""
+    from go_fish_spark.sources import sharding
+
+    manifest = sharding.write_sharded(
+        stream, out_path, "doc_id", n_shards=8, partition_cols=["split"]
+    )
+    return manifest
+
+
 def main() -> None:
     from go_fish_spark.session import get_spark
 
@@ -115,6 +133,12 @@ def main() -> None:
     out = curate(spark, sf_dir)
     print("final training stream:")
     out.show(5, truncate=60)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        manifest = deliver(spark, out, f"{td}/corpus")
+        print("shard manifest:")
+        manifest.orderBy("split", "shard").show(10)
     spark.stop()
 
 
