@@ -161,3 +161,106 @@ def duck_dsir_sql(
     FROM db JOIN ratio USING (_b)
     GROUP BY db._id
     """
+
+
+def fit_bucket_ratios(
+    df: DataFrame,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Pass 1 of the streaming DSIR form: fit the bounded (bucket,
+    log-ratio) table on a STATIC/historical corpus. Same arithmetic as
+    :func:`dsir_weights`'s inner model, exposed so a live stream can be
+    scored against frozen ratios (:func:`score_with_ratios`) — the
+    fit-on-history / apply-on-stream split every two-pass curation op
+    here uses (x30/x33 pattern)."""
+    from ..functions.text import tokens
+
+    b_col = hash_bucket(F.col("token"), n_buckets)
+    term = df.select(
+        F.explode(tokens(text_col)).alias("token"), target_pred.alias("_is_t")
+    ).select(b_col.alias("_b"), "_is_t")
+    raw_counts = term.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    t_counts = (
+        term.filter(F.col("_is_t")).groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+    def logprob(counts: DataFrame, name: str) -> DataFrame:
+        tot = counts.agg(F.sum("_cnt").alias("_n"))
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "_b",
+            F.log(
+                (F.col("_cnt") + F.lit(alpha))
+                / (F.col("_n") + F.lit(alpha * n_buckets))
+            ).alias(name),
+        )
+
+    t_tot = t_counts.agg(F.sum("_cnt").alias("_nt"))
+    return (
+        logprob(raw_counts, "_lp_raw")
+        .join(logprob(t_counts, "_lp_t"), "_b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "_b",
+            (
+                F.coalesce(
+                    F.col("_lp_t"),
+                    F.log(F.lit(alpha) / (F.col("_nt") + F.lit(alpha * n_buckets))),
+                )
+                - F.col("_lp_raw")
+            ).alias("_lr"),
+        )
+    )
+
+
+def score_with_ratios(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ratios: DataFrame,
+    n_buckets: int = 1024,
+    missing_lr: float = 0.0,
+) -> DataFrame:
+    """Pass 2, streaming-safe: score each document against a FROZEN ratio
+    table with a pure per-row expression — the bounded (≤ n_buckets-row)
+    table is collected into ONE parsed map literal, each token folds its
+    bucket's log-ratio into a decimal-exact sum, and the mean divides
+    once. No explode, no join, no aggregation state: runs identically on
+    batch and streaming DataFrames (asserted in tests), and equals
+    :func:`dsir_weights` bit-for-bit when the ratios come from
+    :func:`fit_bucket_ratios` on the same corpus — decimal addition is
+    order-independent, so per-token folding ≡ per-(doc,bucket) grouped
+    accumulation."""
+    from ..functions.text import tokens
+
+    rows = ratios.collect()
+    if len(rows) > n_buckets:
+        raise ValueError(f"ratio table exceeds n_buckets={n_buckets}")
+    keys = ",".join(str(int(r._b)) for r in rows)
+    vals = ",".join(f"{float(r._lr)!r}D" for r in rows)
+    map_lit = F.expr(f"map_from_arrays(array({keys}), array({vals}))")
+    toks = tokens(text_col)
+    lr_sum = F.aggregate(
+        F.transform(
+            toks,
+            # A bucket absent from the history table (possible on a live
+            # stream) contributes ``missing_lr`` (default 0: neutral).
+            lambda t: F.coalesce(
+                F.element_at(map_lit, hash_bucket(t, n_buckets).cast("int")),
+                F.lit(float(missing_lr)),
+            ),
+        ),
+        F.lit(0).cast("decimal(27,18)"),
+        # decimal + decimal widens to (28,18); cast back so the merge type
+        # equals the accumulator type (values stay far below 10^9, so the
+        # narrowing never truncates).
+        lambda acc, x: (acc + x.cast("decimal(27,18)")).cast("decimal(27,18)"),
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.round(lr_sum.cast("double") / n, 9).alias("dsir_logweight"),
+    )

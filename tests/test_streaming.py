@@ -814,3 +814,47 @@ def test_stream_gopher_gate_vs_batch(spark, tmp_path):
         r.doc_id for r in spark.sql("SELECT doc_id FROM gopher_out").collect()
     }
     assert stream_kept == batch_kept
+
+
+def test_stream_dsir_scoring_vs_batch(spark, tmp_path):
+    """x43's streaming form: bucket log-ratios are FIT on static history
+    (fit_bucket_ratios — bounded table), frozen into one map literal, and
+    a live stream is scored with a pure per-row fold (score_with_ratios —
+    no explode, no join, no state). Golden: streaming scores equal the
+    batch dsir_weights output bit-for-bit (decimal accumulation is
+    order-independent)."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.operators import dsir
+    from go_fish_spark.streaming import sources
+
+    rows = [
+        (1, "alpha beta gamma"), (2, "alpha beta gamma"),
+        (10, "zeta eta theta"), (11, "zeta eta theta iota"),
+        (100, "alpha zeta beta"),
+    ]
+    hist = spark.createDataFrame(rows, "doc_id long, text string")
+    target = F.col("doc_id") < 10
+    batch = {
+        (r.doc_id, r.n_tokens, r.dsir_logweight)
+        for r in dsir.dsir_weights(hist, "doc_id", "text", target, n_buckets=64).collect()
+    }
+    ratios = dsir.fit_bucket_ratios(hist, "text", target, n_buckets=64)
+    # expression form on the same batch == grouped form, bit-for-bit
+    expr_batch = {
+        (r.doc_id, r.n_tokens, r.dsir_logweight)
+        for r in dsir.score_with_ratios(hist, "doc_id", "text", ratios, 64).collect()
+    }
+    assert expr_batch == batch
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, text=t) for i, t in rows])
+    stream = sources.json_stream(spark, str(indir), "doc_id long, text string")
+    run_to_memory(
+        dsir.score_with_ratios(stream, "doc_id", "text", ratios, 64), "dsir_out"
+    )
+    stream_scores = {
+        (r.doc_id, r.n_tokens, r.dsir_logweight)
+        for r in spark.sql("SELECT * FROM dsir_out").collect()
+    }
+    assert stream_scores == batch
