@@ -165,6 +165,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))),
     }
     if errors:
         out["errors"] = errors

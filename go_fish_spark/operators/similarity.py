@@ -165,16 +165,42 @@ class Quantizer:
     def clusterCenters(self) -> list:
         return [c for c in self._centers]
 
+    def dist_sql(self, vec_sql: str) -> str:
+        """Spark-SQL text of the squared-L2 distance array — the SAME
+        expression tree :meth:`dist_expr_arr` builds, emitted as one
+        string so it parses in a single py4j round trip instead of ~2
+        lambda-construction round trips per centroid (measured: x47 spent
+        5.8 s of its wall purely building expressions through py4j; one
+        parse cuts that to milliseconds)."""
+        v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+        dists = [
+            f"aggregate(zip_with({v}, "
+            + "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            + ", (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)"
+            for c in self._centers
+        ]
+        return "array(" + ", ".join(dists) + ")"
+
+    def assign_sql(self, vec_sql: str) -> str:
+        """Spark-SQL text of :meth:`assign_expr_col` (same let-bound
+        argmin, same first-wins tie-break, same 0-based int cast)."""
+        dl = self.dist_sql(vec_sql)
+        return (
+            f"CAST(element_at(transform(array({dl}), "
+            "d -> array_position(d, array_min(d))), 1) - 1 AS INT)"
+        )
+
     def dist_expr_arr(self, vec_col: Column | str) -> Column:
         """array<double> of squared-L2 distances to every centroid, as a
         pure column expression: per centroid, a left-fold
         ``aggregate(zip_with(v, c, (x,y)->(x-y)²), 0.0, +)`` over a
-        parsed array literal (one py4j round-trip per centroid, not per
-        element — see :func:`bucket_key`). Mirrored bit-for-bit by
-        :func:`duck_dist_list`."""
-        v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
-            "array<double>"
-        )
+        parsed array literal. Mirrored bit-for-bit by
+        :func:`duck_dist_list`. String inputs take the single-parse
+        :meth:`dist_sql` fast path; Column inputs (e.g. lambda variables)
+        build through the Column API."""
+        if isinstance(vec_col, str):
+            return F.expr(self.dist_sql(vec_col))
+        v = vec_col.cast("array<double>")
         dists = []
         for c in self._centers:
             carr = F.expr(
@@ -193,7 +219,10 @@ class Quantizer:
         """Nearest-centroid id as a pure column expression: argmin over
         ``dist_expr_arr`` with first-wins tie-break (``array_position`` of
         the array minimum, 0-based). The distance array is let-bound so it
-        is evaluated once per row."""
+        is evaluated once per row. String inputs parse once
+        (:meth:`assign_sql`)."""
+        if isinstance(vec_col, str):
+            return F.expr(self.assign_sql(vec_col))
         darr = self.dist_expr_arr(vec_col)
         return (
             F.element_at(
@@ -586,8 +615,22 @@ class ProductQuantizer:
         )
         return F.slice(v, j * self.dsub + 1, self.dsub)
 
+    def _sub_sql(self, vec_sql: str, j: int) -> str:
+        return (
+            f"slice(CAST({vec_sql} AS ARRAY<DOUBLE>), "
+            f"{j * self.dsub + 1}, {self.dsub})"
+        )
+
     def codes_col(self, vec_col: Column | str) -> Column:
-        """array<int> of ``m`` nearest-sub-centroid codes (0-based)."""
+        """array<int> of ``m`` nearest-sub-centroid codes (0-based).
+        String inputs parse as ONE SQL expression (the py4j fast path,
+        see ``Quantizer.dist_sql``)."""
+        if isinstance(vec_col, str):
+            parts = [
+                b.assign_sql(self._sub_sql(vec_col, j))
+                for j, b in enumerate(self.books)
+            ]
+            return F.expr("array(" + ", ".join(parts) + ")")
         return F.array(
             *[b.assign_expr_col(self._sub(vec_col, j)) for j, b in enumerate(self.books)]
         )
@@ -596,7 +639,14 @@ class ProductQuantizer:
         """array<array<double>> ADC distance tables: entry [j][c] is the
         squared L2 distance from the query's j-th block to sub-centroid c.
         Computed ONCE per query row (m × ksub folds), after which every
-        corpus candidate costs m lookups — the ADC trick."""
+        corpus candidate costs m lookups — the ADC trick. String inputs
+        parse as one SQL expression."""
+        if isinstance(vec_col, str):
+            parts = [
+                b.dist_sql(self._sub_sql(vec_col, j))
+                for j, b in enumerate(self.books)
+            ]
+            return F.expr("array(" + ", ".join(parts) + ")")
         return F.array(
             *[b.dist_expr_arr(self._sub(vec_col, j)) for j, b in enumerate(self.books)]
         )
@@ -759,16 +809,18 @@ def ivfpq_topk_expr(
             lambda x, y: x - y,
         )
 
+    # Residuals are PROJECTED to a named column so the PQ code/table
+    # expressions take the single-parse string fast path (building them
+    # through Column-API lambdas costs ~2 py4j round trips per centroid —
+    # measured 5.8 s of pure driver time for this query's trees).
     asg = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
         coarse.assign_expr_col(vec_col).alias("cell"),
     )
     coded = asg.select(
-        "vec_id",
-        "cell",
-        _let(residual(F.col("_v"), F.col("cell")), pq.codes_col).alias("codes"),
-    )
+        "vec_id", "cell", residual(F.col("_v"), F.col("cell")).alias("_rv")
+    ).select("vec_id", "cell", pq.codes_col("_rv").alias("codes"))
     probe = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -779,10 +831,9 @@ def ivfpq_topk_expr(
         probe.withColumn("_rn", F.row_number().over(wp))
         .filter(F.col("_rn") <= n_probe)
         .select(
-            "query_id",
-            "cell",
-            _let(residual(F.col("qv"), F.col("cell")), pq.dtables_col).alias("dt"),
+            "query_id", "cell", residual(F.col("qv"), F.col("cell")).alias("_rv")
         )
+        .select("query_id", "cell", pq.dtables_col("_rv").alias("dt"))
     )
     adist = F.aggregate(
         F.zip_with("codes", "dt", lambda c, t: F.element_at(t, c + 1)),
