@@ -275,3 +275,39 @@ def test_ngram_stats_matches_pure_python(spark, docs):
         dfreq.update(set(grams))
     assert got == {g: (tf[g], dfreq[g]) for g in tf}
     assert all(t >= d for t, d in got.values())
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts)
+def test_gopher_mirror_matches_duckdb_on_arbitrary_text(spark, ts):
+    """x42's rule-gate mirror must agree with Spark on arbitrary text
+    (multi-space runs, unicode, quotes, tabs, empties) — every metric and
+    flag, not just the synthetic corpus."""
+    import duckdb
+
+    from go_fish_spark.functions import text as tx
+
+    rows = [(i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = tx.gopher_metrics("text")
+    flags = tx.gopher_flags(m)
+    names = list(flags) + ["keep"]
+    got = {
+        r.doc_id: tuple(r[k] for k in names)
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in flags.items()],
+            tx.gopher_keep(flags).alias("keep"),
+        ).collect()
+    }
+    g = tx.duck_gopher_exprs("text")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            "SELECT doc_id, " + ", ".join(g[k] for k in names) + " FROM documents"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
