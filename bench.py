@@ -109,6 +109,8 @@ HEADLINE = [
     "x47_ivfpq",
     "x48_temperature_mix",
     "x49_best_quality_canonical",
+    "x50_source_overlap",
+    "x51_cell_balance",
 ]
 
 

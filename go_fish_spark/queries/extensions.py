@@ -1918,3 +1918,97 @@ def x49_best_quality_canonical(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+@query(
+    "x50_source_overlap",
+    oracle="""
+    WITH sh AS (
+      SELECT source,
+             list_distinct([array_to_string(ws[i:i+7], ' ')
+                            for i in range(1, len(ws) - 6)]) AS sh
+      FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+    ),
+    d AS (SELECT DISTINCT md5(unnest(sh)) AS dg, source FROM sh)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def x50_source_overlap(spark, sf_dir):
+    """Inter-source CONTENT-overlap matrix: for every source pair, how
+    many distinct 8-token spans occur in BOTH — the diagnostic that
+    catches one crawl mirroring or templating another below full-document
+    granularity (whole-doc digests find literally zero cross-source dups
+    on this corpus at sf0.01 — span granularity is what makes the matrix
+    informative; same reasoning as x36's passage dedup). Digest-keyed:
+    spans reduce to 16-byte md5s before the one self-join exchange;
+    output is bounded by the source-pair count, never the corpus."""
+    from ..functions.text import word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.select("source", F.explode(word_shingles("text", 8)).alias("_s"))
+        .select(F.md5("_s").alias("dg"), "source")
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.dg") == F.col("b.dg")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _x51_oracle(sf_dir: str) -> str | None:
+    centers = _det_centers(16, sf_dir)
+    if centers is None:
+        return None
+    dl = similarity.duck_dist_list("embedding", centers)
+    return f"""
+    WITH a AS (SELECT vec_id, {dl} AS dl FROM embeddings),
+    asg AS (SELECT vec_id, {similarity.duck_assign('dl')} AS cell,
+                   list_min(dl) AS d2 FROM a)
+    SELECT cell, count(*) AS n_vectors,
+           round(CAST(sum(CAST(round(sqrt(d2), 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*), 6) AS mean_dist
+    FROM asg GROUP BY cell ORDER BY cell
+    """
+
+
+@query("x51_cell_balance", oracle=_x51_oracle)
+def x51_cell_balance(spark, sf_dir):
+    """Quantizer cell-balance report — the health check an IVF index
+    needs before serving (x15/x47's routing assumes cells are roughly
+    even; a degenerate fit concentrates the corpus in few cells and turns
+    probes into scans — exactly the skew x26's cell cap guards). Per
+    cell: vector count and mean centroid distance (sqrt of the assignment
+    minimum — no second distance pass), accumulated decimal-exact so the
+    mean is partitioning-invariant. One exchange on the bounded cell
+    key."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    asg = emb.select(
+        F.col("vec_id"), q.dist_expr_arr("embedding").alias("_dl")
+    ).select(
+        "vec_id",
+        F.expr("CAST(array_position(_dl, array_min(_dl)) - 1 AS INT)").alias("cell"),
+        F.array_min("_dl").alias("d2"),
+    )
+    return (
+        asg.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.round(F.sqrt("d2"), 9).cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist"),
+        )
+        .orderBy("cell")
+    )
