@@ -142,6 +142,9 @@ def main() -> None:
         "x46_token_budget": lambda d: REGISTRY["x46_token_budget"].fn(spark, d).count(),
         "x47_ivfpq": lambda d: REGISTRY["x47_ivfpq"].fn(spark, d).count(),
         "x48_temperature_mix": lambda d: REGISTRY["x48_temperature_mix"].fn(spark, d).count(),
+        "x49_best_quality_canonical": lambda d: REGISTRY["x49_best_quality_canonical"].fn(spark, d).count(),
+        "x50_source_overlap": lambda d: REGISTRY["x50_source_overlap"].fn(spark, d).count(),
+        "x51_cell_balance": lambda d: REGISTRY["x51_cell_balance"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
