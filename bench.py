@@ -40,6 +40,7 @@ HEADLINE = [
     "q18_scalar_battery",
     "q20_json_extract",
     "q77_variant_json",
+    "q79_recursive_series",
     "q21_s2s_asof_join",
     "q22_sessionize",
     "q27_explode_topk",

@@ -296,3 +296,42 @@ def q77_variant_json(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q79_recursive_series",
+    oracle="""
+    SELECT d AS day_offset, count(o.o_orderkey) AS n_orders
+    FROM generate_series(0, 59) AS t(d)
+    LEFT JOIN orders o
+      ON datediff('day', DATE '1995-01-01', o.o_orderdate::DATE) = t.d
+    GROUP BY d ORDER BY day_offset
+    """,
+)
+def q79_recursive_series(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE, SPARK-24497): zero-filled
+    daily order counts for the first 60 days — the calendar-fill shape a
+    plain GROUP BY cannot produce (days with no orders must still appear).
+    The series is generated by bounded UNION ALL recursion on the Spark
+    side; the oracle builds the same series with DuckDB's generate_series
+    — an INDEPENDENT implementation, so the compare checks the recursion
+    result, not the same text twice. (UNION-distinct recursion — e.g.
+    transitive closure over cyclic graphs — is not yet supported by Spark
+    and stays on the DataFrame CC operator, x18.)"""
+    from ..catalog import table
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q79_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT 0
+          UNION ALL
+          SELECT d + 1 FROM days WHERE d < 59
+        )
+        SELECT d AS day_offset, count(o.o_orderkey) AS n_orders
+        FROM days
+        LEFT JOIN q79_orders o
+          ON datediff(CAST(o.o_orderdate AS DATE), DATE '1995-01-01') = days.d
+        GROUP BY d ORDER BY day_offset
+        """
+    )
