@@ -66,7 +66,7 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         (F.col("lang_pred") == "en") & (F.col("score") >= 0.5)
     ))
 
-    # 3. exact dedup (keep min doc_id per content digest)
+    # 4. exact dedup (keep min doc_id per content digest)
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -74,20 +74,20 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         "_rn", F.row_number().over(w)
     ).filter(F.col("_rn") == 1).drop("_rn"))
 
-    # 4. near-dup clustering -> canonical doc per cluster
+    # 5. near-dup clustering -> canonical doc per cluster
     pairs = dedup.ngram_jaccard_pairs(uniq, "doc_id", "text", k=3, threshold=0.3)
     comp = connected_components(uniq.select("doc_id"), pairs, id_col="doc_id")
     canon = log("near-dup canonical", uniq.join(
         comp, uniq["doc_id"] == comp["id"]
     ).filter(F.col("doc_id") == F.col("component")).drop("id", "component"))
 
-    # 5. decontaminate against the (synthetic) benchmark slice
+    # 6. decontaminate against the (synthetic) benchmark slice
     is_eval = F.col("doc_id") % 97 == 0
     clean = log("decontaminated", decontam.decontaminate(
         canon.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=3
     ))
 
-    # 6. per-language quality bar, then rebalance sources to a uniform
+    # 7. per-language quality bar, then rebalance sources to a uniform
     #    token budget
     topq = log("per-lang top 60%", top_fraction_per_group(
         clean, "lang_pred", "score", 0.6, "doc_id"
@@ -97,7 +97,7 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         sized, "doc_id", "source", "n_tok"
     ))
 
-    # 7. chunk -> pack -> split: the training stream
+    # 8. chunk -> pack -> split: the training stream
     chunks = log("chunked", chunk_documents(
         balanced, "doc_id", "text", win=128, stride=112
     ))
@@ -113,15 +113,17 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
     )
 
 
-def deliver(spark, stream, out_path: str):
+def deliver(stream, out_path: str):
     """Last mile: land the split training stream as a sharded parquet
-    corpus (one file per shard dir + per-shard manifest)."""
+    corpus (one file per shard dir + per-shard manifest). The packed
+    stream already carries its pack shard — n_shards=None reuses it, so
+    the written directories correspond to the shards the pack offsets
+    were computed within."""
     from go_fish_spark.sources import sharding
 
-    manifest = sharding.write_sharded(
-        stream, out_path, "doc_id", n_shards=8, partition_cols=["split"]
+    return sharding.write_sharded(
+        stream, out_path, "doc_id", n_shards=None, partition_cols=["split"]
     )
-    return manifest
 
 
 def main() -> None:
@@ -136,7 +138,7 @@ def main() -> None:
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:
-        manifest = deliver(spark, out, f"{td}/corpus")
+        manifest = deliver(out, f"{td}/corpus")
         print("shard manifest:")
         manifest.orderBy("split", "shard").show(10)
     spark.stop()

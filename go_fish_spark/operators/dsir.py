@@ -26,6 +26,48 @@ from ..functions.text import tokens
 from .sampling import duck_hash_bucket, hash_bucket
 
 
+def _bucket_log_ratios(
+    raw_counts: DataFrame,
+    t_counts: DataFrame,
+    n_buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """The ONE place the smoothing lives (the DuckDB mirror in
+    :func:`duck_dsir_sql` is its SQL transliteration): per bucket,
+    ``log(p̂_target) − log(p̂_raw)`` with add-alpha smoothing. Buckets
+    absent from the target corpus still need their smoothed log-prob:
+    outer-join the (bounded, ≤ B rows) models on bucket id and fall back
+    to ``log(alpha / (N_t + alpha·B))``. Inputs are (_b, _cnt) frames;
+    output is the bounded (_b, _lr) ratio table."""
+
+    def model(counts: DataFrame, name: str) -> DataFrame:
+        tot = counts.agg(F.sum("_cnt").alias("_n"))
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "_b",
+            F.log(
+                (F.col("_cnt") + F.lit(alpha))
+                / (F.col("_n") + F.lit(alpha * n_buckets))
+            ).alias(name),
+        )
+
+    t_tot = t_counts.agg(F.sum("_cnt").alias("_nt"))
+    return (
+        model(raw_counts, "_lp_raw")
+        .join(model(t_counts, "_lp_t"), "_b", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "_b",
+            (
+                F.coalesce(
+                    F.col("_lp_t"),
+                    F.log(F.lit(alpha) / (F.col("_nt") + F.lit(alpha * n_buckets))),
+                )
+                - F.col("_lp_raw")
+            ).alias("_lr"),
+        )
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     id_col: str,
@@ -63,42 +105,11 @@ def dsir_weights(
     ).select("_id", b_col.alias("_b"), "_is_t")
     g = term.groupBy("_id", "_b", "_is_t").agg(F.count(F.lit(1)).alias("_c"))
 
-    def model(counts: DataFrame, name: str) -> DataFrame:
-        tot = counts.agg(F.sum("_cnt").alias("_n"))
-        return (
-            counts.crossJoin(F.broadcast(tot))
-            .select(
-                "_b",
-                F.log(
-                    (F.col("_cnt") + F.lit(alpha))
-                    / (F.col("_n") + F.lit(alpha * n_buckets))
-                ).alias(name),
-            )
-        )
-
     raw_counts = g.groupBy("_b").agg(F.sum("_c").alias("_cnt"))
     t_counts = (
         g.filter(F.col("_is_t")).groupBy("_b").agg(F.sum("_c").alias("_cnt"))
     )
-    # Buckets absent from the target corpus still need their smoothed
-    # log-prob: outer-join the (bounded, ≤ B rows) models on bucket id and
-    # fall back to log(alpha / (N_t + alpha·B)) for missing buckets.
-    t_tot = t_counts.agg(F.sum("_cnt").alias("_nt"))
-    ratio = (
-        model(raw_counts, "_lp_raw")
-        .join(model(t_counts, "_lp_t"), "_b", "left")
-        .crossJoin(F.broadcast(t_tot))
-        .select(
-            "_b",
-            (
-                F.coalesce(
-                    F.col("_lp_t"),
-                    F.log(F.lit(alpha) / (F.col("_nt") + F.lit(alpha * n_buckets))),
-                )
-                - F.col("_lp_raw")
-            ).alias("_lr"),
-        )
-    )
+    ratio = _bucket_log_ratios(raw_counts, t_counts, n_buckets, alpha)
     return (
         g.groupBy("_id", "_b")
         .agg(F.sum("_c").alias("_c"))
@@ -171,13 +182,11 @@ def fit_bucket_ratios(
     alpha: float = 1.0,
 ) -> DataFrame:
     """Pass 1 of the streaming DSIR form: fit the bounded (bucket,
-    log-ratio) table on a STATIC/historical corpus. Same arithmetic as
-    :func:`dsir_weights`'s inner model, exposed so a live stream can be
-    scored against frozen ratios (:func:`score_with_ratios`) — the
-    fit-on-history / apply-on-stream split every two-pass curation op
-    here uses (x30/x33 pattern)."""
-    from ..functions.text import tokens
-
+    log-ratio) table on a STATIC/historical corpus — the SAME
+    :func:`_bucket_log_ratios` arithmetic :func:`dsir_weights` uses,
+    exposed so a live stream can be scored against frozen ratios
+    (:func:`score_with_ratios`) — the fit-on-history / apply-on-stream
+    split every two-pass curation op here uses (x30/x33 pattern)."""
     b_col = hash_bucket(F.col("token"), n_buckets)
     term = df.select(
         F.explode(tokens(text_col)).alias("token"), target_pred.alias("_is_t")
@@ -186,33 +195,7 @@ def fit_bucket_ratios(
     t_counts = (
         term.filter(F.col("_is_t")).groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt"))
     )
-
-    def logprob(counts: DataFrame, name: str) -> DataFrame:
-        tot = counts.agg(F.sum("_cnt").alias("_n"))
-        return counts.crossJoin(F.broadcast(tot)).select(
-            "_b",
-            F.log(
-                (F.col("_cnt") + F.lit(alpha))
-                / (F.col("_n") + F.lit(alpha * n_buckets))
-            ).alias(name),
-        )
-
-    t_tot = t_counts.agg(F.sum("_cnt").alias("_nt"))
-    return (
-        logprob(raw_counts, "_lp_raw")
-        .join(logprob(t_counts, "_lp_t"), "_b", "left")
-        .crossJoin(F.broadcast(t_tot))
-        .select(
-            "_b",
-            (
-                F.coalesce(
-                    F.col("_lp_t"),
-                    F.log(F.lit(alpha) / (F.col("_nt") + F.lit(alpha * n_buckets))),
-                )
-                - F.col("_lp_raw")
-            ).alias("_lr"),
-        )
-    )
+    return _bucket_log_ratios(raw_counts, t_counts, n_buckets, alpha)
 
 
 def score_with_ratios(
@@ -233,8 +216,6 @@ def score_with_ratios(
     :func:`fit_bucket_ratios` on the same corpus — decimal addition is
     order-independent, so per-token folding ≡ per-(doc,bucket) grouped
     accumulation."""
-    from ..functions.text import tokens
-
     rows = ratios.collect()
     if len(rows) > n_buckets:
         raise ValueError(f"ratio table exceeds n_buckets={n_buckets}")

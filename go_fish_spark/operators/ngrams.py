@@ -178,3 +178,41 @@ def novelty_score(
             6,
         ).alias("novelty"),
     )
+
+
+def source_span_overlap(
+    df: DataFrame, group_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Inter-source CONTENT-overlap matrix (x50): for every pair of
+    groups (sources/crawls), the number of distinct word ``k``-spans that
+    occur in BOTH — the diagnostic that catches one crawl mirroring or
+    templating another below whole-document granularity (span reasoning
+    as in passage dedup, x36).
+
+    Output: (``group_col``_a, ``group_col``_b, n_shared), pairs ordered
+    ``a < b``.
+
+    100 TB shape: spans reduce to 16-byte md5 digests and deduplicate to
+    distinct (digest, group) pairs before the ONE self-join exchange on
+    the digest key; output is bounded by the group-pair count, never the
+    corpus."""
+    from ..functions.text import word_shingles
+
+    d = (
+        df.select(F.col(group_col), F.explode(word_shingles(text_col, k)).alias("_s"))
+        .select(F.md5("_s").alias("dg"), group_col)
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dg") == F.col("b.dg"))
+            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias(f"{group_col}_a"),
+            F.col(f"b.{group_col}").alias(f"{group_col}_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -742,13 +742,6 @@ def duck_pq_dtables(vec: str, pq: ProductQuantizer) -> str:
 # IVF-PQ: coarse routing + residual PQ codes (the billion-vector layout)
 
 
-def _let(value: Column, body) -> Column:
-    """Let-binding (operators/dedup.py:_let twin): evaluate ``value`` once
-    per row — Catalyst would otherwise inline-duplicate the residual
-    computation into every per-centroid fold (m × ksub copies)."""
-    return F.element_at(F.transform(F.array(value), body), 1)
-
-
 def fit_ivfpq_det(
     df: DataFrame,
     id_col: str,

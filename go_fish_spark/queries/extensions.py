@@ -1946,23 +1946,11 @@ def x50_source_overlap(spark, sf_dir):
     informative; same reasoning as x36's passage dedup). Digest-keyed:
     spans reduce to 16-byte md5s before the one self-join exchange;
     output is bounded by the source-pair count, never the corpus."""
-    from ..functions.text import word_shingles
+    from ..operators.ngrams import source_span_overlap
 
-    docs = table(spark, sf_dir, "documents")
-    d = (
-        docs.select("source", F.explode(word_shingles("text", 8)).alias("_s"))
-        .select(F.md5("_s").alias("dg"), "source")
-        .distinct()
-    )
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(b, (F.col("a.dg") == F.col("b.dg")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy("source_a", "source_b")
-    )
+    return source_span_overlap(
+        table(spark, sf_dir, "documents"), "source", "text", k=8
+    ).orderBy("source_a", "source_b")
 
 
 def _x51_oracle(sf_dir: str) -> str | None:

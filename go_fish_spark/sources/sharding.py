@@ -39,11 +39,31 @@ def with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     return df.withColumn("shard", hash_bucket(id_col, n_shards))
 
 
+def _sharded(df: DataFrame, id_col: str, n_shards: int | None) -> DataFrame:
+    """Resolve the shard column for :func:`write_sharded`: attach a fresh
+    md5 shard, or — when the frame ALREADY carries one (e.g.
+    chunking.pack_documents computed pack offsets within its shards) —
+    reuse it, because silently recomputing would decouple the written
+    shard directories from whatever the upstream shards meant. Reuse
+    requires ``n_shards=None``; passing a count alongside an existing
+    column is ambiguous and raises."""
+    if "shard" in df.columns:
+        if n_shards is not None:
+            raise ValueError(
+                "input already has a 'shard' column; pass n_shards=None to "
+                "reuse it, or drop the column to reshard by the id hash"
+            )
+        return df
+    if n_shards is None:
+        raise ValueError("n_shards is required when the input has no 'shard' column")
+    return with_shard(df, id_col, n_shards)
+
+
 def write_sharded(
     df: DataFrame,
     path: str,
     id_col: str,
-    n_shards: int = 64,
+    n_shards: int | None = 64,
     partition_cols: list[str] | None = None,
     size_col: Column | str | None = None,
     sort_col: str | None = None,
@@ -54,14 +74,17 @@ def write_sharded(
     Layout: ``path/<p1>=.../shard=K/part-*.parquet`` with exactly one
     file per shard directory; ``path/_manifest`` holds one row per
     (partition..., shard) with ``n_docs`` and (when ``size_col`` is
-    given) ``tok_total``. ``sort_col`` orders rows inside each shard file
+    given) ``tok_total``. An input that already carries a ``shard``
+    column (packed streams) is reused as-is with ``n_shards=None`` —
+    never silently recomputed (see :func:`_sharded`). ``sort_col``
+    orders rows inside each shard file
     (run-length/dictionary locality for low-cardinality columns; the
     payoff depends entirely on column entropy — on this repo's synthetic
     random-vocabulary corpus it measures ZERO, because the text column
     dominates bytes and does not compress better sorted. Order it by the
     column your real corpus clusters on, or omit)."""
     partition_cols = list(partition_cols or [])
-    sharded = with_shard(df, id_col, n_shards)
+    sharded = _sharded(df, id_col, n_shards)
     keys = [F.col(c) for c in partition_cols] + [F.col("shard")]
     out = sharded.repartition(*keys)
     if sort_col is not None:

@@ -555,7 +555,7 @@ def test_best_quality_canonical_prefers_quality_over_min_id(spark):
 
 
 def test_source_overlap_counts_shared_spans(spark):
-    from go_fish_spark.queries import REGISTRY
+    from go_fish_spark.operators.ngrams import source_span_overlap
 
     shared = "one two three four five six seven eight"   # exactly one 8-span
     rows = [
@@ -564,23 +564,8 @@ def test_source_overlap_counts_shared_spans(spark):
         (3, "totally different words making no shared span at all here", "srcC"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    import pyspark.sql.functions as F
-    from go_fish_spark.functions.text import word_shingles
-
-    d = (
-        df.select("source", F.explode(word_shingles("text", 8)).alias("_s"))
-        .select(F.md5("_s").alias("dg"), "source")
-        .distinct()
-    )
-    a, b = d.alias("a"), d.alias("b")
     got = {
         (r.source_a, r.source_b): r.n_shared
-        for r in a.join(
-            b,
-            (F.col("a.dg") == F.col("b.dg")) & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .collect()
+        for r in source_span_overlap(df, "source", "text", k=8).collect()
     }
     assert got == {("srcA", "srcB"): 1}

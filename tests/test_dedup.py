@@ -683,10 +683,9 @@ def test_ivfpq_cluster_retrieval_and_arrow_agreement(spark):
     )
     expr_codes = {
         r.vec_id: (r.cell, tuple(r.codes))
-        for r in asg.select(
-            "vec_id", "cell",
-            similarity._let(res, pq2.codes_col).alias("codes"),
-        ).collect()
+        for r in asg.select("vec_id", "cell", res.alias("_rv"))
+        .select("vec_id", "cell", pq2.codes_col("_rv").alias("codes"))
+        .collect()
     }
     arrow_codes = {
         r.vec_id: (r.cell, tuple(r.codes))
