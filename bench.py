@@ -112,6 +112,7 @@ HEADLINE = [
     "x49_best_quality_canonical",
     "x50_source_overlap",
     "x51_cell_balance",
+    "x52_dedup_trend",
 ]
 
 

@@ -2000,3 +2000,40 @@ def x51_cell_balance(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+from .util import duck_ts_str, ts_str
+
+
+@query(
+    "x52_dedup_trend",
+    oracle=f"""
+    SELECT {duck_ts_str("date_trunc('hour', ts)")} AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT props) AS n_distinct,
+           round(1.0 - count(DISTINCT props)::DOUBLE / count(*), 6) AS dup_rate
+    FROM events GROUP BY 1 ORDER BY window_start
+    """,
+)
+def x52_dedup_trend(spark, sf_dir):
+    """Duplication-rate trend over event time — the recurring-crawl
+    health monitor (a rising hourly dup rate is the first sign a crawler
+    started re-fetching): per hour, event count, distinct payloads, and
+    the dup rate. One exchange on the bounded hour key with map-side
+    partial counts; the DISTINCT is per-window (payload cardinality
+    bounded by window volume, never corpus-wide)."""
+    df = table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.date_trunc("hour", "ts").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("props").alias("n_distinct"),
+            F.round(
+                1.0 - F.count_distinct("props").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .select(
+            ts_str("_w").alias("window_start"), "n_events", "n_distinct", "dup_rate"
+        )
+        .orderBy("window_start")
+    )

@@ -111,3 +111,33 @@ def read_sharded(spark, path: str) -> DataFrame:
 
 def read_manifest(spark, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/{MANIFEST_DIR}")
+
+
+def stream_sharded(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str,
+    n_shards: int | None = 64,
+    partition_cols: list[str] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming arm of the sharded layout: attach the same deterministic
+    shard id and land micro-batches under the same
+    ``path/<p>=.../shard=K/`` directory tree via the parquet streaming
+    sink (exactly-once per checkpoint). Late-arriving rows append new
+    files to their shard directory — shard membership is a pure key hash,
+    so batch and streaming deliveries interleave consistently; compact
+    with a batch ``write_sharded`` rewrite when file counts grow. Returns
+    the started StreamingQuery."""
+    partition_cols = list(partition_cols or [])
+    out = _sharded(stream, id_col, n_shards)
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*partition_cols, "shard")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

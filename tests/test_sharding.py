@@ -70,3 +70,41 @@ def test_shard_assignment_is_deterministic_and_balanced(spark):
     n, k = len(a), 16
     # md5-uniform: no shard more than 3x the mean at 500 docs/16 shards
     assert max(counts.values()) <= 3 * (n / k)
+
+
+def test_stream_sharded_delivery_matches_batch_layout(spark, tmp_path):
+    """Streaming delivery lands rows in the same shard directories the
+    batch writer would choose (shard membership is a pure key hash), and
+    the round trip preserves every row."""
+    import json
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [dict(doc_id=i, text=f"doc {i}", split="train" if i % 5 else "val")
+            for i in range(40)]
+    (indir / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, split string")
+        .json(str(indir))
+    )
+    out = str(tmp_path / "corpus")
+    q = sharding.stream_sharded(
+        stream, out, str(tmp_path / "ckpt"), "doc_id",
+        n_shards=4, partition_cols=["split"],
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)
+    # every row sits in the shard directory its key hash dictates
+    expected = {
+        r.doc_id: r.shard
+        for r in sharding.with_shard(
+            spark.createDataFrame(
+                [(r["doc_id"],) for r in rows], "doc_id long"
+            ),
+            "doc_id", 4,
+        ).collect()
+    }
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == expected
