@@ -113,6 +113,7 @@ HEADLINE = [
     "x50_source_overlap",
     "x51_cell_balance",
     "x52_dedup_trend",
+    "x53_langid_confusion",
 ]
 
 

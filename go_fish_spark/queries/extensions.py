@@ -2037,3 +2037,36 @@ def x52_dedup_trend(spark, sf_dir):
         )
         .orderBy("window_start")
     )
+
+
+def _x53_oracle() -> str:
+    scores = tx.duck_lang_scores("text")
+    cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    whens = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in scores)
+    return f"""
+    WITH scored AS (SELECT lang, {cols} FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE WHEN best <= 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred
+      FROM (SELECT *, {best} AS best FROM scored)
+    )
+    SELECT lang, lang_pred, count(*) AS n
+    FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """
+
+
+@query("x53_langid_confusion", oracle=_x53_oracle())
+def x53_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the x07 classifier evaluated against
+    the corpus's ground-truth labels — the calibration pass that decides
+    whether per-language gates (x30's quality bars, x48's mixture
+    schedule) can trust the predictor. Map-only scoring + one groupBy on
+    the bounded (lang, lang_pred) key."""
+    df = table(spark, sf_dir, "documents")
+    return (
+        df.select("lang", tx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
