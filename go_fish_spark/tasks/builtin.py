@@ -89,3 +89,30 @@ class Passthrough(BasicTask):
 
     def apply(self, df: DataFrame) -> DataFrame:
         return df
+
+
+@register_task("gopher_gate")
+class GopherGate(BasicTask):
+    """Curation rule gate (x42): keep documents passing every Gopher/
+    MassiveText heuristic rule (functions/text.GOPHER_THRESHOLDS). Pure
+    per-row expression — works identically in batch and streaming
+    pipelines. Options: column (text column, default 'text')."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..functions import text as tx
+
+        col = self.options.get("column", "text")
+        return df.filter(tx.gopher_keep(tx.gopher_flags(tx.gopher_metrics(col))))
+
+
+@register_task("pii_scrub")
+class PiiScrub(BasicTask):
+    """Curation scrubber (x23): replace emails/IPs/phones with typed
+    placeholders, in the fixed PII_PATTERNS order. Options: column
+    (default 'text'), alias (default: overwrite the column)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..functions import text as tx
+
+        col = self.options.get("column", "text")
+        return df.withColumn(self.options.get("alias", col), tx.scrub_pii(col))
