@@ -385,37 +385,32 @@ def test_curation_demo_example_runs(spark):
 
 
 def test_gopher_gate_and_pii_scrub_tasks_in_pipeline_spec(spark, tmp_path):
-    """The x42 gate and x23 scrubber are JSON-declarable tasks: a pipeline
-    spec chains them (gate -> scrub) and the compiled batch run keeps only
-    rule-passing docs with scrubbed text."""
+    """The x42 gate and x23 scrubber are JSON-declarable tasks: the
+    SHIPPED examples/curation_pipeline.json spec is loaded verbatim
+    (paths rewired), compiled, and batch-run — only the rule-passing doc
+    survives, with its email scrubbed."""
     import json
+    import os
 
     from go_fish_spark.plans.compiler import compile_pipeline
     from go_fish_spark.plans.spec import parse_spec
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = json.load(open(os.path.join(repo, "examples/curation_pipeline.json")))
     indir = tmp_path / "in"
     indir.mkdir()
+    outdir = str(tmp_path / "out")
+    spec["sources"]["docs"]["options"]["path"] = str(indir)
+    spec["sinks"]["curated"]["options"]["path"] = outdir
     good = " ".join(["the", "a", "of"] + ["wordy"] * 60) + " mail me a@b.com"
     rows = [
-        dict(doc_id=1, text=good),
-        dict(doc_id=2, text="the a tiny doc"),
+        dict(doc_id=1, text=good, source="web"),
+        dict(doc_id=2, text="the a tiny doc", source="web"),
     ]
     (indir / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
-    outdir = str(tmp_path / "out")
-    spec = parse_spec({
-        "sources": {
-            "docs": {"type": "json",
-                     "options": {"path": str(indir),
-                                 "schema": "doc_id long, text string"}}
-        },
-        "rules": {
-            "gate": {"source": "docs", "task": "gopher_gate", "options": {}},
-            "scrub": {"source": "gate", "task": "pii_scrub", "options": {},
-                      "sink": "out"},
-        },
-        "sinks": {"out": {"type": "json", "options": {"path": outdir}}},
-    })
-    compile_pipeline(spark, spec, streaming=False).run()
-    got = spark.read.schema("doc_id long, text string").json(outdir).collect()
+    compile_pipeline(spark, parse_spec(spec), streaming=False).run()
+    got = spark.read.schema(
+        "doc_id long, text string, source string"
+    ).json(outdir).collect()
     assert [r.doc_id for r in got] == [1]
     assert "[EMAIL]" in got[0].text and "a@b.com" not in got[0].text
