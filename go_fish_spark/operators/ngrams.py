@@ -192,10 +192,14 @@ def source_span_overlap(
     Output: (``group_col``_a, ``group_col``_b, n_shared), pairs ordered
     ``a < b``.
 
-    100 TB shape: spans reduce to 16-byte md5 digests and deduplicate to
-    distinct (digest, group) pairs before the ONE self-join exchange on
-    the digest key; output is bounded by the group-pair count, never the
-    corpus."""
+    100 TB shape: spans reduce to 16-byte md5 digests, deduplicate to
+    distinct (digest, group) pairs, then GROUP-THEN-COMBINE: one groupBy
+    on the digest key collects each span's (bounded — ≤ #groups) sorted
+    group set, and the ordered group pairs are generated array-side and
+    counted on the bounded pair key. Compared to the digest self-join
+    this halves the corpus-sized exchanges (no second join side) and
+    caps per-span work at #groups² instead of row-pair fan-out; output
+    is bounded by the group-pair count, never the corpus."""
     from ..functions.text import word_shingles
 
     d = (
@@ -203,16 +207,23 @@ def source_span_overlap(
         .select(F.md5("_s").alias("dg"), group_col)
         .distinct()
     )
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.dg") == F.col("b.dg"))
-            & (F.col(f"a.{group_col}") < F.col(f"b.{group_col}")),
+    groups = d.groupBy("dg").agg(
+        F.array_sort(F.collect_set(group_col)).alias("_gs")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_gs"),
+            lambda a, i: F.transform(
+                F.slice(F.col("_gs"), i + 2, F.size(F.col("_gs"))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
         )
+    )
+    return (
+        groups.select(F.explode(pairs).alias("_p"))
         .groupBy(
-            F.col(f"a.{group_col}").alias(f"{group_col}_a"),
-            F.col(f"b.{group_col}").alias(f"{group_col}_b"),
+            F.col("_p.a").alias(f"{group_col}_a"),
+            F.col("_p.b").alias(f"{group_col}_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
