@@ -115,6 +115,7 @@ HEADLINE = [
     "x51_cell_balance",
     "x52_dedup_trend",
     "x53_langid_confusion",
+    "x54_fertility",
 ]
 
 

@@ -2070,3 +2070,47 @@ def x53_langid_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
     )
+
+
+@query(
+    "x54_fertility",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           round(CAST(sum(length(text)) AS DOUBLE)
+                 / sum(len(string_split(text, ' '))), 6) AS chars_per_word,
+           round(CAST(sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) )
+                      AS DOUBLE)
+                 / sum(len(string_split(text, ' '))), 6) AS bpe_per_word
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x54_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility report: characters and BPE-ish
+    tokens per whitespace word — the numbers that convert a per-language
+    token budget into document counts (high-fertility languages consume
+    budget faster; the mixture planner, x33/x48, needs this to weigh
+    sources in TOKENS rather than docs). Integer sums are exact under any
+    partitioning; one groupBy on the bounded language key."""
+    from ..functions.text import BPE_ISH_PATTERN, tokens
+
+    df = table(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text"))
+    n_bpe = F.regexp_count("text", F.lit(BPE_ISH_PATTERN))
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.sum(n_words).alias("n_words"),
+            F.round(
+                F.sum(F.length("text")).cast("double") / F.sum(n_words), 6
+            ).alias("chars_per_word"),
+            F.round(F.sum(n_bpe).cast("double") / F.sum(n_words), 6).alias(
+                "bpe_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
