@@ -116,6 +116,7 @@ HEADLINE = [
     "x52_dedup_trend",
     "x53_langid_confusion",
     "x54_fertility",
+    "x55_data_card",
 ]
 
 

@@ -2114,3 +2114,62 @@ def x54_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x55_data_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, md5(text) AS dg,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    langs AS (
+      SELECT lang, count(*) AS c, (SELECT count(*) FROM base) AS n
+      FROM base GROUP BY lang
+    )
+    SELECT (SELECT count(*) FROM base) AS n_docs,
+           (SELECT CAST(sum(n_words) AS BIGINT) FROM base) AS n_tokens,
+           (SELECT round(1.0 - count(DISTINCT dg)::DOUBLE / count(*), 6)
+            FROM base) AS exact_dup_rate,
+           (SELECT round(CAST(sum(CAST(round(-(c::DOUBLE / n) * ln(c::DOUBLE / n),
+                                            12) AS DECIMAL(20,12))) AS DOUBLE), 6)
+            FROM langs) AS lang_entropy
+    """,
+)
+def x55_data_card(spark, sf_dir):
+    """One-row dataset card — the summary a curation pipeline publishes
+    with every release: corpus size, token count, exact-duplication rate,
+    and language-mix Shannon entropy (nats; ≈ln(5)≈1.609 for a uniform
+    5-language mix, 0 for monolingual). Entropy terms are rounded to 12
+    decimals and summed as decimals so the ≤#langs-term sum is
+    order-independent across engines; everything else is exact integer
+    arithmetic. Two bounded aggregations over one scan-shaped base."""
+    from ..functions.text import tokens
+
+    df = table(spark, sf_dir, "documents")
+    base = df.select(
+        "lang", F.md5("text").alias("dg"), F.size(tokens("text")).alias("n_words")
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.round(
+            1.0 - F.count_distinct("dg").cast("double") / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    entropy = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("n"))))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(-p * F.log(p), 12).cast("decimal(20,12)")
+                ).cast("double"),
+                6,
+            ).alias("lang_entropy")
+        )
+    )
+    return totals.crossJoin(F.broadcast(entropy))
