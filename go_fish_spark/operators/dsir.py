@@ -219,20 +219,25 @@ def score_with_ratios(
     rows = ratios.collect()
     if len(rows) > n_buckets:
         raise ValueError(f"ratio table exceeds n_buckets={n_buckets}")
-    keys = ",".join(str(int(r._b)) for r in rows)
-    vals = ",".join(f"{float(r._lr)!r}D" for r in rows)
-    map_lit = F.expr(f"map_from_arrays(array({keys}), array({vals}))")
     toks = tokens(text_col)
+    if rows:
+        keys = ",".join(str(int(r._b)) for r in rows)
+        vals = ",".join(f"{float(r._lr)!r}D" for r in rows)
+        map_lit = F.expr(f"map_from_arrays(array({keys}), array({vals}))")
+        # A bucket absent from the history table (possible on a live
+        # stream) contributes ``missing_lr`` (default 0: neutral).
+        per_token = lambda t: F.coalesce(  # noqa: E731
+            F.element_at(map_lit, hash_bucket(t, n_buckets).cast("int")),
+            F.lit(float(missing_lr)),
+        )
+    else:
+        # Empty history (fit on an empty frame): every bucket is missing.
+        # An empty map literal would type as map<void,void> and fail
+        # analysis inside element_at, so score every token as missing_lr
+        # directly.
+        per_token = lambda t: F.lit(float(missing_lr))  # noqa: E731
     lr_sum = F.aggregate(
-        F.transform(
-            toks,
-            # A bucket absent from the history table (possible on a live
-            # stream) contributes ``missing_lr`` (default 0: neutral).
-            lambda t: F.coalesce(
-                F.element_at(map_lit, hash_bucket(t, n_buckets).cast("int")),
-                F.lit(float(missing_lr)),
-            ),
-        ),
+        F.transform(toks, per_token),
         F.lit(0).cast("decimal(27,18)"),
         # decimal + decimal widens to (28,18); cast back so the merge type
         # equals the accumulator type (values stay far below 10^9, so the
@@ -240,7 +245,11 @@ def score_with_ratios(
         lambda acc, x: (acc + x.cast("decimal(27,18)")).cast("decimal(27,18)"),
     )
     n = F.size(toks)
-    return df.select(
+    # NULL text parity with dsir_weights: the batch form's explode emits
+    # no rows for a NULL document, so the doc is absent from its output —
+    # mirror that here (instead of emitting a NULL-scored row) to keep
+    # the "equals dsir_weights bit-for-bit" contract over row SETS too.
+    return df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         n.cast("bigint").alias("n_tokens"),
         F.round(lr_sum.cast("double") / n, 9).alias("dsir_logweight"),

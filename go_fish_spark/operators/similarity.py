@@ -148,6 +148,16 @@ def _dlit(x: float) -> str:
     return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
 
 
+def _q_ident(name: str) -> str:
+    """Backtick-quote a column NAME for the single-parse SQL fast paths:
+    public methods accept a str as a column name (the F.col convention),
+    so names with spaces/hyphens/reserved words must reach F.expr as a
+    quoted identifier, not raw SQL text. The ``*_sql`` methods still take
+    arbitrary SQL fragments — quoting happens only at the name→SQL
+    boundary."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 class Quantizer:
     """Coarse quantizer: driver-held centroid matrix + executor-side
     assignment. ``clusterCenters()`` mirrors the pyspark.ml accessor;
@@ -199,7 +209,7 @@ class Quantizer:
         :meth:`dist_sql` fast path; Column inputs (e.g. lambda variables)
         build through the Column API."""
         if isinstance(vec_col, str):
-            return F.expr(self.dist_sql(vec_col))
+            return F.expr(self.dist_sql(_q_ident(vec_col)))
         v = vec_col.cast("array<double>")
         dists = []
         for c in self._centers:
@@ -222,7 +232,7 @@ class Quantizer:
         is evaluated once per row. String inputs parse once
         (:meth:`assign_sql`)."""
         if isinstance(vec_col, str):
-            return F.expr(self.assign_sql(vec_col))
+            return F.expr(self.assign_sql(_q_ident(vec_col)))
         darr = self.dist_expr_arr(vec_col)
         return (
             F.element_at(
@@ -627,7 +637,7 @@ class ProductQuantizer:
         see ``Quantizer.dist_sql``)."""
         if isinstance(vec_col, str):
             parts = [
-                b.assign_sql(self._sub_sql(vec_col, j))
+                b.assign_sql(self._sub_sql(_q_ident(vec_col), j))
                 for j, b in enumerate(self.books)
             ]
             return F.expr("array(" + ", ".join(parts) + ")")
@@ -643,7 +653,7 @@ class ProductQuantizer:
         parse as one SQL expression."""
         if isinstance(vec_col, str):
             parts = [
-                b.dist_sql(self._sub_sql(vec_col, j))
+                b.dist_sql(self._sub_sql(_q_ident(vec_col), j))
                 for j, b in enumerate(self.books)
             ]
             return F.expr("array(" + ", ".join(parts) + ")")

@@ -2094,11 +2094,11 @@ def x54_fertility(spark, sf_dir):
     budget faster; the mixture planner, x33/x48, needs this to weigh
     sources in TOKENS rather than docs). Integer sums are exact under any
     partitioning; one groupBy on the bounded language key."""
-    from ..functions.text import BPE_ISH_PATTERN, tokens
+    from ..functions.text import bpe_ish_token_count, tokens
 
     df = table(spark, sf_dir, "documents")
     n_words = F.size(tokens("text"))
-    n_bpe = F.regexp_count("text", F.lit(BPE_ISH_PATTERN))
+    n_bpe = bpe_ish_token_count("text")
     return (
         df.groupBy("lang")
         .agg(

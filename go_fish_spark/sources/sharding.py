@@ -94,12 +94,21 @@ def write_sharded(
         .partitionBy(*partition_cols, "shard")
         .parquet(path)
     )
+    # Manifest from the files actually WRITTEN (one scan of the compacted
+    # output), not from `sharded` — re-aggregating the input would
+    # re-execute the full upstream lineage (the expensive curation DAG) a
+    # second time, and under nondeterministic upstreams could disagree
+    # with what landed on disk. Always a full overwrite: with
+    # mode="append" the manifest must describe everything now at `path`
+    # (one row per (partition, shard)), not just this delivery.
+    # (`_manifest` starts with '_' so partition discovery skips it.)
+    written = df.sparkSession.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if size_col is not None:
         size = F.col(size_col) if isinstance(size_col, str) else size_col
         aggs.append(F.sum(size).alias("tok_total"))
-    manifest = sharded.groupBy(*partition_cols, "shard").agg(*aggs)
-    manifest.coalesce(1).write.mode(mode).parquet(f"{path}/{MANIFEST_DIR}")
+    manifest = written.groupBy(*partition_cols, "shard").agg(*aggs)
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
     return df.sparkSession.read.parquet(f"{path}/{MANIFEST_DIR}")
 
 

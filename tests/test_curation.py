@@ -569,3 +569,42 @@ def test_source_overlap_counts_shared_spans(spark):
         for r in source_span_overlap(df, "source", "text", k=8).collect()
     }
     assert got == {("srcA", "srcB"): 1}
+
+
+def test_score_with_ratios_empty_history_scores_missing_lr(spark):
+    """Fitting on an empty history yields an empty ratio table; scoring
+    must fall back to missing_lr per token (not crash on a void-typed
+    empty map literal)."""
+    from go_fish_spark.operators import dsir
+
+    df = _docs(spark, [(1, "a b c")])
+    empty = dsir.fit_bucket_ratios(
+        df.filter(F.lit(False)), "text", F.lit(True), n_buckets=16
+    )
+    got = dsir.score_with_ratios(
+        df, "doc_id", "text", empty, 16, missing_lr=-1.5
+    ).collect()
+    assert got[0].n_tokens == 3
+    assert abs(got[0].dsir_logweight - -1.5) < 1e-9
+
+
+def test_score_with_ratios_drops_null_text_like_batch_form(spark):
+    """NULL-text parity: the batch form's explode drops NULL docs from
+    its output; the frozen-ratio form must produce the same row SET."""
+    from go_fish_spark.operators import dsir
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    ratios = dsir.fit_bucket_ratios(df, "text", F.col("doc_id") == 1, n_buckets=16)
+    batch_ids = {
+        r.doc_id
+        for r in dsir.dsir_weights(
+            df, "doc_id", "text", F.col("doc_id") == 1, n_buckets=16
+        ).collect()
+    }
+    frozen_ids = {
+        r.doc_id
+        for r in dsir.score_with_ratios(df, "doc_id", "text", ratios, 16).collect()
+    }
+    assert batch_ids == frozen_ids == {1}

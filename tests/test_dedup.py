@@ -692,3 +692,33 @@ def test_ivfpq_cluster_retrieval_and_arrow_agreement(spark):
         for r in similarity.ivfpq_encode_arrow(sf_emb, coarse2, pq2).collect()
     }
     assert expr_codes == arrow_codes
+
+
+def test_quantizer_string_path_quotes_odd_column_names(spark):
+    """The single-parse SQL fast path receives a column NAME (the F.col
+    convention) — names that are not plain identifiers must be quoted,
+    not spliced as raw SQL text."""
+    import numpy as np
+
+    from go_fish_spark.operators.similarity import ProductQuantizer, Quantizer
+
+    q = Quantizer(np.array([[0.0, 0.0], [1.0, 1.0]]))
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.9, 0.8])],
+        "vec_id long, `my vec` array<double>",
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", q.assign_expr_col("my vec").alias("cell")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1}
+    pq = ProductQuantizer([np.array([[0.0], [1.0]]), np.array([[0.0], [1.0]])])
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in df.select(
+            "vec_id", pq.codes_col("my vec").alias("codes")
+        ).collect()
+    }
+    assert codes == {1: [0, 0], 2: [1, 1]}

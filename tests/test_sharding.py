@@ -108,3 +108,27 @@ def test_stream_sharded_delivery_matches_batch_layout(spark, tmp_path):
     }
     got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
     assert got == expected
+
+
+def test_write_sharded_append_keeps_manifest_invariant(spark, tmp_path):
+    """mode="append" delivers a second batch into the same layout; the
+    manifest must describe EVERYTHING now at path — still one row per
+    (partition, shard), totals covering both deliveries (it is rebuilt
+    from the written files, not appended to)."""
+    path = str(tmp_path / "corpus")
+    docs = _curated(spark)
+    sharding.write_sharded(
+        docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id",
+        n_shards=4, partition_cols=["split"],
+    )
+    manifest = sharding.write_sharded(
+        docs.filter(F.col("doc_id") % 2 == 1), path, "doc_id",
+        n_shards=4, partition_cols=["split"], mode="append",
+    )
+    dup_keys = (
+        manifest.groupBy("split", "shard").count()
+        .filter(F.col("count") > 1).collect()
+    )
+    assert dup_keys == []
+    assert manifest.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    assert sharding.read_sharded(spark, path).count() == docs.count()
