@@ -117,6 +117,12 @@ HEADLINE = [
     "x53_langid_confusion",
     "x54_fertility",
     "x55_data_card",
+    # round-4 part 3: hot-domain cap, lexical retrieval, reproducible
+    # epoch order, labeled-seed kNN voting
+    "x56_source_cap",
+    "x57_bm25",
+    "x58_training_order",
+    "x59_knn_classify",
 ]
 
 

@@ -1,0 +1,134 @@
+"""BM25 keyword retrieval over the document corpus — the lexical scoring
+arm next to the embedding ANN family (similarity.py). A curation pipeline
+uses it two ways: ad-hoc corpus search ("find the docs about X") and
+targeted-domain mining (score the crawl against a recipe of topic terms,
+keep the head — the rule-based cousin of DSIR's distribution matching,
+operators/dsir.py).
+
+Reference anchor: the reference has no retrieval operator (gap category,
+SURVEY.md §2.6).
+
+Scoring is Okapi BM25 in the Lucene ``idf = ln(1 + (N−df+0.5)/(df+0.5))``
+form (always positive, so partial matches never score below zero).
+
+100 TB shape: the query's term set BROADCASTS into the token explode as an
+``isin`` prune, so the corpus-sized stream collapses to (doc, query-term)
+incidences BEFORE the only shuffle — per-doc term frequencies aggregate on
+a key whose cardinality is ≤ |docs containing a query term| × |terms|.
+Document-frequency and corpus stats are bounded aggregates that join back
+as broadcasts. The corpus itself never shuffles.
+
+Cross-engine float discipline (the x34/x55 recipe): each per-term
+contribution is double arithmetic ending in ``round(·, 12)`` (ln differs
+by 1 ulp across libms on ~1e-4 of inputs; the rounding hides it), the
+per-doc sum accumulates as decimal(27,18) (exact, order-independent), and
+the final score rounds to 9 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score against the bag of query ``terms``.
+
+    Output: one row per document containing ≥ 1 query term —
+    (id_col, n_terms_matched BIGINT, bm25 DOUBLE rounded 9). Repeated
+    query terms are scored once (set semantics, the standard bag-of-words
+    collapse)."""
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_dl"),
+        F.explode(toks).alias("token"),
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.avg(F.size(toks)).alias("_avgdl"),
+    )
+    tf = (
+        base.filter(F.col("token").isin(terms))
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_N") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (F.col("_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("_tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("_id", F.round(contrib, 12).cast("decimal(27,18)").alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum("_c").cast("double"), 9).alias("bm25"),
+        )
+        .select(F.col("_id").alias(id_col), "n_terms_matched", "bm25")
+    )
+
+
+def duck_bm25_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of :func:`bm25_scores` — same idf form, same
+    operation order inside the contribution, same round-12 → decimal
+    accumulation → round-9 discipline."""
+    terms = sorted(set(terms))
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS _id,
+             len(string_split({text_col}, ' ')) AS _dl,
+             unnest(string_split({text_col}, ' ')) AS token
+      FROM {table}
+    ),
+    stats AS (
+      SELECT count(*) AS _N,
+             avg(len(string_split({text_col}, ' '))) AS _avgdl
+      FROM {table}
+    ),
+    tf AS (
+      SELECT _id, token, count(*) AS _tf, any_value(_dl) AS _dl
+      FROM base WHERE token IN ({tlist}) GROUP BY _id, token
+    ),
+    dfreq AS (SELECT token, count(*) AS _df FROM tf GROUP BY token)
+    SELECT tf._id AS {id_col},
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           round(CAST(sum(CAST(round(
+             ln(1.0 + (stats._N - dfreq._df + 0.5) / (dfreq._df + 0.5))
+             * (tf._tf * {k1 + 1.0!r})
+             / (tf._tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf._dl / stats._avgdl)),
+             12) AS DECIMAL(27,18))) AS DOUBLE), 9) AS bm25
+    FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    GROUP BY tf._id
+    """

@@ -342,3 +342,93 @@ def temperature_sample(
     return apply_rates(
         df, key, group_col, temperature_rates(df, group_col, size_col, tau)
     )
+
+
+def source_cap(
+    df: DataFrame, key_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Cap any single key's contribution at ``cap`` rows — the per-domain
+    cap every crawl-scale corpus applies so one hot site cannot dominate
+    training (C4/RedPajama-style; the reference has no sampling family —
+    gap category, SURVEY.md §2.6). Which rows survive is a pure function
+    of the data: the ``cap`` smallest md5(id) values per key (ties to the
+    lower id), so re-runs, engines, and layouts agree.
+
+    100 TB shape — the window only ever sees over-cap keys: per-key
+    counts are a bounded aggregate (map-side combined); keys at-or-under
+    cap pass through via a BROADCAST anti-join (map-only, the corpus
+    does not shuffle); only rows of over-cap keys — typically a small
+    minority of a crawl — pay the rank shuffle, and each such key ranks
+    in one task bounded by the hottest key's row count. (If a single key
+    could exceed one task's memory, pre-prune by hash quantile before
+    ranking; at web scale the hot-domain tail is millions of rows, well
+    inside a task.)"""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    over_keys = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(key_col)
+    )
+    under = df.join(F.broadcast(over_keys), key_col, "left_anti")
+    over = df.join(F.broadcast(over_keys), key_col, "left_semi")
+    okey = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key_col).orderBy(okey, F.col(id_col))
+    kept_over = (
+        over.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under.unionByName(kept_over)
+
+
+def global_hash_order(
+    df: DataFrame, id_col: str, seed: str = "seed0", n_buckets: int = 256
+) -> DataFrame:
+    """Deterministic global training order: every row gets an exact
+    1-based ``position`` in the total order md5(seed|id) (ties to the
+    lower id) — the seeded global shuffle a training job applies so
+    epoch order is reproducible AND independent of storage layout
+    (a plain ORDER BY file-position bakes crawl locality into batches;
+    a hash order is a measurably better shuffle and re-derivable from
+    ids alone).
+
+    100 TB shape — exact ranks WITHOUT a single-task global window: the
+    first hash byte buckets rows into ``n_buckets`` ordered ranges (a
+    prefix of the sort key, so bucket order ≡ key order); per-bucket
+    counts (bounded, ≤ n_buckets rows) turn into broadcast cumulative
+    offsets, and each bucket ranks independently in parallel —
+    position = offset[bucket] + rank_within_bucket. This is the
+    distributed-ranking shape of a TeraSort, expressed in two bounded
+    aggregates + one partitioned window; md5 uniformity keeps every
+    bucket at ~n/n_buckets rows (no skew by construction)."""
+    if not 1 <= n_buckets <= 256:
+        raise ValueError("n_buckets must be in [1, 256] (one hash-byte prefix)")
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    # first-byte prefix, folded to n_buckets contiguous ranges so bucket
+    # order stays consistent with full-key order
+    bucket = F.floor(
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+        * F.lit(n_buckets) / F.lit(256)
+    ).cast("int")
+    dfk = df.withColumn("_okey", key).withColumn("_ob", bucket)
+    counts = dfk.groupBy("_ob").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_ob").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("_ob", "_off")
+    w = Window.partitionBy("_ob").orderBy("_okey", F.col(id_col))
+    return (
+        dfk.join(F.broadcast(offsets), "_ob")
+        .withColumn(
+            "position", (F.col("_off") + F.row_number().over(w)).cast("bigint")
+        )
+        .drop("_okey", "_ob", "_off")
+    )

@@ -919,3 +919,56 @@ def ivfpq_encode_arrow(
     return corpus.select(
         F.col(id_col).alias("vec_id"), u(v.cast("array<double>")).alias("_s")
     ).select("vec_id", F.col("_s.cell").alias("cell"), F.col("_s.codes").alias("codes"))
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """k-NN majority-vote label prediction — the embedding-space quality/
+    topic classifier a curation pipeline runs when it has a small labeled
+    seed set and a large unlabeled corpus (label the seed, vote every
+    candidate). Prediction for each query = the modal label among its
+    ``k`` exact-cosine nearest labeled neighbors (self-matches excluded);
+    vote ties break to the smaller label, so results are deterministic
+    and oracle-checkable.
+
+    Output: (query_id, label_pred, n_votes, top_cos) — n_votes the
+    winning label's count, top_cos the best cosine among its voters
+    (rounded 6).
+
+    100 TB shape: neighbor search is :func:`brute_force_topk` (query
+    side broadcasts; the corpus never shuffles — swap in lsh_topk /
+    ivf_topk for the sublinear path, same voting tail), and the label
+    join BROADCASTS the (queries × k)-row neighbor table into the
+    corpus-sized label frame — map-only again. Only the final per-query
+    vote aggregation shuffles, on ≤ queries × k rows."""
+    nn = brute_force_topk(corpus, queries, id_col=id_col, vec_col=vec_col, k=k)
+    lab = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        lab.join(F.broadcast(nn), "vec_id")
+        .groupBy("query_id", "_nl")
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"),
+            F.max("cos").alias("top_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("_nl")
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            F.col("_nl").alias("label_pred"),
+            "n_votes",
+            F.round("top_cos", 6).alias("top_cos"),
+        )
+    )

@@ -2173,3 +2173,132 @@ def x55_data_card(spark, sf_dir):
         )
     )
     return totals.crossJoin(F.broadcast(entropy))
+
+
+@query(
+    "x56_source_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 300 ORDER BY doc_id
+    """,
+)
+def x56_source_cap(spark, sf_dir):
+    """Per-source contribution cap (sampling.source_cap): keep at most
+    300 docs per source, chosen as the 300 smallest md5(doc_id) per key —
+    the C4/RedPajama-style hot-domain cap. The operator's under/over
+    split means only over-cap sources' rows ever reach the rank window
+    (broadcast count split; the under-cap corpus never shuffles); the
+    oracle applies the global rank form, identical by construction."""
+    from ..operators.sampling import source_cap
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_cap(docs, "source", "doc_id", cap=300).orderBy("doc_id")
+
+
+_BM25_TERMS = ["spark", "window", "hash", "merge"]
+
+from ..operators.retrieval import duck_bm25_sql  # noqa: E402
+
+
+@query(
+    "x57_bm25",
+    oracle=(
+        "SELECT * FROM ("
+        + duck_bm25_sql("documents", "doc_id", "text", _BM25_TERMS)
+        + ") ORDER BY bm25 DESC, doc_id LIMIT 100"
+    ),
+)
+def x57_bm25(spark, sf_dir):
+    """Okapi BM25 keyword scoring (retrieval.bm25_scores) for a 4-term
+    query over the documents table — the lexical retrieval arm beside the
+    embedding ANN family. Query terms broadcast into the token explode as
+    an isin prune (the corpus never shuffles); df/N/avgdl are bounded
+    broadcast aggregates; contributions round-12 → decimal-sum → round-9
+    (the x34 float discipline), so the score hash-matches DuckDB."""
+    from ..operators.retrieval import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, "doc_id", "text", _BM25_TERMS
+    ).orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(100)
+
+
+@query(
+    "x58_training_order",
+    oracle="""
+    SELECT position, doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('seed0' || '|' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS position
+      FROM documents)
+    WHERE position <= 100 ORDER BY position
+    """,
+)
+def x58_training_order(spark, sf_dir):
+    """Deterministic global training order (sampling.global_hash_order):
+    every doc's exact 1-based rank in the seeded hash order — the
+    reproducible, layout-independent epoch shuffle. Exact ranks with NO
+    single-task global window: hash-byte range buckets + broadcast
+    cumulative offsets + per-bucket parallel rank (the TeraSort shape);
+    the oracle's one-window global rank is identical by prefix-order
+    construction. First 100 positions returned."""
+    from ..operators.sampling import global_hash_order
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        global_hash_order(docs, "doc_id", seed="seed0")
+        .select("position", "doc_id")
+        .orderBy("position")
+        .limit(100)
+    )
+
+
+@query(
+    "x59_knn_classify",
+    oracle=f"""
+    WITH nn AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round({vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)} DESC,
+                        c.vec_id) AS rank
+      FROM embeddings c
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q ON c.vec_id != q.vec_id
+      QUALIFY rank <= 10
+    ),
+    votes AS (
+      SELECT nn.query_id, c.label AS _nl, count(*) AS n_votes,
+             max(nn.cos) AS top_cos
+      FROM nn JOIN embeddings c ON nn.vec_id = c.vec_id
+      GROUP BY nn.query_id, c.label
+    )
+    SELECT query_id, _nl AS label_pred, CAST(n_votes AS BIGINT) AS n_votes,
+           round(top_cos, 6) AS top_cos
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, _nl) AS r
+          FROM votes)
+    WHERE r = 1 ORDER BY query_id
+    """,
+)
+def x59_knn_classify(spark, sf_dir):
+    """k-NN majority-vote labeling (similarity.knn_classify): predict
+    each of the first 20 vectors' labels from their 10 exact-cosine
+    nearest labeled neighbors — the labeled-seed-set classifier of a
+    curation pipeline. Queries broadcast against the corpus (never
+    shuffled), the neighbor table broadcasts into the label join
+    (map-only), and only the ≤ queries×k vote rows shuffle. Vote ties
+    break to the smaller label; deterministic and hash-checked."""
+    from ..operators.similarity import knn_classify
+
+    emb = table(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        "label", k=10,
+    ).orderBy("query_id")

@@ -608,3 +608,99 @@ def test_score_with_ratios_drops_null_text_like_batch_form(spark):
         for r in dsir.score_with_ratios(df, "doc_id", "text", ratios, 16).collect()
     }
     assert batch_ids == frozen_ids == {1}
+
+
+# ---------------------------------------------------------------------------
+# x56: per-source cap / x58: global hash order
+
+
+def test_source_cap_keeps_under_cap_sources_whole(spark):
+    from go_fish_spark.operators.sampling import source_cap
+
+    rows = [(i, "hot") for i in range(20)] + [(100 + i, "cold") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = source_cap(df, "source", "doc_id", cap=5)
+    by_src = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    assert by_src == {"hot": 5, "cold": 3}
+    # survivors of the hot key are exactly the 5 smallest md5(doc_id)
+    import hashlib
+
+    expect = sorted(range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+    got = sorted(r.doc_id for r in kept.filter(F.col("source") == "hot").collect())
+    assert got == sorted(expect)
+
+
+def test_source_cap_under_branch_is_map_only(spark):
+    """Under-cap rows must flow through a broadcast anti-join — no
+    corpus-side exchange on the source key."""
+    from go_fish_spark.operators.sampling import source_cap
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(40)], "doc_id long, source string"
+    )
+    kept = source_cap(df, "source", "doc_id", cap=100)  # nobody over cap
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert kept.count() == 40
+
+
+def test_global_hash_order_matches_single_window_rank(spark):
+    """The bucketed distributed rank must equal the one-window global
+    rank for every row (prefix-order consistency), for any n_buckets."""
+    from pyspark.sql import Window
+
+    from go_fish_spark.operators.sampling import global_hash_order
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    key = F.md5(F.concat(F.lit("seed0"), F.lit("|"), F.col("doc_id").cast("string")))
+    ref = {
+        r.doc_id: r.pos
+        for r in df.withColumn(
+            "pos", F.row_number().over(Window.orderBy(key, F.col("doc_id")))
+        ).collect()
+    }
+    for nb in (1, 7, 256):
+        got = {
+            r.doc_id: r.position
+            for r in global_hash_order(df, "doc_id", "seed0", n_buckets=nb).collect()
+        }
+        assert got == ref, f"n_buckets={nb}"
+
+
+# ---------------------------------------------------------------------------
+# x57: BM25 / x59: kNN vote
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    from go_fish_spark.operators.retrieval import bm25_scores
+
+    docs = [(1, "a b a c"), (2, "a d"), (3, "d d d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_terms_matched, r.bm25)
+           for r in bm25_scores(df, "doc_id", "text", ["a", "d"]).collect()}
+    N, avgdl = 3, (4 + 2 + 3) / 3
+    def idf(dfreq): return math.log(1.0 + (N - dfreq + 0.5) / (dfreq + 0.5))
+    def w(tf, dl, dfreq, k1=1.2, b=0.75):
+        return round(idf(dfreq) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)), 12)
+    assert got[1][0] == 1 and abs(got[1][1] - round(w(2, 4, 2), 9)) < 1e-9
+    assert got[2][0] == 2 and abs(got[2][1] - round(w(1, 2, 2) + w(1, 2, 2), 9)) < 1e-9
+    assert got[3][0] == 1 and abs(got[3][1] - round(w(3, 3, 2), 9)) < 1e-9
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from go_fish_spark.operators.similarity import knn_classify
+
+    # 1-D embeddings: query 0 at origin-ish; neighbors split 2 labels.
+    # k=4 voters: labels [1,1,2,2] -> tie -> smaller label (1) wins.
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.99, 0.14], 1), (2, [0.98, 0.19], 1),
+        (3, [0.97, 0.24], 2), (4, [0.96, 0.28], 2),
+        (5, [-1.0, 0.0], 3),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = knn_classify(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
+    assert len(got) == 1
+    assert got[0].label_pred == 1 and got[0].n_votes == 2
