@@ -132,3 +132,95 @@ def duck_bm25_sql(
     FROM tf JOIN dfreq USING (token) CROSS JOIN stats
     GROUP BY tf._id
     """
+
+
+def fit_bm25_stats(
+    df: DataFrame, text_col: str, terms: list[str]
+) -> dict:
+    """Pass 1 of the streaming BM25 form (the fit-on-history /
+    apply-on-stream split the DSIR scorer uses, operators/dsir.py): pull
+    the bounded corpus statistics — N, avgdl, and per-term document
+    frequency — from a STATIC/history corpus. The result is a small dict
+    (≤ |terms| + 2 numbers), the driver-side analogue of a broadcast."""
+    terms = sorted(set(terms))
+    toks = tokens(text_col)
+    row = df.agg(
+        F.count(F.lit(1)).alias("N"), F.avg(F.size(toks)).alias("avgdl")
+    ).collect()[0]
+    dfreq = {
+        r.token: r.n
+        for r in (
+            df.select(F.explode(F.array_distinct(toks)).alias("token"))
+            .filter(F.col("token").isin(terms))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    return {"N": int(row.N), "avgdl": float(row.avgdl), "df": dfreq}
+
+
+def bm25_score_with_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stats: dict,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pass 2, streaming-safe: score each row against FROZEN stats with a
+    pure per-row expression — per term, tf = count of exact token matches
+    (a JVM-side array filter; no explode), the same contribution
+    arithmetic as :func:`bm25_scores` (idf built from literal N/df INSIDE
+    Spark, so ln runs on the same libm both ways), round-12 per term,
+    decimal-exact sum, round-9 final. No join, no aggregation, no state:
+    runs identically on batch and streaming frames, and equals
+    :func:`bm25_scores` bit-for-bit on the corpus the stats were fit on.
+    A term history never saw (df absent) scores with df=0 — the
+    max-idf convention for out-of-history terms on a live stream. Docs
+    matching no term (or NULL text) are dropped, matching the batch
+    form's explode semantics."""
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    n_lit = F.lit(float(stats["N"]))
+    avgdl = F.lit(float(stats["avgdl"]))
+    toks = tokens(text_col)
+    dl = F.size(toks)
+    denom_len = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+    def _tf(term: str):
+        # NOTE: a default-arg lambda (lambda x, _t=term: ...) would be
+        # introspected as the two-arg (element, index) form by the
+        # higher-order-function machinery — close over term instead.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    contribs, matched = [], []
+    for t in terms:
+        tf = _tf(t)
+        dfreq = F.lit(float(stats["df"].get(t, 0)))
+        idf = F.log(F.lit(1.0) + (n_lit - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)))
+        c = idf * (tf * F.lit(k1 + 1.0)) / (tf + denom_len)
+        contribs.append(
+            F.when(tf > 0, F.round(c, 12).cast("decimal(27,18)")).otherwise(
+                F.lit(None).cast("decimal(27,18)")
+            )
+        )
+        matched.append(F.when(tf > 0, 1).otherwise(0))
+    n_matched = sum(matched[1:], matched[0])
+    score = F.aggregate(
+        F.array(*contribs),
+        F.lit(0).cast("decimal(27,18)"),
+        lambda acc, x: (acc + F.coalesce(x, F.lit(0).cast("decimal(27,18)"))).cast(
+            "decimal(27,18)"
+        ),
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            n_matched.cast("bigint").alias("n_terms_matched"),
+            F.round(score.cast("double"), 9).alias("bm25"),
+        )
+        .where(F.col("n_terms_matched") > 0)
+    )

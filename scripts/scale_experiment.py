@@ -145,6 +145,15 @@ def main() -> None:
         "x49_best_quality_canonical": lambda d: REGISTRY["x49_best_quality_canonical"].fn(spark, d).count(),
         "x50_source_overlap": lambda d: REGISTRY["x50_source_overlap"].fn(spark, d).count(),
         "x51_cell_balance": lambda d: REGISTRY["x51_cell_balance"].fn(spark, d).count(),
+        # round-4 part 3: hot-domain cap (under/over broadcast split —
+        # the 10x corpus has the same 20 sources, all far over cap, so
+        # this measures the worst case where every row ranks), BM25
+        # (map-side isin prune), epoch order (bucketed distributed rank),
+        # kNN vote (broadcast queries + broadcast neighbor join).
+        "x56_source_cap": lambda d: REGISTRY["x56_source_cap"].fn(spark, d).count(),
+        "x57_bm25": lambda d: REGISTRY["x57_bm25"].fn(spark, d).count(),
+        "x58_training_order": lambda d: REGISTRY["x58_training_order"].fn(spark, d).count(),
+        "x59_knn_classify": lambda d: REGISTRY["x59_knn_classify"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:

@@ -858,3 +858,50 @@ def test_stream_dsir_scoring_vs_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dsir_out").collect()
     }
     assert stream_scores == batch
+
+
+def test_stream_bm25_scoring_vs_batch(spark, tmp_path):
+    """x57's streaming form: corpus stats (N, avgdl, per-term df) are FIT
+    on static history (fit_bm25_stats — bounded dict), frozen into
+    per-term literal expressions, and a live stream is scored with a pure
+    per-row array-filter fold (bm25_score_with_stats — no explode, no
+    join, no state). Golden: streaming scores equal the batch bm25_scores
+    output bit-for-bit on the fit corpus (idf is built from literal N/df
+    INSIDE Spark so ln runs on the same libm in both forms)."""
+    from go_fish_spark.operators import retrieval
+    from go_fish_spark.streaming import sources
+
+    rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "alpha delta"),
+        (3, "delta delta delta"),
+        (4, "epsilon zeta"),          # matches nothing -> dropped
+    ]
+    terms = ["alpha", "delta"]
+    hist = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in retrieval.bm25_scores(hist, "doc_id", "text", terms).collect()
+    }
+    assert {d for d, *_ in batch} == {1, 2, 3}
+    stats = retrieval.fit_bm25_stats(hist, "text", terms)
+    expr_batch = {
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in retrieval.bm25_score_with_stats(
+            hist, "doc_id", "text", stats, terms
+        ).collect()
+    }
+    assert expr_batch == batch
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, text=t) for i, t in rows])
+    stream = sources.json_stream(spark, str(indir), "doc_id long, text string")
+    run_to_memory(
+        retrieval.bm25_score_with_stats(stream, "doc_id", "text", stats, terms),
+        "bm25_out",
+    )
+    stream_scores = {
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in spark.sql("SELECT * FROM bm25_out").collect()
+    }
+    assert stream_scores == batch
