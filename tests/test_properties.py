@@ -311,3 +311,60 @@ def test_gopher_mirror_matches_duckdb_on_arbitrary_text(spark, ts):
     }
     con.close()
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 8),
+)
+def test_source_cap_invariants(spark, rows, cap):
+    """For arbitrary (id, key) data and cap: output ⊆ input, per-key
+    output count == min(n_key, cap), and the survivor set is exactly the
+    cap smallest md5(id) per key — layout-independent (checked against a
+    pure-Python reference)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+    from go_fish_spark.operators.sampling import source_cap
+
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(7)
+    got = sorted(
+        (r.source, r.doc_id)
+        for r in source_cap(df, "source", "doc_id", cap=cap).collect()
+    )
+    by_key: dict[str, list[int]] = {}
+    for i, k in rows:
+        by_key.setdefault(k, []).append(i)
+    expect = sorted(
+        (k, i)
+        for k, ids in by_key.items()
+        for i in sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))[:cap]
+    )
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 100_000), min_size=1, max_size=80, unique=True),
+    st.integers(1, 256),
+)
+def test_global_hash_order_is_a_permutation(spark, ids, n_buckets):
+    """positions are exactly 1..n (a bijection), stable across layouts,
+    and ordered by md5(seed|id) — for arbitrary ids and bucket counts."""
+    import hashlib
+
+    from go_fish_spark.operators.sampling import global_hash_order
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(5)
+    got = {
+        r.doc_id: r.position
+        for r in global_hash_order(df, "doc_id", "s", n_buckets=n_buckets).collect()
+    }
+    ordered = sorted(
+        ids, key=lambda i: (hashlib.md5(f"s|{i}".encode()).hexdigest(), i)
+    )
+    assert got == {i: p + 1 for p, i in enumerate(ordered)}
