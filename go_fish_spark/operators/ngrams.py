@@ -227,3 +227,120 @@ def source_span_overlap(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Per-document mean INTERPOLATED BIGRAM log-probability — the next
+    step up from :func:`unigram_logprob` toward a real LM fluency score:
+    each bigram position scores ``ln(λ·p̂(w₂|w₁) + (1−λ)·p̂(w₂))``
+    (Jelinek-Mercer interpolation with the unigram model as backoff, so
+    unseen-in-context words degrade smoothly instead of −∞; conditionals
+    are corpus MLE ``c(w₁w₂)/c(w₁)``). Scrambled-order text now scores
+    low even when its unigrams are common — the failure mode a unigram
+    score cannot see.
+
+    Output: (id_col, n_bigrams BIGINT, avg_logprob DOUBLE rounded 9);
+    docs with < 2 tokens have no bigram positions and are absent.
+
+    100 TB shape (the x34 fused discipline): bigram construction is a
+    per-row ``zip_with`` over two slices (zero shuffles), ONE explode
+    feeds a per-(doc, w₁, w₂) count — everything downstream runs over
+    DISTINCT doc-bigram pairs with the repeat count as an exact decimal
+    multiplier. The bigram model is a re-aggregation of that frame (one
+    bigram-keyed exchange, distinct-pair-thinned); the unigram model and
+    total-N are vocabulary-bounded and join back as BROADCASTs.
+
+    Cross-engine float discipline: casts to double before every
+    division, round-12 per position, decimal(27,18) accumulation,
+    round-9 final (the x34/x55 recipe, mirrored op-for-op by
+    :func:`duck_bigram_logprob_sql`)."""
+    from .dedup import _persist
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    term = (
+        df.select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("bg"))
+        .select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    g = _persist(
+        term.groupBy("_id", "w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bcnt = g.groupBy("w1", "w2").agg(F.sum("_c").alias("_cb"))
+    u = df.select(F.explode(toks).alias("w"))
+    ucnt = u.groupBy("w").agg(F.count(F.lit(1)).alias("_cu"))
+    ntot = u.agg(F.count(F.lit(1)).alias("_n"))
+    p = (
+        F.lit(float(lam))
+        * (F.col("_cb").cast("double") / F.col("_cu1").cast("double"))
+        + F.lit(float(1.0 - lam))
+        * (F.col("_cu2").cast("double") / F.col("_n").cast("double"))
+    )
+    return (
+        g.join(bcnt, ["w1", "w2"])
+        .join(
+            F.broadcast(ucnt.select(F.col("w").alias("w1"), F.col("_cu").alias("_cu1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(ucnt.select(F.col("w").alias("w2"), F.col("_cu").alias("_cu2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(ntot))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.round(F.log(p), 12).cast("decimal(27,18)")
+                    * F.col("_c").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("_c"),
+                9,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "avg_logprob")
+    )
+
+
+def duck_bigram_logprob_sql(
+    table: str, id_col: str, text_col: str, lam: float = 0.7
+) -> str:
+    """DuckDB mirror of :func:`bigram_logprob` — positional double-unnest
+    bigram construction, same interpolation arithmetic in the same
+    operation order, same round-12 → decimal → round-9 discipline."""
+    return f"""
+    WITH t AS (
+      SELECT {id_col} AS _id, string_split({text_col}, ' ') AS ws FROM {table}
+    ),
+    term AS (
+      SELECT _id,
+             unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+             unnest([ws[i+1] for i in range(1, len(ws))]) AS w2
+      FROM t
+    ),
+    g AS (SELECT _id, w1, w2, count(*) AS _c FROM term GROUP BY 1, 2, 3),
+    bcnt AS (SELECT w1, w2, sum(_c) AS _cb FROM g GROUP BY w1, w2),
+    u AS (SELECT unnest(ws) AS w FROM t),
+    ucnt AS (SELECT w, count(*) AS _cu FROM u GROUP BY w),
+    ntot AS (SELECT count(*) AS _n FROM u)
+    SELECT g._id AS {id_col},
+           CAST(sum(g._c) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(CAST(round(ln(
+               {float(lam)!r} * (CAST(bcnt._cb AS DOUBLE) / CAST(u1._cu AS DOUBLE))
+               + {float(1.0 - lam)!r} * (CAST(u2._cu AS DOUBLE) / CAST(ntot._n AS DOUBLE))
+             ), 12) AS DECIMAL(27,18)) * CAST(g._c AS DECIMAL(10,0))) AS DOUBLE)
+             / sum(g._c), 9) AS avg_logprob
+    FROM g
+    JOIN bcnt USING (w1, w2)
+    JOIN ucnt u1 ON g.w1 = u1.w
+    JOIN ucnt u2 ON g.w2 = u2.w
+    CROSS JOIN ntot
+    GROUP BY g._id
+    """

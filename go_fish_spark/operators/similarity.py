@@ -972,3 +972,67 @@ def knn_classify(
             F.round("top_cos", 6).alias("top_cos"),
         )
     )
+
+
+def jl_project_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """Spark-SQL text of the Johnson-Lindenstrauss random projection:
+    output dim j = dot(v, plane_j) · 1/√k (the JL scaling that makes
+    expected pairwise distances distortion-free). One parsed expression
+    (the ``dist_sql`` single-parse discipline); planes come from
+    :func:`hyperplanes`, so the matrix is seeded and engine-invariant."""
+    k = len(planes)
+    scale = 1.0 / float(np.sqrt(k))
+    v = f"CAST({vec_sql} AS ARRAY<DOUBLE>)"
+    dots = [
+        f"(aggregate(zip_with({v}, "
+        + "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
+        + f", (x, y) -> x * y), 0D, (acc, t) -> acc + t) * {scale!r}D)"
+        for p in planes
+    ]
+    return "array(" + ", ".join(dots) + ")"
+
+
+def jl_project_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """array<double> JL projection of ``vec_col`` (column NAME or
+    Column). The dimensionality-reduction front end for every
+    embedding-space op here: a 64→16 cut shrinks ANN/dedup distance work
+    4× with JL-bounded distortion, and composes with the quantizer /
+    PQ / LSH paths unchanged (they are dimension-agnostic).
+
+    100 TB shape: a pure per-row map (zero shuffles, no UDF); the plane
+    matrix is a parsed literal, never broadcast state."""
+    if isinstance(vec_col, str):
+        return F.expr(jl_project_sql(_q_ident(vec_col), planes))
+    v = vec_col.cast("array<double>")
+    k = len(planes)
+    scale = F.lit(1.0 / float(np.sqrt(k)))
+    dots = []
+    for p in planes:
+        parr = F.expr("array(" + ",".join(f"{float(x)!r}D" for x in p) + ")")
+        dots.append(
+            F.aggregate(
+                F.zip_with(v, parr, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            * scale
+        )
+    return F.array(*dots)
+
+
+def duck_jl_project_exprs(
+    vec_expr: str, planes: list[list[float]], dim: int
+) -> list[str]:
+    """DuckDB mirrors of each :func:`jl_project_expr` output dimension —
+    sequential double sums in plane order (list_sum ≡ the fold), then the
+    same single scale multiply."""
+    k = len(planes)
+    scale = 1.0 / float(np.sqrt(k))
+    out = []
+    for p in planes:
+        lit = "[" + ",".join(_dlit(x) for x in p) + "]"
+        out.append(
+            f"(list_sum([{vec_expr}[i]::DOUBLE * ({lit})[i] "
+            f"for i in range(1, {dim + 1})]) * {_dlit(scale)})"
+        )
+    return out

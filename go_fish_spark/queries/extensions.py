@@ -2302,3 +2302,124 @@ def x59_knn_classify(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",
         "label", k=10,
     ).orderBy("query_id")
+
+
+from ..operators.ngrams import duck_bigram_logprob_sql  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    duck_jl_project_exprs,
+    hyperplanes,
+    jl_project_expr,
+)
+
+
+@query(
+    "x60_bigram_logprob",
+    oracle=(
+        "SELECT * FROM ("
+        + duck_bigram_logprob_sql("documents", "doc_id", "text", lam=0.7)
+        + ") ORDER BY doc_id"
+    ),
+)
+def x60_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM fluency (ngrams.bigram_logprob, λ=0.7
+    Jelinek-Mercer): per-doc mean ln(λ·p̂(w₂|w₁) + (1−λ)·p̂(w₂)) — the
+    word-ORDER-sensitive upgrade of x34's unigram score. One explode into
+    distinct (doc, bigram) pairs (the x34 fused discipline), a bigram-
+    keyed model exchange, vocabulary-bounded broadcast unigram backoff;
+    round-12/decimal/round-9 float parity with the DuckDB mirror."""
+    from ..operators.ngrams import bigram_logprob
+
+    docs = table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text", lam=0.7).orderBy("doc_id")
+
+
+_JL_PLANES = hyperplanes(_EMB_DIM, 16, seed=7)
+_JL_DIMS = ", ".join(str(j) for j in range(16))
+_JL_EXPRS = ", ".join(duck_jl_project_exprs("embedding", _JL_PLANES, _EMB_DIM))
+
+
+@query(
+    "x61_jl_projection",
+    oracle=f"""
+    SELECT vec_id, unnest([{_JL_DIMS}]) AS dim,
+           unnest([{", ".join(f"round({e}, 6)" for e in duck_jl_project_exprs("embedding", _JL_PLANES, _EMB_DIM))}]) AS val
+    FROM embeddings ORDER BY vec_id, dim
+    """,
+)
+def x61_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64→16
+    (similarity.jl_project_expr, seeded Gaussian planes): the
+    dimensionality cut that shrinks every downstream embedding op's
+    distance work 4× with JL-bounded distortion. Pure per-row map (zero
+    shuffles, no UDF, planes are parsed literals); output exploded to
+    (vec_id, dim, val) scalars for hashing."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.posexplode(jl_project_expr("embedding", _JL_PLANES)).alias(
+                "dim", "_v"
+            ),
+        )
+        .select("vec_id", "dim", F.round("_v", 6).alias("val"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+@query(
+    "x62_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(pow(2, floor(log2(sz))) AS BIGINT) AS bucket_lo,
+           count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1 ORDER BY bucket_lo
+    """,
+)
+def x62_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup AUDIT a pipeline
+    publishes alongside its dedup pass: clusters of the x04 Jaccard
+    graph (x18's CC engine) binned by power-of-2 size, with doc totals
+    per bin. A crawl whose mass sits in large bins is dominated by
+    boilerplate/mirrors; the histogram is how that is seen before
+    deleting anything. Bin aggregation is a bounded-key groupBy on top
+    of the CC output (integer-exact)."""
+    from ..operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    lo = (
+        F.pow(F.lit(2.0), F.floor(F.log2("sz"))).cast("bigint").alias("bucket_lo")
+    )
+    return (
+        sizes.groupBy(lo)
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .orderBy("bucket_lo")
+    )

@@ -154,6 +154,11 @@ def main() -> None:
         "x57_bm25": lambda d: REGISTRY["x57_bm25"].fn(spark, d).count(),
         "x58_training_order": lambda d: REGISTRY["x58_training_order"].fn(spark, d).count(),
         "x59_knn_classify": lambda d: REGISTRY["x59_knn_classify"].fn(spark, d).count(),
+        # round-4 part 4: bigram LM (distinct doc-bigram pairs + bounded
+        # broadcast backoff), JL projection (pure per-row map). x62
+        # (cluster histogram) rides x49's pair-graph law — measured there.
+        "x60_bigram_logprob": lambda d: REGISTRY["x60_bigram_logprob"].fn(spark, d).count(),
+        "x61_jl_projection": lambda d: REGISTRY["x61_jl_projection"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:

@@ -704,3 +704,75 @@ def test_knn_classify_majority_and_tiebreak(spark):
     got = knn_classify(emb, emb.filter(F.col("vec_id") == 0), k=4).collect()
     assert len(got) == 1
     assert got[0].label_pred == 1 and got[0].n_votes == 2
+
+
+# ---------------------------------------------------------------------------
+# x60: bigram fluency / x61: JL projection / x62: cluster histogram
+
+
+def test_bigram_logprob_is_word_order_sensitive(spark):
+    """The bigram score must separate natural-order from scrambled text
+    even when their unigram bags are IDENTICAL — the failure mode x34's
+    unigram score cannot see. Corpus: many copies of one phrase + one
+    scrambled permutation of the same words."""
+    from go_fish_spark.operators.ngrams import bigram_logprob, unigram_logprob
+
+    phrase = "the quick brown fox jumps"
+    scrambled = "fox the jumps quick brown"
+    rows = [(i, phrase) for i in range(10)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bg = {r.doc_id: r.avg_logprob for r in bigram_logprob(df, "doc_id", "text").collect()}
+    ug = {r.doc_id: r.avg_logprob for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert bg[0] > bg[99]                       # order matters to the bigram LM
+    assert abs(ug[0] - ug[99]) < 1e-9           # ...and not to the unigram LM
+    # docs with < 2 tokens have no bigram positions and are absent
+    df2 = spark.createDataFrame([(1, "solo"), (2, "a b")], "doc_id long, text string")
+    assert {r.doc_id for r in bigram_logprob(df2, "doc_id", "text").collect()} == {2}
+
+
+def test_jl_projection_preserves_pairwise_distance(spark):
+    """JL guarantee smoke: 64→16 projection of a handful of random
+    vectors keeps pairwise squared distances within a loose distortion
+    band (k=16 → se ~ sqrt(2/k) ≈ 0.35; allow ±0.8 relative)."""
+    import numpy as np
+
+    from go_fish_spark.operators.similarity import hyperplanes, jl_project_expr
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((6, 64))
+    planes = hyperplanes(64, 16, seed=7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    proj = {
+        r.vec_id: np.array(r.p)
+        for r in df.select(
+            "vec_id", jl_project_expr("embedding", planes).alias("p")
+        ).collect()
+    }
+    for i in range(6):
+        for j in range(i + 1, 6):
+            d_orig = float(((vecs[i] - vecs[j]) ** 2).sum())
+            d_proj = float(((proj[i] - proj[j]) ** 2).sum())
+            assert 0.2 * d_orig < d_proj < 1.8 * d_orig, (i, j, d_orig, d_proj)
+
+
+def test_cluster_size_histogram_bins(spark):
+    """Crafted corpus: one 3-clique of near-dups + two singletons →
+    bins {1: 2 clusters/2 docs, 2: 1 cluster/3 docs}."""
+    from go_fish_spark.queries import REGISTRY  # noqa: F401  (style anchor)
+    from go_fish_spark.operators import dedup
+    from go_fish_spark.operators.graph import connected_components
+
+    near = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, near + " one"), (2, near + " two"), (3, near + " three"),
+        (10, "completely different words with no shared shingles here"),
+        (11, "another unrelated document about entirely other topics now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(df.select("doc_id"), pairs, id_col="doc_id")
+    sizes = {r.component: r.sz for r in comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz")).collect()}
+    assert sorted(sizes.values()) == [1, 1, 3]
