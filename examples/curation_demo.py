@@ -6,8 +6,8 @@ the x-series registry entries expose, composed directly:
 
     mix report -> Gopher rule gate -> quality + language gates ->
     exact/normalized dedup -> near-dup clustering -> decontamination ->
-    per-language quality bar -> mixture rebalance -> chunk -> pack ->
-    split -> sharded write (+ manifest)
+    per-source cap -> per-language quality bar -> mixture rebalance ->
+    chunk -> pack -> split -> epoch order -> sharded write (+ manifest)
 
 Run:  python examples/curation_demo.py [sf_dir]   (default sf0.001)
 
@@ -30,7 +30,9 @@ from go_fish_spark.operators import decontam, dedup  # noqa: E402
 from go_fish_spark.operators.chunking import chunk_documents, pack_documents  # noqa: E402
 from go_fish_spark.operators.graph import connected_components  # noqa: E402
 from go_fish_spark.operators.sampling import (  # noqa: E402
+    global_hash_order,
     rebalance_mix,
+    source_cap,
     split_assign,
     top_fraction_per_group,
 )
@@ -87,17 +89,21 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         canon.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=3
     ))
 
-    # 7. per-language quality bar, then rebalance sources to a uniform
+    # 7. hot-domain cap (x56): no single source may contribute more than
+    #    400 docs, however the gates fell
+    capped = log("per-source cap", source_cap(clean, "source", "doc_id", cap=400))
+
+    # 8. per-language quality bar, then rebalance sources to a uniform
     #    token budget
     topq = log("per-lang top 60%", top_fraction_per_group(
-        clean, "lang_pred", "score", 0.6, "doc_id"
+        capped, "lang_pred", "score", 0.6, "doc_id"
     ))
     sized = topq.withColumn("n_tok", F.size(tx.tokens("text")))
     balanced = log("mix rebalanced", rebalance_mix(
         sized, "doc_id", "source", "n_tok"
     ))
 
-    # 8. chunk -> pack -> split: the training stream
+    # 9. chunk -> pack -> split: the training stream
     chunks = log("chunked", chunk_documents(
         balanced, "doc_id", "text", win=128, stride=112
     ))
@@ -108,9 +114,14 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         ),
         "doc_id", "text", capacity=2048, n_shards=8,
     ))
-    return packed.select(
+    split = packed.select(
         "*", split_assign("doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     )
+
+    # 10. reproducible epoch order (x58): every packed row gets its exact
+    #     position in the seeded global shuffle — the order the loader
+    #     reads, re-derivable from ids alone
+    return log("epoch-ordered", global_hash_order(split, "doc_id", seed="epoch0"))
 
 
 def deliver(stream, out_path: str):
