@@ -128,6 +128,10 @@ HEADLINE = [
     "x60_bigram_logprob",
     "x61_jl_projection",
     "x62_cluster_size_histogram",
+    # round-4 part 5: curriculum schedule, mutual-kNN mining, Rocchio
+    "x63_curriculum_order",
+    "x64_mutual_knn",
+    "x65_nearest_centroid",
 ]
 
 

@@ -432,3 +432,127 @@ def global_hash_order(
         )
         .drop("_okey", "_ob", "_off")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_stages: int = 5,
+    seed: str = "seed0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Curriculum training order: documents grouped into quality STAGES
+    (stage 0 = highest-score band first — the easy/clean-first schedule),
+    hash-shuffled WITHIN each stage, with the exact global ``position``
+    across the whole schedule. The published curriculum result (clean
+    data early stabilizes training; in-stage order must still be a real
+    shuffle or batches correlate with crawl locality).
+
+    Stages are FIXED-WIDTH score bands (``stage = floor((1 − clamp(score))
+    · n_stages)``), the scale-safe exact form: data-dependent deciles
+    would need a global rank over a continuous key; fixed bands are a
+    pure per-row map and remain a curriculum as long as the score is
+    roughly calibrated (for a data-fit bar, feed the x30
+    ``group_quality_thresholds`` output in as the score). Position uses
+    the :func:`global_hash_order` distributed-rank shape, extended one
+    level: per-(stage, hash-bucket) parallel windows + broadcast
+    cumulative offsets over the bounded (stage, bucket) count frame — no
+    single-task global window at any size.
+
+    Output: all input columns + ``stage INT`` + ``position BIGINT``
+    (1-based, dense across the full schedule)."""
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    if not 1 <= n_buckets <= 256:
+        raise ValueError("n_buckets must be in [1, 256]")
+    from pyspark.sql import Window
+
+    clamp = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0))
+    stage = F.least(
+        (F.floor((F.lit(1.0) - clamp) * F.lit(n_stages))).cast("int"),
+        F.lit(n_stages - 1),
+    )
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    bucket = F.floor(
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
+        * F.lit(n_buckets) / F.lit(256)
+    ).cast("int")
+    dfk = df.withColumn("stage", stage).withColumn("_okey", key).withColumn(
+        "_ob", bucket
+    )
+    counts = dfk.groupBy("stage", "_ob").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("stage", "_ob").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("stage", "_ob", "_off")
+    w = Window.partitionBy("stage", "_ob").orderBy("_okey", F.col(id_col))
+    return (
+        dfk.join(F.broadcast(offsets), ["stage", "_ob"])
+        .withColumn(
+            "position", (F.col("_off") + F.row_number().over(w)).cast("bigint")
+        )
+        .drop("_okey", "_ob", "_off")
+    )
+
+
+def source_cap_thresholds(
+    df: DataFrame, key_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """Streaming arm of :func:`source_cap`, pass 1: from a STATIC/history
+    corpus, compute each key's ADMISSION THRESHOLD — the cap-th smallest
+    (md5(id), id) pair, as one sortable string ``md5hex|id`` (ids are
+    zero-padded so lexicographic ≡ (hash, id) order). A live stream is
+    then capped by a pure per-row comparison (:func:`apply_cap_thresholds`)
+    — the fit-on-history / apply-on-stream split (x30/x43/x57 pattern).
+    Keys at-or-under cap get no row (absent ⇒ admit everything).
+
+    Applying the thresholds back to the history itself reproduces
+    :func:`source_cap` exactly (the admitted set IS the cap smallest
+    pairs); on new stream rows the cap is approximate by nature — a
+    frozen threshold admits the stream's look-alikes of history's
+    survivors, the deterministic analogue of admission sampling."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy("_ok")
+    return (
+        df.select(F.col(key_col), _cap_sort_key(id_col).alias("_ok"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+        .filter((F.col("_rn") == cap) & (F.col("_n") > cap))
+        .select(key_col, F.col("_ok").alias("threshold"))
+    )
+
+
+def _cap_sort_key(id_col: str) -> "Column":
+    """``md5(id)|id`` with the id zero-padded to 20 digits (covers the
+    full non-negative bigint range), so STRING order ≡ (hash, id) order."""
+    return F.concat(
+        F.md5(F.col(id_col).cast("string")),
+        F.lit("|"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+
+
+def apply_cap_thresholds(
+    df: DataFrame, thresholds: DataFrame, key_col: str, id_col: str
+) -> DataFrame:
+    """Pass 2, streaming-safe: admit a row iff its ``(md5(id), id)`` sort
+    key is ≤ its key's frozen threshold (keys without a threshold admit
+    everything). The threshold table is bounded (one row per over-cap
+    key) and BROADCASTS; the data side stays map-only — works identically
+    on batch and streaming frames (stream-static broadcast join)."""
+    t = F.broadcast(
+        thresholds.select(
+            F.col(key_col).alias("_tk"), F.col("threshold").alias("_th")
+        )
+    )
+    return (
+        df.join(t, df[key_col] == t["_tk"], "left")
+        .filter(F.col("_th").isNull() | (_cap_sort_key(id_col) <= F.col("_th")))
+        .drop("_tk", "_th")
+    )

@@ -1036,3 +1036,102 @@ def duck_jl_project_exprs(
             f"for i in range(1, {dim + 1})]) * {_dlit(scale)})"
         )
     return out
+
+
+def mutual_knn_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Mutual-kNN pairs: (a, b) where each vector is in the OTHER's
+    cosine top-k — the symmetric-consistency criterion bitext/parallel-
+    corpus mining uses (a one-directional nearest neighbor is often a
+    hub; mutuality filters hubness), and a higher-precision near-dup
+    candidate set than one-directional ANN.
+
+    Output: (id_a < id_b, cos, rank_ab, rank_ba) — rank of b in a's
+    list and vice versa; ordered by ids.
+
+    100 TB shape: one top-k pass (here :func:`brute_force_topk`; swap in
+    lsh_topk/ivf_topk for the sublinear path — the mutuality join is
+    unchanged) then ONE self-join of the slim (queries×k)-row neighbor
+    table on the reversed key pair. The corpus itself never joins."""
+    nn = brute_force_topk(corpus, corpus, id_col=id_col, vec_col=vec_col, k=k)
+    a = nn.select(
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("rank").alias("rank_ab"),
+        F.col("cos"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    b = nn.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("query_id").alias("id_b"),
+        F.col("rank").alias("rank_ba"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return a.join(b, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "cos", "rank_ab", "rank_ba"
+    )
+
+
+def fit_label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+) -> tuple[list, "np.ndarray"]:
+    """Fit one mean vector per label — the Rocchio/nearest-centroid
+    classifier's model. Exact and order-independent: per-(label, dim)
+    sums accumulate as decimal(38,12) (bit-identical under any
+    partitioning — float summation would drift in the last ulp between
+    runs and break the literal-mirror oracle), one division per cell at
+    the end. Output is driver-side (labels list, (L, dim) matrix) —
+    bounded by the label vocabulary, the same contract as the
+    deterministic quantizer fits."""
+    rows = (
+        df.select(
+            F.col(label_col).alias("_l"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_v"),
+        )
+        .groupBy("_l", "_d")
+        .agg(
+            F.sum(F.col("_v").cast("decimal(38,12)")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .collect()
+    )
+    labels = sorted({r._l for r in rows})
+    idx = {l: i for i, l in enumerate(labels)}
+    cent = np.zeros((len(labels), dim), dtype=np.float64)
+    for r in rows:
+        cent[idx[r._l], r._d] = float(r._s) / r._n
+    return labels, cent
+
+
+def nearest_centroid_label(
+    vec_col: Column | str, labels: list, centroids: "np.ndarray"
+) -> Column:
+    """Rocchio classification as a PURE column expression: squared-L2
+    argmin over the centroid literals (the :class:`Quantizer` machinery
+    — single-parse SQL fast path, first-wins tie-break) mapped back to
+    the label vocabulary with element_at. No join, no UDF, no state:
+    runs identically on batch and streaming frames — the streaming-safe
+    classifier a labeled seed set gives a live ingest stream (fit on
+    history with :func:`fit_label_centroids`, apply per micro-batch
+    row)."""
+    q = Quantizer(centroids)
+    lab_arr = F.array(*[F.lit(l) for l in labels])
+    return F.element_at(lab_arr, q.assign_expr_col(vec_col) + F.lit(1))
+
+
+def duck_nearest_centroid_label(
+    vec_expr: str, labels: list, centroids: "np.ndarray"
+) -> str:
+    """DuckDB mirror of :func:`nearest_centroid_label` — same distance
+    list (duck_dist_list), same first-wins argmin, same label lookup."""
+    dl = duck_dist_list(vec_expr, centroids)
+    lab = "[" + ", ".join(
+        "'" + str(l).replace("'", "''") + "'" if isinstance(l, str) else str(l)
+        for l in labels
+    ) + "]"
+    return f"({lab})[list_position({dl}, list_min({dl}))]"

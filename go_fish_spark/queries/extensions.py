@@ -2423,3 +2423,155 @@ def x62_cluster_size_histogram(spark, sf_dir):
         )
         .orderBy("bucket_lo")
     )
+
+
+_X63_Q = f"""
+      SELECT doc_id,
+             0.4 * least(len(ws) / 100.0, 1.0)
+               + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ({_DUCK_STOP}))) / len(ws))
+               + 0.3 * least((length(text) - (len(ws) - 1)) / len(ws) / 10.0, 1.0) AS q
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
+@query(
+    "x63_curriculum_order",
+    oracle=f"""
+    WITH q AS ({_X63_Q}),
+    st AS (
+      SELECT doc_id,
+             CAST(least(floor((1.0 - least(greatest(q, 0.0), 1.0)) * 5),
+                        4) AS INTEGER) AS stage
+      FROM q
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY stage,
+                      md5('cur0' || '|' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS position,
+           stage, doc_id
+    FROM st ORDER BY position
+    """,
+)
+def x63_curriculum_order(spark, sf_dir):
+    """Curriculum training order (sampling.curriculum_order): quality
+    stages (fixed score bands, stage 0 = cleanest first) hash-shuffled
+    within stage with exact global positions — the clean-data-first
+    schedule with a real in-stage shuffle. Positions come from the
+    two-level distributed rank ((stage, hash-bucket) windows + broadcast
+    offsets — no single-task global window); the oracle's one-window
+    global rank is identical by prefix-order construction."""
+    from ..operators.sampling import curriculum_order
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", tx.quality_score("text").alias("_q")
+    )
+    return (
+        curriculum_order(scored, "doc_id", "_q", n_stages=5, seed="cur0")
+        .select("position", "stage", "doc_id")
+        .orderBy("position")
+    )
+
+
+@query(
+    "x64_mutual_knn",
+    oracle=f"""
+    WITH nn AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round({vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)} DESC,
+                        c.vec_id) AS rank
+      FROM embeddings c JOIN embeddings q ON c.vec_id != q.vec_id
+      QUALIFY rank <= 10
+    )
+    SELECT a.query_id AS id_a, a.vec_id AS id_b, a.cos,
+           a.rank AS rank_ab, b.rank AS rank_ba
+    FROM nn a JOIN nn b ON a.query_id = b.vec_id AND a.vec_id = b.query_id
+    WHERE a.query_id < a.vec_id ORDER BY id_a, id_b
+    """,
+)
+def x64_mutual_knn(spark, sf_dir):
+    """Mutual-kNN pairs (similarity.mutual_knn_pairs, k=10): vector
+    pairs each in the OTHER's cosine top-k — the symmetric-consistency
+    (hubness-filtering) criterion of bitext mining, and a
+    higher-precision near-dup candidate set. One top-k pass + one
+    self-join of the slim neighbor table; the corpus never joins."""
+    from ..operators.similarity import mutual_knn_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(emb, "vec_id", "embedding", k=10).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _x65_centroids(sf_dir: str):
+    """Per-label mean centroids for the ORACLE arm, re-fit from the same
+    parquet through DuckDB with the SAME decimal(38,12) per-(label,dim)
+    sums the Spark fit uses (fit_label_centroids) — decimal accumulation
+    is exact and order-independent, so both engines produce byte-equal
+    float64 centroids from float(sum)/count."""
+    import os
+
+    import duckdb
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None, None
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT label, d, sum(CAST(v AS DECIMAL(38,12))) AS s, count(*) AS n
+        FROM (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS d,
+                 unnest(embedding) AS v
+          FROM read_parquet('{path}') WHERE vec_id % 5 != 0
+        ) GROUP BY label, d
+        """
+    ).fetchall()
+    import numpy as np
+
+    labels = sorted({r[0] for r in rows})
+    idx = {l: i for i, l in enumerate(labels)}
+    cent = np.zeros((len(labels), _EMB_DIM), dtype=np.float64)
+    for l, d, s, n in rows:
+        cent[idx[l], d] = float(s) / n
+    return labels, cent
+
+
+def _x65_oracle(sf_dir: str) -> str | None:
+    labels, cent = _x65_centroids(sf_dir)
+    if labels is None:
+        return None
+    pred = similarity.duck_nearest_centroid_label("embedding", labels, cent)
+    return f"""
+    SELECT label, {pred} AS label_pred, CAST(count(*) AS BIGINT) AS n
+    FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("x65_nearest_centroid", oracle=_x65_oracle)
+def x65_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification: per-label mean vectors
+    fit on the vec_id%5≠0 slice (decimal-exact, order-independent —
+    fit_label_centroids), every vector classified by a PURE column
+    expression over the centroid literals (nearest_centroid_label — no
+    join/UDF/state, so the same expression scores a live stream), and
+    the (label, label_pred) confusion matrix reported. The oracle re-fits
+    byte-equal centroids from the same parquet via DuckDB's decimal sums
+    — the x15/x26 cross-engine re-fit pattern."""
+    from ..operators.similarity import fit_label_centroids, nearest_centroid_label
+
+    emb = table(spark, sf_dir, "embeddings")
+    labels, cent = fit_label_centroids(
+        emb.filter(F.col("vec_id") % 5 != 0), "label", "embedding", _EMB_DIM
+    )
+    pred = nearest_centroid_label("embedding", labels, cent)
+    return (
+        emb.select("label", pred.alias("label_pred"))
+        .groupBy("label", "label_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "label_pred")
+    )

@@ -776,3 +776,70 @@ def test_cluster_size_histogram_bins(spark):
     comp = connected_components(df.select("doc_id"), pairs, id_col="doc_id")
     sizes = {r.component: r.sz for r in comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz")).collect()}
     assert sorted(sizes.values()) == [1, 1, 3]
+
+
+# ---------------------------------------------------------------------------
+# x63: curriculum order / x64: mutual kNN / x65: nearest centroid
+
+
+def test_curriculum_order_stages_then_hash(spark):
+    """Stage-major ordering: every stage-0 position precedes every
+    stage-1 position, and the whole thing matches the one-window global
+    rank reference."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from go_fish_spark.operators.sampling import curriculum_order
+
+    rows = [(i, (i % 10) / 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double").repartition(6)
+    out = curriculum_order(df, "doc_id", "score", n_stages=4, seed="s").collect()
+    pos = {r.doc_id: (r.stage, r.position) for r in out}
+    assert sorted(p for _, p in pos.values()) == list(range(1, 201))
+    # stage-major: positions within a lower stage all precede higher stages
+    by_stage = {}
+    for s, p in pos.values():
+        by_stage.setdefault(s, []).append(p)
+    stages = sorted(by_stage)
+    for a, b in zip(stages, stages[1:]):
+        assert max(by_stage[a]) < min(by_stage[b])
+    # exact reference: one-window rank over (stage, md5(seed|id), id)
+    def stage_of(score):
+        c = min(max(score, 0.0), 1.0)
+        return min(int((1.0 - c) * 4), 3)
+    ordered = sorted(
+        rows,
+        key=lambda t: (stage_of(t[1]), hashlib.md5(f"s|{t[0]}".encode()).hexdigest(), t[0]),
+    )
+    assert {i: p for p, (i, _) in enumerate(ordered, 1)} == {
+        i: p for i, (_, p) in pos.items()
+    }
+
+
+def test_mutual_knn_requires_both_directions(spark):
+    """Hub vector: many vectors point AT the hub, but the hub's own top-k
+    holds only its k nearest — one-directional neighbors of the hub
+    beyond rank k must not appear as mutual pairs."""
+    from go_fish_spark.operators.similarity import brute_force_topk, mutual_knn_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # hub at e1; satellites close to the hub; k=2 keeps only 2 per list
+    vecs = [np.array([1.0, 0.0]) ]
+    for i in range(6):
+        v = np.array([1.0, 0.05 * (i + 1)])
+        vecs.append(v / np.linalg.norm(v))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    nn = brute_force_topk(df, df, k=2)
+    one_dir = {(min(r.query_id, r.vec_id), max(r.query_id, r.vec_id)) for r in nn.collect()}
+    mutual = {(r.id_a, r.id_b) for r in mutual_knn_pairs(df, k=2).collect()}
+    assert mutual <= one_dir and len(mutual) < len(one_dir)
+    # every mutual pair really is reciprocal in the one-directional lists
+    fwd = {(r.query_id, r.vec_id) for r in nn.collect()}
+    for a, b in mutual:
+        assert (a, b) in fwd and (b, a) in fwd

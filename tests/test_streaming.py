@@ -905,3 +905,82 @@ def test_stream_bm25_scoring_vs_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM bm25_out").collect()
     }
     assert stream_scores == batch
+
+
+def test_stream_nearest_centroid_vs_batch(spark, tmp_path):
+    """x65's streaming form: label centroids fit on static history
+    (fit_label_centroids — decimal-exact), classification is a pure
+    column expression over centroid literals (nearest_centroid_label) —
+    identical predictions on the same rows via batch or a stream."""
+    from go_fish_spark.operators.similarity import (
+        fit_label_centroids,
+        nearest_centroid_label,
+    )
+    from go_fish_spark.streaming import sources
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        (5, [0.6, 0.4], 0), (6, [0.4, 0.6], 1),
+    ]
+    hist = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    labels, cent = fit_label_centroids(hist, "label", "embedding", 2)
+    pred = nearest_centroid_label("embedding", labels, cent)
+    batch = {
+        r.vec_id: r.p for r in hist.select("vec_id", pred.alias("p")).collect()
+    }
+    assert batch == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0, 6: 1}
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(vec_id=i, embedding=v) for i, v, _ in rows])
+    stream = sources.json_stream(
+        spark, str(indir), "vec_id long, embedding array<double>"
+    )
+    run_to_memory(stream.select("vec_id", pred.alias("p")), "rocchio_out")
+    got = {
+        r.vec_id: r.p for r in spark.sql("SELECT * FROM rocchio_out").collect()
+    }
+    assert got == batch
+
+
+def test_stream_source_cap_vs_batch(spark, tmp_path):
+    """x56's streaming form: per-key admission thresholds are FIT on
+    static history (source_cap_thresholds — bounded table, one row per
+    over-cap key), then a stream is capped by a pure broadcast-join
+    filter (apply_cap_thresholds). Golden: applying the thresholds to
+    the history itself reproduces the batch source_cap survivor set
+    exactly, batch and streaming."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.operators.sampling import (
+        apply_cap_thresholds,
+        source_cap,
+        source_cap_thresholds,
+    )
+    from go_fish_spark.streaming import sources
+
+    rows = [(i, "hot") for i in range(20)] + [(100 + i, "cold") for i in range(3)]
+    hist = spark.createDataFrame(rows, "doc_id long, source string")
+    batch = {
+        (r.source, r.doc_id)
+        for r in source_cap(hist, "source", "doc_id", cap=5).collect()
+    }
+    th = source_cap_thresholds(hist, "source", "doc_id", cap=5)
+    assert th.count() == 1  # only the over-cap key carries a threshold
+    frozen = {
+        (r.source, r.doc_id)
+        for r in apply_cap_thresholds(hist, th, "source", "doc_id").collect()
+    }
+    assert frozen == batch
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, source=s) for i, s in rows])
+    stream = sources.json_stream(spark, str(indir), "doc_id long, source string")
+    run_to_memory(
+        apply_cap_thresholds(stream, th, "source", "doc_id"), "cap_out"
+    )
+    got = {
+        (r.source, r.doc_id)
+        for r in spark.sql("SELECT source, doc_id FROM cap_out").collect()
+    }
+    assert got == batch
