@@ -151,3 +151,26 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter)"
     )
+
+
+def cluster_size_histogram(components: DataFrame) -> DataFrame:
+    """Power-of-2 histogram over connected-component sizes — the dedup
+    AUDIT summary (x62): per bin 2^k ≤ size < 2^(k+1), how many clusters
+    and how many member docs. Input is :func:`connected_components`
+    output (id, component); both aggregations are bounded-key groupBys
+    (component count ≤ n, bins ≤ ~40), integer-exact under any
+    partitioning."""
+    sizes = components.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    lo = (
+        F.pow(F.lit(2.0), F.floor(F.log2("sz"))).cast("bigint").alias("bucket_lo")
+    )
+    return (
+        sizes.groupBy(lo)
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .orderBy("bucket_lo")
+    )

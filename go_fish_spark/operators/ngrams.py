@@ -273,9 +273,18 @@ def bigram_logprob(
         term.groupBy("_id", "w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
     )
     bcnt = g.groupBy("w1", "w2").agg(F.sum("_c").alias("_cb"))
-    u = df.select(F.explode(toks).alias("w"))
-    ucnt = u.groupBy("w").agg(F.count(F.lit(1)).alias("_cu"))
-    ntot = u.agg(F.count(F.lit(1)).alias("_n"))
+    # persisted: three dependents (two backoff joins + the total), and the
+    # frame is vocabulary-bounded — without it each consumer re-tokenizes
+    # the corpus.
+    ucnt = _persist(
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    # total-N from the vocabulary-bounded frame — a separate global count
+    # would re-scan and re-tokenize the whole corpus for a number that is
+    # exactly sum(ucnt) (integers).
+    ntot = ucnt.agg(F.sum("_cu").alias("_n"))
     p = (
         F.lit(float(lam))
         * (F.col("_cb").cast("double") / F.col("_cu1").cast("double"))
@@ -314,7 +323,11 @@ def duck_bigram_logprob_sql(
 ) -> str:
     """DuckDB mirror of :func:`bigram_logprob` — positional double-unnest
     bigram construction, same interpolation arithmetic in the same
-    operation order, same round-12 → decimal → round-9 discipline."""
+    operation order, same round-12 → decimal → round-9 discipline.
+    λ literals are DOUBLE-forced (``_dlit``) so non-default values stay
+    bit-equal to the Spark ``F.lit`` doubles."""
+    from .similarity import _dlit
+
     return f"""
     WITH t AS (
       SELECT {id_col} AS _id, string_split({text_col}, ' ') AS ws FROM {table}
@@ -333,8 +346,8 @@ def duck_bigram_logprob_sql(
     SELECT g._id AS {id_col},
            CAST(sum(g._c) AS BIGINT) AS n_bigrams,
            round(CAST(sum(CAST(round(ln(
-               {float(lam)!r} * (CAST(bcnt._cb AS DOUBLE) / CAST(u1._cu AS DOUBLE))
-               + {float(1.0 - lam)!r} * (CAST(u2._cu AS DOUBLE) / CAST(ntot._n AS DOUBLE))
+               {_dlit(lam)} * (CAST(bcnt._cb AS DOUBLE) / CAST(u1._cu AS DOUBLE))
+               + {_dlit(1.0 - lam)} * (CAST(u2._cu AS DOUBLE) / CAST(ntot._n AS DOUBLE))
              ), 12) AS DECIMAL(27,18)) * CAST(g._c AS DECIMAL(10,0))) AS DOUBLE)
              / sum(g._c), 9) AS avg_logprob
     FROM g

@@ -102,7 +102,12 @@ def duck_bm25_sql(
 ) -> str:
     """DuckDB mirror of :func:`bm25_scores` — same idf form, same
     operation order inside the contribution, same round-12 → decimal
-    accumulation → round-9 discipline."""
+    accumulation → round-9 discipline. Hyperparameters go through
+    ``_dlit`` (DOUBLE-forced literals): bare decimals parse as DECIMAL,
+    whose →DOUBLE conversion can sit 1 ulp off the Spark ``F.lit``
+    double for reprs longer than 2⁵³ mantissas."""
+    from .similarity import _dlit
+
     terms = sorted(set(terms))
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
@@ -126,8 +131,8 @@ def duck_bm25_sql(
            CAST(count(*) AS BIGINT) AS n_terms_matched,
            round(CAST(sum(CAST(round(
              ln(1.0 + (stats._N - dfreq._df + 0.5) / (dfreq._df + 0.5))
-             * (tf._tf * {k1 + 1.0!r})
-             / (tf._tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf._dl / stats._avgdl)),
+             * (tf._tf * {_dlit(k1 + 1.0)})
+             / (tf._tf + {_dlit(k1)} * ({_dlit(1.0 - b)} + {_dlit(b)} * tf._dl / stats._avgdl)),
              12) AS DECIMAL(27,18))) AS DOUBLE), 9) AS bm25
     FROM tf JOIN dfreq USING (token) CROSS JOIN stats
     GROUP BY tf._id
@@ -143,10 +148,16 @@ def fit_bm25_stats(
     frequency — from a STATIC/history corpus. The result is a small dict
     (≤ |terms| + 2 numbers), the driver-side analogue of a broadcast."""
     terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("terms must be non-empty")
     toks = tokens(text_col)
     row = df.agg(
         F.count(F.lit(1)).alias("N"), F.avg(F.size(toks)).alias("avgdl")
     ).collect()[0]
+    if row.N == 0 or row.avgdl is None:
+        raise ValueError(
+            "cannot fit BM25 stats on an empty (or all-NULL-text) corpus"
+        )
     dfreq = {
         r.token: r.n
         for r in (

@@ -404,13 +404,22 @@ def global_hash_order(
     position = offset[bucket] + rank_within_bucket. This is the
     distributed-ranking shape of a TeraSort, expressed in two bounded
     aggregates + one partitioned window; md5 uniformity keeps every
-    bucket at ~n/n_buckets rows (no skew by construction)."""
+    bucket at ~n/n_buckets rows (no skew by construction).
+
+    NULL ids hash as the empty string (coalesce BEFORE md5) — a NULL key
+    would otherwise null the bucket, silently drop the row at the offset
+    join, and shift every position; with the coalesce the contract stays
+    total: every input row gets a position, 1..n dense."""
     if not 1 <= n_buckets <= 256:
         raise ValueError("n_buckets must be in [1, 256] (one hash-byte prefix)")
     from pyspark.sql import Window
 
     key = F.md5(
-        F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string"))
+        F.concat(
+            F.lit(str(seed)),
+            F.lit("|"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
     )
     # first-byte prefix, folded to n_buckets contiguous ranges so bucket
     # order stays consistent with full-key order
@@ -461,20 +470,33 @@ def curriculum_order(
     single-task global window at any size.
 
     Output: all input columns + ``stage INT`` + ``position BIGINT``
-    (1-based, dense across the full schedule)."""
+    (1-based, dense across the full schedule).
+
+    NULL handling keeps the contract total (no silent row loss): a NULL
+    score lands in the LAST stage (an unscorable doc trains last, not
+    never), and a NULL id hashes as the empty string — without these
+    coalesces the NULL keys would null the (stage, bucket) join key,
+    drop the rows, and shift every other position."""
     if n_stages < 1:
         raise ValueError("n_stages must be >= 1")
     if not 1 <= n_buckets <= 256:
         raise ValueError("n_buckets must be in [1, 256]")
     from pyspark.sql import Window
 
-    clamp = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0))
+    clamp = F.least(
+        F.greatest(F.coalesce(F.col(score_col), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
     stage = F.least(
         (F.floor((F.lit(1.0) - clamp) * F.lit(n_stages))).cast("int"),
         F.lit(n_stages - 1),
     )
     key = F.md5(
-        F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string"))
+        F.concat(
+            F.lit(str(seed)),
+            F.lit("|"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
     )
     bucket = F.floor(
         F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
@@ -516,6 +538,8 @@ def source_cap_thresholds(
     pairs); on new stream rows the cap is approximate by nature — a
     frozen threshold admits the stream's look-alikes of history's
     survivors, the deterministic analogue of admission sampling."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy("_ok")

@@ -1056,8 +1056,16 @@ def mutual_knn_pairs(
     100 TB shape: one top-k pass (here :func:`brute_force_topk`; swap in
     lsh_topk/ivf_topk for the sublinear path — the mutuality join is
     unchanged) then ONE self-join of the slim (queries×k)-row neighbor
-    table on the reversed key pair. The corpus itself never joins."""
-    nn = brute_force_topk(corpus, corpus, id_col=id_col, vec_col=vec_col, k=k)
+    table on the reversed key pair. The corpus itself never joins. The
+    neighbor table is persisted before the self-join: both join sides
+    consume it, and un-persisted the dominant O(n²)-row top-k window
+    would execute once per side (ReusedExchange only dedupes the
+    exchange below the window, not the sort+rank above it)."""
+    from .dedup import _persist
+
+    nn = _persist(
+        brute_force_topk(corpus, corpus, id_col=id_col, vec_col=vec_col, k=k)
+    )
     a = nn.select(
         F.col("query_id").alias("id_a"),
         F.col("vec_id").alias("id_b"),

@@ -2405,24 +2405,13 @@ def x62_cluster_size_histogram(spark, sf_dir):
     per bin. A crawl whose mass sits in large bins is dominated by
     boilerplate/mirrors; the histogram is how that is seen before
     deleting anything. Bin aggregation is a bounded-key groupBy on top
-    of the CC output (integer-exact)."""
-    from ..operators.graph import connected_components
+    of the CC output (integer-exact; graph.cluster_size_histogram)."""
+    from ..operators.graph import cluster_size_histogram, connected_components
 
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
     comp = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
-    lo = (
-        F.pow(F.lit(2.0), F.floor(F.log2("sz"))).cast("bigint").alias("bucket_lo")
-    )
-    return (
-        sizes.groupBy(lo)
-        .agg(
-            F.count(F.lit(1)).alias("n_clusters"),
-            F.sum("sz").alias("n_docs"),
-        )
-        .orderBy("bucket_lo")
-    )
+    return cluster_size_histogram(comp)
 
 
 _X63_Q = f"""

@@ -759,11 +759,15 @@ def test_jl_projection_preserves_pairwise_distance(spark):
 
 
 def test_cluster_size_histogram_bins(spark):
-    """Crafted corpus: one 3-clique of near-dups + two singletons →
-    bins {1: 2 clusters/2 docs, 2: 1 cluster/3 docs}."""
-    from go_fish_spark.queries import REGISTRY  # noqa: F401  (style anchor)
+    """Crafted corpus: one 3-clique of near-dups + two singletons. The
+    histogram (x62's actual binning expression) must report
+    bucket 1: 2 singleton clusters / 2 docs and bucket 2: one 3-member
+    cluster / 3 docs (3 -> bin [2,4))."""
     from go_fish_spark.operators import dedup
-    from go_fish_spark.operators.graph import connected_components
+    from go_fish_spark.operators.graph import (
+        cluster_size_histogram,
+        connected_components,
+    )
 
     near = "the quick brown fox jumps over the lazy dog"
     rows = [
@@ -774,8 +778,23 @@ def test_cluster_size_histogram_bins(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3)
     comp = connected_components(df.select("doc_id"), pairs, id_col="doc_id")
-    sizes = {r.component: r.sz for r in comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz")).collect()}
-    assert sorted(sizes.values()) == [1, 1, 3]
+    hist = {
+        r.bucket_lo: (r.n_clusters, r.n_docs)
+        for r in cluster_size_histogram(comp).collect()
+    }
+    assert hist == {1: (2, 2), 2: (1, 3)}
+    # power-of-2 edges: sizes 1/2/4 land in their own bins, 3 in bin 2
+    sizes = spark.createDataFrame(
+        [(i, c) for c, n in enumerate([1, 2, 3, 4]) for i in range(n)],
+        "id long, component long",
+    )
+    edge = {
+        r.bucket_lo: (r.n_clusters, r.n_docs)
+        for r in cluster_size_histogram(
+            sizes.select(F.col("id").alias("_x"), "component")
+        ).collect()
+    }
+    assert edge == {1: (1, 1), 2: (2, 5), 4: (1, 4)}
 
 
 # ---------------------------------------------------------------------------
