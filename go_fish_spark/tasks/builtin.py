@@ -116,3 +116,57 @@ class PiiScrub(BasicTask):
 
         col = self.options.get("column", "text")
         return df.withColumn(self.options.get("alias", col), tx.scrub_pii(col))
+
+
+@register_task("bm25_gate")
+class Bm25Gate(BasicTask):
+    """Curation topic gate (x57's streaming form): keep documents whose
+    BM25 score against a configured term recipe clears a floor. Stats
+    (N, avgdl, per-term df) come FROZEN from the task config — fit them
+    once on history with retrieval.fit_bm25_stats — so the gate is a
+    pure per-row expression and runs identically in batch and streaming
+    pipelines. Options: terms [..], stats {N, avgdl, df{term:n}},
+    min_score (default 0.0), id_column (default 'doc_id'), column
+    (default 'text'), alias (score column, default 'bm25')."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..operators.retrieval import bm25_score_with_stats
+
+        scored = bm25_score_with_stats(
+            df,
+            self.options.get("id_column", "doc_id"),
+            self.options.get("column", "text"),
+            dict(self.options["stats"]),
+            list(self.options["terms"]),
+        )
+        out = scored.filter(
+            F.col("bm25") >= float(self.options.get("min_score", 0.0))
+        )
+        alias = self.options.get("alias", "bm25")
+        if alias != "bm25":
+            out = out.withColumnRenamed("bm25", alias)
+        return out
+
+
+@register_task("rocchio_label")
+class RocchioLabel(BasicTask):
+    """Streaming-safe nearest-centroid labeler (x65's pure expression):
+    attach each row's predicted label from configured per-label centroid
+    literals — fit them once on labeled history with
+    similarity.fit_label_centroids. Options: labels [..], centroids
+    [[..], ..], column (vector column, default 'embedding'), alias
+    (default 'label_pred')."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+
+        from ..operators.similarity import nearest_centroid_label
+
+        return df.withColumn(
+            self.options.get("alias", "label_pred"),
+            nearest_centroid_label(
+                self.options.get("column", "embedding"),
+                list(self.options["labels"]),
+                np.asarray(self.options["centroids"], dtype=np.float64),
+            ),
+        )

@@ -159,6 +159,13 @@ def main() -> None:
         # (cluster histogram) rides x49's pair-graph law — measured there.
         "x60_bigram_logprob": lambda d: REGISTRY["x60_bigram_logprob"].fn(spark, d).count(),
         "x61_jl_projection": lambda d: REGISTRY["x61_jl_projection"].fn(spark, d).count(),
+        # round-4 part 5: curriculum (two-level distributed rank), mutual
+        # kNN (top-k pass + slim self-join; brute-force base is O(n²) by
+        # design — the sweep documents that constant), Rocchio (bounded
+        # decimal fit + pure-expression classify).
+        "x63_curriculum_order": lambda d: REGISTRY["x63_curriculum_order"].fn(spark, d).count(),
+        "x64_mutual_knn": lambda d: REGISTRY["x64_mutual_knn"].fn(spark, d).count(),
+        "x65_nearest_centroid": lambda d: REGISTRY["x65_nearest_centroid"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:

@@ -414,3 +414,48 @@ def test_gopher_gate_and_pii_scrub_tasks_in_pipeline_spec(spark, tmp_path):
     ).json(outdir).collect()
     assert [r.doc_id for r in got] == [1]
     assert "[EMAIL]" in got[0].text and "a@b.com" not in got[0].text
+
+
+def test_bm25_gate_and_rocchio_tasks_are_declarable(spark, tmp_path):
+    """x57/x65's frozen-stat forms as JSON-declarable rules: a pipeline
+    spec carries the fitted stats/centroids as plain config, compiles,
+    and batch-runs — topic-matched docs survive with scores attached,
+    and the labeler tags vectors by nearest centroid."""
+    import json
+
+    from go_fish_spark.plans.compiler import compile_pipeline
+    from go_fish_spark.plans.spec import parse_spec
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    outdir = str(tmp_path / "out")
+    rows = [
+        dict(doc_id=1, text="spark window spark merge"),
+        dict(doc_id=2, text="nothing relevant at all"),
+    ]
+    (indir / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
+    spec = {
+        "sources": {"docs": {"type": "json", "options": {
+            "path": str(indir), "schema": "doc_id long, text string"}}},
+        "rules": {"topic": {"task": "bm25_gate", "source": "docs",
+                            "sink": "hits", "options": {
+            "terms": ["spark", "merge"],
+            "stats": {"N": 10, "avgdl": 4.0, "df": {"spark": 3, "merge": 2}},
+            "min_score": 0.1}}},
+        "sinks": {"hits": {"type": "json", "options": {"path": outdir}}},
+    }
+    compile_pipeline(spark, parse_spec(spec), streaming=False).run()
+    got = spark.read.schema(
+        "doc_id long, n_terms_matched long, bm25 double"
+    ).json(outdir).collect()
+    assert [r.doc_id for r in got] == [1] and got[0].n_terms_matched == 2
+
+    from go_fish_spark.tasks.registry import get_task
+
+    lab = get_task(
+        "rocchio_label",
+        labels=[0, 1], centroids=[[1.0, 0.0], [0.0, 1.0]], column="v",
+    )
+    df = spark.createDataFrame([(1, [0.9, 0.1]), (2, [0.2, 0.8])], "id long, v array<double>")
+    got2 = {r.id: r.label_pred for r in lab.apply(df).collect()}
+    assert got2 == {1: 0, 2: 1}
