@@ -1043,6 +1043,10 @@ def mutual_knn_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Mutual-kNN pairs: (a, b) where each vector is in the OTHER's
     cosine top-k — the symmetric-consistency criterion bitext/parallel-
@@ -1053,19 +1057,51 @@ def mutual_knn_pairs(
     Output: (id_a < id_b, cos, rank_ab, rank_ba) — rank of b in a's
     list and vice versa; ordered by ids.
 
-    100 TB shape: one top-k pass (here :func:`brute_force_topk`; swap in
-    lsh_topk/ivf_topk for the sublinear path — the mutuality join is
-    unchanged) then ONE self-join of the slim (queries×k)-row neighbor
-    table on the reversed key pair. The corpus itself never joins. The
-    neighbor table is persisted before the self-join: both join sides
-    consume it, and un-persisted the dominant O(n²)-row top-k window
-    would execute once per side (ReusedExchange only dedupes the
-    exchange below the window, not the sort+rank above it)."""
+    ``method="lsh"`` (default — the 100 TB shape): per-query top-k runs
+    within the vector's hyperplane bucket, a plain bucket EQUI-JOIN of
+    the corpus against itself — both sides are corpus-scale, so neither
+    broadcasts; candidate work is Σ n_b² ≈ n²/2^n_planes, held flat by
+    growing planes with log₂(n) (the measured x37 law). ``method=
+    "brute"`` is the exact all-pairs baseline — O(n²) BY DESIGN (the x05
+    precedent), measured 13× wall for 10× corpus; use it for labeled
+    ground truth, never at scale. Either way the mutuality step is ONE
+    self-join of the slim (n × k)-row neighbor table on the reversed key
+    pair, persisted because both join sides consume it (un-persisted,
+    the dominant top-k window would run once per side)."""
     from .dedup import _persist
 
-    nn = _persist(
-        brute_force_topk(corpus, corpus, id_col=id_col, vec_col=vec_col, k=k)
-    )
+    if method == "brute":
+        nn = brute_force_topk(corpus, corpus, id_col=id_col, vec_col=vec_col, k=k)
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim (the vector dimension)")
+        planes = hyperplanes(dim, n_planes, seed)
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+            bucket_key(vec_col, planes).alias("bk"),
+        )
+        q = corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            bucket_key(vec_col, planes).alias("bk"),
+        )
+        scored = (
+            c.join(q, "bk")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cos", vectors.cosine("cv", "qv"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+        nn = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'lsh' or 'brute'")
+    nn = _persist(nn)
     a = nn.select(
         F.col("query_id").alias("id_a"),
         F.col("vec_id").alias("id_b"),

@@ -2462,37 +2462,48 @@ def x63_curriculum_order(spark, sf_dir):
     )
 
 
-@query(
-    "x64_mutual_knn",
-    oracle=f"""
-    WITH nn AS (
+def _x64_oracle() -> str:
+    from ..operators.dedup import duck_bucket_key
+
+    planes = similarity.hyperplanes(_EMB_DIM, 8, 42)
+    bk = duck_bucket_key("embedding", planes)
+    cos = vectors.duck_cosine("c.embedding", "q.embedding", _EMB_DIM)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bk} AS bk FROM embeddings),
+    nn AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             round({vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS cos,
+             round({cos}, 6) AS cos,
              row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY {vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)} DESC,
-                        c.vec_id) AS rank
-      FROM embeddings c JOIN embeddings q ON c.vec_id != q.vec_id
+               PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
+      FROM b c JOIN b q ON c.bk = q.bk AND c.vec_id != q.vec_id
       QUALIFY rank <= 10
     )
     SELECT a.query_id AS id_a, a.vec_id AS id_b, a.cos,
            a.rank AS rank_ab, b.rank AS rank_ba
     FROM nn a JOIN nn b ON a.query_id = b.vec_id AND a.vec_id = b.query_id
     WHERE a.query_id < a.vec_id ORDER BY id_a, id_b
-    """,
-)
+    """
+
+
+@query("x64_mutual_knn", oracle=_x64_oracle())
 def x64_mutual_knn(spark, sf_dir):
-    """Mutual-kNN pairs (similarity.mutual_knn_pairs, k=10): vector
-    pairs each in the OTHER's cosine top-k — the symmetric-consistency
-    (hubness-filtering) criterion of bitext mining, and a
-    higher-precision near-dup candidate set. One top-k pass + one
-    self-join of the slim neighbor table; the corpus never joins."""
+    """Mutual-kNN pairs (similarity.mutual_knn_pairs, k=10, LSH arm):
+    vector pairs each in the OTHER's within-bucket cosine top-k — the
+    symmetric-consistency (hubness-filtering) criterion of bitext
+    mining, and a higher-precision near-dup candidate set. The bucket
+    EQUI-JOIN (seeded literal planes, x13/x37's mirror) replaces the
+    O(n²) all-pairs scan — candidate work ≈ n²/2^planes, held flat by
+    the x37 plane-growth law — then ONE self-join of the slim neighbor
+    table on the reversed key pair. The brute arm stays available as
+    the labeled baseline (tests/test_curation.py checks mutuality
+    against it)."""
     from ..operators.similarity import mutual_knn_pairs
 
     emb = table(spark, sf_dir, "embeddings")
-    return mutual_knn_pairs(emb, "vec_id", "embedding", k=10).orderBy(
-        "id_a", "id_b"
-    )
+    return mutual_knn_pairs(
+        emb, "vec_id", "embedding", k=10, method="lsh", dim=_EMB_DIM,
+        n_planes=8,
+    ).orderBy("id_a", "id_b")
 
 
 def _x65_centroids(sf_dir: str):

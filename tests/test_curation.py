@@ -856,7 +856,7 @@ def test_mutual_knn_requires_both_directions(spark):
     )
     nn = brute_force_topk(df, df, k=2)
     one_dir = {(min(r.query_id, r.vec_id), max(r.query_id, r.vec_id)) for r in nn.collect()}
-    mutual = {(r.id_a, r.id_b) for r in mutual_knn_pairs(df, k=2).collect()}
+    mutual = {(r.id_a, r.id_b) for r in mutual_knn_pairs(df, k=2, method="brute").collect()}
     assert mutual <= one_dir and len(mutual) < len(one_dir)
     # every mutual pair really is reciprocal in the one-directional lists
     fwd = {(r.query_id, r.vec_id) for r in nn.collect()}
