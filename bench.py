@@ -11,7 +11,7 @@ driver-side result materialization skew for wide outputs).
 NOTE on cross-round comparison: the HEADLINE set GROWS each round (22
 queries in r01 → 41 in r02 → 52 in r03 → 81 in r04), so the headline
 TOTAL is not comparable across rounds — compare per-query timings. The
-52 queries common to r03 and r04 total 38.7 s in r03 and 25.5 s in r04
+52 queries common to r03 and r04 total 38.7 s in r03 and 24.2 s in r04
 (same sf0.1, local[32]); every r01-set query has run faster in every
 round since.
 """
