@@ -862,3 +862,24 @@ def test_mutual_knn_requires_both_directions(spark):
     fwd = {(r.query_id, r.vec_id) for r in nn.collect()}
     for a, b in mutual:
         assert (a, b) in fwd and (b, a) in fwd
+
+
+def test_ordering_ops_keep_null_rows_dense(spark):
+    """NULL score / NULL id rows must stay in the order with dense 1..n
+    positions (the review-flagged silent-drop hazard): NULL score lands
+    in the last stage, NULL id hashes as the empty string."""
+    from go_fish_spark.operators.sampling import curriculum_order, global_hash_order
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, None), (None, 0.5), (4, 0.1)],
+        "doc_id long, score double",
+    )
+    out = curriculum_order(df, "doc_id", "score", n_stages=3, seed="s").collect()
+    assert sorted(r.position for r in out) == [1, 2, 3, 4]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].stage == 2          # NULL score -> last stage
+    assert None in by_id                # NULL id retained
+
+    out2 = global_hash_order(df.select("doc_id"), "doc_id", "s").collect()
+    assert sorted(r.position for r in out2) == [1, 2, 3, 4]
+    assert any(r.doc_id is None for r in out2)

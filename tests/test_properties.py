@@ -368,3 +368,34 @@ def test_global_hash_order_is_a_permutation(spark, ids, n_buckets):
         ids, key=lambda i: (hashlib.md5(f"s|{i}".encode()).hexdigest(), i)
     )
     assert got == {i: p + 1 for p, i in enumerate(ordered)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), words),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    )
+)
+def test_bm25_frozen_form_equals_batch(spark, rows):
+    """bm25_score_with_stats(stats fit on X) must equal bm25_scores(X)
+    bit-for-bit for arbitrary corpora — the streaming-parity contract."""
+    from go_fish_spark.operators.retrieval import (
+        bm25_score_with_stats,
+        bm25_scores,
+        fit_bm25_stats,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in rows]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["alpha", "delta", "theta"]
+    batch = {
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in bm25_scores(df, "doc_id", "text", terms).collect()
+    }
+    stats = fit_bm25_stats(df, "text", terms)
+    frozen = {
+        (r.doc_id, r.n_terms_matched, r.bm25)
+        for r in bm25_score_with_stats(df, "doc_id", "text", stats, terms).collect()
+    }
+    assert frozen == batch
