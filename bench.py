@@ -2,7 +2,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. When the per-query map would overflow
+the driver's 2000-char stdout tail window, the stdout line is a compact
+summary ({"metric","value","unit","sf","reps","n_queries","n_errors",
+"queries_file"}) and the full map lives in BENCH_FULL.json + stderr.
 
 Each query is executed once as a warm-up-free wall-clock measurement of
 plan + execute + collect-count (count() keeps the full plan but avoids
@@ -132,6 +135,9 @@ HEADLINE = [
     "x63_curriculum_order",
     "x64_mutual_knn",
     "x65_nearest_centroid",
+    # round-5: shared dedup-audit pass (ONE CC run for histogram +
+    # canonical quality — the x49/x62 sharing item from the r04 verdict)
+    "x66_dedup_audit",
 ]
 
 
@@ -192,7 +198,35 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Truncation-proofing (round-4 postmortem: the driver keeps only the
+    # last 2000 chars of stdout, and the 81-query JSON line overflowed
+    # it, leaving BENCH_r04.json with parsed=null). Contract now:
+    #   - the FULL object (complete per-query map) is always persisted to
+    #     BENCH_FULL.json next to this script and echoed to stderr;
+    #   - stdout carries exactly ONE JSON line: the full object if it
+    #     fits comfortably inside the 2000-char tail window, else a
+    #     compact summary (headline metric + counts + a pointer to the
+    #     sidecar). Either way the headline number always parses.
+    full_line = json.dumps(out)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as fh:
+            fh.write(full_line)
+    except OSError:
+        pass  # read-only checkout: stderr still carries the map
+    print(f"# full: {full_line}", file=sys.stderr)
+    if len(full_line) <= 1800:
+        print(full_line)
+    else:
+        summary = {
+            k: out[k] for k in ("metric", "value", "unit", "sf", "reps")
+        }
+        summary["n_queries"] = len(timings)
+        summary["n_errors"] = len(errors)
+        summary["queries_file"] = "BENCH_FULL.json"
+        print(json.dumps(summary))
     spark.stop()
 
 

@@ -1,0 +1,110 @@
+"""Shared dedup-audit stage: ONE pair graph + ONE connected-components
+run feeding every audit consumer.
+
+A real curation pipeline computes the near-dup cluster structure once and
+derives several products from it — the canonical-doc selection that
+decides what survives, and the audit artifacts published next to the
+release (cluster-size histogram, per-cluster stats). Recomputing the
+Jaccard pair join and the iterative CC rounds per consumer is the single
+most expensive duplicated work in the registry (round-4 verdict: x49 and
+x62 were the two costliest entries, each rebuilding the same graph).
+
+:func:`dedup_audit` is the sharing rule applied at the operator level:
+the pair graph is built once, :func:`~go_fish_spark.operators.graph.
+connected_components` runs once (its output is ``localCheckpoint``-ed, so
+every consumer scans the materialized label frame instead of re-running
+the iteration — the same multi-consumer persist discipline the pipeline
+compiler applies to fan-out nodes, `plans/compiler.py`), and the
+canonical selection + histogram are cheap derivations on top.
+
+Reference anchor: the reference has no dedup/audit family (gap category,
+SURVEY.md §2.6).
+
+100 TB shape: inherited entirely from the parts — the pair join is the
+threshold-adaptive inverted index (`operators/dedup.py`), CC is O(log
+diameter) pointer jumping with per-round lineage truncation
+(`operators/graph.py`), and both derivations are bounded: the canonical
+window partitions by component (bounded by the largest dup cluster), the
+histogram groups on ≤ ~40 power-of-2 bins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import ngram_jaccard_pairs
+from .graph import cluster_size_histogram, connected_components
+
+
+@dataclass(frozen=True)
+class DedupAudit:
+    """The products of one shared dedup-audit pass.
+
+    ``components``: (id, component) for every doc — localCheckpoint-ed,
+    safe to fan out to any number of consumers without recompute.
+    ``canonical``: one row per cluster — (component, canonical_id,
+    n_members, best_quality), the quality-argmax selection (x49 shape).
+    ``histogram``: power-of-2 cluster-size histogram (x62 shape).
+    """
+
+    components: DataFrame
+    canonical: DataFrame
+    histogram: DataFrame
+
+
+def quality_canonical(
+    components: DataFrame, quality: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse each component to its highest-quality member (ties to the
+    lower id): (component, canonical_id, n_members, best_quality).
+    ``quality`` carries (id_col, _q DOUBLE). One window over the
+    component key — per-partition work bounded by the largest cluster."""
+    from pyspark.sql import Window
+
+    j = components.select(F.col("id").alias(id_col), "component").join(
+        quality, id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc(), F.col(id_col)
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("canonical_id"),
+            "n_members",
+            F.round("_q", 6).alias("best_quality"),
+        )
+    )
+
+
+def dedup_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality: Column,
+    k: int = 3,
+    threshold: float = 0.3,
+) -> DedupAudit:
+    """Run the shared pass: Jaccard pairs (once) → connected components
+    (once, materialized) → canonical selection + size histogram, both
+    reading the SAME label frame. ``quality`` is the per-row quality
+    expression (e.g. ``functions.text.quality_score(text_col)``)."""
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold
+    )
+    comp = connected_components(df.select(id_col), pairs, id_col=id_col)
+    q = df.select(F.col(id_col), quality.alias("_q"))
+    return DedupAudit(
+        components=comp,
+        canonical=quality_canonical(comp, q, id_col),
+        histogram=cluster_size_histogram(comp),
+    )

@@ -192,6 +192,33 @@ def bm25_score_with_stats(
     max-idf convention for out-of-history terms on a live stream. Docs
     matching no term (or NULL text) are dropped, matching the batch
     form's explode semantics."""
+    n_matched, score = bm25_score_exprs(text_col, stats, terms, k1, b)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            n_matched.alias("n_terms_matched"),
+            score.alias("bm25"),
+        )
+        .where(F.col("n_terms_matched") > 0)
+    )
+
+
+def bm25_score_exprs(
+    text_col: str,
+    stats: dict,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """The frozen-stats BM25 arithmetic as a pair of pure per-row Column
+    expressions ``(n_terms_matched BIGINT, bm25 DOUBLE)`` over
+    ``text_col`` — the building block shared by
+    :func:`bm25_score_with_stats` (narrow scored projection) and the
+    row-preserving ``bm25_gate`` task (`tasks/builtin.py`), which selects
+    ``df("*")`` plus these two columns so chained rules keep the full
+    payload. NULL text scores NULL/0-matched; callers decide drop-vs-keep
+    semantics."""
     terms = sorted(set(terms))
     if not terms:
         raise ValueError("terms must be non-empty")
@@ -200,6 +227,7 @@ def bm25_score_with_stats(
     toks = tokens(text_col)
     dl = F.size(toks)
     denom_len = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+
     def _tf(term: str):
         # NOTE: a default-arg lambda (lambda x, _t=term: ...) would be
         # introspected as the two-arg (element, index) form by the
@@ -226,12 +254,4 @@ def bm25_score_with_stats(
             "decimal(27,18)"
         ),
     )
-    return (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col),
-            n_matched.cast("bigint").alias("n_terms_matched"),
-            F.round(score.cast("double"), 9).alias("bm25"),
-        )
-        .where(F.col("n_terms_matched") > 0)
-    )
+    return n_matched.cast("bigint"), F.round(score.cast("double"), 9)

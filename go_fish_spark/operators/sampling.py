@@ -362,7 +362,13 @@ def source_cap(
     in one task bounded by the hottest key's row count. (If a single key
     could exceed one task's memory, pre-prune by hash quantile before
     ranking; at web scale the hot-domain tail is millions of rows, well
-    inside a task.)"""
+    inside a task.)
+
+    NULL keys are capped like any other key (round-5 ADVICE fix): the
+    over/under split joins null-safely (``eqNullSafe``), so a NULL-keyed
+    group exceeding cap ranks and truncates exactly as the oracle's
+    ``PARTITION BY key`` does — plain equi-joins would let every
+    NULL-keyed row bypass the cap."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     from pyspark.sql import Window
@@ -371,10 +377,11 @@ def source_cap(
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > cap)
-        .select(key_col)
+        .select(F.col(key_col).alias("_over_k"))
     )
-    under = df.join(F.broadcast(over_keys), key_col, "left_anti")
-    over = df.join(F.broadcast(over_keys), key_col, "left_semi")
+    on = F.col(key_col).eqNullSafe(F.col("_over_k"))
+    under = df.join(F.broadcast(over_keys), on, "left_anti")
+    over = df.join(F.broadcast(over_keys), on, "left_semi")
     okey = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(key_col).orderBy(okey, F.col(id_col))
     kept_over = (
@@ -385,8 +392,56 @@ def source_cap(
     return under.unionByName(kept_over)
 
 
+def hash_order_key(id_col: str, seed: str = "seed0") -> Column:
+    """The seeded total-order SORT KEY of :func:`global_hash_order` as a
+    pure per-row expression — the STREAMING arm of the ordering family.
+
+    An exact 1..n ``position`` is a property of a CLOSED set: it is
+    undefined while membership is still arriving, so no streaming
+    operator can emit it without retracting on every insert. The
+    micro-batch story is therefore a two-phase split (the fit/apply
+    pattern of x30/x43/x56/x57, inverted): the STREAM attaches this
+    deterministic key map-only (no shuffle, no state); the batch
+    finalizer (:func:`global_hash_order`) ranks once the epoch's
+    membership is frozen — and because the key is a pure function of
+    (seed, id), ranking the streamed keys at epoch close reproduces the
+    batch positions exactly (parity test in tests/test_streaming.py).
+
+    NULL ids hash as the empty string, mirroring the batch form."""
+    return F.md5(
+        F.concat(
+            F.lit(str(seed)),
+            F.lit("|"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        )
+    )
+
+
+def curriculum_stage(score_col: str, n_stages: int = 5) -> Column:
+    """The fixed-width quality-band STAGE of :func:`curriculum_order` as
+    a pure per-row expression (streaming-safe; NULL score → last stage,
+    as in the batch form). Stage + :func:`hash_order_key` are the
+    stream-attachable half of the curriculum schedule; exact positions
+    are the epoch-close batch finalization (see
+    :func:`hash_order_key`)."""
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    clamp = F.least(
+        F.greatest(F.coalesce(F.col(score_col), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    return F.least(
+        (F.floor((F.lit(1.0) - clamp) * F.lit(n_stages))).cast("int"),
+        F.lit(n_stages - 1),
+    )
+
+
 def global_hash_order(
-    df: DataFrame, id_col: str, seed: str = "seed0", n_buckets: int = 256
+    df: DataFrame,
+    id_col: str,
+    seed: str = "seed0",
+    n_buckets: int = 256,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Deterministic global training order: every row gets an exact
     1-based ``position`` in the total order md5(seed|id) (ties to the
@@ -409,18 +464,21 @@ def global_hash_order(
     NULL ids hash as the empty string (coalesce BEFORE md5) — a NULL key
     would otherwise null the bucket, silently drop the row at the offset
     join, and shift every position; with the coalesce the contract stays
-    total: every input row gets a position, 1..n dense."""
+    total: every input row gets a position, 1..n dense.
+
+    PRECONDITION for a deterministic TOTAL order: ``id_col`` must be
+    unique and non-NULL (the normal doc-id contract). Rows sharing an id
+    (or all NULL) share both the hash key and the (id) tie-break, so
+    their relative positions are layout-dependent. For degenerate id
+    inputs pass ``tiebreak_col`` (e.g. a content digest): it is appended
+    as the FINAL sort key, restoring totality whenever
+    (id, tiebreak_col) is unique."""
     if not 1 <= n_buckets <= 256:
         raise ValueError("n_buckets must be in [1, 256] (one hash-byte prefix)")
     from pyspark.sql import Window
 
-    key = F.md5(
-        F.concat(
-            F.lit(str(seed)),
-            F.lit("|"),
-            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
-        )
-    )
+    tiebreak = [F.col(tiebreak_col)] if tiebreak_col else []
+    key = hash_order_key(id_col, seed)
     # first-byte prefix, folded to n_buckets contiguous ranges so bucket
     # order stays consistent with full-key order
     bucket = F.floor(
@@ -433,7 +491,7 @@ def global_hash_order(
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
     ).select("_ob", "_off")
-    w = Window.partitionBy("_ob").orderBy("_okey", F.col(id_col))
+    w = Window.partitionBy("_ob").orderBy("_okey", F.col(id_col), *tiebreak)
     return (
         dfk.join(F.broadcast(offsets), "_ob")
         .withColumn(
@@ -450,6 +508,7 @@ def curriculum_order(
     n_stages: int = 5,
     seed: str = "seed0",
     n_buckets: int = 256,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Curriculum training order: documents grouped into quality STAGES
     (stage 0 = highest-score band first — the easy/clean-first schedule),
@@ -476,28 +535,20 @@ def curriculum_order(
     score lands in the LAST stage (an unscorable doc trains last, not
     never), and a NULL id hashes as the empty string — without these
     coalesces the NULL keys would null the (stage, bucket) join key,
-    drop the rows, and shift every other position."""
+    drop the rows, and shift every other position.
+
+    Total-order PRECONDITION as :func:`global_hash_order`: unique
+    non-NULL ids, or pass ``tiebreak_col`` (appended as the final sort
+    key) for degenerate id inputs."""
     if n_stages < 1:
         raise ValueError("n_stages must be >= 1")
     if not 1 <= n_buckets <= 256:
         raise ValueError("n_buckets must be in [1, 256]")
     from pyspark.sql import Window
 
-    clamp = F.least(
-        F.greatest(F.coalesce(F.col(score_col), F.lit(0.0)), F.lit(0.0)),
-        F.lit(1.0),
-    )
-    stage = F.least(
-        (F.floor((F.lit(1.0) - clamp) * F.lit(n_stages))).cast("int"),
-        F.lit(n_stages - 1),
-    )
-    key = F.md5(
-        F.concat(
-            F.lit(str(seed)),
-            F.lit("|"),
-            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
-        )
-    )
+    tiebreak = [F.col(tiebreak_col)] if tiebreak_col else []
+    stage = curriculum_stage(score_col, n_stages)
+    key = hash_order_key(id_col, seed)
     bucket = F.floor(
         F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
         * F.lit(n_buckets) / F.lit(256)
@@ -512,7 +563,9 @@ def curriculum_order(
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
     ).select("stage", "_ob", "_off")
-    w = Window.partitionBy("stage", "_ob").orderBy("_okey", F.col(id_col))
+    w = Window.partitionBy("stage", "_ob").orderBy(
+        "_okey", F.col(id_col), *tiebreak
+    )
     return (
         dfk.join(F.broadcast(offsets), ["stage", "_ob"])
         .withColumn(
@@ -569,14 +622,17 @@ def apply_cap_thresholds(
     key is ≤ its key's frozen threshold (keys without a threshold admit
     everything). The threshold table is bounded (one row per over-cap
     key) and BROADCASTS; the data side stays map-only — works identically
-    on batch and streaming frames (stream-static broadcast join)."""
+    on batch and streaming frames (stream-static broadcast join). The
+    lookup is null-safe (round-5 ADVICE fix): a NULL-keyed stream row
+    matches the NULL-key threshold row instead of silently admitting
+    everything."""
     t = F.broadcast(
         thresholds.select(
             F.col(key_col).alias("_tk"), F.col("threshold").alias("_th")
         )
     )
     return (
-        df.join(t, df[key_col] == t["_tk"], "left")
+        df.join(t, df[key_col].eqNullSafe(t["_tk"]), "left")
         .filter(F.col("_th").isNull() | (_cap_sort_key(id_col) <= F.col("_th")))
         .drop("_tk", "_th")
     )

@@ -77,13 +77,19 @@ def make_source(
         return spark.createDataFrame(opts["rows"], schema=opts.get("schema"))
     if src.type == "kafka":
         # ≡ `input/kafka.go:25-58`; latest offsets like OffsetNewest.
-        return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", opts["brokers"])
-            .option("subscribe", opts["topic"])
-            .option("startingOffsets", opts.get("starting_offsets", "latest"))
-            .load()
-        )
+        # Option mapping shared with streaming.sources.kafka_stream so
+        # the contract test pins both call sites.
+        from ..streaming.sources import kafka_options
+
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_options(
+            opts["brokers"],
+            opts["topic"],
+            opts.get("starting_offsets", "latest"),
+            opts.get("max_offsets_per_trigger"),
+        ).items():
+            reader = reader.option(k, v)
+        return reader.load()
     if src.type == "rate":
         return (
             spark.readStream.format("rate")
@@ -168,9 +174,9 @@ def _sqs_writer(sink: SinkSpec):
     SendMessage per event. Sends run executor-side (foreachPartition, one
     client per partition) so the driver never materializes the batch —
     the per-partition loop is the per-event SendMessage loop. Default
-    transport is boto3 (absent in this environment → clear error at
-    submit time, checked driver-side); tests/alt transports inject
-    ``options.sender`` = callable(body_json_str)."""
+    transport is boto3 (availability checked driver-side at submit time
+    so a missing SDK fails fast, not per-partition); tests/alt
+    transports inject ``options.sender`` = callable(body_json_str)."""
     opts = sink.options
     queue_url = opts.get("queue_url", "")
     sender = opts.get("sender")
@@ -181,9 +187,8 @@ def _sqs_writer(sink: SinkSpec):
 
             if importlib.util.find_spec("boto3") is None:
                 raise RuntimeError(
-                    f"sink {sink.name!r}: sqs sink requires boto3 (not "
-                    "installed in this environment); pass options['sender'] "
-                    "to supply a custom transport"
+                    f"sink {sink.name!r}: sqs sink requires boto3; pass "
+                    "options['sender'] to supply a custom transport"
                 )
         payloads = batch_df.select(
             F.to_json(F.struct(*[F.col(c) for c in batch_df.columns])).alias(

@@ -211,6 +211,46 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x35_normalized_dedup",
     "x36_passage_dedup",
     "x37_dedup_lsh_bucketed",
+    # green in CORRECTNESS_r04 (rows/schema/hash all true; the window also
+    # re-confirmed q01–q13 from the tail head) — rotated so the r05
+    # window leads with round-5 adds, then free regression re-checks of
+    # the earliest tail entries. With this, every registry entry has been
+    # driver-verified at least once (union r01–r04 = 146/146).
+    "q78_not_in_rewrite",
+    "q79_recursive_series",
+    "x02_dedup_minhash_lsh",
+    "x03_dedup_simhash",
+    "x13_ann_lsh",
+    "x15_ann_ivf",
+    "x26_dedup_semantic",
+    "x38_contamination_score",
+    "x39_embedding_quantization",
+    "x40_epoch_upsample",
+    "x41_novelty_score",
+    "x42_gopher_rules",
+    "x43_dsir_weights",
+    "x44_pq_adc",
+    "x45_split_leakage",
+    "x46_token_budget",
+    "x47_ivfpq",
+    "x48_temperature_mix",
+    "x49_best_quality_canonical",
+    "x50_source_overlap",
+    "x51_cell_balance",
+    "x52_dedup_trend",
+    "x53_langid_confusion",
+    "x54_fertility",
+    "x55_data_card",
+    "x56_source_cap",
+    "x57_bm25",
+    "x58_training_order",
+    "x59_knn_classify",
+    "x60_bigram_logprob",
+    "x61_jl_projection",
+    "x62_cluster_size_histogram",
+    "x63_curriculum_order",
+    "x64_mutual_knn",
+    "x65_nearest_centroid",
 )
 
 

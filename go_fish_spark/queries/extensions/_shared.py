@@ -1,0 +1,61 @@
+"""Shared constants/helpers for the x-series extension families —
+DuckDB oracle fragments (shingle/stopword mirrors) and the deterministic
+cross-engine quantizer fit used by every centroid-literal oracle."""
+
+from __future__ import annotations
+
+from ...functions import text as tx
+from ...operators import similarity
+
+
+_EMB_DIM = 64
+
+# Word-3-shingle set in DuckDB, mirroring functions.text.word_shingles.
+
+
+_DUCK_SHINGLES = (
+    "list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "for i in range(1, len(ws) - 1)])"
+)
+
+
+def _duck_sample_X(sf_dir: str):
+    """Oracle-arm twin of ``similarity.deterministic_sample``: read
+    ``sf_dir``'s embeddings with DuckDB in the same hash-total-order — the
+    byte-identical fit input any engine reproduces from the same table.
+    Returns None if the testdata is absent (→ rows-only fallback)."""
+    import numpy as np
+
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        vs = con.execute(
+            "SELECT CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM '{sf_dir}/embeddings.parquet' "
+            "ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR) "
+            "LIMIT 100000"
+        ).df()["v"]
+        return np.stack(vs.to_numpy()).astype(np.float64)
+    except Exception:
+        return None
+
+
+def _det_centers(n_cells: int, sf_dir: str, seed: int = 42):
+    """Deterministically-fit centroids for the ORACLE arm: the
+    :func:`_duck_sample_X` sample through the same seeded numpy k-means —
+    byte-identical centers to the Spark arm's ``fit_quantizer_det`` at the
+    same SF (asserted in tests). The embeddings tables are regenerated per
+    SF (same vec_id ≠ same vector), so the oracle is the CALLABLE form
+    (queries.resolve_oracle) and re-fits at whichever SF the compare
+    runs."""
+    X = _duck_sample_X(sf_dir)
+    if X is None:
+        return None
+    return similarity._kmeans_fit(X, n_cells, seed)
+
+
+_DUCK_STOP = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+
+_DUCK_EVAL = "doc_id % 97 = 0"

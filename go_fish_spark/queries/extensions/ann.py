@@ -1,0 +1,553 @@
+"""x-series, similarity-search family: brute/LSH/IVF/PQ ANN, embedding
+quantization audits, kNN & Rocchio classification, JL projection,
+mutual-kNN mining."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from ...catalog import table  # noqa: F401
+from ...functions import text as tx  # noqa: F401
+from ...functions import vectors  # noqa: F401
+from ...operators import decontam, dedup, multimodal, similarity  # noqa: F401
+from .. import query  # noqa: F401
+from ._shared import _det_centers, _duck_sample_X, _DUCK_SHINGLES, _EMB_DIM  # noqa: F401
+
+
+@query(
+    "x06_ann_cosine_topk",
+    oracle=f"""
+    SELECT q.vec_id AS query_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)} DESC,
+                      c.vec_id
+           ) AS rank,
+           c.vec_id AS vec_id,
+           round({vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS cos
+    FROM embeddings c
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q ON c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def x06_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors: broadcast queries,
+    corpus never shuffles, per-partition top-k before the merge."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _x13_oracle() -> str:
+    from ...operators.dedup import duck_bucket_key
+
+    planes = similarity.hyperplanes(_EMB_DIM, 8, 42)
+    bk = duck_bucket_key("embedding", planes)
+    cos = vectors.duck_cosine("c.embedding", "q.embedding", _EMB_DIM)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bk} AS bk FROM embeddings)
+    SELECT q.vec_id AS query_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id
+           ) AS rank,
+           c.vec_id AS vec_id, round({cos}, 6) AS cos
+    FROM b c JOIN (SELECT * FROM b WHERE vec_id < 5) q
+      ON c.bk = q.bk AND c.vec_id != q.vec_id
+    QUALIFY rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("x13_ann_lsh", oracle=_x13_oracle())
+def x13_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (the 100 TB scale path for x06: corpus
+    shuffles once on an 8-bit bucket key; only bucket collisions are
+    scored). The seeded literal planes make the bucket key
+    deterministic, so the oracle mirrors it sign-for-sign (x37's
+    duck_bucket_key) and the whole approximate search is hash-checked;
+    recall vs brute force stays asserted in tests/test_dedup.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(
+        emb, queries_df, dim=_EMB_DIM, k=10, n_planes=8
+    ).orderBy("query_id", "rank")
+
+
+def _x15_oracle(sf_dir: str) -> str | None:
+    centers = _det_centers(16, sf_dir)
+    if centers is None:
+        return None
+    dl = similarity.duck_dist_list("embedding", centers)
+    cos = vectors.duck_cosine("c.embedding", "p.qv", _EMB_DIM)
+    return f"""
+    WITH a AS (SELECT vec_id, embedding, dl AS _dl
+               FROM (SELECT vec_id, embedding, {dl} AS dl FROM embeddings)),
+    asg AS (SELECT vec_id, embedding, {similarity.duck_assign('_dl')} AS cell FROM a),
+    qd AS (SELECT vec_id AS query_id, embedding AS qv, {dl} AS dl
+           FROM embeddings WHERE vec_id < 5),
+    pe AS (SELECT query_id, qv, CAST(unnest(range(0, 16)) AS INT) AS cell,
+                  unnest(dl) AS d FROM qd),
+    probe AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+        FROM pe
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id, {cos} AS cos
+      FROM asg c JOIN probe p ON c.cell = p.cell AND c.vec_id != p.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+           vec_id, round(cos, 6) AS cos
+    FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("x15_ann_ivf", oracle=_x15_oracle)
+def x15_ann_ivf(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer, probe 4/16 cells) — the
+    inverted-file billion-vector layout, in the oracle-checkable form:
+    the quantizer is fit on a hash-total-ordered sample
+    (fit_quantizer_det — engine-independent, so the oracle re-fits
+    byte-identical centroids from the same table), and BOTH cell
+    assignment and probe routing are pure column expressions over the
+    centroid literals (ivf_topk_expr) mirrored bit-for-bit by
+    duck_dist_list. Recall vs brute force stays asserted in
+    tests/test_dedup.py; the pandas-UDF probe arms (driver/distributed)
+    remain in similarity.ivf_topk."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    return similarity.ivf_topk_expr(
+        emb, queries_df, q, k=10, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "x39_embedding_quantization",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             [embedding[i]::DOUBLE for i in range(1, {_EMB_DIM + 1})] AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max([abs(v[i]) for i in range(1, {_EMB_DIM + 1})]) / 127.0
+               AS scale
+      FROM v
+    ),
+    d AS (
+      SELECT vec_id, v, scale,
+             [greatest(-127.0, least(127.0, floor(v[i] / scale + 0.5))) * scale
+              for i in range(1, {_EMB_DIM + 1})] AS deq
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(list_sum([v[i] * v[i] for i in range(1, 17)])
+                 / list_sum([v[i] * v[i] for i in range(1, {_EMB_DIM + 1})]),
+                 6) AS energy16,
+           round(list_sum([v[i] * deq[i] for i in range(1, {_EMB_DIM + 1})])
+                 / (sqrt(list_sum([v[i] * v[i] for i in range(1, {_EMB_DIM + 1})]))
+                    * sqrt(list_sum([deq[i] * deq[i] for i in range(1, {_EMB_DIM + 1})]))),
+                 6) AS cos_int8,
+           round(scale, 9) AS scale
+    FROM d ORDER BY vec_id
+    """,
+)
+def x39_embedding_quantization(spark, sf_dir):
+    """Embedding post-processing audit (functions/vectors.py): per vector,
+    the matryoshka energy retained by a 16-dim truncation and the cosine
+    between the original and its symmetric-int8 reconstruction — the two
+    numbers that decide how an embedding store serves cheaper tiers from
+    one stored vector. Pure array expressions (zip_with/aggregate
+    HOFs, JVM-side, map-only — at 100 TB this runs at scan speed with
+    zero shuffles); the rounding inside quantization is an explicit
+    floor(x+0.5) so the DuckDB mirror is bit-identical."""
+    emb = table(spark, sf_dir, "embeddings")
+    df = (
+        emb.withColumn("_scale", vectors.quant_scale("embedding"))
+        .filter(F.col("_scale") > 0)
+        .withColumn(
+            "_deq",
+            vectors.dequantize(
+                vectors.quantize_int8("embedding", F.col("_scale")),
+                F.col("_scale"),
+            ),
+        )
+    )
+    return df.select(
+        "vec_id",
+        F.round(vectors.energy_fraction("embedding", 16), 6).alias("energy16"),
+        F.round(vectors.cosine("embedding", F.col("_deq")), 6).alias("cos_int8"),
+        F.round(F.col("_scale"), 9).alias("scale"),
+    ).orderBy("vec_id")
+
+
+def _x44_oracle(sf_dir: str) -> str | None:
+    X = _duck_sample_X(sf_dir)
+    if X is None:
+        return None
+    pq = similarity.ProductQuantizer(similarity._pq_fit(X, m=4, ksub=16, seed=42))
+    codes = similarity.duck_pq_codes("embedding", pq)
+    dts = similarity.duck_pq_dtables("embedding", pq)
+    m = len(pq.books)
+    return f"""
+    WITH coded AS (SELECT vec_id, {codes} AS codes FROM embeddings),
+    q AS (SELECT vec_id AS query_id, {dts} AS dt
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_reduce(
+               [(q.dt[j])[(c.codes[j]) + 1] for j in range(1, {m + 1})],
+               (a, b) -> a + b) AS adist
+      FROM coded c, q WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank,
+           vec_id, round(adist, 6) AS adist
+    FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("x44_pq_adc", oracle=_x44_oracle)
+def x44_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): the corpus compresses
+    to m=4 sub-codes (4×16-way codebooks over 16-dim blocks — the memory
+    layout that fits a 100 TB embedding store in cluster RAM), each query
+    precomputes its 4×16 ADC distance tables, and candidates cost 4 table
+    lookups each. Codebooks are fit deterministically (fit_pq_det, the
+    x15/x26 contract), codes and tables are pure column expressions over
+    centroid literals, and the oracle re-derives everything from the same
+    table — the full compress→search path is hash-checked. The coded
+    corpus never shuffles; the query side broadcasts."""
+    emb = table(spark, sf_dir, "embeddings")
+    pq = similarity.fit_pq_det(emb, "vec_id", "embedding", m=4, ksub=16)
+    return similarity.adc_topk(
+        emb, emb.filter(F.col("vec_id") < 5), pq, k=10
+    ).orderBy("query_id", "rank")
+
+
+def _x47_oracle(sf_dir: str) -> str | None:
+    X = _duck_sample_X(sf_dir)
+    if X is None:
+        return None
+    coarse = similarity._kmeans_fit(X, 16, 42)
+    D = -2.0 * (X @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
+    R = X - coarse[D.argmin(axis=1)]
+    pq = similarity.ProductQuantizer(similarity._pq_fit(R, m=4, ksub=16, seed=42))
+    cl = similarity.duck_centers_lit(coarse)
+    dl = similarity.duck_dist_list("embedding", coarse)
+    rv = (
+        f"[embedding[i]::DOUBLE - (({cl})[cell + 1])[i] "
+        f"for i in range(1, {_EMB_DIM + 1})]"
+    )
+    codes = similarity.duck_pq_codes("rv", pq)
+    dts = similarity.duck_pq_dtables("rv", pq)
+    m = len(pq.books)
+    return f"""
+    WITH a0 AS (SELECT vec_id, embedding, {dl} AS dl FROM embeddings),
+    asg AS (SELECT vec_id, embedding, {similarity.duck_assign('dl')} AS cell
+            FROM a0),
+    resc AS (SELECT vec_id, cell, {rv} AS rv FROM asg),
+    coded AS (SELECT vec_id, cell, {codes} AS codes FROM resc),
+    qd AS (SELECT vec_id AS query_id, embedding, {dl} AS dl
+           FROM embeddings WHERE vec_id < 5),
+    pe AS (SELECT query_id, embedding, CAST(unnest(range(0, 16)) AS INT) AS cell,
+                  unnest(dl) AS d FROM qd),
+    probe AS (
+      SELECT query_id, embedding, cell FROM (
+        SELECT query_id, embedding, cell,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+        FROM pe) WHERE rn <= 4
+    ),
+    pres AS (SELECT query_id, cell, {rv} AS rv FROM probe),
+    pdt AS (SELECT query_id, cell, {dts} AS dt FROM pres),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             list_reduce(
+               [(p.dt[j])[(c.codes[j]) + 1] for j in range(1, {m + 1})],
+               (a, b) -> a + b) AS adist
+      FROM coded c JOIN pdt p ON c.cell = p.cell AND c.vec_id != p.query_id
+    )
+    SELECT query_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank,
+           vec_id, round(adist, 6) AS adist
+    FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank
+    """
+
+
+@query("x47_ivfpq", oracle=_x47_oracle)
+def x47_ivfpq(spark, sf_dir):
+    """IVF-PQ (Jégou et al. 2011): the full billion-vector layout — a
+    16-cell coarse quantizer routes queries to 4 probed cells, the corpus
+    stores residual PQ codes (4×16-way codebooks trained on cell
+    residuals), and scoring is per-probed-cell residual ADC. Both models
+    fit deterministically from the hash-ordered sample (fit_ivfpq_det),
+    every stage is a pure column expression over centroid literals, and
+    the oracle re-derives routing + codes + tables from the same table —
+    the composite x15 ∘ x44 path is hash-checked end to end. Both sides
+    exchange once on the cell key; raw vectors never shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    coarse, pq = similarity.fit_ivfpq_det(
+        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
+    )
+    return similarity.ivfpq_topk_expr(
+        emb, emb.filter(F.col("vec_id") < 5), coarse, pq, k=10, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+def _x51_oracle(sf_dir: str) -> str | None:
+    centers = _det_centers(16, sf_dir)
+    if centers is None:
+        return None
+    dl = similarity.duck_dist_list("embedding", centers)
+    return f"""
+    WITH a AS (SELECT vec_id, {dl} AS dl FROM embeddings),
+    asg AS (SELECT vec_id, {similarity.duck_assign('dl')} AS cell,
+                   list_min(dl) AS d2 FROM a)
+    SELECT cell, count(*) AS n_vectors,
+           round(CAST(sum(CAST(round(sqrt(d2), 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*), 6) AS mean_dist
+    FROM asg GROUP BY cell ORDER BY cell
+    """
+
+
+@query("x51_cell_balance", oracle=_x51_oracle)
+def x51_cell_balance(spark, sf_dir):
+    """Quantizer cell-balance report — the health check an IVF index
+    needs before serving (x15/x47's routing assumes cells are roughly
+    even; a degenerate fit concentrates the corpus in few cells and turns
+    probes into scans — exactly the skew x26's cell cap guards). Per
+    cell: vector count and mean centroid distance (sqrt of the assignment
+    minimum — no second distance pass), accumulated decimal-exact so the
+    mean is partitioning-invariant. One exchange on the bounded cell
+    key."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    asg = emb.select(
+        F.col("vec_id"), q.dist_expr_arr("embedding").alias("_dl")
+    ).select(
+        "vec_id",
+        F.expr("CAST(array_position(_dl, array_min(_dl)) - 1 AS INT)").alias("cell"),
+        F.array_min("_dl").alias("d2"),
+    )
+    return (
+        asg.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.round(F.sqrt("d2"), 9).cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "x59_knn_classify",
+    oracle=f"""
+    WITH nn AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round({vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)} DESC,
+                        c.vec_id) AS rank
+      FROM embeddings c
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q ON c.vec_id != q.vec_id
+      QUALIFY rank <= 10
+    ),
+    votes AS (
+      SELECT nn.query_id, c.label AS _nl, count(*) AS n_votes,
+             max(nn.cos) AS top_cos
+      FROM nn JOIN embeddings c ON nn.vec_id = c.vec_id
+      GROUP BY nn.query_id, c.label
+    )
+    SELECT query_id, _nl AS label_pred, CAST(n_votes AS BIGINT) AS n_votes,
+           round(top_cos, 6) AS top_cos
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, _nl) AS r
+          FROM votes)
+    WHERE r = 1 ORDER BY query_id
+    """,
+)
+def x59_knn_classify(spark, sf_dir):
+    """k-NN majority-vote labeling (similarity.knn_classify): predict
+    each of the first 20 vectors' labels from their 10 exact-cosine
+    nearest labeled neighbors — the labeled-seed-set classifier of a
+    curation pipeline. Queries broadcast against the corpus (never
+    shuffled), the neighbor table broadcasts into the label join
+    (map-only), and only the ≤ queries×k vote rows shuffle. Vote ties
+    break to the smaller label; deterministic and hash-checked."""
+    from ...operators.similarity import knn_classify
+
+    emb = table(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        "label", k=10,
+    ).orderBy("query_id")
+
+
+from ...operators.similarity import (  # noqa: E402
+    duck_jl_project_exprs,
+    hyperplanes,
+    jl_project_expr,
+)
+
+
+_JL_PLANES = hyperplanes(_EMB_DIM, 16, seed=7)
+_JL_DIMS = ", ".join(str(j) for j in range(16))
+_JL_EXPRS = ", ".join(duck_jl_project_exprs("embedding", _JL_PLANES, _EMB_DIM))
+
+
+@query(
+    "x61_jl_projection",
+    oracle=f"""
+    SELECT vec_id, unnest([{_JL_DIMS}]) AS dim,
+           unnest([{", ".join(f"round({e}, 6)" for e in duck_jl_project_exprs("embedding", _JL_PLANES, _EMB_DIM))}]) AS val
+    FROM embeddings ORDER BY vec_id, dim
+    """,
+)
+def x61_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64→16
+    (similarity.jl_project_expr, seeded Gaussian planes): the
+    dimensionality cut that shrinks every downstream embedding op's
+    distance work 4× with JL-bounded distortion. Pure per-row map (zero
+    shuffles, no UDF, planes are parsed literals); output exploded to
+    (vec_id, dim, val) scalars for hashing."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.posexplode(jl_project_expr("embedding", _JL_PLANES)).alias(
+                "dim", "_v"
+            ),
+        )
+        .select("vec_id", "dim", F.round("_v", 6).alias("val"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+def _x64_oracle() -> str:
+    from ...operators.dedup import duck_bucket_key
+
+    planes = similarity.hyperplanes(_EMB_DIM, 8, 42)
+    bk = duck_bucket_key("embedding", planes)
+    cos = vectors.duck_cosine("c.embedding", "q.embedding", _EMB_DIM)
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bk} AS bk FROM embeddings),
+    nn AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round({cos}, 6) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
+      FROM b c JOIN b q ON c.bk = q.bk AND c.vec_id != q.vec_id
+      QUALIFY rank <= 10
+    )
+    SELECT a.query_id AS id_a, a.vec_id AS id_b, a.cos,
+           a.rank AS rank_ab, b.rank AS rank_ba
+    FROM nn a JOIN nn b ON a.query_id = b.vec_id AND a.vec_id = b.query_id
+    WHERE a.query_id < a.vec_id ORDER BY id_a, id_b
+    """
+
+
+@query("x64_mutual_knn", oracle=_x64_oracle())
+def x64_mutual_knn(spark, sf_dir):
+    """Mutual-kNN pairs (similarity.mutual_knn_pairs, k=10, LSH arm):
+    vector pairs each in the OTHER's within-bucket cosine top-k — the
+    symmetric-consistency (hubness-filtering) criterion of bitext
+    mining, and a higher-precision near-dup candidate set. The bucket
+    EQUI-JOIN (seeded literal planes, x13/x37's mirror) replaces the
+    O(n²) all-pairs scan — candidate work ≈ n²/2^planes, held flat by
+    the x37 plane-growth law — then ONE self-join of the slim neighbor
+    table on the reversed key pair. The brute arm stays available as
+    the labeled baseline (tests/test_curation.py checks mutuality
+    against it)."""
+    from ...operators.similarity import mutual_knn_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(
+        emb, "vec_id", "embedding", k=10, method="lsh", dim=_EMB_DIM,
+        n_planes=8,
+    ).orderBy("id_a", "id_b")
+
+
+def _x65_centroids(sf_dir: str):
+    """Per-label mean centroids for the ORACLE arm, re-fit from the same
+    parquet through DuckDB with the SAME decimal(38,12) per-(label,dim)
+    sums the Spark fit uses (fit_label_centroids) — decimal accumulation
+    is exact and order-independent, so both engines produce byte-equal
+    float64 centroids from float(sum)/count."""
+    import os
+
+    import duckdb
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None, None
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT label, d, sum(CAST(v AS DECIMAL(38,12))) AS s, count(*) AS n
+        FROM (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS d,
+                 unnest(embedding) AS v
+          FROM read_parquet('{path}') WHERE vec_id % 5 != 0
+        ) GROUP BY label, d
+        """
+    ).fetchall()
+    import numpy as np
+
+    labels = sorted({r[0] for r in rows})
+    idx = {l: i for i, l in enumerate(labels)}
+    cent = np.zeros((len(labels), _EMB_DIM), dtype=np.float64)
+    for l, d, s, n in rows:
+        cent[idx[l], d] = float(s) / n
+    return labels, cent
+
+
+def _x65_oracle(sf_dir: str) -> str | None:
+    labels, cent = _x65_centroids(sf_dir)
+    if labels is None:
+        return None
+    pred = similarity.duck_nearest_centroid_label("embedding", labels, cent)
+    return f"""
+    SELECT label, {pred} AS label_pred, CAST(count(*) AS BIGINT) AS n
+    FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("x65_nearest_centroid", oracle=_x65_oracle)
+def x65_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification: per-label mean vectors
+    fit on the vec_id%5≠0 slice (decimal-exact, order-independent —
+    fit_label_centroids), every vector classified by a PURE column
+    expression over the centroid literals (nearest_centroid_label — no
+    join/UDF/state, so the same expression scores a live stream), and
+    the (label, label_pred) confusion matrix reported. The oracle re-fits
+    byte-equal centroids from the same parquet via DuckDB's decimal sums
+    — the x15/x26 cross-engine re-fit pattern."""
+    from ...operators.similarity import fit_label_centroids, nearest_centroid_label
+
+    emb = table(spark, sf_dir, "embeddings")
+    labels, cent = fit_label_centroids(
+        emb.filter(F.col("vec_id") % 5 != 0), "label", "embedding", _EMB_DIM
+    )
+    pred = nearest_centroid_label("embedding", labels, cent)
+    return (
+        emb.select("label", pred.alias("label_pred"))
+        .groupBy("label", "label_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "label_pred")
+    )
+
+
+# --- x66: shared dedup-audit pass (ONE connected-components run) -----------

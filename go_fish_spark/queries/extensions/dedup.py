@@ -1,0 +1,350 @@
+"""x-series, dedup family: exact/normalized/passage dedup, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding near-dup, SemDeDup, bucketed LSH,
+incremental crawl dedup, dup components, duplication-rate trend."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from ...catalog import table  # noqa: F401
+from ...functions import text as tx  # noqa: F401
+from ...functions import vectors  # noqa: F401
+from ...operators import decontam, dedup, multimodal, similarity  # noqa: F401
+from .. import query  # noqa: F401
+from ..util import duck_ts_str, ts_str  # noqa: F401
+from ._shared import _det_centers, _DUCK_SHINGLES, _EMB_DIM  # noqa: F401
+
+
+@query(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY canonical_id
+    """,
+)
+def x01_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the md5 digest (16-byte shuffle key
+    regardless of document size)."""
+    return dedup.exact_dedup(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("canonical_id")
+
+
+@query(
+    "x02_dedup_minhash_lsh",
+    oracle=dedup.duck_minhash_lsh_sql(
+        "documents", "doc_id", "text", threshold=0.35
+    ),
+)
+def x02_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + LSH(16 bands × 4) near-dup pairs, est Jaccard ≥ 0.35,
+    in the `portable` arm: md5-prefix token hashes and Horner band folds
+    that duck_minhash_lsh_sql mirrors integer-for-integer — the whole
+    sketch pipeline (shingles → signatures → banding → verification) is
+    hash-checked. Recall vs the exact x04 pairs stays asserted in
+    tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        threshold=0.35,
+        portable=True,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x03_dedup_simhash",
+    oracle=dedup.duck_simhash_sql("documents", "doc_id", "text"),
+)
+def x03_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (Hamming ≤ 3 via 4×16-bit banding), in
+    the `portable` arm (md5-prefix token hashes) so duck_simhash_sql
+    mirrors every majority bit, chunk, and Hamming count exactly."""
+    return dedup.simhash_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", portable=True
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x04_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING jaccard >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def x04_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-shingle Jaccard join (inverted-index self-join;
+    shuffle key = shingle, so pairs sharing no shingle never materialize)."""
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x05_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({vectors.duck_cosine('a.embedding', 'b.embedding', _EMB_DIM)}, 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {vectors.duck_cosine('a.embedding', 'b.embedding', _EMB_DIM)} >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def x05_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact pair scan baseline; the
+    bucketed LSH path is x06/similarity.lsh_topk)."""
+    return dedup.embedding_dup_pairs(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x18_dup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    )
+    SELECT src AS doc_id, min(dst) AS component FROM reach
+    GROUP BY src ORDER BY doc_id
+    """,
+)
+def x18_dup_components(spark, sf_dir):
+    """Near-dup CLUSTERS from pair output: connected components over the
+    exact-Jaccard pairs (operators/graph.py min-label propagation,
+    localCheckpoint per round), component = min reachable doc_id — the
+    canonical-document assignment a dedup pipeline actually keeps. The
+    oracle computes the same transitive closure with a recursive CTE."""
+    from ...operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component").orderBy(
+        "doc_id"
+    )
+
+
+def _x26_oracle(sf_dir: str) -> str | None:
+    centers = _det_centers(6, sf_dir)
+    if centers is None:
+        return None
+    dl = similarity.duck_dist_list("embedding", centers)
+    cos = vectors.duck_cosine("a.embedding", "b.embedding", _EMB_DIM)
+    return f"""
+    WITH d AS (SELECT vec_id, embedding, {dl} AS dl FROM embeddings),
+    c AS (SELECT vec_id, embedding, {similarity.duck_assign('dl')} AS cell FROM d)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.45
+    ORDER BY id_a, id_b
+    """
+
+
+@query("x26_dedup_semantic", oracle=_x26_oracle)
+def x26_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style clustered embedding dedup: the 100 TB scale path for
+    x05 — a KMeans coarse quantizer shrinks the pair space to within-cell,
+    so emitted cosines are EXACT (precision 1.0 vs x05 by construction);
+    recall vs the exact baseline is asserted in tests/test_dedup.py.
+    Oracle-checkable form: the quantizer is fit deterministically
+    (fit_quantizer_det — the oracle re-fits byte-identical centroids from
+    the same table and embeds them as SQL literals) and cell assignment
+    is the pure-expression argmin (mirrored by duck_dist_list); pair
+    scoring stays the per-cell BLAS gram — the scale path — whose float64
+    cosines agree with the oracle's sequential folds to well under the
+    emitted round-6 precision. max_cell_size arms the skew guard (inert
+    on healthy corpora). The all-expression twin
+    (semantic_dedup_pairs_expr) is equality-tested against this arm."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 6)
+    return dedup.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45,
+        quantizer=q, assign="expr", max_cell_size=100_000,
+    ).orderBy("id_a", "id_b")
+
+
+_DUCK_NEW = "doc_id % 5 = 0"
+
+
+@query(
+    "x29_incremental_dedup",
+    oracle=f"""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS d FROM documents WHERE NOT ({_DUCK_NEW})
+    ),
+    fresh AS (
+      SELECT doc_id, md5(text) AS d FROM documents
+      WHERE {_DUCK_NEW} AND md5(text) NOT IN (SELECT d FROM hist)
+    )
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM fresh GROUP BY d
+    ORDER BY canonical_id
+    """,
+)
+def x29_incremental_dedup(spark, sf_dir):
+    """Incremental dedup (dedup.incremental_dedup): today's crawl batch
+    anti-joined against the historical corpus's md5 fingerprint store,
+    then exact-deduped within itself — the recurring-ingest shape where
+    the full-corpus dedup (x01) has already run on everything older.
+    Both sides reduce to 16-byte digests before the join; the historical
+    store carries no broadcast hint (it is corpus-scale)."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    return dedup.incremental_dedup(
+        docs.filter(is_new), docs.filter(~is_new), "doc_id", "text"
+    ).orderBy("canonical_id")
+
+
+@query(
+    "x35_normalized_dedup",
+    oracle=r"""
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+           count(DISTINCT md5(text)) AS n_raw_variants
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    ORDER BY canonical_id
+    """,
+)
+def x35_normalized_dedup(spark, sf_dir):
+    """Exact dedup under normalization (dedup.normalized_dedup): lowercase
+    + collapse non-alphanumeric runs + trim before digesting — merges
+    re-punctuated/case-shifted copies that byte-exact x01 keeps apart;
+    n_raw_variants shows how many raw contents each group merged."""
+    return dedup.normalized_dedup(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("canonical_id")
+
+
+@query(
+    "x36_passage_dedup",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             [array_to_string(ws[(i-1)*20 + 1 : i*20], ' ')
+              for i in range(1, CAST(ceil(len(ws)/20.0) AS BIGINT) + 1)]
+               AS spans
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    e AS (
+      SELECT doc_id, unnest(range(len(spans))) AS pos, unnest(spans) AS span
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, pos, span,
+             row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, pos)
+               AS rn
+      FROM e
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                               ORDER BY pos), '') AS text_dedup
+    FROM r GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def x36_passage_dedup(spark, sf_dir):
+    """Passage-level dedup (dedup.passage_dedup): 20-token spans, keep
+    only each span content's corpus-wide first occurrence (min (doc,pos)),
+    rebuild documents from their kept spans — removes cross-document
+    boilerplate below document granularity (Lee et al. 2022's span-dedup
+    recipe). One shuffle on the span digest + one doc-id groupBy."""
+    return dedup.passage_dedup(
+        table(spark, sf_dir, "documents"), "doc_id", "text", span_tokens=20
+    ).orderBy("doc_id")
+
+
+def _x37_oracle() -> str:
+    from ...operators import similarity as _sim
+    from ...operators.dedup import duck_bucket_key
+
+    planes = _sim.hyperplanes(_EMB_DIM, 6, 42)
+    bk = duck_bucket_key("embedding", planes)
+    cos = vectors.duck_cosine("a.embedding", "b.embedding", _EMB_DIM)
+    return f"""
+    WITH bk_t AS (SELECT vec_id, embedding, {bk} AS bk FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
+    FROM bk_t a JOIN bk_t b ON a.bk = b.bk AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.45
+    ORDER BY id_a, id_b
+    """
+
+
+@query("x37_dedup_lsh_bucketed", oracle=_x37_oracle())
+def x37_dedup_lsh_bucketed(spark, sf_dir):
+    """Bucketed LSH embedding near-dup (dedup.lsh_bucketed_dup_pairs):
+    the clustered-dedup SHAPE — one shuffle on a bucket key, exact cosine
+    only within a bucket — under a DETERMINISTIC sign-bit partitioner
+    that the DuckDB oracle reproduces expression-for-expression, so the
+    whole scale path is hash-checked (x26's KMeans variant is rows-only
+    by nature; this is its oracle-backed sibling)."""
+    return dedup.lsh_bucketed_dup_pairs(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=_EMB_DIM, threshold=0.45, n_planes=6, seed=42,
+    ).orderBy("id_a", "id_b")
+
+
+from ..util import duck_ts_str, ts_str
+
+
+@query(
+    "x52_dedup_trend",
+    oracle=f"""
+    SELECT {duck_ts_str("date_trunc('hour', ts)")} AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT props) AS n_distinct,
+           round(1.0 - count(DISTINCT props)::DOUBLE / count(*), 6) AS dup_rate
+    FROM events GROUP BY 1 ORDER BY window_start
+    """,
+)
+def x52_dedup_trend(spark, sf_dir):
+    """Duplication-rate trend over event time — the recurring-crawl
+    health monitor (a rising hourly dup rate is the first sign a crawler
+    started re-fetching): per hour, event count, distinct payloads, and
+    the dup rate. One exchange on the bounded hour key with map-side
+    partial counts; the DISTINCT is per-window (payload cardinality
+    bounded by window volume, never corpus-wide)."""
+    df = table(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.date_trunc("hour", "ts").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("props").alias("n_distinct"),
+            F.round(
+                1.0 - F.count_distinct("props").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .select(
+            ts_str("_w").alias("window_start"), "n_events", "n_distinct", "dup_rate"
+        )
+        .orderBy("window_start")
+    )

@@ -1,0 +1,419 @@
+"""x-series, pipeline/multimodal/audit family: multimodal ingest +
+decode + frame sampling, the end-to-end curation flagship, and the
+shared dedup-audit products (quality-argmax canonical, cluster-size
+histogram, one-CC audit pass)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from ...catalog import table  # noqa: F401
+from ...functions import text as tx  # noqa: F401
+from ...functions import vectors  # noqa: F401
+from ...operators import decontam, dedup, multimodal, similarity  # noqa: F401
+from .. import query  # noqa: F401
+from ._shared import _DUCK_SHINGLES, _DUCK_STOP, _EMB_DIM  # noqa: F401
+
+
+@query(
+    "x19_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * stride AS BIGINT) AS frame_off,
+           CAST(least(16, n - i * stride) AS BIGINT) AS frame_len
+    FROM (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             greatest(octet_length(encode(text)) // 4, 1) AS stride
+      FROM documents
+    )
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+    WHERE i * stride < n
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def x19_frame_sample(spark, sf_dir):
+    """Frame sampling plumbing: each media row fans out to ≤4 evenly-
+    strided frame rows via mapInPandas (the 1→N batch shape; fake
+    keyframes = byte windows). The offset/length math is a pure function
+    of payload size, so the fan-out is fully oracle-checked; the frame
+    bytes themselves are dropped from the comparison (binary column)."""
+    binary_df = multimodal.ingest_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    frames = multimodal.sample_frames(binary_df, n_frames=4, frame_bytes=16)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_off", "frame_len"
+    ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "x11_multimodal_ingest",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x11_multimodal_ingest(spark, sf_dir):
+    """Multimodal ingest plumbing: payload → (content: binary, meta struct
+    with byte length + sha256), all JVM-side."""
+    df = multimodal.ingest_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return df.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.sha").alias("sha")
+    ).orderBy("doc_id")
+
+
+@query(
+    "x12_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) % 640 + 1                        AS width,
+           (octet_length(encode(text)) * 7) % 480 + 1                  AS height,
+           (octet_length(encode(text)) % 640 + 1)
+             * ((octet_length(encode(text)) * 7) % 480 + 1)            AS n_pixels,
+           'fake-decoded'                                              AS status
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x12_multimodal_decode(spark, sf_dir):
+    """Arrow-batched media decode via mapInPandas (deterministic fake
+    codec; real codecs are a marked NotImplementedError integration
+    point). Proves the batch shape, schema, and partition-parallel decode
+    path."""
+    binary_df = multimodal.ingest_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    out = multimodal.decode_features(binary_df, codec="fake")
+    return out.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        "status",
+    ).orderBy("doc_id")
+
+
+def _duck_curation_oracle() -> str:
+    """x20's oracle: the whole curation pipeline composed from the
+    per-stage SQL shapes that x07/x08/x01/x04/x18/x14 each hash-matched
+    individually."""
+    scores = tx.duck_lang_scores("text")
+    score_cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    whens = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in scores)
+    quality = """
+      0.4 * least(len(ws) / 100.0, 1.0)
+      + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ({stop}))) / len(ws))
+      + 0.3 * least(((length(text) - (len(ws) - 1)) / len(ws)) / 10.0, 1.0)
+    """.format(stop=_DUCK_STOP)
+    from ...operators.sampling import duck_hash_bucket
+
+    bucket = duck_hash_bucket("doc_id")
+    return f"""
+    WITH RECURSIVE
+    langs AS (
+      SELECT doc_id, text, ws, {score_cols}
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    ),
+    best_t AS (SELECT *, {best} AS best FROM langs),
+    scored AS (
+      SELECT doc_id, text, ws,
+             CASE WHEN best <= 0 THEN 'und' {whens} ELSE 'und' END AS lang_pred,
+             {quality} AS score
+      FROM best_t
+    ),
+    kept AS (SELECT * FROM scored WHERE lang_pred = 'en' AND score >= 0.5),
+    surv AS (
+      SELECT doc_id, text, ws, lang_pred, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    sh_t AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM surv),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh_t),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM surv
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT surv.doc_id, lang_pred, score,
+           CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv JOIN comp USING (doc_id)
+    WHERE comp.component = surv.doc_id
+    ORDER BY surv.doc_id
+    """
+
+
+@query("x20_curation_pipeline", oracle=_duck_curation_oracle())
+def x20_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation: the full training-data flow as ONE composed
+    DataFrame plan — language ID → quality gate (en, score ≥ 0.5) →
+    exact dedup (min doc_id per content hash) → near-dup clustering
+    (exact-Jaccard pairs → connected components) → keep each cluster's
+    canonical doc → deterministic train/val/test assignment. Every stage
+    is the already-oracle-verified operator (x07/x08/x01/x04/x18/x14);
+    this query verifies their COMPOSITION hash-exactly."""
+    from pyspark.sql import Window
+
+    from ...operators.graph import connected_components
+    from ...operators.sampling import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        tx.lang_id("text").alias("lang_pred"),
+        tx.quality_score("text").alias("score"),
+    )
+    kept = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("score") >= 0.5)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # Persisted via the dedup cache registry so bench/release_caches()
+    # can return executor storage between queries.
+    surv = dedup._persist(
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    pairs = dedup.ngram_jaccard_pairs(surv, "doc_id", "text", k=3, threshold=0.3)
+    comp = connected_components(surv.select("doc_id"), pairs, id_col="doc_id")
+    return (
+        surv.join(comp, surv["doc_id"] == comp["id"])
+        .filter(F.col("doc_id") == F.col("component"))
+        .select(
+            "doc_id",
+            "lang_pred",
+            "score",
+            split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- x21-x23: curation hygiene ops (decontamination, repetition, PII) ------
+
+# Eval-benchmark membership: doc_id % 97 == 0 — a deterministic stand-in
+# for "the benchmark set" (~1% of docs), identical on both engines.
+
+
+@query(
+    "x49_best_quality_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    q AS (
+      SELECT doc_id,
+             0.4 * least(n_words / 100.0, 1.0)
+               + 0.3 * (1.0 - stop_ratio)
+               + 0.3 * least(mean_word_len / 10.0, 1.0) AS q
+      FROM (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               len(list_filter(ws, w -> w IN ({_DUCK_STOP}))) / len(ws) AS stop_ratio,
+               (length(text) - (len(ws) - 1)) / len(ws) AS mean_word_len
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      )
+    ),
+    r AS (
+      SELECT comp.component, comp.doc_id, q.q,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY q.q DESC, comp.doc_id) AS rn,
+             count(*) OVER (PARTITION BY comp.component) AS n_members
+      FROM comp JOIN q USING (doc_id)
+    )
+    SELECT component, doc_id AS canonical_id, n_members,
+           round(q, 6) AS best_quality
+    FROM r WHERE rn = 1 ORDER BY component
+    """,
+)
+def x49_best_quality_canonical(spark, sf_dir):
+    """Quality-argmax canonical selection: collapse each near-dup cluster
+    (connected components over the x04 Jaccard pairs, x18's engine) to
+    its HIGHEST-quality member instead of the min-id — the curation
+    refinement that keeps the cleanest copy of every duplicated document
+    (min-id keeps whichever crawl happened first). Deterministic: ties
+    break to the lower doc_id; the quality expression is bit-identical
+    across engines (x08), so the argmax is oracle-checkable. One window
+    over the component key on top of the CC output (shared-audit stage,
+    operators/audit.py)."""
+    from ...operators.audit import dedup_audit
+
+    docs = table(spark, sf_dir, "documents")
+    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    return audit.canonical.orderBy("component")
+
+
+@query(
+    "x62_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(pow(2, floor(log2(sz))) AS BIGINT) AS bucket_lo,
+           count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1 ORDER BY bucket_lo
+    """,
+)
+def x62_cluster_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size histogram — the dedup AUDIT a pipeline
+    publishes alongside its dedup pass: clusters of the x04 Jaccard
+    graph (x18's CC engine) binned by power-of-2 size, with doc totals
+    per bin. A crawl whose mass sits in large bins is dominated by
+    boilerplate/mirrors; the histogram is how that is seen before
+    deleting anything. Bin aggregation is a bounded-key groupBy on top
+    of the CC output (integer-exact; graph.cluster_size_histogram).
+    As a standalone oracle entry this recomputes the graph; a composed
+    pipeline shares ONE CC across all audit consumers — that sharing is
+    the x66 entry (operators/audit.dedup_audit)."""
+    from ...operators.audit import dedup_audit
+
+    docs = table(spark, sf_dir, "documents")
+    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    return audit.histogram
+
+
+_X66_COMP = f"""
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+"""
+
+
+@query(
+    "x66_dedup_audit",
+    oracle=f"""
+    WITH RECURSIVE
+    {_X66_COMP},
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+    q AS (
+      SELECT doc_id,
+             0.4 * least(len(ws) / 100.0, 1.0)
+               + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ({_DUCK_STOP})))
+                              / len(ws))
+               + 0.3 * least((length(text) - (len(ws) - 1)) / len(ws) / 10.0,
+                             1.0) AS q
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    ),
+    r AS (
+      SELECT comp.component, q.q,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY q.q DESC, comp.doc_id) AS rn
+      FROM comp JOIN q USING (doc_id)
+    ),
+    best AS (SELECT component, round(q, 6) AS bq FROM r WHERE rn = 1),
+    hist AS (
+      SELECT CAST(pow(2, floor(log2(sz))) AS BIGINT) AS bucket_lo,
+             count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY 1
+    ),
+    qb AS (
+      SELECT CAST(pow(2, floor(log2(sz))) AS BIGINT) AS bucket_lo,
+             max(bq) AS q_max
+      FROM best JOIN sizes USING (component) GROUP BY 1
+    )
+    SELECT hist.bucket_lo, n_clusters, n_docs, q_max
+    FROM hist JOIN qb USING (bucket_lo)
+    ORDER BY bucket_lo
+    """,
+)
+def x66_dedup_audit(spark, sf_dir):
+    """SHARED dedup-audit pass (operators/audit.py): the Jaccard pair
+    graph and its connected components are computed ONCE — the CC label
+    frame is localCheckpoint-ed by the engine — and BOTH audit consumers
+    read that one materialized frame inside a single plan: the
+    cluster-size histogram (x62's product) joined per size-bin with the
+    best canonical quality over the bin's clusters (x49's product). This
+    is the multi-consumer sharing a real pipeline applies instead of
+    rebuilding the graph per report (round-4 verdict item: x49 + x62
+    standalone were the two costliest entries at ~2.9 s each; the shared
+    pass pays the graph once for both)."""
+    from ...operators.audit import dedup_audit
+
+    docs = table(spark, sf_dir, "documents")
+    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    bucket = (
+        F.pow(F.lit(2.0), F.floor(F.log2("n_members")))
+        .cast("bigint")
+        .alias("bucket_lo")
+    )
+    qb = (
+        audit.canonical.groupBy(bucket)
+        .agg(F.max("best_quality").alias("q_max"))
+    )
+    return audit.histogram.join(qb, "bucket_lo").orderBy("bucket_lo")

@@ -102,7 +102,11 @@ def write_sharded(
     # mode="append" the manifest must describe everything now at `path`
     # (one row per (partition, shard)), not just this delivery.
     # (`_manifest` starts with '_' so partition discovery skips it.)
-    written = df.sparkSession.read.parquet(path)
+    # Empty-input guard (round-5 ADVICE fix): a partitioned write of zero
+    # rows emits no data files, and a bare read would die with
+    # unable-to-infer-schema — pin the writer's schema so an empty
+    # curated split yields an EMPTY manifest, not a crash.
+    written = df.sparkSession.read.schema(sharded.schema).parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if size_col is not None:
         size = F.col(size_col) if isinstance(size_col, str) else size_col

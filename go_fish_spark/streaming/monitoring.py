@@ -114,9 +114,9 @@ class CloudWatchMonitoringService:
     The AWS client is INJECTABLE (the SQS-sink treatment,
     `plans/compiler.py`): ``put_metric_data(namespace, metric_data)``
     receives the exact datum shape the reference builds
-    (`monitoring.go:144-180`). Default is a stub that raises — this
-    sandbox has no AWS SDK; wire boto3's
-    ``client('cloudwatch').put_metric_data`` in a real deployment. The
+    (`monitoring.go:144-180`). When no client is injected, the default
+    transport is boto3's ``client('cloudwatch')`` (built lazily on first
+    flush, wrapped so the call shape stays identical for tests). The
     reference's ResolutionSec=1 cost warning applies verbatim.
 
     ``flush_daemon`` mirrors `monitoring.go:134-142`: a background
@@ -157,13 +157,12 @@ class CloudWatchMonitoringService:
 
     def flush(self) -> None:
         """One PutMetricData call per pipeline, two data each — the same
-        payload shape as `monitoring.go:146-180`."""
+        payload shape as `monitoring.go:146-180`. With no injected client
+        the default boto3 CloudWatch transport is built on first flush
+        (mirrors the SQS sink's default-boto3/injectable-sender pattern,
+        `plans/compiler.py:_sqs_writer`)."""
         if self._client is None:
-            raise NotImplementedError(
-                "CloudWatchMonitoringService needs an injected client "
-                "(put_metric_data(namespace, metric_data)); boto3 is the "
-                "production wiring and is not available in this sandbox"
-            )
+            self._client = _Boto3CloudWatchClient()
         with self._lock:
             snapshot = {k: dict(v) for k, v in self._metrics.items()}
         ts = self._clock()
@@ -209,6 +208,34 @@ class CloudWatchMonitoringService:
         if self._daemon is not None:
             self._daemon.join(timeout=5)
             self._daemon = None
+
+
+class _Boto3CloudWatchClient:
+    """Default CloudWatch transport: adapts the internal
+    ``put_metric_data(namespace, metric_data)`` call shape (epoch-float
+    timestamps, ≡ `monitoring.go:146-180`) onto boto3's
+    ``client('cloudwatch').put_metric_data(Namespace=…, MetricData=…)``
+    (datetime timestamps). Constructed lazily so an injected test client
+    never touches AWS."""
+
+    def __init__(self, client=None) -> None:
+        if client is None:
+            import boto3
+
+            client = boto3.client("cloudwatch")
+        self._boto = client
+
+    def put_metric_data(self, namespace: str, metric_data: list) -> None:
+        from datetime import datetime, timezone
+
+        data = []
+        for d in metric_data:
+            d = dict(d)
+            ts = d.get("Timestamp")
+            if isinstance(ts, (int, float)):
+                d["Timestamp"] = datetime.fromtimestamp(ts, tz=timezone.utc)
+            data.append(d)
+        self._boto.put_metric_data(Namespace=namespace, MetricData=data)
 
 
 def monitoring_service(

@@ -34,6 +34,34 @@ def json_stream(
     return reader.json(path)
 
 
+def kafka_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The reference's Kafka consumer config mapped onto the Structured
+    Streaming kafka source's option surface (`input/kafka.go:25-58`):
+    broker list ≡ ``kafka.bootstrap.servers``, topic subscription ≡
+    ``subscribe`` (the reference consumes every partition of one topic,
+    `input/kafka.go:41-51`), ``startingOffsets=latest`` ≡
+    sarama.OffsetNewest (`input/kafka.go:30`), and
+    ``maxOffsetsPerTrigger`` as the back-pressure knob replacing the
+    reference's unbuffered-channel blocking (`pipeline.go:403`).
+
+    Split out as a pure mapping so the config surface is contract-tested
+    without a broker or the kafka connector jar
+    (tests/test_streaming.py::test_kafka_reader_options_contract)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -42,18 +70,13 @@ def kafka_stream(
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """``value`` bytes column ≡ emitting msg.Value (`input/kafka.go:54-57`);
-    ``startingOffsets=latest`` ≡ sarama.OffsetNewest (`input/kafka.go:30`).
-    maxOffsetsPerTrigger is the back-pressure knob replacing the
-    reference's unbuffered-channel blocking (`pipeline.go:403`)."""
+    option mapping in :func:`kafka_options`."""
     tune(spark)
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(
+        brokers, topic, starting_offsets, max_offsets_per_trigger
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

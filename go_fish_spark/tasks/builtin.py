@@ -125,27 +125,27 @@ class Bm25Gate(BasicTask):
     (N, avgdl, per-term df) come FROZEN from the task config — fit them
     once on history with retrieval.fit_bm25_stats — so the gate is a
     pure per-row expression and runs identically in batch and streaming
-    pipelines. Options: terms [..], stats {N, avgdl, df{term:n}},
-    min_score (default 0.0), id_column (default 'doc_id'), column
-    (default 'text'), alias (score column, default 'bm25')."""
+    pipelines. The gate is ROW-PRESERVING: it appends the score and
+    match-count columns to the full input row (``df("*")`` + exprs) and
+    filters, so chaining it before another rule (pii_scrub, a sink) keeps
+    the documents — the same contract as the sibling gopher_gate.
+    Options: terms [..], stats {N, avgdl, df{term:n}}, min_score
+    (default 0.0), column (default 'text'), alias (score column, default
+    'bm25'; the match count lands in '<alias>_n_terms')."""
 
     def apply(self, df: DataFrame) -> DataFrame:
-        from ..operators.retrieval import bm25_score_with_stats
+        from ..operators.retrieval import bm25_score_exprs
 
-        scored = bm25_score_with_stats(
-            df,
-            self.options.get("id_column", "doc_id"),
-            self.options.get("column", "text"),
-            dict(self.options["stats"]),
-            list(self.options["terms"]),
-        )
-        out = scored.filter(
-            F.col("bm25") >= float(self.options.get("min_score", 0.0))
+        col = self.options.get("column", "text")
+        n_matched, score = bm25_score_exprs(
+            col, dict(self.options["stats"]), list(self.options["terms"])
         )
         alias = self.options.get("alias", "bm25")
-        if alias != "bm25":
-            out = out.withColumnRenamed("bm25", alias)
-        return out
+        return (
+            df.select("*", n_matched.alias(f"{alias}_n_terms"), score.alias(alias))
+            .where(F.col(col).isNotNull() & (F.col(f"{alias}_n_terms") > 0))
+            .filter(F.col(alias) >= float(self.options.get("min_score", 0.0)))
+        )
 
 
 @register_task("rocchio_label")

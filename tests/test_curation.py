@@ -644,6 +644,42 @@ def test_source_cap_under_branch_is_map_only(spark):
     assert kept.count() == 40
 
 
+def test_source_cap_caps_null_key_group(spark):
+    """Round-5 ADVICE fix: a NULL-keyed group over cap is capped like any
+    other key (null-safe over/under split) — and the survivors are the
+    same cap-smallest md5(id) prefix the oracle's PARTITION BY picks.
+    The frozen-threshold streaming arm must agree on the same input."""
+    import hashlib
+
+    from go_fish_spark.operators.sampling import (
+        apply_cap_thresholds,
+        source_cap,
+        source_cap_thresholds,
+    )
+
+    rows = [(i, None) for i in range(20)] + [(100 + i, "cold") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = source_cap(df, "source", "doc_id", cap=5)
+    by_src = {
+        r[0]: r[1]
+        for r in kept.groupBy("source").count().collect()
+    }
+    assert by_src == {None: 5, "cold": 3}
+    expect = sorted(
+        range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:5]
+    got = sorted(
+        r.doc_id for r in kept.filter(F.col("source").isNull()).collect()
+    )
+    assert got == sorted(expect)
+
+    th = source_cap_thresholds(df, "source", "doc_id", cap=5)
+    frozen = apply_cap_thresholds(df, th, "source", "doc_id")
+    assert sorted(
+        (r.doc_id, r.source) for r in frozen.collect()
+    ) == sorted((r.doc_id, r.source) for r in kept.collect())
+
+
 def test_global_hash_order_matches_single_window_rank(spark):
     """The bucketed distributed rank must equal the one-window global
     rank for every row (prefix-order consistency), for any n_buckets."""
@@ -883,3 +919,34 @@ def test_ordering_ops_keep_null_rows_dense(spark):
     out2 = global_hash_order(df.select("doc_id"), "doc_id", "s").collect()
     assert sorted(r.position for r in out2) == [1, 2, 3, 4]
     assert any(r.doc_id is None for r in out2)
+
+
+def test_ordering_ops_tiebreak_col_restores_total_order(spark):
+    """Round-5 ADVICE fix: with duplicate ids, (hash, id) is not a total
+    order — passing tiebreak_col appends a final deterministic sort key,
+    so positions become a pure function of (id, tiebreak) regardless of
+    layout."""
+    from go_fish_spark.operators.sampling import (
+        curriculum_order,
+        global_hash_order,
+    )
+
+    rows = [(7, f"a-{i}", 0.5) for i in range(6)] + [
+        (9, f"b-{i}", 0.9) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    for parts in (1, 5):
+        got = {
+            r.text: r.position
+            for r in global_hash_order(
+                df.repartition(parts), "doc_id", "s", tiebreak_col="text"
+            ).collect()
+        }
+        # dense 1..n, and within an id-group ordered by the tiebreak text
+        assert sorted(got.values()) == list(range(1, 11))
+        seven = [got[f"a-{i}"] for i in range(6)]
+        assert seven == sorted(seven)
+    out = curriculum_order(
+        df, "doc_id", "score", n_stages=2, seed="s", tiebreak_col="text"
+    ).collect()
+    assert sorted(r.position for r in out) == list(range(1, 11))

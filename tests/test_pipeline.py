@@ -445,10 +445,14 @@ def test_bm25_gate_and_rocchio_tasks_are_declarable(spark, tmp_path):
         "sinks": {"hits": {"type": "json", "options": {"path": outdir}}},
     }
     compile_pipeline(spark, parse_spec(spec), streaming=False).run()
+    # ROW-PRESERVING gate (round-5 ADVICE fix): the curated doc keeps its
+    # full payload (text survives for downstream rules/sinks), with the
+    # score + match-count columns appended.
     got = spark.read.schema(
-        "doc_id long, n_terms_matched long, bm25 double"
+        "doc_id long, text string, bm25_n_terms long, bm25 double"
     ).json(outdir).collect()
-    assert [r.doc_id for r in got] == [1] and got[0].n_terms_matched == 2
+    assert [r.doc_id for r in got] == [1] and got[0].bm25_n_terms == 2
+    assert got[0].text == "spark window spark merge"
 
     from go_fish_spark.tasks.registry import get_task
 

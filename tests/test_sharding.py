@@ -132,3 +132,17 @@ def test_write_sharded_append_keeps_manifest_invariant(spark, tmp_path):
     assert dup_keys == []
     assert manifest.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
     assert sharding.read_sharded(spark, path).count() == docs.count()
+
+
+def test_write_sharded_empty_input_yields_empty_manifest(spark, tmp_path):
+    """Round-5 ADVICE fix: an empty curated split must produce an empty
+    manifest, not an unable-to-infer-schema crash — the manifest pass
+    re-reads the written path with the writer's schema pinned."""
+    path = str(tmp_path / "corpus")
+    docs = _curated(spark).filter(F.lit(False))
+    manifest = sharding.write_sharded(
+        docs, path, "doc_id", n_shards=8,
+        partition_cols=["split"], size_col="n_chars",
+    )
+    assert manifest.count() == 0
+    assert {"n_docs", "tok_total", "shard", "split"} <= set(manifest.columns)

@@ -434,14 +434,62 @@ def test_cloudwatch_monitoring_golden_flush():
     assert data2[1]["Value"] == 2.0
 
 
-def test_cloudwatch_monitoring_requires_client():
-    from go_fish_spark.streaming.monitoring import CloudWatchMonitoringService
+def test_cloudwatch_default_boto3_adapter_payload_mapping():
+    """With no injected client the default transport is boto3
+    (`monitoring.py:_Boto3CloudWatchClient`) — the SQS-sink pattern.
+    Verify the adapter maps the internal (namespace, metric_data) call
+    onto boto3's keyword shape and converts epoch-float timestamps to
+    aware datetimes, using a fake boto client so no AWS call happens."""
+    from datetime import datetime, timezone
+
+    from go_fish_spark.streaming.monitoring import (
+        CloudWatchMonitoringService,
+        _Boto3CloudWatchClient,
+    )
+
+    class FakeBoto:
+        def __init__(self):
+            self.calls = []
+
+        def put_metric_data(self, **kwargs):
+            self.calls.append(kwargs)
+
+    fake = FakeBoto()
+    cw = CloudWatchMonitoringService(
+        namespace="ns",
+        client=_Boto3CloudWatchClient(client=fake),
+        clock=lambda: 1234.0,
+    )
+    cw.incr_pipelines("p")
+    cw.flush()
+    assert fake.calls and fake.calls[0]["Namespace"] == "ns"
+    data = fake.calls[0]["MetricData"]
+    assert data[0]["MetricName"] == "Pipelines"
+    assert data[0]["Timestamp"] == datetime.fromtimestamp(
+        1234.0, tz=timezone.utc
+    )
+
+
+def test_cloudwatch_default_real_boto3_client_construction(monkeypatch):
+    """Guarded real-client construction: boto3 is installed in this
+    environment, so `CloudWatchMonitoringService.flush` with no injected
+    client must build the default adapter (we pin a region so client
+    construction never depends on ambient AWS config, and stub the send
+    so nothing leaves the process)."""
     import pytest
 
-    cw = CloudWatchMonitoringService()
-    cw.incr_pipelines("p")
-    with pytest.raises(NotImplementedError, match="injected client"):
-        cw.flush()
+    pytest.importorskip("boto3")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    from go_fish_spark.streaming.monitoring import _Boto3CloudWatchClient
+
+    adapter = _Boto3CloudWatchClient()
+    assert adapter._boto is not None
+    sent = []
+    adapter._boto = type(
+        "S", (), {"put_metric_data": lambda self, **kw: sent.append(kw)}
+    )()
+    adapter.put_metric_data("ns", [{"MetricName": "Pipelines", "Value": 1.0}])
+    assert sent[0]["Namespace"] == "ns"
 
 
 def test_monitoring_service_dispatch():
@@ -984,3 +1032,91 @@ def test_stream_source_cap_vs_batch(spark, tmp_path):
         for r in spark.sql("SELECT source, doc_id FROM cap_out").collect()
     }
     assert got == batch
+
+
+def test_stream_order_keys_finalize_to_batch_positions(spark, tmp_path):
+    """x58/x63's micro-batch story (round-5 verdict item): an exact 1..n
+    position is a property of a CLOSED set, so the STREAM attaches only
+    the deterministic sort key (hash_order_key) and stage
+    (curriculum_stage) — pure map-only expressions — and the batch
+    finalizer ranks at epoch close. Parity: sorting the streamed
+    (stage, key, id) tuples reproduces global_hash_order's and
+    curriculum_order's exact positions."""
+    from go_fish_spark.operators.sampling import (
+        curriculum_order,
+        curriculum_stage,
+        global_hash_order,
+        hash_order_key,
+    )
+    from go_fish_spark.streaming import sources
+
+    rows = [(i, float((i * 37) % 100) / 100.0) for i in range(40)]
+    hist = spark.createDataFrame(rows, "doc_id long, score double")
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, score=s) for i, s in rows])
+    stream = sources.json_stream(
+        spark, str(indir), "doc_id long, score double"
+    )
+    keyed = stream.select(
+        "doc_id",
+        curriculum_stage("score", n_stages=4).alias("stage"),
+        hash_order_key("doc_id", "s").alias("okey"),
+    )
+    run_to_memory(keyed, "order_keys_out")
+    streamed = spark.table("order_keys_out").collect()
+    assert len(streamed) == 40
+
+    # epoch-close finalization: rank the streamed keys
+    flat_rank = {
+        r.doc_id: pos + 1
+        for pos, r in enumerate(
+            sorted(streamed, key=lambda r: (r.okey, r.doc_id))
+        )
+    }
+    cur_rank = {
+        r.doc_id: pos + 1
+        for pos, r in enumerate(
+            sorted(streamed, key=lambda r: (r.stage, r.okey, r.doc_id))
+        )
+    }
+    batch_flat = {
+        r.doc_id: r.position
+        for r in global_hash_order(
+            hist.select("doc_id"), "doc_id", "s"
+        ).collect()
+    }
+    batch_cur = {
+        r.doc_id: r.position
+        for r in curriculum_order(
+            hist, "doc_id", "score", n_stages=4, seed="s"
+        ).collect()
+    }
+    assert flat_rank == batch_flat
+    assert cur_rank == batch_cur
+
+
+def test_kafka_reader_options_contract():
+    """Broker-free contract test (round-5 verdict item): pins the Kafka
+    config surface ≡ `input/kafka.go:25-58` — broker list, single-topic
+    subscription (the reference consumes every partition of one topic),
+    OffsetNewest ≡ startingOffsets=latest as the DEFAULT, and
+    maxOffsetsPerTrigger as the back-pressure knob. Both call sites
+    (streaming.sources.kafka_stream and the compiler's kafka source arm)
+    build their reader from this one mapping."""
+    from go_fish_spark.streaming.sources import kafka_options
+
+    assert kafka_options("b1:9092,b2:9092", "events") == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+    }
+    assert kafka_options(
+        "b:9092", "t", starting_offsets="earliest",
+        max_offsets_per_trigger=5000,
+    ) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+    }
