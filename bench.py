@@ -138,6 +138,12 @@ HEADLINE = [
     # round-5: shared dedup-audit pass (ONE CC run for histogram +
     # canonical quality — the x49/x62 sharing item from the r04 verdict)
     "x66_dedup_audit",
+    # round-5 part 2: corpus-profile family + dup-graph PageRank
+    "x67_length_drift",
+    "x68_embedding_dim_stats",
+    "x69_vocab_growth",
+    "x70_boilerplate_affixes",
+    "x71_dupgraph_pagerank",
 ]
 
 

@@ -174,3 +174,146 @@ def cluster_size_histogram(components: DataFrame) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph — the
+    centrality ranking a curation pipeline runs on its near-dup/overlap
+    graph to find HUB documents (boilerplate templates, mirror roots)
+    that pair with many others without any single cluster being large
+    enough for the size-histogram (x62) to flag.
+
+    Deterministic by construction: exactly ``n_iter`` power iterations
+    (no data-dependent convergence test, so an unrolled-CTE SQL oracle
+    can mirror it), per-neighbor contributions rounded to 12 then summed
+    as decimal(27,18) (order-independent), each iteration's rank rounded
+    to 9 — the same cross-engine float discipline as x34/x55. Isolated
+    nodes hold the floor (1−d)/N; mass leaking through them is accepted
+    (standard un-normalized variant) and identical across engines.
+
+    100 TB shape: like :func:`connected_components` — the symmetrized
+    adjacency is pre-partitioned on the join key and persisted (only the
+    rank side moves per round), per-round state is one slim (id, rank)
+    frame truncated with localCheckpoint, and per-iteration cost is one
+    join + one aggregation. ``n_iter`` is fixed and small.
+
+    Output: (id_col, pr DOUBLE round-9) for every node, isolated nodes
+    included.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    adj = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+        .repartition("src")
+        .persist()
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    n = nodes.select(F.col(id_col).alias("id")).distinct().count()
+    if n == 0:
+        adj.unpersist()
+        return nodes.select(
+            F.col(id_col), F.lit(None).cast("double").alias("pr")
+        )
+    r0_val = 1.0 / n
+    base = (1.0 - damping) / n
+    ranks = (
+        nodes.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(r0_val).alias("pr"))
+        .localCheckpoint()
+    )
+    zero = F.lit(0).cast("decimal(27,18)")
+    for _ in range(n_iter):
+        contrib = (
+            adj.join(ranks, adj["src"] == ranks["id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.round(F.col("pr") / F.col("_d"), 12)
+                .cast("decimal(27,18)")
+                .alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            ranks.select("id")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("_s"), zero).cast("double"),
+                    9,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    adj.unpersist()
+    return ranks.select(F.col("id").alias(id_col), "pr")
+
+
+def duck_pagerank_sql(
+    nodes_select: str,
+    und_select: str,
+    id_out: str = "id",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB mirror of :func:`pagerank` as an unrolled CTE chain (the
+    fixed iteration count is what makes the mirror expressible without a
+    recursive aggregate). ``nodes_select`` yields one column ``id``;
+    ``und_select`` yields the already-SYMMETRIZED distinct edge list
+    (src, dst). Same literal forcing (``_dlit``), same round-12 →
+    decimal(27,18) → round-9 order as the Spark arm."""
+    from .similarity import _dlit
+
+    d = _dlit(damping)
+    omd = _dlit(1.0 - damping)
+    parts = [
+        f"nodes AS ({nodes_select})",
+        f"und AS ({und_select})",
+        "tot AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS _d FROM und GROUP BY src)",
+        # _dlit forces a DOUBLE literal: bare 1.0 parses as DECIMAL and
+        # decimal/bigint division is decimal, not the IEEE divide the
+        # Spark arm performs driver-side.
+        f"r0 AS (SELECT id, {_dlit(1.0)} / tot.n AS pr "
+        "FROM nodes CROSS JOIN tot)",
+    ]
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"""{cur} AS (
+      SELECT {prev}.id,
+             round({omd} / tot.n + {d} * CAST(coalesce(s._s,
+                     CAST(0 AS DECIMAL(27,18))) AS DOUBLE), 9) AS pr
+      FROM {prev} CROSS JOIN tot LEFT JOIN (
+        SELECT und.dst AS id,
+               sum(CAST(round({prev}.pr / deg._d, 12) AS DECIMAL(27,18))) AS _s
+        FROM und JOIN {prev} ON und.src = {prev}.id
+                 JOIN deg ON und.src = deg.src
+        GROUP BY und.dst
+      ) s ON {prev}.id = s.id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT id AS {id_out}, pr FROM r{n_iter} ORDER BY id"
+    )

@@ -1,0 +1,342 @@
+"""Corpus-profile operators — the distribution-level monitors a
+training-data pipeline publishes alongside its per-document scores:
+per-source length-distribution drift, embedding-dimension health,
+vocabulary-growth (Heaps-law) curves, and shared boilerplate
+prefix/suffix detection.
+
+Reference anchor: the reference has no profiling family (gap category,
+SURVEY.md §2.6); these are release-audit staples of large corpus work
+(the C4/Pile/Gopher-style dataset analyses).
+
+100 TB shape, per op:
+  * :func:`length_drift` — two bounded groupBys ((source × ~40 power-of-2
+    bins), then source) with map-side combine; the corpus-wide bin
+    distribution is a ≤ 40-row broadcast. The corpus shuffles ONCE on
+    the slim (source, bin) pair.
+  * :func:`embedding_dim_stats` — one posexplode to (dim, value) and one
+    bounded groupBy on dim (= vector width keys); decimal-exact sums so
+    the result is partitioning-order-independent.
+  * :func:`vocab_growth` — the 10-prefix distinct-vocabulary curve
+    WITHOUT 10 corpus rescans: one (token) shuffle computes each token's
+    FIRST prefix bucket (min over md5 doc buckets), then every curve
+    point is a cumulative sum over the bounded (bucket → counts) frame.
+  * :func:`boilerplate_affixes` — map-only affix extraction, one groupBy
+    on the (kind, affix) key; output bounded by the min_docs floor.
+
+Cross-engine float discipline (the x34/x55 recipe): ratio terms are
+double arithmetic ending in ``round(·, 12)``, accumulated as
+decimal(27,18) (exact, order-independent), final values round 9;
+integer outputs stay integer (exact by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .sampling import duck_hash_bucket, hash_bucket
+
+
+def length_drift(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group KL divergence of the character-length distribution
+    (power-of-2 bins) against the whole-corpus distribution — the drift
+    monitor that catches one source suddenly shipping truncated or
+    concatenated documents. NULL text is excluded (no length).
+
+    Output: (group_col, n_docs BIGINT, kl DOUBLE round-9), one row per
+    group, KL = Σ_bins p·ln(p/q) with p the group's bin share and q the
+    corpus bin share (q > 0 wherever p > 0, since the corpus contains
+    the group)."""
+    ln = F.length(F.col(text_col))
+    bin_ = F.pow(F.lit(2.0), F.floor(F.log2(F.greatest(ln, F.lit(1))))).cast(
+        "bigint"
+    )
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), bin_.alias("_b")
+    )
+    # ONE corpus pass: the (group, bin) counts are bounded
+    # (n_groups × ~40 rows) — materialize them (localCheckpoint) so the
+    # three derivations below never rescan the corpus.
+    gb = (
+        base.groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).alias("_n_gb"))
+        .localCheckpoint()
+    )
+    g = gb.groupBy("_g").agg(F.sum("_n_gb").alias("_n_g"))
+    b = gb.groupBy("_b").agg(F.sum("_n_gb").alias("_n_b"))
+    n_total = gb.agg(F.sum("_n_gb")).collect()[0][0]  # bounded scalar
+    p = F.col("_n_gb") / F.col("_n_g")
+    q = F.col("_n_b") / F.lit(float(n_total))
+    term = F.round(p * F.log(p / q), 12).cast("decimal(27,18)")
+    return (
+        gb.join(g, "_g")
+        .join(F.broadcast(b), "_b")
+        .select("_g", "_n_g", term.alias("_t"))
+        .groupBy("_g", "_n_g")
+        .agg(F.round(F.sum("_t").cast("double"), 9).alias("kl"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n_g").cast("bigint").alias("n_docs"),
+            "kl",
+        )
+    )
+
+
+def duck_length_drift_sql(
+    table: str, group_col: str, text_col: str
+) -> str:
+    """DuckDB mirror of :func:`length_drift` — same bins, same
+    operation order inside the KL term, same round-12 → decimal → round-9
+    discipline."""
+    return f"""
+    WITH base AS (
+      SELECT {group_col} AS _g,
+             CAST(pow(2, floor(log2(greatest(length({text_col}), 1))))
+                  AS BIGINT) AS _b
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    gb AS (SELECT _g, _b, count(*) AS _n_gb FROM base GROUP BY _g, _b),
+    g AS (SELECT _g, sum(_n_gb) AS _n_g FROM gb GROUP BY _g),
+    b AS (SELECT _b, sum(_n_gb) AS _n_b FROM gb GROUP BY _b),
+    tot AS (SELECT count(*) AS _n FROM base)
+    SELECT gb._g AS {group_col},
+           CAST(any_value(g._n_g) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(round(
+             (gb._n_gb / g._n_g)
+             * ln((gb._n_gb / g._n_g) / (b._n_b / CAST(tot._n AS DOUBLE))),
+             12) AS DECIMAL(27,18))) AS DOUBLE), 9) AS kl
+    FROM gb JOIN g USING (_g) JOIN b USING (_b) CROSS JOIN tot
+    GROUP BY gb._g
+    """
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension corpus statistics over an embedding column — the
+    dead/degenerate-dimension audit run before any ANN index build: a
+    dimension whose variance collapsed (or that went exactly zero on a
+    bad producer batch) poisons every cosine downstream.
+
+    Output per dimension: (dim INT, n BIGINT, n_zero BIGINT, mean DOUBLE
+    round-9, var DOUBLE round-9). Sums are decimal-exact
+    (order-independent); mean/var are computed double-side in one fixed
+    operation order: mean = s/n, var = s2/n − mean²."""
+    e = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v")).select(
+        "dim", F.col("_v").cast("double").alias("_v")
+    )
+    s = F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
+    s2 = F.sum(
+        F.round(F.col("_v") * F.col("_v"), 12).cast("decimal(38,12)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    mean = s / n
+    return (
+        e.groupBy("dim")
+        .agg(
+            n.alias("n"),
+            F.count(F.when(F.col("_v") == 0.0, 1)).alias("n_zero"),
+            F.round(mean, 9).alias("mean"),
+            F.round(s2 / n - mean * mean, 9).alias("var"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "n_zero",
+            "mean",
+            "var",
+        )
+    )
+
+
+def duck_embedding_dim_stats_sql(table: str, vec_col: str) -> str:
+    """DuckDB mirror of :func:`embedding_dim_stats` (0-based dims, same
+    decimal sums, same mean/var operation order)."""
+    return f"""
+    WITH e AS (
+      SELECT generate_subscripts({vec_col}, 1) - 1 AS dim,
+             CAST(unnest({vec_col}) AS DOUBLE) AS _v
+      FROM {table}
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           count(*) AS n,
+           CAST(count(*) FILTER (WHERE _v = 0.0) AS BIGINT) AS n_zero,
+           round(CAST(sum(CAST(_v AS DECIMAL(38,12))) AS DOUBLE) / count(*),
+                 9) AS mean,
+           round(CAST(sum(CAST(round(_v * _v, 12) AS DECIMAL(38,12)))
+                      AS DOUBLE) / count(*)
+                 - (CAST(sum(CAST(_v AS DECIMAL(38,12))) AS DOUBLE)
+                    / count(*))
+                   * (CAST(sum(CAST(_v AS DECIMAL(38,12))) AS DOUBLE)
+                      / count(*)),
+                 9) AS var
+    FROM e GROUP BY dim
+    """
+
+
+def vocab_growth(
+    df: DataFrame, id_col: str, text_col: str, n_steps: int = 10
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: corpus prefixes of
+    10%, 20%, …, 100% of documents in deterministic md5-hash order, and
+    for each prefix the document count, total token occurrences, and
+    DISTINCT token count. Sublinear distinct growth is the expected
+    shape; a curve that stays near-linear flags an open vocabulary
+    (ids/hashes in text), and one that flattens immediately flags
+    template spam.
+
+    The distinct counts need no per-step rescan: each token's FIRST
+    bucket (min md5 doc-bucket it occurs in) is a single (token) shuffle;
+    a token is IN the step-s vocabulary iff first_bucket < s·(100/n_steps)
+    — so every curve point is a cumulative sum over the bounded
+    (bucket → counts) frame. All outputs are integers (exact).
+
+    Output: (step INT 1-based, n_docs, n_tokens, n_distinct_tokens)."""
+    if not 1 <= n_steps <= 100:
+        raise ValueError("n_steps must be in [1, 100]")
+    width = 100 // n_steps
+    base = df.where(F.col(text_col).isNotNull()).select(
+        hash_bucket(F.col(id_col)).alias("_bk"),
+        tokens(text_col).alias("_ts"),
+    )
+    docs = base.groupBy("_bk").agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.sum(F.size("_ts")).alias("_nt"),
+    )
+    firsts = (
+        base.select("_bk", F.explode("_ts").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.min("_bk").alias("_fb"))
+        .groupBy("_fb")
+        .agg(F.count(F.lit(1)).alias("_nv"))
+    )
+    steps = df.sparkSession.range(1, n_steps + 1).select(
+        F.col("id").cast("int").alias("step"),
+        (F.col("id") * width).alias("_lim"),
+    )
+    agg_docs = (
+        steps.join(F.broadcast(docs), F.col("_bk") < F.col("_lim"), "left")
+        .groupBy("step")
+        .agg(
+            F.coalesce(F.sum("_nd"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).alias("n_tokens"),
+        )
+    )
+    agg_vocab = (
+        steps.join(F.broadcast(firsts), F.col("_fb") < F.col("_lim"), "left")
+        .groupBy("step")
+        .agg(F.coalesce(F.sum("_nv"), F.lit(0)).alias("n_distinct_tokens"))
+    )
+    return (
+        agg_docs.join(agg_vocab, "step")
+        .select(
+            "step",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct_tokens").cast("bigint").alias(
+                "n_distinct_tokens"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+def duck_vocab_growth_sql(
+    table: str, id_col: str, text_col: str, n_steps: int = 10
+) -> str:
+    """DuckDB mirror of :func:`vocab_growth` (same md5 buckets, same
+    min-first-bucket trick)."""
+    width = 100 // n_steps
+    bucket = duck_hash_bucket(id_col)
+    return f"""
+    WITH base AS (
+      SELECT {bucket} AS _bk, string_split({text_col}, ' ') AS _ts
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    docs AS (
+      SELECT _bk, count(*) AS _nd, sum(len(_ts)) AS _nt
+      FROM base GROUP BY _bk
+    ),
+    firsts AS (
+      SELECT _tok, min(_bk) AS _fb
+      FROM (SELECT _bk, unnest(_ts) AS _tok FROM base) GROUP BY _tok
+    ),
+    fb AS (SELECT _fb, count(*) AS _nv FROM firsts GROUP BY _fb),
+    steps AS (
+      SELECT CAST(s AS INTEGER) AS step, s * {width} AS _lim
+      FROM generate_series(1, {n_steps}) t(s)
+    )
+    SELECT steps.step,
+           CAST(coalesce((SELECT sum(_nd) FROM docs WHERE _bk < _lim), 0)
+                AS BIGINT) AS n_docs,
+           CAST(coalesce((SELECT sum(_nt) FROM docs WHERE _bk < _lim), 0)
+                AS BIGINT) AS n_tokens,
+           CAST(coalesce((SELECT sum(_nv) FROM fb WHERE _fb < _lim), 0)
+                AS BIGINT) AS n_distinct_tokens
+    FROM steps ORDER BY step
+    """
+
+
+def boilerplate_affixes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Shared document prefixes/suffixes — crawl boilerplate detection
+    below full-document granularity: mirrored headers, injected footers,
+    and licence banners surface as a k-char affix shared by many docs
+    whose bodies differ (so exact dedup misses them).
+
+    Output per shared affix: (kind 'prefix'|'suffix', affix STRING,
+    n_docs BIGINT, min_doc, max_doc) for affixes shared by ≥ min_docs
+    docs. Map-only affix extraction; one groupBy on the (kind, affix)
+    key; output bounded by the min_docs floor."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= k)
+    )
+    parts = base.select(
+        F.lit("prefix").alias("kind"),
+        F.substring(F.col(text_col), 1, k).alias("affix"),
+        F.col(id_col).alias("_id"),
+    ).unionByName(
+        base.select(
+            F.lit("suffix").alias("kind"),
+            F.expr(f"right({text_col}, {k})").alias("affix"),
+            F.col(id_col).alias("_id"),
+        )
+    )
+    return (
+        parts.groupBy("kind", "affix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_id").alias("min_doc"),
+            F.max("_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def duck_boilerplate_affixes_sql(
+    table: str, id_col: str, text_col: str, k: int = 32, min_docs: int = 2
+) -> str:
+    """DuckDB mirror of :func:`boilerplate_affixes`."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS _id, {text_col} AS _t FROM {table}
+      WHERE {text_col} IS NOT NULL AND length({text_col}) >= {k}
+    ),
+    parts AS (
+      SELECT 'prefix' AS kind, substring(_t, 1, {k}) AS affix, _id FROM base
+      UNION ALL
+      SELECT 'suffix' AS kind, right(_t, {k}) AS affix, _id FROM base
+    )
+    SELECT kind, affix, count(*) AS n_docs,
+           min(_id) AS min_doc, max(_id) AS max_doc
+    FROM parts GROUP BY kind, affix
+    HAVING count(*) >= {min_docs}
+    """

@@ -25,3 +25,4 @@ from . import ann as _ann_family  # noqa: F401
 from . import text as _text_family  # noqa: F401
 from . import sampling as _sampling_family  # noqa: F401
 from . import pipeline as _pipeline_family  # noqa: F401
+from . import profile as _profile_family  # noqa: F401

@@ -1,0 +1,134 @@
+"""x-series, corpus-profile family: distribution-level release audits —
+per-source length drift, embedding-dimension health, vocabulary-growth
+(Heaps-law) curves, boilerplate affix detection, and near-dup-graph
+PageRank centrality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from ...catalog import table
+from ...operators import dedup
+from ...operators.graph import duck_pagerank_sql, pagerank
+from ...operators.profile import (
+    boilerplate_affixes,
+    duck_boilerplate_affixes_sql,
+    duck_embedding_dim_stats_sql,
+    duck_length_drift_sql,
+    duck_vocab_growth_sql,
+    embedding_dim_stats,
+    length_drift,
+    vocab_growth,
+)
+from .. import query
+from ._shared import _DUCK_SHINGLES  # noqa: F401
+
+
+@query(
+    "x67_length_drift",
+    oracle=duck_length_drift_sql("documents", "source", "text")
+    + " ORDER BY source",
+)
+def x67_length_drift(spark, sf_dir):
+    """Per-source length-distribution drift (profile.length_drift): KL
+    divergence of each source's power-of-2 character-length histogram
+    against the corpus-wide distribution — the monitor that catches one
+    crawl suddenly shipping truncated or concatenated documents. ONE
+    corpus pass produces the bounded (source, bin) counts; every
+    derivation (per-source totals, corpus bins, KL terms) runs on that
+    materialized ≤ sources×40-row frame."""
+    return length_drift(
+        table(spark, sf_dir, "documents"), "source", "text"
+    ).orderBy("source")
+
+
+@query(
+    "x68_embedding_dim_stats",
+    oracle=duck_embedding_dim_stats_sql("embeddings", "embedding")
+    + " ORDER BY dim",
+)
+def x68_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health audit (profile.embedding_dim_stats):
+    count, zero-count, mean and variance for every dimension — the
+    dead/degenerate-dimension check run before any ANN index build. One
+    posexplode to (dim, value), one bounded groupBy (= vector width
+    keys); decimal-exact sums make the result independent of partition
+    order."""
+    return embedding_dim_stats(
+        table(spark, sf_dir, "embeddings"), "embedding"
+    ).orderBy("dim")
+
+
+@query(
+    "x69_vocab_growth",
+    oracle=duck_vocab_growth_sql("documents", "doc_id", "text"),
+)
+def x69_vocab_growth(spark, sf_dir):
+    """Vocabulary-growth (Heaps-law) curve (profile.vocab_growth):
+    docs / token occurrences / DISTINCT tokens at 10%..100% corpus
+    prefixes in deterministic md5 order. The distinct counts come from
+    one (token) shuffle computing each token's FIRST prefix bucket —
+    no per-step rescan; every curve point is a cumulative sum over the
+    bounded bucket frame. All-integer output (exact)."""
+    return vocab_growth(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "x70_boilerplate_affixes",
+    oracle=duck_boilerplate_affixes_sql(
+        "documents", "doc_id", "text", k=16, min_docs=2
+    )
+    + " ORDER BY kind, affix",
+)
+def x70_boilerplate_affixes(spark, sf_dir):
+    """Shared 16-char document prefixes/suffixes
+    (profile.boilerplate_affixes): crawl boilerplate — mirrored headers,
+    injected footers — surfaces as an affix shared across docs whose
+    bodies differ, which exact dedup misses. Map-only extraction, one
+    groupBy on the (kind, affix) key, output bounded by the min_docs
+    floor."""
+    return boilerplate_affixes(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=16, min_docs=2
+    ).orderBy("kind", "affix")
+
+
+_X71_UND = f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    )
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+"""
+
+
+@query(
+    "x71_dupgraph_pagerank",
+    oracle=duck_pagerank_sql(
+        "SELECT doc_id AS id FROM documents", _X71_UND, id_out="doc_id"
+    ),
+)
+def x71_dupgraph_pagerank(spark, sf_dir):
+    """PageRank centrality over the near-dup graph (graph.pagerank, 5
+    fixed power iterations, d = 0.85): finds HUB documents — boilerplate
+    templates and mirror roots that pair with many others without any
+    single cluster growing large enough for the x62 histogram to flag.
+    A second ITERATIVE graph op beside connected components: same
+    pre-partitioned persisted adjacency (only the slim rank frame moves
+    per round), per-round lineage truncation, and an unrolled-CTE oracle
+    made possible by the fixed iteration count. Deterministic across
+    engines via the round-12/decimal-sum/round-9 discipline."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    return pagerank(
+        docs.select("doc_id"), pairs, id_col="doc_id", n_iter=5
+    ).orderBy("doc_id")

@@ -531,3 +531,35 @@ def test_x47_ivfpq_joins_on_cell_key_only(spark):
     plan = plan_of(spark, "x47_ivfpq")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_x68_dim_stats_single_exchange_on_bounded_dim_key(spark):
+    """embedding_dim_stats: one posexplode, ONE exchange on the bounded
+    dim key (= vector width), partial aggregation map-side."""
+    plan = plan_of(spark, "x68_embedding_dim_stats")
+    body = plan.split("===== Subqueries =====")[0]
+    # exactly one hash exchange (the dim groupBy); the only other
+    # exchange is the 64-row output sort's rangepartitioning
+    assert body.count("hashpartitioning(dim") == 1
+    assert body.count("hashpartitioning(") == 1
+    assert "HashAggregate" in body  # partial+final pair
+
+
+def test_x70_affixes_single_exchange_map_only_extraction(spark):
+    """boilerplate_affixes: affix extraction is map-only (no join), the
+    only exchange is the (kind, affix) groupBy key."""
+    plan = plan_of(spark, "x70_boilerplate_affixes")
+    body = plan.split("===== Subqueries =====")[0]
+    assert "Join" not in body
+    assert body.count("hashpartitioning(kind") == 1
+    assert body.count("hashpartitioning(") == 1
+
+
+def test_x67_length_drift_derivations_read_checkpointed_counts(spark):
+    """length_drift: the corpus is scanned once into the bounded
+    (group, bin) count frame; every KL derivation reads the materialized
+    checkpoint (ExistingRDD), not the corpus scan."""
+    plan = plan_of(spark, "x67_length_drift")
+    body = plan.split("===== Subqueries =====")[0]
+    assert "Scan ExistingRDD" in body
+    assert "Scan parquet" not in body  # corpus only feeds the checkpoint
