@@ -28,7 +28,6 @@ from go_fish_spark.catalog import table  # noqa: E402
 from go_fish_spark.functions import text as tx  # noqa: E402
 from go_fish_spark.operators import decontam, dedup  # noqa: E402
 from go_fish_spark.operators.chunking import chunk_documents, pack_documents  # noqa: E402
-from go_fish_spark.operators.graph import connected_components  # noqa: E402
 from go_fish_spark.operators.sampling import (  # noqa: E402
     global_hash_order,
     rebalance_mix,
@@ -76,12 +75,19 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         "_rn", F.row_number().over(w)
     ).filter(F.col("_rn") == 1).drop("_rn"))
 
-    # 5. near-dup clustering -> canonical doc per cluster
-    pairs = dedup.ngram_jaccard_pairs(uniq, "doc_id", "text", k=3, threshold=0.3)
-    comp = connected_components(uniq.select("doc_id"), pairs, id_col="doc_id")
+    # 5. near-dup clustering via the SHARED audit pass (x66): pair graph
+    #    + connected components computed ONCE, then (a) canonical
+    #    selection and (b) the audit histogram both read the same
+    #    materialized label frame — no second CC run for the report.
+    from go_fish_spark.operators.audit import dedup_audit
+
+    audit = dedup_audit(uniq, "doc_id", "text", tx.quality_score("text"))
     canon = log("near-dup canonical", uniq.join(
-        comp, uniq["doc_id"] == comp["id"]
+        audit.components, uniq["doc_id"] == audit.components["id"]
     ).filter(F.col("doc_id") == F.col("component")).drop("id", "component"))
+    if verbose:
+        print("dedup-audit cluster-size histogram (same CC pass):")
+        audit.histogram.show(5)
 
     # 6. decontaminate against the (synthetic) benchmark slice
     is_eval = F.col("doc_id") % 97 == 0
@@ -118,7 +124,25 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         "*", split_assign("doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
     )
 
-    # 10. reproducible epoch order (x58): every packed row gets its exact
+    # 10. release profile (x67/x70): the distribution-level audits
+    #     published next to the corpus — per-source length drift and
+    #     shared-boilerplate affixes over the CURATED set
+    if verbose:
+        from go_fish_spark.operators.profile import (
+            boilerplate_affixes,
+            length_drift,
+        )
+
+        print("per-source length drift (KL vs corpus):")
+        length_drift(balanced, "source", "text").orderBy(
+            F.col("kl").desc()
+        ).show(5)
+        n_affix = boilerplate_affixes(
+            balanced, "doc_id", "text", k=16, min_docs=2
+        ).count()
+        print(f"shared 16-char affixes across curated docs: {n_affix}")
+
+    # 11. reproducible epoch order (x58): every packed row gets its exact
     #     position in the seeded global shuffle — the order the loader
     #     reads, re-derivable from ids alone
     return log("epoch-ordered", global_hash_order(split, "doc_id", seed="epoch0"))

@@ -35,6 +35,55 @@ def eval_shingle_set(eval_docs: DataFrame, text_col: str, k: int = 3) -> DataFra
     )
 
 
+def fit_eval_shingles(
+    eval_docs: DataFrame, text_col: str, k: int = 3
+) -> list[str]:
+    """Pass 1 of the STREAMING decontamination form (the fit-on-history /
+    apply-on-stream split of x30/x43/x56/x57): collect the benchmark's
+    distinct shingle set driver-side. Bounded by construction — the eval
+    side is a benchmark (thousands of docs), the same boundedness
+    argument as the x32 automaton's collected probe list."""
+    return sorted(
+        r.sh for r in eval_shingle_set(eval_docs, text_col, k).collect()
+    )
+
+
+def contamination_hits_expr(
+    text_col: str, eval_shingles: list[str], k: int = 3
+) -> Column:
+    """Pass 2, streaming-safe: ``n_hits`` as a PURE per-row expression —
+    |doc's distinct k-shingles ∩ frozen eval set| via array_intersect
+    with the literal shingle array. No explode, no join, no aggregation,
+    no state: runs identically on batch and streaming frames and equals
+    :func:`contaminated_docs`'s count exactly on any corpus (both count
+    distinct train shingles present anywhere in the benchmark).
+
+    Appropriate while |eval_shingles| stays benchmark-sized (≤ ~10⁵ — a
+    literal array evaluated per row); beyond that, the batch broadcast
+    join or the x32 automaton route is the right tool."""
+    lit_set = F.array(*[F.lit(s) for s in eval_shingles])
+    return F.size(F.array_intersect(tx.word_shingles(text_col, k), lit_set))
+
+
+def contaminated_docs_frozen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_shingles: list[str],
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Streaming arm of :func:`contaminated_docs`: same output shape
+    ``(id_col, n_hits)``, same semantics, driven entirely by
+    :func:`contamination_hits_expr` (map-only — a live stream is flagged
+    row by row with zero shuffles)."""
+    n = contamination_hits_expr(text_col, eval_shingles, k)
+    return (
+        df.select(F.col(id_col), n.cast("bigint").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+
+
 def contaminated_docs(
     train_docs: DataFrame,
     eval_docs: DataFrame,

@@ -166,14 +166,42 @@ def main() -> None:
         "x63_curriculum_order": lambda d: REGISTRY["x63_curriculum_order"].fn(spark, d).count(),
         "x64_mutual_knn": lambda d: REGISTRY["x64_mutual_knn"].fn(spark, d).count(),
         "x65_nearest_centroid": lambda d: REGISTRY["x65_nearest_centroid"].fn(spark, d).count(),
+        # round-5: corpus-profile family (bounded groupBys /
+        # one-token-shuffle curves / map-only affixes) and fixed-iteration
+        # PageRank (per-round join+agg like CC). x66 (shared dedup-audit)
+        # IS x49's pair-graph + CC work paid once for two consumers — it
+        # rides x49's law exactly and is measured there; its 1x sharing
+        # win vs running x49+x62 separately is recorded in SCALE.md.
+        "x67_length_drift": lambda d: REGISTRY["x67_length_drift"].fn(spark, d).count(),
+        "x68_embedding_dim_stats": lambda d: REGISTRY["x68_embedding_dim_stats"].fn(spark, d).count(),
+        "x69_vocab_growth": lambda d: REGISTRY["x69_vocab_growth"].fn(spark, d).count(),
+        "x70_boilerplate_affixes": lambda d: REGISTRY["x70_boilerplate_affixes"].fn(spark, d).count(),
+        "x71_dupgraph_pagerank": lambda d: REGISTRY["x71_dupgraph_pagerank"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
         keep = {k.strip() for k in only.split(",") if k.strip()}
         cases = {k: v for k, v in cases.items() if k in keep}
+    import gc
+
+    def release_between_cases():
+        # Back-to-back heavy cases (x49-class pair-graph + CC runs)
+        # otherwise accumulate checkpointed label RDDs and persisted
+        # adjacency frames until the 10x case hits
+        # UNABLE_TO_ACQUIRE_MEMORY (round-5 postmortem): release the
+        # dedup signature caches, drop cached frames, and run Python GC
+        # so the ContextCleaner can reap out-of-scope checkpoint RDDs.
+        from go_fish_spark.operators.dedup import release_caches
+
+        release_caches()
+        spark.catalog.clearCache()
+        gc.collect()
+
     for label, fn in cases.items():
         t1, n1 = timed(lambda: fn(BASE))
+        release_between_cases()
         tn, nn = timed(lambda: fn(scaled))
+        release_between_cases()
         results[label] = {
             "t_1x_sec": round(t1, 2),
             f"t_{n}x_sec": round(tn, 2),

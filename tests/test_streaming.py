@@ -1120,3 +1120,49 @@ def test_kafka_reader_options_contract():
         "startingOffsets": "earliest",
         "maxOffsetsPerTrigger": "5000",
     }
+
+
+def test_stream_decontamination_vs_batch(spark, tmp_path):
+    """x21's streaming form: the benchmark's distinct shingle set is FIT
+    on the static eval corpus (fit_eval_shingles — bounded, the x32
+    collected-probe argument), frozen into a literal array, and a live
+    stream is flagged with a pure per-row array_intersect count
+    (contamination_hits_expr — no explode/join/state). Golden: streaming
+    hits equal the batch contaminated_docs output exactly."""
+    from go_fish_spark.operators import decontam
+    from go_fish_spark.streaming import sources
+
+    train_rows = [
+        (1, "the quick brown fox jumps over things"),
+        (2, "totally unrelated words here now ok"),
+        (3, "a quick brown fox appears twice quick brown fox"),
+        (4, "one two three four five six"),
+    ]
+    eval_rows = [(100, "saw a quick brown fox run"), (101, "one two three")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    batch = {
+        (r.doc_id, r.n_hits)
+        for r in decontam.contaminated_docs(train, ev, "doc_id", "text").collect()
+    }
+    sh = decontam.fit_eval_shingles(ev, "text")
+    frozen_batch = {
+        (r.doc_id, r.n_hits)
+        for r in decontam.contaminated_docs_frozen(
+            train, "doc_id", "text", sh
+        ).collect()
+    }
+    assert frozen_batch == batch and batch  # non-trivial
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, text=t) for i, t in train_rows])
+    stream = sources.json_stream(spark, str(indir), "doc_id long, text string")
+    run_to_memory(
+        decontam.contaminated_docs_frozen(stream, "doc_id", "text", sh),
+        "decontam_out",
+    )
+    streamed = {
+        (r.doc_id, r.n_hits)
+        for r in spark.table("decontam_out").collect()
+    }
+    assert streamed == batch
