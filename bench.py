@@ -12,11 +12,12 @@ plan + execute + collect-count (count() keeps the full plan but avoids
 driver-side result materialization skew for wide outputs).
 
 NOTE on cross-round comparison: the HEADLINE set GROWS each round (22
-queries in r01 → 41 in r02 → 52 in r03 → 81 in r04), so the headline
-TOTAL is not comparable across rounds — compare per-query timings. The
-52 queries common to r03 and r04 total 38.7 s in r03 and 24.2 s in r04
-(same sf0.1, local[32]); every r01-set query has run faster in every
-round since.
+queries in r01 → 41 in r02 → 52 in r03 → 81 in r04 → 88 in r05), so the
+headline TOTAL is not comparable across rounds — compare per-query
+timings. The 52 queries common to r03 and r04 total 38.7 s in r03 and
+24.2 s in r04 (same sf0.1, local[32]); r04 → r05 is flat on the 70
+capturable common queries (46.6 s → 48.4 s, within the observed ±25%
+per-query noise band; no regression exceeds 0.5 s absolute).
 """
 
 from __future__ import annotations
@@ -144,6 +145,7 @@ HEADLINE = [
     "x69_vocab_growth",
     "x70_boilerplate_affixes",
     "x71_dupgraph_pagerank",
+    "x72_source_attrition",
 ]
 
 

@@ -417,3 +417,74 @@ def x66_dedup_audit(spark, sf_dir):
         .agg(F.max("best_quality").alias("q_max"))
     )
     return audit.histogram.join(qb, "bucket_lo").orderBy("bucket_lo")
+
+
+@query(
+    "x72_source_attrition",
+    oracle=f"""
+    WITH RECURSIVE
+    {_X66_COMP},
+    j AS (
+      SELECT d.doc_id, d.source AS own_src, c.component,
+             cd.source AS canon_src
+      FROM documents d
+      JOIN comp c USING (doc_id)
+      JOIN documents cd ON c.component = cd.doc_id
+    )
+    SELECT own_src AS source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id = component) AS BIGINT)
+             AS n_canonical,
+           CAST(count(*) FILTER (WHERE doc_id != component
+                                 AND own_src = canon_src) AS BIGINT)
+             AS n_absorbed_same_source,
+           CAST(count(*) FILTER (WHERE doc_id != component
+                                 AND own_src != canon_src) AS BIGINT)
+             AS n_absorbed_cross_source
+    FROM j GROUP BY own_src ORDER BY source
+    """,
+)
+def x72_source_attrition(spark, sf_dir):
+    """Per-source dedup ATTRITION report — the third consumer of the
+    shared audit pass (operators/audit.py): for each source, how many of
+    its docs survive as canonical (min-id per near-dup cluster, i.e. the
+    CC label itself) vs get absorbed into a canonical of the SAME source
+    (internal duplication) vs a DIFFERENT source (mirroring — this
+    column is the directional evidence behind the x50 overlap matrix).
+    All-integer output (exact). One CC pass + two broadcast-joinable
+    lookups of the bounded docs(source) projection; the doc→source map
+    is corpus-sized but joins on doc_id (the CC frame's own key)."""
+    from ...operators.audit import dedup_audit
+
+    docs = table(spark, sf_dir, "documents")
+    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    src = docs.select("doc_id", "source")
+    j = (
+        audit.components.select(
+            F.col("id").alias("doc_id"), "component"
+        )
+        .join(src, "doc_id")
+        .join(
+            src.select(
+                F.col("doc_id").alias("component"),
+                F.col("source").alias("_canon_src"),
+            ),
+            "component",
+        )
+    )
+    is_canon = F.col("doc_id") == F.col("component")
+    same = F.col("source") == F.col("_canon_src")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(is_canon, 1)).alias("n_canonical"),
+            F.count(F.when(~is_canon & same, 1)).alias(
+                "n_absorbed_same_source"
+            ),
+            F.count(F.when(~is_canon & ~same, 1)).alias(
+                "n_absorbed_cross_source"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -148,6 +148,31 @@ class Bm25Gate(BasicTask):
         )
 
 
+@register_task("decontam_gate")
+class DecontamGate(BasicTask):
+    """Curation leakage gate (x21's streaming form): DROP documents
+    sharing ≥ min_hits word-k-shingles with a configured benchmark
+    shingle set — fit once on the static eval corpus with
+    decontam.fit_eval_shingles, frozen into the task config, so the gate
+    is a pure per-row array_intersect count and runs identically in
+    batch and streaming pipelines. ROW-PRESERVING like gopher_gate /
+    bm25_gate: survivors keep every input column. NULL text has no
+    shingles and passes (it can't leak). Options: shingles [..],
+    k (default 3), min_hits (default 1), column (default 'text')."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..operators.decontam import contamination_hits_expr
+
+        n = contamination_hits_expr(
+            self.options.get("column", "text"),
+            list(self.options["shingles"]),
+            int(self.options.get("k", 3)),
+        )
+        return df.filter(
+            F.coalesce(n, F.lit(0)) < int(self.options.get("min_hits", 1))
+        )
+
+
 @register_task("rocchio_label")
 class RocchioLabel(BasicTask):
     """Streaming-safe nearest-centroid labeler (x65's pure expression):

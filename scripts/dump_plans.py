@@ -47,6 +47,11 @@ SHOWCASE = [
     ("x61_jl_projection", "pure per-row map: projection literals inside WholeStageCodegen, zero exchanges before the presentation sort"),
     ("x63_curriculum_order", "two-level distributed rank: (stage, bucket) windows + broadcast offsets — no single-task global window"),
     ("x64_mutual_knn", "bucket equi-join ANN base (no broadcast — both sides corpus-scale) + ONE self-join of the persisted slim neighbor table"),
+    ("x66_dedup_audit", "shared audit pass: both consumers scan the ONE checkpointed CC label frame (ExistingRDD), no second pair-graph/CC computation"),
+    ("x67_length_drift", "one corpus pass into the checkpointed (group, bin) counts; every KL derivation reads ExistingRDD, zero corpus re-scans"),
+    ("x68_embedding_dim_stats", "one posexplode → ONE hash exchange on the bounded dim key; partial aggregation map-side"),
+    ("x70_boilerplate_affixes", "map-only affix extraction — no joins; one exchange on the (kind, affix) groupBy key"),
+    ("x71_dupgraph_pagerank", "fixed-iteration PageRank: final round reads the checkpointed rank frame + pre-partitioned adjacency; only the slim (id, rank) frame moves per iteration"),
 ]
 
 

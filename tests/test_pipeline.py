@@ -463,3 +463,41 @@ def test_bm25_gate_and_rocchio_tasks_are_declarable(spark, tmp_path):
     df = spark.createDataFrame([(1, [0.9, 0.1]), (2, [0.2, 0.8])], "id long, v array<double>")
     got2 = {r.id: r.label_pred for r in lab.apply(df).collect()}
     assert got2 == {1: 0, 2: 1}
+
+
+def test_decontam_gate_task_is_declarable_and_row_preserving(spark, tmp_path):
+    """x21's frozen form as a JSON-declarable rule: the benchmark shingle
+    set travels as plain config, the compiled pipeline drops leaked docs,
+    and survivors keep their full payload (row-preserving gate)."""
+    import json
+
+    from go_fish_spark.operators.decontam import fit_eval_shingles
+    from go_fish_spark.plans.compiler import compile_pipeline
+    from go_fish_spark.plans.spec import parse_spec
+
+    ev = spark.createDataFrame(
+        [(100, "saw a quick brown fox run")], "doc_id long, text string"
+    )
+    shingles = fit_eval_shingles(ev, "text")
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    outdir = str(tmp_path / "out")
+    rows = [
+        dict(doc_id=1, text="the quick brown fox jumps", lang="en"),
+        dict(doc_id=2, text="totally unrelated words here", lang="en"),
+    ]
+    (indir / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
+    spec = {
+        "sources": {"docs": {"type": "json", "options": {
+            "path": str(indir),
+            "schema": "doc_id long, text string, lang string"}}},
+        "rules": {"clean": {"task": "decontam_gate", "source": "docs",
+                            "sink": "out", "options": {
+            "shingles": shingles, "min_hits": 1}}},
+        "sinks": {"out": {"type": "json", "options": {"path": outdir}}},
+    }
+    compile_pipeline(spark, parse_spec(spec), streaming=False).run()
+    got = spark.read.schema("doc_id long, text string, lang string").json(outdir).collect()
+    assert [(r.doc_id, r.lang) for r in got] == [(2, "en")]
+    assert got[0].text == "totally unrelated words here"
