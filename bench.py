@@ -146,6 +146,8 @@ HEADLINE = [
     "x70_boilerplate_affixes",
     "x71_dupgraph_pagerank",
     "x72_source_attrition",
+    "x73_pack_efficiency",
+    "x74_quality_calibration",
 ]
 
 

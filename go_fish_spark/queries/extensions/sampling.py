@@ -612,3 +612,62 @@ def x63_curriculum_order(spark, sf_dir):
         .select("position", "stage", "doc_id")
         .orderBy("position")
     )
+
+
+@query(
+    "x73_pack_efficiency",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id,
+             CAST({duck_hash_bucket('doc_id', 64)} AS BIGINT) AS shard,
+             len(string_split(text,' ')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  AS BIGINT) - n_tokens AS "offset"
+      FROM s
+    ),
+    p AS (
+      SELECT shard, CAST(floor("offset" / 2048.0) AS BIGINT) AS pack_id,
+             n_tokens
+      FROM o
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE)
+                 / ((max(pack_id) + 1) * 2048), 9) AS utilization
+    FROM p GROUP BY shard ORDER BY shard
+    """,
+)
+def x73_pack_efficiency(spark, sf_dir):
+    """Pack-utilization report over the x25 packing: per shard, how full
+    the 2048-token context windows actually are — the efficiency number a
+    training job watches (utilization far below 1.0 means the packer is
+    cutting documents across pack boundaries it then pads, i.e. wasted
+    compute per step). A bounded groupBy (≤ n_shards keys) on top of the
+    packing op; the utilization divide runs in one fixed double operation
+    order on both engines."""
+    from ...operators.chunking import pack_documents
+
+    packed = pack_documents(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        capacity=2048, n_shards=64,
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("pack_id") + 1).cast("bigint").alias("n_packs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / ((F.max("pack_id") + 1) * 2048),
+                9,
+            ).alias("utilization"),
+        )
+        .orderBy("shard")
+    )

@@ -725,3 +725,56 @@ def x60_bigram_logprob(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return bigram_logprob(docs, "doc_id", "text", lam=0.7).orderBy("doc_id")
+
+
+_X74_Q = f"""
+      SELECT doc_id, lang,
+             0.4 * least(len(ws) / 100.0, 1.0)
+               + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ({_DUCK_STOP})))
+                              / len(ws))
+               + 0.3 * least((length(text) - (len(ws) - 1)) / len(ws) / 10.0,
+                             1.0) AS q
+      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+            FROM documents)
+"""
+
+
+@query(
+    "x74_quality_calibration",
+    oracle=f"""
+    WITH q AS ({_X74_Q})
+    SELECT CAST(least(floor(q * 10), 9) AS INTEGER) AS decile,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+           round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+                 / count(*), 9) AS share_en
+    FROM q GROUP BY 1 ORDER BY decile
+    """,
+)
+def x74_quality_calibration(spark, sf_dir):
+    """Quality-score CALIBRATION (reliability) curve: docs bucketed by
+    score decile, and per decile the share whose ground-truth ``lang``
+    label is 'en' — the sanity check that a heuristic quality score is
+    MONOTONE in something you can actually verify before it gates
+    terabytes (the same fixed-width-band trick as x63: data-independent
+    deciles keep the report a pure per-row map + one bounded groupBy;
+    data-fit deciles would need a global rank). The score expression is
+    bit-identical cross-engine (x08), so the decile assignment and the
+    share divide (one fixed double op order) hash-match."""
+    docs = table(spark, sf_dir, "documents")
+    q = tx.quality_score("text")
+    decile = F.least(F.floor(q * 10), F.lit(9)).cast("int")
+    is_en = F.col("lang") == "en"
+    return (
+        docs.select(decile.alias("decile"), "lang")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(is_en, 1)).alias("n_en"),
+            F.round(
+                F.count(F.when(is_en, 1)).cast("double") / F.count(F.lit(1)),
+                9,
+            ).alias("share_en"),
+        )
+        .orderBy("decile")
+    )
