@@ -148,6 +148,7 @@ HEADLINE = [
     "x72_source_attrition",
     "x73_pack_efficiency",
     "x74_quality_calibration",
+    "x75_sketch_accuracy",
 ]
 
 

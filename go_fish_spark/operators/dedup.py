@@ -357,6 +357,151 @@ def duck_minhash_lsh_sql(
     """
 
 
+def minhash_error_audit(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> "DataFrame":
+    """Sketch-ACCURACY audit: for every LSH candidate pair, compare the
+    MinHash estimate (agreeing components / n_hashes) against the EXACT
+    Jaccard of the same hashed-shingle sets, and report the error
+    histogram — the validation a pipeline publishes before trusting a
+    sketch threshold to delete terabytes. The estimator is unbiased with
+    stddev ≈ sqrt(J(1−J)/n_hashes) ≈ 0.06 at n=64; a histogram whose mass
+    sits outside ±2σ flags a broken hash family or band plan.
+
+    Ground truth is Jaccard over the HASHED shingle sets (what the
+    estimator actually estimates — collision effects included), so both
+    engines compute it from the same integer sets. Output per 0.05-wide
+    |error| bin: (err_bin INT, n_pairs, mean_abs_err round-9,
+    max_abs_err round-9), ordered by err_bin.
+
+    100 TB shape: candidate pairs come from the banding join (bounded by
+    the near-dup structure, never n²); the exact-Jaccard check joins the
+    pair list back to the per-doc shingle arrays on the id key — work
+    ∝ pairs, the same shape as x02's verification stage; the histogram
+    is a ≤ 20-key groupBy."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n_hashes, bands, k, threshold, seed,
+        portable=True,
+    )
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        _shingle_hashes(text_col, k, portable=True).alias("_sh"),
+    )
+    j = pairs.join(
+        sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sha")),
+        "id_a",
+    ).join(
+        sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_shb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    err = F.abs(F.col("est_jaccard") - inter / union)
+    binned = j.select(
+        F.floor(err * 20).cast("int").alias("err_bin"),
+        F.round(err, 12).cast("decimal(27,18)").alias("_e"),
+        err.alias("_raw"),
+    )
+    return (
+        binned.groupBy("err_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("_e").cast("double") / F.count(F.lit(1)), 9
+            ).alias("mean_abs_err"),
+            F.round(F.max("_raw"), 9).alias("max_abs_err"),
+        )
+        .orderBy("err_bin")
+    )
+
+
+def duck_minhash_error_audit_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.2,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of :func:`minhash_error_audit` — shares the portable
+    signature construction with :func:`duck_minhash_lsh_sql` and adds the
+    exact-Jaccard join-back (list_intersect over the same distinct
+    integer shingle sets) and the 0.05-bin histogram. Every double op
+    (est, exact, err, bin) runs in the same order as the Spark arm."""
+    from .similarity import _dlit
+
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    params = minhash_params(n_hashes, seed)
+    tok = (
+        f"list_transform(string_split({text_col}, ' '), "
+        f"t -> {_DUCK_TOKEN_HASH.format(t='t')} % {_P31})"
+    )
+    sh_e = "th[i]"
+    for jj in range(1, k):
+        sh_e = f"(({sh_e}) * {_SHINGLE_A} + th[i+{jj}]) % {_P31}"
+    shing = (
+        f"CASE WHEN len(th) >= {k} THEN "
+        f"list_distinct([{sh_e} for i in range(1, len(th) - {k - 2})]) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )
+    sig_list = "[" + ",".join(
+        f"coalesce(list_min(list_transform(sh, x -> (x * {a} + {b}) % {_P31})), {_P31})"
+        for a, b in params
+    ) + "]"
+
+    def bh(b: int) -> str:
+        e = f"sig[{b * r + 1}]"
+        for jj in range(1, r):
+            e = f"(({e}) * {_SHINGLE_A} + sig[{b * r + jj + 1}]) % {_P31}"
+        return e
+
+    bandlist = "[" + ",".join(
+        f"{{band: {b}, bh: {bh(b)}}}" for b in range(bands)
+    ) + "]"
+    agree = f"len([i for i in range(1, {n_hashes + 1}) if sa.sig[i] = sb.sig[i]])"
+    return f"""
+    WITH th AS (SELECT {id_col} AS _id, {tok} AS th FROM {tbl}),
+    shn AS (SELECT _id, {shing} AS sh FROM th),
+    sig AS (SELECT _id, {sig_list} AS sig FROM shn),
+    ex AS (SELECT _id, bd.band AS band, bd.bh AS bh
+           FROM (SELECT _id, unnest({bandlist}) AS bd FROM sig)),
+    cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+             FROM ex a JOIN ex b
+             ON a.band = b.band AND a.bh = b.bh AND a._id < b._id),
+    est AS (
+      SELECT id_a, id_b, {agree} / {_dlit(n_hashes)} AS est_jaccard
+      FROM cand JOIN sig sa ON cand.id_a = sa._id
+                JOIN sig sb ON cand.id_b = sb._id
+      WHERE {agree} / {_dlit(n_hashes)} >= {_dlit(threshold)}
+    ),
+    jx AS (
+      SELECT abs(est_jaccard
+                 - len(list_intersect(a.sh, b.sh))
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)))) AS err
+      FROM est JOIN shn a ON est.id_a = a._id
+               JOIN shn b ON est.id_b = b._id
+    )
+    SELECT CAST(floor(err * 20) AS INTEGER) AS err_bin,
+           count(*) AS n_pairs,
+           round(CAST(sum(CAST(round(err, 12) AS DECIMAL(27,18))) AS DOUBLE)
+                 / count(*), 9) AS mean_abs_err,
+           round(max(err), 9) AS max_abs_err
+    FROM jx GROUP BY 1 ORDER BY err_bin
+    """
+
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

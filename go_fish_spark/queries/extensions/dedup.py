@@ -348,3 +348,22 @@ def x52_dedup_trend(spark, sf_dir):
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "x75_sketch_accuracy",
+    oracle=dedup.duck_minhash_error_audit_sql(
+        "documents", "doc_id", "text", threshold=0.2
+    ),
+)
+def x75_sketch_accuracy(spark, sf_dir):
+    """MinHash estimator-error audit (dedup.minhash_error_audit): for
+    every LSH candidate pair, |signature estimate − exact Jaccard of the
+    same hashed-shingle sets| binned at 0.05 — the check that the sketch
+    is trustworthy on THIS corpus before its threshold deletes data
+    (expected stddev ≈ sqrt(J(1−J)/64) ≈ 0.06; mass outside ±2σ flags a
+    broken hash family or band plan). Work ∝ candidate pairs (banding
+    join), histogram is a ≤ 20-key groupBy."""
+    return dedup.minhash_error_audit(
+        table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.2
+    )

@@ -765,3 +765,35 @@ def test_dedup_audit_shares_one_cc_run(spark, monkeypatch):
     # both downstream plans scan the checkpointed RDD, not the CC lineage
     for frame in (audit.canonical, audit.histogram):
         assert "ExistingRDD" in frame._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_error_audit_bounds_and_duplicates(spark):
+    """Sketch-accuracy audit (x75's engine): exact duplicates estimate
+    J=1 with ZERO error; every |error| is bounded by 1; the histogram
+    counts each candidate pair once."""
+    from go_fish_spark.operators.dedup import (
+        minhash_error_audit,
+        minhash_lsh_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                        # exact dup of 1 → err 0
+            (3, base + " extra tokens here"), # near dup
+            (4, "totally different words in this one entirely now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_error_audit(docs, "doc_id", "text", threshold=0.2).collect()
+    n_pairs = sum(r.n_pairs for r in out)
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.2, portable=True
+    ).count()
+    assert n_pairs == cand and n_pairs >= 2
+    assert all(0 <= r.err_bin <= 20 for r in out)
+    assert all(r.max_abs_err <= 1.0 for r in out)
+    # the exact-dup pair lands in bin 0 with (near-)zero error
+    bin0 = [r for r in out if r.err_bin == 0]
+    assert bin0 and bin0[0].n_pairs >= 1
