@@ -563,3 +563,40 @@ def test_x67_length_drift_derivations_read_checkpointed_counts(spark):
     body = plan.split("===== Subqueries =====")[0]
     assert "Scan ExistingRDD" in body
     assert "Scan parquet" not in body  # corpus only feeds the checkpoint
+
+
+@pytest.mark.slow
+def test_registry_wide_no_cartesian_no_row_python(spark):
+    """Engine-wide plan canary (round 5): across EVERY registry entry,
+    (a) no CartesianProduct except the ops documented as exact O(n²)
+    baselines or tiny-literal cross joins, and (b) no row-at-a-time
+    BatchEvalPython anywhere — Python reaches executors only through
+    Arrow (ArrowEvalPython / mapInPandas / applyInPandas). This is the
+    sweep that keeps a future edit from silently planting a quadratic
+    join or a per-row UDF in some rarely-reviewed entry."""
+    from go_fish_spark.queries import REGISTRY
+
+    # documented exceptions:
+    #   x05 — labeled O(n²) exact-embedding baseline (SCALE.md)
+    #   x64 — the brute mutual-kNN arm at this corpus size (LSH arm is
+    #         the scale path; SCALE.md "x64 method swap")
+    #   broadcast NESTED-LOOP joins against literal/bounded frames are
+    #   fine (they are not CartesianProduct nodes)
+    cartesian_ok = {"x05_dedup_embedding", "x64_mutual_knn"}
+    offenders_cart, offenders_py = [], []
+    for name, qd in REGISTRY.items():
+        try:
+            df = qd.fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            offenders_cart.append((name, f"PLAN ERROR {exc}"))
+            continue
+        if "CartesianProduct" in plan and name not in cartesian_ok:
+            offenders_cart.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders_py.append(name)
+        from go_fish_spark.operators.dedup import release_caches
+
+        release_caches()
+    assert not offenders_cart, offenders_cart
+    assert not offenders_py, offenders_py

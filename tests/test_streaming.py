@@ -1166,3 +1166,43 @@ def test_stream_decontamination_vs_batch(spark, tmp_path):
         for r in spark.table("decontam_out").collect()
     }
     assert streamed == batch
+
+
+def test_stream_chunk_and_multimodal_decode_vs_batch(spark, tmp_path):
+    """Two more map-only curation stages proven batch ≡ streaming:
+    chunk_documents (posexplode windowing — x24) and the multimodal
+    ingest→decode path (Arrow mapInPandas — x11/x12) both run unchanged
+    on a Structured Streaming frame and reproduce the batch output
+    row-for-row."""
+    from go_fish_spark.operators.chunking import chunk_documents
+    from go_fish_spark.operators.multimodal import decode_features, ingest_binary
+    from go_fish_spark.streaming import sources
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "one two three"),
+        (3, "x " * 40),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_chunks = sorted(
+        map(tuple, chunk_documents(batch_df, "doc_id", "text", win=4, stride=3).collect())
+    )
+    batch_feats = sorted(
+        map(tuple, decode_features(
+            ingest_binary(batch_df, "doc_id", "text", media_type="text")
+        ).collect())
+    )
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, text=t) for i, t in rows])
+    stream = sources.json_stream(spark, str(indir), "doc_id long, text string")
+    run_to_memory(
+        chunk_documents(stream, "doc_id", "text", win=4, stride=3),
+        "chunks_out",
+    )
+    run_to_memory(
+        decode_features(ingest_binary(stream, "doc_id", "text", media_type="text")),
+        "feats_out",
+    )
+    assert sorted(map(tuple, spark.table("chunks_out").collect())) == batch_chunks
+    assert sorted(map(tuple, spark.table("feats_out").collect())) == batch_feats
