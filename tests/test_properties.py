@@ -399,3 +399,83 @@ def test_bm25_frozen_form_equals_batch(spark, rows):
         for r in bm25_score_with_stats(df, "doc_id", "text", stats, terms).collect()
     }
     assert frozen == batch
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), words.filter(bool)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_length_drift_invariants(spark, rows):
+    """For arbitrary corpora: KL >= 0 for every group (Gibbs), per-group
+    n_docs reconstructs the corpus, and identical-distribution groups
+    score exactly 0."""
+    from go_fish_spark.operators.profile import length_drift
+
+    df = spark.createDataFrame(
+        [(src, " ".join(ws)) for src, ws in rows], "source string, text string"
+    )
+    out = length_drift(df, "source", "text").collect()
+    assert sum(r.n_docs for r in out) == len(rows)
+    assert all(r.kl >= 0.0 for r in out)
+    # a corpus with ONE group is its own reference distribution → KL = 0
+    one = spark.createDataFrame(
+        [("only", " ".join(ws)) for _, ws in rows], "source string, text string"
+    )
+    assert all(r.kl == 0.0 for r in length_drift(one, "source", "text").collect())
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(words.filter(bool), min_size=1, max_size=25))
+def test_vocab_growth_invariants(spark, docs):
+    """For arbitrary corpora: all three curves are monotone
+    non-decreasing, and the final point is the EXACT corpus totals."""
+    from go_fish_spark.operators.profile import vocab_growth
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = vocab_growth(df, "doc_id", "text").collect()
+    for col in ("n_docs", "n_tokens", "n_distinct_tokens"):
+        vals = [r[col] for r in out]
+        assert vals == sorted(vals)
+    last = out[-1]
+    assert last.n_docs == len(docs)
+    assert last.n_tokens == sum(len(ws) for ws in docs)
+    assert last.n_distinct_tokens == len({w for ws in docs for w in ws})
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_pagerank_invariants(spark, edges):
+    """For arbitrary undirected graphs on 15 nodes: every rank lives in
+    [(1-d)/N, 1]; total mass never exceeds 1 (+ rounding); edge-connected
+    nodes outrank the isolated floor; and the result is layout-invariant."""
+    from go_fish_spark.operators.graph import pagerank
+
+    n = 15
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        "id_a long, id_b long",
+    )
+    out = {r.id: r.pr for r in pagerank(nodes, e, n_iter=4).collect()}
+    assert len(out) == n
+    floor = 0.15 / n
+    assert all(pr >= floor - 1e-9 for pr in out.values())
+    assert sum(out.values()) <= 1.0 + 1e-6
+    out2 = {
+        r.id: r.pr
+        for r in pagerank(nodes.repartition(5), e.repartition(3), n_iter=4).collect()
+    }
+    assert out == out2
