@@ -149,6 +149,7 @@ HEADLINE = [
     "x73_pack_efficiency",
     "x74_quality_calibration",
     "x75_sketch_accuracy",
+    "x76_decontam_scrub",
 ]
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
+from ..functions.text import _let
 
 
 def eval_shingle_set(eval_docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
@@ -331,3 +332,144 @@ def split_leakage(
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
+
+
+def scrub_contaminated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_shingles: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """SPAN-LEVEL decontamination: instead of dropping a leaked document
+    (:func:`decontaminate`), surgically remove the tokens covered by any
+    benchmark k-shingle and keep the rest — the treatment for long
+    documents that quote one eval question but carry megabytes of clean
+    text around it. Pure per-row array surgery (no explode/join/state —
+    streaming-safe like :func:`contaminated_docs_frozen`):
+
+    1. the doc's contaminated shingles = hash-based ``array_intersect``
+       of its distinct shingles with the frozen benchmark set (fast even
+       for large benchmark literals; per-row result is tiny),
+    2. a token survives iff NO window containing it is contaminated,
+    3. the text is rebuilt from surviving tokens (single-space joined —
+       token-level surgery normalizes whitespace by construction).
+
+    Output: (id_col, text_scrubbed, n_tokens_removed BIGINT). NULL text
+    passes through as NULL with 0 removed."""
+    lit_set = F.array(*[F.lit(s) for s in eval_shingles])
+    toks = F.split(F.col(text_col), " ")
+
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        n_w = n - (k - 1)  # windows are 1..n_w (1-based)
+        shs = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n_w),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def kept(shs_c: Column) -> Column:
+            contams = F.array_intersect(F.array_distinct(shs_c), lit_set)
+            survivors = F.filter(
+                F.sequence(F.lit(1), n),
+                lambda j: ~F.exists(
+                    F.sequence(
+                        F.greatest(F.lit(1), j - (k - 1)),
+                        F.least(j, n_w),
+                    ),
+                    lambda i: F.array_contains(
+                        contams, F.element_at(shs_c, i)
+                    ),
+                ),
+            )
+            # n < k → no windows exist; the filter branch would build a
+            # DESCENDING i-sequence and index the empty shingle array, so
+            # short-circuit to "keep everything" BEFORE evaluation.
+            return F.when(n >= k, survivors).otherwise(
+                F.sequence(F.lit(1), n)
+            )
+
+        return _let(
+            shs,
+            lambda shs_c: _let(
+                kept(shs_c),
+                lambda kp: F.struct(
+                    F.concat_ws(
+                        " ",
+                        F.transform(kp, lambda j: F.element_at(w, j)),
+                    ).alias("scrubbed"),
+                    (n - F.size(kp)).cast("bigint").alias("removed"),
+                ),
+            ),
+        )
+
+    res = _let(toks, body)
+    return df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), res["scrubbed"]).alias(
+            "text_scrubbed"
+        ),
+        F.when(F.col(text_col).isNotNull(), res["removed"])
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )
+
+
+def duck_scrub_spans_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    eval_shingles_sql: str,
+    k: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`scrub_contaminated_spans`.
+    ``eval_shingles_sql`` is a scalar subquery yielding the benchmark
+    shingle LIST (the oracle derives the same frozen set from the same
+    tables instead of embedding data literals). Same construction order:
+    shingles → per-doc contaminated intersect → window-coverage filter →
+    single-space rebuild."""
+    kk = k - 1
+    shs = (
+        f"[array_to_string(w[i2:i2+{kk}:1], ' ') "
+        f"for i2 in range(1, len(w) - {kk} + 1)]"
+    )
+    covered = (
+        f"len(list_filter(range(greatest(1, j - {kk}), "
+        f"least(j, len(w) - {kk}) + 1), "
+        f"i -> list_contains(contams, shs[i]))) > 0"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS _id, {text_col} AS _t,
+             string_split({text_col}, ' ') AS w
+      FROM {tbl}
+    ),
+    sh AS (
+      SELECT *, CASE WHEN len(w) >= {k} THEN {shs}
+                     ELSE CAST([] AS VARCHAR[]) END AS shs
+      FROM base
+    ),
+    ev AS (SELECT ({eval_shingles_sql}) AS evl),
+    ct AS MATERIALIZED (
+      SELECT sh.*, list_intersect(list_distinct(shs), ev.evl) AS contams
+      FROM sh CROSS JOIN ev
+    ),
+    kp AS (
+      SELECT *, CASE WHEN len(w) >= {k}
+                     THEN [j for j in range(1, len(w) + 1)
+                           if NOT ({covered})]
+                     ELSE range(1, len(w) + 1) END AS kept
+      FROM ct
+    )
+    SELECT _id AS {id_col},
+           CASE WHEN _t IS NOT NULL
+                THEN coalesce(array_to_string([w[j] for j in kept], ' '), '')
+           END AS text_scrubbed,
+           CAST(CASE WHEN _t IS NOT NULL THEN len(w) - len(kept)
+                     ELSE 0 END AS BIGINT) AS n_tokens_removed
+    FROM kp ORDER BY _id
+    """

@@ -778,3 +778,41 @@ def x74_quality_calibration(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+_X76_EVAL_LIST = f"""SELECT list(DISTINCT s) FROM (
+      SELECT unnest({_DUCK_SHINGLES}) AS s
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents
+            WHERE {_DUCK_EVAL}))"""
+
+
+@query(
+    "x76_decontam_scrub",
+    oracle=decontam.duck_scrub_spans_sql(
+        f"(SELECT * FROM documents WHERE NOT ({_DUCK_EVAL}))",
+        "doc_id",
+        "text",
+        _X76_EVAL_LIST,
+    ),
+)
+def x76_decontam_scrub(spark, sf_dir):
+    """SPAN-LEVEL decontamination (decontam.scrub_contaminated_spans):
+    instead of dropping a leaked training doc (x21), surgically remove
+    exactly the tokens covered by a benchmark 3-shingle and keep the
+    rest — the treatment for long documents that quote one eval question
+    but carry mostly clean text. The benchmark shingle set is fit once
+    (bounded — the x32 collected-probe argument) and frozen into a pure
+    per-row array-surgery expression: no explode, no join, no state
+    (streaming-safe like the x21 frozen form). Output: every train doc
+    with its scrubbed text and removed-token count."""
+    from ...operators.decontam import (
+        fit_eval_shingles,
+        scrub_contaminated_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    shingles = fit_eval_shingles(docs.filter(is_eval), "text")
+    return scrub_contaminated_spans(
+        docs.filter(~is_eval), "doc_id", "text", shingles
+    ).orderBy("doc_id")

@@ -950,3 +950,40 @@ def test_ordering_ops_tiebreak_col_restores_total_order(spark):
         df, "doc_id", "score", n_stages=2, seed="s", tiebreak_col="text"
     ).collect()
     assert sorted(r.position for r in out) == list(range(1, 11))
+
+
+def test_scrub_contaminated_spans_golden_and_stream_safe(spark):
+    """x76's engine: exactly the tokens covered by a benchmark shingle
+    are removed, short docs pass untouched, NULL text stays NULL, and a
+    doc that IS a benchmark shingle scrubs to empty (0-token doc)."""
+    from go_fish_spark.operators.decontam import scrub_contaminated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "x y z"),
+            (3, "c d e"),
+            (4, None),
+            (5, "aa bb"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_scrubbed, r.n_tokens_removed)
+        for r in scrub_contaminated_spans(docs, "doc_id", "text", ["c d e"]).collect()
+    }
+    assert out == {
+        1: ("a b f g", 3),
+        2: ("x y z", 0),
+        3: ("", 3),
+        4: (None, 0),
+        5: ("aa bb", 0),
+    }
+    # overlapping contaminated windows scrub their union, not double-count
+    docs2 = spark.createDataFrame(
+        [(1, "p q r s t")], "doc_id long, text string"
+    )
+    out2 = scrub_contaminated_spans(
+        docs2, "doc_id", "text", ["p q r", "q r s"]
+    ).collect()[0]
+    assert (out2.text_scrubbed, out2.n_tokens_removed) == ("t", 4)
