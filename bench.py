@@ -155,6 +155,21 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Per-query progress + the full per-query map are written to sidecar
+    # files, NOT the process streams: the driver records only the last
+    # ~2000 chars of combined output, and 90+ progress lines used to push
+    # the summary line out of (or mid-stream into) that tail window
+    # (round-5 verdict item 7). The captured tail must be all signal.
+    here = os.path.dirname(os.path.abspath(__file__))
+    log_path = os.path.join(here, "BENCH_LOG.txt")
+    try:
+        log_fh = open(log_path, "w")
+    except OSError:
+        log_fh = sys.stderr  # read-only checkout: fall back to stderr
+
+    def progress(msg: str) -> None:
+        print(msg, file=log_fh, flush=True)
+
     from go_fish_spark.queries import REGISTRY
     from go_fish_spark.session import get_spark
 
@@ -191,10 +206,10 @@ def main() -> None:
                 walls.append(time.perf_counter() - t0)
             walls.sort()
             timings[name] = round(walls[len(walls) // 2], 3)
-            print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+            progress(f"# {name}: {timings[name]:.3f}s rows={n}")
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            progress(f"# {name}: ERROR {errors[name]}")
         from go_fish_spark.operators.dedup import release_caches
 
         release_caches()  # dedup ops pin signature caches; free between queries
@@ -211,25 +226,25 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     # Truncation-proofing (round-4 postmortem: the driver keeps only the
-    # last 2000 chars of stdout, and the 81-query JSON line overflowed
-    # it, leaving BENCH_r04.json with parsed=null). Contract now:
-    #   - the FULL object (complete per-query map) is always persisted to
-    #     BENCH_FULL.json next to this script and echoed to stderr;
-    #   - stdout carries exactly ONE JSON line: the full object if it
-    #     fits comfortably inside the 2000-char tail window, else a
-    #     compact summary (headline metric + counts + a pointer to the
-    #     sidecar). Either way the headline number always parses.
+    # last 2000 chars of output, and the 81-query JSON line overflowed
+    # it, leaving BENCH_r04.json with parsed=null; round-5: progress
+    # chatter still made the tail start mid-stream). Contract now:
+    #   - the FULL object (complete per-query map) goes ONLY to
+    #     BENCH_FULL.json; per-query progress goes ONLY to BENCH_LOG.txt;
+    #   - the process streams carry exactly two short lines — a stderr
+    #     pointer to the sidecars, and the stdout summary JSON line (the
+    #     full object if it fits comfortably inside the tail window,
+    #     else a compact summary). The captured tail is all signal.
     full_line = json.dumps(out)
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    full_path = os.path.join(here, "BENCH_FULL.json")
     try:
         with open(full_path, "w") as fh:
             fh.write(full_line)
+        progress(f"# full: {full_line}")
     except OSError:
-        pass  # read-only checkout: stderr still carries the map
-    print(f"# full: {full_line}", file=sys.stderr)
-    if len(full_line) <= 1800:
+        print(f"# full: {full_line}", file=sys.stderr)  # read-only checkout
+    print("# per-query map: BENCH_FULL.json; progress: BENCH_LOG.txt", file=sys.stderr)
+    if len(full_line) <= 1500:
         print(full_line)
     else:
         summary = {

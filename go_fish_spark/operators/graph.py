@@ -24,7 +24,7 @@ graphs, which converge in O(log diameter) instead of O(diameter).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -184,6 +184,7 @@ def pagerank(
     dst_col: str = "id_b",
     n_iter: int = 5,
     damping: float = 0.85,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair graph — the
     centrality ranking a curation pipeline runs on its near-dup/overlap
@@ -205,6 +206,19 @@ def pagerank(
     frame truncated with localCheckpoint, and per-iteration cost is one
     join + one aggregation. ``n_iter`` is fixed and small.
 
+    Hub skew (round-5 verdict #3): the per-iteration join keys on
+    ``src``, so a boilerplate-template hub — exactly the document this
+    ranking exists to find — concentrates its out-edges in ONE task of
+    every iteration. ``max_degree`` is the declared, opt-in hardening:
+    each node keeps only its ``max_degree`` smallest-``dst`` out-edges
+    (a deterministic total order — (src, dst) is distinct — so the SQL
+    mirror reproduces it exactly). This CHANGES rank mass (a capped
+    hub distributes less), which is why it is opt-in with a golden test
+    rather than a silent default; the prune itself is one linear
+    row_number pass over the already-src-partitioned adjacency. In-degree
+    needs no cap: the contribution groupBy is a partial-aggregating sum,
+    so a reducer sees at most one pre-combined row per map partition.
+
     Output: (id_col, pr DOUBLE round-9) for every node, isolated nodes
     included.
     """
@@ -219,8 +233,17 @@ def pagerank(
         )
         .dropDuplicates(["src", "dst"])
         .repartition("src")
-        .persist()
     )
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError("max_degree must be >= 1")
+        w = Window.partitionBy("src").orderBy("dst")
+        adj = (
+            adj.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_degree)
+            .drop("_rn")
+        )
+    adj = adj.persist()
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     n = nodes.select(F.col(id_col).alias("id")).distinct().count()
     if n == 0:
@@ -274,20 +297,34 @@ def duck_pagerank_sql(
     id_out: str = "id",
     n_iter: int = 5,
     damping: float = 0.85,
+    max_degree: int | None = None,
 ) -> str:
     """DuckDB mirror of :func:`pagerank` as an unrolled CTE chain (the
     fixed iteration count is what makes the mirror expressible without a
     recursive aggregate). ``nodes_select`` yields one column ``id``;
     ``und_select`` yields the already-SYMMETRIZED distinct edge list
     (src, dst). Same literal forcing (``_dlit``), same round-12 →
-    decimal(27,18) → round-9 order as the Spark arm."""
+    decimal(27,18) → round-9 order as the Spark arm; ``max_degree``
+    mirrors the Spark arm's deterministic smallest-``dst`` out-edge cap
+    (row_number over the same (src, dst) total order)."""
     from .similarity import _dlit
 
     d = _dlit(damping)
     omd = _dlit(1.0 - damping)
     parts = [
         f"nodes AS ({nodes_select})",
-        f"und AS ({und_select})",
+        f"und0 AS ({und_select})"
+        if max_degree is not None
+        else f"und AS ({und_select})",
+    ]
+    if max_degree is not None:
+        parts.append(
+            "und AS (SELECT src, dst FROM ("
+            "SELECT src, dst, row_number() OVER "
+            "(PARTITION BY src ORDER BY dst) AS _rn FROM und0"
+            f") WHERE _rn <= {int(max_degree)})"
+        )
+    parts += [
         "tot AS (SELECT count(*) AS n FROM nodes)",
         "deg AS (SELECT src, count(*) AS _d FROM und GROUP BY src)",
         # _dlit forces a DOUBLE literal: bare 1.0 parses as DECIMAL and

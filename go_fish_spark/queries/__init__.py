@@ -251,6 +251,22 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x63_curriculum_order",
     "x64_mutual_knn",
     "x65_nearest_centroid",
+    # green in CORRECTNESS_r05 (rows/schema/hash all true; the window also
+    # re-confirmed q01–q40 from the tail head) — rotated so the r06 window
+    # is pure regression re-checks of the STALEST tail entries (verified
+    # r01/r02, untouched by a driver run since). Union r01–r05 = 157/157:
+    # every registry entry driver-hash-verified at least once.
+    "x66_dedup_audit",
+    "x67_length_drift",
+    "x68_embedding_dim_stats",
+    "x69_vocab_growth",
+    "x70_boilerplate_affixes",
+    "x71_dupgraph_pagerank",
+    "x72_source_attrition",
+    "x73_pack_efficiency",
+    "x74_quality_calibration",
+    "x75_sketch_accuracy",
+    "x76_decontam_scrub",
 )
 
 

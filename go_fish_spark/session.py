@@ -69,6 +69,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stderr clean: the driver's bench capture keeps only the
+        # last ~2000 chars of combined output, and interleaved
+        # "[Stage N:>  ]" progress-bar rewrites used to land mid-stream
+        # in that tail (round-5 verdict item 7)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
     )
     for k, v in RUNTIME_CONF.items():

@@ -122,3 +122,52 @@ def test_pagerank_validates_n_iter(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(nodes, edges, n_iter=0)
+    with pytest.raises(ValueError, match="max_degree"):
+        pagerank(nodes, edges, n_iter=1, max_degree=0)
+
+
+def test_pagerank_max_degree_golden_vs_duckdb(spark):
+    """Golden for the opt-in hub cap (round-5 verdict #3): ``max_degree``
+    keeps each node's k smallest-dst out-edges. Semantics CHANGE (a
+    capped hub distributes less rank mass), so the contract is (a) the
+    capped result differs from uncapped on a hub-heavy graph, (b) it
+    bit-matches the duck_pagerank_sql mirror with the same cap, and
+    (c) it is partition-layout invariant."""
+    import duckdb
+
+    from go_fish_spark.operators.graph import duck_pagerank_sql, pagerank
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    # hub 0 pairs with everyone (a boilerplate template); plus a chain
+    # 1-2, 3-4, ... so leaves are not symmetric
+    pair_rows = [(0, i) for i in range(1, n)] + [
+        (i, i + 1) for i in range(1, n - 1, 2)
+    ]
+    edges = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+
+    capped = {
+        r.id: r.pr
+        for r in pagerank(nodes, edges, n_iter=4, max_degree=3).collect()
+    }
+    uncapped = {
+        r.id: r.pr for r in pagerank(nodes, edges, n_iter=4).collect()
+    }
+    assert capped != uncapped  # the cap is a declared semantics change
+
+    und = sorted(set(pair_rows) | {(b, a) for a, b in pair_rows})
+    nodes_sql = " UNION ALL ".join(f"SELECT {i} AS id" for i in range(n))
+    und_sql = " UNION ALL ".join(
+        f"SELECT {a} AS src, {b} AS dst" for a, b in und
+    )
+    sql = duck_pagerank_sql(nodes_sql, und_sql, n_iter=4, max_degree=3)
+    oracle = {int(i): float(p) for i, p in duckdb.sql(sql).fetchall()}
+    assert capped == oracle
+
+    relaid = {
+        r.id: r.pr
+        for r in pagerank(
+            nodes.repartition(5), edges.repartition(3), n_iter=4, max_degree=3
+        ).collect()
+    }
+    assert relaid == capped
