@@ -340,3 +340,96 @@ def duck_boilerplate_affixes_sql(
     FROM parts GROUP BY kind, affix
     HAVING count(*) >= {min_docs}
     """
+
+
+def fit_length_baseline(df: DataFrame, text_col: str) -> dict[int, int]:
+    """Freeze the corpus character-length distribution for streaming
+    drift monitoring: bin-exponent k = floor(log2(max(length, 1))) →
+    doc count. Bounded collect (≤ ~40 bins — the frozen-literal fit
+    rule shared with ``dsir.fit_bucket_ratios`` / ``retrieval.
+    fit_bm25_stats``). NULL text is excluded, as in
+    :func:`length_drift`."""
+    k = F.floor(F.log2(F.greatest(F.length(F.col(text_col)), F.lit(1))))
+    rows = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(k.cast("int").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {int(r.k): int(r.n) for r in rows}
+
+
+#: widest length bin the frozen scorer enumerates: 2^40 chars per doc
+#: comfortably exceeds any real document.
+_MAX_LEN_BIN = 41
+
+
+def length_drift_frozen(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    baseline: dict[int, int],
+) -> DataFrame:
+    """Streaming arm of :func:`length_drift` (the x52-trend/x56-frozen-
+    threshold pattern, round-5 verdict #4): per-group KL divergence of
+    the length distribution against a FROZEN corpus baseline from
+    :func:`fit_length_baseline`, instead of the same batch's own corpus
+    distribution.
+
+    Structurally a SINGLE aggregation — per-bin counts are conditional
+    counts inside one ``groupBy(group)``, and the KL sum is a pure
+    expression over them — because chained aggregations are unsupported
+    in streaming; this form runs unchanged on a streaming frame
+    (update/complete mode), one shuffle on the group key, state bounded
+    by n_groups.
+
+    Parity contract (tested): on the FIT corpus the result equals
+    :func:`length_drift` bit-for-bit — same long/long→double shares,
+    same ln(p/q) argument order, same round-12 → decimal → round-9
+    accumulation; q is frozen as the identical IEEE divide n_b/n_total.
+
+    Drift the batch form cannot express: a batch whose docs land in a
+    bin EMPTY in the baseline (q = 0, KL undefined) reports those docs
+    in ``new_bin_docs`` instead of poisoning the sum — on the fit
+    corpus this column is exactly 0.
+
+    Output: (group_col, n_docs BIGINT, kl DOUBLE round-9,
+    new_bin_docs BIGINT)."""
+    n_total = sum(baseline.values())
+    if n_total <= 0:
+        raise ValueError("baseline is empty — fit it on a non-empty corpus")
+    k_expr = F.floor(
+        F.log2(F.greatest(F.length(F.col(text_col)), F.lit(1)))
+    ).cast("int")
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), k_expr.alias("_k")
+    )
+    bins = sorted(set(range(_MAX_LEN_BIN)) | set(baseline))
+    aggs = [
+        F.count(F.when(F.col("_k") == k, 1)).alias(f"_n{k}") for k in bins
+    ]
+    agged = base.groupBy("_g").agg(F.count(F.lit(1)).alias("_n_g"), *aggs)
+    kl = F.lit(0).cast("decimal(38,18)")
+    new_docs = F.lit(0).cast("bigint")
+    for k in bins:
+        n_gb = F.col(f"_n{k}")
+        if k in baseline:
+            # identical operation order to length_drift: p and q are
+            # long/long → double divides, term = round(p·ln(p/q), 12)
+            # accumulated exactly in decimal
+            q = baseline[k] / float(n_total)
+            p = n_gb / F.col("_n_g")
+            term = F.round(p * F.log(p / F.lit(q)), 12).cast(
+                "decimal(27,18)"
+            )
+            kl = kl + F.when(n_gb > 0, term).otherwise(
+                F.lit(0).cast("decimal(27,18)")
+            )
+        else:
+            new_docs = new_docs + n_gb
+    return agged.select(
+        F.col("_g").alias(group_col),
+        F.col("_n_g").cast("bigint").alias("n_docs"),
+        F.round(kl.cast("double"), 9).alias("kl"),
+        new_docs.alias("new_bin_docs"),
+    )

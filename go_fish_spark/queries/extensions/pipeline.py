@@ -149,13 +149,22 @@ def _duck_curation_oracle() -> str:
       UNION
       SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
     ),
-    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    r AS (
+      SELECT comp.doc_id, comp.component,
+             row_number() OVER (PARTITION BY comp.component
+                                ORDER BY surv.score DESC, comp.doc_id) AS rn,
+             count(*) OVER (PARTITION BY comp.component) AS n_members
+      FROM comp JOIN surv USING (doc_id)
+    )
     SELECT surv.doc_id, lang_pred, score,
            CASE WHEN {bucket} < 80 THEN 'train'
                 WHEN {bucket} < 90 THEN 'val'
-                ELSE 'test' END AS split
-    FROM surv JOIN comp USING (doc_id)
-    WHERE comp.component = surv.doc_id
+                ELSE 'test' END AS split,
+           CAST(r.n_members AS BIGINT) AS n_members,
+           CAST(pow(2, floor(log2(r.n_members))) AS BIGINT) AS cluster_bucket
+    FROM surv JOIN r USING (doc_id)
+    WHERE r.rn = 1
     ORDER BY surv.doc_id
     """
 
@@ -164,14 +173,20 @@ def _duck_curation_oracle() -> str:
 def x20_curation_pipeline(spark, sf_dir):
     """END-TO-END curation: the full training-data flow as ONE composed
     DataFrame plan — language ID → quality gate (en, score ≥ 0.5) →
-    exact dedup (min doc_id per content hash) → near-dup clustering
-    (exact-Jaccard pairs → connected components) → keep each cluster's
-    canonical doc → deterministic train/val/test assignment. Every stage
-    is the already-oracle-verified operator (x07/x08/x01/x04/x18/x14);
-    this query verifies their COMPOSITION hash-exactly."""
+    exact dedup (min doc_id per content hash) → ONE shared dedup-audit
+    pass (operators/audit.dedup_audit: Jaccard pairs once, connected
+    components once, labels materialized) feeding BOTH the canonical
+    selection (quality-argmax per cluster, ties to lower id — the x49
+    rule, matching examples/curation_demo.py step 5) AND the published
+    audit columns (``n_members``, power-of-2 ``cluster_bucket`` — the
+    x62 histogram and x72 attrition are one bounded groupBy over them)
+    → deterministic train/val/test assignment. Every stage is the
+    already-oracle-verified operator (x07/x08/x01/x66/x49/x14); this
+    query verifies their COMPOSITION hash-exactly, with exactly one CC
+    run in the plan (tests/test_curation.py)."""
     from pyspark.sql import Window
 
-    from ...operators.graph import connected_components
+    from ...operators.audit import dedup_audit
     from ...operators.sampling import split_assign
 
     docs = table(spark, sf_dir, "documents")
@@ -192,16 +207,23 @@ def x20_curation_pipeline(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    pairs = dedup.ngram_jaccard_pairs(surv, "doc_id", "text", k=3, threshold=0.3)
-    comp = connected_components(surv.select("doc_id"), pairs, id_col="doc_id")
+    audit = dedup_audit(
+        surv, "doc_id", "text", F.col("score"), k=3, threshold=0.3
+    )
     return (
-        surv.join(comp, surv["doc_id"] == comp["id"])
-        .filter(F.col("doc_id") == F.col("component"))
+        surv.join(
+            audit.canonical,
+            surv["doc_id"] == audit.canonical["canonical_id"],
+        )
         .select(
             "doc_id",
             "lang_pred",
             "score",
             split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.pow(F.lit(2.0), F.floor(F.log2("n_members")))
+            .cast("bigint")
+            .alias("cluster_bucket"),
         )
         .orderBy("doc_id")
     )

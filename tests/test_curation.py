@@ -987,3 +987,43 @@ def test_scrub_contaminated_spans_golden_and_stream_safe(spark):
         docs2, "doc_id", "text", ["p q r", "q r s"]
     ).collect()[0]
     assert (out2.text_scrubbed, out2.n_tokens_removed) == ("t", 4)
+
+
+def test_x20_flagship_runs_one_cc_and_publishes_audit_columns(
+    spark, monkeypatch
+):
+    """Round-5 verdict #5: the composed x20 flagship must route its
+    clustering through the shared audit pass — connected_components runs
+    exactly ONCE for canonical selection AND the published audit columns
+    (n_members + power-of-2 cluster_bucket, the x62-histogram grain:
+    the histogram/attrition reports are a bounded groupBy over them)."""
+    from conftest import SF_SMALL
+
+    from go_fish_spark.operators import audit as audit_mod
+    from go_fish_spark.operators import graph as graph_mod
+    from go_fish_spark.queries import REGISTRY
+
+    calls = {"n": 0}
+    real_cc = graph_mod.connected_components
+
+    def counting_cc(*a, **kw):
+        calls["n"] += 1
+        return real_cc(*a, **kw)
+
+    monkeypatch.setattr(audit_mod, "connected_components", counting_cc)
+    out = REGISTRY["x20_curation_pipeline"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert calls["n"] == 1
+    assert {"n_members", "cluster_bucket"} <= set(out.columns)
+    # every published row is a canonical doc; its bucket is the
+    # histogram bin of its own cluster size
+    for r in rows:
+        assert r.n_members >= 1
+        assert r.cluster_bucket <= r.n_members < 2 * r.cluster_bucket
+    # the x62-shape histogram derives from the output with one groupBy
+    hist = (
+        out.groupBy("cluster_bucket")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .collect()
+    )
+    assert sum(h.n_clusters for h in hist) == len(rows)

@@ -1206,3 +1206,70 @@ def test_stream_chunk_and_multimodal_decode_vs_batch(spark, tmp_path):
     )
     assert sorted(map(tuple, spark.table("chunks_out").collect())) == batch_chunks
     assert sorted(map(tuple, spark.table("feats_out").collect())) == batch_feats
+
+
+def test_stream_length_drift_vs_batch(spark, tmp_path):
+    """x67's streaming form (the profile family's monitor arm): the
+    corpus length-bin distribution is FIT on static history
+    (fit_length_baseline — a ≤ 40-bin bounded collect), frozen into
+    per-bin literals, and the stream is scored by length_drift_frozen —
+    a SINGLE streaming-legal aggregation (conditional bin counts inside
+    one groupBy, KL as a post-agg expression). Goldens: (a) on the fit
+    corpus the frozen form equals batch length_drift bit-for-bit with
+    new_bin_docs == 0; (b) the same plan over a file stream in complete
+    mode equals the frozen batch; (c) docs landing in a bin absent from
+    the baseline are reported in new_bin_docs, not folded into kl."""
+    from go_fish_spark.operators import profile
+    from go_fish_spark.streaming import sources
+
+    rows = [
+        ("web", "x" * 3), ("web", "x" * 5), ("web", "x" * 17),
+        ("web", "x" * 33), ("books", "x" * 1000), ("books", "x" * 1500),
+        ("books", "x" * 90), ("books", None),
+    ]
+    corpus = spark.createDataFrame(rows, "source string, text string")
+    baseline = profile.fit_length_baseline(corpus, "text")
+    assert sum(baseline.values()) == 7  # NULL text excluded
+
+    batch = {
+        r.source: (r.n_docs, r.kl)
+        for r in profile.length_drift(corpus, "source", "text").collect()
+    }
+    frozen = {
+        r.source: (r.n_docs, r.kl, r.new_bin_docs)
+        for r in profile.length_drift_frozen(
+            corpus, "source", "text", baseline
+        ).collect()
+    }
+    assert {g: (n, kl) for g, (n, kl, _) in frozen.items()} == batch
+    assert all(nb == 0 for (_, _, nb) in frozen.values())
+
+    indir = tmp_path / "in"
+    write_events(
+        indir, [dict(source=s, text=t) for s, t in rows]
+    )
+    stream = sources.json_stream(
+        spark, str(indir), "source string, text string"
+    )
+    run_to_memory(
+        profile.length_drift_frozen(stream, "source", "text", baseline),
+        "drift_out",
+        mode="complete",
+    )
+    streamed = {
+        r.source: (r.n_docs, r.kl, r.new_bin_docs)
+        for r in spark.sql("SELECT * FROM drift_out").collect()
+    }
+    assert streamed == frozen
+
+    # (c) a producer suddenly shipping megadocs: bin 2^20 is empty in the
+    # baseline → counted in new_bin_docs, kl stays finite
+    drifted = spark.createDataFrame(
+        [("web", "x" * (1 << 20)), ("web", "x" * 3)],
+        "source string, text string",
+    )
+    out = profile.length_drift_frozen(
+        drifted, "source", "text", baseline
+    ).collect()[0]
+    assert out.new_bin_docs == 1 and out.n_docs == 2
+    assert out.kl is not None
