@@ -150,6 +150,8 @@ HEADLINE = [
     "x74_quality_calibration",
     "x75_sketch_accuracy",
     "x76_decontam_scrub",
+    # round-6: incremental near-dup dedup against a persisted sketch store
+    "x77_incremental_near_dedup",
 ]
 
 

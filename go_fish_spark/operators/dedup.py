@@ -180,6 +180,44 @@ def minhash_signature(
     )
 
 
+def _band_struct_array(n_hashes: int, bands: int, portable: bool):
+    """``array<struct<band,bh>>`` expression over a ``_sig`` column —
+    slim banding rows: (id, band, band_hash) ONLY, because carrying the
+    64-long signature through a bands×-exploded join would shuffle
+    ``bands`` copies of every signature; candidates join back to the
+    persisted sigs for verification. One parsed SQL literal, not
+    bands × 4 Column calls (py4j overhead). The ``portable`` arm is the
+    Horner fold :func:`duck_minhash_lsh_sql` mirrors integer-for-
+    integer; the default arm is JVM xxhash64 over the band slice."""
+    rows_per_band = n_hashes // bands
+    if portable:
+        def _bh(b: int) -> str:
+            e = f"element_at(_sig,{b * rows_per_band + 1})"
+            for j in range(1, rows_per_band):
+                e = (
+                    f"pmod({e} * {_SHINGLE_A} + "
+                    f"element_at(_sig,{b * rows_per_band + j + 1}), {_P31})"
+                )
+            return e
+
+        return F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('band',{b},'bh',{_bh(b)})" for b in range(bands)
+            )
+            + ")"
+        )
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('band',{b},"
+            f"'bh',xxhash64(slice(_sig,{b * rows_per_band + 1},{rows_per_band})))"
+            for b in range(bands)
+        )
+        + ")"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,7 +244,6 @@ def minhash_lsh_pairs(
     estimator is exact either way (agree/n_hashes is a dyadic rational).
     """
     assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
 
     # Persist: signatures feed the banding explode AND both sides of the
     # candidate self-join; without this the whole shingle+signature
@@ -220,38 +257,7 @@ def minhash_lsh_pairs(
         )
     )
 
-    # Slim banding rows: (id, band, band_hash) ONLY — carrying the 64-long
-    # signature through the 16×-exploded self-join would shuffle 16 copies
-    # of every signature; instead candidates join back to the persisted
-    # sigs (2 hash joins over the small candidate set) for verification.
-    # One parsed SQL literal, not bands × 4 Column calls (py4j overhead).
-    if portable:
-        def _bh(b: int) -> str:
-            e = f"element_at(_sig,{b * rows_per_band + 1})"
-            for j in range(1, rows_per_band):
-                e = (
-                    f"pmod({e} * {_SHINGLE_A} + "
-                    f"element_at(_sig,{b * rows_per_band + j + 1}), {_P31})"
-                )
-            return e
-
-        band_cols = F.expr(
-            "array("
-            + ",".join(
-                f"named_struct('band',{b},'bh',{_bh(b)})" for b in range(bands)
-            )
-            + ")"
-        )
-    else:
-        band_cols = F.expr(
-            "array("
-            + ",".join(
-                f"named_struct('band',{b},"
-                f"'bh',xxhash64(slice(_sig,{b * rows_per_band + 1},{rows_per_band})))"
-                for b in range(bands)
-            )
-            + ")"
-        )
+    band_cols = _band_struct_array(n_hashes, bands, portable)
     exploded = sigs.select("_id", F.explode(band_cols).alias("bd")).select(
         "_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
     )
@@ -286,25 +292,19 @@ def minhash_lsh_pairs(
 _DUCK_TOKEN_HASH = "('0x' || substr(md5({t}), 1, 15))::BIGINT"
 
 
-def duck_minhash_lsh_sql(
-    tbl: str,
-    id_col: str,
+def _duck_minhash_parts(
     text_col: str,
-    n_hashes: int = 64,
-    bands: int = 16,
-    k: int = 3,
-    threshold: float = 0.5,
-    seed: int = 42,
-) -> str:
-    """DuckDB mirror of ``minhash_lsh_pairs(..., portable=True)``,
-    integer-for-integer: md5-prefix token hashes mod 2^31-1, the same
-    Horner shingle combine (pmod after every step — all values
-    non-negative, so ``%`` ≡ ``pmod``), the same (a·x+b) mod p signature
-    family from :func:`minhash_params`, Horner band hashes, bucket
-    self-join, and agree/n_hashes verification (exact dyadic rational —
-    no FP divergence possible)."""
-    from .similarity import _dlit
-
+    n_hashes: int,
+    bands: int,
+    k: int,
+    seed: int,
+) -> dict[str, str]:
+    """The DuckDB expression fragments mirroring the portable MinHash
+    pipeline (``tok`` token hashes, ``shing`` shingle combine, ``sig``
+    signature list, ``bandlist`` Horner band hashes, ``agree`` component
+    agreement over ``sa``/``sb``) — shared by every mirror that speaks
+    signatures (:func:`duck_minhash_lsh_sql`,
+    :func:`duck_incremental_near_dedup_sql`)."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
     params = minhash_params(n_hashes, seed)
@@ -336,6 +336,37 @@ def duck_minhash_lsh_sql(
     bandlist = "[" + ",".join(
         f"{{band: {b}, bh: {bh(b)}}}" for b in range(bands)
     ) + "]"
+    agree = (
+        f"len([i for i in range(1, {n_hashes + 1}) "
+        "if sa.sig[i] = sb.sig[i]])"
+    )
+    return {"tok": tok, "shing": shing, "sig": sig_list,
+            "bandlist": bandlist, "agree": agree}
+
+
+def duck_minhash_lsh_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of ``minhash_lsh_pairs(..., portable=True)``,
+    integer-for-integer: md5-prefix token hashes mod 2^31-1, the same
+    Horner shingle combine (pmod after every step — all values
+    non-negative, so ``%`` ≡ ``pmod``), the same (a·x+b) mod p signature
+    family from :func:`minhash_params`, Horner band hashes, bucket
+    self-join, and agree/n_hashes verification (exact dyadic rational —
+    no FP divergence possible)."""
+    from .similarity import _dlit
+
+    p = _duck_minhash_parts(text_col, n_hashes, bands, k, seed)
+    tok, shing, sig_list, bandlist = (
+        p["tok"], p["shing"], p["sig"], p["bandlist"]
+    )
 
     return f"""
     WITH th AS (SELECT {id_col} AS _id, {tok} AS th FROM {tbl}),
@@ -347,12 +378,10 @@ def duck_minhash_lsh_sql(
              FROM ex a JOIN ex b
              ON a.band = b.band AND a.bh = b.bh AND a._id < b._id)
     SELECT id_a, id_b,
-           len([i for i in range(1, {n_hashes + 1}) if sa.sig[i] = sb.sig[i]])
-             / {_dlit(n_hashes)} AS est_jaccard
+           {p["agree"]} / {_dlit(n_hashes)} AS est_jaccard
     FROM cand JOIN sig sa ON cand.id_a = sa._id
               JOIN sig sb ON cand.id_b = sb._id
-    WHERE len([i for i in range(1, {n_hashes + 1}) if sa.sig[i] = sb.sig[i]])
-            / {_dlit(n_hashes)} >= {_dlit(threshold)}
+    WHERE {p["agree"]} / {_dlit(n_hashes)} >= {_dlit(threshold)}
     ORDER BY id_a, id_b
     """
 
@@ -1081,6 +1110,207 @@ def incremental_dedup(
         )
         .select("canonical_id", "n_copies")
     )
+
+
+def sketch_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """(_id, _sig) MinHash sketch store over a corpus — the artifact a
+    recurring-crawl pipeline PERSISTS (parquet, bucketed on _id) so that
+    :func:`incremental_near_dedup` never re-tokenizes history: band
+    hashes re-derive from the stored signature with array math only.
+    ~0.5 KB/doc at 64 hashes — the 100 TB corpus's store is ~3 orders
+    of magnitude smaller than its text."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+            "_sig"
+        ),
+    )
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """NEAR-duplicate dedup of a new crawl batch against a historical
+    :func:`sketch_store` — the x29 recurring-ingest shape upgraded from
+    byte-exact md5 matching to MinHash similarity: a re-crawled page
+    with a rotated timestamp or reshuffled boilerplate is caught even
+    though its digest changed.
+
+    Per new doc, one row (id_col, status):
+      * ``dup_of_history`` — a store doc verifies at est_jaccard ≥
+        ``threshold``;
+      * ``dup_in_batch`` — otherwise, a SMALLER-id batch doc verifies
+        (any smaller id, regardless of that doc's own status — the
+        deterministic pair-grain rule; near-dup similarity is not
+        transitive, so chain-merging clusters is deliberately left to
+        the batch CC path, x18/x66);
+      * ``kept`` — neither. Among kept docs no verified pair exists
+        (if (a,b) verified with a < b, b is marked).
+
+    100 TB shape: history is touched ONLY through its signatures — band
+    hashes re-derive from ``_sig`` by array math, so the text of the
+    historical corpus is never read, let alone re-tokenized. Both
+    band-bucket joins move slim (id, band, bh) rows; verification joins
+    back to the persisted signature frames over candidate-bounded sets
+    (the x02 banding law bounds candidates). No broadcast hint on the
+    store side (corpus-scale); a bucketed store makes the probe
+    zero-exchange on that side (tests/test_bucketing.py pattern).
+    """
+    assert n_hashes % bands == 0
+    new_sigs = _persist(
+        new_df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+                "_sig"
+            ),
+        )
+    )
+    hist_sigs = _persist(store.select("_id", "_sig"))
+    band_cols = _band_struct_array(n_hashes, bands, portable)
+
+    def ex(sigs: DataFrame) -> DataFrame:
+        return sigs.select("_id", F.explode(band_cols).alias("bd")).select(
+            "_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+        )
+
+    new_ex, hist_ex = ex(new_sigs), ex(hist_sigs)
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    verified = (agree / F.lit(float(n_hashes))) >= threshold
+
+    cand_h = (
+        new_ex.alias("n")
+        .join(
+            hist_ex.alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bh") == F.col("h.bh")),
+        )
+        .select(F.col("n._id").alias("nid"), F.col("h._id").alias("hid"))
+        .dropDuplicates(["nid", "hid"])
+    )
+    hist_dup = (
+        cand_h.join(
+            new_sigs.select(F.col("_id").alias("nid"), F.col("_sig").alias("sig_a")),
+            "nid",
+        )
+        .join(
+            hist_sigs.select(F.col("_id").alias("hid"), F.col("_sig").alias("sig_b")),
+            "hid",
+        )
+        .filter(verified)
+        .select("nid")
+        .distinct()
+    )
+
+    a, b = new_ex.alias("a"), new_ex.alias("b")
+    cand_b = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    batch_dup = (
+        cand_b.join(
+            new_sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            new_sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")),
+            "id_b",
+        )
+        .filter(verified)
+        .select(F.col("id_b").alias("nid"))
+        .distinct()
+    )
+
+    h = hist_dup.withColumn("_h", F.lit(True)).withColumnRenamed("nid", "_id")
+    bt = batch_dup.withColumn("_b", F.lit(True)).withColumnRenamed("nid", "_id")
+    status = (
+        F.when(F.col("_h"), F.lit("dup_of_history"))
+        .when(F.col("_b"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        new_sigs.select("_id")
+        .join(h, "_id", "left")
+        .join(bt, "_id", "left")
+        .select(F.col("_id").alias(id_col), status.alias("status"))
+    )
+
+
+def duck_incremental_near_dedup_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    new_pred: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of ``incremental_near_dedup(..., portable=True)``
+    where history = rows of ``tbl`` failing ``new_pred`` (SQL boolean
+    over ``tbl``'s columns) and their :func:`sketch_store` is derived in
+    place — the same signature/band fragments as
+    :func:`duck_minhash_lsh_sql` via :func:`_duck_minhash_parts`, the
+    same agree/n_hashes dyadic-rational verification, the same
+    smaller-id pair-grain status rule."""
+    from .similarity import _dlit
+
+    p = _duck_minhash_parts(text_col, n_hashes, bands, k, seed)
+    thr = f"{p['agree']} / {_dlit(n_hashes)} >= {_dlit(threshold)}"
+    return f"""
+    WITH th AS (SELECT {id_col} AS _id, {p['tok']} AS th,
+                       ({new_pred}) AS _new FROM {tbl}),
+    shn AS (SELECT _id, _new, {p['shing']} AS sh FROM th),
+    sig AS (SELECT _id, _new, {p['sig']} AS sig FROM shn),
+    ex AS (SELECT _id, _new, bd.band AS band, bd.bh AS bh
+           FROM (SELECT _id, _new, unnest({p['bandlist']}) AS bd FROM sig)),
+    cand_h AS (SELECT DISTINCT n._id AS nid, h._id AS hid
+               FROM ex n JOIN ex h ON n.band = h.band AND n.bh = h.bh
+               WHERE n._new AND NOT h._new),
+    hist_dup AS (SELECT DISTINCT nid FROM cand_h
+                 JOIN sig sa ON cand_h.nid = sa._id
+                 JOIN sig sb ON cand_h.hid = sb._id
+                 WHERE {thr}),
+    cand_b AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+               FROM ex a JOIN ex b
+               ON a.band = b.band AND a.bh = b.bh AND a._id < b._id
+               WHERE a._new AND b._new),
+    batch_dup AS (SELECT DISTINCT id_b AS nid FROM cand_b
+                  JOIN sig sa ON cand_b.id_a = sa._id
+                  JOIN sig sb ON cand_b.id_b = sb._id
+                  WHERE {thr})
+    SELECT _id AS {id_col},
+           CASE WHEN _id IN (SELECT nid FROM hist_dup) THEN 'dup_of_history'
+                WHEN _id IN (SELECT nid FROM batch_dup) THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM sig WHERE _new
+    ORDER BY {id_col}
+    """
 
 
 def passage_dedup(

@@ -225,6 +225,32 @@ def x29_incremental_dedup(spark, sf_dir):
 
 
 @query(
+    "x77_incremental_near_dedup",
+    oracle=dedup.duck_incremental_near_dedup_sql(
+        "documents", "doc_id", "text", "doc_id % 5 = 0"
+    ),
+)
+def x77_incremental_near_dedup(spark, sf_dir):
+    """Incremental NEAR-dup dedup (dedup.incremental_near_dedup): x29's
+    recurring-crawl shape upgraded from byte-exact md5 to MinHash
+    similarity — today's batch (doc_id % 5 == 0) is probed against the
+    historical corpus's persisted MinHash sketch_store, so a re-crawled
+    page whose timestamp rotated is still caught. History is touched
+    ONLY through its signatures (band hashes re-derive by array math —
+    no historical text is read); per new doc the status is
+    dup_of_history / dup_in_batch (smaller-id pair grain) / kept.
+    Portable hash arm, so the DuckDB oracle mirrors every integer."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    store = dedup.sketch_store(
+        docs.filter(~is_new), "doc_id", "text", portable=True
+    )
+    return dedup.incremental_near_dedup(
+        docs.filter(is_new), store, "doc_id", "text", portable=True
+    ).orderBy("doc_id")
+
+
+@query(
     "x35_normalized_dedup",
     oracle=r"""
     SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,

@@ -797,3 +797,64 @@ def test_minhash_error_audit_bounds_and_duplicates(spark):
     # the exact-dup pair lands in bin 0 with (near-)zero error
     bin0 = [r for r in out if r.err_bin == 0]
     assert bin0 and bin0[0].n_pairs >= 1
+
+
+def test_incremental_near_dedup_statuses_and_kept_invariant(spark):
+    """x77 golden: identical-to-history → dup_of_history; identical to a
+    smaller-id batch mate → dup_in_batch; unique → kept. Invariant: among
+    kept docs no verified pair exists at the same threshold. History is
+    consumed ONLY through its sketch_store (no text column in the store
+    at all)."""
+    from go_fish_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "completely unrelated historical text goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (5, "the quick brown fox jumps over the lazy dog today"),
+            (10, "brand new content alpha beta gamma delta epsilon zeta"),
+            (11, "brand new content alpha beta gamma delta epsilon zeta"),
+            (20, "another singleton document with its own unique words"),
+        ],
+        "doc_id long, text string",
+    )
+    store = dedup.sketch_store(hist, "doc_id", "text", portable=True)
+    assert set(store.columns) == {"_id", "_sig"}  # history text never stored
+    out = {
+        r.doc_id: r.status
+        for r in dedup.incremental_near_dedup(
+            batch, store, "doc_id", "text", portable=True
+        ).collect()
+    }
+    assert out == {
+        5: "dup_of_history",
+        10: "kept",
+        11: "dup_in_batch",
+        20: "kept",
+    }
+
+    kept_ids = [i for i, s in out.items() if s == "kept"]
+    import pyspark.sql.functions as F
+
+    kept_pairs = dedup.minhash_lsh_pairs(
+        batch.filter(F.col("doc_id").isin(kept_ids)),
+        "doc_id",
+        "text",
+        portable=True,
+    )
+    assert kept_pairs.count() == 0
+
+    # layout invariance (the md5/Horner hashes are partition-independent)
+    out2 = {
+        r.doc_id: r.status
+        for r in dedup.incremental_near_dedup(
+            batch.repartition(5), store.repartition(3), "doc_id", "text",
+            portable=True,
+        ).collect()
+    }
+    assert out2 == out
