@@ -150,8 +150,10 @@ HEADLINE = [
     "x74_quality_calibration",
     "x75_sketch_accuracy",
     "x76_decontam_scrub",
-    # round-6: incremental near-dup dedup against a persisted sketch store
+    # round-6: incremental near-dup dedup against a persisted sketch
+    # store; per-source OOV/vocab-coverage audit
     "x77_incremental_near_dedup",
+    "x78_vocab_coverage",
 ]
 
 

@@ -433,3 +433,102 @@ def length_drift_frozen(
         F.round(kl.cast("double"), 9).alias("kl"),
         new_docs.alias("new_bin_docs"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, group_col: str, text_col: str, vocab_size: int = 1000
+) -> DataFrame:
+    """Per-group OOV report against the corpus's OWN top-``vocab_size``
+    token vocabulary — the tokenizer-fit audit run before committing a
+    vocab: a source whose token-level OOV rate is an outlier is either a
+    different language/domain than the vocab was fit on, or junk
+    (base64, minified code) that will shred into rare tokens.
+
+    Vocabulary = the ``vocab_size`` most frequent tokens, ties broken by
+    token text ascending — a deterministic total order, so the boundary
+    is engine-portable. Per group: token occurrences, OOV occurrences
+    and their rate (token-level), plus distinct-token (type-level)
+    counts. All counts are exact integers; the rate is one fixed-order
+    long/long → double divide, round-9.
+
+    100 TB shape: token counting is ONE (token) shuffle with map-side
+    combine; the top-N election is a TakeOrdered (distributed heap —
+    NEVER a global row_number window, which would sort every distinct
+    token in one task); the ≤ vocab_size vocabulary broadcasts into the
+    coverage pass, so the corpus-side explode joins map-only; the final
+    aggregation groups on the bounded source key (the type-level
+    distinct counts expand over the same (group, token) key class the
+    count pass already shuffled).
+
+    Output: (group_col, n_tokens, n_oov, oov_rate, n_types,
+    n_types_oov), one row per group."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    )
+    vocab = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_tok"))
+        .limit(vocab_size)
+        .select("_tok", F.lit(True).alias("_iv"))
+    )
+    j = toks.join(F.broadcast(vocab), "_tok", "left")
+    oov = F.col("_iv").isNull()
+    n_tokens = F.count(F.lit(1))
+    n_oov = F.count(F.when(oov, 1))
+    return (
+        j.groupBy("_g")
+        .agg(
+            n_tokens.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            F.round(n_oov / n_tokens, 9).alias("oov_rate"),
+            F.countDistinct("_tok").alias("n_types"),
+            F.countDistinct(F.when(oov, F.col("_tok"))).alias(
+                "n_types_oov"
+            ),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            "oov_rate",
+            "n_types",
+            "n_types_oov",
+        )
+    )
+
+
+def duck_vocab_coverage_sql(
+    table: str, group_col: str, text_col: str, vocab_size: int = 1000
+) -> str:
+    """DuckDB mirror of :func:`vocab_coverage` — same tokenization, the
+    same (count DESC, token ASC) deterministic vocabulary boundary, the
+    same fixed-order integer-division rate."""
+    return f"""
+    WITH toks AS (
+      SELECT {group_col} AS _g, unnest(string_split({text_col}, ' ')) AS _tok
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    counts AS (SELECT _tok, count(*) AS _n FROM toks GROUP BY _tok),
+    vocab AS (
+      SELECT _tok FROM (
+        SELECT _tok, row_number() OVER (ORDER BY _n DESC, _tok) AS rn
+        FROM counts
+      ) WHERE rn <= {int(vocab_size)}
+    ),
+    j AS (
+      SELECT t._g, t._tok, v._tok IS NOT NULL AS iv
+      FROM toks t LEFT JOIN vocab v ON t._tok = v._tok
+    )
+    SELECT _g AS {group_col},
+           count(*) AS n_tokens,
+           CAST(count(*) FILTER (WHERE NOT iv) AS BIGINT) AS n_oov,
+           round(count(*) FILTER (WHERE NOT iv) / count(*), 9) AS oov_rate,
+           CAST(count(DISTINCT _tok) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT CASE WHEN NOT iv THEN _tok END) AS BIGINT)
+             AS n_types_oov
+    FROM j GROUP BY _g ORDER BY _g
+    """

@@ -15,9 +15,11 @@ from ...operators.profile import (
     duck_boilerplate_affixes_sql,
     duck_embedding_dim_stats_sql,
     duck_length_drift_sql,
+    duck_vocab_coverage_sql,
     duck_vocab_growth_sql,
     embedding_dim_stats,
     length_drift,
+    vocab_coverage,
     vocab_growth,
 )
 from .. import query
@@ -132,3 +134,22 @@ def x71_dupgraph_pagerank(spark, sf_dir):
     return pagerank(
         docs.select("doc_id"), pairs, id_col="doc_id", n_iter=5
     ).orderBy("doc_id")
+
+
+@query(
+    "x78_vocab_coverage",
+    oracle=duck_vocab_coverage_sql(
+        "documents", "source", "text", vocab_size=500
+    ),
+)
+def x78_vocab_coverage(spark, sf_dir):
+    """Per-source OOV report (profile.vocab_coverage): token- and
+    type-level out-of-vocabulary rates against the corpus's own top-500
+    token vocabulary (deterministic count-DESC/token-ASC boundary) —
+    the tokenizer-fit audit that flags a source as off-domain or junk
+    before a vocab is committed. One (token) shuffle to count, a
+    TakeOrdered top-N election (no global window), broadcast vocab into
+    the map-only coverage join, bounded source-key aggregation."""
+    return vocab_coverage(
+        table(spark, sf_dir, "documents"), "source", "text", vocab_size=500
+    ).orderBy("source")

@@ -171,3 +171,37 @@ def test_pagerank_max_degree_golden_vs_duckdb(spark):
         ).collect()
     }
     assert relaid == capped
+
+
+def test_vocab_coverage_golden_and_plan(spark):
+    """x78 golden on a hand-checkable corpus, plus the scale guards: the
+    top-N vocabulary election must plan as TakeOrdered (distributed
+    heap), NEVER a global row_number window (single-task sort over every
+    distinct token), and the vocab side must broadcast into the
+    coverage join."""
+    from go_fish_spark.operators.profile import vocab_coverage
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the cat sat on the mat"),
+            ("a", "the dog sat"),
+            ("b", "zebra quagga the"),
+            ("b", None),
+        ],
+        "source string, text string",
+    )
+    # counts: the=4, sat=2, cat/on/mat/dog/zebra/quagga=1 → vocab_size=3
+    # keeps {the, sat, cat} (ties broken token-ASC: cat < dog < mat < on)
+    out = {
+        r.source: (r.n_tokens, r.n_oov, r.oov_rate, r.n_types, r.n_types_oov)
+        for r in vocab_coverage(df, "source", "text", vocab_size=3).collect()
+    }
+    assert out["a"] == (9, 3, round(3 / 9, 9), 6, 3)  # on,mat,dog oov
+    assert out["b"] == (3, 2, round(2 / 3, 9), 3, 2)  # zebra,quagga oov
+    plan = vocab_coverage(df, "source", "text", vocab_size=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        vocab_coverage(df, "source", "text", vocab_size=0)
