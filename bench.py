@@ -154,6 +154,7 @@ HEADLINE = [
     # store; per-source OOV/vocab-coverage audit
     "x77_incremental_near_dedup",
     "x78_vocab_coverage",
+    "x79_ann_recall_audit",
 ]
 
 

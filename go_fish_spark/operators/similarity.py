@@ -1179,3 +1179,63 @@ def duck_nearest_centroid_label(
         for l in labels
     ) + "]"
     return f"({lab})[list_position({dl}, list_min({dl}))]"
+
+
+def ann_recall_audit(
+    truth: DataFrame, approx: DataFrame, k: int = 10
+) -> DataFrame:
+    """Index-quality audit: per-query recall@k of ANY approximate ANN
+    arm against the exact ground truth — the number a pipeline checks
+    BEFORE trusting an IVF/LSH/PQ index for retrieval dedup or mining.
+    Both inputs are top-k frames in this module's common shape
+    (query_id, rank, vec_id, ...); rows beyond rank k are ignored, so a
+    deeper truth list can audit a shallower index.
+
+    Output: (query_id, n_true, n_hit, recall DOUBLE round-9), one row
+    per query present in ``truth`` — queries the index missed entirely
+    score 0, they do not vanish.
+
+    100 TB shape: the expensive work is the SEARCHES that produced the
+    inputs; this audit joins two (n_queries × k)-row frames on the slim
+    (query_id, vec_id) key and aggregates on the query key — bounded by
+    the query set, never by the corpus."""
+    t = truth.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "vec_id")
+    base = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    hits = (
+        t.join(a, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+    )
+    n_hit = F.coalesce(F.col("_nh"), F.lit(0)).cast("bigint")
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            n_hit.alias("n_hit"),
+            F.round(n_hit / F.col("n_true"), 9).alias("recall"),
+        )
+    )
+
+
+def duck_ann_recall_sql(truth_cte: str, approx_cte: str) -> str:
+    """DuckDB mirror of :func:`ann_recall_audit`: ``truth_cte`` /
+    ``approx_cte`` are complete SELECTs yielding (query_id, vec_id)
+    already cut at rank ≤ k (compose them from the same mirrors that
+    hash-check the underlying searches — x06's brute force, x15's IVF).
+    Same left-join/coalesce shape, same fixed-order integer divide."""
+    return f"""
+    WITH bf AS ({truth_cte}),
+    ap AS ({approx_cte}),
+    base AS (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id),
+    hits AS (SELECT bf.query_id, count(*) AS _nh
+             FROM bf JOIN ap USING (query_id, vec_id)
+             GROUP BY bf.query_id)
+    SELECT base.query_id, base.n_true,
+           CAST(coalesce(hits._nh, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(hits._nh, 0) AS BIGINT) / base.n_true, 9)
+             AS recall
+    FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+    ORDER BY base.query_id
+    """

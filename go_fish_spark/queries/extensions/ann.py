@@ -551,3 +551,73 @@ def x65_nearest_centroid(spark, sf_dir):
 
 
 # --- x66: shared dedup-audit pass (ONE connected-components run) -----------
+
+
+def _x79_oracle(sf_dir: str) -> str | None:
+    """Recall audit mirror: the SAME brute-force and IVF search SQL that
+    hash-check x06/x15, cut to (query_id, vec_id) at k=10, composed by
+    duck_ann_recall_sql."""
+    centers = _det_centers(16, sf_dir)
+    if centers is None:
+        return None
+    cos_bf = vectors.duck_cosine("c.embedding", "q.embedding", _EMB_DIM)
+    truth = f"""
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM embeddings c
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        ON c.vec_id != q.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {cos_bf} DESC, c.vec_id
+      ) <= 10
+    """
+    dl = similarity.duck_dist_list("embedding", centers)
+    cos_ivf = vectors.duck_cosine("c.embedding", "p.qv", _EMB_DIM)
+    approx = f"""
+      WITH a AS (SELECT vec_id, embedding, dl AS _dl
+                 FROM (SELECT vec_id, embedding, {dl} AS dl FROM embeddings)),
+      asg AS (SELECT vec_id, embedding, {similarity.duck_assign('_dl')} AS cell FROM a),
+      qd AS (SELECT vec_id AS query_id, embedding AS qv, {dl} AS dl
+             FROM embeddings WHERE vec_id < 5),
+      pe AS (SELECT query_id, qv, CAST(unnest(range(0, 16)) AS INT) AS cell,
+                    unnest(dl) AS d FROM qd),
+      probe AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT query_id, qv, cell,
+                 row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
+          FROM pe
+        ) WHERE rn <= 4
+      ),
+      scored AS (
+        SELECT p.query_id, c.vec_id, {cos_ivf} AS cos
+        FROM asg c JOIN probe p ON c.cell = p.cell AND c.vec_id != p.query_id
+      )
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, vec_id
+               ) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    """
+    return similarity.duck_ann_recall_sql(truth, approx)
+
+
+@query("x79_ann_recall_audit", oracle=_x79_oracle)
+def x79_ann_recall_audit(spark, sf_dir):
+    """ANN index-quality audit (similarity.ann_recall_audit): per-query
+    recall@10 of the x15 IVF index (probe 4/16 cells) against the x06
+    exact brute-force ground truth — the acceptance gate run before an
+    approximate index is trusted for retrieval dedup or data mining.
+    Both searches are the already-hash-verified arms; the audit itself
+    joins two (n_queries × k)-row frames on (query_id, vec_id) and
+    aggregates on the query key — bounded by the query set, never the
+    corpus. Queries the index misses entirely score recall 0 (they stay
+    in the report)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    truth = similarity.brute_force_topk(emb, queries_df, k=10)
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    approx = similarity.ivf_topk_expr(emb, queries_df, q, k=10, n_probe=4)
+    return similarity.ann_recall_audit(truth, approx, k=10).orderBy(
+        "query_id"
+    )

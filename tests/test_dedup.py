@@ -858,3 +858,35 @@ def test_incremental_near_dedup_statuses_and_kept_invariant(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_ann_recall_audit_golden(spark):
+    """x79's audit op on constructed top-k frames: per-query hit
+    counting, zero-recall queries retained, rows beyond rank k ignored
+    (a deeper truth list audits a shallower index)."""
+    from go_fish_spark.operators.similarity import ann_recall_audit
+
+    truth = spark.createDataFrame(
+        # q1: true top-2 = {10, 11}; rank-3 row must be ignored at k=2
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12),
+         (2, 1, 20), (2, 2, 21),
+         (3, 1, 30), (3, 2, 31)],
+        "query_id long, rank int, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1 finds one of two; q2 finds both (order differs — irrelevant);
+        # q3 finds none of its true set
+        [(1, 1, 10), (1, 2, 99),
+         (2, 1, 21), (2, 2, 20),
+         (3, 1, 98), (3, 2, 97)],
+        "query_id long, rank int, vec_id long",
+    )
+    out = {
+        r.query_id: (r.n_true, r.n_hit, r.recall)
+        for r in ann_recall_audit(truth, approx, k=2).collect()
+    }
+    assert out == {
+        1: (2, 1, 0.5),
+        2: (2, 2, 1.0),
+        3: (2, 0, 0.0),
+    }
