@@ -155,6 +155,7 @@ HEADLINE = [
     "x77_incremental_near_dedup",
     "x78_vocab_coverage",
     "x79_ann_recall_audit",
+    "x80_corpus_diff",
 ]
 
 

@@ -1414,3 +1414,62 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select("canonical_id", "n_copies")
     )
+
+
+def corpus_diff(
+    old_df: DataFrame, new_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the release changelog
+    a dataset publishes: which documents were added, removed, changed
+    (same id, different content), or carried unchanged. Content equality
+    is by md5 digest; NULL text coalesces to a sentinel so null↔null is
+    ``unchanged``, not a three-valued-logic surprise.
+
+    Output: (id_col, status ∈ added|removed|changed|unchanged), one row
+    per id present in either snapshot.
+
+    100 TB shape: each side reduces to (id, 16-byte digest) before the
+    ONE full-outer join on the id key — the text never shuffles; status
+    is a map-side expression after the join. Both snapshots bucketed on
+    the id make it zero-exchange (tests/test_bucketing.py pattern)."""
+    o = old_df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("_do"),
+    )
+    n = new_df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("_dn"),
+    )
+    status = (
+        F.when(F.col("_do").isNull(), F.lit("added"))
+        .when(F.col("_dn").isNull(), F.lit("removed"))
+        .when(F.col("_do") == F.col("_dn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, "_id", "full_outer")
+        .select(F.col("_id").alias(id_col), status.alias("status"))
+    )
+
+
+def duck_corpus_diff_sql(
+    tbl: str, id_col: str, text_col: str, old_pred: str, new_select: str
+) -> str:
+    """DuckDB mirror of :func:`corpus_diff` where the old snapshot is
+    ``tbl`` rows passing ``old_pred`` and the new snapshot is the
+    complete SELECT ``new_select`` (yielding ``{id_col}`` and
+    ``{text_col}``) — same digest sentinel, same status precedence."""
+    return f"""
+    WITH o AS (SELECT {id_col} AS _id, coalesce(md5({text_col}), '') AS _do
+               FROM {tbl} WHERE {old_pred}),
+    n AS (SELECT {id_col} AS _id, coalesce(md5({text_col}), '') AS _dn
+          FROM ({new_select})),
+    j AS (SELECT coalesce(o._id, n._id) AS _id, o._do, n._dn
+          FROM o FULL OUTER JOIN n ON o._id = n._id)
+    SELECT _id AS {id_col},
+           CASE WHEN _do IS NULL THEN 'added'
+                WHEN _dn IS NULL THEN 'removed'
+                WHEN _do = _dn THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM j ORDER BY {id_col}
+    """

@@ -393,3 +393,35 @@ def x75_sketch_accuracy(spark, sf_dir):
     return dedup.minhash_error_audit(
         table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.2
     )
+
+
+@query(
+    "x80_corpus_diff",
+    oracle=dedup.duck_corpus_diff_sql(
+        "documents",
+        "doc_id",
+        "text",
+        old_pred="doc_id % 7 != 0",
+        new_select=(
+            "SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN upper(text) "
+            "ELSE text END AS text FROM documents WHERE doc_id % 3 != 0"
+        ),
+    ),
+)
+def x80_corpus_diff(spark, sf_dir):
+    """Corpus snapshot diff (dedup.corpus_diff): the release-to-release
+    changelog — added / removed / changed / unchanged per doc id, with
+    content compared by md5 digest so the text never shuffles (each side
+    reduces to (id, 16-byte digest) before ONE full-outer join on the
+    id key). Old snapshot = doc_id % 7 != 0; new snapshot = doc_id % 3
+    != 0 with every 11th doc's text edited — exercising all four
+    statuses."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.corpus_diff(old, new, "doc_id", "text").orderBy("doc_id")

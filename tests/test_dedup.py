@@ -890,3 +890,37 @@ def test_ann_recall_audit_golden(spark):
         2: (2, 2, 1.0),
         3: (2, 0, 0.0),
     }
+
+
+def test_corpus_diff_statuses(spark):
+    """x80 golden: all four statuses, including the NULL-text sentinel
+    (null↔null is unchanged, null↔text is changed) and layout
+    invariance."""
+    from go_fish_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, None), (5, "now text"), (6, "fresh")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.status for r in corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "changed",
+        6: "added",
+    }
+    out2 = {
+        r.doc_id: r.status
+        for r in corpus_diff(
+            old.repartition(4), new.repartition(3), "doc_id", "text"
+        ).collect()
+    }
+    assert out2 == out
