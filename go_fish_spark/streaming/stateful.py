@@ -91,6 +91,59 @@ def s2s_enrichment_stream(
     )
 
 
+def interval_enrich_stream(
+    reads: DataFrame,
+    writes: DataFrame,
+    *,
+    key_col: str = "key",
+    read_ts_col: str = "ts",
+    write_ts_col: str = "ts",
+    value_col: str = "principal",
+    fallback_col: str = "principal_id",
+    max_age: str = "10 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """The NATIVE stream-stream arm of the s2s enrichment join: Spark's
+    built-in watermarked interval join instead of per-key Python state —
+    each read event pairs with every write for its key whose timestamp
+    falls in ``[read_ts − max_age, read_ts]``; reads with no such write
+    emit once with the fallback (left outer). Contrast
+    :func:`s2s_enrichment_stream` (``cloudTrail_s2s_join.go`` semantics:
+    LATEST write wins, unbounded age): the interval form is what the
+    built-in join state can express — bounded-age matches, ALL of them —
+    and stays entirely JVM-side; collapse to as-of (latest-only) with a
+    per-(event) argmax at epoch close when needed (q31's batch shape).
+
+    Runs unchanged on batch frames (``withWatermark`` is a no-op in
+    batch — the parity test's oracle arm). In streaming BOTH sides carry
+    the watermark; with the time-range condition Spark evicts join state
+    older than ``max_age`` behind the watermark, so state is bounded by
+    in-window rows per key, and unmatched reads emit exactly when the
+    watermark passes their match window.
+
+    Output: (event_id, ts, key, entity, write_ts — NULL on fallback).
+    """
+    r = reads.withWatermark(read_ts_col, watermark).alias("r")
+    w = writes.withWatermark(write_ts_col, watermark).alias("w")
+    cond = (
+        (F.col(f"r.{key_col}") == F.col(f"w.{key_col}"))
+        & (F.col(f"w.{write_ts_col}") <= F.col(f"r.{read_ts_col}"))
+        & (
+            F.col(f"w.{write_ts_col}")
+            >= F.col(f"r.{read_ts_col}") - F.expr(f"INTERVAL {max_age}")
+        )
+    )
+    return r.join(w, cond, "leftOuter").select(
+        F.col("r.event_id").alias("event_id"),
+        F.col(f"r.{read_ts_col}").alias("ts"),
+        F.col(f"r.{key_col}").alias("key"),
+        F.coalesce(
+            F.col(f"w.{value_col}"), F.col(f"r.{fallback_col}")
+        ).alias("entity"),
+        F.col(f"w.{write_ts_col}").alias("write_ts"),
+    )
+
+
 def windowed_count_stream(
     events: DataFrame,
     time_col: str,

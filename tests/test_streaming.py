@@ -1273,3 +1273,86 @@ def test_stream_length_drift_vs_batch(spark, tmp_path):
     ).collect()[0]
     assert out.new_bin_docs == 1 and out.n_docs == 2
     assert out.kl is not None
+
+
+def test_stream_interval_enrich_join_vs_batch(spark, tmp_path):
+    """The native stream-stream arm of the s2s enrichment
+    (stateful.interval_enrich_stream — Spark's watermarked interval
+    join, no Python state): bounded-age matches resolve to the write's
+    value, unmatched reads emit ONCE with the fallback when the
+    watermark passes their window. The batch oracle is the SAME function
+    on batch frames (withWatermark is a batch no-op); streaming output
+    must equal it row-for-row. Sentinel rows in a second file push the
+    watermark so outer results flush; sentinel reads themselves stay
+    unflushed (their own window never closes) and are filtered."""
+    from go_fish_spark.streaming import sources, stateful
+
+    def t(sec):
+        return f"2024-01-01T00:{sec // 60:02d}:{sec % 60:02d}Z"
+
+    writes = [
+        dict(key="k1", ts=t(100), principal="user/Bob"),
+        dict(key="k1", ts=t(40), principal="user/Old"),
+        dict(key="k3", ts=t(950), principal="user/New"),
+    ]
+    reads = [
+        dict(event_id=1, ts=t(120), key="k1", principal_id="fb1"),
+        dict(event_id=2, ts=t(90), key="k1", principal_id="fb2"),
+        dict(event_id=3, ts=t(50), key="k2", principal_id="fb3"),
+        dict(event_id=4, ts=t(1000), key="k3", principal_id="fb4"),
+        dict(event_id=5, ts=t(20), key="k1", principal_id="fb5"),
+    ]
+    w_schema = "key string, ts timestamp, principal string"
+    r_schema = "event_id long, ts timestamp, key string, principal_id string"
+
+    import pyspark.sql.functions as F
+
+    batch_r = spark.createDataFrame(
+        [tuple(r.values()) for r in reads],
+        "event_id long, ts string, key string, principal_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch_w = spark.createDataFrame(
+        [tuple(w.values()) for w in writes],
+        "key string, ts string, principal string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = stateful.interval_enrich_stream(
+        batch_r, batch_w, max_age="60 seconds"
+    )
+    golden = {
+        (r.event_id, r.entity, r.write_ts is None) for r in batch.collect()
+    }
+    assert golden == {
+        (1, "user/Bob", False),   # write@100 in [60, 120]
+        (2, "user/Old", False),   # write@40 in [30, 90]
+        (3, "fb3", True),         # k2 never written
+        (4, "user/New", False),   # write@950 in [940, 1000]
+        (5, "fb5", True),         # window [-40, 20] precedes all writes
+    }
+
+    wdir, rdir = tmp_path / "w", tmp_path / "r"
+    write_events(wdir, writes)
+    write_events(rdir, reads)
+    # second trigger: far-future sentinels advance BOTH watermarks past
+    # every real match window so the outer rows flush
+    write_events(
+        wdir, [dict(key="__flush__", ts=t(7200), principal="x")],
+        fname="batch1.json",
+    )
+    write_events(
+        rdir,
+        [dict(event_id=99, ts=t(7200), key="__flush__", principal_id="x")],
+        fname="batch1.json",
+    )
+    out = stateful.interval_enrich_stream(
+        sources.json_stream(spark, str(rdir), r_schema, max_files_per_trigger=1),
+        sources.json_stream(spark, str(wdir), w_schema, max_files_per_trigger=1),
+        max_age="60 seconds",
+    )
+    run_to_memory(out, "interval_enrich_out")
+    streamed = {
+        (r.event_id, r.entity, r.write_ts is None)
+        for r in spark.sql(
+            "SELECT * FROM interval_enrich_out WHERE key != '__flush__'"
+        ).collect()
+    }
+    assert streamed == golden
