@@ -156,6 +156,7 @@ HEADLINE = [
     "x78_vocab_coverage",
     "x79_ann_recall_audit",
     "x80_corpus_diff",
+    "x81_heavy_hitters",
 ]
 
 

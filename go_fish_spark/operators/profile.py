@@ -532,3 +532,105 @@ def duck_vocab_coverage_sql(
              AS n_types_oov
     FROM j GROUP BY _g ORDER BY _g
     """
+
+
+def _mg_merge(counter: dict, vc, k: int) -> dict:
+    """Mergeable Misra–Gries update (Agarwal et al., "Mergeable
+    Summaries"): fold a batch's exact value_counts into the bounded
+    summary, then if over capacity subtract the (k+1)-th largest count
+    from every entry and drop the non-positives. Total undercount per
+    stream is ≤ n/(k+1), which is what the superset guarantee needs."""
+    for tok, c in vc.items():
+        counter[tok] = counter.get(tok, 0) + int(c)
+    if len(counter) > k:
+        sub = sorted(counter.values(), reverse=True)[k]
+        counter = {t: c - sub for t, c in counter.items() if c - sub > 0}
+    return counter
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str, k: int = 50, summary_size: int | None = None
+) -> DataFrame:
+    """Exact heavy-hitter tokens — every token whose occurrence count
+    strictly exceeds n_total/k — found WITHOUT shuffling the full
+    distinct-token space: per-partition Misra–Gries summaries (bounded
+    memory ``summary_size``, default 4k, built with vectorized batch
+    value_counts + the mergeable-summaries fold) yield a driver-side
+    candidate set GUARANTEED to contain every true heavy hitter (a token
+    with global count > n/k is partition-heavy somewhere, and MG's
+    undercount is ≤ n_p/(summary_size+1) ≤ n_p/k there); one exact
+    verification pass filters the corpus to the broadcast candidates and
+    counts them precisely.
+
+    The output is EXACT and sketch-independent — (token, n_occurrences)
+    for tokens with n·k > n_total, integer arithmetic only (no division,
+    engine-portable) — which is why it can carry a plain SQL oracle while
+    the MG stage stays an internal scale device. The superset guarantee
+    is property-tested under adversarial partitionings.
+
+    100 TB shape: the MG pass is mapInPandas (Arrow-batched; THE
+    legitimate Python case — a bounded-memory sequential-fold sketch
+    Spark's built-ins can't express) emitting ≤ partitions ×
+    summary_size rows; candidates collect bounded; the verification
+    filter broadcasts them, so the only token-keyed shuffle is over
+    candidate tokens — not the corpus vocabulary."""
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    m = summary_size or 4 * k
+    if m < k:
+        raise ValueError("summary_size must be >= k")
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(tokens(text_col)).alias("_tok")
+    )
+    n_total = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.sum(F.size(tokens(text_col))).alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    if n_total == 0:
+        return toks.groupBy(F.col("_tok").alias("token")).agg(
+            F.count(F.lit(1)).alias("n_occurrences")
+        )
+
+    def mg(it):
+        counter: dict = {}
+        for pdf in it:
+            counter = _mg_merge(counter, pdf["_tok"].value_counts(), m)
+        yield pd.DataFrame({"_tok": list(counter.keys())})
+
+    cand = [
+        r["_tok"]
+        for r in toks.mapInPandas(mg, "_tok string").distinct().collect()
+    ]
+    cand_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(c,) for c in cand], "_tok string"
+        )
+    )
+    return (
+        toks.join(cand_df, "_tok")
+        .groupBy(F.col("_tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * k > F.lit(int(n_total)))
+    )
+
+
+def duck_heavy_hitters_sql(table: str, text_col: str, k: int = 50) -> str:
+    """DuckDB mirror of :func:`heavy_hitters`' exact contract (the MG
+    stage is an internal scale device — the OUTPUT is defined purely as
+    tokens with count·k > n_total, integer arithmetic)."""
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split({text_col}, ' ')) AS token
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token, count(*) AS n_occurrences
+    FROM toks CROSS JOIN tot
+    GROUP BY token, tot.n
+    HAVING count(*) * {int(k)} > tot.n
+    ORDER BY token
+    """

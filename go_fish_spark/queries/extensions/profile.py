@@ -15,9 +15,11 @@ from ...operators.profile import (
     duck_boilerplate_affixes_sql,
     duck_embedding_dim_stats_sql,
     duck_length_drift_sql,
+    duck_heavy_hitters_sql,
     duck_vocab_coverage_sql,
     duck_vocab_growth_sql,
     embedding_dim_stats,
+    heavy_hitters,
     length_drift,
     vocab_coverage,
     vocab_growth,
@@ -153,3 +155,22 @@ def x78_vocab_coverage(spark, sf_dir):
     return vocab_coverage(
         table(spark, sf_dir, "documents"), "source", "text", vocab_size=500
     ).orderBy("source")
+
+
+@query(
+    "x81_heavy_hitters",
+    oracle=duck_heavy_hitters_sql("documents", "text", k=100),
+)
+def x81_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter tokens (profile.heavy_hitters): every token
+    exceeding 1% of all occurrences (k=100), found via per-partition
+    Misra–Gries summaries (bounded memory, mergeable-summaries fold in
+    Arrow-batched mapInPandas) whose candidate union provably contains
+    every true heavy hitter, then verified EXACTLY in one
+    broadcast-filtered count pass — so the output is sketch-independent
+    integer truth (count·k > n_total) and the oracle is plain SQL. The
+    only token-keyed shuffle is over candidates, never the corpus
+    vocabulary."""
+    return heavy_hitters(
+        table(spark, sf_dir, "documents"), "text", k=100
+    ).orderBy("token")

@@ -205,3 +205,50 @@ def test_vocab_coverage_golden_and_plan(spark):
 
     with pytest.raises(ValueError, match="vocab_size"):
         vocab_coverage(df, "source", "text", vocab_size=0)
+
+
+def test_heavy_hitters_exact_and_superset_guarantee(spark):
+    """x81: the output must equal the EXACT heavy-hitter set (count·k >
+    n_total) under adversarial partitionings — the Misra–Gries candidate
+    stage may only ever widen the candidate set, never lose a true
+    heavy hitter. Also: tight summary budgets (summary_size == k) and
+    the empty corpus stay correct."""
+    from go_fish_spark.operators.profile import heavy_hitters
+
+    # 300 'a', 120 'b', and 180 singletons → n=600; k=4 → threshold 150:
+    # heavy = {a}; b (120·4=480 < 600) must NOT appear
+    docs = (
+        [("a " * 30).strip()] * 10
+        + [("b " * 12).strip()] * 10
+        + [" ".join(f"u{i}_{j}" for j in range(18)) for i in range(10)]
+    )
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    for layout in (df, df.repartition(7), df.repartition(1), df.coalesce(2)):
+        out = {
+            r.token: r.n_occurrences
+            for r in heavy_hitters(layout, "text", k=4).collect()
+        }
+        assert out == {"a": 300}
+    # tight budget: summary_size == k still exact (the guarantee's edge)
+    out2 = {
+        r.token: r.n_occurrences
+        for r in heavy_hitters(
+            df.repartition(5), "text", k=4, summary_size=4
+        ).collect()
+    }
+    assert out2 == {"a": 300}
+    # strict inequality: 'a' at exactly n/2 (300·2 = 600 = n) is NOT a
+    # majority element — the k=2 report is empty
+    out3 = {
+        r.token: r.n_occurrences
+        for r in heavy_hitters(df, "text", k=2, summary_size=2).collect()
+    }
+    assert out3 == {}
+    assert heavy_hitters(
+        spark.createDataFrame([(None,)], "text string"), "text", k=4
+    ).count() == 0
+
+    with pytest.raises(ValueError, match="k must"):
+        heavy_hitters(df, "text", k=1)
+    with pytest.raises(ValueError, match="summary_size"):
+        heavy_hitters(df, "text", k=8, summary_size=4)
