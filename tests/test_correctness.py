@@ -76,7 +76,9 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert df.columns == ["doc_id", "lang_pred", "score", "split"]
+    assert df.columns == [
+        "doc_id", "lang_pred", "score", "split", "n_members", "cluster_bucket",
+    ]
 
 
 def test_registry_shape():
