@@ -157,6 +157,7 @@ HEADLINE = [
     "x79_ann_recall_audit",
     "x80_corpus_diff",
     "x81_heavy_hitters",
+    "x82_containment_pairs",
 ]
 
 

@@ -1473,3 +1473,54 @@ def duck_corpus_diff_sql(
                 ELSE 'changed' END AS status
     FROM j ORDER BY {id_col}
     """
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs (a, b) where the
+    fraction of a's word-k-shingles also present in b —
+    ``|Sa ∩ Sb| / |Sa|`` — meets ``threshold``. Catches what symmetric
+    Jaccard (:func:`ngram_jaccard_pairs`) structurally misses: a short
+    quote, excerpt, or syndicated article CONTAINED in a much longer
+    page has high containment but low Jaccard (the union is dominated by
+    the long side). The classic curation use is dropping a's copy when
+    containment(a→b) is high and b is the canonical/longer document.
+
+    Output: (id_a, id_b, containment DOUBLE) — DIRECTED rows, both
+    directions evaluated independently (containment is not symmetric);
+    docs with fewer than k tokens have no shingles and emit nothing.
+
+    100 TB shape: the same inverted-index law as the Jaccard join — one
+    shuffle on the shingle key, per-pair co-occurrence via map-side
+    partial aggregation, pairs sharing no shingle never materialize —
+    with twice the pair rows (ordered, not id_a < id_b)."""
+    sh = _persist(
+        df.select(
+            F.col(id_col).alias("_id"), word_shingles(text_col, k).alias("_sh")
+        ).withColumn("_n", F.size("_sh"))
+    )
+    inv = sh.select("_id", "_n", F.explode("_sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn("containment", F.col("inter") / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -425,3 +425,31 @@ def x80_corpus_diff(spark, sf_dir):
         .alias("text"),
     )
     return dedup.corpus_diff(old, new, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "x82_containment_pairs",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) / any_value(a.n) AS containment
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id != b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING containment >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def x82_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (dedup.containment_pairs):
+    |Sa ∩ Sb| / |Sa| ≥ 0.6 over word-3-shingles, DIRECTED — the
+    quote/excerpt/syndication detector that symmetric Jaccard misses
+    when a short doc sits inside a long one. Same inverted-index shuffle
+    law as x04 (pairs sharing no shingle never materialize)."""
+    return dedup.containment_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        threshold=0.6,
+    ).orderBy("id_a", "id_b")

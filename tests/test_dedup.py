@@ -924,3 +924,38 @@ def test_corpus_diff_statuses(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_containment_pairs_asymmetric_golden(spark):
+    """x82: a short quote inside a long doc scores high containment in
+    the quote→host direction only, while Jaccard misses the pair
+    entirely at the same bar."""
+    from go_fish_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    host = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    quote = "delta epsilon zeta eta theta"  # 5 tokens → 3 shingles, all in host
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, host), (2, quote), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert out == {(2, 1): 1.0}  # directed: quote ⊂ host only
+    # symmetric Jaccard at the same bar sees nothing: |∩|=3, |∪|=18
+    assert (
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.8).count() == 0
+    )
+    # direction flips with the threshold: host→quote is 3/18
+    both = {
+        (r.id_a, r.id_b): round(r.containment, 6)
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.1).collect()
+    }
+    assert both[(1, 2)] == round(3 / 18, 6) and both[(2, 1)] == 1.0
