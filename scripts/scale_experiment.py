@@ -177,6 +177,17 @@ def main() -> None:
         "x69_vocab_growth": lambda d: REGISTRY["x69_vocab_growth"].fn(spark, d).count(),
         "x70_boilerplate_affixes": lambda d: REGISTRY["x70_boilerplate_affixes"].fn(spark, d).count(),
         "x71_dupgraph_pagerank": lambda d: REGISTRY["x71_dupgraph_pagerank"].fn(spark, d).count(),
+        # round-6: incremental near-dup (x02's banding law against a
+        # signature store — both sides grow, candidates bound the work),
+        # OOV report (one token shuffle + TakeOrdered + broadcast vocab),
+        # corpus diff (digest-keyed full-outer join, slim keys), heavy
+        # hitters (MG candidates bound the token-keyed shuffle),
+        # containment (x04's inverted-index law, ordered pairs).
+        "x77_incremental_near_dedup": lambda d: REGISTRY["x77_incremental_near_dedup"].fn(spark, d).count(),
+        "x78_vocab_coverage": lambda d: REGISTRY["x78_vocab_coverage"].fn(spark, d).count(),
+        "x80_corpus_diff": lambda d: REGISTRY["x80_corpus_diff"].fn(spark, d).count(),
+        "x81_heavy_hitters": lambda d: REGISTRY["x81_heavy_hitters"].fn(spark, d).count(),
+        "x82_containment_pairs": lambda d: REGISTRY["x82_containment_pairs"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
