@@ -164,6 +164,32 @@ def windowed_count_stream(
     ).agg(F.count(F.lit(1)).alias(count_alias))
 
 
+def dedup_within_watermark_stream(
+    events: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The NATIVE streaming arm of the reference's KV get-or-create
+    dedup (`state/kv.go` pattern; batch = ``dropDuplicates`` / q23):
+    Spark's ``dropDuplicatesWithinWatermark`` keeps the first arrival
+    per key and — unlike a plain streaming ``dropDuplicates``, whose
+    key state grows FOREVER — evicts each key's state once the
+    watermark passes its event time plus the delay. That bounded-state
+    contract is the only honest way to run dedup on an unbounded
+    stream: duplicates separated by more than ``watermark`` in event
+    time MAY both survive, by design; within it, exactly one does.
+
+    On a batch frame this degrades to plain ``dropDuplicates(keys)``
+    (the parity test's oracle arm, with full-row keys so survivor
+    choice is deterministic)."""
+    if events.isStreaming:
+        return events.withWatermark(
+            time_col, watermark
+        ).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def has_transform_with_state() -> bool:
     """Capability check for Spark 4's StatefulProcessor API
     (``transformWithStateInPandas``) — gate callers and tests on this so

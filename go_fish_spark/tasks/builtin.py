@@ -195,3 +195,45 @@ class RocchioLabel(BasicTask):
                 np.asarray(self.options["centroids"], dtype=np.float64),
             ),
         )
+
+
+@register_task("length_gate")
+class LengthGate(BasicTask):
+    """Curation admission gate (x67's per-row form): keep documents
+    whose power-of-2 character-length bin holds at least ``min_share``
+    of the FROZEN history distribution — fit once with
+    profile.fit_length_baseline, frozen into the task config, so the
+    gate is a pure per-row expression and runs identically in batch and
+    streaming pipelines (the aggregate drift MONITOR is
+    profile.length_drift_frozen; this is the enforcement arm that drops
+    the outlier-length docs the monitor would flag). ROW-PRESERVING
+    like gopher_gate / bm25_gate; NULL text has no length and is
+    dropped (it carries no admissible bin). Options: baseline {k_bin:
+    count, ...}, min_share (default 0.0 — any bin seen in history
+    passes), column (default 'text')."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        baseline = {int(k): int(v) for k, v in self.options["baseline"].items()}
+        n_total = sum(baseline.values())
+        if n_total <= 0:
+            raise ValueError("length_gate: baseline is empty")
+        min_share = float(self.options.get("min_share", 0.0))
+        col = self.options.get("column", "text")
+        k = F.floor(
+            F.log2(F.greatest(F.length(F.col(col)), F.lit(1)))
+        ).cast("int")
+        share = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for pair in (
+                        (b, c / float(n_total)) for b, c in baseline.items()
+                    )
+                    for x in pair
+                ]
+            ),
+            k,
+        )
+        return df.filter(
+            F.col(col).isNotNull() & (F.coalesce(share, F.lit(-1.0)) > min_share)
+        )

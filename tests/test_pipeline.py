@@ -501,3 +501,49 @@ def test_decontam_gate_task_is_declarable_and_row_preserving(spark, tmp_path):
     got = spark.read.schema("doc_id long, text string, lang string").json(outdir).collect()
     assert [(r.doc_id, r.lang) for r in got] == [(2, "en")]
     assert got[0].text == "totally unrelated words here"
+
+
+def test_length_gate_task_is_declarable_and_row_preserving(spark, tmp_path):
+    """x67's enforcement arm as a JSON-declarable rule: the frozen
+    length-bin baseline travels as plain config (fit once with
+    profile.fit_length_baseline), the compiled pipeline drops docs whose
+    length bin history never saw (or saw below min_share), and survivors
+    keep their full payload."""
+    import json
+
+    from go_fish_spark.operators.profile import fit_length_baseline
+    from go_fish_spark.plans.compiler import compile_pipeline
+    from go_fish_spark.plans.spec import parse_spec
+
+    hist = spark.createDataFrame(
+        [(i, "x" * 40) for i in range(8)] + [(9, "y" * 300)],
+        "doc_id long, text string",
+    )
+    baseline = fit_length_baseline(hist, "text")  # bins {5: 8, 8: 1}
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    outdir = str(tmp_path / "out")
+    rows = [
+        dict(doc_id=1, text="z" * 50, lang="en"),     # bin 5 — majority, kept
+        dict(doc_id=2, text="z" * 260, lang="en"),    # bin 8 — share 1/9 < 0.5
+        dict(doc_id=3, text="z" * 70000, lang="en"),  # bin 16 — never seen
+        dict(doc_id=4, text=None, lang="en"),         # NULL — no bin, dropped
+    ]
+    (indir / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
+    spec = {
+        "sources": {"docs": {"type": "json", "options": {
+            "path": str(indir),
+            "schema": "doc_id long, text string, lang string"}}},
+        "rules": {"admit": {"task": "length_gate", "source": "docs",
+                            "sink": "out", "options": {
+            "baseline": {str(k): v for k, v in baseline.items()},
+            "min_share": 0.5}}},
+        "sinks": {"out": {"type": "json", "options": {"path": outdir}}},
+    }
+    compile_pipeline(spark, parse_spec(spec), streaming=False).run()
+    got = spark.read.schema(
+        "doc_id long, text string, lang string"
+    ).json(outdir).collect()
+    assert [(r.doc_id, r.lang) for r in got] == [(1, "en")]
+    assert got[0].text == "z" * 50

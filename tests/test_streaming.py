@@ -1356,3 +1356,71 @@ def test_stream_interval_enrich_join_vs_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == golden
+
+
+def test_stream_dedup_within_watermark_vs_batch(spark, tmp_path):
+    """Native bounded-state streaming dedup
+    (stateful.dedup_within_watermark_stream): within the watermark
+    exactly one copy of each key survives — equal to batch
+    dropDuplicates on the same full-row keys; the key state is EVICTED
+    behind the watermark (the property that makes streaming dedup
+    runnable forever), demonstrated by a far-later re-arrival of an
+    already-seen key surviving as a new row."""
+    from go_fish_spark.streaming import sources, stateful
+
+    keys = ["k", "payload"]
+    schema = "k string, payload string, ts timestamp"
+    early = [
+        dict(k="a", payload="p1", ts="2024-01-01T00:00:01Z"),
+        dict(k="a", payload="p1", ts="2024-01-01T00:00:02Z"),  # dup
+        dict(k="b", payload="p2", ts="2024-01-01T00:00:03Z"),
+        dict(k="a", payload="p9", ts="2024-01-01T00:00:04Z"),  # other payload
+    ]
+    # state eviction is applied AFTER the batch's dedup check (observed:
+    # a re-arrival in the same batch whose watermark crosses the expiry
+    # still dedups), so the watermark must cross the early keys' expiry
+    # TWO batches before the re-arrival: batch1 advances it, batch2's
+    # commit evicts, batch3's re-arrival finds the state gone
+    advance = [dict(k="w", payload="adv", ts="2024-01-01T03:00:00Z")]
+    advance2 = [dict(k="w2", payload="adv2", ts="2024-01-01T04:00:00Z")]
+    late = [
+        dict(k="a", payload="p1", ts="2024-01-01T05:00:00Z"),
+    ]
+    indir = tmp_path / "in"
+    write_events(indir, early)
+    write_events(indir, advance, fname="batch1.json")
+    write_events(indir, advance2, fname="batch2.json")
+    write_events(indir, late, fname="batch3.json")
+    # the file source orders micro-batches by mtime — pin it so the
+    # early file really is trigger 1 (equal mtimes raced in CI)
+    import os
+
+    for i, fname in enumerate(
+        ["batch0.json", "batch1.json", "batch2.json", "batch3.json"]
+    ):
+        os.utime(indir / fname, (1000 + i, 1000 + i))
+    out = stateful.dedup_within_watermark_stream(
+        sources.json_stream(spark, str(indir), schema, max_files_per_trigger=1),
+        keys,
+        time_col="ts",
+    )
+    run_to_memory(out, "dedup_wm_out")
+    got = sorted(
+        (r.k, r.payload) for r in spark.sql("SELECT * FROM dedup_wm_out").collect()
+    )
+    # within-watermark survivors equal batch dropDuplicates over the
+    # early batch; the late re-arrival of (a, p1) survives AGAIN because
+    # its state was evicted — the bounded-state contract, not a bug
+    batch_early = sorted(
+        (r.k, r.payload)
+        for r in stateful.dedup_within_watermark_stream(
+            spark.createDataFrame(
+                [(e["k"], e["payload"], e["ts"]) for e in early],
+                "k string, payload string, ts string",
+            ), keys,
+        ).collect()
+    )
+    assert batch_early == [("a", "p1"), ("a", "p9"), ("b", "p2")]
+    assert got == sorted(
+        batch_early + [("a", "p1"), ("w", "adv"), ("w2", "adv2")]
+    )
