@@ -142,6 +142,29 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         ).count()
         print(f"shared 16-char affixes across curated docs: {n_affix}")
 
+        # round-6 audits: heavy-hitter tokens (x81 — MG candidates +
+        # exact verify) and the recurring-crawl story (x77): persist the
+        # curated set's MinHash sketch store and probe "tomorrow's
+        # crawl" against it — history text is never re-read.
+        from go_fish_spark.operators.dedup import (
+            incremental_near_dedup,
+            sketch_store,
+        )
+        from go_fish_spark.operators.profile import heavy_hitters
+
+        print("heavy-hitter tokens (>1% of all occurrences):")
+        heavy_hitters(balanced, "text", k=100).orderBy(
+            F.col("n_occurrences").desc(), "token"
+        ).show(5)
+        store = sketch_store(balanced, "doc_id", "text")
+        tomorrow = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", "text"
+        )
+        print("tomorrow's crawl vs today's sketch store (x77):")
+        incremental_near_dedup(
+            tomorrow, store, "doc_id", "text"
+        ).groupBy("status").count().orderBy("status").show()
+
     # 11. reproducible epoch order (x58): every packed row gets its exact
     #     position in the seeded global shuffle — the order the loader
     #     reads, re-derivable from ids alone

@@ -52,7 +52,46 @@ SHOWCASE = [
     ("x68_embedding_dim_stats", "one posexplode → ONE hash exchange on the bounded dim key; partial aggregation map-side"),
     ("x70_boilerplate_affixes", "map-only affix extraction — no joins; one exchange on the (kind, affix) groupBy key"),
     ("x71_dupgraph_pagerank", "fixed-iteration PageRank: final round reads the checkpointed rank frame + pre-partitioned adjacency; only the slim (id, rank) frame moves per iteration"),
+    ("x20_curation_pipeline", "flagship shares ONE audit pass: canonical selection reads the checkpointed CC label frame (ExistingRDD) — no second pair-graph/CC computation inside the composed plan"),
+    ("x77_incremental_near_dedup", "incremental near-dedup: slim (id, band, bh) bucket joins against the signature store — no history text in any scan; verification joins back to persisted sigs over candidate-bounded sets"),
+    ("x78_vocab_coverage", "top-N vocab elected by TakeOrdered (distributed heap, no global window); vocab broadcast into the map-only coverage join"),
+    ("x80_corpus_diff", "both snapshots reduce to (id, digest) before ONE full-outer SortMergeJoin — text never shuffles"),
+    ("x81_heavy_hitters", "MG candidate stage is the only Python (ArrowEvalPython/MapInPandas); exact verification joins the corpus to BROADCAST candidates — the token-keyed shuffle is candidate-bounded"),
+    ("x82_containment_pairs", "asymmetric containment: same inverted-index self-join law as x04 — one shuffle on the shingle key, map-side partial aggregation"),
 ]
+
+#: Hand-written analysis appended verbatim after the generated plans —
+#: survives regeneration.
+EPILOGUE = """
+## q68_tpch_q8_market_share — the r04→r05 1.21× "regression" (round-6 note)
+
+Round-5 verdict item #2 asked for the plan delta behind q68's
+0.857 s → 1.034 s move. There is none: `git log 46cb3e6..7ff0daa --
+queries/battery.py session.py catalog.py` is EMPTY (no q68-relevant
+code or config changed between the two bench runs), and the r06 plan
+dump is the shape Q8 wants — lineitem as the single probe side through
+SEVEN consecutive BroadcastHashJoins (part, supplier, orders, customer,
+nation×2, region all build-side at sf0.1), one exchange for the final
+year groupBy, no sort-merge join anywhere:
+
+```
+BroadcastHashJoin ×7 (BuildRight)   ← part/supp/orders/cust/n1/region/n2
+  Scan parquet lineitem (probe, 5 cols pruned)
+Exchange hashpartitioning(o_year)   ← the only shuffle
+```
+
+Measured this round in isolation (7 back-to-back reps, sf0.1,
+local[32]): walls 2.22 (cold), 1.35, 1.02, 1.00, 0.93, 0.95, 0.80 —
+a 0.80–1.35 s warm band whose spread is the seven broadcast BUILDS
+(driver-side collect + relation build dominates; the probe scan is
+~0.2 s by itself). Both round medians sit inside that band; with
+reps=3 the median still samples it. Accepted as build-side jitter on a
+plan that is already optimal at this SF; at cluster scale the same
+query degrades gracefully — orders/customer/part/supplier carry no
+broadcast hint, so past the 10 MB threshold AQE plans them as shuffle
+joins keyed on the probe's join columns while nation/region stay
+pinned broadcasts.
+"""
 
 
 def condense(plan: str) -> str:
@@ -102,6 +141,7 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
+        f.write(EPILOGUE)
     print(f"wrote PLANS.md ({len(SHOWCASE)} plans)")
     spark.stop()
 
