@@ -479,3 +479,92 @@ def test_pagerank_invariants(spark, edges):
         for r in pagerank(nodes.repartition(5), e.repartition(3), n_iter=4).collect()
     }
     assert out == out2
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["p", "q", "r", None])),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["p", "q", "r", None])),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_corpus_diff_properties(spark, old_rows, new_rows):
+    """x80 invariants for arbitrary snapshots: exactly one status per id
+    in either snapshot; added/removed iff one-sided; for shared ids,
+    unchanged iff the payloads are equal (NULL ≡ NULL)."""
+    from go_fish_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.status
+        for r in corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    om, nm = dict(old_rows), dict(new_rows)
+    assert set(out) == set(om) | set(nm)
+    for i, s in out.items():
+        if i not in om:
+            assert s == "added"
+        elif i not in nm:
+            assert s == "removed"
+        else:
+            assert s == ("unchanged" if om[i] == nm[i] else "changed")
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(words, min_size=1, max_size=8), st.integers(2, 6))
+def test_heavy_hitters_match_brute_force(spark, docs, k):
+    """x81 must equal exact brute-force counting (count·k > n) for
+    arbitrary corpora and thresholds — the MG candidate stage may only
+    ever widen the candidate set."""
+    from collections import Counter
+
+    from go_fish_spark.operators.profile import heavy_hitters
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r.token: r.n_occurrences
+        for r in heavy_hitters(df.repartition(3), "text", k=k).collect()
+    }
+    # split(" ") semantics: empty text yields one empty-string token,
+    # mirroring F.split — count it the same way
+    counts = Counter(tok for t in texts for tok in t.split(" "))
+    n = sum(counts.values())
+    want = {t: c for t, c in counts.items() if c * k > n}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(words, min_size=2, max_size=8))
+def test_containment_one_when_subset(spark, docs):
+    """x82 invariant: whenever doc a's shingle set is a non-empty subset
+    of doc b's, the directed pair (a → b) appears with containment 1.0
+    at any threshold ≤ 1; and every emitted containment is in (0, 1]."""
+    from go_fish_spark.operators.dedup import containment_pairs
+
+    sh = lambda ws: {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            df, "doc_id", "text", k=3, threshold=0.000001
+        ).collect()
+    }
+    for v in out.values():
+        assert 0 < v <= 1.0
+    for i, a in enumerate(docs):
+        for j, b in enumerate(docs):
+            if i != j and sh(a) and sh(a) <= sh(b):
+                assert out.get((i, j)) == 1.0
