@@ -158,6 +158,7 @@ HEADLINE = [
     "x80_corpus_diff",
     "x81_heavy_hitters",
     "x82_containment_pairs",
+    "x83_embedding_centroid_report",
 ]
 
 

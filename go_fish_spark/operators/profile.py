@@ -634,3 +634,90 @@ def duck_heavy_hitters_sql(table: str, text_col: str, k: int = 50) -> str:
     HAVING count(*) * {int(k)} > tot.n
     ORDER BY token
     """
+
+
+def embedding_centroid_report(
+    df: DataFrame, group_col: str, vec_col: str
+) -> DataFrame:
+    """Per-group semantic summary over an embedding column — the drift
+    audit run between corpus snapshots or across sources: a group whose
+    centroid-norm² collapses toward 0 has embeddings cancelling out
+    (mixed/incoherent content); one whose dispersion shrinks suddenly
+    has become self-similar (template flooding).
+
+    Per group: n vectors, ``centroid_norm2`` = ‖mean vector‖²,
+    ``mean_norm2`` = E‖x‖², and ``dispersion`` = E‖x − c‖² =
+    mean_norm2 − centroid_norm2 (the total-variance identity).
+
+    Cross-engine float discipline: per-dimension sums Σx and Σx² are
+    decimal-exact (order-independent); each dimension's squared-mean
+    term re-enters as round-12 decimal so the ACROSS-DIMENSION sums are
+    also order-independent; final values round-9.
+
+    100 TB shape: one posexplode to (group, dim, v) and ONE exchange on
+    the bounded (group × dim) key with map-side combine; everything
+    after runs on the ≤ groups×dim frame."""
+    e = df.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(F.col(vec_col)).alias("_d", "_v"),
+    ).select("_g", "_d", F.col("_v").cast("double").alias("_v"))
+    gd = e.groupBy("_g", "_d").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,12)")).alias("_s"),
+        F.sum(
+            F.round(F.col("_v") * F.col("_v"), 12).cast("decimal(38,12)")
+        ).alias("_s2"),
+    )
+    mean_ = F.col("_s").cast("double") / F.col("_n")
+    mean_sq = F.round(mean_ * mean_, 12).cast("decimal(27,18)")
+    s2_term = F.round(
+        F.col("_s2").cast("double") / F.col("_n"), 12
+    ).cast("decimal(27,18)")
+    agg = gd.groupBy("_g").agg(
+        F.max("_n").alias("n"),
+        F.sum(mean_sq).cast("double").alias("_c2"),
+        F.sum(s2_term).cast("double").alias("_m2"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("_c2", 9).alias("centroid_norm2"),
+        F.round("_m2", 9).alias("mean_norm2"),
+        F.round(F.col("_m2") - F.col("_c2"), 9).alias("dispersion"),
+    )
+
+
+def duck_embedding_centroid_sql(
+    table: str, group_col: str, vec_col: str
+) -> str:
+    """DuckDB mirror of :func:`embedding_centroid_report` — same decimal
+    per-dimension sums, same round-12 re-entry of the across-dimension
+    terms, same operation order."""
+    return f"""
+    WITH e AS (
+      SELECT {group_col} AS _g,
+             generate_subscripts({vec_col}, 1) AS _d,
+             CAST(unnest({vec_col}) AS DOUBLE) AS _v
+      FROM {table}
+    ),
+    gd AS (
+      SELECT _g, _d, count(*) AS _n,
+             sum(CAST(_v AS DECIMAL(38,12))) AS _s,
+             sum(CAST(round(_v * _v, 12) AS DECIMAL(38,12))) AS _s2
+      FROM e GROUP BY _g, _d
+    ),
+    agg AS (
+      SELECT _g, max(_n) AS n,
+             CAST(sum(CAST(round((CAST(_s AS DOUBLE) / _n)
+                                 * (CAST(_s AS DOUBLE) / _n), 12)
+                           AS DECIMAL(27,18))) AS DOUBLE) AS _c2,
+             CAST(sum(CAST(round(CAST(_s2 AS DOUBLE) / _n, 12)
+                           AS DECIMAL(27,18))) AS DOUBLE) AS _m2
+      FROM gd GROUP BY _g
+    )
+    SELECT _g AS {group_col}, CAST(n AS BIGINT) AS n,
+           round(_c2, 9) AS centroid_norm2,
+           round(_m2, 9) AS mean_norm2,
+           round(_m2 - _c2, 9) AS dispersion
+    FROM agg ORDER BY {group_col}
+    """

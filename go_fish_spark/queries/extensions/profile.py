@@ -15,9 +15,11 @@ from ...operators.profile import (
     duck_boilerplate_affixes_sql,
     duck_embedding_dim_stats_sql,
     duck_length_drift_sql,
+    duck_embedding_centroid_sql,
     duck_heavy_hitters_sql,
     duck_vocab_coverage_sql,
     duck_vocab_growth_sql,
+    embedding_centroid_report,
     embedding_dim_stats,
     heavy_hitters,
     length_drift,
@@ -174,3 +176,20 @@ def x81_heavy_hitters(spark, sf_dir):
     return heavy_hitters(
         table(spark, sf_dir, "documents"), "text", k=100
     ).orderBy("token")
+
+
+@query(
+    "x83_embedding_centroid_report",
+    oracle=duck_embedding_centroid_sql("embeddings", "label", "embedding"),
+)
+def x83_embedding_centroid_report(spark, sf_dir):
+    """Per-label embedding centroid/dispersion audit
+    (profile.embedding_centroid_report): ‖centroid‖², E‖x‖², and the
+    total-variance dispersion E‖x − c‖² per group — the semantic-drift
+    check run between snapshots (a collapsing centroid flags incoherent
+    content; collapsing dispersion flags template flooding). One
+    posexplode → ONE bounded (group × dim) exchange; decimal-exact sums
+    with round-12 re-entry make every value engine-portable."""
+    return embedding_centroid_report(
+        table(spark, sf_dir, "embeddings"), "label", "embedding"
+    ).orderBy("label")

@@ -252,3 +252,31 @@ def test_heavy_hitters_exact_and_superset_guarantee(spark):
         heavy_hitters(df, "text", k=1)
     with pytest.raises(ValueError, match="summary_size"):
         heavy_hitters(df, "text", k=8, summary_size=4)
+
+
+def test_embedding_centroid_report_golden(spark):
+    """x83: hand-checkable centroid/dispersion values, the total-variance
+    identity (dispersion = E||x||^2 - ||c||^2 >= 0), and layout
+    invariance from the decimal-exact accumulation."""
+    from go_fish_spark.operators.profile import embedding_centroid_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]), ("a", [-1.0, 0.0]),   # centroid 0 → c2 0
+            ("b", [2.0, 2.0]), ("b", [2.0, 2.0]),    # identical → disp 0
+        ],
+        "label string, v array<double>",
+    )
+    out = {r.label: r for r in embedding_centroid_report(df, "label", "v").collect()}
+    assert out["a"].n == 2
+    assert out["a"].centroid_norm2 == 0.0
+    assert out["a"].mean_norm2 == 1.0 and out["a"].dispersion == 1.0
+    assert out["b"].centroid_norm2 == 8.0
+    assert out["b"].mean_norm2 == 8.0 and out["b"].dispersion == 0.0
+    out2 = {
+        r.label: tuple(r)
+        for r in embedding_centroid_report(
+            df.repartition(5), "label", "v"
+        ).collect()
+    }
+    assert out2 == {k: tuple(v) for k, v in out.items()}
