@@ -154,3 +154,48 @@ def stream_sharded(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_shards(
+    spark,
+    path: str,
+    partition_cols: list[str] | None = None,
+    size_col: Column | str | None = None,
+) -> DataFrame:
+    """Small-files maintenance: rewrite a sharded corpus so every shard
+    directory again holds exactly ONE file, and refresh the manifest.
+
+    Streaming deliveries (:func:`stream_sharded`) and ``mode="append"``
+    batch deliveries each land NEW files in their shard directories; at
+    100 TB the resulting small-file population is what kills both the
+    object store (request amplification) and the reader (task-per-file
+    scheduling). Compaction is the periodic fix: read the layout back
+    (shard membership comes from the directory tree — a pure key hash,
+    so it is REUSED, never recomputed), rewrite with the same one-file-
+    per-shard discipline into a temp tree, then swap directories. The
+    swap is two renames — readers see the old tree until the new one is
+    complete (crash before the first rename leaves the original intact;
+    the orphaned temp/old trees are re-runnable debris, not data loss).
+
+    Returns the refreshed manifest."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    tmp, old = f"{base}__compact_tmp", f"{base}__compact_old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    df = spark.read.parquet(path)
+    write_sharded(
+        df,
+        tmp,
+        id_col="shard",  # unused: the existing shard column is reused
+        n_shards=None,
+        partition_cols=partition_cols,
+        size_col=size_col,
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return read_manifest(spark, path)

@@ -146,3 +146,43 @@ def test_write_sharded_empty_input_yields_empty_manifest(spark, tmp_path):
     )
     assert manifest.count() == 0
     assert {"n_docs", "tok_total", "shard", "split"} <= set(manifest.columns)
+
+
+def test_compact_shards_one_file_per_dir_and_data_preserved(spark, tmp_path):
+    """compact_shards: after an append delivery fragments the shard
+    directories, compaction restores exactly ONE data file per shard
+    dir, preserves every row bit-for-bit, reuses the existing shard
+    assignment (no row changes shard), and refreshes the manifest."""
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    path = str(tmp_path / "corpus")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    sharding.write_sharded(first, path, "doc_id", n_shards=4)
+    sharding.write_sharded(second, path, "doc_id", n_shards=4, mode="append")
+
+    def files_per_shard():
+        return {
+            d: len(glob.glob(os.path.join(path, d, "*.parquet")))
+            for d in os.listdir(path)
+            if d.startswith("shard=")
+        }
+
+    fragmented = files_per_shard()
+    assert any(n > 1 for n in fragmented.values())
+    before = {
+        (r.doc_id, r.text, r.shard)
+        for r in sharding.read_sharded(spark, path).collect()
+    }
+
+    manifest = sharding.compact_shards(spark, path)
+    compacted = files_per_shard()
+    assert set(compacted) == set(fragmented)
+    assert all(n == 1 for n in compacted.values())
+    after = {
+        (r.doc_id, r.text, r.shard)
+        for r in sharding.read_sharded(spark, path).collect()
+    }
+    assert after == before
+    assert manifest.agg(F.sum("n_docs")).collect()[0][0] == len(before)
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
