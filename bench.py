@@ -159,6 +159,7 @@ HEADLINE = [
     "x81_heavy_hitters",
     "x82_containment_pairs",
     "x83_embedding_centroid_report",
+    "q80_funnel_steps",
 ]
 
 

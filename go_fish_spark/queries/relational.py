@@ -335,3 +335,76 @@ def q79_recursive_series(spark, sf_dir):
         GROUP BY d ORDER BY day_offset
         """
     )
+
+
+@query(
+    "q80_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT step, n_users FROM (
+      SELECT '1_view' AS step, count(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', count(*) FROM c
+      UNION ALL SELECT '3_purchase', count(*) FROM p
+    ) ORDER BY step
+    """,
+)
+def q80_funnel_steps(spark, sf_dir):
+    """ORDER-SENSITIVE funnel analysis — the product-analytics shape a
+    plain per-type count cannot express: a user converts a step only if
+    the event happens strictly AFTER their first event of the previous
+    step (first view → first later click → first later purchase).
+    Expressed as three chained keyed aggregations, one per step, each
+    over ONLY its own event-type slice — so every event row shuffles at
+    most once (for its step's groupBy), and the per-user step frames
+    (1 row/user) broadcast into the next step's join at this SF
+    (plan-verified; beyond broadcast size AQE falls back to a
+    sort-merge join on the shared user key). Output: 3 rows
+    (step, n_users)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def n(df, step):
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        n(v, "1_view")
+        .unionByName(n(c, "2_click"))
+        .unionByName(n(p, "3_purchase"))
+        .orderBy("step")
+    )

@@ -87,3 +87,42 @@ def test_registry_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_funnel_steps_order_sensitivity(spark):
+    """q80 semantics: a step counts only strictly AFTER the user's first
+    event of the previous step — a click before any view does not
+    convert, nor does a purchase at the same instant as the click."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.queries import REGISTRY
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "2024-01-01 00:00:01", 1, "view"),
+        (2, "2024-01-01 00:00:02", 1, "click"),
+        (3, "2024-01-01 00:00:03", 1, "purchase"),
+        # u2: click BEFORE first view → no click conversion
+        (4, "2024-01-01 00:00:01", 2, "click"),
+        (5, "2024-01-01 00:00:02", 2, "view"),
+        # u3: purchase at the SAME instant as the click → not after
+        (6, "2024-01-01 00:00:01", 3, "view"),
+        (7, "2024-01-01 00:00:02", 3, "click"),
+        (8, "2024-01-01 00:00:02", 3, "purchase"),
+        # u4: view only
+        (9, "2024-01-01 00:00:01", 4, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(f"{td}/events.parquet")
+        out = {
+            r.step: r.n_users
+            for r in REGISTRY["q80_funnel_steps"].fn(spark, td).collect()
+        }
+    assert out == {"1_view": 4, "2_click": 2, "3_purchase": 1}
