@@ -547,3 +547,62 @@ def test_length_gate_task_is_declarable_and_row_preserving(spark, tmp_path):
     ).json(outdir).collect()
     assert [(r.doc_id, r.lang) for r in got] == [(1, "en")]
     assert got[0].text == "z" * 50
+
+
+def test_admission_pipeline_spec_batch_and_streaming(spark, tmp_path):
+    """The SHIPPED examples/admission_pipeline.json chains three frozen-
+    config map-only gates (gopher_gate → length_gate → decontam_gate);
+    loaded verbatim (paths rewired) it must admit exactly the doc that
+    clears all three, in BATCH and — unchanged — in STREAMING mode (the
+    round-6 length_gate is a pure per-row expression like its
+    siblings)."""
+    import json
+    import os
+
+    from go_fish_spark.plans.compiler import compile_pipeline
+    from go_fish_spark.plans.spec import parse_spec
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = json.load(open(os.path.join(repo, "examples/admission_pipeline.json")))
+    indir = tmp_path / "in"
+    indir.mkdir()
+    outdir = str(tmp_path / "out")
+    spec["sources"]["crawl"]["options"]["path"] = str(indir)
+    spec["sinks"]["admitted"]["options"]["path"] = outdir
+
+    base = ["the", "a", "of"] + ["wordy"] * 55
+    rows = [
+        # 1: clears every gate (structure ok, length bin 8 in baseline,
+        # no benchmark shingles)
+        dict(doc_id=1, text=" ".join(base + ["alpha", "beta"]), source="web"),
+        # 2: structure ok but ~1.2k chars → bin 10, absent from the
+        # frozen baseline → length_gate drops it
+        dict(doc_id=2, text=" ".join(["the", "a", "of"] + ["wordy"] * 200),
+             source="web"),
+        # 3: contains the 4-token benchmark shingle → decontam_gate
+        dict(doc_id=3,
+             text=" ".join(base + "the eval answer is forty two".split()),
+             source="web"),
+        # 4: structurally broken → gopher_gate
+        dict(doc_id=4, text="the a tiny doc", source="web"),
+    ]
+    (indir / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    compile_pipeline(spark, parse_spec(spec), streaming=False).run()
+    got = spark.read.schema(
+        "doc_id long, text string, source string"
+    ).json(outdir).collect()
+    assert [r.doc_id for r in got] == [1]
+    assert got[0].text.startswith("the a of wordy")  # row-preserving
+
+    out2 = str(tmp_path / "out2")
+    spec["sinks"]["admitted"]["options"]["path"] = out2
+    compiled = compile_pipeline(spark, parse_spec(spec), streaming=True)
+    for q in compiled.start(str(tmp_path / "ckpt"), available_now=True):
+        q.awaitTermination(120)
+    streamed = spark.read.schema(
+        "doc_id long, text string, source string"
+    ).json(out2).collect()
+    assert [(r.doc_id, r.text) for r in streamed] == [
+        (got[0].doc_id, got[0].text)
+    ]
