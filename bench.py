@@ -160,6 +160,7 @@ HEADLINE = [
     "x82_containment_pairs",
     "x83_embedding_centroid_report",
     "q80_funnel_steps",
+    "x84_weighted_reservoir",
 ]
 
 

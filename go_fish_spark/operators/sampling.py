@@ -636,3 +636,61 @@ def apply_cap_thresholds(
         .filter(F.col("_th").isNull() | (_cap_sort_key(id_col) <= F.col("_th")))
         .drop("_tk", "_th")
     )
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    id_col: str,
+    weight: Column | str,
+    k: int,
+    seed: str = "aes",
+) -> DataFrame:
+    """Weighted sample of EXACTLY k rows without replacement —
+    Efraimidis–Spirakis A-ES with the repo's deterministic-uniform
+    recipe: each row draws u = hash_uniform(seed ‖ id) and ranks by
+    key = ln(max(u, 1e-12)) / w (the log form of u^(1/w) — same order,
+    no pow); the k largest keys are the sample, P(selected) ∝ weight
+    exactly as in the classic algorithm, but reproducible across
+    engines, re-runs, and layouts because u is a pure function of
+    (seed, id). Rows with weight ≤ 0 are excluded (they carry no
+    sampling mass). Ties on the round-12 key break by id.
+
+    Complements the existing samplers: x28's acceptance sampling yields
+    a BINOMIAL-sized sample; this yields exactly k — the "pick the best
+    k under a quality-weighted lottery" primitive used for eval-set
+    carving and seed selection.
+
+    100 TB shape: the key is a pure per-row expression (zero shuffles)
+    and the top-k is a TakeOrdered distributed heap — never a global
+    sort or single-task window.
+
+    Output: the input row plus ``aes_key`` (round-12 DOUBLE), the k
+    selected rows."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = hash_uniform(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    key = F.round(F.log(F.greatest(u, F.lit(1e-12))) / w, 12)
+    return (
+        df.filter(w > 0)
+        .withColumn("aes_key", key)
+        .orderBy(F.col("aes_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def duck_weighted_reservoir_sql(
+    tbl: str, id_col: str, weight_expr: str, k: int, seed: str = "aes",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`weighted_reservoir` — same uniform, same
+    log-form key, same round-12/id tie order."""
+    u = duck_hash_uniform(f"'{seed}' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT {select_cols},
+           round(ln(greatest({u}, 1e-12)) / ({weight_expr}), 12) AS aes_key
+    FROM {tbl}
+    WHERE ({weight_expr}) > 0
+    ORDER BY aes_key DESC, {id_col}
+    LIMIT {int(k)}
+    """

@@ -12,7 +12,11 @@ from ...functions import text as tx  # noqa: F401
 from ...functions import vectors  # noqa: F401
 from ...operators import decontam, dedup, multimodal, similarity  # noqa: F401
 from .. import query  # noqa: F401
-from ...operators.sampling import duck_hash_bucket  # noqa: F401
+from ...operators.sampling import (  # noqa: F401
+    duck_hash_bucket,
+    duck_weighted_reservoir_sql,
+    weighted_reservoir,
+)
 from ._shared import _DUCK_SHINGLES, _DUCK_STOP, _EMB_DIM  # noqa: F401
 
 
@@ -670,4 +674,36 @@ def x73_pack_efficiency(spark, sf_dir):
             ).alias("utilization"),
         )
         .orderBy("shard")
+    )
+
+
+@query(
+    "x84_weighted_reservoir",
+    oracle=(
+        "SELECT doc_id, aes_key FROM ("
+        + duck_weighted_reservoir_sql(
+            "documents",
+            "doc_id",
+            "len(string_split(text, ' '))",
+            k=100,
+            select_cols="doc_id",
+        )
+        + ") ORDER BY doc_id"
+    ),
+)
+def x84_weighted_reservoir(spark, sf_dir):
+    """Exactly-k weighted sample without replacement
+    (sampling.weighted_reservoir): Efraimidis–Spirakis A-ES over the
+    deterministic md5 uniform — P(selected) ∝ token count, reproducible
+    across engines/re-runs/layouts because the variate is a pure
+    function of (seed, id). Complements x28's binomial-size acceptance
+    sampling with the exactly-k lottery used for eval-set carving. Zero
+    shuffles for the key; TakeOrdered top-k (no global sort)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        weighted_reservoir(
+            docs, "doc_id", F.size(tx.tokens("text")), k=100
+        )
+        .select("doc_id", "aes_key")
+        .orderBy("doc_id")
     )

@@ -1027,3 +1027,49 @@ def test_x20_flagship_runs_one_cc_and_publishes_audit_columns(
         .collect()
     )
     assert sum(h.n_clusters for h in hist) == len(rows)
+
+
+def test_weighted_reservoir_properties(spark):
+    """x84 invariants: exactly k rows; deterministic and layout-
+    invariant; uniform weights reduce to the md5-hash-order top-k; an
+    overwhelming weight is selected; non-positive weights carry no
+    sampling mass; k is validated."""
+    import pytest
+
+    from go_fish_spark.operators.sampling import (
+        hash_uniform,
+        weighted_reservoir,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i != 7 else 1e9) for i in range(50)]
+        + [(100, 0.0), (101, -2.0)],
+        "doc_id long, w double",
+    )
+    out = weighted_reservoir(df, "doc_id", "w", k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    ids = {r.doc_id for r in rows}
+    assert 7 in ids            # w=1e9 → key ≈ 0⁻, practically always in
+    assert not ids & {100, 101}  # non-positive weights excluded
+    rows2 = weighted_reservoir(df.repartition(7), "doc_id", "w", k=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    # uniform weights: the lottery degenerates to top-k by the raw
+    # deterministic uniform (ln is monotone) — cross-check directly
+    uni = spark.createDataFrame([(i, 1.0) for i in range(50)], "doc_id long, w double")
+    got = {r.doc_id for r in weighted_reservoir(uni, "doc_id", "w", k=5).collect()}
+    expect = {
+        r.doc_id
+        for r in uni.select(
+            "doc_id",
+            hash_uniform(F.concat(F.lit("aes"), F.col("doc_id").cast("string"))).alias("u"),
+        )
+        .orderBy(F.col("u").desc(), "doc_id")
+        .limit(5)
+        .collect()
+    }
+    assert got == expect
+
+    with pytest.raises(ValueError, match="k must"):
+        weighted_reservoir(df, "doc_id", "w", k=0)
