@@ -694,3 +694,29 @@ def duck_weighted_reservoir_sql(
     ORDER BY aes_key DESC, {id_col}
     LIMIT {int(k)}
     """
+
+
+def source_floor(
+    df: DataFrame, group_col: str, min_docs: int
+) -> DataFrame:
+    """Long-tail suppression — the inverse of :func:`source_cap`: keep
+    documents only from groups contributing at least ``min_docs`` of
+    them. The curation rationale is k-anonymity-flavored: a source with
+    a handful of documents is disproportionately identifying (and is
+    where spam/SEO one-offs live), so release checklists drop the tail
+    outright.
+
+    100 TB shape: one bounded-key count, then a LEFT SEMI join of the
+    corpus against the QUALIFYING keys — whose number is provably
+    ≤ n/min_docs (each needs min_docs rows), so the higher the floor,
+    the smaller and more broadcastable the key side; the long tail
+    being suppressed never forms a join side at all."""
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    keep = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select(group_col)
+    )
+    return df.join(keep, group_col, "left_semi")

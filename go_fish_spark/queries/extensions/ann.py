@@ -621,3 +621,51 @@ def x79_ann_recall_audit(spark, sf_dir):
     return similarity.ann_recall_audit(truth, approx, k=10).orderBy(
         "query_id"
     )
+
+
+def _x85_oracle(sf_dir: str) -> str | None:
+    centers = _det_centers(16, sf_dir)
+    if centers is None:
+        return None
+    dl = similarity.duck_dist_list("embedding", centers)
+    return f"""
+    WITH a AS (SELECT vec_id, {dl} AS dl FROM embeddings),
+    c AS (SELECT vec_id, {similarity.duck_assign('dl')} AS cell FROM a)
+    SELECT cell, vec_id FROM (
+      SELECT cell, vec_id,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rn
+      FROM c
+    ) WHERE rn <= 10 ORDER BY cell, vec_id
+    """
+
+
+@query("x85_cell_balanced_sample", oracle=_x85_oracle)
+def x85_cell_balanced_sample(spark, sf_dir):
+    """Cell-balanced eval sampling: exactly ≤10 vectors per LEARNED
+    quantizer cell (fit_quantizer_det's 16 deterministic KMeans cells),
+    chosen in md5-hash order — the semantic-coverage upgrade of x16's
+    per-language stratified sample: an eval set drawn this way covers
+    every region of embedding space instead of oversampling the dense
+    head. Assignment is the pure-expression argmin over centroid
+    literals (x15/x26's engine, oracle-mirrored); selection is one
+    window over the bounded cell key; the md5 order makes the sample a
+    pure function of ids — engine/layout/re-run invariant."""
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    asg = emb.select(
+        "vec_id", q.assign_expr_col("embedding").alias("cell")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("cell", "vec_id")
+        .orderBy("cell", "vec_id")
+    )

@@ -707,3 +707,29 @@ def x84_weighted_reservoir(spark, sf_dir):
         .select("doc_id", "aes_key")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "x86_source_floor",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE source IN (
+      SELECT source FROM documents GROUP BY source HAVING count(*) >= 40
+    )
+    ORDER BY doc_id
+    """,
+)
+def x86_source_floor(spark, sf_dir):
+    """Long-tail source suppression (sampling.source_floor): keep docs
+    only from sources contributing ≥ 40 — the k-anonymity-flavored
+    inverse of the x56 hot-domain cap (tiny sources are identifying and
+    host the spam one-offs). One bounded-key count, then a left-semi
+    join against the qualifying keys, whose number is provably
+    ≤ corpus/min_docs."""
+    from ...operators.sampling import source_floor
+
+    return source_floor(
+        table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        40,
+    ).orderBy("doc_id")

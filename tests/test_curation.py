@@ -1073,3 +1073,24 @@ def test_weighted_reservoir_properties(spark):
 
     with pytest.raises(ValueError, match="k must"):
         weighted_reservoir(df, "doc_id", "w", k=0)
+
+
+def test_source_floor_golden(spark):
+    """x86: groups below the floor vanish entirely; boundary (== floor)
+    stays; row payloads preserved (semi join)."""
+    import pytest
+
+    from go_fish_spark.operators.sampling import source_floor
+
+    df = spark.createDataFrame(
+        [(1, "big"), (2, "big"), (3, "big"), (4, "edge"), (5, "edge"),
+         (6, "tiny")],
+        "doc_id long, source string",
+    )
+    out = sorted(
+        (r.doc_id, r.source) for r in source_floor(df, "source", 2).collect()
+    )
+    assert out == [(1, "big"), (2, "big"), (3, "big"), (4, "edge"), (5, "edge")]
+    assert source_floor(df, "source", 4).count() == 0
+    with pytest.raises(ValueError, match="min_docs"):
+        source_floor(df, "source", 0)

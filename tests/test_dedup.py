@@ -959,3 +959,20 @@ def test_containment_pairs_asymmetric_golden(spark):
         for r in containment_pairs(df, "doc_id", "text", threshold=0.1).collect()
     }
     assert both[(1, 2)] == round(3 / 18, 6) and both[(2, 1)] == 1.0
+
+
+def test_cell_balanced_sample_covers_cells(spark):
+    """x85: every non-empty quantizer cell contributes ≤ 10 vectors, the
+    selection is layout-invariant (md5 order is a pure function of
+    ids), and cells with ≥ 10 members contribute exactly 10."""
+    from conftest import SF_SMALL
+
+    from go_fish_spark.queries import REGISTRY
+
+    out = REGISTRY["x85_cell_balanced_sample"].fn(spark, SF_SMALL).collect()
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r.cell, []).append(r.vec_id)
+    assert per_cell and all(len(v) <= 10 for v in per_cell.values())
+    out2 = REGISTRY["x85_cell_balanced_sample"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
