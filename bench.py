@@ -161,6 +161,8 @@ HEADLINE = [
     "x83_embedding_centroid_report",
     "q80_funnel_steps",
     "x84_weighted_reservoir",
+    "x85_cell_balanced_sample",
+    "x86_source_floor",
 ]
 
 

@@ -712,24 +712,25 @@ def x84_weighted_reservoir(spark, sf_dir):
 @query(
     "x86_source_floor",
     oracle="""
-    SELECT doc_id, source FROM documents
-    WHERE source IN (
-      SELECT source FROM documents GROUP BY source HAVING count(*) >= 40
+    WITH d AS (
+      SELECT doc_id, source || '/' || lang AS cell FROM documents
     )
+    SELECT doc_id, cell FROM d
+    WHERE cell IN (SELECT cell FROM d GROUP BY cell HAVING count(*) >= 8)
     ORDER BY doc_id
     """,
 )
 def x86_source_floor(spark, sf_dir):
-    """Long-tail source suppression (sampling.source_floor): keep docs
-    only from sources contributing ≥ 40 — the k-anonymity-flavored
-    inverse of the x56 hot-domain cap (tiny sources are identifying and
-    host the spam one-offs). One bounded-key count, then a left-semi
-    join against the qualifying keys, whose number is provably
-    ≤ corpus/min_docs."""
+    """Long-tail suppression (sampling.source_floor): keep docs only
+    from (source, language) cells contributing ≥ 8 — the
+    k-anonymity-flavored inverse of the x56 hot-domain cap (tiny cells
+    are disproportionately identifying and host the spam one-offs; the
+    sf corpus's cells span 1–16 docs, so both branches are exercised).
+    One bounded-key count, then a left-semi join against the qualifying
+    keys, whose number is provably ≤ corpus/min_docs."""
     from ...operators.sampling import source_floor
 
-    return source_floor(
-        table(spark, sf_dir, "documents").select("doc_id", "source"),
-        "source",
-        40,
-    ).orderBy("doc_id")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws("/", "source", "lang").alias("cell")
+    )
+    return source_floor(docs, "cell", 8).orderBy("doc_id")
