@@ -163,6 +163,7 @@ HEADLINE = [
     "x84_weighted_reservoir",
     "x85_cell_balanced_sample",
     "x86_source_floor",
+    "q81_lateral_chunk_udtf",
 ]
 
 

@@ -408,3 +408,48 @@ def q80_funnel_steps(spark, sf_dir):
         .unionByName(n(p, "3_purchase"))
         .orderBy("step")
     )
+
+
+@query(
+    "q81_lateral_chunk_udtf",
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS MATERIALIZED (
+      SELECT doc_id, ws,
+             CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT) + 1 AS n_chunks
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, unnest(generate_series(1, n_chunks)) AS i, ws FROM c
+    )
+    SELECT doc_id, i - 1 AS chunk_id,
+           least(64, len(ws) - (i-1)*48) AS n_tokens,
+           array_to_string(list_slice(ws, (i-1)*48 + 1, (i-1)*48 + 64), ' ')
+             AS chunk
+    FROM e ORDER BY doc_id, chunk_id
+    """,
+)
+def q81_lateral_chunk_udtf(spark, sf_dir):
+    """The SQL-UDTF surface under the oracle contract: the same 64/48
+    chunking as x24, but reached the way a pure-SQL user reaches it —
+    ``LATERAL chunk_text(...)`` over a registered Python UDTF
+    (tasks/sql_udtf.py, the reference's pluggable-rule surface for SQL).
+    The UDTF is row-at-a-time Python BY DESIGN (pluggability, not the
+    hot path — the vectorized twin is chunking.chunk_documents/x24, and
+    the equality test pins them together); hash-checking this entry
+    proves the convenience surface cannot drift from the fast one."""
+    from ..tasks.sql_udtf import has_udtf, register_sql_udtfs
+
+    if not has_udtf():  # Spark < 3.5 — environment, not data
+        raise RuntimeError("Python UDTFs unavailable on this runtime")
+    register_sql_udtfs(spark)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("q81_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk
+        FROM q81_docs d, LATERAL chunk_text(d.text, 64, 48) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )
