@@ -164,6 +164,7 @@ HEADLINE = [
     "x85_cell_balanced_sample",
     "x86_source_floor",
     "q81_lateral_chunk_udtf",
+    "x87_group_sketch_overlap",
 ]
 
 

@@ -1524,3 +1524,89 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def group_sketch_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Pairwise overlap ESTIMATE between whole groups (sources,
+    languages, snapshots) at sketch cost — the cheap screening twin of
+    the exact x50 span matrix: each group's corpus-level MinHash sketch
+    is the elementwise MIN of its documents' signatures (the defining
+    mergeability of MinHash: sig(A ∪ B) = min(sig(A), sig(B)),
+    position-wise), and the agreement fraction between two group
+    sketches estimates the Jaccard similarity of the groups' UNION
+    shingle sets. Documents with no shingles contribute the sentinel
+    (≡ the empty set adds nothing) — the union law holds unchanged.
+
+    Output: (g_a, g_b, est_overlap) for every group pair g_a < g_b;
+    est_overlap = agree/n_hashes, an exact dyadic rational (no FP
+    divergence).
+
+    100 TB shape: signatures are map-only array math over the corpus
+    (zero shuffles); the sketch union is ONE groupBy on the bounded
+    (group × n_hashes) position key with map-side combine; the pairwise
+    join runs entirely on the ≤ groups × n_hashes sketch frame."""
+    sigs = df.select(
+        F.col(group_col).alias("_g"),
+        minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+            "_sig"
+        ),
+    )
+    m = (
+        sigs.select("_g", F.posexplode("_sig").alias("_p", "_v"))
+        .groupBy("_g", "_p")
+        .agg(F.min("_v").alias("_m"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    agree = F.sum(
+        F.when(F.col("a._m") == F.col("b._m"), 1).otherwise(0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._p") == F.col("b._p"))
+            & (F.col("a._g") < F.col("b._g")),
+        )
+        .groupBy(
+            F.col("a._g").alias("g_a"), F.col("b._g").alias("g_b")
+        )
+        .agg((agree / F.lit(float(n_hashes))).alias("est_overlap"))
+    )
+
+
+def duck_group_sketch_overlap_sql(
+    tbl: str,
+    group_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of ``group_sketch_overlap(..., portable=True)`` —
+    the same signature fragments as every MinHash mirror
+    (:func:`_duck_minhash_parts`), the same position-wise min union,
+    the same integer agreement count."""
+    from .similarity import _dlit
+
+    p = _duck_minhash_parts(text_col, n_hashes, 16, k, seed)
+    return f"""
+    WITH th AS (SELECT {group_col} AS _g, {p['tok']} AS th FROM {tbl}),
+    shn AS (SELECT _g, {p['shing']} AS sh FROM th),
+    sig AS (SELECT _g, {p['sig']} AS sig FROM shn),
+    e AS (SELECT _g, generate_subscripts(sig, 1) AS _p, unnest(sig) AS _v
+          FROM sig),
+    m AS (SELECT _g, _p, min(_v) AS _m FROM e GROUP BY _g, _p)
+    SELECT a._g AS g_a, b._g AS g_b,
+           sum(CASE WHEN a._m = b._m THEN 1 ELSE 0 END)
+             / {_dlit(n_hashes)} AS est_overlap
+    FROM m a JOIN m b ON a._p = b._p AND a._g < b._g
+    GROUP BY a._g, b._g
+    ORDER BY g_a, g_b
+    """

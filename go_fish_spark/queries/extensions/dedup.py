@@ -453,3 +453,25 @@ def x82_containment_pairs(spark, sf_dir):
         table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
         threshold=0.6,
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x87_group_sketch_overlap",
+    oracle=dedup.duck_group_sketch_overlap_sql(
+        "documents", "source", "text"
+    ),
+)
+def x87_group_sketch_overlap(spark, sf_dir):
+    """Per-source corpus sketches + pairwise overlap estimates
+    (dedup.group_sketch_overlap): each source's MinHash sketch is the
+    position-wise MIN of its docs' signatures (MinHash mergeability:
+    sig(A∪B) = min(sigA, sigB)), and sketch agreement estimates the
+    Jaccard of the sources' union shingle sets — the sketch-cost
+    screening twin of the exact x50 span matrix for deciding which
+    source pairs deserve the expensive cross-dedup. Map-only signatures,
+    ONE bounded (source × 64) groupBy, pair join entirely on the sketch
+    frame. Portable arm → integer-exact dyadic estimates, fully
+    hash-checked."""
+    return dedup.group_sketch_overlap(
+        table(spark, sf_dir, "documents"), "source", "text", portable=True
+    ).orderBy("g_a", "g_b")

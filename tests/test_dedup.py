@@ -976,3 +976,38 @@ def test_cell_balanced_sample_covers_cells(spark):
     assert per_cell and all(len(v) <= 10 for v in per_cell.values())
     out2 = REGISTRY["x85_cell_balanced_sample"].fn(spark, SF_SMALL).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_group_sketch_overlap_mergeability(spark):
+    """x87 invariants: (a) identical groups estimate 1.0 and disjoint
+    vocabularies estimate ~0; (b) the group sketch is the position-wise
+    MIN of member signatures (MinHash mergeability), so adding an
+    empty-shingle doc (sentinel signature) never changes a non-empty
+    group's estimates."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.operators.dedup import group_sketch_overlap
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    df = spark.createDataFrame(
+        [("a", t1), ("a", t2), ("b", t1), ("b", t2), ("c", t1), ("d", t2)],
+        "g string, text string",
+    )
+    out = {
+        (r.g_a, r.g_b): r.est_overlap
+        for r in group_sketch_overlap(df, "g", "text", portable=True).collect()
+    }
+    assert out[("a", "b")] == 1.0      # identical union sets
+    assert out[("c", "d")] <= 0.1      # disjoint vocabularies
+    assert out[("a", "c")] < 1.0       # strict subset → strictly below 1
+
+    # empty docs are neutral: sentinel signatures never win a min
+    df2 = df.unionByName(
+        spark.createDataFrame([("a", "xy")], "g string, text string")
+    )  # 2 tokens < k=3 → empty shingle set
+    out2 = {
+        (r.g_a, r.g_b): r.est_overlap
+        for r in group_sketch_overlap(df2, "g", "text", portable=True).collect()
+    }
+    assert out2 == out
