@@ -165,6 +165,7 @@ HEADLINE = [
     "x86_source_floor",
     "q81_lateral_chunk_udtf",
     "x87_group_sketch_overlap",
+    "x88_eval_coverage",
 ]
 
 

@@ -473,3 +473,64 @@ def duck_scrub_spans_sql(
                      ELSE 0 END AS BIGINT) AS n_tokens_removed
     FROM kp ORDER BY _id
     """
+
+
+def eval_coverage(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """The REVERSE direction of :func:`contamination_score`: per EVAL
+    item, what fraction of its distinct k-shingles appears anywhere in
+    the training corpus — the per-benchmark-item leakage report ("which
+    eval questions does the corpus already contain?") that decides
+    whether a benchmark is still trustworthy after a crawl, where x38
+    decides which TRAINING docs to drop.
+
+    Output: (id_col, n_shingles, n_covered, coverage DOUBLE round-6),
+    one row per eval doc (0-shingle docs report coverage 0.0).
+
+    100 TB shape: the CORPUS side cannot broadcast — it reduces to
+    DISTINCT 16-byte shingle digests, and the bounded eval side's
+    exploded (id, digest) rows semi-join it on the digest key (the
+    x41-class digest-keyed exchange; corpus text never shuffles, only
+    its distinct digests do). Per-item aggregation is bounded by the
+    eval set."""
+    from .dedup import word_shingles
+
+    tr = (
+        train_docs.select(
+            F.explode(word_shingles(text_col, k)).alias("_s")
+        )
+        .select(F.md5("_s").alias("_d"))
+        .distinct()
+    )
+    ev = eval_docs.select(
+        F.col(id_col), word_shingles(text_col, k).alias("_sh")
+    ).withColumn("_n", F.size("_sh"))
+    ex = ev.select(
+        F.col(id_col), F.explode("_sh").alias("_s")
+    ).select(F.col(id_col), F.md5("_s").alias("_d"))
+    hits = (
+        ex.join(tr, "_d", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    n_cov = F.coalesce(F.col("_nc"), F.lit(0)).cast("bigint")
+    return (
+        ev.select(id_col, "_n")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_n").cast("bigint").alias("n_shingles"),
+            n_cov.alias("n_covered"),
+            F.round(
+                F.when(F.col("_n") > 0, n_cov / F.col("_n")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -816,3 +816,40 @@ def x76_decontam_scrub(spark, sf_dir):
     return scrub_contaminated_spans(
         docs.filter(~is_eval), "doc_id", "text", shingles
     ).orderBy("doc_id")
+
+
+@query(
+    "x88_eval_coverage",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE NOT ({_DUCK_EVAL})),
+    ev AS (SELECT doc_id, sh FROM sh WHERE {_DUCK_EVAL}),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_covered
+      FROM (SELECT doc_id, unnest(sh) AS s FROM ev) e JOIN tr USING (s)
+      GROUP BY e.doc_id
+    )
+    SELECT ev.doc_id, len(ev.sh)::BIGINT AS n_shingles,
+           coalesce(hits.n_covered, 0)::BIGINT AS n_covered,
+           round(CASE WHEN len(ev.sh) > 0
+                      THEN coalesce(hits.n_covered, 0)::DOUBLE / len(ev.sh)
+                      ELSE 0.0 END, 6) AS coverage
+    FROM ev LEFT JOIN hits USING (doc_id) ORDER BY ev.doc_id
+    """,
+)
+def x88_eval_coverage(spark, sf_dir):
+    """Per-benchmark-item leakage report (decontam.eval_coverage): the
+    REVERSE of x38 — for every EVAL doc, the fraction of its distinct
+    3-shingles found anywhere in the training corpus, the number that
+    decides whether a benchmark is still trustworthy after a crawl.
+    The corpus side reduces to distinct 16-byte shingle digests before
+    the digest-keyed semi-join (text never shuffles); per-item work is
+    bounded by the eval set."""
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return decontam.eval_coverage(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=3
+    ).orderBy("doc_id")

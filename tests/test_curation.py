@@ -1094,3 +1094,33 @@ def test_source_floor_golden(spark):
     assert source_floor(df, "source", 4).count() == 0
     with pytest.raises(ValueError, match="min_docs"):
         source_floor(df, "source", 0)
+
+
+def test_eval_coverage_golden(spark):
+    """x88: full / partial / zero coverage plus the 0-shingle eval doc
+    (reports coverage 0.0, not a crash or NULL)."""
+    from go_fish_spark.operators.decontam import eval_coverage
+
+    train = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # all 2 of 2? -> 3-shingles
+            (2, "alpha beta gamma nine ten"),   # partial
+            (3, "one two three four"),          # zero
+            (4, "xy z"),                        # < k tokens -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.n_covered, r.coverage)
+        for r in eval_coverage(train, evals, "doc_id", "text", k=3).collect()
+    }
+    # doc 1: shingles {a b g, b g d} both in train -> 2/2
+    assert out[1] == (2, 2, 1.0)
+    # doc 2: {a b g, b g n, g n t} -> only "alpha beta gamma" covered
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
