@@ -166,6 +166,7 @@ HEADLINE = [
     "q81_lateral_chunk_udtf",
     "x87_group_sketch_overlap",
     "x88_eval_coverage",
+    "x89_degree_histogram",
 ]
 
 

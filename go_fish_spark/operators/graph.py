@@ -354,3 +354,50 @@ def duck_pagerank_sql(
         + ",\n    ".join(parts)
         + f"\n    SELECT id AS {id_out}, pr FROM r{n_iter} ORDER BY id"
     )
+
+
+def degree_histogram(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Power-of-2 degree distribution of an undirected pair graph — the
+    third leg of the dup-graph audit family beside cluster sizes (x62)
+    and centrality (x71): a heavy tail here is the direct, cheap
+    symptom of template hubs (the x71 skew hazard) and of an
+    over-permissive pair threshold, visible WITHOUT running any
+    iteration. Isolated nodes land in the degree-0 bucket (bucket_lo
+    0), so the histogram always accounts for every node.
+
+    Output: (bucket_lo BIGINT, n_nodes BIGINT), bucket_lo ≤ degree <
+    2·bucket_lo (0 for isolated). Integer-exact under any partitioning.
+
+    100 TB shape: one symmetrized-edge groupBy on the node key with
+    map-side combine, a left join of the node list against the bounded
+    per-node counts, and a ≤ ~40-bin groupBy."""
+    und = (
+        edges.select(F.col(src_col).alias("_id"), F.col(dst_col).alias("_o"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("_id"), F.col(src_col).alias("_o")
+            )
+        )
+        .dropDuplicates(["_id", "_o"])
+    )
+    deg = und.groupBy("_id").agg(F.count(F.lit(1)).alias("_d"))
+    joined = (
+        nodes.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .join(deg, "_id", "left")
+        .select(F.coalesce(F.col("_d"), F.lit(0)).alias("_d"))
+    )
+    bucket = F.when(F.col("_d") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2("_d"))).cast("bigint")
+    )
+    return (
+        joined.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("bucket_lo")
+    )

@@ -193,3 +193,38 @@ def x83_embedding_centroid_report(spark, sf_dir):
     return embedding_centroid_report(
         table(spark, sf_dir, "embeddings"), "label", "embedding"
     ).orderBy("label")
+
+
+@query(
+    "x89_degree_histogram",
+    oracle=f"""
+    WITH und AS ({_X71_UND}),
+    deg AS (SELECT src AS _id, count(*) AS _d FROM und GROUP BY src),
+    j AS (
+      SELECT coalesce(deg._d, 0) AS _d
+      FROM (SELECT DISTINCT doc_id AS _id FROM documents) n
+      LEFT JOIN deg USING (_id)
+    )
+    SELECT CASE WHEN _d = 0 THEN 0
+                ELSE CAST(pow(2, floor(log2(_d))) AS BIGINT) END AS bucket_lo,
+           count(*) AS n_nodes
+    FROM j GROUP BY 1 ORDER BY bucket_lo
+    """,
+)
+def x89_degree_histogram(spark, sf_dir):
+    """Degree distribution of the near-dup pair graph
+    (graph.degree_histogram): power-of-2 buckets over per-node degree,
+    isolated docs in bucket 0 — the cheap, iteration-free symptom check
+    for template hubs (the x71 skew hazard) and over-permissive pair
+    thresholds, completing the graph-audit family beside x62 (cluster
+    sizes) and x71 (centrality). One node-key groupBy + a ≤ 40-bin
+    groupBy."""
+    from ...operators.graph import degree_histogram
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3
+    )
+    return degree_histogram(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )

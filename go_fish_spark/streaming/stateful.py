@@ -190,6 +190,68 @@ def dedup_within_watermark_stream(
     return events.dropDuplicates(keys)
 
 
+def dedup_rate_streams(
+    events: DataFrame,
+    payload_col: str,
+    time_col: str = "ts",
+    interval: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming arm of the x52 duplication-rate trend — the recurring-
+    crawl health monitor, live. Streaming forbids both COUNT(DISTINCT)
+    and chained aggregations, so the monitor splits into the two
+    streaming-legal plans it is actually made of:
+
+      * ``totals`` — watermarked windowed count (state ∝ open windows);
+      * ``distincts`` — :func:`dedup_within_watermark_stream` keyed on
+        (payload, window) followed by ONE windowed count (dedup is a
+        stateful op, not an aggregation, so the chain is legal; its
+        state is evicted behind the watermark).
+
+    Join the two at read time on the window (``1 - d/n`` = dup rate) —
+    the same two-monitor composition a metrics backend performs.
+    Equals the batch per-window count/count-distinct exactly for data
+    within the watermark (parity-tested).
+
+    Returns (totals, distincts), each (win struct, count)."""
+    w = events.withWatermark(time_col, watermark)
+    win = F.window(F.col(time_col), interval)
+    totals = w.groupBy(win.alias("win")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    # the window struct inherits the event-time marker; the raw time
+    # column must go before the dedup or Spark rejects the plan with
+    # "more than one event time column"
+    deduped = (
+        w.withColumn("_win", win)
+        .drop(time_col)
+        .dropDuplicatesWithinWatermark([payload_col, "_win"])
+    )
+    distincts = deduped.groupBy(F.col("_win").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    return totals, distincts
+
+
+def combine_dedup_rate(totals: DataFrame, distincts: DataFrame) -> DataFrame:
+    """Epoch-close combiner for :func:`dedup_rate_streams` output read
+    back as batch frames: the x52 report shape (window_start, n_events,
+    n_distinct, dup_rate round-6)."""
+    return (
+        totals.join(distincts, "win")
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_events",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_events"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("window_start")
+    )
+
+
 def has_transform_with_state() -> bool:
     """Capability check for Spark 4's StatefulProcessor API
     (``transformWithStateInPandas``) — gate callers and tests on this so

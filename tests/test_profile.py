@@ -280,3 +280,28 @@ def test_embedding_centroid_report_golden(spark):
         ).collect()
     }
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_degree_histogram_golden(spark):
+    """x89: star + isolated golden — hub degree 4 → bucket 4, leaves
+    degree 1 → bucket 1, the isolated node → bucket 0; duplicate and
+    reversed edge declarations don't double-count."""
+    from go_fish_spark.operators.graph import degree_histogram
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)] + [(1, 0), (0, 2)],  # dup + reversed
+        "id_a long, id_b long",
+    )
+    out = {
+        r.bucket_lo: r.n_nodes
+        for r in degree_histogram(nodes, edges).collect()
+    }
+    assert out == {0: 1, 1: 4, 4: 1}
+    out2 = {
+        r.bucket_lo: r.n_nodes
+        for r in degree_histogram(
+            nodes.repartition(4), edges.repartition(3)
+        ).collect()
+    }
+    assert out2 == out

@@ -1424,3 +1424,54 @@ def test_stream_dedup_within_watermark_vs_batch(spark, tmp_path):
     assert got == sorted(
         batch_early + [("a", "p1"), ("w", "adv"), ("w2", "adv2")]
     )
+
+
+def test_stream_dedup_rate_vs_batch(spark, tmp_path):
+    """x52's streaming arm (stateful.dedup_rate_streams): totals and
+    within-watermark distincts as two streaming-legal plans, combined at
+    epoch close into the dup-rate report — equal to the batch
+    count/count-distinct per window."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.streaming import sources, stateful
+
+    rows = [
+        # hour 0: 3 events, 2 distinct payloads
+        dict(ts="2024-01-01T00:05:00Z", props="a"),
+        dict(ts="2024-01-01T00:15:00Z", props="a"),
+        dict(ts="2024-01-01T00:25:00Z", props="b"),
+        # hour 1: 2 events, 1 distinct
+        dict(ts="2024-01-01T01:10:00Z", props="c"),
+        dict(ts="2024-01-01T01:50:00Z", props="c"),
+    ]
+    indir = tmp_path / "in"
+    write_events(indir, rows)
+    schema = "ts timestamp, props string"
+    ev = sources.json_stream(spark, str(indir), schema)
+    totals, distincts = stateful.dedup_rate_streams(ev, "props")
+    run_to_memory(totals, "ddr_tot", mode="complete")
+    run_to_memory(distincts, "ddr_dis", mode="complete")
+    out = {
+        r.window_start.isoformat(): (r.n_events, r.n_distinct, r.dup_rate)
+        for r in stateful.combine_dedup_rate(
+            spark.table("ddr_tot"), spark.table("ddr_dis")
+        ).collect()
+    }
+    batch = {
+        r.w.isoformat(): (r.n, r.d, r.rate)
+        for r in spark.createDataFrame(
+            [(x["ts"], x["props"]) for x in rows], "ts string, props string"
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.date_trunc("hour", "ts").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("props").alias("d"),
+            F.round(
+                1.0 - F.count_distinct("props").cast("double") / F.count(F.lit(1)), 6
+            ).alias("rate"),
+        )
+        .collect()
+    }
+    assert out == batch
+    assert list(out.values()) == [(3, 2, round(1 / 3, 6)), (2, 1, 0.5)]
