@@ -188,6 +188,16 @@ def main() -> None:
         "x80_corpus_diff": lambda d: REGISTRY["x80_corpus_diff"].fn(spark, d).count(),
         "x81_heavy_hitters": lambda d: REGISTRY["x81_heavy_hitters"].fn(spark, d).count(),
         "x82_containment_pairs": lambda d: REGISTRY["x82_containment_pairs"].fn(spark, d).count(),
+        # round-6 part 2: funnel (per-step keyed aggs over event slices),
+        # A-ES sample (map-only key + TakeOrdered), group sketches (one
+        # bounded (group × 64) groupBy), eval coverage (digest-keyed
+        # semi-join), degree histogram (node-key groupBy over x04 pairs —
+        # inherits the pair-graph law).
+        "q80_funnel_steps": lambda d: REGISTRY["q80_funnel_steps"].fn(spark, d).count(),
+        "x84_weighted_reservoir": lambda d: REGISTRY["x84_weighted_reservoir"].fn(spark, d).count(),
+        "x87_group_sketch_overlap": lambda d: REGISTRY["x87_group_sketch_overlap"].fn(spark, d).count(),
+        "x88_eval_coverage": lambda d: REGISTRY["x88_eval_coverage"].fn(spark, d).count(),
+        "x89_degree_histogram": lambda d: REGISTRY["x89_degree_histogram"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
