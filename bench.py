@@ -167,6 +167,8 @@ HEADLINE = [
     "x87_group_sketch_overlap",
     "x88_eval_coverage",
     "x89_degree_histogram",
+    "x90_threshold_sweep",
+    "x91_quality_by_cluster_size",
 ]
 
 

@@ -475,3 +475,38 @@ def x87_group_sketch_overlap(spark, sf_dir):
     return dedup.group_sketch_overlap(
         table(spark, sf_dir, "documents"), "source", "text", portable=True
     ).orderBy("g_a", "g_b")
+
+
+@query(
+    "x90_threshold_sweep",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING j >= 0.02
+    )
+    SELECT round(least(floor(j / 0.05) * 0.05, 0.95), 6) AS band_lo,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY 1 ORDER BY band_lo
+    """,
+)
+def x90_threshold_sweep(spark, sf_dir):
+    """Dedup threshold-sweep report (dedup.jaccard_threshold_sweep):
+    near-dup pair counts per 0.05-wide Jaccard band above a 0.02 floor,
+    from ONE x04 inverted-index pair pass — the report read before
+    committing a dedup threshold (the sf corpus shows the classic
+    bimodal shape: a weak-overlap haze near 0, a near-dup spike at
+    0.95+, and a gap between — the gap IS the threshold). The sweep
+    costs the same as a single thresholded run; the banding is a
+    ≤ 1/band_width-key groupBy."""
+    return dedup.jaccard_threshold_sweep(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, band_width=0.05, min_jaccard=0.02,
+    )

@@ -510,3 +510,87 @@ def x72_source_attrition(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "x91_quality_by_cluster_size",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+    q AS (
+      SELECT doc_id,
+             0.4 * least(n_words / 100.0, 1.0)
+               + 0.3 * (1.0 - stop_ratio)
+               + 0.3 * least(mean_word_len / 10.0, 1.0) AS q
+      FROM (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               len(list_filter(ws, w -> w IN ({_DUCK_STOP}))) / len(ws) AS stop_ratio,
+               (length(text) - (len(ws) - 1)) / len(ws) AS mean_word_len
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+      )
+    )
+    SELECT CAST(pow(2, floor(log2(sizes.sz))) AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           round(CAST(sum(CAST(round(q.q, 9) AS DECIMAL(20,9))) AS DOUBLE)
+                 / count(*), 6) AS mean_quality
+    FROM comp JOIN sizes USING (component) JOIN q USING (doc_id)
+    GROUP BY 1 ORDER BY bucket_lo
+    """,
+)
+def x91_quality_by_cluster_size(spark, sf_dir):
+    """Quality × duplication cross-tab — "are duplicated documents worse
+    documents?": per power-of-2 cluster-size bucket, member-doc count
+    and mean quality score. The empirical basis for quality-argmax
+    canonical selection (x49): if heavily-duplicated clusters skew
+    low-quality, dedup is also a quality intervention. FOURTH consumer
+    of the shared audit pass (operators/audit.dedup_audit — the
+    materialized CC label frame feeds canonical, histogram, attrition,
+    AND this cross-tab with no recompute); the cross-tab itself is two
+    bounded-key groupBys and a doc-key quality join, decimal-exact
+    mean."""
+    from ...operators.audit import dedup_audit
+
+    docs = table(spark, sf_dir, "documents")
+    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    comp = audit.components.select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_sz"))
+    q = docs.select("doc_id", tx.quality_score("text").alias("_q"))
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2("_sz"))).cast("bigint")
+    return (
+        comp.join(sizes, "component")
+        .join(q, "doc_id")
+        .groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.round("_q", 9).cast("decimal(20,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality"),
+        )
+        .orderBy("bucket_lo")
+    )

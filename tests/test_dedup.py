@@ -1011,3 +1011,38 @@ def test_group_sketch_overlap_mergeability(spark):
         for r in group_sketch_overlap(df2, "g", "text", portable=True).collect()
     }
     assert out2 == out
+
+
+def test_jaccard_threshold_sweep_bands(spark):
+    """x90: exact dups land in the top band (J=1 folds into
+    1−band_width), partial overlaps in their floor band, pairs below
+    the floor absent; band totals equal the thresholded pair count."""
+    import pytest
+
+    from go_fish_spark.operators.dedup import (
+        jaccard_threshold_sweep,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # J=1 with 1
+            (3, "alpha beta gamma delta nine ten"),       # partial vs 1/2
+            (4, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.band_lo: r.n_pairs
+        for r in jaccard_threshold_sweep(
+            df, "doc_id", "text", band_width=0.25, min_jaccard=0.1
+        ).collect()
+    }
+    # J(1,2)=1.0 → top band 0.75; J(1,3)=J(2,3)=2/6≈0.33 → band 0.25
+    assert out == {0.25: 2, 0.75: 1}
+    assert sum(out.values()) == ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.1
+    ).count()
+    with pytest.raises(ValueError, match="band_width"):
+        jaccard_threshold_sweep(df, "doc_id", "text", band_width=0.0)
