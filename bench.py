@@ -169,6 +169,7 @@ HEADLINE = [
     "x89_degree_histogram",
     "x90_threshold_sweep",
     "x91_quality_by_cluster_size",
+    "q82_event_paths",
 ]
 
 

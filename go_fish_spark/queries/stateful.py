@@ -215,3 +215,89 @@ def q76_sliding_window(spark, sf_dir):
         )
         .orderBy("win_start", "event_type")
     )
+
+
+@query(
+    "q82_event_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    seq AS (
+      SELECT user_id, session_id,
+             list(event_type ORDER BY ts, event_id) AS t
+      FROM sessions GROUP BY user_id, session_id
+    ),
+    paths AS (
+      SELECT unnest(
+        CASE WHEN len(t) >= 3
+             THEN [t[i] || '>' || t[i+1] || '>' || t[i+2]
+                   for i in range(1, len(t) - 1)]
+             ELSE CAST([] AS VARCHAR[]) END
+      ) AS path
+      FROM seq
+    )
+    SELECT path, count(*) AS n_occurrences
+    FROM paths GROUP BY path
+    ORDER BY n_occurrences DESC, path LIMIT 20
+    """,
+)
+def q82_event_paths(spark, sf_dir):
+    """Behavioral path analysis — the top 3-step event-type sequences
+    WITHIN user sessions (q22's 30-min gap sessions): the "what do
+    users actually do" report beside q80's fixed funnel. Sessions are
+    per-user ordered sequences (array_sort over (ts, event_id, type)
+    structs — a total order, so the path strings are deterministic),
+    3-grams are built array-side per session (no self-joins), and the
+    global top-20 is a count groupBy + TakeOrdered. Per-session state
+    is bounded by session length; the only corpus shuffles are the
+    session groupBy and the bounded path counts."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (
+            F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+            > 30 * 60 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sessions = events.withColumn("session_id", F.sum(new_session).over(run))
+    seq = sessions.groupBy("user_id", "session_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("_s")
+    )
+    types = F.transform(F.col("_s"), lambda s: s["event_type"])
+    grams = F.when(
+        F.size(types) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(types) - 2),
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at(types, i),
+                F.element_at(types, i + 1),
+                F.element_at(types, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        seq.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(20)
+    )
