@@ -58,6 +58,11 @@ SHOWCASE = [
     ("x80_corpus_diff", "both snapshots reduce to (id, digest) before ONE full-outer SortMergeJoin — text never shuffles"),
     ("x81_heavy_hitters", "MG candidate stage is the only Python (ArrowEvalPython/MapInPandas); exact verification joins the corpus to BROADCAST candidates — the token-keyed shuffle is candidate-bounded"),
     ("x82_containment_pairs", "asymmetric containment: same inverted-index self-join law as x04 — one shuffle on the shingle key, map-side partial aggregation"),
+    ("q80_funnel_steps", "per-step keyed aggs over each step's own event slice; 1-row-per-user step frames broadcast into the next join (SMJ past broadcast size via AQE)"),
+    ("x87_group_sketch_overlap", "map-only signatures; ONE bounded (group × 64) groupBy; pair join entirely on the sketch frame"),
+    ("x89_degree_histogram", "node-key groupBy over the symmetrized pair graph + ≤ 40-bin groupBy — no iteration, no window"),
+    ("x90_threshold_sweep", "ONE x04 pair pass feeds every threshold band — a bounded-key groupBy on top, not a join per candidate threshold"),
+    ("q82_event_paths", "session groupBy + array-side 3-grams (no self-joins); global top-20 via TakeOrdered over bounded path counts"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —
