@@ -1423,7 +1423,10 @@ def corpus_diff(
     a dataset publishes: which documents were added, removed, changed
     (same id, different content), or carried unchanged. Content equality
     is by md5 digest; NULL text coalesces to a sentinel so null↔null is
-    ``unchanged``, not a three-valued-logic surprise.
+    ``unchanged``, not a three-valued-logic surprise. ``id_col`` must be
+    unique WITHIN each snapshot (the changelog contract — a duplicated
+    id would fan out through the full-outer join); run exact dedup
+    first if the snapshot isn't keyed.
 
     Output: (id_col, status ∈ added|removed|changed|unchanged), one row
     per id present in either snapshot.

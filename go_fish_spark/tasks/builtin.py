@@ -234,6 +234,13 @@ class LengthGate(BasicTask):
             ),
             k,
         )
+        # ">=" so min_share means "at least this share", as documented;
+        # absent bins coalesce below any admissible share. The default
+        # 0.0 admits exactly the bins present in the baseline (a present
+        # bin's share is strictly positive).
         return df.filter(
-            F.col(col).isNotNull() & (F.coalesce(share, F.lit(-1.0)) > min_share)
+            F.col(col).isNotNull()
+            & (F.coalesce(share, F.lit(-1.0)) >= F.greatest(
+                F.lit(min_share), F.lit(1e-300)
+            ))
         )
