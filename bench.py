@@ -170,6 +170,7 @@ HEADLINE = [
     "x90_threshold_sweep",
     "x91_quality_by_cluster_size",
     "q82_event_paths",
+    "x92_syndication_matrix",
 ]
 
 

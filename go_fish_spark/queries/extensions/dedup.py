@@ -510,3 +510,61 @@ def x90_threshold_sweep(spark, sf_dir):
         table(spark, sf_dir, "documents"), "doc_id", "text",
         k=3, band_width=0.05, min_jaccard=0.02,
     )
+
+
+@query(
+    "x92_syndication_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents)
+    ),
+    inv AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             any_value(a.source) AS src_a, any_value(b.source) AS src_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / any_value(a.n) >= 0.6
+    )
+    SELECT src_a AS source_contained, src_b AS source_containing,
+           count(*) AS n_pairs
+    FROM pairs WHERE src_a != src_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x92_syndication_matrix(spark, sf_dir):
+    """Syndication-direction matrix: per ORDERED source pair, how many
+    docs of the first source are ≥ 60% shingle-contained in a doc of
+    the second (x82's directed containment rolled up to source grain) —
+    the "who copies from whom" report that x50's symmetric span matrix
+    cannot express: a feed aggregator shows up as a heavy
+    source_containing column, its victims as heavy source_contained
+    rows. Same inverted-index law as x82; the rollup is a bounded
+    source-pair groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.6
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("source_contained"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("source_containing"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("source_contained") != F.col("source_containing"))
+        .groupBy("source_contained", "source_containing")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_contained", "source_containing")
+    )
