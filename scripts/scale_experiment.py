@@ -198,6 +198,14 @@ def main() -> None:
         "x87_group_sketch_overlap": lambda d: REGISTRY["x87_group_sketch_overlap"].fn(spark, d).count(),
         "x88_eval_coverage": lambda d: REGISTRY["x88_eval_coverage"].fn(spark, d).count(),
         "x89_degree_histogram": lambda d: REGISTRY["x89_degree_histogram"].fn(spark, d).count(),
+        # round-6 part 3: session path mining (per-session array 3-grams,
+        # session lengths bound the state), cell-balanced sample (bounded
+        # quantizer fit + one window on the cell key), source floor
+        # (bounded count + semi join). x90/x91/x92 ride the pair-engine /
+        # shared-audit laws measured above — notes in SCALE.md.
+        "q82_event_paths": lambda d: REGISTRY["q82_event_paths"].fn(spark, d).count(),
+        "x85_cell_balanced_sample": lambda d: REGISTRY["x85_cell_balanced_sample"].fn(spark, d).count(),
+        "x86_source_floor": lambda d: REGISTRY["x86_source_floor"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
