@@ -1653,3 +1653,79 @@ def jaccard_threshold_sweep(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("band_lo")
     )
+
+
+def fit_blocklist_sketches(
+    blocklist: DataFrame,
+    text_col: str,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> list[list[int]]:
+    """Fit arm of the streaming NEAR-dup gate (the fit-on-history /
+    apply-on-stream split of x30/x43/x56/x57, upgraded from exact
+    shingles to sketches): collect the BOUNDED blocklist's MinHash
+    signatures driver-side. Entries with no shingles (< k tokens) are
+    dropped — their sentinel signatures would match every other empty
+    doc, which is not a meaningful block."""
+    rows = (
+        blocklist.select(
+            minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+                "_sig"
+            )
+        )
+        .where(F.array_min("_sig") != _P31)  # all-sentinel = no shingles
+        .collect()
+    )
+    return [list(r._sig) for r in rows]
+
+
+def neardup_hits_expr(
+    text_col: str,
+    sketches: list[list[int]],
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> Column:
+    """Apply arm: how many blocklist sketches this row's signature
+    agrees with at est_jaccard ≥ ``threshold`` — a PURE per-row
+    expression (the doc signature is computed once via let-binding, the
+    frozen sketches are one parsed array-of-arrays literal, agreement
+    is the same zip_with count as every MinHash verifier). No explode,
+    no join, no state: identical on batch and streaming frames.
+
+    Unlike :func:`incremental_near_dedup`'s banding path this checks
+    EVERY blocklist sketch — no candidate-miss, O(|blocklist| ×
+    n_hashes) per row — which is exactly the right trade for a bounded
+    blocklist (spam templates, eval sets) and wrong for corpus-scale
+    history (use the banded store path there)."""
+    if not sketches:
+        return F.lit(0)
+    lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(int(v)) + "L" for v in s) + ")"
+            for s in sketches
+        )
+        + ")"
+    )
+    floor = int(-(-threshold * n_hashes // 1))  # ceil(threshold·n)
+    sig = minhash_signature(text_col, n_hashes, k, seed, portable)
+    return _let(
+        sig,
+        lambda sg: F.size(
+            F.filter(
+                lit,
+                lambda s: F.size(
+                    F.filter(
+                        F.zip_with(sg, s, lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                >= F.lit(floor),
+            )
+        ),
+    )

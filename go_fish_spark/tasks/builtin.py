@@ -244,3 +244,36 @@ class LengthGate(BasicTask):
                 F.lit(min_share), F.lit(1e-300)
             ))
         )
+
+
+@register_task("neardup_gate")
+class NearDupGate(BasicTask):
+    """Curation NEAR-dup blocklist gate (x77's streaming companion):
+    DROP documents whose MinHash signature agrees with any configured
+    blocklist sketch at est_jaccard ≥ threshold — catching the rotated-
+    timestamp / reshuffled-boilerplate copies the exact-shingle
+    decontam_gate misses. Sketches are fit once on the BOUNDED
+    blocklist (dedup.fit_blocklist_sketches — spam templates, eval
+    sets; corpus-scale history belongs on the banded store path, x77)
+    and frozen into the task config; the check is a pure per-row
+    expression (no explode/join/state), so the gate runs identically in
+    batch and streaming pipelines. ROW-PRESERVING like its sibling
+    gates; NULL/short text has no shingles and passes (its sentinel
+    signature is excluded at fit time, not at apply time). Options:
+    sketches [[64 ints], ...], threshold (default 0.5), n_hashes
+    (default 64), k (default 3), seed (default 42), portable (default
+    true — matches the oracle-mirrored arm), column (default 'text')."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..operators.dedup import neardup_hits_expr
+
+        n = neardup_hits_expr(
+            self.options.get("column", "text"),
+            [list(map(int, s)) for s in self.options["sketches"]],
+            threshold=float(self.options.get("threshold", 0.5)),
+            n_hashes=int(self.options.get("n_hashes", 64)),
+            k=int(self.options.get("k", 3)),
+            seed=int(self.options.get("seed", 42)),
+            portable=bool(self.options.get("portable", True)),
+        )
+        return df.filter(F.coalesce(n, F.lit(0)) == 0)

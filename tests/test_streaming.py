@@ -1475,3 +1475,63 @@ def test_stream_dedup_rate_vs_batch(spark, tmp_path):
     }
     assert out == batch
     assert list(out.values()) == [(3, 2, round(1 / 3, 6)), (2, 1, 0.5)]
+
+
+def test_stream_neardup_gate_vs_batch_store(spark, tmp_path):
+    """x77's streaming companion (neardup_gate task): blocklist sketches
+    fit once (fit_blocklist_sketches — bounded; empty-shingle entries
+    excluded at fit), frozen into task config, applied as a pure
+    per-row expression. Goldens: (a) the gate drops exactly the docs
+    incremental_near_dedup marks dup_of_history against the same
+    blocklist (the gate checks every sketch, so it can only be ⊇ the
+    banded path — on this data they coincide); (b) near-dups with a
+    rotated token are caught (what decontam_gate's exact shingles
+    miss); (c) streaming output equals batch row-for-row; (d) short
+    docs pass (sentinel sketches are excluded at fit)."""
+    from go_fish_spark.operators.dedup import (
+        fit_blocklist_sketches,
+        incremental_near_dedup,
+        sketch_store,
+    )
+    from go_fish_spark.streaming import sources
+    from go_fish_spark.tasks.registry import get_task
+
+    block = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "xy")],  # < k tokens: excluded at fit
+        "doc_id long, text string",
+    )
+    sketches = fit_blocklist_sketches(block, "text", portable=True)
+    assert len(sketches) == 1
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),   # exact
+        (2, "the quick brown fox jumps over the lazy dog yesterday"),  # near
+        (3, "completely unrelated words in this document here now"),
+        (4, "ab"),  # short → passes
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    gate = get_task("neardup_gate", sketches=sketches, threshold=0.5)
+    kept = sorted(r.doc_id for r in gate.apply(batch).collect())
+    assert kept == [3, 4]
+
+    # agreement with the banded store path on the same blocklist
+    store = sketch_store(block.filter("doc_id = 100"), "doc_id", "text",
+                         portable=True)
+    st = {
+        r.doc_id: r.status
+        for r in incremental_near_dedup(
+            batch, store, "doc_id", "text", portable=True
+        ).collect()
+    }
+    dropped = {i for i, s in st.items() if s == "dup_of_history"}
+    assert dropped == {1, 2} and set(kept) & dropped == set()
+
+    indir = tmp_path / "in"
+    write_events(indir, [dict(doc_id=i, text=t) for i, t in rows])
+    stream = sources.json_stream(spark, str(indir), "doc_id long, text string")
+    run_to_memory(gate.apply(stream), "neardup_gate_out")
+    streamed = sorted(
+        r.doc_id for r in spark.sql("SELECT * FROM neardup_gate_out").collect()
+    )
+    assert streamed == kept
