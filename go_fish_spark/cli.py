@@ -35,6 +35,24 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("config", help="pipeline spec JSON file")
     runp.add_argument("--registry", default=".go_fish_registry")
     runp.add_argument("--master", default=None)
+    runp.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run as Structured Streaming queries (the reference's native "
+        "mode) instead of one batch pass",
+    )
+    runp.add_argument(
+        "--checkpoint",
+        default=".go_fish_checkpoints",
+        help="checkpoint root for --streaming (state survives restarts, "
+        "≡ the reference's BoltDB state files)",
+    )
+    runp.add_argument(
+        "--available-now",
+        action="store_true",
+        help="with --streaming: process everything available, then stop "
+        "(bounded drain instead of running forever)",
+    )
 
     chk = sub.add_parser("check-task", help="validate a registered task (≡ -checkRule)")
     chk.add_argument("task", help="registered task name")
@@ -90,7 +108,15 @@ def main(argv: list[str] | None = None) -> int:
     uid = _registry(args.registry).store(raw)
     spark = get_spark(app_name=f"go-fish-pipeline-{uid}", master=args.master)
     try:
-        compile_pipeline(spark, spec).run()
+        if args.streaming:
+            compiled = compile_pipeline(spark, spec, streaming=True)
+            queries = compiled.start(
+                args.checkpoint, available_now=args.available_now
+            )
+            for q in queries:
+                q.awaitTermination()
+        else:
+            compile_pipeline(spark, spec).run()
     finally:
         spark.stop()
     print(uid)

@@ -90,3 +90,52 @@ def test_sql_udtf_chunk_text_matches_column_operator(spark):
         for r in chunk_documents(docs, "doc_id", "text", 64, 48).collect()
     )
     assert via_sql == via_op and via_sql
+
+
+def test_cli_run_streaming_available_now(tmp_path):
+    """End-to-end drive of `run --streaming --available-now` in a real
+    subprocess (the run path owns its SparkSession): a JSON-source →
+    gate → JSON-sink spec drains everything available as Structured
+    Streaming queries with a checkpoint, then exits 0 and prints the
+    stored pipeline UUID."""
+    import os
+    import subprocess
+    import sys
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    outdir = tmp_path / "out"
+    rows = [
+        dict(doc_id=1, text="keep me", n=1),
+        dict(doc_id=2, text=None, n=2),
+    ]
+    (indir / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    spec = {
+        "sources": {"docs": {"type": "json", "options": {
+            "path": str(indir), "schema": "doc_id long, text string, n long"}}},
+        "rules": {"keep": {"task": "filter_length", "source": "docs",
+                           "sink": "out", "options": {
+            "column": "text", "max_length": 100}}},
+        "sinks": {"out": {"type": "json", "options": {"path": str(outdir)}}},
+        "states": {},
+    }
+    cfg = tmp_path / "pipe.json"
+    cfg.write_text(json.dumps(spec))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "run", str(cfg),
+         "--streaming", "--available-now",
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--registry", str(tmp_path / "reg"),
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    uid = proc.stdout.strip().splitlines()[-1]
+    assert len(uid) >= 8  # the stored pipeline UUID, as `run` prints
+    out_rows = [
+        json.loads(line)
+        for f in outdir.glob("*.json") if f.stat().st_size
+        for line in f.read_text().splitlines()
+    ]
+    assert [r["doc_id"] for r in out_rows] == [1]
