@@ -171,6 +171,7 @@ HEADLINE = [
     "x91_quality_by_cluster_size",
     "q82_event_paths",
     "x92_syndication_matrix",
+    "x93_neardup_blocklist_screen",
 ]
 
 

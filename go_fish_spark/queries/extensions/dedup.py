@@ -568,3 +568,53 @@ def x92_syndication_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("source_contained", "source_containing")
     )
+
+
+def _x93_oracle() -> str:
+    from ...operators.dedup import _duck_minhash_parts
+    from ...operators.similarity import _dlit  # noqa: F401
+
+    p = _duck_minhash_parts("text", 64, 16, 3, 42)
+    agree = (
+        "len([i for i in range(1, 65) if t.sig[i] = b.sig[i]])"
+    )
+    return f"""
+    WITH th AS (SELECT doc_id AS _id, {p['tok']} AS th,
+                       (doc_id % 5 = 0) AS _ev FROM documents),
+    shn AS (SELECT _id, _ev, {p['shing']} AS sh FROM th),
+    sig AS (SELECT _id, _ev, {p['sig']} AS sig FROM shn),
+    b AS (SELECT sig FROM sig WHERE _ev AND list_min(sig) != 2147483647),
+    t AS (SELECT _id, sig FROM sig WHERE NOT _ev)
+    SELECT t._id AS doc_id, count(*) AS n_matches
+    FROM t JOIN b ON {agree} >= 32
+    GROUP BY t._id ORDER BY doc_id
+    """
+
+
+@query("x93_neardup_blocklist_screen", oracle=_x93_oracle())
+def x93_neardup_blocklist_screen(spark, sf_dir):
+    """The sketch blocklist screen under the oracle contract: per
+    training doc, how many blocklist-slice (doc_id % 5 == 0 — the x77
+    "new crawl" slice, large enough that the screen actually fires at
+    this SF) sketches its MinHash
+    signature agrees with at est ≥ 0.5 (flagged docs only) — the exact
+    expression the `neardup_gate` task evaluates per row, hash-checked
+    integer-for-integer (portable hashes; agreement floor
+    ceil(0.5·64) = 32; empty-shingle blocklist entries excluded at fit
+    exactly as fit_blocklist_sketches does). Pure per-row let-bound
+    expression over frozen sketch literals — no explode, join, or
+    state on the corpus side."""
+    docs = table(spark, sf_dir, "documents")
+    is_block = F.col("doc_id") % 5 == 0
+    sketches = dedup.fit_blocklist_sketches(
+        docs.filter(is_block), "text", portable=True
+    )
+    n = dedup.neardup_hits_expr(
+        "text", sketches, threshold=0.5, portable=True
+    )
+    return (
+        docs.filter(~is_block)
+        .select("doc_id", n.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy("doc_id")
+    )
