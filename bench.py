@@ -172,6 +172,7 @@ HEADLINE = [
     "q82_event_paths",
     "x92_syndication_matrix",
     "x93_neardup_blocklist_screen",
+    "x94_source_turnover",
 ]
 
 

@@ -1729,3 +1729,56 @@ def neardup_hits_expr(
             )
         ),
     )
+
+
+def group_sketch_turnover(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-group content TURNOVER between two corpus snapshots,
+    estimated at sketch cost: each group's union-shingle-set sketch is
+    built per snapshot (the :func:`group_sketch_overlap` mergeable-min
+    construction), and the old↔new agreement estimates the Jaccard of
+    the group's old vs new content — ``turnover = 1 − est`` is the
+    release metric "how much did this source's content rotate?" that
+    :func:`corpus_diff`'s per-doc statuses cannot see when ids change
+    between crawls (re-crawled pages get new ids; the sketch keys on
+    CONTENT). Groups present in only one snapshot are omitted (no pair
+    to compare — read those off x80/x31).
+
+    Output: (group_col, est_overlap, turnover), both exact dyadic
+    rationals. 100 TB shape: map-only signatures per snapshot, one
+    bounded (group × n_hashes) groupBy per side, and a join on the
+    bounded sketch frames."""
+    def sketch(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(group_col).alias("_g"),
+                minhash_signature(
+                    text_col, n_hashes, k, seed, portable
+                ).alias("_sig"),
+            )
+            .select("_g", F.posexplode("_sig").alias("_p", "_v"))
+            .groupBy("_g", "_p")
+            .agg(F.min("_v").alias(f"_m_{side}"))
+        )
+
+    o, n = sketch(old_df, "o"), sketch(new_df, "n")
+    agree = F.sum(
+        F.when(F.col("_m_o") == F.col("_m_n"), 1).otherwise(0)
+    )
+    est = agree / F.lit(float(n_hashes))
+    return (
+        o.join(n, ["_g", "_p"])
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            est.alias("est_overlap"),
+            (F.lit(1.0) - est).alias("turnover"),
+        )
+    )

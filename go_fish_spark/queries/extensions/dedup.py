@@ -618,3 +618,61 @@ def x93_neardup_blocklist_screen(spark, sf_dir):
         .filter(F.col("n_matches") > 0)
         .orderBy("doc_id")
     )
+
+
+def _x94_oracle() -> str:
+    from ...operators.dedup import _duck_minhash_parts
+    from ...operators.similarity import _dlit
+
+    p_old = _duck_minhash_parts("text", 64, 16, 3, 42)
+    new_text = (
+        "CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END"
+    )
+    p_new = _duck_minhash_parts(new_text, 64, 16, 3, 42)
+    return f"""
+    WITH tho AS (SELECT source AS _g, {p_old['tok']} AS th
+                 FROM documents WHERE doc_id % 7 != 0),
+    shno AS (SELECT _g, {p_old['shing']} AS sh FROM tho),
+    sigo AS (SELECT _g, {p_old['sig']} AS sig FROM shno),
+    eo AS (SELECT _g, generate_subscripts(sig, 1) AS _p,
+                  unnest(sig) AS _v FROM sigo),
+    mo AS (SELECT _g, _p, min(_v) AS _m FROM eo GROUP BY _g, _p),
+    thn AS (SELECT source AS _g, {p_new['tok']} AS th
+            FROM documents WHERE doc_id % 3 != 0),
+    shnn AS (SELECT _g, {p_new['shing']} AS sh FROM thn),
+    sign_ AS (SELECT _g, {p_new['sig']} AS sig FROM shnn),
+    en AS (SELECT _g, generate_subscripts(sig, 1) AS _p,
+                  unnest(sig) AS _v FROM sign_),
+    mn AS (SELECT _g, _p, min(_v) AS _m FROM en GROUP BY _g, _p)
+    SELECT mo._g AS source,
+           sum(CASE WHEN mo._m = mn._m THEN 1 ELSE 0 END)
+             / {_dlit(64)} AS est_overlap,
+           1.0 - sum(CASE WHEN mo._m = mn._m THEN 1 ELSE 0 END)
+             / {_dlit(64)} AS turnover
+    FROM mo JOIN mn ON mo._g = mn._g AND mo._p = mn._p
+    GROUP BY mo._g ORDER BY source
+    """
+
+
+@query("x94_source_turnover", oracle=_x94_oracle())
+def x94_source_turnover(spark, sf_dir):
+    """Per-source content turnover between snapshots
+    (dedup.group_sketch_turnover): the old and new snapshots' per-source
+    union-set sketches (mergeable-min MinHash, x87's construction)
+    compared position-wise — turnover = 1 − est Jaccard(old content,
+    new content), the release metric x80's per-id diff cannot see when
+    re-crawled pages change ids (the sketch keys on CONTENT, not ids).
+    Same snapshot slices as x80 (old = %7≠0; new = %3≠0 with every 11th
+    doc edited). Map-only signatures, one bounded (source × 64) groupBy
+    per side, join on the sketch frames; dyadic-exact estimates."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "source",
+        F.when(F.col("doc_id") % 11 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.group_sketch_turnover(
+        old, new, "source", "text", portable=True
+    ).orderBy("source")

@@ -1046,3 +1046,29 @@ def test_jaccard_threshold_sweep_bands(spark):
     ).count()
     with pytest.raises(ValueError, match="band_width"):
         jaccard_threshold_sweep(df, "doc_id", "text", band_width=0.0)
+
+
+def test_group_sketch_turnover_bounds(spark):
+    """x94: identical snapshots → turnover 0; full content rotation →
+    turnover ~1; groups missing from either side omitted."""
+    from go_fish_spark.operators.dedup import group_sketch_turnover
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    old = spark.createDataFrame(
+        [("stable", t1), ("rotated", t1), ("gone", t1)],
+        "source string, text string",
+    )
+    new = spark.createDataFrame(
+        [("stable", t1), ("rotated", t2), ("fresh", t2)],
+        "source string, text string",
+    )
+    out = {
+        r.source: (r.est_overlap, r.turnover)
+        for r in group_sketch_turnover(
+            old, new, "source", "text", portable=True
+        ).collect()
+    }
+    assert set(out) == {"stable", "rotated"}  # one-sided groups omitted
+    assert out["stable"] == (1.0, 0.0)
+    assert out["rotated"][1] >= 0.9  # disjoint vocab → near-total turnover
