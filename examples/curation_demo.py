@@ -79,6 +79,17 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
     #    + connected components computed ONCE, then (a) canonical
     #    selection and (b) the audit histogram both read the same
     #    materialized label frame — no second CC run for the report.
+    #    The threshold itself comes from evidence, not folklore: the x90
+    #    sweep shows the band structure (weak-overlap haze near 0, the
+    #    near-dup spike at the top, and the gap between — the gap IS the
+    #    threshold).
+    if verbose:
+        from go_fish_spark.operators.dedup import jaccard_threshold_sweep
+
+        print("jaccard threshold sweep (pick the bar in the gap):")
+        jaccard_threshold_sweep(
+            uniq, "doc_id", "text", band_width=0.1, min_jaccard=0.05
+        ).show(12)
     from go_fish_spark.operators.audit import dedup_audit
 
     audit = dedup_audit(uniq, "doc_id", "text", tx.quality_score("text"))
