@@ -173,6 +173,9 @@ HEADLINE = [
     "x92_syndication_matrix",
     "x93_neardup_blocklist_screen",
     "x94_source_turnover",
+    "q83_cohort_retention",
+    "q84_transition_entropy",
+    "x95_pmi_collocations",
 ]
 
 

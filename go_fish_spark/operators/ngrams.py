@@ -357,3 +357,129 @@ def duck_bigram_logprob_sql(
     CROSS JOIN ntot
     GROUP BY g._id
     """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-word collocations by pointwise mutual
+    information — the phrase-mining pass a tokenizer-training or
+    stopword-curation pipeline runs to find multi-word units ("new york",
+    "machine learning") whose co-occurrence beats chance:
+    ``pmi = ln p̂(w₁w₂) − ln p̂(w₁) − ln p̂(w₂)`` with bigram probability
+    over bigram positions and unigram probabilities over token
+    occurrences. A ``min_count`` floor removes the rare-pair PMI
+    pathology (a 1-occurrence pair of two hapaxes maxes the score).
+
+    Output: (w1, w2, pair_count BIGINT, pmi DOUBLE rounded 9), ordered
+    pmi desc with (w1, w2) tie-break, LIMIT top_k.
+
+    Reference anchor: no corpus-statistics operator exists in go-fish
+    (gap category, SURVEY.md §2.6); the op extends the x27/x34/x60
+    n-gram family.
+
+    100 TB shape: bigram construction is per-row ``zip_with`` over two
+    slices (zero shuffles); ONE bigram-keyed exchange with map-side
+    partial aggregation absorbs Zipf-hot pairs before the network; the
+    unigram model is vocabulary-bounded and joins back as a BROADCAST
+    onto the floored candidate frame (the floor runs BEFORE the joins,
+    so join input is |{pairs ≥ min_count}|, not |all pairs|); both
+    normalizers are broadcast 1-row aggregates of already-bounded
+    frames — no second corpus scan. The final top-k is a TakeOrdered
+    over the floored frame, never a global sort.
+
+    Cross-engine float discipline: every division casts exact BIGINTs to
+    DOUBLE (correctly rounded, so bit-equal across engines); the three
+    ``ln`` terms combine in ONE fixed per-row expression (no aggregation
+    reorder), so the ≤ few-ulp libm-vs-Math.log wiggle is absorbed by
+    the round-9, the x34/x60 recipe. Mirrored op-for-op by
+    :func:`duck_pmi_collocations_sql`."""
+    from .dedup import _persist
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    term = df.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    # persisted: two dependents (candidate frame + the N_pairs normalizer);
+    # without it each consumer re-tokenizes the corpus.
+    bcnt = _persist(
+        term.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    )
+    ucnt = _persist(
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    ntok = ucnt.agg(F.sum("_cu").alias("_nt"))
+    npairs = bcnt.agg(F.sum("_cb").alias("_np"))
+    pmi = (
+        F.log(F.col("_cb").cast("double") / F.col("_np").cast("double"))
+        - F.log(F.col("_cu1").cast("double") / F.col("_nt").cast("double"))
+        - F.log(F.col("_cu2").cast("double") / F.col("_nt").cast("double"))
+    )
+    return (
+        bcnt.filter(F.col("_cb") >= min_count)
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("w1"), F.col("_cu").alias("_cu1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                ucnt.select(F.col("w").alias("w2"), F.col("_cu").alias("_cu2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            "w1",
+            "w2",
+            F.col("_cb").alias("pair_count"),
+            F.round(pmi, 9).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def duck_pmi_collocations_sql(
+    table: str, text_col: str, min_count: int = 5, top_k: int = 50
+) -> str:
+    """DuckDB mirror of :func:`pmi_collocations` — positional parallel-
+    unnest bigram construction, same ln-difference expression in the
+    same operation order, same round-9 output."""
+    return f"""
+    WITH t AS (SELECT string_split({text_col}, ' ') AS ws FROM {table}),
+    term AS (
+      SELECT unnest([ws[i] for i in range(1, len(ws))]) AS w1,
+             unnest([ws[i+1] for i in range(1, len(ws))]) AS w2
+      FROM t
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS _cb FROM term GROUP BY w1, w2),
+    u AS (SELECT unnest(ws) AS w FROM t),
+    ucnt AS (SELECT w, count(*) AS _cu FROM u GROUP BY w),
+    ntok AS (SELECT CAST(sum(_cu) AS BIGINT) AS _nt FROM ucnt),
+    npr AS (SELECT CAST(sum(_cb) AS BIGINT) AS _np FROM bcnt)
+    SELECT w1, w2, _cb AS pair_count,
+           round(ln(CAST(_cb AS DOUBLE) / CAST(_np AS DOUBLE))
+               - ln(CAST(u1._cu AS DOUBLE) / CAST(_nt AS DOUBLE))
+               - ln(CAST(u2._cu AS DOUBLE) / CAST(_nt AS DOUBLE)), 9) AS pmi
+    FROM bcnt
+    JOIN ucnt u1 ON bcnt.w1 = u1.w
+    JOIN ucnt u2 ON bcnt.w2 = u2.w
+    CROSS JOIN ntok CROSS JOIN npr
+    WHERE _cb >= {int(min_count)}
+    ORDER BY pmi DESC, w1, w2 LIMIT {int(top_k)}
+    """

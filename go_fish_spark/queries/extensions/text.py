@@ -853,3 +853,26 @@ def x88_eval_coverage(spark, sf_dir):
     return decontam.eval_coverage(
         docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=3
     ).orderBy("doc_id")
+
+
+from ...operators.ngrams import duck_pmi_collocations_sql  # noqa: E402
+
+
+@query(
+    "x95_pmi_collocations",
+    oracle=duck_pmi_collocations_sql("documents", "text", min_count=5, top_k=50),
+)
+def x95_pmi_collocations(spark, sf_dir):
+    """Phrase mining by pointwise mutual information
+    (ngrams.pmi_collocations, min_count=5): top-50 adjacent-word pairs
+    whose co-occurrence beats chance — the collocation pass that feeds
+    tokenizer merges and boilerplate-phrase curation, completing the
+    n-gram family (x27 counts frequency, x34/x60 score fluency, this
+    ranks ASSOCIATION). Per-row zip_with bigrams, ONE bigram-keyed
+    exchange, min_count floor BEFORE the vocabulary-bounded broadcast
+    unigram joins, TakeOrdered top-k; single fixed-order ln expression
+    + round-9 for float parity with the DuckDB mirror."""
+    from ...operators.ngrams import pmi_collocations
+
+    docs = table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5, top_k=50)

@@ -453,3 +453,78 @@ def q81_lateral_chunk_udtf(spark, sf_dir):
         ORDER BY d.doc_id, c.chunk_id
         """
     )
+
+
+@query(
+    "q83_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    cohort AS (SELECT user_id, min(d) AS cd FROM ev GROUP BY user_id),
+    sizes AS (SELECT cd, count(*) AS cohort_users FROM cohort GROUP BY cd),
+    act AS (
+      SELECT c.cd, CAST(date_diff('day', c.cd, e.d) AS INT) AS day_offset,
+             count(*) AS active_users
+      FROM ev e JOIN cohort c USING (user_id)
+      GROUP BY c.cd, day_offset
+    )
+    SELECT strftime(a.cd, '%Y-%m-%d') AS cohort_day, a.day_offset,
+           a.active_users, s.cohort_users,
+           round(CAST(a.active_users AS DOUBLE)
+                 / CAST(s.cohort_users AS DOUBLE), 9) AS retention
+    FROM act a JOIN sizes s ON a.cd = s.cd
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def q83_cohort_retention(spark, sf_dir):
+    """Daily cohort retention — the canonical product-analytics matrix
+    beside q80's funnel: users are cohorted by the calendar day of their
+    FIRST event, and each (cohort_day, day_offset) cell counts users
+    from that cohort active on that later day; retention is the cell
+    over the cohort size (offset 0 is 1.0 by construction). Day
+    granularity keeps MULTIPLE cohorts live on the 30-day testdata span
+    (weekly truncation degenerates to one cohort there — same operator
+    shape, coarser key).
+
+    100 TB shape: ONE user-keyed exchange does ALL per-user work — a
+    single groupBy(user) with partial aggregation yields min(day) AND
+    collect_set(day) together (the set is bounded by the corpus's
+    calendar span, ~365/year, never by event volume), so raw events
+    shuffle exactly once. The matrix and the cohort sizes are bounded
+    re-aggregations of that per-user frame (<= span^2 cells), and sizes
+    join back as a BROADCAST. retention divides exact BIGINTs as
+    DOUBLE (correctly rounded -> bit-equal cross-engine) + round-9."""
+    from ..operators.dedup import _persist
+
+    events = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    per_user = _persist(
+        events.select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cd"), F.collect_set("d").alias("ds"))
+    )
+    act = (
+        per_user.select("cd", F.explode("ds").alias("d"))
+        .withColumn("day_offset", F.datediff("d", "cd"))
+        .groupBy("cd", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    sizes = per_user.groupBy("cd").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    return (
+        act.join(F.broadcast(sizes), "cd")
+        .select(
+            F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users").cast("double")
+                / F.col("cohort_users").cast("double"),
+                9,
+            ).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )

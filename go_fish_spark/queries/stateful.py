@@ -301,3 +301,89 @@ def q82_event_paths(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "q84_transition_entropy",
+    oracle="""
+    WITH tr AS (
+      SELECT event_type AS prev_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, next_type, count(*) AS _c
+      FROM tr WHERE next_type IS NOT NULL GROUP BY prev_type, next_type
+    ),
+    tot AS (
+      SELECT prev_type, CAST(sum(_c) AS BIGINT) AS _t,
+             count(*) AS n_next_types
+      FROM c GROUP BY prev_type
+    ),
+    terms AS (
+      SELECT c.prev_type, t._t, t.n_next_types,
+             CAST(round(
+               (CAST(c._c AS DOUBLE) / CAST(t._t AS DOUBLE))
+               * ln(CAST(c._c AS DOUBLE) / CAST(t._t AS DOUBLE)), 12)
+             AS DECIMAL(27,18)) AS term
+      FROM c JOIN tot t USING (prev_type)
+    )
+    SELECT prev_type AS event_type,
+           min(_t) AS n_transitions,
+           CAST(min(n_next_types) AS BIGINT) AS n_next_types,
+           round(CAST(-sum(term) AS DOUBLE), 9) AS entropy
+    FROM terms GROUP BY prev_type ORDER BY event_type
+    """,
+)
+def q84_transition_entropy(spark, sf_dir):
+    """Markov transition entropy of user behavior — for each event type,
+    the Shannon entropy of WHAT USERS DO NEXT (successor chosen by each
+    user's time-ordered stream): H(type) = −Σ p̂(next|type)·ln p̂(next|type).
+    Low entropy = a funnel edge (one dominant successor); max entropy
+    (ln n_next_types) = no behavioral signal — the summary q82's raw
+    path counts don't provide.
+
+    100 TB shape: successor extraction is ONE user-keyed exchange+sort
+    (a lead window over (ts, event_id) — a TOTAL order, so the
+    transition multiset is deterministic); everything downstream is
+    bounded by the event-type vocabulary (≤ types² transition cells,
+    then a ≤ types-row report) — no second corpus pass, no join against
+    unbounded frames.
+
+    Cross-engine float discipline: p̂ divides exact BIGINTs as DOUBLE;
+    each p·ln p term is round-12 then DECIMAL(27,18) so the per-type SUM
+    is order-independent; round-9 final (the x34/x60 recipe)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = events.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = tr.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = c.groupBy("prev_type").agg(
+        F.sum("_c").alias("_t"),
+        F.count(F.lit(1)).alias("n_next_types"),
+    )
+    p = F.col("_c").cast("double") / F.col("_t").cast("double")
+    term = F.round(p * F.log(p), 12).cast("decimal(27,18)")
+    return (
+        c.join(F.broadcast(tot), "prev_type")
+        .select("prev_type", "_t", "n_next_types", term.alias("term"))
+        .groupBy("prev_type")
+        .agg(
+            F.min("_t").alias("n_transitions"),
+            F.min("n_next_types").alias("n_next_types"),
+            F.round((-F.sum("term")).cast("double"), 9).alias("entropy"),
+        )
+        .select(
+            F.col("prev_type").alias("event_type"),
+            "n_transitions",
+            "n_next_types",
+            "entropy",
+        )
+        .orderBy("event_type")
+    )
