@@ -31,7 +31,7 @@ integer outputs stay integer (exact by construction).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -720,4 +720,194 @@ def duck_embedding_centroid_sql(
            round(_m2, 9) AS mean_norm2,
            round(_m2 - _c2, 9) AS dispersion
     FROM agg ORDER BY {group_col}
+    """
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    vec_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-group embedding OUTLIERS — the top-``top_k`` vectors farthest
+    (squared euclidean) from their group's centroid: the row-level drill-
+    down beside :func:`embedding_centroid_report`'s group-level
+    dispersion (a mislabeled/garbage embedding shows up here long before
+    it moves the group mean). Output: (group_col, id_col, dist2 DOUBLE
+    rounded 9, rank INT), rank 1 = farthest, ties broken by id.
+
+    100 TB shape: two corpus passes, both map-heavy — (1) ONE exchange
+    on the bounded (group × dim) key builds the centroids; (2) the
+    centroid frame (≤ groups×dim rows) BROADCASTS back onto the
+    re-exploded corpus, so the distance pass shuffles only the
+    per-(group, id) partial sums; the final top-k is a per-group window
+    over the (group, id)-level frame — never a global sort.
+
+    Cross-engine float discipline (the x83 recipe): per-dimension
+    centroid sums are DECIMAL(38,12)-exact; each squared residual
+    re-enters as round-12 DECIMAL(27,18) so the across-dimension sum is
+    order-independent; round-9 final."""
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.posexplode(F.col(vec_col)).alias("_d", "_v"),
+    ).select("_id", "_g", "_d", F.col("_v").cast("double").alias("_v"))
+    cent = e.groupBy("_g", "_d").agg(
+        F.sum(F.col("_v").cast("decimal(38,12)")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    c = F.col("_s").cast("double") / F.col("_n")
+    diff = F.col("_v") - c
+    d = (
+        e.join(F.broadcast(cent), ["_g", "_d"])
+        .select(
+            "_id",
+            "_g",
+            F.round(diff * diff, 12).cast("decimal(27,18)").alias("_t"),
+        )
+        .groupBy("_g", "_id")
+        .agg(F.round(F.sum("_t").cast("double"), 9).alias("dist2"))
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("dist2").desc(), F.col("_id"))
+    return (
+        d.select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            "dist2",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= int(top_k))
+    )
+
+
+def duck_embedding_outliers_sql(
+    table: str, id_col: str, group_col: str, vec_col: str, top_k: int = 3
+) -> str:
+    """DuckDB mirror of :func:`embedding_outliers` — same decimal
+    per-dimension sums, same round-12 residual re-entry, same operation
+    order."""
+    return f"""
+    WITH e AS (
+      SELECT {id_col} AS _id, {group_col} AS _g,
+             generate_subscripts({vec_col}, 1) AS _d,
+             unnest({vec_col}) AS _v0
+      FROM {table}
+    ),
+    e2 AS (SELECT _id, _g, _d, CAST(_v0 AS DOUBLE) AS _v FROM e),
+    cent AS (
+      SELECT _g, _d, sum(CAST(_v AS DECIMAL(38,12))) AS _s,
+             count(*) AS _n
+      FROM e2 GROUP BY _g, _d
+    ),
+    t AS (
+      SELECT _id, e2._g AS _g,
+             CAST(round((e2._v - CAST(cent._s AS DOUBLE) / cent._n)
+                      * (e2._v - CAST(cent._s AS DOUBLE) / cent._n), 12)
+                  AS DECIMAL(27,18)) AS _t
+      FROM e2 JOIN cent ON e2._g = cent._g AND e2._d = cent._d
+    ),
+    d AS (
+      SELECT _g, _id, round(CAST(sum(_t) AS DOUBLE), 9) AS dist2
+      FROM t GROUP BY _g, _id
+    )
+    SELECT _g AS {group_col}, _id AS {id_col}, dist2,
+           CAST(row_number() OVER (
+             PARTITION BY _g ORDER BY dist2 DESC, _id
+           ) AS INT) AS rank
+    FROM d QUALIFY rank <= {int(top_k)}
+    ORDER BY {group_col}, rank
+    """
+
+
+def zipf_slope(
+    df: DataFrame, group_col: str, text_col: str, max_rank: int = 1000
+) -> DataFrame:
+    """Per-group Zipf rank-frequency slope — the log-log OLS fit of
+    ln(freq) on ln(rank) over the group's top-``max_rank`` tokens:
+    healthy natural-language sources sit near −1; a slope collapsing
+    toward 0 flags templated/duplicated text (flat frequency profile)
+    and one diving far below −1 flags a degenerate, few-token vocabulary.
+    Output: (group_col, n_ranks BIGINT, slope DOUBLE rounded 9).
+
+    100 TB shape: ONE corpus exchange builds the (group, token) counts
+    with map-side combine; ranking is a window over that VOCABULARY-
+    bounded frame partitioned by group (one vocab-sized exchange, never
+    the corpus), and the regression reduces each group to five decimal-
+    exact sums — no second corpus pass, no collect.
+
+    Cross-engine float discipline: x=ln(rank) and y=ln(count) are
+    per-row round-12 DECIMAL(27,18) terms (order-independent sums of x,
+    y, xy, x²); the closed-form slope
+    (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx) is ONE fixed-order double
+    expression over those exact sums, absorbed by round-9."""
+    toks = tokens(text_col)
+    cnt = (
+        df.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_c").desc(), F.col("_w"))
+    ranked = cnt.select(
+        "_g", "_c", F.row_number().over(w).alias("_r")
+    ).filter(F.col("_r") <= int(max_rank))
+    x = F.log(F.col("_r").cast("double"))
+    y = F.log(F.col("_c").cast("double"))
+    d12 = lambda col: F.round(col, 12).cast("decimal(27,18)")  # noqa: E731
+    sums = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d12(x)).cast("double").alias("_sx"),
+        F.sum(d12(y)).cast("double").alias("_sy"),
+        F.sum(d12(x * y)).cast("double").alias("_sxy"),
+        F.sum(d12(x * x)).cast("double").alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return sums.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n_ranks"),
+        F.round(slope, 9).alias("slope"),
+    )
+
+
+def duck_zipf_slope_sql(
+    table: str, group_col: str, text_col: str, max_rank: int = 1000
+) -> str:
+    """DuckDB mirror of :func:`zipf_slope` — same ranking tie-break,
+    same round-12 decimal sums, same closed-form slope expression."""
+    return f"""
+    WITH cnt AS (
+      SELECT {group_col} AS _g, tok AS _w, count(*) AS _c
+      FROM (SELECT {group_col}, unnest(string_split({text_col}, ' ')) AS tok
+            FROM {table})
+      GROUP BY _g, _w
+    ),
+    ranked AS (
+      SELECT _g, _c,
+             row_number() OVER (PARTITION BY _g ORDER BY _c DESC, _w) AS _r
+      FROM cnt QUALIFY _r <= {int(max_rank)}
+    ),
+    terms AS (
+      SELECT _g,
+             CAST(round(ln(CAST(_r AS DOUBLE)), 12) AS DECIMAL(27,18)) AS _x,
+             CAST(round(ln(CAST(_c AS DOUBLE)), 12) AS DECIMAL(27,18)) AS _y,
+             CAST(round(ln(CAST(_r AS DOUBLE)) * ln(CAST(_c AS DOUBLE)), 12)
+                  AS DECIMAL(27,18)) AS _xy,
+             CAST(round(ln(CAST(_r AS DOUBLE)) * ln(CAST(_r AS DOUBLE)), 12)
+                  AS DECIMAL(27,18)) AS _xx
+      FROM ranked
+    ),
+    sums AS (
+      SELECT _g, count(*) AS _n,
+             CAST(sum(_x) AS DOUBLE) AS _sx, CAST(sum(_y) AS DOUBLE) AS _sy,
+             CAST(sum(_xy) AS DOUBLE) AS _sxy,
+             CAST(sum(_xx) AS DOUBLE) AS _sxx
+      FROM terms GROUP BY _g
+    )
+    SELECT _g AS {group_col}, _n AS n_ranks,
+           round((CAST(_n AS DOUBLE) * _sxy - _sx * _sy)
+               / (CAST(_n AS DOUBLE) * _sxx - _sx * _sx), 9) AS slope
+    FROM sums
     """

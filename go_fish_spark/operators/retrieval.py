@@ -27,7 +27,7 @@ the final score rounds to 9 decimals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -255,3 +255,78 @@ def bm25_score_exprs(
         ),
     )
     return n_matched.cast("bigint"), F.round(score.cast("double"), 9)
+
+
+def ranked_topn(
+    df: DataFrame, id_col: str, score_col: str, n: int, rank_col: str
+) -> DataFrame:
+    """Dense ``(id, rank)`` list of the top-``n`` rows by
+    ``score_col DESC, id ASC`` — the candidate-list builder every rank-
+    fusion consumer needs.
+
+    100 TB shape: the cut is an ``orderBy().limit(n)`` — Spark plans it
+    as TakeOrdered (per-partition top-n heaps merged on one reducer), so
+    the corpus is never globally sorted. Only the ≤ n survivors pass
+    through the unpartitioned row_number window; the single-partition
+    window is bounded by n, never by the corpus — the same bounded-frame
+    discipline as x30's top-quantile cut."""
+    top = df.select(id_col, score_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    ).limit(int(n))
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return top.select(
+        F.col(id_col), F.row_number().over(w).alias(rank_col)
+    )
+
+
+def rrf_fuse(
+    arms: dict[str, DataFrame],
+    id_col: str,
+    k: int = 60,
+    top_k: int = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists — the standard
+    hybrid-retrieval combiner (Cormack et al.: ``score(d) = Σ_arms
+    1/(k + rank_arm(d))``, missing-from-arm contributes 0): robust to
+    incomparable score scales, which is exactly why lexical BM25 and
+    embedding cosine are fused by RANK, not by score.
+
+    ``arms`` maps an arm name to a ``(id_col, rank_<name>)`` frame (the
+    :func:`ranked_topn` shape). Output: (id_col, rank_<name>..., rrf
+    DOUBLE rounded 9), ordered rrf desc with id tie-break, LIMIT top_k.
+
+    100 TB shape: every arm is already cut to its own top-n, so the
+    FULL OUTER fusion joins bounded frames (≤ Σ n rows) — fusion cost is
+    independent of corpus size; the heavy lifting stays in the arms.
+    Float discipline: each 1/(k+rank) divides exact ints as DOUBLE
+    (correctly rounded → bit-equal cross-engine) and the ≤ N-term sum is
+    a fixed-order per-row expression, absorbed by round-9."""
+    if len(arms) < 2:
+        raise ValueError("rrf_fuse needs >= 2 arms")
+    names = list(arms)
+    fused = None
+    for name in names:
+        arm = arms[name]
+        fused = (
+            arm
+            if fused is None
+            else fused.join(arm, id_col, "full_outer")
+        )
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(int(k)) + F.col(f"rank_{n}")), F.lit(0.0)
+        )
+        for n in names
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        fused.select(
+            id_col,
+            *[f"rank_{n}" for n in names],
+            F.round(total, 9).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(int(top_k))
+    )

@@ -669,3 +669,95 @@ def x85_cell_balanced_sample(spark, sf_dir):
         .select("cell", "vec_id")
         .orderBy("cell", "vec_id")
     )
+
+
+def _x96_oracle() -> str:
+    from ...operators.retrieval import duck_bm25_sql
+    from .text import _BM25_TERMS
+
+    cos = vectors.duck_cosine("c.embedding", "q.qv", _EMB_DIM)
+    return f"""
+    WITH bmall AS ({duck_bm25_sql("documents", "doc_id", "text", _BM25_TERMS)}),
+    lexr AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS rank_lex
+      FROM (SELECT doc_id, bm25 FROM bmall ORDER BY bm25 DESC, doc_id LIMIT 100)
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    semsc AS (
+      SELECT c.vec_id AS doc_id, round({cos}, 6) AS cos
+      FROM embeddings c CROSS JOIN q WHERE c.vec_id != 0
+    ),
+    semr AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+               AS rank_sem
+      FROM (SELECT * FROM semsc ORDER BY cos DESC, doc_id LIMIT 100)
+    )
+    SELECT doc_id, rank_lex, rank_sem,
+           round(coalesce(CAST(1 AS DOUBLE) / (60 + rank_lex), 0)
+               + coalesce(CAST(1 AS DOUBLE) / (60 + rank_sem), 0), 9) AS rrf
+    FROM lexr FULL OUTER JOIN semr USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 50
+    """
+
+
+@query("x96_hybrid_rrf", oracle=_x96_oracle())
+def x96_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion
+    (retrieval.rrf_fuse): the lexical arm (x57's BM25 over the 4-term
+    query) and the semantic arm (cosine against doc 0's embedding) are
+    each cut to a top-100 candidate list by TakeOrdered — per-partition
+    heaps, never a corpus sort — ranked by a window over the BOUNDED
+    survivors, then fused by rank (score scales never compared):
+    rrf = Σ 1/(60+rank), absent-from-arm contributes 0 via the FULL
+    OUTER join of two ≤ 100-row frames. Fusion cost is corpus-size-
+    independent; exact-int divisions + fixed-order sum + round-9 keep
+    the score hash-equal to the DuckDB mirror."""
+    from ...operators.retrieval import bm25_scores, ranked_topn, rrf_fuse
+    from .text import _BM25_TERMS
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = ranked_topn(
+        bm25_scores(docs, "doc_id", "text", _BM25_TERMS),
+        "doc_id", "bm25", 100, "rank_lex",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_q")
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(vectors.cosine("embedding", "_q"), 6).alias("cos"),
+        )
+    )
+    sem = ranked_topn(sem_scored, "doc_id", "cos", 100, "rank_sem")
+    return rrf_fuse({"lex": lex, "sem": sem}, "doc_id", k=60, top_k=50)
+
+
+def _x97_oracle() -> str:
+    from ...operators.profile import duck_embedding_outliers_sql
+
+    return duck_embedding_outliers_sql(
+        "embeddings", "vec_id", "label", "embedding", top_k=3
+    )
+
+
+@query("x97_embedding_outliers", oracle=_x97_oracle())
+def x97_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers (profile.embedding_outliers): the 3
+    vectors farthest from their label centroid — the row-level
+    mislabel/garbage drill-down beside x83's group-level dispersion.
+    Centroids from ONE bounded (label × dim) exchange; the ≤ labels×dim
+    centroid frame broadcasts onto the re-exploded corpus so the
+    distance pass shuffles only per-(label, id) partials; per-label
+    top-3 is a partitioned window. x83's decimal/round-12/round-9
+    discipline keeps dist2 hash-equal to DuckDB."""
+    from ...operators.profile import embedding_outliers
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_outliers(
+        emb, "vec_id", "label", "embedding", top_k=3
+    ).orderBy("label", "rank")

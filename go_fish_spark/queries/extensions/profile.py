@@ -228,3 +228,31 @@ def x89_degree_histogram(spark, sf_dir):
     return degree_histogram(
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
+
+
+def _x98_oracle() -> str:
+    from ...operators.profile import duck_zipf_slope_sql
+
+    return (
+        "SELECT * FROM ("
+        + duck_zipf_slope_sql("documents", "source", "text", max_rank=1000)
+        + ") ORDER BY source"
+    )
+
+
+@query("x98_zipf_slope", oracle=_x98_oracle())
+def x98_zipf_slope(spark, sf_dir):
+    """Per-source Zipf rank-frequency slope (profile.zipf_slope): the
+    log-log OLS fit of token frequency on rank — the one-number
+    vocabulary-health summary beside x69's growth curve (≈ −1 is
+    natural language; → 0 flags templated text, ≪ −1 a degenerate
+    vocabulary). One corpus exchange to (source, token) counts, a
+    vocabulary-bounded per-source ranking window, five decimal-exact
+    regression sums per source; fixed-order closed-form slope + round-9
+    for the DuckDB hash match."""
+    from ...operators.profile import zipf_slope
+
+    docs = table(spark, sf_dir, "documents")
+    return zipf_slope(docs, "source", "text", max_rank=1000).orderBy(
+        "source"
+    )
