@@ -1546,11 +1546,17 @@ def group_sketch_overlap(
     position-wise), and the agreement fraction between two group
     sketches estimates the Jaccard similarity of the groups' UNION
     shingle sets. Documents with no shingles contribute the sentinel
-    (≡ the empty set adds nothing) — the union law holds unchanged.
+    (≡ the empty set adds nothing) — the union law holds whenever at
+    least one REAL shingle exists per group. A group whose docs are ALL
+    sub-k-token has an all-sentinel sketch (an empty union set, not a
+    similar one); pairs where either side is empty report NULL
+    est_overlap rather than the spurious 1.0 two agreeing all-sentinel
+    sketches would produce — mirroring
+    :func:`fit_blocklist_sketches`'s sentinel exclusion.
 
     Output: (g_a, g_b, est_overlap) for every group pair g_a < g_b;
     est_overlap = agree/n_hashes, an exact dyadic rational (no FP
-    divergence).
+    divergence), NULL when either group's union shingle set is empty.
 
     100 TB shape: signatures are map-only array math over the corpus
     (zero shuffles); the sketch union is ONE groupBy on the bounded
@@ -1580,7 +1586,17 @@ def group_sketch_overlap(
         .groupBy(
             F.col("a._g").alias("g_a"), F.col("b._g").alias("g_b")
         )
-        .agg((agree / F.lit(float(n_hashes))).alias("est_overlap"))
+        # min over a group's positions == sentinel ⟺ every position is
+        # the sentinel (it is the max representable value) ⟺ the group's
+        # union shingle set is empty → NULL, not a fake-perfect overlap
+        .agg(
+            F.when(
+                (F.min("a._m") == _P31) | (F.min("b._m") == _P31),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(agree / F.lit(float(n_hashes)))
+            .alias("est_overlap")
+        )
     )
 
 
@@ -1607,8 +1623,10 @@ def duck_group_sketch_overlap_sql(
           FROM sig),
     m AS (SELECT _g, _p, min(_v) AS _m FROM e GROUP BY _g, _p)
     SELECT a._g AS g_a, b._g AS g_b,
-           sum(CASE WHEN a._m = b._m THEN 1 ELSE 0 END)
-             / {_dlit(n_hashes)} AS est_overlap
+           CASE WHEN min(a._m) = {_P31} OR min(b._m) = {_P31} THEN NULL
+                ELSE sum(CASE WHEN a._m = b._m THEN 1 ELSE 0 END)
+                     / {_dlit(n_hashes)}
+           END AS est_overlap
     FROM m a JOIN m b ON a._p = b._p AND a._g < b._g
     GROUP BY a._g, b._g
     ORDER BY g_a, g_b
@@ -1644,8 +1662,14 @@ def jaccard_threshold_sweep(
     pairs = ngram_jaccard_pairs(
         df, id_col, text_col, k=k, threshold=min_jaccard
     )
+    # floor(j / width) alone mis-bins exact band boundaries: widths like
+    # 0.05 are binary-inexact, so J=0.15 gives 0.15/0.05 = 2.999... and
+    # lands one band low. True Jaccards are coarse rationals (denominator
+    # = union size), never within 1e-9·width of an edge without being ON
+    # it — rounding the quotient to 9 digits before flooring restores the
+    # documented band_lo ≤ J < band_lo+width contract in both engines.
     band = F.least(
-        F.floor(F.col("jaccard") / band_width) * band_width,
+        F.floor(F.round(F.col("jaccard") / band_width, 9)) * band_width,
         F.lit(1.0 - band_width),
     )
     return (
@@ -1753,9 +1777,12 @@ def group_sketch_turnover(
     to compare — read those off x80/x31).
 
     Output: (group_col, est_overlap, turnover), both exact dyadic
-    rationals. 100 TB shape: map-only signatures per snapshot, one
-    bounded (group × n_hashes) groupBy per side, and a join on the
-    bounded sketch frames."""
+    rationals — NULL when either snapshot's union shingle set for the
+    group is empty (all-sentinel sketch: two empty sides would otherwise
+    report a fake-perfect est_overlap of 1.0; see
+    :func:`group_sketch_overlap`'s sentinel exclusion). 100 TB shape:
+    map-only signatures per snapshot, one bounded (group × n_hashes)
+    groupBy per side, and a join on the bounded sketch frames."""
     def sketch(df: DataFrame, side: str) -> DataFrame:
         return (
             df.select(
@@ -1773,7 +1800,12 @@ def group_sketch_turnover(
     agree = F.sum(
         F.when(F.col("_m_o") == F.col("_m_n"), 1).otherwise(0)
     )
-    est = agree / F.lit(float(n_hashes))
+    # all-sentinel side (min over positions == the sentinel max) = empty
+    # union set → NULL, never the spurious 1.0 of two agreeing sentinels
+    empty = (F.min("_m_o") == _P31) | (F.min("_m_n") == _P31)
+    est = F.when(empty, F.lit(None).cast("double")).otherwise(
+        agree / F.lit(float(n_hashes))
+    )
     return (
         o.join(n, ["_g", "_p"])
         .groupBy(F.col("_g").alias(group_col))

@@ -868,7 +868,9 @@ def zipf_slope(
     return sums.select(
         F.col("_g").alias(group_col),
         F.col("_n").alias("n_ranks"),
-        F.round(slope, 9).alias("slope"),
+        # a single-rank group has x = ln(1) = 0 for its only point, so
+        # the OLS denominator is exactly 0 — report NULL, not NaN
+        F.when(F.col("_n") >= 2, F.round(slope, 9)).alias("slope"),
     )
 
 
@@ -907,7 +909,9 @@ def duck_zipf_slope_sql(
       FROM terms GROUP BY _g
     )
     SELECT _g AS {group_col}, _n AS n_ranks,
-           round((CAST(_n AS DOUBLE) * _sxy - _sx * _sy)
-               / (CAST(_n AS DOUBLE) * _sxx - _sx * _sx), 9) AS slope
+           CASE WHEN _n >= 2 THEN
+             round((CAST(_n AS DOUBLE) * _sxy - _sx * _sy)
+                 / (CAST(_n AS DOUBLE) * _sxx - _sx * _sx), 9)
+           END AS slope
     FROM sums
     """

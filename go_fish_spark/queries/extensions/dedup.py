@@ -492,7 +492,7 @@ def x87_group_sketch_overlap(spark, sf_dir):
       GROUP BY a.doc_id, b.doc_id
       HAVING j >= 0.02
     )
-    SELECT round(least(floor(j / 0.05) * 0.05, 0.95), 6) AS band_lo,
+    SELECT round(least(floor(round(j / 0.05, 9)) * 0.05, 0.95), 6) AS band_lo,
            count(*) AS n_pairs
     FROM pairs GROUP BY 1 ORDER BY band_lo
     """,
@@ -645,10 +645,16 @@ def _x94_oracle() -> str:
                   unnest(sig) AS _v FROM sign_),
     mn AS (SELECT _g, _p, min(_v) AS _m FROM en GROUP BY _g, _p)
     SELECT mo._g AS source,
-           sum(CASE WHEN mo._m = mn._m THEN 1 ELSE 0 END)
-             / {_dlit(64)} AS est_overlap,
-           1.0 - sum(CASE WHEN mo._m = mn._m THEN 1 ELSE 0 END)
-             / {_dlit(64)} AS turnover
+           CASE WHEN min(mo._m) = 2147483647 OR min(mn._m) = 2147483647
+                THEN NULL
+                ELSE sum(CASE WHEN mo._m = mn._m THEN 1 ELSE 0 END)
+                     / {_dlit(64)}
+           END AS est_overlap,
+           CASE WHEN min(mo._m) = 2147483647 OR min(mn._m) = 2147483647
+                THEN NULL
+                ELSE 1.0 - sum(CASE WHEN mo._m = mn._m THEN 1 ELSE 0 END)
+                     / {_dlit(64)}
+           END AS turnover
     FROM mo JOIN mn ON mo._g = mn._g AND mo._p = mn._p
     GROUP BY mo._g ORDER BY source
     """

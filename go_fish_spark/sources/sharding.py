@@ -172,10 +172,22 @@ def compact_shards(
     scheduling). Compaction is the periodic fix: read the layout back
     (shard membership comes from the directory tree — a pure key hash,
     so it is REUSED, never recomputed), rewrite with the same one-file-
-    per-shard discipline into a temp tree, then swap directories. The
-    swap is two renames — readers see the old tree until the new one is
-    complete (crash before the first rename leaves the original intact;
-    the orphaned temp/old trees are re-runnable debris, not data loss).
+    per-shard discipline into a temp tree, then swap directories.
+
+    The swap is two renames with a compensating rollback: if the second
+    rename fails, the old tree is renamed back so ``path`` is never left
+    empty. There IS still a reader-visible gap between the two renames
+    (a reader that lists ``path`` in that window sees nothing) — run
+    compaction when no reader is scheduled. A crash inside the window
+    leaves the corpus intact under ``<path>__compact_old`` and the new
+    copy under ``<path>__compact_tmp``; the next compact_shards run
+    clears both and re-runs, so it is re-runnable debris, not data loss.
+
+    LOCAL-FILESYSTEM ONLY: directory rename is POSIX semantics. Object
+    stores (S3/GCS) have no atomic directory rename — there, compact via
+    a manifest/pointer swap (write the new tree under a versioned prefix
+    and flip the manifest the readers resolve, as Iceberg/Delta do)
+    rather than this path-swap.
 
     Returns the refreshed manifest."""
     import os
@@ -196,6 +208,10 @@ def compact_shards(
         size_col=size_col,
     )
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back: never leave `path` empty
+        raise
     shutil.rmtree(old)
     return read_manifest(spark, path)

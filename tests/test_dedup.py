@@ -1072,3 +1072,84 @@ def test_group_sketch_turnover_bounds(spark):
     assert set(out) == {"stable", "rotated"}  # one-sided groups omitted
     assert out["stable"] == (1.0, 0.0)
     assert out["rotated"][1] >= 0.9  # disjoint vocab → near-total turnover
+
+
+def test_jaccard_threshold_sweep_exact_band_boundaries(spark):
+    """Round-6 ADVICE regression: a pair whose exact Jaccard sits ON a
+    band edge must land in the band whose lower edge it is. band_width
+    values like 0.05 are binary-inexact, so naive floor(J/width) puts
+    J=0.15 (3/20) into the 0.10 band and J=0.70 (7/10) into 0.65; the
+    round-9-then-floor banding keeps the documented contract."""
+    from go_fish_spark.operators.dedup import jaccard_threshold_sweep
+
+    def doc(prefix, n_extra, run):
+        return " ".join(f"{prefix}{i}" for i in range(n_extra)) + " " + run
+
+    run = "c1 c2 c3 c4 c5"  # 3 shared interior 3-shingles
+    # |A|=10, |B|=13 shingles, inter=3 → union 20, J = 3/20 = 0.15
+    df = spark.createDataFrame(
+        [(1, doc("a", 7, run)), (2, doc("b", 10, run))],
+        "doc_id long, text string",
+    )
+    out = {
+        r.band_lo: r.n_pairs
+        for r in jaccard_threshold_sweep(
+            df, "doc_id", "text", band_width=0.05, min_jaccard=0.1
+        ).collect()
+    }
+    assert out == {0.15: 1}
+
+    run2 = "c1 c2 c3 c4 c5 c6 c7 c8 c9"  # 7 shared interior shingles
+    # |A|=8, |B|=9 shingles, inter=7 → union 10, J = 7/10 = 0.70
+    df2 = spark.createDataFrame(
+        [(1, doc("a", 1, run2)), (2, doc("b", 2, run2))],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r.band_lo: r.n_pairs
+        for r in jaccard_threshold_sweep(
+            df2, "doc_id", "text", band_width=0.05, min_jaccard=0.1
+        ).collect()
+    }
+    assert out2 == {0.7: 1}
+
+
+def test_group_sketch_overlap_all_sentinel_groups_null(spark):
+    """Round-6 ADVICE regression: a group made entirely of sub-k-token
+    docs has an EMPTY union shingle set — its pairs must report NULL
+    est_overlap, never the 1.0 that two agreeing all-sentinel sketches
+    would produce. Non-empty pairs are unaffected."""
+    from go_fish_spark.operators.dedup import (
+        group_sketch_overlap,
+        group_sketch_turnover,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [("a", t), ("b", t), ("e1", "xy"), ("e2", "pq")],
+        "g string, text string",
+    )  # e1/e2: 2 tokens < k=3 → empty shingle sets
+    out = {
+        (r.g_a, r.g_b): r.est_overlap
+        for r in group_sketch_overlap(df, "g", "text", portable=True).collect()
+    }
+    assert out[("a", "b")] == 1.0
+    assert out[("e1", "e2")] is None          # empty vs empty: NOT 1.0
+    assert out[("a", "e1")] is None           # empty vs non-empty
+    assert out[("b", "e2")] is None
+
+    # turnover inherits the same exclusion
+    old = spark.createDataFrame(
+        [("s", t), ("empty", "xy")], "source string, text string"
+    )
+    new = spark.createDataFrame(
+        [("s", t), ("empty", "pq")], "source string, text string"
+    )
+    t_out = {
+        r.source: (r.est_overlap, r.turnover)
+        for r in group_sketch_turnover(
+            old, new, "source", "text", portable=True
+        ).collect()
+    }
+    assert t_out["s"] == (1.0, 0.0)
+    assert t_out["empty"] == (None, None)

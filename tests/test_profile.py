@@ -305,3 +305,26 @@ def test_degree_histogram_golden(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_zipf_slope_single_token_group_is_null(spark):
+    """Round-6 ADVICE regression: a group whose ranked vocabulary has a
+    single token (n_ranks=1, x=ln(1)=0) makes the OLS denominator
+    exactly 0 — the slope must be NULL, never NaN."""
+    import math
+
+    from go_fish_spark.operators.profile import zipf_slope
+
+    df = spark.createDataFrame(
+        [
+            ("degenerate", "word word word word"),
+            ("healthy", "the the the cat cat sat"),
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in zipf_slope(df, "source", "text").collect()}
+    assert out["degenerate"].n_ranks == 1
+    assert out["degenerate"].slope is None  # NULL, not NaN
+    assert out["healthy"].n_ranks == 3
+    assert out["healthy"].slope is not None
+    assert not math.isnan(out["healthy"].slope)

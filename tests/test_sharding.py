@@ -186,3 +186,44 @@ def test_compact_shards_one_file_per_dir_and_data_preserved(spark, tmp_path):
     assert manifest.agg(F.sum("n_docs")).collect()[0][0] == len(before)
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_old")
+
+
+def test_compact_shards_rolls_back_on_failed_swap(spark, tmp_path, monkeypatch):
+    """Round-6 ADVICE regression: if the second rename of the directory
+    swap fails, compact_shards renames the old tree back so `path` is
+    never left empty — the corpus stays readable and the error
+    propagates."""
+    docs = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    path = str(tmp_path / "corpus")
+    sharding.write_sharded(docs, path, "doc_id", n_shards=4)
+    before = {
+        (r.doc_id, r.shard)
+        for r in sharding.read_sharded(spark, path).collect()
+    }
+
+    real_rename = os.rename
+    calls = []
+
+    def flaky_rename(src, dst):
+        calls.append((src, dst))
+        # fail ONLY the tmp → path rename (second of the swap); the
+        # rollback rename (old → path) must go through
+        if src.endswith("__compact_tmp") and dst == path:
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    try:
+        sharding.compact_shards(spark, path)
+        raised = False
+    except OSError:
+        raised = True
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert raised
+    # rollback restored the original tree under `path`
+    after = {
+        (r.doc_id, r.shard)
+        for r in sharding.read_sharded(spark, path).collect()
+    }
+    assert after == before
+    assert not os.path.exists(path + "__compact_old")
