@@ -267,6 +267,38 @@ _VERIFIED_TAIL: tuple[str, ...] = (
     "x74_quality_calibration",
     "x75_sketch_accuracy",
     "x76_decontam_scrub",
+    # green in CORRECTNESS_r06 (rows/schema/hash all true, 50/50 window:
+    # all 27 entries new since r05 plus 23 tail re-checks) — rotated so
+    # the r07 window covers this round's NEW entries first, then resumes
+    # regression re-checks of the stalest tail. Union r01–r06 = 184/184:
+    # every registry entry driver-hash-verified at least once.
+    "q80_funnel_steps",
+    "q81_lateral_chunk_udtf",
+    "q82_event_paths",
+    "q83_cohort_retention",
+    "q84_transition_entropy",
+    "x77_incremental_near_dedup",
+    "x78_vocab_coverage",
+    "x79_ann_recall_audit",
+    "x80_corpus_diff",
+    "x81_heavy_hitters",
+    "x82_containment_pairs",
+    "x83_embedding_centroid_report",
+    "x84_weighted_reservoir",
+    "x85_cell_balanced_sample",
+    "x86_source_floor",
+    "x87_group_sketch_overlap",
+    "x88_eval_coverage",
+    "x89_degree_histogram",
+    "x90_threshold_sweep",
+    "x91_quality_by_cluster_size",
+    "x92_syndication_matrix",
+    "x93_neardup_blocklist_screen",
+    "x94_source_turnover",
+    "x95_pmi_collocations",
+    "x96_hybrid_rrf",
+    "x97_embedding_outliers",
+    "x98_zipf_slope",
 )
 
 
