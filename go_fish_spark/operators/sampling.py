@@ -575,6 +575,42 @@ def curriculum_order(
     )
 
 
+def value_bucketed_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list,
+    out: str = "rank",
+) -> DataFrame:
+    """Exact dense global 1-based rank over an arbitrary total order —
+    WITHOUT a single-task global window. The generalization of
+    :func:`global_hash_order`'s distributed-rank shape to VALUE keys:
+    ``bucket`` must be a monotone non-decreasing coarsening of the first
+    order key (e.g. the integer key itself, or ``floor(key / width)``)
+    with BOUNDED cardinality. Per-bucket counts (one bounded aggregate)
+    become broadcast cumulative offsets; each bucket then ranks
+    independently in parallel — rank = offset[bucket] + rank-in-bucket.
+
+    ``order_cols`` must be a deterministic TOTAL order (append a unique
+    id as the final key) or ranks of tied rows are layout-dependent.
+    Unlike the hash instance, value buckets inherit the DATA's skew —
+    a heavy bucket bounds parallelism, not correctness; pick the
+    coarsening so the hottest bucket stays executor-sized."""
+    from pyspark.sql import Window
+
+    dfk = df.withColumn("_vb", bucket)
+    counts = dfk.groupBy("_vb").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("_vb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("_vb", "_off")
+    w = Window.partitionBy("_vb").orderBy(*order_cols)
+    return (
+        dfk.join(F.broadcast(offsets), "_vb")
+        .withColumn(out, (F.col("_off") + F.row_number().over(w)).cast("bigint"))
+        .drop("_vb", "_off")
+    )
+
+
 def source_cap_thresholds(
     df: DataFrame, key_col: str, id_col: str, cap: int
 ) -> DataFrame:

@@ -528,3 +528,115 @@ def q83_cohort_retention(spark, sf_dir):
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "q85_rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            (SELECT CAST(max(o_orderdate) AS DATE)
+                             FROM orders)) AS INT) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT count(*) AS _n FROM m),
+    ranked AS (
+      SELECT m.*,
+        row_number() OVER (ORDER BY recency_days, o_custkey) AS r_rank,
+        row_number() OVER (ORDER BY frequency DESC, o_custkey) AS f_rank,
+        row_number() OVER (ORDER BY monetary DESC, o_custkey) AS m_rank
+      FROM m
+    ),
+    scored AS (
+      SELECT 'R' || CAST(1 + ((r_rank - 1) * 4) // _n AS VARCHAR)
+          || 'F' || CAST(1 + ((f_rank - 1) * 4) // _n AS VARCHAR)
+          || 'M' || CAST(1 + ((m_rank - 1) * 4) // _n AS VARCHAR) AS segment,
+             monetary
+      FROM ranked CROSS JOIN n
+    )
+    SELECT segment, count(*) AS n_customers,
+           round(CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_monetary
+    FROM scored GROUP BY segment ORDER BY segment
+    """,
+)
+def q85_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the classic marketing-analytics
+    rollup: per customer, Recency (days since last order, vs the
+    corpus-wide latest order date), Frequency (order count), Monetary
+    (exact decimal revenue), each quartiled over the purchaser
+    population, then segment counts + average revenue per R/F/M cell.
+
+    Quartiles are EXACT ranks, not ntile(): quartile =
+    1 + ((rank−1)·4) div n over the deterministic total order
+    (metric, custkey) — the same integer formula on both engines, with
+    none of ntile's remainder-bucket ambiguity.
+
+    100 TB shape: the per-customer frame is ONE o_custkey-keyed exchange
+    with partial aggregation; the three global ranks use
+    :func:`~go_fish_spark.operators.sampling.value_bucketed_rank` — the
+    distributed TeraSort-rank shape (bounded per-bucket count frame →
+    broadcast cumulative offsets → parallel per-bucket windows), so
+    there is NO single-task global window even at 10⁹ customers:
+    recency buckets on the day value itself, frequency on the negated
+    count, monetary on a 1000-unit price band. The final report is a
+    ≤ 64-key groupBy. Revenue sums ride decimal(18,2) (money_sum) so
+    partitioned summation matches DuckDB exactly."""
+    from ..operators.sampling import value_bucketed_rank
+
+    orders = table(spark, sf_dir, "orders")
+    maxd = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("_maxd")
+    )
+    m = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            money_sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("_maxd", "_last").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    m = value_bucketed_rank(
+        m, F.col("recency_days"),
+        [F.col("recency_days"), F.col("o_custkey")], out="r_rank",
+    )
+    m = value_bucketed_rank(
+        m, -F.col("frequency"),
+        [F.col("frequency").desc(), F.col("o_custkey")], out="f_rank",
+    )
+    m = value_bucketed_rank(
+        m, F.floor(-F.col("monetary") / 1000.0),
+        [F.col("monetary").desc(), F.col("o_custkey")], out="m_rank",
+    )
+    n = m.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    q = lambda r: 1 + F.expr(f"(({r} - 1) * 4) div _n")  # noqa: E731
+    return (
+        m.crossJoin(F.broadcast(n))
+        .select(
+            F.concat(
+                F.lit("R"), q("r_rank").cast("string"),
+                F.lit("F"), q("f_rank").cast("string"),
+                F.lit("M"), q("m_rank").cast("string"),
+            ).alias("segment"),
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(money_sum("monetary") / F.count(F.lit(1)), 6).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("segment")
+    )

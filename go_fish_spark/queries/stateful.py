@@ -387,3 +387,106 @@ def q84_transition_entropy(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q86_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*) AS n_events
+      FROM events GROUP BY event_type, d
+    ),
+    stats AS (
+      SELECT event_type, d, n_events,
+        count(*) OVER w AS _k,
+        CAST(sum(n_events) OVER w AS BIGINT) AS _sx,
+        CAST(sum(n_events * n_events) OVER w AS BIGINT) AS _sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events,
+           round(CAST(_sx AS DOUBLE) / CAST(_k AS DOUBLE), 9)
+             AS trailing_mean,
+           round((CAST(n_events AS DOUBLE)
+                  - CAST(_sx AS DOUBLE) / CAST(_k AS DOUBLE))
+                 / sqrt((CAST(_sxx AS DOUBLE)
+                         - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)
+                           / CAST(_k AS DOUBLE))
+                        / CAST(_k - 1 AS DOUBLE)), 9) AS zscore,
+           abs((CAST(n_events AS DOUBLE)
+                - CAST(_sx AS DOUBLE) / CAST(_k AS DOUBLE))
+               / sqrt((CAST(_sxx AS DOUBLE)
+                       - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)
+                         / CAST(_k AS DOUBLE))
+                      / CAST(_k - 1 AS DOUBLE))) >= 2.0 AS is_anomaly
+    FROM stats
+    WHERE _k >= 4
+      AND _sxx * _k > _sx * _sx
+    ORDER BY event_type, day
+    """,
+)
+def q86_daily_anomaly(spark, sf_dir):
+    """Daily event-volume anomaly detection — per event type, each day's
+    count z-scored against its own 7-day trailing window (the classic
+    ops-monitoring control chart the reference's CloudWatch counters
+    feed into): z = (x − μ) / s over the preceding ≤7 days, flagged at
+    |z| ≥ 2. Warm-up days (< 4 prior days) and zero-variance windows
+    (all-equal trailing counts: s = 0, z undefined) are excluded.
+
+    100 TB shape: the daily rollup is ONE (type, day) exchange with
+    map-side combine down to a calendar-bounded frame (≤ types × span
+    rows); the trailing window runs on THAT bounded frame, never the
+    raw events. The frame is ROWS-based over observed days — at daily
+    event volumes the calendar is dense, and a silent day shifts the
+    baseline window rather than zero-filling (document the contract; a
+    RANGE-interval frame is the alternative when gaps are expected).
+
+    Cross-engine float discipline: the window reduces to EXACT integer
+    sums (k, Σx, Σx²) — counts are longs, so no decimal laundering is
+    needed; mean/z are single fixed-order double expressions over those
+    exact integers, absorbed by round-9. The zero-variance guard
+    compares integers (Σx²·k > (Σx)²), not a float ≠ 0."""
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "d",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum("n_events").over(w).alias("_sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("_sxx"),
+    )
+    x = F.col("n_events").cast("double")
+    k = F.col("_k").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    mean = sx / k
+    z = (x - mean) / F.sqrt((sxx - sx * sx / k) / (k - F.lit(1.0)))
+    return (
+        stats.filter(
+            (F.col("_k") >= 4)
+            & (F.col("_sxx") * F.col("_k") > F.col("_sx") * F.col("_sx"))
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round(mean, 9).alias("trailing_mean"),
+            F.round(z, 9).alias("zscore"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
