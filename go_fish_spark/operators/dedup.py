@@ -1814,3 +1814,119 @@ def group_sketch_turnover(
             (F.lit(1.0) - est).alias("turnover"),
         )
     )
+
+
+def lsh_plan_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    k: int = 3,
+    min_jaccard: float = 0.2,
+    dup_threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """EMPIRICAL LSH plan sweep: for every banding plan (bands ×
+    rows_per_band = ``n_hashes``), what the banded MinHash index would
+    ACTUALLY do on this corpus — measured recall on true near-dup pairs
+    (J ≥ ``dup_threshold``) and the false-candidate rate on weak pairs
+    (``min_jaccard`` ≤ J < ``dup_threshold``) — next to the plan's
+    theoretical S-curve threshold (1/b)^(1/r). The report an engineer
+    reads to pick (b, r) BEFORE building the index: the theory curve
+    says where the cliff should be; the measured columns say where it
+    is on this corpus's actual Jaccard distribution.
+
+    A pair "collides" under plan (b, r) iff some band of r consecutive
+    signature positions agrees completely — evaluated exactly from the
+    docs' REAL MinHash signatures (integer agreement, no probability
+    model). The S-curve threshold is computed driver-side in Python and
+    attached as a literal, so no engine-specific pow() ever runs — the
+    measured columns are pure integer counts and exact-rational ratios.
+
+    Limitation (documented, inherent): pairs below ``min_jaccard`` are
+    never materialized, so the weak-pair columns measure the band
+    [min_jaccard, dup_threshold), not all-pairs false positives — the
+    same floor every thresholded pair pass in this module applies.
+
+    100 TB shape: ONE exact-Jaccard pair pass (the dominant cost, same
+    law as x04) + one map-only signature pass; the sweep frame is
+    pairs × n_hashes × plans — bounded by the candidate-pair law, never
+    corpus². Two bounded groupBys (per-band, then per-pair) and a
+    ≤ #plans-row report."""
+    plans = [
+        (b, n_hashes // b) for b in (64, 32, 16, 8, 4, 2, 1)
+        if n_hashes % b == 0 and n_hashes // b <= n_hashes
+    ]
+    spark = df.sparkSession
+    plans_df = spark.createDataFrame(
+        [
+            (b, r, round((1.0 / b) ** (1.0 / r), 9) if b > 1 else 1.0)
+            for b, r in plans
+        ],
+        "bands int, rows_per_band int, s_threshold double",
+    )
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=min_jaccard
+    )
+    m = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+            "_sig"
+        ),
+    ).select("_id", F.posexplode("_sig").alias("_p", "_v"))
+    a, b = m.alias("a"), m.alias("b")
+    pa = (
+        pairs.join(a, pairs["id_a"] == F.col("a._id"))
+        .join(
+            b,
+            (pairs["id_b"] == F.col("b._id"))
+            & (F.col("a._p") == F.col("b._p")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.col("a._p").alias("_p"),
+            F.when(F.col("a._v") == F.col("b._v"), 1).otherwise(0).alias(
+                "_agree"
+            ),
+        )
+    )
+    pb = pa.join(F.broadcast(plans_df)).withColumn(
+        "_band", F.expr("_p div rows_per_band")
+    )
+    band_agree = pb.groupBy(
+        "id_a", "id_b", "jaccard", "bands", "rows_per_band", "s_threshold",
+        "_band",
+    ).agg(F.min("_agree").alias("_ba"))
+    collide = band_agree.groupBy(
+        "id_a", "id_b", "jaccard", "bands", "rows_per_band", "s_threshold"
+    ).agg(F.max("_ba").alias("_c"))
+    is_dup = F.col("jaccard") >= dup_threshold
+    n_dup = F.sum(F.when(is_dup, 1).otherwise(0))
+    n_weak = F.sum(F.when(is_dup, 0).otherwise(1))
+    dup_caught = F.sum(F.when(is_dup, F.col("_c")).otherwise(0))
+    weak_caught = F.sum(F.when(is_dup, 0).otherwise(F.col("_c")))
+    return (
+        collide.groupBy("bands", "rows_per_band", "s_threshold")
+        .agg(
+            n_dup.cast("bigint").alias("n_dup_pairs"),
+            dup_caught.cast("bigint").alias("n_dup_caught"),
+            n_weak.cast("bigint").alias("n_weak_pairs"),
+            weak_caught.cast("bigint").alias("n_weak_caught"),
+            F.when(
+                n_dup > 0,
+                F.round(
+                    dup_caught.cast("double") / n_dup.cast("double"), 9
+                ),
+            ).alias("recall"),
+            F.when(
+                n_weak > 0,
+                F.round(
+                    weak_caught.cast("double") / n_weak.cast("double"), 9
+                ),
+            ).alias("weak_catch_rate"),
+        )
+        .orderBy(F.col("bands").desc())
+    )

@@ -483,3 +483,70 @@ def duck_pmi_collocations_sql(
     WHERE _cb >= {int(min_count)}
     ORDER BY pmi DESC, w1, w2 LIMIT {int(top_k)}
     """
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, top_k: int = 50
+) -> DataFrame:
+    """First-iteration BPE merge table: the top-``top_k`` adjacent
+    character pairs by corpus frequency, weighted by word counts — the
+    pair-count table byte-pair-encoding tokenizer training (Sennrich et
+    al. 2016) computes before its first merge, and the report a
+    tokenizer-budget decision reads (a long flat tail means merges buy
+    little; a steep head means a small vocab already compresses well).
+
+    Output: (pair STRING (2 chars), n_occurrences BIGINT), ordered by
+    (n_occurrences DESC, pair) — a deterministic total order.
+
+    100 TB shape — the reduction that makes BPE trainable at corpus
+    scale: ONE corpus exchange folds the text into the (word, count)
+    VOCABULARY frame with map-side combine; the character-pair explode
+    then runs over the vocab (bounded by distinct words, NOT corpus
+    tokens — orders of magnitude smaller), and the final groupBy has at
+    most alphabet² keys. No corpus-sized second pass; iterating further
+    merges re-runs the same vocab-sized step."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+    )
+    pairs = vocab.filter(F.length("_w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_w") - 1),
+                lambda i: F.col("_w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "_wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("_wc").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(int(top_k))
+    )
+
+
+def duck_bpe_merge_candidates_sql(
+    table: str, text_col: str, top_k: int = 50
+) -> str:
+    """DuckDB mirror of :func:`bpe_merge_candidates` — same vocab fold,
+    same in-word adjacent-pair enumeration, same tie-break."""
+    return f"""
+    WITH v AS (
+      SELECT tok AS w, count(*) AS wc
+      FROM (SELECT unnest(string_split({text_col}, ' ')) AS tok
+            FROM {table})
+      GROUP BY tok
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INT), 2)))
+               AS pair,
+             wc
+      FROM v WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT {int(top_k)}
+    """

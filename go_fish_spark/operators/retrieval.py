@@ -330,3 +330,96 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col(id_col))
         .limit(int(top_k))
     )
+
+
+def mmr_diversify(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id,
+    top_n: int = 20,
+    k: int = 8,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified top-k: greedily select k items maximizing
+    ``λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s)`` from the
+    ``top_n`` cosine candidates — the de-duplicating retrieval head a
+    similarity search needs when the nearest neighbors are all the same
+    near-identical document (plain top-k returns one cluster; MMR
+    spends the budget on DISTINCT regions of the neighborhood). The
+    few-shot-selection / RAG-context staple.
+
+    Output: (rank INT 1-based, vec_id, mmr_score DOUBLE round-9).
+
+    100 TB shape — the greedy loop runs on a BOUNDED frame: the only
+    corpus-scale work is the candidate scan (one broadcast-query cosine
+    pass + TakeOrdered top_n, same law as brute_force_topk; swap in the
+    IVF/LSH index for the scan at scale). The persisted top_n-row
+    candidate frame and its top_n² pair-similarity frame are
+    size-capped by construction; each of the k greedy steps is a
+    bounded argmax (a deterministic 1-row collect — model-fit-sized,
+    never corpus-sized). Scores stay fixed-order double expressions
+    (λ and 1−λ enter as Python-computed literals, identical in the
+    DuckDB mirror), ties break to the lower id."""
+    from ..functions.vectors import cosine
+    from .dedup import _persist
+
+    qv = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    cand = _persist(
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            cosine(vec_col, "_qv").alias("_sim_q"),
+        )
+        .orderBy(F.col("_sim_q").desc(), "_id")
+        .limit(int(top_n))
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = _persist(
+        a.join(b, F.col("a._id") != F.col("b._id")).select(
+            F.col("a._id").alias("_pa"),
+            F.col("b._id").alias("_pb"),
+            cosine("a._v", "b._v").alias("_sim"),
+        )
+    )
+    lam_f, one_minus = float(lam), 1.0 - float(lam)
+    selected: list = []
+    out = []
+    for rank in range(1, int(k) + 1):
+        if not selected:
+            pick = cand.select(
+                "_id", (F.lit(lam_f) * F.col("_sim_q")).alias("_score")
+            )
+        else:
+            msel = (
+                pairs.filter(F.col("_pb").isin(selected))
+                .groupBy("_pa")
+                .agg(F.max("_sim").alias("_msim"))
+            )
+            pick = (
+                cand.filter(~F.col("_id").isin(selected))
+                .join(msel, cand["_id"] == msel["_pa"])
+                .select(
+                    "_id",
+                    (
+                        F.lit(lam_f) * F.col("_sim_q")
+                        - F.lit(one_minus) * F.col("_msim")
+                    ).alias("_score"),
+                )
+            )
+        row = (
+            pick.select("_id", F.round("_score", 9).alias("_score"))
+            .orderBy(F.col("_score").desc(), "_id")
+            .limit(1)
+            .collect()[0]  # bounded: one row from a ≤ top_n-row frame
+        )
+        selected.append(row._id)
+        out.append((rank, row._id, float(row._score)))
+    return emb.sparkSession.createDataFrame(
+        out, f"rank int, {id_col} bigint, mmr_score double"
+    )

@@ -761,3 +761,74 @@ def x97_embedding_outliers(spark, sf_dir):
     return embedding_outliers(
         emb, "vec_id", "label", "embedding", top_k=3
     ).orderBy("label", "rank")
+
+
+def _x102_oracle() -> str:
+    lam, one_minus = 0.7, 1.0 - 0.7
+    cos_cq = vectors.duck_cosine("c.embedding", "q.embedding", _EMB_DIM)
+    cos_ab = vectors.duck_cosine("a.embedding", "b.embedding", _EMB_DIM)
+    k = 8
+    ctes = [
+        f"""cand AS MATERIALIZED (
+      SELECT c.vec_id AS _id, c.embedding, {cos_cq} AS sim_q
+      FROM embeddings c,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE c.vec_id != 0
+      ORDER BY sim_q DESC, c.vec_id LIMIT 20
+    )""",
+        f"""pairs AS MATERIALIZED (
+      SELECT a._id AS pa, b._id AS pb, {cos_ab} AS sim
+      FROM cand a JOIN cand b ON a._id != b._id
+    )""",
+        f"""s1 AS MATERIALIZED (
+      SELECT _id, round(CAST({lam!r} AS DOUBLE) * sim_q, 9) AS score
+      FROM cand ORDER BY score DESC, _id LIMIT 1
+    )""",
+        "sel1 AS MATERIALIZED (SELECT _id FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(f"""s{i} AS MATERIALIZED (
+      SELECT c._id,
+             round(CAST({lam!r} AS DOUBLE) * c.sim_q
+                   - CAST({one_minus!r} AS DOUBLE) * max(p.sim), 9)
+               AS score
+      FROM cand c
+      JOIN pairs p ON p.pa = c._id
+                  AND p.pb IN (SELECT _id FROM sel{i - 1})
+      WHERE c._id NOT IN (SELECT _id FROM sel{i - 1})
+      GROUP BY c._id, c.sim_q
+      ORDER BY score DESC, c._id LIMIT 1
+    )""")
+        ctes.append(
+            f"sel{i} AS MATERIALIZED (SELECT _id FROM sel{i - 1} "
+            f"UNION ALL SELECT _id FROM s{i})"
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, _id AS vec_id, score AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY rank"
+    )
+
+
+@query("x102_mmr_diversify", oracle=_x102_oracle())
+def x102_mmr_diversify(spark, sf_dir):
+    """MMR-diversified top-8 retrieval (retrieval.mmr_diversify,
+    λ=0.7, query vec_id=0 over its 20 cosine candidates): greedy
+    λ·sim(query,d) − (1−λ)·max-sim-to-selected selection — the
+    de-duplicating retrieval head for few-shot/RAG context picking
+    (plain top-k spends the budget on one near-dup cluster; MMR spreads
+    it across the neighborhood). Corpus-scale work is ONE
+    broadcast-query cosine pass + TakeOrdered; the greedy loop runs k
+    bounded argmaxes on the persisted 20-row candidate frame. Scores
+    round-9 BEFORE each argmax in both arms, ties to the lower id, so
+    the selection path is engine-exact; the oracle unrolls the 8 greedy
+    steps as CTEs."""
+    from ...operators.retrieval import mmr_diversify
+
+    emb = table(spark, sf_dir, "embeddings")
+    return mmr_diversify(
+        emb, "vec_id", "embedding", query_id=0, top_n=20, k=8, lam=0.7
+    )

@@ -682,3 +682,98 @@ def x94_source_turnover(spark, sf_dir):
     return dedup.group_sketch_turnover(
         old, new, "source", "text", portable=True
     ).orderBy("source")
+
+
+def _x100_oracle() -> str:
+    from ...operators.dedup import _duck_minhash_parts
+
+    p = _duck_minhash_parts("text", 64, 16, 3, 42)
+    plan_rows = ", ".join(
+        "({}, {}, CAST({!r} AS DOUBLE))".format(
+            b,
+            64 // b,
+            round((1.0 / b) ** (1.0 / (64 // b)), 9) if b > 1 else 1.0,
+        )
+        for b in (64, 32, 16, 8, 4, 2, 1)
+    )
+    return f"""
+    WITH sdoc AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sdoc),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING j >= 0.2
+    ),
+    th AS (SELECT doc_id AS _id, {p['tok']} AS th FROM documents),
+    shn AS (SELECT _id, {p['shing']} AS sh FROM th),
+    sig AS (SELECT _id, {p['sig']} AS sig FROM shn),
+    e AS (SELECT _id, generate_subscripts(sig, 1) AS _p, unnest(sig) AS _v
+          FROM sig),
+    plans(bands, rows_per_band, s_threshold) AS (VALUES {plan_rows}),
+    pa AS (
+      SELECT pr.id_a, pr.id_b, pr.j, a._p,
+             CASE WHEN a._v = b._v THEN 1 ELSE 0 END AS agree
+      FROM pairs pr
+      JOIN e a ON a._id = pr.id_a
+      JOIN e b ON b._id = pr.id_b AND b._p = a._p
+    ),
+    pb AS (
+      SELECT pa.*, plans.bands, plans.rows_per_band, plans.s_threshold,
+             (pa._p - 1) // plans.rows_per_band AS band
+      FROM pa CROSS JOIN plans
+    ),
+    ba AS (
+      SELECT id_a, id_b, j, bands, rows_per_band, s_threshold, band,
+             min(agree) AS _ba
+      FROM pb
+      GROUP BY id_a, id_b, j, bands, rows_per_band, s_threshold, band
+    ),
+    c AS (
+      SELECT id_a, id_b, j, bands, rows_per_band, s_threshold,
+             max(_ba) AS _c
+      FROM ba
+      GROUP BY id_a, id_b, j, bands, rows_per_band, s_threshold
+    )
+    SELECT bands, rows_per_band, s_threshold,
+      CAST(count(*) FILTER (WHERE j >= 0.5) AS BIGINT) AS n_dup_pairs,
+      CAST(coalesce(sum(_c) FILTER (WHERE j >= 0.5), 0) AS BIGINT)
+        AS n_dup_caught,
+      CAST(count(*) FILTER (WHERE j < 0.5) AS BIGINT) AS n_weak_pairs,
+      CAST(coalesce(sum(_c) FILTER (WHERE j < 0.5), 0) AS BIGINT)
+        AS n_weak_caught,
+      CASE WHEN count(*) FILTER (WHERE j >= 0.5) > 0 THEN
+        round(CAST(coalesce(sum(_c) FILTER (WHERE j >= 0.5), 0) AS DOUBLE)
+              / CAST(count(*) FILTER (WHERE j >= 0.5) AS DOUBLE), 9)
+      END AS recall,
+      CASE WHEN count(*) FILTER (WHERE j < 0.5) > 0 THEN
+        round(CAST(coalesce(sum(_c) FILTER (WHERE j < 0.5), 0) AS DOUBLE)
+              / CAST(count(*) FILTER (WHERE j < 0.5) AS DOUBLE), 9)
+      END AS weak_catch_rate
+    FROM c GROUP BY bands, rows_per_band, s_threshold
+    ORDER BY bands DESC
+    """
+
+
+@query("x100_lsh_plan_sweep", oracle=_x100_oracle())
+def x100_lsh_plan_sweep(spark, sf_dir):
+    """Empirical LSH plan sweep (dedup.lsh_plan_sweep): for every
+    banding plan (b × r = 64), the MEASURED recall on true near-dup
+    pairs and false-candidate rate on weak pairs — each pair's
+    collision evaluated exactly from its real MinHash signatures (a
+    band collides iff all r positions agree) — beside the theoretical
+    S-curve threshold (1/b)^(1/r), computed driver-side so no
+    engine-specific pow() touches the comparison. The (b, r) decision
+    report: theory says where the recall cliff should sit, the measured
+    columns say where it sits on THIS corpus. One x04 pair pass + one
+    map-only signature pass; the sweep frame is pairs × 64 × 7 plans,
+    bounded by the candidate-pair law."""
+    return dedup.lsh_plan_sweep(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        n_hashes=64, k=3, min_jaccard=0.2, dup_threshold=0.5,
+        portable=True,
+    )

@@ -876,3 +876,81 @@ def x95_pmi_collocations(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return pmi_collocations(docs, "doc_id", "text", min_count=5, top_k=50)
+
+
+from ...operators.ngrams import duck_bpe_merge_candidates_sql  # noqa: E402
+
+
+@query(
+    "x99_bpe_merge_candidates",
+    oracle=duck_bpe_merge_candidates_sql("documents", "text", top_k=50),
+)
+def x99_bpe_merge_candidates(spark, sf_dir):
+    """First-iteration BPE merge table (ngrams.bpe_merge_candidates):
+    top-50 adjacent character pairs by corpus frequency — the pair-count
+    table tokenizer training computes before its first merge, and the
+    head-vs-tail shape a vocab-size decision reads. The scale reduction
+    is the point: ONE corpus exchange folds text to the (word, count)
+    vocabulary, the pair explode runs over the VOCAB (not corpus
+    tokens), and the final groupBy is ≤ alphabet² keys; integer counts
+    end-to-end, deterministic (count DESC, pair) tie-break."""
+    from ...operators.ngrams import bpe_merge_candidates
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs, "text", top_k=50)
+
+
+_X101_Q = f"""
+      SELECT source, doc_id,
+             0.4 * least(len(ws) / 100.0, 1.0)
+               + 0.3 * (1.0 - len(list_filter(ws, w -> w IN ({_DUCK_STOP})))
+                              / len(ws))
+               + 0.3 * least((length(text) - (len(ws) - 1)) / len(ws) / 10.0,
+                             1.0) AS q
+      FROM (SELECT source, doc_id, text, string_split(text, ' ') AS ws
+            FROM documents)
+"""
+
+
+@query(
+    "x101_trimmed_quality",
+    oracle=f"""
+    WITH q AS ({_X101_Q}),
+    r AS (SELECT source, doc_id,
+                 CAST(round(q, 12) AS DECIMAL(27,18)) AS v FROM q),
+    ranked AS (
+      SELECT source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM r
+    )
+    SELECT source, count(*) AS n_docs,
+           min(CAST(floor(n * 0.05) AS INTEGER)) AS n_trimmed_each,
+           round(CAST(sum(v) FILTER (WHERE rn > floor(n * 0.05)
+                                       AND rn <= n - floor(n * 0.05))
+                      AS DOUBLE)
+                 / CAST(count(*) FILTER (WHERE rn > floor(n * 0.05)
+                                           AND rn <= n - floor(n * 0.05))
+                        AS DOUBLE), 9) AS trimmed_mean,
+           round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+             AS raw_mean
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def x101_trimmed_quality(spark, sf_dir):
+    """Per-source trimmed-mean quality (profile.trimmed_group_mean over
+    x08's composite score): drop each source's 5% lowest- and
+    highest-scoring docs by EXACT rank (ties to doc_id — a total order,
+    so the trimmed set is deterministic, unlike percentile-interpolation
+    winsorizing whose cut value is engine-specific) and average the
+    rest — the robust source-health number a curation dashboard should
+    track instead of the raw mean a few spam stubs can drag. One
+    source-keyed exchange + per-group window; decimal-exact sums,
+    round-9."""
+    from ...operators.profile import trimmed_group_mean
+
+    docs = table(spark, sf_dir, "documents")
+    return trimmed_group_mean(
+        docs, "source", tx.quality_score("text"), "doc_id", trim_frac=0.05
+    ).orderBy("source")

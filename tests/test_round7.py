@@ -1,0 +1,125 @@
+"""Round-7 operators: value-bucketed exact ranks, BPE merge candidates,
+empirical LSH plan sweep, trimmed group mean, MMR diversified retrieval.
+(The sf-corpus oracle compares are q85/q86/x99-x102 in the registry
+self-check; these pin golden values and invariants on constructed
+inputs.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_value_bucketed_rank_matches_global_window(spark):
+    """Ranks from the distributed bucket+offset shape must equal a plain
+    global row_number, for any bucket coarsening, and be invariant to
+    repartitioning."""
+    from pyspark.sql import Window
+
+    from go_fish_spark.operators.sampling import value_bucketed_rank
+
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 100) for i in range(500)], "id long, v int"
+    )
+    expect = {
+        r.id: r.rn
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    for bucket in (F.col("v"), F.floor(F.col("v") / 13), F.lit(0)):
+        got = {
+            r.id: r.rank
+            for r in value_bucketed_rank(
+                df.repartition(7), bucket, [F.col("v"), F.col("id")]
+            ).collect()
+        }
+        assert got == expect
+
+
+def test_bpe_merge_candidates_golden(spark):
+    """Pair counts are vocab counts weighted by word frequency; ties
+    break on the pair string; sub-2-char words contribute nothing."""
+    from go_fish_spark.operators.ngrams import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "aab aab x"), (2, "aab ab")], "doc_id long, text string"
+    )
+    # vocab: aab×3 (pairs aa, ab), ab×1 (pair ab), x×1 (no pair)
+    out = [
+        (r.pair, r.n_occurrences)
+        for r in bpe_merge_candidates(df, "text", top_k=10).collect()
+    ]
+    assert out == [("ab", 4), ("aa", 3)]
+
+
+def test_lsh_plan_sweep_recall_monotone_and_exact_on_identical(spark):
+    """More bands (shorter rows) can only catch MORE pairs: recall is
+    non-increasing as bands decrease. Identical docs (J=1, all positions
+    agree) are caught by EVERY plan."""
+    from go_fish_spark.operators.dedup import lsh_plan_sweep
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, t), (2, t), (3, t + " lambda mu nu xi"),
+            (4, "totally different words entirely here now okay then")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_plan_sweep(
+        df, "doc_id", "text", min_jaccard=0.2, dup_threshold=0.5,
+        portable=True,
+    ).collect()
+    assert len(out) == 7
+    by_bands = {r.bands: r for r in out}
+    assert by_bands[64].rows_per_band == 1 and by_bands[1].rows_per_band == 64
+    # identical pair (1,2) collides under every plan => caught >= 1
+    assert all(r.n_dup_caught >= 1 for r in out)
+    # recall non-increasing from 64 bands down to 1
+    recalls = [r.recall for r in sorted(out, key=lambda r: -r.bands)]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    # s-curve thresholds strictly increase as rows_per_band grows
+    ths = [r.s_threshold for r in sorted(out, key=lambda r: r.rows_per_band)]
+    assert all(a < b for a, b in zip(ths, ths[1:]))
+
+
+def test_trimmed_group_mean_ignores_outliers(spark):
+    """A single huge outlier moves the raw mean but not the trimmed
+    mean; groups too small to trim (floor(n*frac)=0) keep all rows."""
+    from go_fish_spark.operators.profile import trimmed_group_mean
+
+    rows = [("a", i, 1.0) for i in range(19)] + [("a", 99, 1000.0)]
+    rows += [("b", 1, 2.0), ("b", 2, 4.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {
+        r.g: r
+        for r in trimmed_group_mean(
+            df, "g", F.col("v"), "id", trim_frac=0.05
+        ).collect()
+    }
+    assert out["a"].n_trimmed_each == 1
+    assert out["a"].trimmed_mean == 1.0          # outlier trimmed
+    assert out["a"].raw_mean == pytest.approx(50.95)
+    assert out["b"].n_trimmed_each == 0          # too small to trim
+    assert out["b"].trimmed_mean == 3.0 == out["b"].raw_mean
+    with pytest.raises(ValueError, match="trim_frac"):
+        trimmed_group_mean(df, "g", F.col("v"), "id", trim_frac=0.5)
+
+
+def test_mmr_diversify_prefers_diverse_over_redundant(spark):
+    """Query [1,0]: candidates two near-copies of the query direction
+    and one orthogonal-ish vector. Plain top-2 would take both copies;
+    MMR's second pick must be the diverse vector."""
+    from go_fish_spark.operators.retrieval import mmr_diversify
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.3, 0.0]),    # near the query
+        (2, [0.9, 0.31, 0.0]),   # near-duplicate of 1
+        (3, [0.9, 0.0, 0.3]),    # equally relevant, orthogonal spread
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_diversify(
+        df, "vec_id", "embedding", query_id=0, top_n=3, k=3, lam=0.5
+    ).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert out[0].vec_id == 1          # most similar first
+    assert out[1].vec_id == 3          # diversity beats the near-dup
+    assert out[2].vec_id == 2
