@@ -176,6 +176,18 @@ HEADLINE = [
     "q83_cohort_retention",
     "q84_transition_entropy",
     "x95_pmi_collocations",
+    # round-7 additions: exact distributed ranks (RFM), windowed
+    # control-chart, vocab-folded BPE, signature-exact LSH sweep,
+    # rank-trimmed robust mean, bounded-greedy MMR
+    "q85_rfm_segments",
+    "q86_daily_anomaly",
+    "x99_bpe_merge_candidates",
+    "x100_lsh_plan_sweep",
+    "x101_trimmed_quality",
+    "x102_mmr_diversify",
+    "x103_pair_budget_estimate",
+    "q87_disorder_profile",
+    "q88_yoy_growth",
 ]
 
 

@@ -1930,3 +1930,45 @@ def lsh_plan_sweep(
         )
         .orderBy(F.col("bands").desc())
     )
+
+
+def pair_budget_estimate(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Pre-flight cost estimate for the inverted-index pair pass: the
+    exact co-occurrence-row count the x04 shingle self-join WILL
+    produce, per shingle-document-frequency bucket — computed from one
+    (shingle → df) aggregation, BEFORE any join runs. Every shingle
+    appearing in ``df`` documents contributes exactly df·(df−1)/2
+    candidate rows, so Σ over shingles is the join's output size: the
+    capacity-planning number that decides between the inverted-index
+    and prefix-filtered plans (and whether a hot-shingle cap is needed)
+    without paying for the join to find out.
+
+    Output per power-of-2 df bucket: (df_bucket_lo BIGINT, n_shingles
+    BIGINT, pair_candidates BIGINT) — all exact integers. The heavy
+    tail is the actionable part: a single df=10⁵ shingle contributes
+    ~5·10⁹ rows on its own.
+
+    100 TB shape: ONE (shingle) exchange with map-side combine to the
+    vocabulary-bounded df frame, then a ≤ ~40-key bucket rollup.
+    Strictly cheaper than the join it prices — this is the estimator a
+    dedup scheduler runs FIRST."""
+    inv = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, k)).alias("_s"),
+    )
+    dfreq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(F.col("_df").cast("double")))
+    ).cast("bigint")
+    pairs = (F.col("_df") * (F.col("_df") - 1) / 2).cast("bigint")
+    return (
+        dfreq.select(bucket.alias("df_bucket_lo"), pairs.alias("_p"))
+        .groupBy("df_bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("_p").alias("pair_candidates"),
+        )
+        .orderBy("df_bucket_lo")
+    )

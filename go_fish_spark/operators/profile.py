@@ -974,3 +974,76 @@ def trimmed_group_mean(
             ).alias("raw_mean"),
         )
     )
+
+
+def disorder_profile(
+    df: DataFrame,
+    type_col: str,
+    arrival_col,
+    ts_col: str,
+    block: int = 8192,
+) -> DataFrame:
+    """Out-of-orderness profile of an event stream — the measurement a
+    watermark delay is SIZED from: for each event (in arrival order,
+    given by ``arrival_col``), its displacement behind the maximum
+    event-time already seen, bucketed into power-of-2 seconds per event
+    type. ``withWatermark(ts, delay)`` drops everything later than
+    ``delay``; this report says what each candidate delay would drop
+    (the bucket tail above the chosen delay IS the dropped fraction) —
+    the empirical basis for the lateness bound instead of a guess.
+
+    Output: (type_col, disorder_bucket_lo_sec BIGINT, n_events BIGINT);
+    bucket −1 = in-order (never behind the running max), 0 = late by
+    < 1 s, else 2^k seconds. All integer arithmetic (microsecond longs).
+
+    100 TB shape — an exact global running max WITHOUT a single-task
+    window: arrival keys bucket into ``block``-sized ranges; the
+    within-block prior-max is a parallel per-block window, the
+    cross-block prior-max is a prefix max over the n/block-row
+    block-max frame (itself windowable hierarchically if n/block ever
+    outgrows one task — the same two-level TeraSort-prefix shape as
+    value_bucketed_rank), and the true prior max is the greater of the
+    two. The final rollup is a ≤ types × ~40-bucket groupBy."""
+    arr = F.col(arrival_col) if isinstance(arrival_col, str) else arrival_col
+    neg_inf = F.lit(-(1 << 62)).cast("bigint")
+    base = df.select(
+        F.col(type_col).alias("_t"),
+        arr.alias("_a"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+    ).withColumn("_blk", F.expr(f"_a div {int(block)}"))
+    win = (
+        Window.partitionBy("_blk")
+        .orderBy("_a")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wblk = F.max("_us").over(win)
+    bm = base.groupBy("_blk").agg(F.max("_us").alias("_bmax"))
+    wpm = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    pm = bm.select(
+        "_blk", F.coalesce(F.max("_bmax").over(wpm), neg_inf).alias("_pm")
+    )
+    prior = F.greatest(F.coalesce(wblk, neg_inf), F.col("_pm"))
+    dis_us = F.greatest(prior - F.col("_us"), F.lit(0).cast("bigint"))
+    dis_sec = F.expr(
+        "_dis_us div 1000000"
+    )
+    bucket = (
+        F.when(F.col("_dis_us") == 0, F.lit(-1))
+        .when(dis_sec == 0, F.lit(0))
+        .otherwise(
+            F.pow(
+                F.lit(2.0), F.floor(F.log2(dis_sec.cast("double")))
+            ).cast("bigint")
+        )
+    )
+    return (
+        base.join(F.broadcast(pm), "_blk")
+        .withColumn("_dis_us", dis_us)
+        .select(
+            F.col("_t").alias(type_col),
+            bucket.cast("bigint").alias("disorder_bucket_lo_sec"),
+        )
+        .groupBy(type_col, "disorder_bucket_lo_sec")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(type_col, "disorder_bucket_lo_sec")
+    )

@@ -777,3 +777,35 @@ def x100_lsh_plan_sweep(spark, sf_dir):
         n_hashes=64, k=3, min_jaccard=0.2, dup_threshold=0.5,
         portable=True,
     )
+
+
+@query(
+    "x103_pair_budget_estimate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS s FROM s),
+    dfq AS (SELECT s, count(*) AS df FROM inv GROUP BY s)
+    SELECT CAST(pow(2, floor(log2(CAST(df AS DOUBLE)))) AS BIGINT)
+             AS df_bucket_lo,
+           count(*) AS n_shingles,
+           CAST(sum(CAST(df * (df - 1) / 2 AS BIGINT)) AS BIGINT)
+             AS pair_candidates
+    FROM dfq GROUP BY df_bucket_lo ORDER BY df_bucket_lo
+    """,
+)
+def x103_pair_budget_estimate(spark, sf_dir):
+    """Pre-flight pair-pass cost estimate (dedup.pair_budget_estimate):
+    the EXACT co-occurrence-row count the x04 inverted-index self-join
+    would produce, per power-of-2 shingle-df bucket, from one
+    vocabulary-bounded (shingle → df) aggregation — each shingle
+    contributes df·(df−1)/2 candidate rows, so the report prices the
+    join WITHOUT running it. The capacity-planning gate a dedup
+    scheduler consults before choosing inverted-index vs
+    prefix-filtered plans (x04's two arms) or imposing a hot-shingle
+    cap; all integer arithmetic end-to-end."""
+    return dedup.pair_budget_estimate(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )

@@ -640,3 +640,57 @@ def q85_rfm_segments(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q88_yoy_growth",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INT) AS yr,
+             {duck_money_sum('o.o_totalprice')} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY nation, yr
+    )
+    SELECT nation, yr, revenue,
+           lag(revenue) OVER (PARTITION BY nation ORDER BY yr)
+             AS prev_revenue,
+           round((revenue - lag(revenue) OVER (PARTITION BY nation
+                                               ORDER BY yr))
+                 / lag(revenue) OVER (PARTITION BY nation ORDER BY yr), 9)
+             AS yoy_growth
+    FROM rev ORDER BY nation, yr
+    """,
+)
+def q88_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth per nation — the reporting staple
+    that completes the window-function family with lag-over-groups on
+    REAL money: revenue per (nation, year) with the previous year's
+    revenue and the relative growth rate (NULL for each nation's first
+    year, both engines).
+
+    100 TB shape: one orders⋈customer shuffle (nation broadcasts), one
+    (nation, year) groupBy with map-side combine down to a
+    calendar-bounded frame; the lag window runs on that ≤ nations ×
+    years frame. Revenue sums ride decimal(18,2) (money_sum), so
+    partitioned summation is exact; growth is one fixed-order double
+    expression + round-9."""
+    rev = (
+        _orders_customer_nation(spark, sf_dir)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(money_sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "nation",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 9).alias("yoy_growth"),
+    ).orderBy("nation", "yr")

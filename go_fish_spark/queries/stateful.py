@@ -490,3 +490,65 @@ def q86_daily_anomaly(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q87_disorder_profile",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS t,
+             event_id + CASE WHEN event_id % 13 = 0 THEN 40 ELSE 0 END AS a,
+             epoch_us(ts) AS us
+      FROM events
+    ),
+    b AS (SELECT t, a, us, a // 8192 AS blk FROM e),
+    w AS (SELECT t, a, us, blk,
+            max(us) OVER (PARTITION BY blk ORDER BY a
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS wm
+          FROM b),
+    bm AS (SELECT blk, max(us) AS bmax FROM b GROUP BY blk),
+    pm AS (SELECT blk,
+             coalesce(max(bmax) OVER (ORDER BY blk
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -4611686018427387904) AS pmax
+           FROM bm),
+    d AS (SELECT w.t,
+            greatest(greatest(coalesce(w.wm, -4611686018427387904),
+                              pm.pmax) - w.us, 0) AS dis_us
+          FROM w JOIN pm USING (blk))
+    SELECT t AS event_type,
+      CASE WHEN dis_us = 0 THEN -1
+           WHEN dis_us // 1000000 = 0 THEN 0
+           ELSE CAST(pow(2, floor(log2(CAST(dis_us // 1000000 AS DOUBLE))))
+                     AS BIGINT)
+      END AS disorder_bucket_lo_sec,
+      count(*) AS n_events
+    FROM d GROUP BY t, disorder_bucket_lo_sec
+    ORDER BY event_type, disorder_bucket_lo_sec
+    """,
+)
+def q87_disorder_profile(spark, sf_dir):
+    """Event-stream out-of-orderness profile (profile.disorder_profile)
+    — the measurement a streaming watermark delay is SIZED from: each
+    event's event-time displacement behind the running arrival-order
+    maximum, bucketed power-of-2 seconds per type; the bucket tail
+    above a candidate ``withWatermark`` delay is exactly what that
+    delay would drop. The testdata's ingest order is perfectly sorted,
+    so (x94's synthetic-slice precedent) arrival is perturbed
+    deterministically — every 13th event arrives 40 slots late — to
+    exercise the late path in both arms identically.
+
+    100 TB shape: the exact global running max runs WITHOUT a
+    single-task window (per-block parallel windows + a prefix max over
+    the n/block block-max frame — the value_bucketed_rank two-level
+    shape); the rollup is a ≤ types × 40-bucket groupBy. All integer
+    microsecond arithmetic, no float anywhere but the pow-of-2 bucket
+    label."""
+    from ..operators.profile import disorder_profile
+
+    events = table(spark, sf_dir, "events")
+    arrival = F.col("event_id") + F.when(
+        F.col("event_id") % 13 == 0, 40
+    ).otherwise(0)
+    return disorder_profile(events, "event_type", arrival, "ts")

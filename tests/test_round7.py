@@ -1,6 +1,7 @@
 """Round-7 operators: value-bucketed exact ranks, BPE merge candidates,
-empirical LSH plan sweep, trimmed group mean, MMR diversified retrieval.
-(The sf-corpus oracle compares are q85/q86/x99-x102 in the registry
+empirical LSH plan sweep, trimmed group mean, MMR diversified retrieval,
+pair-budget estimation, and the stream disorder profile.
+(The sf-corpus oracle compares are q85-q88/x99-x103 in the registry
 self-check; these pin golden values and invariants on constructed
 inputs.)"""
 
@@ -123,3 +124,61 @@ def test_mmr_diversify_prefers_diverse_over_redundant(spark):
     assert out[0].vec_id == 1          # most similar first
     assert out[1].vec_id == 3          # diversity beats the near-dup
     assert out[2].vec_id == 2
+
+
+def test_pair_budget_estimate_golden(spark):
+    """Each shingle with df docs contributes exactly df·(df−1)/2
+    candidate rows; the bucket totals must equal the realized
+    co-occurrence row count of the inverted-index join."""
+    from go_fish_spark.operators.dedup import pair_budget_estimate
+
+    t = "alpha beta gamma delta"          # shingles: a-b-g, b-g-d
+    rows = [(1, t), (2, t), (3, t), (4, "alpha beta gamma nine")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'alpha beta gamma' df=4 → 6 pairs; 'beta gamma delta' df=3 → 3;
+    # 'beta gamma nine' df=1 → 0
+    out = {
+        r.df_bucket_lo: (r.n_shingles, r.pair_candidates)
+        for r in pair_budget_estimate(df, "doc_id", "text", k=3).collect()
+    }
+    assert out == {1: (1, 0), 2: (1, 3), 4: (1, 6)}
+    total_est = sum(p for _, p in out.values())
+    inv = df.selectExpr(
+        "doc_id", "explode(array_distinct(transform(sequence(1, size(split(text,' '))-2), "
+        "i -> concat_ws(' ', slice(split(text,' '), i, 3)))) ) AS s"
+    )
+    realized = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .count()
+    )
+    assert total_est == realized
+
+
+def test_disorder_profile_golden_and_block_invariance(spark):
+    """A stream with one event arriving late lands in the right
+    power-of-2 second bucket; the block size must not change the result
+    (the two-level running max is exact across block boundaries)."""
+    from go_fish_spark.operators.profile import disorder_profile
+
+    # arrival order a=0..4; the event arriving at a=3 carries a
+    # timestamp 130 s behind the running max set at a=2.
+    rows = [
+        ("t", 0, "2026-01-01 00:00:00"),
+        ("t", 1, "2026-01-01 00:01:00"),
+        ("t", 2, "2026-01-01 00:05:00"),
+        ("t", 3, "2026-01-01 00:02:50"),   # 130 s late → bucket 128
+        ("t", 4, "2026-01-01 00:06:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, a long, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    for block in (2, 3, 8192):
+        out = {
+            r.disorder_bucket_lo_sec: r.n_events
+            for r in disorder_profile(
+                df, "event_type", "a", "ts", block=block
+            ).collect()
+        }
+        assert out == {-1: 4, 128: 1}, f"block={block}: {out}"
