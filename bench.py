@@ -188,6 +188,8 @@ HEADLINE = [
     "x103_pair_budget_estimate",
     "q87_disorder_profile",
     "q88_yoy_growth",
+    "x104_centroid_drift",
+    "x105_key_skew_audit",
 ]
 
 

@@ -1047,3 +1047,36 @@ def disorder_profile(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(type_col, "disorder_bucket_lo_sec")
     )
+
+
+def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-cardinality skew histogram — the report that sizes every
+    keyed decision downstream: whether a join/groupBy on this key needs
+    salting (one power-of-2 bucket far above the rest = a hot key AQE
+    may not fully split), how much state a keyed streaming operator
+    will hold per key, and what group-size timeout is sane. NULL keys
+    count as a real group (they hash to one reducer like any hot key —
+    the skew report must not hide them).
+
+    Output per power-of-2 group-size bucket: (group_size_bucket_lo
+    BIGINT, n_keys BIGINT, n_rows BIGINT), exact integers.
+
+    100 TB shape: ONE key exchange with map-side combine to the
+    distinct-key frame, then a ≤ ~40-key bucket rollup — the same
+    pre-flight law as the pair-budget estimator (both price a shuffle
+    from its key histogram without running it)."""
+    per_key = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(F.col("_n").cast("double")))
+    ).cast("bigint")
+    return (
+        per_key.select(bucket.alias("group_size_bucket_lo"), "_n")
+        .groupBy("group_size_bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_n").alias("n_rows"),
+        )
+        .orderBy("group_size_bucket_lo")
+    )

@@ -1239,3 +1239,73 @@ def duck_ann_recall_sql(truth_cte: str, approx_cte: str) -> str:
     FROM base LEFT JOIN hits ON base.query_id = hits.query_id
     ORDER BY base.query_id
     """
+
+
+def group_centroid_drift(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-label embedding-centroid DRIFT between two corpus snapshots:
+    the cosine between each label's old and new mean vector — the
+    embedding-space release monitor beside x94's content turnover (a
+    producer/model change that rotates a label's region silently breaks
+    every downstream ANN index and classifier fit on the old geometry;
+    per-dim variance audits like x68 cannot see a rotation that
+    preserves marginals). Labels present in only one snapshot are
+    omitted (no pair to compare).
+
+    Output: (label_col, n_old, n_new, centroid_cos round-9, drift =
+    1 − cos round-9).
+
+    100 TB shape: per snapshot, ONE posexplode exchange folds the
+    corpus into the (label × dim)-bounded mean frame with decimal-exact
+    sums (order-independent); the cosine then runs on the two bounded
+    frames with the same round-12/decimal/round-9 discipline — no
+    second corpus pass, no collect."""
+    def means(df: DataFrame) -> DataFrame:
+        e = df.select(
+            F.col(label_col).alias("_l"),
+            F.posexplode(F.col(vec_col)).alias("_d", "_v"),
+        ).select("_l", "_d", F.col("_v").cast("double").alias("_v"))
+        return e.groupBy("_l", "_d").agg(
+            (
+                F.sum(F.col("_v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(F.col(label_col).alias("_l")).agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    om = means(old_df).withColumnRenamed("_m", "_mo")
+    nm = means(new_df).withColumnRenamed("_m", "_mn")
+    d12 = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    j = om.join(nm, ["_l", "_d"]).select(
+        "_l",
+        d12(F.col("_mo") * F.col("_mn")).alias("_xy"),
+        d12(F.col("_mo") * F.col("_mo")).alias("_xx"),
+        d12(F.col("_mn") * F.col("_mn")).alias("_yy"),
+    )
+    cos = F.sum("_xy").cast("double") / (
+        F.sqrt(F.sum("_xx").cast("double"))
+        * F.sqrt(F.sum("_yy").cast("double"))
+    )
+    agg = j.groupBy("_l").agg(
+        F.round(cos, 9).alias("centroid_cos"),
+        F.round(F.lit(1.0) - cos, 9).alias("drift"),
+    )
+    return (
+        agg.join(counts(old_df, "n_old"), "_l")
+        .join(counts(new_df, "n_new"), "_l")
+        .select(
+            F.col("_l").alias(label_col),
+            "n_old",
+            "n_new",
+            "centroid_cos",
+            "drift",
+        )
+    )

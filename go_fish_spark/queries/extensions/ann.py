@@ -832,3 +832,68 @@ def x102_mmr_diversify(spark, sf_dir):
     return mmr_diversify(
         emb, "vec_id", "embedding", query_id=0, top_n=20, k=8, lam=0.7
     )
+
+
+@query(
+    "x104_centroid_drift",
+    oracle="""
+    WITH o AS (
+      SELECT label AS _l, generate_subscripts(embedding, 1) AS _d,
+             CAST(unnest(embedding) AS DOUBLE) AS _v
+      FROM embeddings WHERE vec_id % 7 != 0
+    ),
+    om AS (SELECT _l, _d,
+             CAST(sum(CAST(_v AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+               AS _mo
+           FROM o GROUP BY _l, _d),
+    n_ AS (
+      SELECT label AS _l, generate_subscripts(embedding, 1) AS _d,
+             CAST(unnest(embedding) AS DOUBLE) AS _v
+      FROM embeddings WHERE vec_id % 3 != 0
+    ),
+    nm AS (SELECT _l, _d,
+             CAST(sum(CAST(_v AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+               AS _mn
+           FROM n_ GROUP BY _l, _d),
+    t AS (
+      SELECT om._l,
+             CAST(round(_mo * _mn, 12) AS DECIMAL(38,12)) AS _xy,
+             CAST(round(_mo * _mo, 12) AS DECIMAL(38,12)) AS _xx,
+             CAST(round(_mn * _mn, 12) AS DECIMAL(38,12)) AS _yy
+      FROM om JOIN nm ON om._l = nm._l AND om._d = nm._d
+    ),
+    agg AS (
+      SELECT _l,
+             round(CAST(sum(_xy) AS DOUBLE)
+                   / (sqrt(CAST(sum(_xx) AS DOUBLE))
+                      * sqrt(CAST(sum(_yy) AS DOUBLE))), 9) AS centroid_cos,
+             round(1.0 - CAST(sum(_xy) AS DOUBLE)
+                   / (sqrt(CAST(sum(_xx) AS DOUBLE))
+                      * sqrt(CAST(sum(_yy) AS DOUBLE))), 9) AS drift
+      FROM t GROUP BY _l
+    ),
+    co AS (SELECT label AS _l, count(*) AS n_old FROM embeddings
+           WHERE vec_id % 7 != 0 GROUP BY label),
+    cn AS (SELECT label AS _l, count(*) AS n_new FROM embeddings
+           WHERE vec_id % 3 != 0 GROUP BY label)
+    SELECT agg._l AS label, co.n_old, cn.n_new,
+           agg.centroid_cos, agg.drift
+    FROM agg JOIN co ON agg._l = co._l JOIN cn ON agg._l = cn._l
+    ORDER BY label
+    """,
+)
+def x104_centroid_drift(spark, sf_dir):
+    """Per-label embedding-centroid drift between snapshots
+    (similarity.group_centroid_drift): the cosine between each label's
+    old and new mean vector — the embedding-space release monitor
+    beside x94's content turnover (x68's per-dim marginals cannot see a
+    rotation). Same x80/x94 synthetic slices (old = %7≠0,
+    new = %3≠0). One posexplode exchange per snapshot to the
+    (label × dim)-bounded mean frame with decimal-exact sums; cosine on
+    the bounded frames, round-12/decimal/round-9 discipline."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.group_centroid_drift(
+        emb.filter(F.col("vec_id") % 7 != 0),
+        emb.filter(F.col("vec_id") % 3 != 0),
+        "label", "embedding",
+    ).orderBy("label")

@@ -256,3 +256,29 @@ def x98_zipf_slope(spark, sf_dir):
     return zipf_slope(docs, "source", "text", max_rank=1000).orderBy(
         "source"
     )
+
+
+@query(
+    "x105_key_skew_audit",
+    oracle="""
+    WITH pk AS (SELECT user_id AS _k, count(*) AS _n
+                FROM events GROUP BY user_id)
+    SELECT CAST(pow(2, floor(log2(CAST(_n AS DOUBLE)))) AS BIGINT)
+             AS group_size_bucket_lo,
+           count(*) AS n_keys,
+           CAST(sum(_n) AS BIGINT) AS n_rows
+    FROM pk GROUP BY group_size_bucket_lo ORDER BY group_size_bucket_lo
+    """,
+)
+def x105_key_skew_audit(spark, sf_dir):
+    """Key-skew histogram over the event stream's user key
+    (profile.key_skew_audit): exact per-key group sizes folded into
+    power-of-2 buckets — the pre-flight report that decides whether a
+    user-keyed join/groupBy needs salting and how much state a keyed
+    streaming operator (q08/q21's shapes) holds per key. ONE key
+    exchange with map-side combine, then a ≤ 40-key rollup; integer
+    arithmetic end-to-end (the pair-budget estimator's law, applied to
+    shuffle sizing)."""
+    from ...operators.profile import key_skew_audit
+
+    return key_skew_audit(table(spark, sf_dir, "events"), "user_id")

@@ -182,3 +182,48 @@ def test_disorder_profile_golden_and_block_invariance(spark):
             ).collect()
         }
         assert out == {-1: 4, 128: 1}, f"block={block}: {out}"
+
+
+def test_group_centroid_drift_identity_and_one_sided(spark):
+    """Identical snapshots → cos 1 / drift 0 per label; labels present
+    in only one snapshot are omitted."""
+    from go_fish_spark.operators.similarity import group_centroid_drift
+
+    rows = [(1, 0, [1.0, 2.0, 3.0]), (2, 0, [3.0, 2.0, 1.0]),
+            (3, 1, [0.5, 0.5, 0.5])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {
+        r.label: r
+        for r in group_centroid_drift(df, df, "label", "embedding").collect()
+    }
+    assert set(out) == {0, 1}
+    assert all(r.centroid_cos == 1.0 and r.drift == 0.0 for r in out.values())
+    assert out[0].n_old == 2 and out[0].n_new == 2
+
+    only_new = spark.createDataFrame(
+        [(9, 7, [1.0, 0.0, 0.0])], "vec_id long, label int, embedding array<float>"
+    )
+    out2 = group_centroid_drift(
+        df, df.unionByName(only_new), "label", "embedding"
+    ).collect()
+    assert {r.label for r in out2} == {0, 1}  # label 7 one-sided → omitted
+
+
+def test_key_skew_audit_buckets_and_nulls(spark):
+    """Power-of-2 bucket histogram over exact group sizes; NULL keys
+    count as one real group."""
+    from go_fish_spark.operators.profile import key_skew_audit
+
+    rows = (
+        [("a",)] * 1 + [("b",)] * 3 + [("c",)] * 4 + [("d",)] * 5
+        + [(None,)] * 2
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = {
+        r.group_size_bucket_lo: (r.n_keys, r.n_rows)
+        for r in key_skew_audit(df, "k").collect()
+    }
+    # sizes: a=1 → bucket 1; b=3, null=2 → bucket 2; c=4, d=5 → bucket 4
+    assert out == {1: (1, 1), 2: (2, 5), 4: (2, 9)}
