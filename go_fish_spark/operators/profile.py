@@ -1080,3 +1080,42 @@ def key_skew_audit(df: DataFrame, key_col: str) -> DataFrame:
         )
         .orderBy("group_size_bucket_lo")
     )
+
+
+def fit_value_baselines(
+    df: DataFrame, type_col: str, value_col: str
+) -> dict:
+    """Fit arm of the streaming anomaly gate (q86's control chart split
+    fit-on-history / apply-on-stream, the bm25_gate/decontam_gate
+    pattern): per type, the mean and sample std of ``value_col`` from
+    exact decimal sums — a BOUNDED collect (one row per type). Types
+    with < 2 rows or zero variance are omitted (no usable baseline;
+    the gate passes their rows un-scored)."""
+    d12 = F.round(F.col(value_col).cast("double"), 12).cast("decimal(27,18)")
+    rows = (
+        df.groupBy(F.col(type_col).alias("_t"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(d12).cast("double").alias("_sx"),
+            F.sum(
+                F.round(
+                    F.col(value_col).cast("double")
+                    * F.col(value_col).cast("double"),
+                    12,
+                ).cast("decimal(27,18)")
+            )
+            .cast("double")
+            .alias("_sxx"),
+        )
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        if r._n < 2:
+            continue
+        mean = r._sx / r._n
+        var = (r._sxx - r._sx * r._sx / r._n) / (r._n - 1)
+        if var <= 0:
+            continue
+        out[r._t] = [mean, var ** 0.5]
+    return out

@@ -277,3 +277,42 @@ class NearDupGate(BasicTask):
             portable=bool(self.options.get("portable", True)),
         )
         return df.filter(F.coalesce(n, F.lit(0)) == 0)
+
+
+@register_task("anomaly_gate")
+class AnomalyGate(BasicTask):
+    """Streaming control chart (q86's per-row form): z-score each
+    event's value against its type's FROZEN baseline (fit once on
+    history with profile.fit_value_baselines — mean/std per type in the
+    task config), flag |z| ≥ z_threshold. A pure per-type when-chain
+    over the bounded type set, so it runs identically in batch and
+    streaming pipelines. ROW-PRESERVING in the default ``mode='flag'``
+    (appends '<alias>' and 'is_anomaly'); ``mode='drop'`` filters the
+    anomalies out (an admission gate). Types absent from the baselines
+    (or NULL values) get NULL z and are NOT anomalies — an unseen type
+    must not be silently dropped. Options: baselines {type: [mean,
+    std]}, z_threshold (default 3.0), type_col (default 'event_type'),
+    value_col (default 'value'), alias (default 'zscore'), mode."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        type_col = self.options.get("type_col", "event_type")
+        value_col = self.options.get("value_col", "value")
+        alias = self.options.get("alias", "zscore")
+        zth = float(self.options.get("z_threshold", 3.0))
+        z = None
+        for t, (mean, std) in dict(self.options["baselines"]).items():
+            cond = F.col(type_col) == t
+            expr = (F.col(value_col).cast("double") - float(mean)) / float(std)
+            z = F.when(cond, expr) if z is None else z.when(cond, expr)
+        if z is None:  # empty baselines: nothing scorable
+            z = F.lit(None).cast("double")
+        flagged = df.select(
+            "*",
+            F.round(z, 9).alias(alias),
+            F.coalesce(F.abs(z) >= zth, F.lit(False)).alias("is_anomaly"),
+        )
+        if self.options.get("mode", "flag") == "drop":
+            return flagged.filter(~F.col("is_anomaly")).drop(
+                alias, "is_anomaly"
+            )
+        return flagged

@@ -1535,3 +1535,59 @@ def test_stream_neardup_gate_vs_batch_store(spark, tmp_path):
         r.doc_id for r in spark.sql("SELECT * FROM neardup_gate_out").collect()
     )
     assert streamed == kept
+
+
+def test_stream_anomaly_gate_vs_batch(spark, tmp_path):
+    """q86's streaming companion (anomaly_gate task): per-type value
+    baselines fit once on history (fit_value_baselines — bounded
+    collect; degenerate types omitted), frozen into task config,
+    applied as a pure per-row when-chain. Goldens: (a) the injected
+    outlier is flagged, normal values are not; (b) a type absent from
+    the baselines scores NULL and is NOT an anomaly; (c) streaming
+    output equals batch row-for-row; (d) mode='drop' removes exactly
+    the flagged rows and restores the input schema."""
+    from go_fish_spark.operators.profile import fit_value_baselines
+    from go_fish_spark.streaming import sources
+    from go_fish_spark.tasks.registry import get_task
+
+    hist = spark.createDataFrame(
+        [("a", float(v)) for v in (10, 11, 9, 10, 12, 8, 10, 11, 9, 10)]
+        + [("flat", 5.0), ("flat", 5.0)],   # zero variance → omitted
+        "event_type string, value double",
+    )
+    base = fit_value_baselines(hist, "event_type", "value")
+    assert set(base) == {"a"}
+
+    rows = [(1, "a", 10.5), (2, "a", 99.0), (3, "new_type", 1000.0)]
+    batch = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    gate = get_task("anomaly_gate", baselines=base, z_threshold=3.0)
+    out = {r.event_id: r for r in gate.apply(batch).collect()}
+    assert not out[1].is_anomaly
+    assert out[2].is_anomaly                  # ~75 sigma outlier
+    assert out[3].zscore is None and not out[3].is_anomaly
+
+    drop = get_task(
+        "anomaly_gate", baselines=base, z_threshold=3.0, mode="drop"
+    )
+    kept = drop.apply(batch)
+    assert sorted(r.event_id for r in kept.collect()) == [1, 3]
+    assert kept.columns == batch.columns
+
+    indir = tmp_path / "in"
+    write_events(
+        indir,
+        [dict(event_id=i, event_type=t, value=v) for i, t, v in rows],
+    )
+    stream = sources.json_stream(
+        spark, str(indir), "event_id long, event_type string, value double"
+    )
+    run_to_memory(gate.apply(stream), "anomaly_gate_out")
+    streamed = {
+        r.event_id: (r.zscore, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM anomaly_gate_out").collect()
+    }
+    assert streamed == {
+        i: (out[i].zscore, out[i].is_anomaly) for i in out
+    }
