@@ -190,6 +190,8 @@ HEADLINE = [
     "q88_yoy_growth",
     "x104_centroid_drift",
     "x105_key_skew_audit",
+    "x107_token_budget_curve",
+    "q89_user_lifecycle",
 ]
 
 

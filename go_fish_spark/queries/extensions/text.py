@@ -954,3 +954,84 @@ def x101_trimmed_quality(spark, sf_dir):
     return trimmed_group_mean(
         docs, "source", tx.quality_score("text"), "doc_id", trim_frac=0.05
     ).orderBy("source")
+
+
+@query(
+    "x107_token_budget_curve",
+    oracle=f"""
+    WITH q AS ({_X101_Q}),
+    toks AS (
+      SELECT CAST(least(floor(q.q * 10), 9) AS INTEGER) AS decile,
+             len(string_split(d.text, ' ')) AS n_toks
+      FROM q JOIN documents d USING (doc_id)
+    ),
+    per AS (
+      SELECT decile, count(*) AS _d, CAST(sum(n_toks) AS BIGINT) AS _t
+      FROM toks GROUP BY decile
+    ),
+    tot AS (SELECT CAST(sum(_t) AS BIGINT) AS _tt FROM per),
+    cum AS (
+      SELECT decile,
+             CAST(sum(_d) OVER (ORDER BY decile DESC) AS BIGINT)
+               AS n_docs_kept,
+             CAST(sum(_t) OVER (ORDER BY decile DESC) AS BIGINT)
+               AS n_tokens_kept
+      FROM per
+    )
+    SELECT round(decile / 10.0, 1) AS threshold, n_docs_kept,
+           n_tokens_kept,
+           round(CAST(n_tokens_kept AS DOUBLE) / CAST(tot._tt AS DOUBLE), 9)
+             AS frac_tokens
+    FROM cum CROSS JOIN tot ORDER BY threshold
+    """,
+)
+def x107_token_budget_curve(spark, sf_dir):
+    """Token-budget curve over the quality bar: for each score decile
+    threshold, how many documents and TOKENS survive "keep score ≥ t" —
+    the trade-off curve a curation decision actually reads (x74 says
+    what's IN each decile, x30 selects a top quantile; this prices the
+    bar in tokens, the unit training budgets are written in). ONE
+    corpus pass folds (decile → docs, tokens) into a ≤ 10-row frame;
+    the survival curve is a reverse cumulative sum over that bounded
+    frame. Integer counts; the only float is the final fraction
+    (exact-int ratio, round-9)."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    decile = F.least(
+        F.floor(tx.quality_score("text") * 10), F.lit(9)
+    ).cast("int")
+    per = (
+        docs.select(
+            decile.alias("decile"),
+            F.size(tx.tokens("text")).alias("_nt"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("_d"),
+            F.sum("_nt").alias("_t"),
+        )
+    )
+    tot = per.groupBy().agg(F.sum("_t").alias("_tt"))
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.select(
+            "decile",
+            F.sum("_d").over(w).alias("n_docs_kept"),
+            F.sum("_t").over(w).alias("n_tokens_kept"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("decile") / 10.0, 1).alias("threshold"),
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.round(
+                F.col("n_tokens_kept").cast("double")
+                / F.col("_tt").cast("double"),
+                9,
+            ).alias("frac_tokens"),
+        )
+        .orderBy("threshold")
+    )

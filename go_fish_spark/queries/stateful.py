@@ -552,3 +552,79 @@ def q87_disorder_profile(spark, sf_dir):
         F.col("event_id") % 13 == 0, 40
     ).otherwise(0)
     return disorder_profile(events, "event_type", arrival, "ts")
+
+
+@query(
+    "q89_user_lifecycle",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    cls AS (
+      SELECT d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM ud
+    ),
+    daily AS (
+      SELECT d,
+             count(*) AS n_active,
+             count(*) FILTER (WHERE prev_d IS NULL) AS n_new,
+             count(*) FILTER (WHERE date_diff('day', prev_d, d) = 1)
+               AS n_retained,
+             count(*) FILTER (WHERE date_diff('day', prev_d, d) > 1)
+               AS n_resurrected
+      FROM cls GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(n_resurrected AS BIGINT) AS n_resurrected,
+           CAST(lag(n_active) OVER (ORDER BY d) - n_retained AS BIGINT)
+             AS n_churned
+    FROM daily ORDER BY day
+    """,
+)
+def q89_user_lifecycle(spark, sf_dir):
+    """Growth accounting — the daily new/retained/resurrected/churned
+    decomposition of the active-user count (the standard DAU ledger;
+    q83's cohort matrix answers "how do cohorts decay", this answers
+    "where did today's actives come from and who left"): a user is NEW
+    on their first active day, RETAINED if active yesterday too,
+    RESURRECTED if returning across a gap; CHURNED(t) =
+    active(t−1) − retained(t) — derived arithmetically on the daily
+    frame, NULL on the first observed day. Days with zero actives
+    don't occur in this corpus; across a silent day the lag refers to
+    the previous OBSERVED day (documented contract).
+
+    100 TB shape: ONE distinct (user, day) fold (the q83 shuffle), a
+    per-user lag window over calendar-bounded per-user day lists, then
+    everything is ≤ span-row arithmetic. All integer counts."""
+    events = table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("d")
+    cls = ud.select("d", F.lag("d").over(wu).alias("prev_d"))
+    gap = F.datediff("d", "prev_d")
+    daily = cls.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("prev_d").isNull(), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(F.when(gap == 1, 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(gap > 1, 1).otherwise(0)).alias("n_resurrected"),
+    )
+    wd = Window.orderBy("d")
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        (F.lag("n_active").over(wd) - F.col("n_retained"))
+        .cast("bigint")
+        .alias("n_churned"),
+    ).orderBy("day")
