@@ -192,6 +192,8 @@ HEADLINE = [
     "x105_key_skew_audit",
     "x107_token_budget_curve",
     "q89_user_lifecycle",
+    "q90_funnel_timing",
+    "x108_eval_quota",
 ]
 
 

@@ -756,3 +756,58 @@ def source_floor(
         .select(group_col)
     )
     return df.join(keep, group_col, "left_semi")
+
+
+def quota_apportion(
+    df: DataFrame, strata_cols: list, k: int
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a fixed budget of
+    ``k`` slots across strata, proportional to stratum size — the exact
+    integer answer to "spread 100 eval slots across lang × source
+    fairly": base = floor(k·n/total) per cell, then the leftover slots
+    go to the cells with the LARGEST integer remainders (k·n mod total;
+    ties to the first stratum key order). Quota properties: sums to
+    exactly k, each cell within 1 of its proportional share, and the
+    whole computation is integer arithmetic — no float apportionment
+    drift between engines. Precondition k ≤ total rows (else a
+    degenerate cell could be asked for more rows than it has).
+
+    Output: strata_cols + (n_docs BIGINT, quota INT); feed the quotas
+    to the per-stratum deterministic selection (x16's md5-order) to
+    materialize the sample.
+
+    100 TB shape: ONE strata-keyed exchange with map-side combine to
+    the bounded cell frame; the remainder ranking is a window over that
+    ≤ |cells|-row frame; totals broadcast."""
+    k = int(k)
+    cells = df.groupBy(*[F.col(c) for c in strata_cols]).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cells.groupBy().agg(F.sum("n_docs").alias("_tot"))
+    c = cells.crossJoin(F.broadcast(tot)).select(
+        *strata_cols,
+        "n_docs",
+        F.expr(f"({k} * n_docs) div _tot").alias("_base"),
+        F.expr(f"({k} * n_docs) % _tot").alias("_rem"),
+    )
+    from pyspark.sql import Window
+
+    leftover = c.groupBy().agg(
+        (F.lit(k) - F.sum("_base")).alias("_left")
+    )
+    w = Window.orderBy(F.col("_rem").desc(), *[F.col(s) for s in strata_cols])
+    return (
+        c.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            *strata_cols,
+            "n_docs",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("quota"),
+        )
+        .orderBy(*strata_cols)
+    )

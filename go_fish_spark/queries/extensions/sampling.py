@@ -734,3 +734,46 @@ def x86_source_floor(spark, sf_dir):
         "doc_id", F.concat_ws("/", "source", "lang").alias("cell")
     )
     return source_floor(docs, "cell", 8).orderBy("doc_id")
+
+
+@query(
+    "x108_eval_quota",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, count(*) AS n_docs
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS _tot FROM cells),
+    c AS (
+      SELECT lang, source, n_docs,
+             (100 * n_docs) // _tot AS _base,
+             (100 * n_docs) % _tot AS _rem
+      FROM cells CROSS JOIN tot
+    ),
+    lft AS (SELECT 100 - CAST(sum(_base) AS BIGINT) AS _left FROM c),
+    rk AS (
+      SELECT c.*, row_number() OVER (ORDER BY _rem DESC, lang, source)
+               AS _rk
+      FROM c
+    )
+    SELECT lang, source, n_docs,
+           CAST(_base + CASE WHEN _rk <= _left THEN 1 ELSE 0 END AS INTEGER)
+             AS quota
+    FROM rk CROSS JOIN lft
+    ORDER BY lang, source
+    """,
+)
+def x108_eval_quota(spark, sf_dir):
+    """Eval-budget apportionment (sampling.quota_apportion): spread 100
+    eval slots across the lang × source cells by Hamilton
+    largest-remainder — quotas sum to exactly 100, each cell within 1
+    of its proportional share, ALL integer arithmetic (no float
+    apportionment drift). The quota table feeds x16's deterministic
+    per-stratum selection to materialize the eval set. One
+    strata-keyed fold to the bounded cell frame; remainder ranking is
+    a window over that frame."""
+    from ...operators.sampling import quota_apportion
+
+    return quota_apportion(
+        table(spark, sf_dir, "documents"), ["lang", "source"], k=100
+    )

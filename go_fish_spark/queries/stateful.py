@@ -628,3 +628,104 @@ def q89_user_lifecycle(spark, sf_dir):
         .cast("bigint")
         .alias("n_churned"),
     ).orderBy("day")
+
+
+@query(
+    "q90_funnel_timing",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase, min(c.t_click) AS t_click
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    durs AS (
+      SELECT 'view>click' AS step_pair,
+             epoch_us(t_click) - epoch_us(t_view) AS dur_us FROM c
+      UNION ALL
+      SELECT 'click>purchase',
+             epoch_us(t_purchase) - epoch_us(t_click) FROM p
+    )
+    SELECT step_pair,
+      CASE WHEN dur_us // 60000000 = 0 THEN 0
+           ELSE CAST(pow(2, floor(log2(CAST(dur_us // 60000000 AS DOUBLE))))
+                     AS BIGINT)
+      END AS duration_bucket_lo_min,
+      count(*) AS n_users
+    FROM durs GROUP BY step_pair, duration_bucket_lo_min
+    ORDER BY step_pair, duration_bucket_lo_min
+    """,
+)
+def q90_funnel_timing(spark, sf_dir):
+    """Funnel step TIMING — q80 counts who converts; this measures how
+    long conversion takes: for each completed step pair (first view →
+    first subsequent click, first click → first subsequent purchase),
+    the user's duration folded into power-of-2 minute buckets (bucket 0
+    = under a minute). The latency histogram a funnel-optimization
+    decision reads next to the conversion counts.
+
+    100 TB shape: the same ordered-first-occurrence chain as q80 (one
+    user-keyed exchange per step, each a groupBy-min with the
+    order-constraint filter pushed into the join), then a ≤ pairs ×
+    ~40-bucket groupBy. Integer microsecond arithmetic end-to-end."""
+    events = table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t_purchase"),
+            F.min("t_click").alias("t_click"),
+        )
+    )
+    durs = c.select(
+        F.lit("view>click").alias("step_pair"),
+        (F.unix_micros("t_click") - F.unix_micros("t_view")).alias(
+            "dur_us"
+        ),
+    ).unionByName(
+        p.select(
+            F.lit("click>purchase").alias("step_pair"),
+            (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias(
+                "dur_us"
+            ),
+        )
+    )
+    dur_min = F.expr("dur_us div 60000000")
+    bucket = F.when(dur_min == 0, F.lit(0)).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2(dur_min.cast("double")))).cast(
+            "bigint"
+        )
+    )
+    return (
+        durs.select(
+            "step_pair",
+            bucket.cast("bigint").alias("duration_bucket_lo_min"),
+        )
+        .groupBy("step_pair", "duration_bucket_lo_min")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("step_pair", "duration_bucket_lo_min")
+    )

@@ -227,3 +227,29 @@ def test_key_skew_audit_buckets_and_nulls(spark):
     }
     # sizes: a=1 → bucket 1; b=3, null=2 → bucket 2; c=4, d=5 → bucket 4
     assert out == {1: (1, 1), 2: (2, 5), 4: (2, 9)}
+
+
+def test_quota_apportion_exact_sum_and_fair_shares(spark):
+    """Hamilton apportionment: quotas sum to exactly k; every cell is
+    within 1 slot of its proportional share; remainder ties break on
+    stratum order."""
+    from go_fish_spark.operators.sampling import quota_apportion
+
+    rows = [("a",)] * 7 + [("b",)] * 7 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "g string")
+    for k in (3, 10, 17):
+        out = {
+            r.g: (r.n_docs, r.quota)
+            for r in quota_apportion(df, ["g"], k=k).collect()
+        }
+        total = sum(n for n, _ in out.values())
+        assert sum(q for _, q in out.values()) == k
+        for g, (n, q) in out.items():
+            share = k * n / total
+            assert abs(q - share) < 1, (k, g, q, share)
+    # k=10 over sizes 7/7/5/1 of 20: shares 3.5/3.5/2.5/0.5 — bases
+    # 3/3/2/0 leave 2 slots; remainders tie at .5 → 'a' then 'b' win.
+    out10 = {
+        r.g: r.quota for r in quota_apportion(df, ["g"], k=10).collect()
+    }
+    assert out10 == {"a": 4, "b": 4, "c": 2, "d": 0}
