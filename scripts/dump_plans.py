@@ -63,6 +63,13 @@ SHOWCASE = [
     ("x89_degree_histogram", "node-key groupBy over the symmetrized pair graph + ≤ 40-bin groupBy — no iteration, no window"),
     ("x90_threshold_sweep", "ONE x04 pair pass feeds every threshold band — a bounded-key groupBy on top, not a join per candidate threshold"),
     ("q82_event_paths", "session groupBy + array-side 3-grams (no self-joins); global top-20 via TakeOrdered over bounded path counts"),
+    ("q85_rfm_segments", "three value_bucketed_rank passes: per-bucket windows + BROADCAST offset/leftover frames — no global window despite three exact global ranks"),
+    ("q87_disorder_profile", "per-block parallel windows + prefix max over the bounded block-max frame (broadcast back) — the running max without a single-task sort"),
+    ("x99_bpe_merge_candidates", "one corpus exchange folds to the vocab; the char-pair explode runs ON the vocab frame; TakeOrdered top-k"),
+    ("x100_lsh_plan_sweep", "one exact-pair pass + map-only signatures; plans broadcast; two bounded groupBys (per-band, per-pair) — never corpus²"),
+    ("x103_pair_budget_estimate", "one (shingle) exchange with partial agg to the df frame + a 40-key rollup — prices the x04 join without running it"),
+    ("x105_key_skew_audit", "one key exchange with map-side combine + bounded bucket rollup"),
+    ("x93_neardup_blocklist_screen", "round-7 rewrite: posexplode signatures + BROADCAST (sketch,pos,value) hash join — work ∝ position collisions, not |blocklist|; was 64×|blocklist| lambda ops per row"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —
