@@ -194,6 +194,7 @@ HEADLINE = [
     "q89_user_lifecycle",
     "q90_funnel_timing",
     "x108_eval_quota",
+    "x109_kmv_distinct",
 ]
 
 

@@ -1119,3 +1119,69 @@ def fit_value_baselines(
             continue
         out[r._t] = [mean, var ** 0.5]
     return out
+
+
+def kmv_distinct_audit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    k_min: int = 256,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002)
+    WITH its own accuracy audit: per group, the KMV estimate of the
+    distinct-shingle count — Ê = (k−1)·2³²/h₍k₎ from the k smallest
+    md5-prefix hash values — next to the exact count and the relative
+    error. The estimator a 100 TB vocabulary census would actually use
+    (the exact arm needs the full distinct fold; the sketch needs k
+    values per group), shipped here with the exact arm as ground truth
+    so the error column IS the evidence. Groups with fewer than k
+    distinct shingles report their exact count (the sketch stores the
+    whole set — zero error by construction).
+
+    Output: (group_col, n_exact BIGINT, kmv_estimate DOUBLE round-3,
+    rel_err DOUBLE round-6).
+
+    100 TB shape: ONE distinct (group, shingle) exchange; the k-smallest
+    selection is a rank-≤-k window (WindowGroupLimit: each partition
+    keeps only k candidates before the final per-group sort — the q37
+    top-k law, pointed at the SMALLEST hashes); everything downstream
+    is a ≤ groups×k frame. Hash ties break on the shingle string — a
+    total order, so h₍k₎ is engine-deterministic."""
+    from ..functions.text import word_shingles
+
+    sh = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(word_shingles(text_col, k_shingle)).alias("_s"),
+        )
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("bigint")
+    hashed = sh.select("_g", "_s", h.alias("_h"))
+    counts = hashed.groupBy("_g").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy("_g").orderBy("_h", "_s")
+    kth = (
+        hashed.select("_g", "_h", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= int(k_min))
+        .groupBy("_g")
+        .agg(F.max("_h").alias("_hk"), F.count(F.lit(1)).alias("_nk"))
+    )
+    est = F.when(
+        F.col("_nk") < int(k_min), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(k_min - 1)) * F.lit(float(2**32)) / F.col("_hk").cast("double")
+    )
+    return (
+        counts.join(kth, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_exact",
+            F.round(est, 3).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -282,3 +282,55 @@ def x105_key_skew_audit(spark, sf_dir):
     from ...operators.profile import key_skew_audit
 
     return key_skew_audit(table(spark, sf_dir, "events"), "user_id")
+
+
+@query(
+    "x109_kmv_distinct",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source AS _g, s AS _s FROM (
+        SELECT source, unnest({_DUCK_SHINGLES}) AS s
+        FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+      )
+    ),
+    hashed AS (
+      SELECT _g, _s,
+             CAST(CAST(('0x' || substr(md5(_s), 1, 8)) AS UBIGINT)
+                  AS BIGINT) AS _h
+      FROM sh
+    ),
+    counts AS (SELECT _g, count(*) AS n_exact FROM hashed GROUP BY _g),
+    kth AS (
+      SELECT _g, max(_h) AS _hk, count(*) AS _nk FROM (
+        SELECT _g, _h,
+               row_number() OVER (PARTITION BY _g ORDER BY _h, _s) AS _rn
+        FROM hashed
+      ) WHERE _rn <= 256 GROUP BY _g
+    )
+    SELECT counts._g AS source, n_exact,
+           round(CASE WHEN _nk < 256 THEN CAST(n_exact AS DOUBLE)
+                      ELSE 255.0 * 4294967296.0 / CAST(_hk AS DOUBLE)
+                 END, 3) AS kmv_estimate,
+           round(abs(CASE WHEN _nk < 256 THEN CAST(n_exact AS DOUBLE)
+                          ELSE 255.0 * 4294967296.0 / CAST(_hk AS DOUBLE)
+                     END - CAST(n_exact AS DOUBLE))
+                 / CAST(n_exact AS DOUBLE), 6) AS rel_err
+    FROM counts JOIN kth ON counts._g = kth._g
+    ORDER BY source
+    """,
+)
+def x109_kmv_distinct(spark, sf_dir):
+    """KMV distinct-shingle census with accuracy audit
+    (profile.kmv_distinct_audit, k=256): per source, the k-minimum-
+    values estimate Ê = (k−1)·2³²/h₍k₎ beside the exact distinct count
+    and relative error — the estimator a corpus-scale vocabulary census
+    uses (k values per group instead of the full distinct fold), with
+    ground truth attached so the error column is the evidence. One
+    distinct (source, shingle) exchange; the k-smallest selection is
+    the q37 WindowGroupLimit law pointed at the smallest hashes."""
+    from ...operators.profile import kmv_distinct_audit
+
+    return kmv_distinct_audit(
+        table(spark, sf_dir, "documents"), "source", "text",
+        k_shingle=3, k_min=256,
+    ).orderBy("source")

@@ -253,3 +253,29 @@ def test_quota_apportion_exact_sum_and_fair_shares(spark):
         r.g: r.quota for r in quota_apportion(df, ["g"], k=10).collect()
     }
     assert out10 == {"a": 4, "b": 4, "c": 2, "d": 0}
+
+
+def test_kmv_distinct_small_group_exact_and_estimate_sane(spark):
+    """A group with fewer than k distinct shingles reports its exact
+    count (zero error — the sketch holds the whole set); a larger group
+    estimates within a loose KMV error bound."""
+    import random
+
+    from go_fish_spark.operators.profile import kmv_distinct_audit
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(3000)]
+    big = " ".join(words)
+    rows = [("small", "alpha beta gamma delta epsilon"), ("big", big)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        r.source: r
+        for r in kmv_distinct_audit(
+            df, "source", "text", k_shingle=3, k_min=64
+        ).collect()
+    }
+    assert out["small"].n_exact == 3
+    assert out["small"].kmv_estimate == 3.0
+    assert out["small"].rel_err == 0.0
+    assert out["big"].n_exact > 64
+    assert out["big"].rel_err < 0.5  # loose bound; ~1/sqrt(64) expected
