@@ -195,6 +195,7 @@ HEADLINE = [
     "q90_funnel_timing",
     "x108_eval_quota",
     "x109_kmv_distinct",
+    "x110_triangle_census",
 ]
 
 

@@ -401,3 +401,76 @@ def degree_histogram(
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("bucket_lo")
     )
+
+
+def triangle_census(pairs: DataFrame) -> DataFrame:
+    """Triangle census of an undirected pair graph — the transitivity
+    audit beside the degree histogram (x89) and component sizes (x62):
+    near-dup edges SHOULD be transitive (A≈B≈C ⇒ A≈C), so a corpus
+    whose dup graph has many open wedges but few triangles is a
+    threshold sitting on a cliff (borderline pairs break transitivity),
+    while clique-rich graphs confirm stable template families.
+
+    Input: (id_a, id_b) pairs, any orientation/duplication — edges are
+    canonicalized (a < b, distinct) first. Output one row:
+    (n_edges, n_wedges, n_triangles, closure_rate DOUBLE round-9) where
+    n_wedges counts open 2-paths a–b–c (a < c) and closure_rate =
+    3·triangles / (wedges + 3·triangles) — the global clustering
+    coefficient over the SAME exact integers in both engines.
+
+    100 TB shape: the standard distributed triangle join — edges ⋈
+    edges on the shared middle vertex builds each wedge ONCE
+    (b as the middle, a < c enforced), then a semi-join against the
+    edge set closes it; work ∝ Σ_v deg(v)² (wedge count), the
+    pair-engine's own law. No iteration, no window."""
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    from .dedup import _persist
+
+    e = _persist(e)
+    # undirected adjacency: every edge in both directions
+    adj = e.select("a", "b").unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    # wedges centered at the shared vertex: x.a is the middle;
+    # endpoints ordered (x.b < y.b) so each wedge counts once
+    wedges = x.join(
+        y,
+        (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")),
+    ).select(
+        F.col("x.b").alias("wa"),
+        F.col("y.b").alias("wc"),
+    )
+    wedges = _persist(wedges)
+    n_wedges_total = wedges.count()
+    tri = wedges.join(
+        e, (F.col("wa") == F.col("a")) & (F.col("wc") == F.col("b")),
+        "left_semi",
+    )
+    n_tri_wedges = tri.count()  # closed wedges = 3 per triangle
+    n_triangles = n_tri_wedges // 3
+    n_edges = e.count()
+    open_wedges = n_wedges_total - n_tri_wedges
+    closure = (
+        (3.0 * n_triangles) / (open_wedges + 3.0 * n_triangles)
+        if (open_wedges + 3 * n_triangles) > 0
+        else None
+    )
+    spark = pairs.sparkSession
+    # round via F.round (HALF_UP — the engine the oracle mirrors), not
+    # Python's banker's round
+    return spark.createDataFrame(
+        [(n_edges, open_wedges, n_triangles, closure)],
+        "n_edges bigint, n_wedges bigint, n_triangles bigint, "
+        "closure_rate double",
+    ).select(
+        "n_edges", "n_wedges", "n_triangles",
+        F.round("closure_rate", 9).alias("closure_rate"),
+    )

@@ -808,3 +808,58 @@ def x103_pair_budget_estimate(spark, sf_dir):
     return dedup.pair_budget_estimate(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=3
     )
+
+
+@query(
+    "x110_triangle_census",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    e AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*))
+             >= 0.3
+    ),
+    adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    w AS (
+      SELECT x.b AS wa, y.b AS wc
+      FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+    ),
+    cw AS (
+      SELECT count(*) AS closed FROM w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.wa AND e.b = w.wc)
+    ),
+    tot AS (SELECT count(*) AS nw FROM w),
+    ne AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
+           CAST(tot.nw - cw.closed AS BIGINT) AS n_wedges,
+           CAST(cw.closed // 3 AS BIGINT) AS n_triangles,
+           CASE WHEN tot.nw > 0 THEN
+             round(3.0 * (cw.closed // 3)
+                   / ((tot.nw - cw.closed) + 3.0 * (cw.closed // 3)), 9)
+           END AS closure_rate
+    FROM ne CROSS JOIN tot CROSS JOIN cw
+    """,
+)
+def x110_triangle_census(spark, sf_dir):
+    """Triangle census of the near-dup graph (graph.triangle_census
+    over the x04 exact-Jaccard pairs at t=0.3): edges, open wedges,
+    triangles, and the global clustering coefficient 3T/(wedges) — the
+    transitivity audit completing the graph family (x62 sizes, x89
+    degrees, x71 centrality): near-dup similarity SHOULD be transitive,
+    so a wedge-rich/triangle-poor graph means the threshold sits on a
+    cliff. Standard distributed triangle join: wedges built once per
+    middle vertex (endpoint-ordered), closed by a semi-join against
+    the edge set; work ∝ Σ deg² — the pair-engine law."""
+    from ...operators.graph import triangle_census
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.3
+    )
+    return triangle_census(pairs)

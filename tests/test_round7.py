@@ -279,3 +279,30 @@ def test_kmv_distinct_small_group_exact_and_estimate_sane(spark):
     assert out["small"].rel_err == 0.0
     assert out["big"].n_exact > 64
     assert out["big"].rel_err < 0.5  # loose bound; ~1/sqrt(64) expected
+
+
+def test_triangle_census_golden(spark):
+    """A 4-clique (4 triangles... no — C(4,3)=4) plus a pendant edge:
+    exact edge/wedge/triangle counts and clustering coefficient;
+    duplicated and reversed edge declarations canonicalize away."""
+    from go_fish_spark.operators.graph import triangle_census
+
+    # K4 on {1,2,3,4} (6 edges, 4 triangles, 12 closed wedges) plus
+    # pendant 4-5 (adds 3 open wedges centered at 4... and wedges at 5? none)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (5, 4), (4, 5)]  # pendant + dup + reversed
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = triangle_census(df).collect()[0]
+    assert r.n_edges == 7
+    assert r.n_triangles == 4
+    # wedges: K4 middles: each vertex has C(3,2)=3 wedges → 12, all
+    # closed; vertex 4 also pairs 5 with {1,2,3} → 3 open wedges;
+    # vertex 5 has degree 1 → none.
+    assert r.n_wedges == 3
+    assert r.closure_rate == round(12 / 15, 9)
+
+    # edgeless graph: all zeros, NULL closure
+    empty = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
+    r0 = triangle_census(empty).collect()[0]
+    assert (r0.n_edges, r0.n_wedges, r0.n_triangles) == (0, 0, 0)
+    assert r0.closure_rate is None
