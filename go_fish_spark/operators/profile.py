@@ -943,10 +943,14 @@ def trimmed_group_mean(
     if not 0 <= trim_frac < 0.5:
         raise ValueError("trim_frac must be in [0, 0.5)")
     d12 = F.round(value, 12).cast("decimal(27,18)")
+    # NULL scores are excluded up front (n_docs counts SCORED docs):
+    # left in, they would sort to one end of the rank, survive the trim,
+    # and silently inflate the kept-row denominator while adding nothing
+    # to the sum.
     base = df.select(
         F.col(group_col).alias("_g"), F.col(id_col).alias("_id"),
         d12.alias("_v"),
-    )
+    ).where(F.col("_v").isNotNull())
     w = Window.partitionBy("_g").orderBy("_v", "_id")
     wg = Window.partitionBy("_g")
     ranked = base.select(

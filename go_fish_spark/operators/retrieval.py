@@ -412,12 +412,15 @@ def mmr_diversify(
                     ).alias("_score"),
                 )
             )
-        row = (
+        rows = (
             pick.select("_id", F.round("_score", 9).alias("_score"))
             .orderBy(F.col("_score").desc(), "_id")
             .limit(1)
-            .collect()[0]  # bounded: one row from a ≤ top_n-row frame
+            .collect()  # bounded: one row from a ≤ top_n-row frame
         )
+        if not rows:  # candidates exhausted (k > available) — stop early
+            break
+        row = rows[0]
         selected.append(row._id)
         out.append((rank, row._id, float(row._score)))
     return emb.sparkSession.createDataFrame(

@@ -594,7 +594,12 @@ def value_bucketed_rank(
     id as the final key) or ranks of tied rows are layout-dependent.
     Unlike the hash instance, value buckets inherit the DATA's skew —
     a heavy bucket bounds parallelism, not correctness; pick the
-    coarsening so the hottest bucket stays executor-sized."""
+    coarsening so the hottest bucket stays executor-sized.
+
+    NULL bucket values (a NULL first sort key) form their own bucket
+    and rank FIRST (Spark's asc-nulls-first default, matching the
+    window's NULL placement) — the offset join is null-safe, so the
+    contract stays total: every input row gets a rank, 1..n dense."""
     from pyspark.sql import Window
 
     dfk = df.withColumn("_vb", bucket)
@@ -602,12 +607,14 @@ def value_bucketed_rank(
     woff = Window.orderBy("_vb").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
-    ).select("_vb", "_off")
+    ).select(F.col("_vb").alias("_vbo"), "_off")
     w = Window.partitionBy("_vb").orderBy(*order_cols)
     return (
-        dfk.join(F.broadcast(offsets), "_vb")
+        dfk.join(
+            F.broadcast(offsets), F.col("_vb").eqNullSafe(F.col("_vbo"))
+        )
         .withColumn(out, (F.col("_off") + F.row_number().over(w)).cast("bigint"))
-        .drop("_vb", "_off")
+        .drop("_vb", "_vbo", "_off")
     )
 
 

@@ -306,3 +306,47 @@ def test_triangle_census_golden(spark):
     r0 = triangle_census(empty).collect()[0]
     assert (r0.n_edges, r0.n_wedges, r0.n_triangles) == (0, 0, 0)
     assert r0.closure_rate is None
+
+
+def test_round7_robustness_edges(spark):
+    """Round-7 edge hardening: (a) value_bucketed_rank keeps NULL-bucket
+    rows (null-safe offset join — no silent row loss) ranking them
+    first; (b) mmr_diversify stops early when candidates run out
+    instead of crashing; (c) trimmed_group_mean excludes NULL scores
+    from both the sum AND the denominator."""
+    from pyspark.sql import Window
+
+    from go_fish_spark.operators.profile import trimmed_group_mean
+    from go_fish_spark.operators.retrieval import mmr_diversify
+    from go_fish_spark.operators.sampling import value_bucketed_rank
+
+    # (a) NULL buckets survive and rank first (asc-nulls-first)
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, 1)], "id long, v int"
+    )
+    got = {
+        r.id: r.rank
+        for r in value_bucketed_rank(
+            df, F.col("v"), [F.col("v"), F.col("id")]
+        ).collect()
+    }
+    assert got == {1: 1, 3: 2, 4: 3, 2: 4}  # all 4 rows, nulls first
+
+    # (b) k larger than the candidate pool → truncated result, no crash
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    out = mmr_diversify(
+        emb, "vec_id", "embedding", query_id=0, top_n=10, k=8, lam=0.7
+    ).collect()
+    assert [r.vec_id for r in out] == [1, 2]  # only 2 candidates exist
+
+    # (c) NULL scores excluded from trimmed and raw means
+    q = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, 4.0), ("g", 3, None)],
+        "src string, id long, v double",
+    )
+    r = trimmed_group_mean(q, "src", F.col("v"), "id", trim_frac=0.05)
+    row = r.collect()[0]
+    assert row.n_docs == 2 and row.raw_mean == 3.0 == row.trimmed_mean
