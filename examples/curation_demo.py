@@ -63,6 +63,14 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         tx.lang_id("text").alias("lang_pred"),
         tx.quality_score("text").alias("score"),
     )
+    #    the 0.5 bar is read off the token-budget curve (x107): each
+    #    decile threshold is priced in TOKENS — the unit training
+    #    budgets are written in — before committing
+    if verbose:
+        from go_fish_spark.queries import REGISTRY as _REG
+
+        print("token-budget curve (what each quality bar costs):")
+        _REG["x107_token_budget_curve"].fn(spark, sf_dir).show(10)
     kept = log("quality+lang gate", scored.filter(
         (F.col("lang_pred") == "en") & (F.col("score") >= 0.5)
     ))
@@ -84,8 +92,17 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
     #    near-dup spike at the top, and the gap between — the gap IS the
     #    threshold).
     if verbose:
-        from go_fish_spark.operators.dedup import jaccard_threshold_sweep
+        from go_fish_spark.operators.dedup import (
+            jaccard_threshold_sweep,
+            pair_budget_estimate,
+        )
 
+        # pre-flight (x103): price the pair join from the shingle-df
+        # histogram BEFORE running it — the capacity check that decides
+        # inverted-index vs prefix-filter (and whether to cap hot
+        # shingles) on a corpus you haven't paid for yet
+        print("pair-budget estimate (price the join first):")
+        pair_budget_estimate(uniq, "doc_id", "text").show(8)
         print("jaccard threshold sweep (pick the bar in the gap):")
         jaccard_threshold_sweep(
             uniq, "doc_id", "text", band_width=0.1, min_jaccard=0.05
@@ -175,6 +192,22 @@ def curate(spark, sf_dir: str, *, verbose: bool = True):
         incremental_near_dedup(
             tomorrow, store, "doc_id", "text"
         ).groupBy("status").count().orderBy("status").show()
+
+        # round-7 audits: robust per-source health (x101 — the trimmed
+        # mean a few spam stubs can't drag) and the eval-slot plan
+        # (x108 — Hamilton quotas over the CURATED strata, summing to
+        # exactly the eval budget)
+        from go_fish_spark.operators.profile import trimmed_group_mean
+        from go_fish_spark.operators.sampling import quota_apportion
+
+        print("per-source trimmed-mean quality (x101):")
+        trimmed_group_mean(
+            balanced, "source", F.col("score"), "doc_id"
+        ).orderBy(F.col("trimmed_mean").desc()).show(5)
+        print("eval-slot apportionment over curated strata (x108):")
+        quota_apportion(balanced, ["lang_pred", "source"], k=50).orderBy(
+            F.col("quota").desc(), "source"
+        ).show(5)
 
     # 11. reproducible epoch order (x58): every packed row gets its exact
     #     position in the seeded global shuffle — the order the loader
