@@ -64,6 +64,26 @@ def main(argv: list[str] | None = None) -> int:
     lst = sub.add_parser("list", help="list stored pipeline UUIDs")
     lst.add_argument("--registry", default=".go_fish_registry")
 
+    pd = sub.add_parser(
+        "plan-dedup",
+        help="pre-flight dedup planning report over a parquet corpus: "
+        "pair-join cost estimate (x103), Jaccard threshold sweep (x90), "
+        "and the empirical LSH (bands × rows) plan sweep (x100)",
+    )
+    pd.add_argument("parquet", help="parquet file/dir with the corpus")
+    pd.add_argument("--id-col", default="doc_id")
+    pd.add_argument("--text-col", default="text")
+    pd.add_argument("--min-jaccard", type=float, default=0.2)
+    pd.add_argument("--dup-threshold", type=float, default=0.5)
+    pd.add_argument("--band-width", type=float, default=0.05)
+    pd.add_argument("--master", default=None)
+    pd.add_argument(
+        "--skip-sweeps",
+        action="store_true",
+        help="print only the (cheap) cost estimate — the sweeps pay for "
+        "one real pair pass",
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "check-task":
@@ -89,6 +109,41 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for uid in _registry(args.registry).list():
             print(uid)
+        return 0
+
+    if args.cmd == "plan-dedup":
+        from .operators.dedup import (
+            jaccard_threshold_sweep,
+            lsh_plan_sweep,
+            pair_budget_estimate,
+        )
+        from .session import get_spark
+
+        spark = get_spark(app_name="go-fish-plan-dedup", master=args.master)
+        try:
+            df = spark.read.parquet(args.parquet)
+            print("# pair-budget estimate (x103): the exact co-occurrence")
+            print("# row count the inverted-index join would produce")
+            pair_budget_estimate(
+                df, args.id_col, args.text_col
+            ).show(50, truncate=False)
+            if not args.skip_sweeps:
+                print("# threshold sweep (x90): near-dup pairs per band —")
+                print("# put the bar in the gap")
+                jaccard_threshold_sweep(
+                    df, args.id_col, args.text_col,
+                    band_width=args.band_width,
+                    min_jaccard=args.min_jaccard,
+                ).show(50, truncate=False)
+                print("# LSH plan sweep (x100): measured recall per")
+                print("# (bands × rows) at the 64-hash budget")
+                lsh_plan_sweep(
+                    df, args.id_col, args.text_col,
+                    min_jaccard=args.min_jaccard,
+                    dup_threshold=args.dup_threshold,
+                ).show(truncate=False)
+        finally:
+            spark.stop()
         return 0
 
     # run

@@ -139,3 +139,32 @@ def test_cli_run_streaming_available_now(tmp_path):
         for line in f.read_text().splitlines()
     ]
     assert [r["doc_id"] for r in out_rows] == [1]
+
+
+def test_cli_plan_dedup_report(tmp_path, spark):
+    """plan-dedup prints the three planning tables over an arbitrary
+    parquet corpus in one subprocess run (pair budget always; sweeps
+    unless --skip-sweeps)."""
+    import os
+    import subprocess
+    import sys
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "other words entirely distinct here today")],
+        "doc_id long, text string",
+    )
+    corpus = str(tmp_path / "corpus.parquet")
+    df.write.mode("overwrite").parquet(corpus)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "plan-dedup", corpus,
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "pair-budget estimate" in proc.stdout
+    assert "threshold sweep" in proc.stdout
+    assert "LSH plan sweep" in proc.stdout
+    assert "df_bucket_lo" in proc.stdout
+    assert "s_threshold" in proc.stdout
