@@ -568,3 +568,63 @@ def test_containment_one_when_subset(spark, docs):
         for j, b in enumerate(docs):
             if i != j and sh(a) and sh(a) <= sh(b):
                 assert out.get((i, j)) == 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=1,
+             max_size=120),
+    st.integers(min_value=1, max_value=17),
+)
+def test_value_bucketed_rank_property(spark, values, width):
+    """For ARBITRARY integer data and any bucket coarsening width, the
+    distributed bucket+offset rank equals a plain global row_number —
+    dense 1..n, no row lost, no tie ambiguity (id is the final key)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from go_fish_spark.operators.sampling import value_bucketed_rank
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    expect = {
+        r.id: r.rn
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    got = {
+        r.id: r.rank
+        for r in value_bucketed_rank(
+            df, F.floor(F.col("v") / width), [F.col("v"), F.col("id")]
+        ).collect()
+    }
+    assert got == expect
+    assert sorted(got.values()) == list(range(1, len(values) + 1))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1,
+             max_size=12),
+    st.integers(min_value=0, max_value=100),
+)
+def test_quota_apportion_property(spark, sizes, k):
+    """Hamilton apportionment invariants for ARBITRARY cell sizes and
+    budgets: quotas sum to exactly k and every cell is within 1 of its
+    real-valued proportional share (k ≤ total precondition honored by
+    construction here when needed)."""
+    from go_fish_spark.operators.sampling import quota_apportion
+
+    total = sum(sizes)
+    k = min(k, total)  # honor the documented precondition
+    rows = [(f"g{gi}",) for gi, n in enumerate(sizes) for _ in range(n)]
+    df = spark.createDataFrame(rows, "g string")
+    out = {
+        r.g: (r.n_docs, r.quota)
+        for r in quota_apportion(df, ["g"], k=k).collect()
+    }
+    assert sum(q for _, q in out.values()) == k
+    for g, (n, q) in out.items():
+        assert abs(q - k * n / total) < 1 + 1e-9, (g, k, n, total, q)
+        assert 0 <= q <= n or k == total
