@@ -96,6 +96,21 @@ def make_source(
             .option("rowsPerSecond", str(opts.get("rows_per_second", 10)))
             .load()
         )
+    if src.type == "certstream":
+        # ≡ `input/cert_stream.go:11-41` (demo-only websocket feed).
+        # Backed by the custom Python DataSource (sources/pyds.py —
+        # Spark 4's pluggable-source mechanism, the analogue of the
+        # reference's input plugins): deterministic synthetic cert
+        # events; batch OR checkpointed streaming from the same source.
+        from ..sources import pyds
+
+        pyds.register(spark)
+        reader = spark.readStream if streaming else spark.read
+        r = reader.format("gofish_certstream")
+        for k in ("seed", "n_rows", "n_partitions", "rows_per_batch"):
+            if k in opts:
+                r = r.option(k, str(opts[k]))
+        return r.load()
     if src.type == "kinesis":
         # ≡ `input/kinesis.go:44-64`: gokini consumer starting at
         # TRIM_HORIZON with its checkpoint lease table in DynamoDB. Maps

@@ -27,7 +27,7 @@ class ValidationError(ValueError):
 @dataclass(frozen=True)
 class SourceSpec:
     name: str
-    type: str  # file | parquet | json | kafka | kinesis | rate | memory
+    type: str  # file | parquet | json | csv | kafka | kinesis | rate | certstream | memory
     options: dict = field(default_factory=dict)
 
 

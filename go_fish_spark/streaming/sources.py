@@ -5,7 +5,7 @@
 | File source, line = event (`input/file.go:22-37`) | ``text_stream`` / ``json_stream`` over a directory |
 | Kafka source, latest offsets (`input/kafka.go:25-58`) | ``kafka_stream`` (partition-preserving parallel read — the reference merges partitions into one unordered channel, `input/kafka.go:46-51`) |
 | Kinesis, TRIM_HORIZON + DynamoDB lease (`input/kinesis.go:44-64`) | kafka/file config parity; checkpointing ≡ ``checkpointLocation`` |
-| CertStream websocket (`input/cert_stream.go:15-41`, demo-only) | ``rate_stream`` for demos (reference marks it non-production, `:11-14`) |
+| CertStream websocket (`input/cert_stream.go:15-41`, demo-only) | custom Python DataSource ``gofish_certstream`` (sources/pyds.py — Spark 4's pluggable-source API, the analogue of the reference's input plugins): deterministic synthetic cert events, batch + checkpointed streaming; ``rate_stream`` remains for raw-throughput demos |
 """
 
 from __future__ import annotations
