@@ -1591,3 +1591,76 @@ def test_stream_anomaly_gate_vs_batch(spark, tmp_path):
     assert streamed == {
         i: (out[i].zscore, out[i].is_anomaly) for i in out
     }
+
+
+def test_s2s_state_survives_checkpointed_restart(spark, tmp_path):
+    """THE production property of keyed state: a write stored in run 1
+    must enrich an emit that arrives in run 2 — a separate streaming
+    query started from the same checkpoint (the distributed analogue of
+    the reference re-opening its BoltDB file on restart,
+    `state/kv.go:23-43`). Also pins exactly-once output: run 2 appends
+    only the new emit, not a replay of run 1's."""
+    import glob as _glob
+    import json as _json
+
+    from go_fish_spark.streaming import sources, stateful
+
+    indir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def drain():
+        events = sources.json_stream(spark, str(indir), EVENT_SCHEMA)
+        enriched = stateful.s2s_enrichment_stream(
+            events,
+            write_kind="AssumeRole",
+            value_col="principal",
+            emit_kind="CreateUser",
+            fallback_col="principal_id",
+        )
+        q = (
+            enriched.writeStream.format("json")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def emitted():
+        return {
+            r["event_id"]: r["entity"]
+            for f in _glob.glob(outdir + "/*.json")
+            for line in open(f)
+            if line.strip()
+            for r in [_json.loads(line)]
+        }
+
+    # run 1: the WRITE plus one emit (sanity that enrichment works live)
+    write_events(
+        indir,
+        [
+            dict(event_id=1, ts="2024-01-01T00:00:00Z",
+                 event_type="AssumeRole", key="AROLE:Bob-EC2-dev",
+                 principal="user/Bob", principal_id="ignored"),
+            dict(event_id=2, ts="2024-01-01T00:05:00Z",
+                 event_type="CreateUser", key="AROLE:Bob-EC2-dev",
+                 principal=None, principal_id="AROLE:Bob-EC2-dev"),
+        ],
+    )
+    drain()
+    assert emitted() == {2: "user/Bob"}
+
+    # between runs: ONLY an emit arrives — the principal it needs lives
+    # in run 1's checkpointed state
+    write_events(
+        indir,
+        [
+            dict(event_id=5, ts="2024-01-01T01:00:00Z",
+                 event_type="CreateUser", key="AROLE:Bob-EC2-dev",
+                 principal=None, principal_id="AROLE:Bob-EC2-dev"),
+        ],
+        fname="batch1.json",
+    )
+    drain()  # a NEW query object, same checkpoint
+    assert emitted() == {2: "user/Bob", 5: "user/Bob"}
