@@ -175,3 +175,101 @@ __all__ = [
     "certstream_json",
     "SCHEMA_DDL",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Writer side — the pluggable SINK surface (≡ `output/output.go:28-42`'s
+# sink plugin dispatch), with the two-phase commit the compiled plugins
+# never had: tasks write to temp files and return commit messages; only
+# the DRIVER's commit() publishes them (rename + manifest), so a failed
+# task leaves nothing visible and a retried task cannot double-publish.
+
+import os as _os
+import uuid as _uuid
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class _AuditWriterMixin:
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("gofish_audit writer requires option 'path'")
+
+    def write(self, iterator) -> _FileCommit:
+        _os.makedirs(_os.path.join(self.path, "_tmp"), exist_ok=True)
+        tmp = _os.path.join(self.path, "_tmp", f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(recursive=True)) + "\n")
+                n += 1
+        return _FileCommit(tmp_path=tmp, n_rows=n)
+
+    def _publish(self, messages, suffix: str) -> None:
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = _os.path.join(self.path, f"part-{suffix}-{i:05d}.jsonl")
+            _os.rename(m.tmp_path, final)
+            total += m.n_rows
+        with open(
+            _os.path.join(self.path, f"_manifest-{suffix}.json"), "w"
+        ) as f:
+            json.dump({"n_rows": total, "n_files": sum(1 for m in messages if m)}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and _os.path.exists(m.tmp_path):
+                _os.remove(m.tmp_path)
+
+
+class _AuditBatchWriter(_AuditWriterMixin, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._publish(messages, "batch")
+
+
+class _AuditStreamWriter(_AuditWriterMixin, DataSourceStreamWriter):
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        self._publish(messages, f"{batchId:08d}")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        _AuditWriterMixin.abort(self, messages)
+
+
+class AuditSinkDataSource(DataSource):
+    """``df.write.format("gofish_audit").option("path", DIR)
+    .mode("append").save()`` (Python data sources require an explicit
+    Append/Overwrite mode; or ``writeStream``): JSON-lines sink with
+    driver-side two-phase commit
+    and a per-commit row-count manifest — the pluggable-sink analogue of
+    the reference's output plugins, carrying the atomicity its
+    fsync-per-event file sink (`output/file.go:49-52`) lacked."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gofish_audit"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _AuditBatchWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _AuditStreamWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Register the audit sink on this session (idempotent)."""
+    spark.dataSource.register(AuditSinkDataSource)

@@ -85,3 +85,51 @@ def test_compiler_certstream_dispatch(spark):
     assert sorted(r.domain for r in df.collect()) == sorted(
         _event("pipeline", i)[1] for i in range(9)
     )
+
+
+def test_audit_sink_two_phase_commit_batch_and_stream(spark, tmp_path):
+    """The writer side of the pluggable surface: batch write publishes
+    only via driver commit (temp dir left empty, manifest counts rows);
+    streaming write publishes per-batch manifests; aborted temp files
+    never become visible."""
+    import os
+
+    pyds.register_sink(spark)
+    pyds.register(spark)
+
+    out = str(tmp_path / "audit")
+    df = (
+        spark.read.format("gofish_certstream")
+        .option("n_rows", 20).option("n_partitions", 3).load()
+    )
+    df.write.format("gofish_audit").option("path", out).mode(
+        "append"
+    ).save()
+    files = sorted(glob.glob(out + "/part-batch-*.jsonl"))
+    assert files, "no published files"
+    rows = [json.loads(l) for f in files for l in open(f) if l.strip()]
+    assert len(rows) == 20
+    assert not os.listdir(os.path.join(out, "_tmp"))  # nothing stranded
+    man = json.load(open(glob.glob(out + "/_manifest-batch.json")[0]))
+    assert man["n_rows"] == 20
+
+    # streaming arm: per-batch manifest, offset continuation
+    sout = str(tmp_path / "audit_stream")
+    q = (
+        spark.readStream.format("gofish_certstream")
+        .option("rows_per_batch", 6).load()
+        .writeStream.format("gofish_audit").option("path", sout)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(once=True).start()
+    )
+    q.awaitTermination(120)
+    srows = [
+        json.loads(l)
+        for f in glob.glob(sout + "/part-*.jsonl")
+        for l in open(f)
+        if l.strip()
+    ]
+    assert sorted(r["domain"] for r in srows) == sorted(
+        _event("certs0", i)[1] for i in range(6)
+    )
+    assert glob.glob(sout + "/_manifest-*.json")
