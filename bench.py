@@ -196,6 +196,7 @@ HEADLINE = [
     "x108_eval_quota",
     "x109_kmv_distinct",
     "x110_triangle_census",
+    "q91_certstream_decode",
 ]
 
 

@@ -729,3 +729,61 @@ def q90_funnel_timing(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("step_pair", "duration_bucket_lo_min")
     )
+
+
+@query(
+    "q91_certstream_decode",
+    oracle="""
+    WITH e AS (
+      SELECT md5('certs0|' || CAST(i AS VARCHAR)) AS h
+      FROM range(500) t(i)
+    ),
+    ev AS (
+      SELECT ['LetsEncrypt', 'DigiCert', 'Sectigo', 'GlobalSign']
+               [1 + CAST(('0x' || substr(h, 10, 1)) AS INT) % 4] AS issuer,
+             CAST(('0x' || substr(h, 13, 1)) AS INT) % 2 = 0 AS has_www
+      FROM e
+    )
+    SELECT issuer, count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE has_www) AS BIGINT) AS n_with_www,
+           round(CAST(count(*) FILTER (WHERE has_www) AS DOUBLE)
+                 / count(*), 9) AS www_rate
+    FROM ev GROUP BY issuer ORDER BY issuer
+    """,
+)
+def q91_certstream_decode(spark, sf_dir):
+    """The custom Python DataSource under the oracle contract: 500
+    events from ``gofish_certstream`` (sources/pyds.py — Spark 4's
+    pluggable-source API, ≡ the reference's input plugins) through the
+    CertStream decode step (`domain_cert_issued.go:33-54`'s array-regex
+    shape), rolled up per issuer with the www-SAN rate. The source is a
+    PURE function of (seed, i) built from md5, so DuckDB REGENERATES
+    the identical event stream from range(500) + the same md5
+    arithmetic — the whole pluggable source, not just the decode, is
+    hash-checked. Batch arm here; the offset-checkpointed streaming arm
+    is pinned by tests/test_pyds.py."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    events = (
+        spark.read.format("gofish_certstream")
+        .option("n_rows", 500).option("seed", "certs0").load()
+    )
+    dec = pyds.decode_cert_events(events)
+    return (
+        dec.groupBy("issuer")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("has_www_san"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_www"),
+            F.round(
+                F.sum(F.when(F.col("has_www_san"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("www_rate"),
+        )
+        .orderBy("issuer")
+    )
