@@ -3,11 +3,18 @@ decode/feature-extraction as Arrow-batched pandas functions.
 
 North-star extension (BASELINE.json). The engine treats image/audio/video
 as ``binary`` columns with a metadata struct; the *plumbing* — schema,
-partitioning, `mapInPandas` batch shape — is real and tested. The actual
-media decode is STUBBED (the image/audio libraries are not in this
-container): ``decode_features`` computes deterministic fake features from
-the raw bytes, and raises ``NotImplementedError`` if a real codec is
-requested, with the integration point clearly marked.
+partitioning, `mapInPandas` batch shape — is real and tested. Decode has
+two arms:
+
+* :func:`extract_image_meta` — REAL header-level metadata (format +
+  dimensions for PNG/JPEG/GIF/BMP) parsed with the stdlib, no codec
+  library needed; covers the per-image decisions a curation pipeline
+  actually makes (size filters, aspect buckets, format routing).
+  Exercised against COMPLETE valid PNG bytes in tests.
+* pixel-level decode/resize — STUBBED (PIL/av are not in this
+  container): ``decode_features``/``resize_media`` compute deterministic
+  fake features and raise ``NotImplementedError`` if a real codec is
+  requested, with the integration point clearly marked.
 """
 
 from __future__ import annotations
@@ -179,3 +186,114 @@ def sample_frames(
             )
 
     return binary_df.select("doc_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+def _parse_image_header(buf: bytes) -> tuple[str, int | None, int | None]:
+    """REAL (stdlib-only) image metadata: container format and pixel
+    dimensions parsed from the header bytes — no codec library needed.
+    Full pixel DECODE still requires PIL/av (the marked integration
+    points below); but width/height/format — what a curation pipeline
+    filters and bucketizes on — are right here in the first bytes:
+
+      PNG  signature + IHDR (big-endian u32 pair at offset 16)
+      GIF  87a/89a logical screen descriptor (little-endian u16 pair)
+      BMP  BITMAPINFOHEADER (little-endian i32 pair at offset 18)
+      JPEG marker walk to the first SOFn frame header (big-endian u16s)
+
+    Returns ("unknown", None, None) for unrecognized/truncated bytes —
+    decode surfaces it as a status, never an exception (a poison byte
+    string must not kill the batch)."""
+    b = bytes(buf)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            return (
+                "png",
+                int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"),
+            )
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            return (
+                "gif",
+                int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"),
+            )
+        if b[:2] == b"BM" and len(b) >= 26:
+            return (
+                "bmp",
+                int.from_bytes(b[18:22], "little", signed=True),
+                abs(int.from_bytes(b[22:26], "little", signed=True)),
+            )
+        if b[:2] == b"\xff\xd8":  # JPEG: walk markers to SOFn
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers, no length
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if (
+                    0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)
+                ):  # SOFn frame header
+                    return (
+                        "jpeg",
+                        int.from_bytes(b[i + 7 : i + 9], "big"),
+                        int.from_bytes(b[i + 5 : i + 7], "big"),
+                    )
+                i += 2 + seg_len
+    except (IndexError, ValueError):  # truncated header mid-field
+        pass
+    return ("unknown", None, None)
+
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def extract_image_meta(binary_df: DataFrame) -> DataFrame:
+    """REAL header-level image metadata over Arrow ``mapInPandas`` — the
+    de-stubbed arm of the multimodal family: format + dimensions parsed
+    from the payload bytes with the stdlib (no PIL), which covers the
+    decisions a curation pipeline actually makes per image (size
+    filters, aspect buckets, format routing) without touching pixel
+    data. Unrecognized payloads report status 'unsupported' and NULL
+    dims — row-preserving, never throwing. Same batch shape / scale law
+    as :func:`decode_features`: decode parallelism == partition count,
+    zero driver involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["content"].map(_parse_image_header)
+            fmt = parsed.map(lambda t: t[0])
+            w = parsed.map(lambda t: t[1])
+            h = parsed.map(lambda t: t[2])
+            npix = [
+                (int(a) * int(b)) if a is not None and b is not None else None
+                for a, b in zip(w, h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmt,
+                    "width": w.astype("object"),
+                    "height": h.astype("object"),
+                    "n_pixels": pd.Series(npix, dtype="object"),
+                    "status": fmt.map(
+                        lambda f: "decoded" if f != "unknown" else "unsupported"
+                    ),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, HEADER_SCHEMA
+    )

@@ -58,3 +58,92 @@ def test_sample_frames_fan_out_and_provenance(spark, docs):
     f2 = sorted(by_doc[2], key=lambda r: r.frame_idx)
     assert [(r.frame_off, r.frame_len) for r in f2] == [(0, 4), (1, 3), (2, 2), (3, 1)]
     assert bytes(f2[3].frame) == b"y"
+
+
+def _make_png(w: int, h: int) -> bytes:
+    """A COMPLETE valid PNG built with the stdlib (zlib + struct +
+    binascii): signature, IHDR, one-scanline-at-a-time IDAT, IEND."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_jpeg(w: int, h: int) -> bytes:
+    """Structurally valid JPEG header: SOI + APP0 (JFIF) + SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_extract_image_meta_real_headers(spark):
+    """The de-stubbed multimodal arm: REAL stdlib header parsing of
+    complete PNG bytes, structurally-valid JPEG, GIF and BMP headers —
+    exact dimensions out; junk bytes surface as 'unsupported', never an
+    exception."""
+    import struct
+
+    from go_fish_spark.operators.multimodal import (
+        _parse_image_header,
+        extract_image_meta,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (
+        b"BM" + b"\x00" * 16 + struct.pack("<ii", 1024, -768) + b"\x00" * 20
+    )
+    rows = [
+        (1, _make_png(640, 480)),
+        (2, _make_jpeg(800, 600)),
+        (3, gif),
+        (4, bmp),
+        (5, b"not an image at all"),
+        (6, b"\x89PNG\r\n\x1a\n\x00"),  # truncated PNG
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r for r in extract_image_meta(df).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("png", 640, 480)
+    assert out[1].n_pixels == 640 * 480
+    assert (out[2].format, out[2].width, out[2].height) == ("jpeg", 800, 600)
+    assert (out[3].format, out[3].width, out[3].height) == ("gif", 320, 200)
+    # BMP: negative height = top-down bitmap → abs()
+    assert (out[4].format, out[4].width, out[4].height) == ("bmp", 1024, 768)
+    assert out[5].status == "unsupported" and out[5].width is None
+    assert out[6].status == "unsupported"
+
+    # the pure parser agrees with the distributed arm (unit-level check)
+    assert _parse_image_header(_make_png(7, 9)) == ("png", 7, 9)
+    # a real decoder (if ever installed) should agree — guarded import
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        img = Image.open(io.BytesIO(_make_png(640, 480)))
+        assert img.size == (640, 480)
+    except ImportError:
+        pass  # PIL absent in this container — header parse stands alone
