@@ -197,6 +197,7 @@ HEADLINE = [
     "x109_kmv_distinct",
     "x110_triangle_census",
     "q91_certstream_decode",
+    "x111_image_meta_roundtrip",
 ]
 
 

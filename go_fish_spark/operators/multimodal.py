@@ -297,3 +297,60 @@ def extract_image_meta(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         run, HEADER_SCHEMA
     )
+
+
+def synth_png(w: int, h: int, shade: int = 0x10) -> bytes:
+    """A COMPLETE valid PNG (signature, IHDR, zlib IDAT, IEND) built
+    with the stdlib — the deterministic image generator for exercising
+    the multimodal pipeline without media fixtures. Any real PNG reader
+    (PIL included) opens it."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    px = bytes((shade & 0xFF, (shade * 2) & 0xFF, (shade * 3) & 0xFF))
+    raw = b"".join(b"\x00" + px * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png_frame(
+    df: DataFrame, id_col: str, width_expr, height_expr
+) -> DataFrame:
+    """(id, content binary) frame of real synthesized PNGs with
+    per-row dimensions — Arrow-batched generation (mapInPandas), the
+    write-side twin of :func:`extract_image_meta`'s parse."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        width_expr.cast("int").alias("_w"),
+        height_expr.cast("int").alias("_h"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [
+                        synth_png(int(w), int(h))
+                        for w, h in zip(pdf["_w"], pdf["_h"])
+                    ],
+                }
+            )
+
+    return base.mapInPandas(
+        run, "doc_id long, content binary"
+    )

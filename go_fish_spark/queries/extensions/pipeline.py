@@ -594,3 +594,39 @@ def x91_quality_by_cluster_size(spark, sf_dir):
         )
         .orderBy("bucket_lo")
     )
+
+
+@query(
+    "x111_image_meta_roundtrip",
+    oracle="""
+    SELECT doc_id, 'png' AS format,
+           CAST(doc_id % 100 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 80 + 1 AS INTEGER) AS height,
+           CAST((doc_id % 100 + 1) * (doc_id % 80 + 1) AS BIGINT)
+             AS n_pixels,
+           'decoded' AS status
+    FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id
+    """,
+)
+def x111_image_meta_roundtrip(spark, sf_dir):
+    """The REAL multimodal codec path under the oracle contract:
+    synthesize a complete valid PNG per document (multimodal.synth_png
+    — stdlib zlib/struct; dimensions derived from doc_id), then parse
+    it back with the stdlib header decoder
+    (multimodal.extract_image_meta). The oracle computes the expected
+    dimensions arithmetically, so the driver hash-checks that
+    BYTES → PARSE recovers exactly what CONSTRUCT encoded — pinning the
+    whole binary round trip (both sides Arrow mapInPandas, partition-
+    parallel, no driver involvement). 1-in-10 doc sample keeps the
+    generated-bytes volume proportional at any SF."""
+    from ...operators.multimodal import extract_image_meta, synth_png_frame
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    pngs = synth_png_frame(
+        docs, "doc_id",
+        F.col("doc_id") % 100 + 1,
+        F.col("doc_id") % 80 + 1,
+    )
+    return extract_image_meta(pngs).orderBy("doc_id")
