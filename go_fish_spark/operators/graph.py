@@ -403,7 +403,9 @@ def degree_histogram(
     )
 
 
-def triangle_census(pairs: DataFrame) -> DataFrame:
+def triangle_census(
+    pairs: DataFrame, max_degree: int | None = None
+) -> DataFrame:
     """Triangle census of an undirected pair graph — the transitivity
     audit beside the degree histogram (x89) and component sizes (x62):
     near-dup edges SHOULD be transitive (A≈B≈C ⇒ A≈C), so a corpus
@@ -422,7 +424,18 @@ def triangle_census(pairs: DataFrame) -> DataFrame:
     edges on the shared middle vertex builds each wedge ONCE
     (b as the middle, a < c enforced), then a semi-join against the
     edge set closes it; work ∝ Σ_v deg(v)² (wedge count), the
-    pair-engine's own law. No iteration, no window."""
+    pair-engine's own law. No iteration, no window.
+
+    ``max_degree`` is the wedge-budget guard for pathological graphs
+    (template hubs turn Σ deg² quadratic — measured 13.8× on the
+    salted 10× sweep, SCALE.md round-7 part 4): vertices above the cap
+    are excluded as wedge MIDDLES (they still serve as endpoints), so
+    when the cap binds, triangle/wedge counts become LOWER BOUNDS — a
+    triangle loses one closed wedge per capped member, and the /3 fold
+    undercounts accordingly; ``n_capped_vertices`` reports how many
+    vertices were dropped so the truncation is never silent.
+    Pick the cap from the x89 degree histogram — the cheap pre-check
+    that predicts this op's wedge budget."""
     e = (
         pairs.select(
             F.least("id_a", "id_b").alias("a"),
@@ -438,6 +451,14 @@ def triangle_census(pairs: DataFrame) -> DataFrame:
     adj = e.select("a", "b").unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    n_capped = 0
+    if max_degree is not None:
+        deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+        hot = _persist(deg.filter(F.col("_d") > int(max_degree)).select("a"))
+        n_capped = hot.count()  # bounded: ≤ nodes over the cap
+        # exclude hot vertices as wedge MIDDLES only (adj drives the
+        # middle side below; e — the closure side — keeps every edge)
+        adj = adj.join(hot, "a", "left_anti")
     x, y = adj.alias("x"), adj.alias("y")
     # wedges centered at the shared vertex: x.a is the middle;
     # endpoints ordered (x.b < y.b) so each wedge counts once
@@ -467,10 +488,11 @@ def triangle_census(pairs: DataFrame) -> DataFrame:
     # round via F.round (HALF_UP — the engine the oracle mirrors), not
     # Python's banker's round
     return spark.createDataFrame(
-        [(n_edges, open_wedges, n_triangles, closure)],
+        [(n_edges, open_wedges, n_triangles, closure, n_capped)],
         "n_edges bigint, n_wedges bigint, n_triangles bigint, "
-        "closure_rate double",
+        "closure_rate double, n_capped_vertices bigint",
     ).select(
         "n_edges", "n_wedges", "n_triangles",
         F.round("closure_rate", 9).alias("closure_rate"),
+        "n_capped_vertices",
     )

@@ -842,7 +842,8 @@ def x103_pair_budget_estimate(spark, sf_dir):
            CASE WHEN tot.nw > 0 THEN
              round(3.0 * (cw.closed // 3)
                    / ((tot.nw - cw.closed) + 3.0 * (cw.closed // 3)), 9)
-           END AS closure_rate
+           END AS closure_rate,
+           CAST(0 AS BIGINT) AS n_capped_vertices
     FROM ne CROSS JOIN tot CROSS JOIN cw
     """,
 )

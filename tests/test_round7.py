@@ -350,3 +350,30 @@ def test_round7_robustness_edges(spark):
     r = trimmed_group_mean(q, "src", F.col("v"), "id", trim_frac=0.05)
     row = r.collect()[0]
     assert row.n_docs == 2 and row.raw_mean == 3.0 == row.trimmed_mean
+
+
+def test_triangle_census_degree_cap(spark):
+    """The wedge-budget guard: capping excludes hot vertices as wedge
+    MIDDLES (their triangles drop, truncation reported via
+    n_capped_vertices), while an un-binding cap changes nothing."""
+    from go_fish_spark.operators.graph import triangle_census
+
+    # K4 + pendant: vertex degrees 3,3,3,4,1
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    uncapped = triangle_census(df).collect()[0]
+    assert uncapped.n_capped_vertices == 0
+
+    loose = triangle_census(df, max_degree=10).collect()[0]
+    assert (loose.n_triangles, loose.n_capped_vertices) == (
+        uncapped.n_triangles, 0,
+    )
+
+    # cap at 3: vertex 4 (degree 4) is no longer a wedge middle — the
+    # K4 triangles through middles 1,2,3 remain ({1,2,3} itself plus
+    # those with 4 as an ENDPOINT); only middle-4 wedges vanish
+    capped = triangle_census(df, max_degree=3).collect()[0]
+    assert capped.n_capped_vertices == 1
+    assert capped.n_triangles <= uncapped.n_triangles
+    assert capped.n_wedges <= uncapped.n_wedges
