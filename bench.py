@@ -198,6 +198,7 @@ HEADLINE = [
     "x110_triangle_census",
     "q91_certstream_decode",
     "x111_image_meta_roundtrip",
+    "q92_pit_training_set",
 ]
 
 

@@ -787,3 +787,96 @@ def q91_certstream_decode(spark, sf_dir):
         )
         .orderBy("issuer")
     )
+
+
+@query(
+    "q92_pit_training_set",
+    oracle="""
+    WITH feat AS (
+      SELECT user_id,
+             count(*) AS n_events_before,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types_before,
+             CAST(date_diff('day', CAST(max(ts) AS DATE),
+                            DATE '2024-01-21') AS INT) AS recency_days,
+             CAST(sum(CAST(round(value, 12) AS DECIMAL(27,18)))
+                  AS DOUBLE) AS total_value
+      FROM events WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+      GROUP BY user_id
+    ),
+    lab AS (
+      SELECT DISTINCT user_id, TRUE AS purchased
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts >= TIMESTAMP '2024-01-21 00:00:00'
+        AND ts < TIMESTAMP '2024-01-28 00:00:00'
+    )
+    SELECT f.user_id, f.n_events_before, f.n_types_before,
+           f.recency_days, round(f.total_value, 6) AS total_value,
+           coalesce(l.purchased, FALSE) AS label_purchase
+    FROM feat f LEFT JOIN lab l ON f.user_id = l.user_id
+    ORDER BY f.user_id
+    """,
+)
+def q92_pit_training_set(spark, sf_dir):
+    """Point-in-time training-set construction — the feature-store
+    staple, and the TEMPORAL twin of the decontamination family: build
+    per-user features from STRICTLY before the cutoff (activity counts,
+    type breadth, recency, decimal-exact value total as of 2024-01-21)
+    and the label from STRICTLY the following window (made a PURCHASE
+    in the next 7 days — the rare event, so both classes exist), so no
+    feature can see the label period — temporal leakage is the
+    time-axis version of what the eval-contamination guards (x21/x45)
+    protect against. Users with no pre-cutoff history are absent (no
+    features to train on); non-purchasers get FALSE.
+
+    100 TB shape: ONE user-keyed exchange per side of the cutoff (both
+    filters push to the scan), then a user-keyed left join of two
+    1-row-per-user frames. All thresholds are literals, so partition
+    pruning on a date-partitioned layout makes the feature scan touch
+    only pre-cutoff files."""
+    events = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    label_end = F.lit("2024-01-28 00:00:00").cast("timestamp")
+    feat = (
+        events.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_before"),
+            F.countDistinct("event_type").alias("n_types_before"),
+            F.datediff(
+                F.lit("2024-01-21").cast("date"),
+                F.max(F.col("ts").cast("date")),
+            )
+            .cast("int")
+            .alias("recency_days"),
+            F.sum(
+                F.round(F.col("value"), 12).cast("decimal(27,18)")
+            )
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    lab = (
+        events.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= cutoff)
+            & (F.col("ts") < label_end)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("purchased", F.lit(True))
+    )
+    return (
+        feat.join(lab, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_before",
+            "n_types_before",
+            "recency_days",
+            F.round("total_value", 6).alias("total_value"),
+            F.coalesce("purchased", F.lit(False)).alias(
+                "label_purchase"
+            ),
+        )
+        .orderBy("user_id")
+    )
