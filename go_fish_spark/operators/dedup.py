@@ -1854,9 +1854,11 @@ def lsh_plan_sweep(
     pairs × n_hashes × plans — bounded by the candidate-pair law, never
     corpus². Two bounded groupBys (per-band, then per-pair) and a
     ≤ #plans-row report."""
+    # every power-of-2 divisor of n_hashes, widest banding first
     plans = [
-        (b, n_hashes // b) for b in (64, 32, 16, 8, 4, 2, 1)
-        if n_hashes % b == 0 and n_hashes // b <= n_hashes
+        (b, n_hashes // b)
+        for b in (2 ** k for k in range(n_hashes.bit_length() - 1, -1, -1))
+        if n_hashes % b == 0
     ]
     spark = df.sparkSession
     plans_df = spark.createDataFrame(
@@ -1962,7 +1964,10 @@ def pair_budget_estimate(
     bucket = F.pow(
         F.lit(2.0), F.floor(F.log2(F.col("_df").cast("double")))
     ).cast("bigint")
-    pairs = (F.col("_df") * (F.col("_df") - 1) / 2).cast("bigint")
+    # integer div: the double-division form loses precision once
+    # df·(df−1) passes 2^53 — exactly the hot-shingle regime this
+    # estimator exists to flag
+    pairs = F.expr("_df * (_df - 1) div 2")
     return (
         dfreq.select(bucket.alias("df_bucket_lo"), pairs.alias("_p"))
         .groupBy("df_bucket_lo")

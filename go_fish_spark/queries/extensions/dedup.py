@@ -790,7 +790,7 @@ def x100_lsh_plan_sweep(spark, sf_dir):
     SELECT CAST(pow(2, floor(log2(CAST(df AS DOUBLE)))) AS BIGINT)
              AS df_bucket_lo,
            count(*) AS n_shingles,
-           CAST(sum(CAST(df * (df - 1) / 2 AS BIGINT)) AS BIGINT)
+           CAST(sum(df * (df - 1) // 2) AS BIGINT)
              AS pair_candidates
     FROM dfq GROUP BY df_bucket_lo ORDER BY df_bucket_lo
     """,
