@@ -2004,10 +2004,9 @@ def sketch_screen_matches(
     zip_with evaluates, so the two arms are result-identical (pinned in
     tests) and share the oracle."""
     if not sketches:
-        return df.select(
-            F.col(id_col).alias("_id"), F.lit(0).alias("n_matches")
-        ).filter(F.lit(False)).select(
-            F.col("_id").alias(id_col), "n_matches"
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, n_matches bigint"
         )
     floor = int(-(-threshold * n_hashes // 1))  # ceil(threshold·n)
     spark = df.sparkSession

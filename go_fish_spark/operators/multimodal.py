@@ -228,6 +228,11 @@ def _parse_image_header(buf: bytes) -> tuple[str, int | None, int | None]:
             while i + 9 < len(b):
                 if b[i] != 0xFF:
                     break
+                # skip 0xFF FILL bytes (legal padding before a marker) —
+                # treating one as a marker would parse a bogus segment
+                # length from the real marker's bytes and jump past SOFn
+                while i + 9 < len(b) and b[i + 1] == 0xFF:
+                    i += 1
                 marker = b[i + 1]
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers, no length

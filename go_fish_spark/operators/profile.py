@@ -1000,6 +1000,11 @@ def disorder_profile(
     bucket −1 = in-order (never behind the running max), 0 = late by
     < 1 s, else 2^k seconds. All integer arithmetic (microsecond longs).
 
+    PRECONDITION: ``arrival_col`` must be a TOTAL order (unique keys).
+    Tied arrivals make "already seen" ambiguous — the within-block
+    window's tie handling is layout-dependent, so two runs (or two
+    engines) could bucket the tied rows differently.
+
     100 TB shape — an exact global running max WITHOUT a single-task
     window: arrival keys bucket into ``block``-sized ranges; the
     within-block prior-max is a parallel per-block window, the

@@ -423,6 +423,7 @@ def mmr_diversify(
         row = rows[0]
         selected.append(row._id)
         out.append((rank, row._id, float(row._score)))
+    id_type = emb.schema[id_col].dataType.simpleString()
     return emb.sparkSession.createDataFrame(
-        out, f"rank int, {id_col} bigint, mmr_score double"
+        out, f"rank int, {id_col} {id_type}, mmr_score double"
     )

@@ -1290,10 +1290,13 @@ def group_centroid_drift(
         d12(F.col("_mo") * F.col("_mo")).alias("_xx"),
         d12(F.col("_mn") * F.col("_mn")).alias("_yy"),
     )
-    cos = F.sum("_xy").cast("double") / (
-        F.sqrt(F.sum("_xx").cast("double"))
-        * F.sqrt(F.sum("_yy").cast("double"))
+    denom = F.sqrt(F.sum("_xx").cast("double")) * F.sqrt(
+        F.sum("_yy").cast("double")
     )
+    # all-zero mean vector (padding/failed-encode sentinel embeddings)
+    # → zero norm: report NULL, never an ANSI DIVIDE_BY_ZERO that kills
+    # the whole report (the sketch ops' empty-side discipline)
+    cos = F.when(denom > 0, F.sum("_xy").cast("double") / denom)
     agg = j.groupBy("_l").agg(
         F.round(cos, 9).alias("centroid_cos"),
         F.round(F.lit(1.0) - cos, 9).alias("drift"),

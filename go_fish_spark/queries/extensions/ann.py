@@ -864,12 +864,18 @@ def x102_mmr_diversify(spark, sf_dir):
     ),
     agg AS (
       SELECT _l,
-             round(CAST(sum(_xy) AS DOUBLE)
-                   / (sqrt(CAST(sum(_xx) AS DOUBLE))
-                      * sqrt(CAST(sum(_yy) AS DOUBLE))), 9) AS centroid_cos,
-             round(1.0 - CAST(sum(_xy) AS DOUBLE)
-                   / (sqrt(CAST(sum(_xx) AS DOUBLE))
-                      * sqrt(CAST(sum(_yy) AS DOUBLE))), 9) AS drift
+             CASE WHEN sqrt(CAST(sum(_xx) AS DOUBLE))
+                       * sqrt(CAST(sum(_yy) AS DOUBLE)) > 0 THEN
+               round(CAST(sum(_xy) AS DOUBLE)
+                     / (sqrt(CAST(sum(_xx) AS DOUBLE))
+                        * sqrt(CAST(sum(_yy) AS DOUBLE))), 9)
+             END AS centroid_cos,
+             CASE WHEN sqrt(CAST(sum(_xx) AS DOUBLE))
+                       * sqrt(CAST(sum(_yy) AS DOUBLE)) > 0 THEN
+               round(1.0 - CAST(sum(_xy) AS DOUBLE)
+                     / (sqrt(CAST(sum(_xx) AS DOUBLE))
+                        * sqrt(CAST(sum(_yy) AS DOUBLE))), 9)
+             END AS drift
       FROM t GROUP BY _l
     ),
     co AS (SELECT label AS _l, count(*) AS n_old FROM embeddings

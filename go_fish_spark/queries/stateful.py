@@ -497,7 +497,8 @@ def q86_daily_anomaly(spark, sf_dir):
     oracle="""
     WITH e AS (
       SELECT event_type AS t,
-             event_id + CASE WHEN event_id % 13 = 0 THEN 40 ELSE 0 END AS a,
+             2 * event_id
+               + CASE WHEN event_id % 13 = 0 THEN 81 ELSE 0 END AS a,
              epoch_us(ts) AS us
       FROM events
     ),
@@ -536,8 +537,12 @@ def q87_disorder_profile(spark, sf_dir):
     above a candidate ``withWatermark`` delay is exactly what that
     delay would drop. The testdata's ingest order is perfectly sorted,
     so (x94's synthetic-slice precedent) arrival is perturbed
-    deterministically — every 13th event arrives 40 slots late — to
-    exercise the late path in both arms identically.
+    deterministically — arrival = 2·event_id, with every 13th event
+    delayed 81 half-slots (~40 positions late). The odd offset lands
+    delayed arrivals on ODD keys and punctual ones on EVEN keys, so
+    arrival stays a TOTAL order (a collision would make the running
+    max's tie handling layout-dependent and break the hash check) —
+    exercising the late path in both arms identically.
 
     100 TB shape: the exact global running max runs WITHOUT a
     single-task window (per-block parallel windows + a prefix max over
@@ -548,8 +553,8 @@ def q87_disorder_profile(spark, sf_dir):
     from ..operators.profile import disorder_profile
 
     events = table(spark, sf_dir, "events")
-    arrival = F.col("event_id") + F.when(
-        F.col("event_id") % 13 == 0, 40
+    arrival = 2 * F.col("event_id") + F.when(
+        F.col("event_id") % 13 == 0, 81
     ).otherwise(0)
     return disorder_profile(events, "event_type", arrival, "ts")
 

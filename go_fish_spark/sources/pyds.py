@@ -74,6 +74,8 @@ class _CertBatchReader(DataSourceReader):
 
     def partitions(self):
         n, p = self.n_rows, max(1, self.n_partitions)
+        if n <= 0:  # dry-run configs: zero rows, not range(0,0,0)
+            return [_RangePartition(0, 0)]
         step = -(-n // p)
         return [
             _RangePartition(lo, min(lo + step, n))
@@ -219,6 +221,16 @@ class _AuditWriterMixin:
         return _FileCommit(tmp_path=tmp, n_rows=n)
 
     def _publish(self, messages, suffix: str) -> None:
+        # idempotent re-commit: a crashed PARTIAL publish of this same
+        # suffix (driver died mid-rename, then the batch re-ran — maybe
+        # with a different partition count) must not leave stale part
+        # files beside the new set with a manifest that undercounts
+        import glob as _glob
+
+        for stale in _glob.glob(
+            _os.path.join(self.path, f"part-{suffix}-*.jsonl")
+        ):
+            _os.remove(stale)
         total = 0
         for i, m in enumerate(messages):
             if m is None:

@@ -181,7 +181,9 @@ def compact_shards(
     compaction when no reader is scheduled. A crash inside the window
     leaves the corpus intact under ``<path>__compact_old`` and the new
     copy under ``<path>__compact_tmp``; the next compact_shards run
-    clears both and re-runs, so it is re-runnable debris, not data loss.
+    FIRST restores ``old`` back to ``path`` when ``path`` is missing
+    (that tree is the only copy — it must never be cleared as debris),
+    then clears leftovers and re-runs.
 
     LOCAL-FILESYSTEM ONLY: directory rename is POSIX semantics. Object
     stores (S3/GCS) have no atomic directory rename — there, compact via
@@ -195,6 +197,11 @@ def compact_shards(
 
     base = path.rstrip("/")
     tmp, old = f"{base}__compact_tmp", f"{base}__compact_old"
+    # Crash recovery BEFORE clearing debris: if a previous run died
+    # between the two swap renames, `old` holds the ONLY copy of the
+    # corpus (`path` does not exist) — restore it, never delete it.
+    if os.path.exists(old) and not os.path.exists(base):
+        os.rename(old, base)
     for leftover in (tmp, old):
         if os.path.exists(leftover):
             shutil.rmtree(leftover)

@@ -301,6 +301,12 @@ class AnomalyGate(BasicTask):
         zth = float(self.options.get("z_threshold", 3.0))
         z = None
         for t, (mean, std) in dict(self.options["baselines"]).items():
+            if not float(std) > 0:
+                # a zero/negative std cannot score anything — under
+                # Spark's default ANSI mode the division would raise
+                # DIVIDE_BY_ZERO and kill the stream; treat the type as
+                # baseline-less instead (rows pass un-scored)
+                continue
             cond = F.col(type_col) == t
             expr = (F.col(value_col).cast("double") - float(mean)) / float(std)
             z = F.when(cond, expr) if z is None else z.when(cond, expr)

@@ -377,3 +377,93 @@ def test_triangle_census_degree_cap(spark):
     assert capped.n_capped_vertices == 1
     assert capped.n_triangles <= uncapped.n_triangles
     assert capped.n_wedges <= uncapped.n_wedges
+
+
+def test_review_fixes_round7(spark, tmp_path):
+    """Round-7 code-review regressions: (a) anomaly_gate survives a
+    hand-written zero-std baseline (treated as baseline-less, no ANSI
+    DIVIDE_BY_ZERO); (b) group_centroid_drift reports NULL for a
+    zero-norm label instead of crashing; (c) mmr_diversify works with
+    STRING ids; (d) n_rows=0 certstream reads as empty; (e) JPEG fill
+    bytes (0xFF padding) before SOF0 still parse; (f) compact_shards
+    recovers the corpus when a crash left it only under __compact_old."""
+    import os
+    import struct
+
+    import pyspark.sql.functions as F
+
+    # (a) zero-std baseline supplied directly in config
+    from go_fish_spark.tasks.registry import get_task
+
+    gate = get_task(
+        "anomaly_gate",
+        baselines={"a": [5.0, 0.0], "b": [10.0, 2.0]},
+        z_threshold=2.0,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 99.0), (2, "b", 20.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r.event_id: r for r in gate.apply(df).collect()}
+    assert out[1].zscore is None and not out[1].is_anomaly
+    assert out[2].is_anomaly  # the valid baseline still fires
+
+    # (b) zero-norm label → NULL drift, not a crash
+    from go_fish_spark.operators.similarity import group_centroid_drift
+
+    emb = spark.createDataFrame(
+        [(1, 0, [0.0, 0.0]), (2, 0, [0.0, 0.0]), (3, 1, [1.0, 2.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    d = {r.label: r for r in group_centroid_drift(
+        emb, emb, "label", "embedding"
+    ).collect()}
+    assert d[0].centroid_cos is None and d[0].drift is None
+    assert d[1].centroid_cos == 1.0
+
+    # (c) string ids through MMR
+    from go_fish_spark.operators.retrieval import mmr_diversify
+
+    semb = spark.createDataFrame(
+        [("q", [1.0, 0.0]), ("d1", [0.9, 0.1]), ("d2", [0.1, 0.9])],
+        "vec_id string, embedding array<float>",
+    )
+    got = mmr_diversify(
+        semb, "vec_id", "embedding", query_id="q", top_n=5, k=2
+    ).collect()
+    assert [r.vec_id for r in got] == ["d1", "d2"]
+
+    # (d) zero-row certstream
+    from go_fish_spark.sources import pyds
+
+    pyds.register(spark)
+    assert (
+        spark.read.format("gofish_certstream").option("n_rows", 0).load()
+        .count() == 0
+    )
+
+    # (e) JPEG with 0xFF fill padding before SOF0
+    from go_fish_spark.operators.multimodal import _parse_image_header
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xff\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 600, 800) + b"\x01\x01\x11\x00")
+    assert _parse_image_header(b"\xff\xd8" + app0 + sof0) == (
+        "jpeg", 800, 600,
+    )
+
+    # (f) crash-window recovery: corpus only under __compact_old
+    from go_fish_spark.sources import sharding
+
+    path = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    sharding.write_sharded(docs, path, "doc_id", n_shards=2)
+    before = {r.doc_id for r in sharding.read_sharded(spark, path).collect()}
+    os.rename(path, path + "__compact_old")  # simulate the crash window
+    manifest = sharding.compact_shards(spark, path)
+    after = {r.doc_id for r in sharding.read_sharded(spark, path).collect()}
+    assert after == before
+    assert manifest.count() > 0
+    assert not os.path.exists(path + "__compact_old")
