@@ -218,11 +218,16 @@ def _parse_image_header(buf: bytes) -> tuple[str, int | None, int | None]:
                 int.from_bytes(b[8:10], "little"),
             )
         if b[:2] == b"BM" and len(b) >= 26:
-            return (
-                "bmp",
-                int.from_bytes(b[18:22], "little", signed=True),
-                abs(int.from_bytes(b[22:26], "little", signed=True)),
-            )
+            # width is SIGNED in BITMAPINFOHEADER but only positive is
+            # legal; height < 0 legally means top-down row order (hence
+            # abs), height == 0 is malformed. Non-positive dims take the
+            # "unsupported" path instead of poisoning size filters with
+            # negative n_pixels.
+            bmp_w = int.from_bytes(b[18:22], "little", signed=True)
+            bmp_h = int.from_bytes(b[22:26], "little", signed=True)
+            if bmp_w <= 0 or bmp_h == 0:
+                return ("unknown", None, None)
+            return ("bmp", bmp_w, abs(bmp_h))
         if b[:2] == b"\xff\xd8":  # JPEG: walk markers to SOFn
             i = 2
             while i + 9 < len(b):

@@ -791,6 +791,17 @@ def quota_apportion(
         F.count(F.lit(1)).alias("n_docs")
     )
     tot = cells.groupBy().agg(F.sum("n_docs").alias("_tot"))
+    # enforce the documented precondition — with k > total rows,
+    # floor(k*n/total) can exceed a cell's n_docs and the downstream
+    # per-stratum selection silently under-fills. One 1-row scalar
+    # check; fail loudly instead.
+    total_rows = (tot.first() or {"_tot": None})["_tot"] or 0
+    if k > total_rows:
+        raise ValueError(
+            f"quota_apportion: k={k} exceeds total rows={total_rows}; "
+            "a quota can then exceed its cell's population and the "
+            "per-stratum selection cannot fill it"
+        )
     c = cells.crossJoin(F.broadcast(tot)).select(
         *strata_cols,
         "n_docs",

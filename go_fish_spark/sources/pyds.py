@@ -250,8 +250,28 @@ class _AuditWriterMixin:
 
 
 class _AuditBatchWriter(_AuditWriterMixin, DataSourceWriter):
+    """Batch commits publish under a UNIQUE per-job suffix (uuid chosen
+    once in ``writer()``, driver-side), so ``mode("append")`` stacks
+    commits instead of silently replacing the previous one — the
+    per-suffix stale cleanup in ``_publish`` then only ever removes
+    partial leftovers of THIS job's own crashed publish, never another
+    commit's rows. ``mode("overwrite")`` additionally clears every
+    previously published part file and manifest before publishing."""
+
+    def __init__(self, options, overwrite: bool):
+        _AuditWriterMixin.__init__(self, options)
+        self.overwrite = bool(overwrite)
+        self.suffix = f"b{_uuid.uuid4().hex[:12]}"
+
     def commit(self, messages) -> None:
-        self._publish(messages, "batch")
+        if self.overwrite:
+            import glob as _glob
+
+            for old in _glob.glob(
+                _os.path.join(self.path, "part-*.jsonl")
+            ) + _glob.glob(_os.path.join(self.path, "_manifest-*.json")):
+                _os.remove(old)
+        self._publish(messages, self.suffix)
 
 
 class _AuditStreamWriter(_AuditWriterMixin, DataSourceStreamWriter):
@@ -276,7 +296,7 @@ class AuditSinkDataSource(DataSource):
         return "gofish_audit"
 
     def writer(self, schema: StructType, overwrite: bool):
-        return _AuditBatchWriter(self.options)
+        return _AuditBatchWriter(self.options, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return _AuditStreamWriter(self.options)

@@ -105,12 +105,12 @@ def test_audit_sink_two_phase_commit_batch_and_stream(spark, tmp_path):
     df.write.format("gofish_audit").option("path", out).mode(
         "append"
     ).save()
-    files = sorted(glob.glob(out + "/part-batch-*.jsonl"))
+    files = sorted(glob.glob(out + "/part-b*.jsonl"))
     assert files, "no published files"
     rows = [json.loads(l) for f in files for l in open(f) if l.strip()]
     assert len(rows) == 20
     assert not os.listdir(os.path.join(out, "_tmp"))  # nothing stranded
-    man = json.load(open(glob.glob(out + "/_manifest-batch.json")[0]))
+    man = json.load(open(glob.glob(out + "/_manifest-b*.json")[0]))
     assert man["n_rows"] == 20
 
     # streaming arm: per-batch manifest, offset continuation
