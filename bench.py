@@ -199,6 +199,9 @@ HEADLINE = [
     "q91_certstream_decode",
     "x111_image_meta_roundtrip",
     "q92_pit_training_set",
+    # round 8
+    "x112_js_divergence",
+    "x113_winnow_pair_screen",
 ]
 
 

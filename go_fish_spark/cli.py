@@ -83,6 +83,15 @@ def main(argv: list[str] | None = None) -> int:
         help="print only the (cheap) cost estimate — the sweeps pay for "
         "one real pair pass",
     )
+    pd.add_argument(
+        "--sample-frac",
+        type=float,
+        default=None,
+        help="evaluate the LSH plan sweep on a deterministic md5-uniform "
+        "pair sample (planning mode: recall/weak rates become unbiased "
+        "estimates, counts scale by 1/frac, downstream cost is "
+        "O(sample)); default: full pass",
+    )
 
     args = p.parse_args(argv)
 
@@ -137,10 +146,14 @@ def main(argv: list[str] | None = None) -> int:
                 ).show(50, truncate=False)
                 print("# LSH plan sweep (x100): measured recall per")
                 print("# (bands × rows) at the 64-hash budget")
+                if args.sample_frac is not None:
+                    print(f"# (sampled mode: pair sample_frac="
+                          f"{args.sample_frac} — counts scale by 1/frac)")
                 lsh_plan_sweep(
                     df, args.id_col, args.text_col,
                     min_jaccard=args.min_jaccard,
                     dup_threshold=args.dup_threshold,
+                    sample_frac=args.sample_frac,
                 ).show(truncate=False)
         finally:
             spark.stop()

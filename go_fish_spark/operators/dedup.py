@@ -105,12 +105,17 @@ def _portable_token_hash(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
 
 
-def _shingle_hashes(text: Column | str, k: int, portable: bool = False) -> Column:
-    """31-bit hash per distinct word-k-shingle — numerically, without ever
+def _shingle_hashes(
+    text: Column | str, k: int, portable: bool = False,
+    distinct: bool = True,
+) -> Column:
+    """31-bit hash per word-k-shingle — numerically, without ever
     materializing shingle strings: hash each token once (xxhash64, or the
     DuckDB-mirrorable md5 prefix when ``portable``), then Horner-combine k
     consecutive token hashes mod 2^31-1. ~k× cheaper than hashing
-    concatenated shingle strings."""
+    concatenated shingle strings. ``distinct=True`` (the set semantics
+    every Jaccard/MinHash consumer wants) dedupes; ``distinct=False``
+    keeps the POSITIONAL sequence (winnowing needs window order)."""
     token_hash = _portable_token_hash if portable else F.xxhash64
     token_hashes = F.transform(
         F.split(text, " "), lambda t: F.pmod(token_hash(t), F.lit(_P31))
@@ -124,13 +129,12 @@ def _shingle_hashes(text: Column | str, k: int, portable: bool = False) -> Colum
 
     def body(th: Column) -> Column:
         n = F.size(th)
+        seq = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)), lambda i: combine(th, i)
+        )
         return F.when(
             n >= k,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n - (k - 1)), lambda i: combine(th, i)
-                )
-            ),
+            F.array_distinct(seq) if distinct else seq,
         ).otherwise(F.array().cast("array<bigint>"))
 
     return _let(token_hashes, body)
@@ -679,6 +683,29 @@ def duck_simhash_sql(
 # Exact n-gram Jaccard similarity join
 
 
+def _pair_sample_keep(
+    frac: float, id_a, id_b, seed: str = "pairsample"
+) -> Column:
+    """Deterministic md5-uniform coin on the PAIR key (seed, id_a, id_b):
+    a pure function of the pair, so every co-occurrence row of a pair
+    gets the same verdict — a sampled pair keeps its EXACT Jaccard, an
+    unsampled pair contributes nothing. Engine-invariant (same recipe
+    as :func:`~go_fish_spark.operators.sampling.hash_uniform`)."""
+    from .sampling import hash_uniform
+
+    return (
+        hash_uniform(
+            F.concat_ws(
+                "\x1f",
+                F.lit(seed),
+                id_a.cast("string"),
+                id_b.cast("string"),
+            )
+        )
+        < frac
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -686,6 +713,8 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.3,
     prefix_filter: bool | None = None,
+    pair_sample_frac: float | None = None,
+    pair_sample_seed: str = "pairsample",
 ) -> DataFrame:
     """Exact Jaccard over word k-shingles. Two physically different plans
     produce identical results; the right one depends on the threshold:
@@ -704,7 +733,19 @@ def ngram_jaccard_pairs(
       candidates exactly with array_intersect. At t=0.8 the prefix is
       ~20% of the index and hot shingles almost never collide — this is
       the plan that survives duplication-heavy corpora at scale.
+
+    ``pair_sample_frac`` (planning-tool mode, x100): keep each PAIR with
+    probability ``frac`` under a deterministic md5 coin on the pair key,
+    applied to the join output BEFORE the per-pair aggregation /
+    verification — the join's emit is unavoidable, but everything the
+    sweep actually pays for (co-occurrence aggregation, exact
+    verification, and the pairs × n_hashes × plans frame downstream)
+    rides the sample. Sampled pairs carry their EXACT Jaccard (the coin
+    is per-pair, never per-row), so ratio estimates over the sample are
+    unbiased; None (default) = the full pass, which stays the oracle arm.
     """
+    if pair_sample_frac is not None and not 0 < pair_sample_frac <= 1:
+        raise ValueError("pair_sample_frac must be in (0, 1]")
     if prefix_filter is None:
         prefix_filter = threshold >= 0.6
 
@@ -717,8 +758,20 @@ def ngram_jaccard_pairs(
 
     if not prefix_filter:
         a, b = inv.alias("a"), inv.alias("b")
+        joined = a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id"))
+        )
+        if pair_sample_frac is not None:
+            joined = joined.filter(
+                _pair_sample_keep(
+                    pair_sample_frac,
+                    F.col("a._id"),
+                    F.col("b._id"),
+                    pair_sample_seed,
+                )
+            )
         inter = (
-            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+            joined
             .groupBy(
                 F.col("a._id").alias("id_a"),
                 F.col("b._id").alias("id_b"),
@@ -748,11 +801,21 @@ def ngram_jaccard_pairs(
     )
 
     a, b = prefix.alias("a"), prefix.alias("b")
-    cands = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cands = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id"))
     )
+    if pair_sample_frac is not None:
+        cands = cands.filter(
+            _pair_sample_keep(
+                pair_sample_frac,
+                F.col("a._id"),
+                F.col("b._id"),
+                pair_sample_seed,
+            )
+        )
+    cands = cands.select(
+        F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+    ).dropDuplicates(["id_a", "id_b"])
 
     sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_n").alias("n_a"))
     sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), F.col("_n").alias("n_b"))
@@ -1537,6 +1600,7 @@ def group_sketch_overlap(
     k: int = 3,
     seed: int = 42,
     portable: bool = False,
+    sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise overlap ESTIMATE between whole groups (sources,
     languages, snapshots) at sketch cost — the cheap screening twin of
@@ -1561,12 +1625,23 @@ def group_sketch_overlap(
     100 TB shape: signatures are map-only array math over the corpus
     (zero shuffles); the sketch union is ONE groupBy on the bounded
     (group × n_hashes) position key with map-side combine; the pairwise
-    join runs entirely on the ≤ groups × n_hashes sketch frame."""
-    sigs = df.select(
-        F.col(group_col).alias("_g"),
-        minhash_signature(text_col, n_hashes, k, seed, portable).alias(
-            "_sig"
-        ),
+    join runs entirely on the ≤ groups × n_hashes sketch frame.
+
+    ``sig_frame``: optional pre-fitted per-document signature frame with
+    columns (group_col, _sig), computed with the SAME (n_hashes, k,
+    seed, portable) — the shared-sketch discipline (x66's shared-audit
+    pattern applied to the sketch family): a pipeline running several
+    sketch audits fits the signatures ONCE and every consumer reads the
+    materialized frame instead of re-tokenizing the corpus."""
+    sigs = (
+        sig_frame.select(F.col(group_col).alias("_g"), "_sig")
+        if sig_frame is not None
+        else df.select(
+            F.col(group_col).alias("_g"),
+            minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+                "_sig"
+            ),
+        )
     )
     m = (
         sigs.select("_g", F.posexplode("_sig").alias("_p", "_v"))
@@ -1686,19 +1761,27 @@ def fit_blocklist_sketches(
     k: int = 3,
     seed: int = 42,
     portable: bool = False,
+    sig_frame: DataFrame | None = None,
 ) -> list[list[int]]:
     """Fit arm of the streaming NEAR-dup gate (the fit-on-history /
     apply-on-stream split of x30/x43/x56/x57, upgraded from exact
     shingles to sketches): collect the BOUNDED blocklist's MinHash
     signatures driver-side. Entries with no shingles (< k tokens) are
     dropped — their sentinel signatures would match every other empty
-    doc, which is not a meaningful block."""
-    rows = (
-        blocklist.select(
+    doc, which is not a meaningful block. ``sig_frame``: optional
+    pre-fitted frame with a ``_sig`` column (same params) — the fit
+    then reads the shared signatures instead of re-hashing."""
+    src = (
+        sig_frame.select("_sig")
+        if sig_frame is not None
+        else blocklist.select(
             minhash_signature(text_col, n_hashes, k, seed, portable).alias(
                 "_sig"
             )
         )
+    )
+    rows = (
+        src
         .where(F.array_min("_sig") != _P31)  # all-sentinel = no shingles
         .collect()
     )
@@ -1764,6 +1847,8 @@ def group_sketch_turnover(
     k: int = 3,
     seed: int = 42,
     portable: bool = False,
+    old_sig_frame: DataFrame | None = None,
+    new_sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group content TURNOVER between two corpus snapshots,
     estimated at sketch cost: each group's union-shingle-set sketch is
@@ -1782,21 +1867,35 @@ def group_sketch_turnover(
     report a fake-perfect est_overlap of 1.0; see
     :func:`group_sketch_overlap`'s sentinel exclusion). 100 TB shape:
     map-only signatures per snapshot, one bounded (group × n_hashes)
-    groupBy per side, and a join on the bounded sketch frames."""
-    def sketch(df: DataFrame, side: str) -> DataFrame:
-        return (
-            df.select(
+    groupBy per side, and a join on the bounded sketch frames.
+
+    ``old_sig_frame`` / ``new_sig_frame``: optional pre-fitted per-doc
+    signature frames with columns (group_col, _sig) for the matching
+    side (same params) — a snapshot whose signatures another audit
+    already fitted (x87/x93's shared frame) is not re-hashed; a
+    transformed side (x94's edited new crawl) still computes its own."""
+    def sketch(
+        df: DataFrame, side: str, pre: DataFrame | None
+    ) -> DataFrame:
+        per_doc = (
+            pre.select(F.col(group_col).alias("_g"), "_sig")
+            if pre is not None
+            else df.select(
                 F.col(group_col).alias("_g"),
                 minhash_signature(
                     text_col, n_hashes, k, seed, portable
                 ).alias("_sig"),
             )
+        )
+        return (
+            per_doc
             .select("_g", F.posexplode("_sig").alias("_p", "_v"))
             .groupBy("_g", "_p")
             .agg(F.min("_v").alias(f"_m_{side}"))
         )
 
-    o, n = sketch(old_df, "o"), sketch(new_df, "n")
+    o = sketch(old_df, "o", old_sig_frame)
+    n = sketch(new_df, "n", new_sig_frame)
     agree = F.sum(
         F.when(F.col("_m_o") == F.col("_m_n"), 1).otherwise(0)
     )
@@ -1826,6 +1925,8 @@ def lsh_plan_sweep(
     dup_threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    sample_frac: float | None = None,
+    sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """EMPIRICAL LSH plan sweep: for every banding plan (bands ×
     rows_per_band = ``n_hashes``), what the banded MinHash index would
@@ -1853,7 +1954,19 @@ def lsh_plan_sweep(
     law as x04) + one map-only signature pass; the sweep frame is
     pairs × n_hashes × plans — bounded by the candidate-pair law, never
     corpus². Two bounded groupBys (per-band, then per-pair) and a
-    ≤ #plans-row report."""
+    ≤ #plans-row report.
+
+    ``sample_frac`` — the PLANNING mode this report should run in at
+    scale: a deterministic md5-uniform coin on the pair key (pushed
+    inside the pair pass, before its aggregation) keeps each pair with
+    probability ``frac``, so the sweep's entire downstream — exact
+    verification, the pairs × n_hashes × plans agreement frame, both
+    groupBys — costs O(sample) instead of O(all pairs). Sampled pairs
+    keep exact Jaccards, so recall / weak_catch_rate are unbiased ratio
+    estimates with binomial CI ≈ ±1.96·√(p(1−p)/n_sampled) per plan
+    row; counts scale by 1/frac. Default None = the full pass — the
+    oracle arm the sampled report is validated against (parity test:
+    ``tests/test_round8.py``)."""
     # every power-of-2 divisor of n_hashes, widest banding first
     plans = [
         (b, n_hashes // b)
@@ -1869,14 +1982,20 @@ def lsh_plan_sweep(
         "bands int, rows_per_band int, s_threshold double",
     )
     pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, k=k, threshold=min_jaccard
+        df, id_col, text_col, k=k, threshold=min_jaccard,
+        pair_sample_frac=sample_frac, pair_sample_seed="lshsweep",
     )
-    m = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(text_col, n_hashes, k, seed, portable).alias(
-            "_sig"
-        ),
-    ).select("_id", F.posexplode("_sig").alias("_p", "_v"))
+    per_doc = (
+        sig_frame.select(F.col(id_col).alias("_id"), "_sig")
+        if sig_frame is not None
+        else df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+                "_sig"
+            ),
+        )
+    )
+    m = per_doc.select("_id", F.posexplode("_sig").alias("_p", "_v"))
     a, b = m.alias("a"), m.alias("b")
     pa = (
         pairs.join(a, pairs["id_a"] == F.col("a._id"))
@@ -1989,6 +2108,7 @@ def sketch_screen_matches(
     k: int = 3,
     seed: int = 42,
     portable: bool = False,
+    sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Relational BATCH twin of :func:`neardup_hits_expr` — identical
     output ((id, n_matches) for docs agreeing with ≥ 1 blocklist sketch
@@ -2002,7 +2122,11 @@ def sketch_screen_matches(
     shuffle is allowed — same trade as x30's window-vs-threshold
     split). Position-wise equality through a join is the same predicate
     zip_with evaluates, so the two arms are result-identical (pinned in
-    tests) and share the oracle."""
+    tests) and share the oracle.
+
+    ``sig_frame``: optional pre-fitted frame with columns (id_col,
+    _sig) — same params — so a pipeline running the screen beside other
+    sketch audits hashes the corpus once (shared-sketch discipline)."""
     if not sketches:
         id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
@@ -2018,12 +2142,17 @@ def sketch_screen_matches(
         ],
         "_sk int, _p int, _v long",
     )
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(text_col, n_hashes, k, seed, portable).alias(
-            "_sig"
-        ),
-    ).select("_id", F.posexplode("_sig").alias("_p", "_v"))
+    per_doc = (
+        sig_frame.select(F.col(id_col).alias("_id"), "_sig")
+        if sig_frame is not None
+        else df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+                "_sig"
+            ),
+        )
+    )
+    sig = per_doc.select("_id", F.posexplode("_sig").alias("_p", "_v"))
     return (
         sig.join(F.broadcast(b), ["_p", "_v"])
         .groupBy("_id", "_sk")
@@ -2033,3 +2162,140 @@ def sketch_screen_matches(
         .agg(F.count(F.lit(1)).alias("n_matches"))
         .select(F.col("_id").alias(id_col), "n_matches")
     )
+
+
+def winnow_fingerprints_expr(
+    text: Column | str, k: int = 3, w: int = 4, portable: bool = False
+) -> Column:
+    """array<bigint> of WINNOWING fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every word-k-gram in
+    POSITION order, slide a window of ``w`` consecutive hashes, keep the
+    minimum of each window, dedupe. The selection guarantee that makes
+    this a dedup primitive rather than a sample: any run of ≥ w+k−1
+    shared tokens between two documents yields ≥ 1 SHARED fingerprint
+    (every length-w hash window inside the run is common to both docs,
+    and each doc picks some window minimum from it — minima of identical
+    windows are identical). Expected density 2/(w+1) of the k-gram
+    hashes, so the downstream inverted index is ~2/(w+1) the size of
+    x04's full-shingle index with a DETECTION guarantee x02's
+    probabilistic banding cannot give.
+
+    Pure array expression (zero shuffles): positional k-gram hashes are
+    let-bound once, the window mins are a transform over an index
+    sequence (O(n·w) array ops per row). Docs with ≥ 1 k-gram but fewer
+    than ``w`` of them keep their single global minimum (one window,
+    shorter than w); docs under k tokens have no k-grams → empty."""
+    hs = _shingle_hashes(text, k, portable, distinct=False)
+
+    def body(h: Column) -> Column:
+        n = F.size(h)
+        return (
+            F.when(
+                n >= w,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n - (w - 1)),
+                        lambda i: F.array_min(F.slice(h, i, w)),
+                    )
+                ),
+            )
+            .when(n >= 1, F.array(F.array_min(h)))
+            .otherwise(F.array().cast("array<bigint>"))
+        )
+
+    return _let(hs, body)
+
+
+def winnow_pair_screen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
+    guaranteed-detection screen between x04 (exact Jaccard: full shingle
+    index, exact but heaviest) and x02 (MinHash banding: cheap but
+    probabilistic recall): any pair sharing a token run of ≥ w+k−1
+    words surfaces here with certainty, at ~2/(w+1) of x04's index
+    size. The pair-count law is x04's (Σ df·(df−1)/2 over FINGERPRINT
+    frequencies), so :func:`pair_budget_estimate`'s pre-flight pricing
+    applies unchanged to the winnowed index.
+
+    Output: (id_a, id_b, n_shared BIGINT) for pairs sharing ≥
+    ``min_shared`` fingerprints, id_a < id_b.
+
+    100 TB shape: fingerprints are a per-row array expression (no
+    shuffle), ONE exchange on the fingerprint key for the inverted-index
+    self-join, map-side-combined pair counts. Hot fingerprints
+    (boilerplate runs) follow the same skew law as hot shingles — AQE
+    skew splitting plus the budget estimator are the controls."""
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            winnow_fingerprints_expr(text_col, k, w, portable)
+        ).alias("_f"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._f") == F.col("b._f"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def duck_winnow_pair_screen_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`winnow_pair_screen` (portable arm) — the
+    same md5-prefix token hashes, Horner k-gram combine in position
+    order, window minima, distinct, inverted-index join."""
+    sh_e = "th[i]"
+    for j in range(1, k):
+        sh_e = f"(({sh_e}) * {_SHINGLE_A} + th[i+{j}]) % {_P31}"
+    return f"""
+    WITH t AS (
+      SELECT {id_col} AS _id,
+             list_transform(string_split({text_col}, ' '),
+                            t -> {_DUCK_TOKEN_HASH.format(t='t')} % {_P31})
+               AS th
+      FROM {tbl}
+    ),
+    kg AS (
+      SELECT _id,
+             CASE WHEN len(th) >= {k}
+                  THEN [{sh_e} for i in range(1, len(th) - {k - 2})]
+                  ELSE CAST([] AS BIGINT[]) END AS kgh
+      FROM t
+    ),
+    fp AS (
+      SELECT _id,
+             CASE WHEN len(kgh) >= {w}
+                  THEN list_distinct([list_min(kgh[i:i+{w - 1}])
+                                      for i in range(1, len(kgh) - {w - 2})])
+                  WHEN len(kgh) >= 1 THEN [list_min(kgh)]
+                  ELSE CAST([] AS BIGINT[]) END AS f
+      FROM kg
+    ),
+    inv AS (SELECT _id, unnest(f) AS f FROM fp)
+    SELECT a._id AS id_a, b._id AS id_b, count(*) AS n_shared
+    FROM inv a JOIN inv b ON a.f = b.f AND a._id < b._id
+    GROUP BY a._id, b._id
+    HAVING count(*) >= {int(min_shared)}
+    ORDER BY id_a, id_b
+    """

@@ -550,3 +550,175 @@ def duck_bpe_merge_candidates_sql(
     FROM p GROUP BY pair
     ORDER BY n_occurrences DESC, pair LIMIT {int(top_k)}
     """
+
+
+#: ln 2 as a FIXED literal shared by both engines — evaluating ln(2.0)
+#: through each engine's libm risks a final-ulp disagreement; a literal
+#: cannot disagree.
+_LN2 = "0.6931471805599453"
+
+
+def js_divergence_matrix(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (in NATS, range [0, ln 2])
+    between the unigram distributions of every pair of groups — the
+    domain-distance matrix a mixture-design pass reads beside the
+    containment matrices: x87/x50 measure how much CONTENT two sources
+    share; this measures how differently they USE LANGUAGE (two sources
+    can share zero documents yet have near-identical unigram mixes, and
+    vice versa). Symmetric, bounded, and defined for disjoint vocabs —
+    the reasons JS is the standard corpus-drift metric over raw KL.
+
+    Decomposition that keeps it one INNER join: for P, Q with shared
+    mass only on the vocab intersection,
+
+      JS = ½·Σ_∩ [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+         + ½·ln2·[(1 − Σ_∩ p) + (1 − Σ_∩ q)]
+
+    — tokens outside the intersection contribute exactly their mass
+    × ln 2, and Σ_∩ p is an exact BIGINT ratio (intersection count /
+    total count), so only intersection tokens ever join. Disjoint pairs
+    report exactly ln 2.
+
+    Output: (g_a, g_b, n_common_tokens, js_nats DOUBLE round-9) for
+    every group pair g_a < g_b (groups with at least one token);
+    disjoint-vocab pairs included via the bounded totals frame.
+
+    100 TB shape: ONE (group, token) exchange with map-side combine to
+    the vocabulary-bounded count frame; the pair join runs on that
+    frame (output ≤ Σ_t C(df_t, 2) over GROUPS, ≤ groups²·vocab — the
+    ≤ sources² discipline of x87); totals broadcast. Cross-engine float
+    discipline: exact BIGINT→DOUBLE probability ratios, ONE fixed
+    per-token ln expression rounded to 12 and summed as decimal(27,18)
+    (order-independent), ln 2 as a shared literal, round-9 output —
+    the pagerank/x34 recipe. Mirrored by :func:`duck_js_divergence_sql`."""
+    from .dedup import _persist
+
+    u = df.select(
+        F.col(group_col).alias("_g"), F.explode(tokens(text_col)).alias("w")
+    )
+    cnt = _persist(
+        u.groupBy("_g", "w").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = _persist(cnt.groupBy("_g").agg(F.sum("_c").alias("_t")))
+    a = cnt.select(
+        F.col("_g").alias("g_a"), F.col("w").alias("w"),
+        F.col("_c").alias("_ca"),
+    ).join(
+        F.broadcast(tot.select(F.col("_g").alias("g_a"),
+                               F.col("_t").alias("_ta"))),
+        "g_a",
+    )
+    b = cnt.select(
+        F.col("_g").alias("g_b"), F.col("w").alias("w"),
+        F.col("_c").alias("_cb"),
+    ).join(
+        F.broadcast(tot.select(F.col("_g").alias("g_b"),
+                               F.col("_t").alias("_tb"))),
+        "g_b",
+    )
+    p = F.col("_ca").cast("double") / F.col("_ta").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_tb").cast("double")
+    term = p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(
+        F.lit(2.0) * q / (p + q)
+    )
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_tokens"),
+            F.sum(F.round(term, 12).cast("decimal(27,18)")).alias("_s"),
+            F.sum("_ca").alias("_ia"),
+            F.sum("_cb").alias("_ib"),
+        )
+    )
+    # every group pair from the BOUNDED totals frame, so disjoint-vocab
+    # pairs (no intersection rows) still report js = ln 2
+    ta, tb = (
+        tot.select(F.col("_g").alias("g_a"), F.col("_t").alias("_ta")),
+        tot.select(F.col("_g").alias("g_b"), F.col("_t").alias("_tb")),
+    )
+    pairs = ta.join(F.broadcast(tb), F.col("g_a") < F.col("g_b"))
+    zero = F.lit(0).cast("decimal(27,18)")
+    js = F.lit(0.5) * (
+        F.coalesce(F.col("_s"), zero).cast("double")
+        + F.expr(_LN2)
+        * (
+            (
+                F.lit(1.0)
+                - F.coalesce(F.col("_ia"), F.lit(0)).cast("double")
+                / F.col("_ta").cast("double")
+            )
+            + (
+                F.lit(1.0)
+                - F.coalesce(F.col("_ib"), F.lit(0)).cast("double")
+                / F.col("_tb").cast("double")
+            )
+        )
+    )
+    return (
+        pairs.join(inter, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            F.coalesce("n_common_tokens", F.lit(0)).alias(
+                "n_common_tokens"
+            ),
+            F.round(js, 9).alias("js_nats"),
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+def duck_js_divergence_sql(
+    table: str, group_col: str, text_col: str
+) -> str:
+    """DuckDB mirror of :func:`js_divergence_matrix` — same
+    intersection decomposition, same fixed per-token expression order,
+    same round-12 → DECIMAL(27,18) → round-9 discipline, same ln 2
+    literal."""
+    return f"""
+    WITH u AS (
+      SELECT {group_col} AS _g, unnest(string_split({text_col}, ' ')) AS w
+      FROM {table}
+    ),
+    cnt AS (SELECT _g, w, count(*) AS _c FROM u GROUP BY _g, w),
+    tot AS (SELECT _g, CAST(sum(_c) AS BIGINT) AS _t FROM cnt GROUP BY _g),
+    inter AS (
+      SELECT a._g AS g_a, b._g AS g_b,
+             count(*) AS n_common_tokens,
+             sum(CAST(round(
+               (CAST(a._c AS DOUBLE) / CAST(ta._t AS DOUBLE))
+                 * ln(2.0 * (CAST(a._c AS DOUBLE) / CAST(ta._t AS DOUBLE))
+                      / ((CAST(a._c AS DOUBLE) / CAST(ta._t AS DOUBLE))
+                         + (CAST(b._c AS DOUBLE) / CAST(tb._t AS DOUBLE))))
+               + (CAST(b._c AS DOUBLE) / CAST(tb._t AS DOUBLE))
+                 * ln(2.0 * (CAST(b._c AS DOUBLE) / CAST(tb._t AS DOUBLE))
+                      / ((CAST(a._c AS DOUBLE) / CAST(ta._t AS DOUBLE))
+                         + (CAST(b._c AS DOUBLE) / CAST(tb._t AS DOUBLE))))
+             , 12) AS DECIMAL(27,18))) AS _s,
+             CAST(sum(a._c) AS BIGINT) AS _ia,
+             CAST(sum(b._c) AS BIGINT) AS _ib
+      FROM cnt a
+      JOIN cnt b ON a.w = b.w AND a._g < b._g
+      JOIN tot ta ON ta._g = a._g
+      JOIN tot tb ON tb._g = b._g
+      GROUP BY a._g, b._g
+    )
+    SELECT ta._g AS g_a, tb._g AS g_b,
+           coalesce(i.n_common_tokens, 0) AS n_common_tokens,
+           round(0.5 * (
+             CAST(coalesce(i._s, CAST(0 AS DECIMAL(27,18))) AS DOUBLE)
+             + {_LN2} * (
+                 (1.0 - CAST(coalesce(i._ia, 0) AS DOUBLE)
+                        / CAST(ta._t AS DOUBLE))
+               + (1.0 - CAST(coalesce(i._ib, 0) AS DOUBLE)
+                        / CAST(tb._t AS DOUBLE)))
+           ), 9) AS js_nats
+    FROM tot ta
+    JOIN tot tb ON ta._g < tb._g
+    LEFT JOIN inter i ON i.g_a = ta._g AND i.g_b = tb._g
+    ORDER BY g_a, g_b
+    """

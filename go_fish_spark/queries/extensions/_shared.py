@@ -59,3 +59,57 @@ _DUCK_STOP = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
 
 
 _DUCK_EVAL = "doc_id % 97 = 0"
+
+
+# --- shared fitted MinHash signature frame (round-8 perf item) --------------
+#
+# x87 / x93 / x94(old side) / x100 all consume per-document MinHash
+# signatures of the SAME corpus at the SAME params (64 hashes, k=3,
+# seed=42, portable). Fitting them once per (session, sf_dir) and
+# persisting the slim (doc_id, source, _sig) frame is the x66
+# shared-audit pattern applied to the sketch family: every consumer
+# reads the materialized frame instead of re-tokenizing + 64×-hashing
+# the corpus. At 100 TB this frame is the signature TABLE a pipeline
+# writes once (one map-only pass) and every sketch audit scans — the
+# cache here is the session-local form of that materialization.
+
+_SIG_FRAMES: dict = {}
+
+
+def shared_doc_sigs(
+    spark,
+    sf_dir: str,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    portable: bool = True,
+):
+    """Session-cached per-document MinHash signature frame over
+    ``sf_dir``'s documents table: columns (doc_id, source, _sig), persisted
+    on first use (MEMORY_AND_DISK — ~n_hashes ints per doc, far smaller
+    than the text it replaces). Keyed by (applicationId, sf_dir, params)
+    so a new session or SF refits."""
+    from pyspark import StorageLevel
+
+    from ...catalog import table
+    from ...operators.dedup import minhash_signature
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir, n_hashes, k, seed,
+        portable,
+    )
+    frame = _SIG_FRAMES.get(key)
+    if frame is None:
+        frame = (
+            table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "source",
+                minhash_signature(
+                    "text", n_hashes, k, seed, portable
+                ).alias("_sig"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _SIG_FRAMES[key] = frame
+    return frame

@@ -472,8 +472,11 @@ def x87_group_sketch_overlap(spark, sf_dir):
     ONE bounded (source × 64) groupBy, pair join entirely on the sketch
     frame. Portable arm → integer-exact dyadic estimates, fully
     hash-checked."""
+    from ._shared import shared_doc_sigs
+
     return dedup.group_sketch_overlap(
-        table(spark, sf_dir, "documents"), "source", "text", portable=True
+        table(spark, sf_dir, "documents"), "source", "text", portable=True,
+        sig_frame=shared_doc_sigs(spark, sf_dir),
     ).orderBy("g_a", "g_b")
 
 
@@ -608,14 +611,19 @@ def x93_neardup_blocklist_screen(spark, sf_dir):
     the gate's per-row expression arm (equality-pinned in
     tests/test_dedup.py — the streaming gate keeps the pure expression,
     where no shuffle is allowed)."""
+    from ._shared import shared_doc_sigs
+
     docs = table(spark, sf_dir, "documents")
+    sigs = shared_doc_sigs(spark, sf_dir)
     is_block = F.col("doc_id") % 5 == 0
     sketches = dedup.fit_blocklist_sketches(
-        docs.filter(is_block), "text", portable=True
+        docs.filter(is_block), "text", portable=True,
+        sig_frame=sigs.filter(is_block),
     )
     return dedup.sketch_screen_matches(
         docs.filter(~is_block), "doc_id", "text", sketches,
         threshold=0.5, portable=True,
+        sig_frame=sigs.filter(~is_block),
     ).orderBy("doc_id")
 
 
@@ -670,6 +678,8 @@ def x94_source_turnover(spark, sf_dir):
     Same snapshot slices as x80 (old = %7≠0; new = %3≠0 with every 11th
     doc edited). Map-only signatures, one bounded (source × 64) groupBy
     per side, join on the sketch frames; dyadic-exact estimates."""
+    from ._shared import shared_doc_sigs
+
     docs = table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 7 != 0)
     new = docs.filter(F.col("doc_id") % 3 != 0).select(
@@ -678,8 +688,14 @@ def x94_source_turnover(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # old side = plain text → the shared fitted frame; new side has the
+    # %11 edit applied, so its signatures are genuinely different and
+    # are computed fresh
     return dedup.group_sketch_turnover(
-        old, new, "source", "text", portable=True
+        old, new, "source", "text", portable=True,
+        old_sig_frame=shared_doc_sigs(spark, sf_dir).filter(
+            F.col("doc_id") % 7 != 0
+        ),
     ).orderBy("source")
 
 
@@ -771,10 +787,12 @@ def x100_lsh_plan_sweep(spark, sf_dir):
     columns say where it sits on THIS corpus. One x04 pair pass + one
     map-only signature pass; the sweep frame is pairs × 64 × 7 plans,
     bounded by the candidate-pair law."""
+    from ._shared import shared_doc_sigs
+
     return dedup.lsh_plan_sweep(
         table(spark, sf_dir, "documents"), "doc_id", "text",
         n_hashes=64, k=3, min_jaccard=0.2, dup_threshold=0.5,
-        portable=True,
+        portable=True, sig_frame=shared_doc_sigs(spark, sf_dir),
     )
 
 
@@ -864,3 +882,26 @@ def x110_triangle_census(spark, sf_dir):
         docs, "doc_id", "text", k=3, threshold=0.3
     )
     return triangle_census(pairs)
+
+
+@query(
+    "x113_winnow_pair_screen",
+    oracle=dedup.duck_winnow_pair_screen_sql(
+        "documents", "doc_id", "text", k=3, w=4, min_shared=2
+    ),
+)
+def x113_winnow_pair_screen(spark, sf_dir):
+    """Winnowing-fingerprint near-dup screen (dedup.winnow_pair_screen,
+    the MOSS algorithm — Schleimer et al. SIGMOD'03): candidate pairs
+    sharing ≥ 2 window-minimum fingerprints of word-3-grams at window
+    w=4. The GUARANTEED-detection middle ground of the dedup family:
+    any pair sharing a ≥ w+k−1 = 6-token run surfaces with certainty
+    (x02's banding is probabilistic) while the inverted index carries
+    only ~2/(w+1) = 40% of x04's shingle keys (same pair-count law, so
+    x103's pre-flight estimate prices this join too). Per-row array
+    expression → ONE fingerprint-keyed exchange → map-side-combined
+    pair counts; integer-exact end to end."""
+    return dedup.winnow_pair_screen(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, w=4, min_shared=2, portable=True,
+    )

@@ -1035,3 +1035,29 @@ def x107_token_budget_curve(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+from ...operators.ngrams import duck_js_divergence_sql  # noqa: E402
+
+
+@query(
+    "x112_js_divergence",
+    oracle=duck_js_divergence_sql("documents", "source", "text"),
+)
+def x112_js_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions (ngrams.js_divergence_matrix) — the domain-DISTANCE
+    matrix beside the content-overlap matrices (x87 sketch overlap,
+    x50 span containment): symmetric, bounded [0, ln 2] nats, defined
+    for disjoint vocabularies. The mixture-design read: sources with
+    near-zero JS are interchangeable for sampling weights; a source
+    whose JS to every other source is high is the diversity the mix
+    must protect. ONE (source, token) exchange to the vocab-bounded
+    count frame, the pair join on that frame (≤ sources² discipline),
+    totals broadcast; intersection decomposition keeps missing-token
+    mass exact (BIGINT ratios · a shared ln 2 literal); round-12 →
+    decimal(27,18) term sums, round-9 output — fully hash-checked."""
+    from ...operators.ngrams import js_divergence_matrix
+
+    docs = table(spark, sf_dir, "documents")
+    return js_divergence_matrix(docs, "source", "text")

@@ -88,3 +88,348 @@ def test_quota_apportion_rejects_k_over_total(spark):
         r.g: r.quota for r in quota_apportion(df, ["g"], k=5).collect()
     }
     assert out == {"a": 3, "b": 2}
+
+
+def test_lsh_plan_sweep_sampled_mode_parity(spark):
+    """x100's planning mode (VERDICT r07 'Next' #2): with sample_frac
+    the sweep rides a deterministic md5-uniform pair sample instead of
+    the full x04 pair pass. Parity against the full (oracle) arm on the
+    sf0.01 corpus: per-plan sampled recall within the binomial CI
+    1.96·sqrt(p·(1−p)/n_sampled) of exact (p = exact recall), sampled
+    pair count within 3σ of frac·n_full, and the sampled report is
+    deterministic (same seed → identical rows)."""
+    import math
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators.dedup import lsh_plan_sweep
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    args = dict(n_hashes=64, k=3, min_jaccard=0.2, dup_threshold=0.5,
+                portable=True)
+    full = {
+        r.bands: r.asDict()
+        for r in lsh_plan_sweep(docs, "doc_id", "text", **args).collect()
+    }
+    frac = 0.5
+    samp = {
+        r.bands: r.asDict()
+        for r in lsh_plan_sweep(
+            docs, "doc_id", "text", sample_frac=frac, **args
+        ).collect()
+    }
+    assert set(samp) == set(full)  # every plan row present
+    n_full = next(iter(full.values()))["n_dup_pairs"]
+    n_samp = next(iter(samp.values()))["n_dup_pairs"]
+    sigma = math.sqrt(n_full * frac * (1 - frac))
+    assert abs(n_samp - frac * n_full) <= 3 * sigma + 1
+    for b, f in full.items():
+        s = samp[b]
+        p = f["recall"]
+        ci = 1.96 * math.sqrt(p * (1 - p) / max(n_samp, 1))
+        assert abs(s["recall"] - p) <= ci + 1e-9, (b, s["recall"], p, ci)
+    # deterministic: the sampled report reproduces exactly
+    again = {
+        r.bands: r.asDict()
+        for r in lsh_plan_sweep(
+            docs, "doc_id", "text", sample_frac=frac, **args
+        ).collect()
+    }
+    assert again == samp
+
+
+def test_pair_sample_is_pairkey_pure_and_plan_invariant(spark):
+    """The pair-sample coin is a pure function of (seed, id_a, id_b):
+    sampled pairs are a subset of the full pass with IDENTICAL exact
+    Jaccards, and the inverted-index and prefix-filtered plans select
+    the SAME sampled subset (the coin never depends on the physical
+    plan). frac outside (0, 1] is rejected."""
+    import pytest as _pytest
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    by_plan = []
+    for pf in (False, True):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.6, prefix_filter=pf,
+                pair_sample_frac=0.5, pair_sample_seed="planinv",
+            ).collect()
+        }
+        assert set(got) <= set(full)
+        assert all(full[k] == got[k] for k in got)
+        by_plan.append(got)
+    assert by_plan[0] == by_plan[1]
+    with _pytest.raises(ValueError, match="pair_sample_frac"):
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", pair_sample_frac=0.0
+        )
+
+
+def _hub_graph(spark):
+    """Hub-heavy synthetic: vertex 0 is a degree-20 hub (a template
+    doc), plus one genuine triangle 21-22-23. Predicted wedges:
+    hub 20·19/2 = 190, triangle vertices 1 each = 3, leaves 0 → 193.
+    Edge sum Σd = 2·23 = 46."""
+    edges = [(0, i) for i in range(1, 21)] + [(21, 22), (22, 23), (21, 23)]
+    return spark.createDataFrame(edges, "id_a int, id_b int")
+
+
+def test_wedge_budget_plan_proceed_cap_refuse(spark):
+    """The x89-histogram pre-check as an enforced decision: exact wedge
+    prediction; proceed when it fits, cap at the largest useful degree,
+    refuse when no cap buys any work."""
+    from go_fish_spark.operators.graph import wedge_budget_plan
+
+    g = _hub_graph(spark)
+    p = wedge_budget_plan(g, budget=200)
+    assert p == {
+        "action": "proceed", "predicted_wedges": 193, "max_degree": None,
+        "retained_wedges": 193, "n_capped_vertices": 0, "budget": 200,
+    }
+    p = wedge_budget_plan(g, budget=100)
+    assert p["action"] == "cap"
+    assert p["max_degree"] == 2  # largest degree whose cumsum fits
+    assert p["retained_wedges"] == 3 and p["n_capped_vertices"] == 1
+    p = wedge_budget_plan(g, budget=0)
+    assert p["action"] == "refuse" and p["retained_wedges"] == 0
+
+
+def test_triangle_census_auto_cap(spark):
+    """max_degree='auto': proceeds uncapped under a roomy budget
+    (result identical to the plain census), caps the hub under a tight
+    one (the genuine triangle survives; truncation reported), raises
+    DegreeBudgetExceeded when the budget buys nothing, and rejects
+    inconsistent arguments."""
+    from go_fish_spark.operators.graph import (
+        DegreeBudgetExceeded,
+        triangle_census,
+    )
+
+    g = _hub_graph(spark)
+    plain = triangle_census(g).collect()[0]
+    auto = triangle_census(g, max_degree="auto", wedge_budget=500)
+    assert auto.collect()[0] == plain
+    capped = triangle_census(
+        g, max_degree="auto", wedge_budget=100
+    ).collect()[0]
+    assert capped.n_triangles == 1  # the genuine triangle survives
+    assert capped.n_capped_vertices == 1  # the hub was excluded
+    with pytest.raises(DegreeBudgetExceeded, match="193 wedges"):
+        triangle_census(g, max_degree="auto", wedge_budget=0)
+    with pytest.raises(ValueError, match="requires wedge_budget"):
+        triangle_census(g, max_degree="auto")
+    with pytest.raises(ValueError, match="only applies"):
+        triangle_census(g, wedge_budget=100)
+
+
+def test_pagerank_auto_edge_budget(spark):
+    """pagerank's enforced hub discipline: the out-edge budget plan
+    binary-searches the largest integer cap (not just observed
+    degrees) whose retained edges fit; auto mode equals the explicit
+    cap it picked; refuses below one edge per node."""
+    from go_fish_spark.operators.graph import (
+        DegreeBudgetExceeded,
+        out_edge_budget_plan,
+        pagerank,
+    )
+
+    g = _hub_graph(spark)
+    nodes = spark.createDataFrame([(i,) for i in range(24)], "id int")
+    assert out_edge_budget_plan(g, budget=46)["action"] == "proceed"
+    p = out_edge_budget_plan(g, budget=30)
+    # Σ min(d, c): c=4 → 4 + 20·1 + 3·2 = 30 fits; c=5 → 31 does not
+    assert (p["action"], p["max_degree"], p["retained_edges"]) == (
+        "cap", 4, 30,
+    )
+    assert out_edge_budget_plan(g, budget=10)["action"] == "refuse"
+
+    auto = {
+        r.id: r.pr
+        for r in pagerank(
+            nodes, g, max_degree="auto", edge_budget=30
+        ).collect()
+    }
+    explicit = {
+        r.id: r.pr for r in pagerank(nodes, g, max_degree=4).collect()
+    }
+    assert auto == explicit
+    with pytest.raises(DegreeBudgetExceeded):
+        pagerank(nodes, g, max_degree="auto", edge_budget=10)
+    with pytest.raises(ValueError, match="requires edge_budget"):
+        pagerank(nodes, g, max_degree="auto")
+
+
+def test_shared_sig_frame_arms_identical(spark):
+    """The shared fitted-sketch frame (x66's shared-audit pattern on
+    the sketch family): every sketch consumer given a pre-fitted
+    (key, _sig) frame returns results IDENTICAL to its compute-inline
+    arm — the frame is a materialization, never a semantic change."""
+    from go_fish_spark.operators.dedup import (
+        fit_blocklist_sketches,
+        group_sketch_overlap,
+        group_sketch_turnover,
+        lsh_plan_sweep,
+        minhash_signature,
+        sketch_screen_matches,
+    )
+
+    rows = [
+        (1, "a", "the quick brown fox jumps over the lazy dog"),
+        (2, "a", "the quick brown fox jumps over the lazy cat"),
+        (3, "b", "the quick brown fox jumps over the lazy dog"),
+        (4, "b", "completely different text about spark engines"),
+        (5, "c", "xy"),  # sub-k tokens → sentinel signature
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    sigs = df.select(
+        "doc_id", "src",
+        minhash_signature("text", 64, 3, 42, True).alias("_sig"),
+    ).persist()
+
+    a = group_sketch_overlap(df, "src", "text", portable=True)
+    b = group_sketch_overlap(
+        df, "src", "text", portable=True, sig_frame=sigs
+    )
+    key = lambda r: (r.g_a, r.g_b)  # noqa: E731
+    assert sorted(map(tuple, a.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, b.collect()), key=lambda t: t[:2]
+    )
+
+    block = df.filter("doc_id % 2 = 0")
+    sk_direct = fit_blocklist_sketches(block, "text", portable=True)
+    sk_shared = fit_blocklist_sketches(
+        block, "text", portable=True,
+        sig_frame=sigs.filter("doc_id % 2 = 0"),
+    )
+    assert sk_direct == sk_shared
+
+    rest = df.filter("doc_id % 2 = 1")
+    m_direct = {
+        r.doc_id: r.n_matches
+        for r in sketch_screen_matches(
+            rest, "doc_id", "text", sk_direct, portable=True
+        ).collect()
+    }
+    m_shared = {
+        r.doc_id: r.n_matches
+        for r in sketch_screen_matches(
+            rest, "doc_id", "text", sk_direct, portable=True,
+            sig_frame=sigs.filter("doc_id % 2 = 1"),
+        ).collect()
+    }
+    assert m_direct == m_shared and m_direct  # non-trivial screen
+
+    t_direct = {
+        r.src: (r.est_overlap, r.turnover)
+        for r in group_sketch_turnover(
+            df, df, "src", "text", portable=True
+        ).collect()
+    }
+    t_shared = {
+        r.src: (r.est_overlap, r.turnover)
+        for r in group_sketch_turnover(
+            df, df, "src", "text", portable=True,
+            old_sig_frame=sigs, new_sig_frame=sigs,
+        ).collect()
+    }
+    assert t_direct == t_shared
+
+    s_direct = [tuple(r) for r in lsh_plan_sweep(
+        df, "doc_id", "text", min_jaccard=0.1, portable=True
+    ).collect()]
+    s_shared = [tuple(r) for r in lsh_plan_sweep(
+        df, "doc_id", "text", min_jaccard=0.1, portable=True,
+        sig_frame=sigs,
+    ).collect()]
+    assert s_direct == s_shared
+    sigs.unpersist()
+
+
+def test_js_divergence_goldens(spark):
+    """x112's operator on hand-checkable distributions: identical
+    unigram mixes → 0; disjoint vocabularies → exactly ln 2 (the
+    bounded maximum, via the intersection decomposition's totals
+    frame); a partial-overlap pair matches the formula computed
+    directly; n_common_tokens counts the vocab intersection."""
+    import math
+
+    from go_fish_spark.operators.ngrams import js_divergence_matrix
+
+    rows = [
+        ("A", "x x y"),
+        ("B", "x x y"),
+        ("C", "z w"),
+        ("D", "x z"),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {
+        (r.g_a, r.g_b): (r.n_common_tokens, r.js_nats)
+        for r in js_divergence_matrix(df, "src", "text").collect()
+    }
+    assert len(out) == 6  # all C(4,2) pairs present
+    assert out[("A", "B")] == (2, 0.0)  # identical mixes
+    assert out[("A", "C")] == (0, round(0.6931471805599453, 9))  # disjoint
+    # A = {x:2/3, y:1/3}, D = {x:1/2, z:1/2}: only x intersects
+    p, q = 2 / 3, 1 / 2
+    inner = round(
+        p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q)), 12
+    )
+    expect = round(
+        0.5 * (inner + 0.6931471805599453 * ((1 - p) + (1 - q))), 9
+    )
+    n, js = out[("A", "D")]
+    assert n == 1 and abs(js - expect) < 2e-9, (js, expect)
+
+
+def test_winnow_detection_guarantee_and_density(spark):
+    """x113's operator: the winnowing guarantee — ANY pair sharing a
+    run of ≥ w+k−1 tokens shares ≥ 1 fingerprint — holds on a
+    constructed corpus (shared 6-token run inside otherwise-different
+    docs, k=3, w=4); unrelated docs share none; the fingerprint set is
+    far smaller than the full k-gram set (the ~2/(w+1) density that
+    makes the screen cheap); short docs keep one global-min
+    fingerprint."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.operators.dedup import (
+        winnow_fingerprints_expr,
+        winnow_pair_screen,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    rows = [
+        (1, f"one two three {run} four five six"),
+        (2, f"seven eight nine ten {run} eleven twelve"),
+        (3, "completely unrelated words with nothing in common here"),
+        (4, "tiny doc"),  # < k tokens → no fingerprints
+        (5, "just four little words"),  # ≥k, < w k-grams → global min
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_pair_screen(
+            df, "doc_id", "text", k=3, w=4, portable=True
+        ).collect()
+    }
+    assert (1, 2) in pairs  # the guarantee
+    assert all({a, b} == {1, 2} for a, b in pairs)  # and nothing else
+
+    fp = df.select(
+        "doc_id",
+        F.size(winnow_fingerprints_expr("text", 3, 4, True)).alias("nf"),
+        (F.size(F.split("text", " ")) - 2).alias("nk"),
+    ).collect()
+    by_id = {r.doc_id: r for r in fp}
+    assert by_id[4].nf == 0
+    assert by_id[5].nf == 1  # single global minimum
+    for i in (1, 2, 3):  # strictly sparser than the k-gram sequence
+        assert 0 < by_id[i].nf < by_id[i].nk

@@ -1664,3 +1664,85 @@ def test_s2s_state_survives_checkpointed_restart(spark, tmp_path):
     )
     drain()  # a NEW query object, same checkpoint
     assert emitted() == {2: "user/Bob", 5: "user/Bob"}
+
+
+def test_stream_pit_features_vs_batch(spark, tmp_path):
+    """q92's streaming arm (pit_feature_stream): features maintained
+    incrementally across THREE micro-batches under the cutoff
+    discipline equal the batch q92 feature computation row-for-row —
+    and post-cutoff rows (including a purchase inside the label
+    window) provably never leak into any emission. The latest emission
+    per user is the one with the largest n_events_before (the count is
+    strictly increasing), and total_value matches the batch
+    round-12 → decimal → round-6 discipline exactly."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.streaming import sources
+    from go_fish_spark.streaming.stateful import pit_feature_stream
+
+    cutoff = "2024-01-21 00:00:00"
+    pre = [
+        # user 1: three events, two types, fractional values
+        (1, "2024-01-02 10:00:00", "view", 1.05),
+        (1, "2024-01-10 09:30:00", "view", 2.345678901234),
+        (1, "2024-01-19 23:59:59", "cart", 0.1),
+        # user 2: one event, NULL value
+        (2, "2024-01-15 12:00:00", "view", None),
+        # user 3: events split across different files/batches
+        (3, "2024-01-01 00:00:00", "view", 10.0),
+        (3, "2024-01-20 08:00:00", "purchase", 5.5),
+    ]
+    post = [  # label-window rows: MUST NOT touch the features
+        (1, "2024-01-22 10:00:00", "purchase", 100.0),
+        (3, "2024-01-25 10:00:00", "view", 999.0),
+        (4, "2024-01-23 10:00:00", "view", 1.0),  # post-cutoff-only user
+    ]
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    batch = spark.createDataFrame(
+        pre + post, "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    feat = (
+        batch.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_before"),
+            F.countDistinct("event_type").alias("n_types_before"),
+            F.datediff(
+                F.lit("2024-01-21").cast("date"),
+                F.max(F.col("ts").cast("date")),
+            ).cast("int").alias("recency_days"),
+            F.sum(F.round(F.col("value"), 12).cast("decimal(27,18)"))
+            .cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id", "n_events_before", "n_types_before",
+            "recency_days", F.round("total_value", 6).alias("total_value"),
+        )
+    )
+    batch_rows = {r.user_id: tuple(r) for r in feat.collect()}
+    assert set(batch_rows) == {1, 2, 3}  # user 4 has no pre-cutoff rows
+
+    indir = tmp_path / "pit_in"
+    rows = [
+        dict(user_id=u, ts=t, event_type=e, value=v)
+        for u, t, e, v in pre + post
+    ]
+    # three files → three micro-batches: state must carry across them
+    write_events(indir, rows[:2], fname="b0.json")
+    write_events(indir, rows[2:5], fname="b1.json")
+    write_events(indir, rows[5:], fname="b2.json")
+    stream = sources.json_stream(
+        spark, str(indir), schema, max_files_per_trigger=1
+    )
+    run_to_memory(pit_feature_stream(stream, cutoff), "pit_out")
+    emitted = spark.sql("SELECT * FROM pit_out").collect()
+    # no emission may reflect post-cutoff data: user 4 never appears
+    assert all(r.user_id != 4 for r in emitted)
+    latest = {}
+    for r in emitted:  # n_events_before strictly increases per user
+        if (
+            r.user_id not in latest
+            or r.n_events_before > latest[r.user_id].n_events_before
+        ):
+            latest[r.user_id] = r
+    assert {u: tuple(r) for u, r in latest.items()} == batch_rows
