@@ -202,6 +202,8 @@ HEADLINE = [
     # round 8
     "x112_js_divergence",
     "x113_winnow_pair_screen",
+    "x114_source_kl",
+    "x115_sorted_neighborhood",
 ]
 
 

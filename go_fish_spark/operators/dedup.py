@@ -2299,3 +2299,132 @@ def duck_winnow_pair_screen_sql(
     HAVING count(*) >= {int(min_shared)}
     ORDER BY id_a, id_b
     """
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    key_len: int = 20,
+    threshold: float = 0.3,
+    k: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD'95 — the
+    classic record-linkage blocking strategy): sort the corpus by a
+    normalized sort key (here the first ``key_len`` chars of the
+    lowercase/alnum-collapsed text), slide a window of ``window`` over
+    the GLOBAL order, verify only rank-adjacent pairs with exact
+    word-k-shingle Jaccard. The third blocking discipline of the dedup
+    family, with a different guarantee again: x04 indexes content
+    (finds any shingle overlap, heaviest), x113 windows hashes (finds
+    shared runs, guaranteed), this sorts keys — candidates are bounded
+    at EXACTLY n·window regardless of duplication skew (no hot-shingle
+    blowup is possible, the property the other two buy with estimators
+    and caps), at the cost of missing pairs whose prefixes diverge
+    (documented recall trade; the multi-pass multi-key variant is the
+    standard remedy).
+
+    Output: (id_a, id_b, jaccard) for rank-window pairs with exact
+    Jaccard ≥ ``threshold``, id_a < id_b, ordered.
+
+    100 TB shape: the global order comes from
+    :func:`~go_fish_spark.operators.sampling.value_bucketed_rank`
+    (bounded first-character buckets → broadcast offsets; NO
+    single-task window), the window join is ``window`` equi-joins on
+    rank+d (explode d — a range join rewritten as equi), and exact
+    verification touches exactly n·window candidate pairs."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from .sampling import value_bucketed_rank
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(norm, 1, key_len).alias("_key"),
+        word_shingles(text_col, k).alias("_sh"),
+    )
+    ranked = _persist(
+        value_bucketed_rank(
+            base, F.substring("_key", 1, 1), ["_key", "_id"], out="_r"
+        ).select("_id", "_r", "_sh")
+    )
+    d = df.sparkSession.range(1, window + 1).select(
+        F.col("id").alias("_d")
+    )
+    a = ranked.select(
+        F.col("_id").alias("_ida"), F.col("_r").alias("_ra"),
+        F.col("_sh").alias("_sha"),
+    ).crossJoin(F.broadcast(d))
+    b = ranked.select(
+        F.col("_id").alias("_idb"), F.col("_r").alias("_rb"),
+        F.col("_sh").alias("_shb"),
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    denom = F.size("_sha") + F.size("_shb") - inter
+    # two adjacent sub-k-token docs have empty shingle sets → 0/0 under
+    # ANSI would kill the job; NULL jaccard drops the pair instead
+    jac = F.when(denom > 0, inter / denom)
+    return (
+        a.join(b, F.col("_ra") + F.col("_d") == F.col("_rb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(
+            (F.col("jaccard") >= threshold)
+            & F.col("jaccard").isNotNull()
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def duck_sorted_neighborhood_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    key_len: int = 20,
+    threshold: float = 0.3,
+) -> str:
+    """DuckDB mirror of :func:`sorted_neighborhood_pairs` (k=3) — same
+    normalized sort key, same (key, id) total order via row_number, a
+    range join on the rank gap, the same exact-Jaccard verification."""
+    from ..queries.extensions._shared import _DUCK_SHINGLES
+
+    return f"""
+    WITH r AS (
+      SELECT {id_col} AS _id,
+             row_number() OVER (
+               ORDER BY substr(trim(regexp_replace(lower({text_col}),
+                                     '[^a-z0-9]+', ' ', 'g')),
+                        1, {int(key_len)}),
+                        {id_col}
+             ) AS _r
+      FROM {tbl}
+    ),
+    s AS (
+      SELECT {id_col} AS _id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws
+            FROM {tbl})
+    ),
+    cand AS (
+      SELECT a._id AS ia, b._id AS ib
+      FROM r a JOIN r b ON b._r - a._r BETWEEN 1 AND {int(window)}
+    )
+    SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+           CASE WHEN len(sa.sh) + len(sb.sh)
+                     - len(list_intersect(sa.sh, sb.sh)) > 0
+                THEN len(list_intersect(sa.sh, sb.sh))
+                     / (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)))
+           END AS jaccard
+    FROM cand
+    JOIN s sa ON sa._id = cand.ia
+    JOIN s sb ON sb._id = cand.ib
+    WHERE jaccard >= {threshold} AND jaccard IS NOT NULL
+    ORDER BY id_a, id_b
+    """

@@ -722,3 +722,88 @@ def duck_js_divergence_sql(
     LEFT JOIN inter i ON i.g_a = ta._g AND i.g_b = tb._g
     ORDER BY g_a, g_b
     """
+
+
+def source_kl_to_corpus(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group KL divergence (nats) from the group's unigram
+    distribution to the WHOLE corpus's — the asymmetric companion to
+    :func:`js_divergence_matrix`: JS says how far two sources are from
+    each other; this says how far each source is from the mix it is
+    part of, the number a temperature/mix-rebalance pass (x33/x48)
+    reads to decide which sources the blended distribution is actually
+    under-serving. KL(P_g ‖ P_corpus) is always defined here because
+    the corpus distribution dominates every group's (every group token
+    IS a corpus token — no smoothing needed).
+
+    Output: (group, n_tokens BIGINT, n_distinct_tokens BIGINT, kl_nats
+    DOUBLE round-9), ordered by group.
+
+    100 TB shape: ONE (group, token) exchange with map-side combine;
+    the corpus distribution is the SAME frame re-aggregated by token
+    (vocabulary-bounded), joined back onto the group counts; totals
+    broadcast. Float discipline: exact BIGINT→DOUBLE ratios, one fixed
+    per-token expression rounded to 12, summed as decimal(27,18),
+    round-9 output. Mirrored by :func:`duck_source_kl_sql`."""
+    from .dedup import _persist
+
+    u = df.select(
+        F.col(group_col).alias("_g"), F.explode(tokens(text_col)).alias("w")
+    )
+    cnt = _persist(
+        u.groupBy("_g", "w").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    gtot = cnt.groupBy("_g").agg(F.sum("_c").alias("_t"))
+    wcnt = cnt.groupBy("w").agg(F.sum("_c").alias("_cw"))
+    ctot = cnt.groupBy().agg(F.sum("_c").alias("_ct"))
+    p = F.col("_c").cast("double") / F.col("_t").cast("double")
+    c = F.col("_cw").cast("double") / F.col("_ct").cast("double")
+    term = p * F.log(p / c)
+    return (
+        cnt.join(F.broadcast(gtot), "_g")
+        .join(wcnt, "w")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.max("_t").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(
+                F.sum(F.round(term, 12).cast("decimal(27,18)")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("kl_nats"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def duck_source_kl_sql(table: str, group_col: str, text_col: str) -> str:
+    """DuckDB mirror of :func:`source_kl_to_corpus` — same count
+    frames, same fixed per-token expression, same round-12 →
+    DECIMAL(27,18) → round-9 discipline."""
+    return f"""
+    WITH u AS (
+      SELECT {group_col} AS _g, unnest(string_split({text_col}, ' ')) AS w
+      FROM {table}
+    ),
+    cnt AS (SELECT _g, w, count(*) AS _c FROM u GROUP BY _g, w),
+    gtot AS (SELECT _g, CAST(sum(_c) AS BIGINT) AS _t FROM cnt GROUP BY _g),
+    wcnt AS (SELECT w, CAST(sum(_c) AS BIGINT) AS _cw FROM cnt GROUP BY w),
+    ctot AS (SELECT CAST(sum(_c) AS BIGINT) AS _ct FROM cnt)
+    SELECT cnt._g AS {group_col},
+           max(gtot._t) AS n_tokens,
+           count(*) AS n_distinct_tokens,
+           round(CAST(sum(CAST(round(
+             (CAST(cnt._c AS DOUBLE) / CAST(gtot._t AS DOUBLE))
+               * ln((CAST(cnt._c AS DOUBLE) / CAST(gtot._t AS DOUBLE))
+                    / (CAST(wcnt._cw AS DOUBLE) / CAST(ctot._ct AS DOUBLE)))
+           , 12) AS DECIMAL(27,18))) AS DOUBLE), 9) AS kl_nats
+    FROM cnt
+    JOIN gtot ON gtot._g = cnt._g
+    JOIN wcnt ON wcnt.w = cnt.w
+    CROSS JOIN ctot
+    GROUP BY cnt._g
+    ORDER BY {group_col}
+    """

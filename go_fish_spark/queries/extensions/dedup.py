@@ -905,3 +905,25 @@ def x113_winnow_pair_screen(spark, sf_dir):
         table(spark, sf_dir, "documents"), "doc_id", "text",
         k=3, w=4, min_shared=2, portable=True,
     )
+
+
+@query(
+    "x115_sorted_neighborhood",
+    oracle=dedup.duck_sorted_neighborhood_sql(
+        "documents", "doc_id", "text", window=3, key_len=20, threshold=0.3
+    ),
+)
+def x115_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (dedup.sorted_neighborhood_pairs —
+    Hernández & Stolfo's SNM): rank the corpus by a normalized 20-char
+    prefix key (value_bucketed_rank — NO single-task window), verify
+    exact word-3-shingle Jaccard on rank-window pairs (w=3). The
+    blocking strategy whose candidate count is EXACTLY n·w regardless
+    of duplication skew — the property x04/x113 buy with estimators and
+    caps — traded against prefix-divergence recall (multi-key passes
+    are the standard remedy). Range join rewritten as w equi-joins on
+    rank+d; verification bounded at n·w pairs; hash-checked."""
+    return dedup.sorted_neighborhood_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        window=3, key_len=20, threshold=0.3,
+    )

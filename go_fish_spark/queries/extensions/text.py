@@ -1061,3 +1061,27 @@ def x112_js_divergence(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return js_divergence_matrix(docs, "source", "text")
+
+
+from ...operators.ngrams import duck_source_kl_sql  # noqa: E402
+
+
+@query(
+    "x114_source_kl",
+    oracle=duck_source_kl_sql("documents", "source", "text"),
+)
+def x114_source_kl(spark, sf_dir):
+    """Per-source KL divergence to the corpus unigram distribution
+    (ngrams.source_kl_to_corpus) — the asymmetric companion to x112's
+    pairwise JS matrix, and the mix-design read beside x31/x33/x48: a
+    source with high KL to the blend is the one the mixture
+    under-serves (its tokens are rare in the mix), the signal a
+    temperature/rebalance pass uses to protect diversity. Always
+    defined (the corpus distribution dominates every source's — no
+    smoothing), ONE (source, token) exchange, corpus stats are the same
+    frame re-aggregated, totals broadcast; round-12 → decimal term
+    sums, round-9 output — fully hash-checked."""
+    from ...operators.ngrams import source_kl_to_corpus
+
+    docs = table(spark, sf_dir, "documents")
+    return source_kl_to_corpus(docs, "source", "text")

@@ -433,3 +433,111 @@ def test_winnow_detection_guarantee_and_density(spark):
     assert by_id[5].nf == 1  # single global minimum
     for i in (1, 2, 3):  # strictly sparser than the k-gram sequence
         assert 0 < by_id[i].nf < by_id[i].nk
+
+
+def test_source_kl_goldens(spark):
+    """x114's operator: a group distributed exactly like the corpus has
+    KL 0; a skewed group matches the hand formula; KL is always
+    defined (corpus dominates every group)."""
+    import math
+
+    from go_fish_spark.operators.ngrams import source_kl_to_corpus
+
+    # A and B identical mixes -> corpus mix equals both -> KL = 0
+    df = spark.createDataFrame(
+        [("A", "x x y"), ("B", "x x y")], "src string, text string"
+    )
+    out = {r.src: r for r in source_kl_to_corpus(df, "src", "text").collect()}
+    assert out["A"].kl_nats == 0.0 and out["B"].kl_nats == 0.0
+    assert out["A"].n_tokens == 3 and out["A"].n_distinct_tokens == 2
+
+    # skewed: A = {x:1}, B = {x:1/3, y:2/3}; corpus = {x:4/6, y:2/6}
+    df2 = spark.createDataFrame(
+        [("A", "x x x"), ("B", "x y y")], "src string, text string"
+    )
+    out2 = {
+        r.src: r.kl_nats
+        for r in source_kl_to_corpus(df2, "src", "text").collect()
+    }
+    kl_a = round(round(1.0 * math.log(1.0 / (4 / 6)), 12), 9)
+    t1 = round((1 / 3) * math.log((1 / 3) / (4 / 6)), 12)
+    t2 = round((2 / 3) * math.log((2 / 3) / (2 / 6)), 12)
+    assert abs(out2["A"] - kl_a) < 2e-9
+    assert abs(out2["B"] - round(t1 + t2, 9)) < 2e-9
+
+
+def test_sorted_neighborhood_goldens(spark):
+    """x115's operator: rank-adjacent near-identical docs (shared
+    normalized prefix) are found with their exact Jaccard; docs beyond
+    the rank window are not candidates even when similar (the
+    documented SNM recall trade); candidate count is bounded by n·w."""
+    from go_fish_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "Alpha beta gamma delta epsilon one two three"),
+        (2, "alpha beta gamma delta epsilon one two four"),
+        # same prefix family but pushed out of the window by 3+2i docs
+        (10, "alpha beta gamma delta epsilon one two five"),
+        (3, "alpha middle filler text completely different body here"),
+        (4, "alpha middle filler text completely different body there"),
+        (5, "zzz unrelated content entirely on its own planet"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=1, threshold=0.2
+        ).collect()
+    }
+    # window=1: only rank-adjacent pairs verify. Sort key order:
+    # 1/2/10 share 'alpha beta gamma delta e'[:20]; ids break the tie
+    # -> ranks 1,2,10 adjacent: (1,2) and (2,10) qualify, (1,10) not.
+    assert (1, 2) in out and (2, 10) in out and (1, 10) not in out
+    assert (3, 4) in out  # the second prefix family
+    assert all(v >= 0.2 for v in out.values())
+    wide = sorted_neighborhood_pairs(
+        df, "doc_id", "text", window=5, threshold=0.0
+    ).collect()
+    assert len(wide) <= 6 * 5  # n·w hard bound
+    assert {(r.id_a, r.id_b) for r in wide} >= set(out)
+
+
+def test_sorted_neighborhood_empty_shingle_pairs_dropped(spark):
+    """Two adjacent sub-k-token docs (empty shingle sets) must not kill
+    the job under ANSI (0/0) — the pair is dropped via NULL jaccard, in
+    both engines."""
+    import duckdb
+
+    from go_fish_spark.operators.dedup import (
+        duck_sorted_neighborhood_sql,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "aa bb"), (2, "aa bb"),  # identical, but < k=3 tokens
+        (3, "one two three four five"),
+        (4, "one two three four six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=3, threshold=0.0
+        ).collect()
+    }
+    assert (1, 2) not in out  # dropped, not crashed
+    assert (3, 4) in out
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        "(1, 'aa bb'), (2, 'aa bb'), "
+        "(3, 'one two three four five'), (4, 'one two three four six')"
+        ") t(doc_id, text)"
+    )
+    drows = {
+        (r[0], r[1])
+        for r in con.execute(
+            duck_sorted_neighborhood_sql("docs", "doc_id", "text", 3, 20, 0.0)
+        ).fetchall()
+    }
+    assert drows == out
