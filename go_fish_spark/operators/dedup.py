@@ -736,12 +736,16 @@ def ngram_jaccard_pairs(
 
     ``pair_sample_frac`` (planning-tool mode, x100): keep each PAIR with
     probability ``frac`` under a deterministic md5 coin on the pair key,
-    applied to the join output BEFORE the per-pair aggregation /
-    verification — the join's emit is unavoidable, but everything the
-    sweep actually pays for (co-occurrence aggregation, exact
-    verification, and the pairs × n_hashes × plans frame downstream)
-    rides the sample. Sampled pairs carry their EXACT Jaccard (the coin
-    is per-pair, never per-row), so ratio estimates over the sample are
+    applied ONCE PER DISTINCT PAIR — after the co-occurrence aggregation
+    on the inverted plan, after candidate dedup (before exact
+    verification) on the prefix plan. Measured (SCALE.md round 8): an
+    earlier pre-aggregation placement paid one md5 per CO-OCCURRENCE row
+    and saved nothing — the coin cost what the aggregation it skipped
+    cost — so the coin now runs on the bounded pair frame, where it is
+    ~free, and everything downstream of it (prefix-plan exact
+    verification, and the sweep's pairs × n_hashes × plans frame) rides
+    the sample. Sampled pairs carry their EXACT Jaccard (the coin is
+    per-pair, never per-row), so ratio estimates over the sample are
     unbiased; None (default) = the full pass, which stays the oracle arm.
     """
     if pair_sample_frac is not None and not 0 < pair_sample_frac <= 1:
@@ -758,20 +762,12 @@ def ngram_jaccard_pairs(
 
     if not prefix_filter:
         a, b = inv.alias("a"), inv.alias("b")
-        joined = a.join(
-            b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id"))
-        )
-        if pair_sample_frac is not None:
-            joined = joined.filter(
-                _pair_sample_keep(
-                    pair_sample_frac,
-                    F.col("a._id"),
-                    F.col("b._id"),
-                    pair_sample_seed,
-                )
-            )
         inter = (
-            joined
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
             .groupBy(
                 F.col("a._id").alias("id_a"),
                 F.col("b._id").alias("id_b"),
@@ -780,6 +776,16 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count(F.lit(1)).alias("inter"))
         )
+        if pair_sample_frac is not None:
+            # per DISTINCT pair — one md5 per pair, not per co-occurrence
+            inter = inter.filter(
+                _pair_sample_keep(
+                    pair_sample_frac,
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    pair_sample_seed,
+                )
+            )
         jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
         return (
             inter.withColumn("jaccard", jac)
@@ -801,21 +807,26 @@ def ngram_jaccard_pairs(
     )
 
     a, b = prefix.alias("a"), prefix.alias("b")
-    cands = a.join(
-        b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id"))
+    cands = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     if pair_sample_frac is not None:
+        # per DISTINCT candidate — the exact verification below (the
+        # prefix plan's expensive stage) rides the sample
         cands = cands.filter(
             _pair_sample_keep(
                 pair_sample_frac,
-                F.col("a._id"),
-                F.col("b._id"),
+                F.col("id_a"),
+                F.col("id_b"),
                 pair_sample_seed,
             )
         )
-    cands = cands.select(
-        F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
-    ).dropDuplicates(["id_a", "id_b"])
 
     sa = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_n").alias("n_a"))
     sb = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), F.col("_n").alias("n_b"))
