@@ -1968,12 +1968,15 @@ def lsh_plan_sweep(
     ≤ #plans-row report.
 
     ``sample_frac`` — the PLANNING mode this report should run in at
-    scale: a deterministic md5-uniform coin on the pair key (pushed
-    inside the pair pass, before its aggregation) keeps each pair with
-    probability ``frac``, so the sweep's entire downstream — exact
-    verification, the pairs × n_hashes × plans agreement frame, both
-    groupBys — costs O(sample) instead of O(all pairs). Sampled pairs
-    keep exact Jaccards, so recall / weak_catch_rate are unbiased ratio
+    scale: a deterministic md5-uniform coin on the pair key, evaluated
+    once per DISTINCT pair (after the pair pass's aggregation — the
+    measured placement, SCALE.md round 8: a per-co-occurrence-row coin
+    saved nothing), keeps each pair with probability ``frac``, so
+    everything downstream of the pair pass — the pairs × n_hashes ×
+    plans agreement frame and both sweep groupBys — costs O(sample)
+    instead of O(all pairs). The pair pass itself still runs in full
+    (price IT with x103 before running anything). Sampled pairs keep
+    exact Jaccards, so recall / weak_catch_rate are unbiased ratio
     estimates with binomial CI ≈ ±1.96·√(p(1−p)/n_sampled) per plan
     row; counts scale by 1/frac. Default None = the full pass — the
     oracle arm the sampled report is validated against (parity test:

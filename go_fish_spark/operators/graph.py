@@ -428,22 +428,43 @@ class DegreeBudgetExceeded(ValueError):
     the caller can re-budget (x103's pattern: price it, then decide)."""
 
 
-def _degree_counts(pairs: DataFrame, src_col: str, dst_col: str):
-    """(degree, n_nodes) rows of the canonicalized undirected graph —
-    the SAME degree definition :func:`triangle_census`'s cap tests
-    (distinct neighbors, self-loops dropped) and the same frame x89
-    buckets. Driver-side list, bounded by the number of DISTINCT degree
-    values (≤ max degree, not ≤ nodes) — the collect that makes the
-    pre-check cheap."""
-    e = (
-        pairs.select(
-            F.least(src_col, dst_col).alias("a"),
-            F.greatest(src_col, dst_col).alias("b"),
+def _degree_counts(
+    pairs: DataFrame, src_col: str, dst_col: str,
+    keep_self_loops: bool = False,
+):
+    """(degree, n_nodes) rows of the symmetrized undirected graph.
+    Driver-side list, bounded by the number of DISTINCT degree values
+    (≤ max degree, not ≤ nodes) — the collect that makes the pre-check
+    cheap. ``keep_self_loops=False`` matches :func:`triangle_census`'s
+    degree definition (canonicalized, (v,v) dropped);
+    ``keep_self_loops=True`` reproduces :func:`pagerank`'s adjacency
+    construction EXACTLY (union both directions, dropDuplicates — a
+    self-loop survives as one out-edge), so the edge-budget plan prices
+    the same edges the iteration will join."""
+    if keep_self_loops:
+        adj = (
+            pairs.select(
+                F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+            )
+            .union(
+                pairs.select(
+                    F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                )
+            )
+            .dropDuplicates(["a", "b"])
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    adj = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    else:
+        e = (
+            pairs.select(
+                F.least(src_col, dst_col).alias("a"),
+                F.greatest(src_col, dst_col).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        adj = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
     deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
     rows = (
         deg.groupBy("_d").agg(F.count(F.lit(1)).alias("_n")).collect()
@@ -527,10 +548,12 @@ def out_edge_budget_plan(
     iteration joins the symmetrized adjacency once, so work ∝ retained
     out-edges; an out-degree cap ``c`` keeps min(d, c) edges per node,
     retained(c) = Σ n_d·min(d, c). "refuse" when even cap=1 (one edge
-    per non-isolated node) exceeds the budget."""
+    per non-isolated node) exceeds the budget. Degrees are computed
+    from pagerank's OWN adjacency construction (self-loops kept), so
+    the prediction prices exactly the edges the iteration joins."""
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    counts = _degree_counts(pairs, src_col, dst_col)
+    counts = _degree_counts(pairs, src_col, dst_col, keep_self_loops=True)
     predicted = sum(n * d for d, n in counts)
     if predicted <= budget:
         return {

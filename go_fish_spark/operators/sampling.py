@@ -791,20 +791,10 @@ def quota_apportion(
         F.count(F.lit(1)).alias("n_docs")
     )
     tot = cells.groupBy().agg(F.sum("n_docs").alias("_tot"))
-    # enforce the documented precondition — with k > total rows,
-    # floor(k*n/total) can exceed a cell's n_docs and the downstream
-    # per-stratum selection silently under-fills. One 1-row scalar
-    # check; fail loudly instead.
-    total_rows = (tot.first() or {"_tot": None})["_tot"] or 0
-    if k > total_rows:
-        raise ValueError(
-            f"quota_apportion: k={k} exceeds total rows={total_rows}; "
-            "a quota can then exceed its cell's population and the "
-            "per-stratum selection cannot fill it"
-        )
     c = cells.crossJoin(F.broadcast(tot)).select(
         *strata_cols,
         "n_docs",
+        "_tot",
         F.expr(f"({k} * n_docs) div _tot").alias("_base"),
         F.expr(f"({k} * n_docs) % _tot").alias("_rem"),
     )
@@ -814,18 +804,32 @@ def quota_apportion(
         (F.lit(k) - F.sum("_base")).alias("_left")
     )
     w = Window.orderBy(F.col("_rem").desc(), *[F.col(s) for s in strata_cols])
+    # enforce the documented k ≤ total precondition LAZILY (no extra
+    # scan — the eager scalar check cost a full second strata pass):
+    # every output row carries _tot, so the guard rides the same plan
+    # and fires on first evaluation when violated.
+    quota = F.col("_base") + F.when(
+        F.col("_rk") <= F.col("_left"), 1
+    ).otherwise(0)
+    guarded = F.when(
+        F.lit(k) > F.col("_tot"),
+        F.raise_error(
+            F.format_string(
+                "quota_apportion: k=%s exceeds total rows=%s; a quota "
+                "can then exceed its cell's population and the "
+                "per-stratum selection cannot fill it",
+                F.lit(str(k)),
+                F.col("_tot").cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(quota.cast("int"))
     return (
         c.withColumn("_rk", F.row_number().over(w))
         .crossJoin(F.broadcast(leftover))
         .select(
             *strata_cols,
             "n_docs",
-            (
-                F.col("_base")
-                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
-            )
-            .cast("int")
-            .alias("quota"),
+            guarded.alias("quota"),
         )
         .orderBy(*strata_cols)
     )

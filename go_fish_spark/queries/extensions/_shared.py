@@ -98,6 +98,14 @@ def shared_doc_sigs(
         spark.sparkContext.applicationId, sf_dir, n_hashes, k, seed,
         portable,
     )
+    # evict entries from other (dead) sessions so a long-lived process
+    # that cycles SparkSessions never accumulates persisted frames —
+    # the cache is bounded to the LIVE application's SF dirs
+    for stale in [k_ for k_ in _SIG_FRAMES if k_[0] != key[0]]:
+        try:
+            _SIG_FRAMES.pop(stale).unpersist()
+        except Exception:
+            pass
     frame = _SIG_FRAMES.get(key)
     if frame is None:
         frame = (

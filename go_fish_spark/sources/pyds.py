@@ -252,11 +252,15 @@ class _AuditWriterMixin:
 class _AuditBatchWriter(_AuditWriterMixin, DataSourceWriter):
     """Batch commits publish under a UNIQUE per-job suffix (uuid chosen
     once in ``writer()``, driver-side), so ``mode("append")`` stacks
-    commits instead of silently replacing the previous one — the
-    per-suffix stale cleanup in ``_publish`` then only ever removes
-    partial leftovers of THIS job's own crashed publish, never another
-    commit's rows. ``mode("overwrite")`` additionally clears every
-    previously published part file and manifest before publishing."""
+    commits instead of silently replacing the previous one. A commit is
+    COMPLETE only once its ``_manifest-<suffix>.json`` exists (written
+    last in ``_publish``), so a driver crash mid-publish leaves part
+    files with no manifest — the next commit() removes exactly those
+    ORPHANED suffixes before publishing (single-writer directory, the
+    same assumption every manifest-last sink makes), which is what keeps
+    readers that glob ``part-*.jsonl`` from double-counting a crashed
+    job's partial rows. ``mode("overwrite")`` clears every previously
+    published part file and manifest before publishing."""
 
     def __init__(self, options, overwrite: bool):
         _AuditWriterMixin.__init__(self, options)
@@ -264,13 +268,24 @@ class _AuditBatchWriter(_AuditWriterMixin, DataSourceWriter):
         self.suffix = f"b{_uuid.uuid4().hex[:12]}"
 
     def commit(self, messages) -> None:
-        if self.overwrite:
-            import glob as _glob
+        import glob as _glob
+        import re as _re
 
+        if self.overwrite:
             for old in _glob.glob(
                 _os.path.join(self.path, "part-*.jsonl")
             ) + _glob.glob(_os.path.join(self.path, "_manifest-*.json")):
                 _os.remove(old)
+        else:
+            # drop orphans of crashed batch publishes: part files whose
+            # suffix never got its manifest (manifest is written LAST)
+            for f in _glob.glob(_os.path.join(self.path, "part-b*.jsonl")):
+                m = _re.match(r"part-(b[0-9a-f]+)-\d+\.jsonl$",
+                              _os.path.basename(f))
+                if m and not _os.path.exists(
+                    _os.path.join(self.path, f"_manifest-{m.group(1)}.json")
+                ):
+                    _os.remove(f)
         self._publish(messages, self.suffix)
 
 

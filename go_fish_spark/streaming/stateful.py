@@ -411,7 +411,12 @@ def pit_feature_stream(
         rows = pd.concat(list(pdfs))
         for row in rows.itertuples(index=False):
             st["n"] += 1
-            types.add(getattr(row, type_col))
+            # NULL types are ignored, matching the batch arm's
+            # countDistinct (and keeping the sorted() serialization
+            # total-ordered — None is not comparable to str)
+            ty = getattr(row, type_col)
+            if ty is not None and not pd.isna(ty):
+                types.add(ty)
             d = getattr(row, ts_col).date().isoformat()
             if st["max_day"] is None or d > st["max_day"]:
                 st["max_day"] = d

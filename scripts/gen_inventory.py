@@ -28,14 +28,20 @@ from go_fish_spark.queries import REGISTRY, resolve_oracle  # noqa: E402
 
 def last_verified() -> dict[str, int]:
     """name -> latest driver round whose CORRECTNESS file recorded the
-    entry green (hash preferred; rows-only accepted for no-oracle ops)."""
+    entry green. An entry counts as verified ONLY on hash_match; the
+    rows-only fallback applies only when the record carries no hash
+    verdict at all (a genuinely oracle-less entry) — a recorded
+    hash_match=false is a live regression and must NOT rotate the entry
+    to the stale end of the driver window."""
     out: dict[str, int] = {}
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         for k, v in json.load(open(f)).items():
-            if v.get("hash_match") or (
-                v.get("rows_match") and v.get("err") is None
-            ):
+            hm = v.get("hash_match")
+            green = hm is True or (
+                hm is None and v.get("rows_match") and v.get("err") is None
+            )
+            if green:
                 out[k] = max(out.get(k, 0), rnd)
     return out
 

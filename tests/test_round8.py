@@ -77,12 +77,15 @@ def test_bmp_nonpositive_dimensions_unsupported():
 
 def test_quota_apportion_rejects_k_over_total(spark):
     """k greater than the corpus size raises instead of silently
-    emitting quotas no per-stratum selection can fill."""
+    emitting quotas no per-stratum selection can fill — via a LAZY
+    raise_error folded into the plan (no extra eager scan; the guard
+    fires at evaluation time)."""
     from go_fish_spark.operators.sampling import quota_apportion
 
     df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2, "g string")
-    with pytest.raises(ValueError, match="exceeds total rows"):
-        quota_apportion(df, ["g"], k=6).collect()
+    lazy = quota_apportion(df, ["g"], k=6)  # building the plan is fine
+    with pytest.raises(Exception, match="exceeds total rows"):
+        lazy.collect()
     # boundary k == total is legal: every row gets a slot
     out = {
         r.g: r.quota for r in quota_apportion(df, ["g"], k=5).collect()
@@ -541,3 +544,97 @@ def test_sorted_neighborhood_empty_shingle_pairs_dropped(spark):
         ).fetchall()
     }
     assert drows == out
+
+
+def test_pit_stream_null_event_type(spark, tmp_path):
+    """Round-8 review fix: a NULL event_type pre-cutoff row must not
+    kill the stateful serializer (sorted over None/str) and must be
+    excluded from n_types_before exactly as batch countDistinct
+    excludes NULLs."""
+    import json as _json
+
+    from go_fish_spark.streaming import sources
+    from go_fish_spark.streaming.stateful import pit_feature_stream
+
+    indir = tmp_path / "pit_null"
+    indir.mkdir()
+    rows = [
+        dict(user_id=1, ts="2024-01-02 10:00:00", event_type="view",
+             value=1.0),
+        dict(user_id=1, ts="2024-01-03 10:00:00", event_type=None,
+             value=2.0),
+    ]
+    with open(indir / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = sources.json_stream(
+        spark, str(indir),
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    from go_fish_spark.streaming import sinks
+
+    q = sinks.memory_sink(
+        pit_feature_stream(stream, "2024-01-21 00:00:00"),
+        "pit_null_out", output_mode="append", trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM pit_null_out").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events_before == 2      # the null-typed event still counts
+    assert r.n_types_before == 1       # ...but not its type
+    assert r.total_value == 3.0
+
+
+def test_audit_sink_orphan_partials_cleaned_on_next_commit(spark, tmp_path):
+    """Round-8 review fix: part files whose suffix has no manifest
+    (a driver crash between rename and manifest write) are removed by
+    the NEXT batch commit, so directory readers never double-count a
+    crashed job's partial rows; manifested commits are untouched."""
+    import glob
+    import json
+    import os
+
+    from go_fish_spark.sources import pyds
+
+    pyds.register_sink(spark)
+    pyds.register(spark)
+    out = str(tmp_path / "audit_orphan")
+    src = (
+        spark.read.format("gofish_certstream")
+        .option("n_rows", 5).option("n_partitions", 1).load()
+    )
+    src.write.format("gofish_audit").option("path", out).mode(
+        "append"
+    ).save()
+    # simulate a crashed publish: a part file with NO manifest
+    orphan = os.path.join(out, "part-bdeadbeef0000-00000.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"ghost": 1}\n')
+    src.write.format("gofish_audit").option("path", out).mode(
+        "append"
+    ).save()
+    assert not os.path.exists(orphan), "orphan partial survived"
+    rows = [
+        json.loads(l)
+        for f in glob.glob(out + "/part-*.jsonl")
+        for l in open(f)
+        if l.strip()
+    ]
+    assert len(rows) == 10  # both real commits intact, no ghost
+    assert len(glob.glob(out + "/_manifest-*.json")) == 2
+
+
+def test_out_edge_budget_counts_self_loops(spark):
+    """Round-8 review fix: pagerank keeps self-loops in its adjacency,
+    so the edge-budget plan must price them — a (v,v) edge adds one
+    out-edge to v's degree."""
+    from go_fish_spark.operators.graph import out_edge_budget_plan
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 3)], "id_a int, id_b int"
+    )
+    # adjacency: 1->2, 2->1, 2->3, 3->2, 3->3  => predicted 5
+    p = out_edge_budget_plan(edges, budget=5)
+    assert p["action"] == "proceed" and p["predicted_edges"] == 5
+    assert out_edge_budget_plan(edges, budget=4)["action"] == "cap"
