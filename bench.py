@@ -204,6 +204,9 @@ HEADLINE = [
     "x113_winnow_pair_screen",
     "x114_source_kl",
     "x115_sorted_neighborhood",
+    "q93_purchase_attribution",
+    "x116_quantile_norm",
+    "x117_waterfill_budget",
 ]
 
 

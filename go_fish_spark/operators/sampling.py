@@ -833,3 +833,180 @@ def quota_apportion(
         )
         .orderBy(*strata_cols)
     )
+
+
+def per_group_quantile_norm(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    keep_quantile: float = 0.8,
+) -> DataFrame:
+    """Per-group QUANTILE NORMALIZATION of a score — the fair
+    cross-source thresholding primitive: a raw score cut ("keep score ≥
+    s") lets verbose sources dominate because score DISTRIBUTIONS
+    differ by source; normalizing each doc to its within-source
+    percent-rank makes "keep the top 20% of EVERY source" a single
+    global predicate. percent_rank = (rank−1)/(n−1) over the
+    deterministic (score, id) total order — identical definition in
+    Spark and DuckDB (single-row groups → 0.0 in both).
+
+    Output: (id_col, group_col, score_col, pct_rank DOUBLE round-9,
+    keep BOOLEAN) — keep ⇔ pct_rank ≥ ``keep_quantile``.
+
+    100 TB shape: one window per GROUP partition (parallel across
+    groups; work per task bounded by the largest group — for a
+    monster-source corpus swap the window for
+    :func:`value_bucketed_rank` per group, the q85 shape). No global
+    window, no collect."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    pct = F.round(F.percent_rank().over(w), 9)
+    return df.select(
+        id_col,
+        group_col,
+        score_col,
+        pct.alias("pct_rank"),
+        (pct >= keep_quantile).alias("keep"),
+    )
+
+
+def duck_quantile_norm_sql(
+    tbl: str,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    keep_quantile: float = 0.8,
+) -> str:
+    """DuckDB mirror of :func:`per_group_quantile_norm`."""
+    return f"""
+    SELECT {id_col}, {group_col}, {score_col},
+           round(percent_rank() OVER (
+             PARTITION BY {group_col} ORDER BY {score_col}, {id_col}
+           ), 9) AS pct_rank,
+           round(percent_rank() OVER (
+             PARTITION BY {group_col} ORDER BY {score_col}, {id_col}
+           ), 9) >= {keep_quantile} AS keep
+    FROM {tbl}
+    ORDER BY {id_col}
+    """
+
+
+def waterfill_allocation(
+    df: DataFrame, group_col: str, weight_col: str, budget: int
+) -> DataFrame:
+    """Max-min fair WATER-FILLING of an integer budget across groups,
+    each capped by its own availability — the fairness DUAL of
+    :func:`quota_apportion` (proportional) and the x48 temperature
+    family: proportional allocation hands big sources big shares;
+    water-filling EQUALIZES shares until a source runs out (small
+    sources take everything they have; the level rises on whoever
+    remains). The mixture answer to "give every source an equal voice
+    up to its size".
+
+    Exact integer construction over the capacity-ascending order
+    (cap_k, group tie-break): k* = the largest k with
+    prefix(k−1) + cap_k·(n−k+1) ≤ B (those k groups saturate),
+    level = (B − prefix(k*)) div (n − k*), and the remainder goes +1
+    each to the first (B − prefix(k*)) mod (n − k*) unsaturated groups
+    in the same order — maximality of k* guarantees level+1 never
+    exceeds an unsaturated cap. Σ allocated = min(B, Σ cap) exactly.
+
+    Output: (group_col, available BIGINT, allocated BIGINT), ordered by
+    group.
+
+    100 TB shape: ONE group-keyed exchange with map-side combine to the
+    bounded capacity frame; every window below runs on that ≤ |groups|
+    frame (the x108 discipline), never on the corpus."""
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    caps = df.groupBy(group_col).agg(
+        F.sum(weight_col).cast("bigint").alias("_cap")
+    )
+    wo = Window.orderBy("_cap", group_col)
+    c = (
+        caps.withColumn("_rn", F.row_number().over(wo))
+        .withColumn(
+            "_prefix",
+            F.sum("_cap").over(
+                wo.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    B = F.lit(int(budget))
+    # group k saturates iff giving EVERYONE ≥ cap_k is affordable
+    sat = (F.col("_prefix") - F.col("_cap")) + F.col("_cap") * (
+        F.col("_n") - F.col("_rn") + 1
+    ) <= B
+    kstar = c.select(
+        F.max(F.when(sat, F.col("_rn"))).alias("_k"),
+        F.max(F.when(sat, F.col("_prefix"))).alias("_pk"),
+    ).select(
+        F.coalesce("_k", F.lit(0)).alias("_k"),
+        F.coalesce("_pk", F.lit(0)).alias("_pk"),
+    )
+    j = c.crossJoin(F.broadcast(kstar))
+    level = F.expr("(B_ - _pk) div (_n - _k)")
+    rem = F.expr("(B_ - _pk) % (_n - _k)")
+    alloc = (
+        F.when(F.col("_rn") <= F.col("_k"), F.col("_cap"))
+        .when(
+            F.col("_rn") - F.col("_k") <= rem, level + 1
+        )
+        .otherwise(level)
+    )
+    return (
+        j.withColumn("B_", B)
+        .select(
+            group_col,
+            F.col("_cap").alias("available"),
+            F.when(F.col("_n") == F.col("_k"), F.col("_cap"))
+            .otherwise(alloc)
+            .cast("bigint")
+            .alias("allocated"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def duck_waterfill_sql(
+    tbl: str, group_col: str, weight_col: str, budget: int
+) -> str:
+    """DuckDB mirror of :func:`waterfill_allocation` — same ascending
+    order, same k*/level/remainder integer arithmetic."""
+    b = int(budget)
+    return f"""
+    WITH caps AS (
+      SELECT {group_col} AS g, CAST(sum({weight_col}) AS BIGINT) AS cap
+      FROM {tbl} GROUP BY {group_col}
+    ),
+    c AS (
+      SELECT g, cap,
+             row_number() OVER (ORDER BY cap, g) AS rn,
+             sum(cap) OVER (ORDER BY cap, g
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+             count(*) OVER () AS n
+      FROM caps
+    ),
+    k AS (
+      SELECT coalesce(max(CASE WHEN (prefix - cap) + cap * (n - rn + 1)
+                                    <= {b} THEN rn END), 0) AS k,
+             coalesce(max(CASE WHEN (prefix - cap) + cap * (n - rn + 1)
+                                    <= {b} THEN prefix END), 0) AS pk
+      FROM c
+    )
+    SELECT g AS {group_col}, cap AS available,
+           CAST(CASE
+             WHEN n = k THEN cap
+             WHEN rn <= k THEN cap
+             WHEN rn - k <= ({b} - pk) % (n - k)
+               THEN ({b} - pk) // (n - k) + 1
+             ELSE ({b} - pk) // (n - k)
+           END AS BIGINT) AS allocated
+    FROM c CROSS JOIN k
+    ORDER BY {group_col}
+    """

@@ -777,3 +777,57 @@ def x108_eval_quota(spark, sf_dir):
     return quota_apportion(
         table(spark, sf_dir, "documents"), ["lang", "source"], k=100
     )
+
+
+from ...operators.sampling import duck_quantile_norm_sql  # noqa: E402
+
+
+@query(
+    "x116_quantile_norm",
+    oracle=duck_quantile_norm_sql(
+        "documents", "source", "n_chars", "doc_id", keep_quantile=0.8
+    ),
+)
+def x116_quantile_norm(spark, sf_dir):
+    """Per-source quantile normalization of a quality signal
+    (sampling.per_group_quantile_norm over n_chars): each document's
+    within-source percent-rank, plus the keep flag for "top 20% of
+    EVERY source" — the fair cross-source threshold a raw global score
+    cut cannot give (score distributions differ by source; a global
+    bar lets verbose sources crowd out the rest). Deterministic
+    (score, id) total order; one window per source partition (the
+    monster-source remedy is the q85 bucketed rank); hash-checked
+    including the boolean flag."""
+    from ...operators.sampling import per_group_quantile_norm
+
+    return per_group_quantile_norm(
+        table(spark, sf_dir, "documents"), "source", "n_chars",
+        "doc_id", keep_quantile=0.8,
+    ).orderBy("doc_id")
+
+
+from ...operators.sampling import duck_waterfill_sql  # noqa: E402
+
+
+@query(
+    "x117_waterfill_budget",
+    oracle=duck_waterfill_sql(
+        "documents", "source", "n_chars", budget=60_000
+    ),
+)
+def x117_waterfill_budget(spark, sf_dir):
+    """Max-min fair water-filling of a 60k-char budget across sources
+    (sampling.waterfill_allocation) — the fairness DUAL of x108's
+    proportional Hamilton quotas and the x48 temperature knob: shares
+    EQUALIZE until a source exhausts its capacity (small sources keep
+    everything; the level rises on whoever remains). Exact integer
+    construction (saturation test prefix(k−1)+cap_k·(n−k+1) ≤ B on the
+    capacity-ascending order, integer level + deterministic remainder);
+    Σ allocated = min(B, Σ cap) exactly. ONE source-keyed exchange;
+    every window runs on the ≤ |sources| capacity frame."""
+    from ...operators.sampling import waterfill_allocation
+
+    return waterfill_allocation(
+        table(spark, sf_dir, "documents"), "source", "n_chars",
+        budget=60_000,
+    )

@@ -885,3 +885,104 @@ def q92_pit_training_set(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q93_purchase_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts AS e_ts, event_id AS e_id, event_type AS e_type
+      FROM events WHERE event_type != 'purchase'
+    ),
+    j AS (
+      SELECT p.p_id, t.e_ts, t.e_id, t.e_type
+      FROM p LEFT JOIN t
+        ON t.user_id = p.user_id
+       AND t.e_ts < p.p_ts
+       AND t.e_ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    per AS (
+      SELECT p_id,
+             min({'ts': e_ts, 'id': e_id, 't': e_type}) AS f,
+             max({'ts': e_ts, 'id': e_id, 't': e_type}) AS l
+      FROM j GROUP BY p_id
+    ),
+    fc AS (
+      SELECT coalesce(struct_extract(f, 't'), 'direct') AS touch_type,
+             count(*) AS n_first_touch
+      FROM per GROUP BY 1
+    ),
+    lc AS (
+      SELECT coalesce(struct_extract(l, 't'), 'direct') AS touch_type,
+             count(*) AS n_last_touch
+      FROM per GROUP BY 1
+    )
+    SELECT coalesce(fc.touch_type, lc.touch_type) AS touch_type,
+           coalesce(fc.n_first_touch, 0) AS n_first_touch,
+           coalesce(lc.n_last_touch, 0) AS n_last_touch
+    FROM fc FULL JOIN lc ON fc.touch_type = lc.touch_type
+    ORDER BY touch_type
+    """,
+)
+def q93_purchase_attribution(spark, sf_dir):
+    """First-/last-touch purchase attribution — the marketing-analytics
+    staple the funnel family (q80/q90) doesn't cover: for every
+    purchase, which event type was the user's FIRST and which the LAST
+    non-purchase touch in the preceding 7 days; purchases with no touch
+    in the window attribute to 'direct'. Deterministic inside ties via
+    min/max over struct(ts, event_id, type) — lexicographic struct
+    comparison is identical in Spark and DuckDB, and a no-touch
+    purchase aggregates a single all-NULL-field struct, so NULL-field
+    ordering never compares across engines.
+
+    100 TB shape: ONE user-keyed equi-join with the window bounds as
+    join filters (no window function over the corpus); per-purchase
+    groups are bounded by a user's 7-day activity; the attribution
+    rollup is a ≤ |event_types|+1-key aggregate joined full-outer on
+    the bounded type frame."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+        F.col("event_type").alias("e_type"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("e_ts") < F.col("p_ts"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    touch = F.struct(
+        F.col("e_ts").alias("ts"),
+        F.col("e_id").alias("id"),
+        F.col("e_type").alias("t"),
+    )
+    per = j.groupBy("p_id").agg(
+        F.min(touch).alias("f"), F.max(touch).alias("l")
+    )
+    fc = per.groupBy(
+        F.coalesce(F.col("f.t"), F.lit("direct")).alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("n_first_touch"))
+    lc = per.groupBy(
+        F.coalesce(F.col("l.t"), F.lit("direct")).alias("touch_type")
+    ).agg(F.count(F.lit(1)).alias("n_last_touch"))
+    return (
+        fc.join(lc, "touch_type", "full")
+        .select(
+            "touch_type",
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+        )
+        .orderBy("touch_type")
+    )

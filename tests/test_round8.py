@@ -638,3 +638,62 @@ def test_out_edge_budget_counts_self_loops(spark):
     p = out_edge_budget_plan(edges, budget=5)
     assert p["action"] == "proceed" and p["predicted_edges"] == 5
     assert out_edge_budget_plan(edges, budget=4)["action"] == "cap"
+
+
+def test_waterfill_goldens(spark):
+    """x117's operator on hand-checkable capacities [5, 10, 30, 100]:
+    B=60 → the two small sources saturate (5+10), level=(60−15)div 2
+    =22 with remainder 1 to the first unsaturated source in order;
+    B≥Σcap → everyone gets their capacity; B tiny → equal split with
+    deterministic remainder; budget<0 rejected."""
+    from go_fish_spark.operators.sampling import waterfill_allocation
+
+    rows = (
+        [("a", 5)] + [("b", 10)] + [("c", 30)] + [("d", 100)]
+    )
+    df = spark.createDataFrame(
+        [(g, 1) for g, n in rows for _ in range(n)], "g string, w int"
+    )
+    def alloc(b):
+        return {
+            r.g: r.allocated
+            for r in waterfill_allocation(df, "g", "w", budget=b).collect()
+        }
+
+    assert alloc(60) == {"a": 5, "b": 10, "c": 23, "d": 22}
+    assert alloc(1000) == {"a": 5, "b": 10, "c": 30, "d": 100}
+    assert alloc(145) == {"a": 5, "b": 10, "c": 30, "d": 100}
+    # B=6: nobody saturates (even 'a' needs 5*4=20 > 6): level 1, rem 2
+    assert alloc(6) == {"a": 2, "b": 2, "c": 1, "d": 1}
+    assert sum(alloc(60).values()) == 60
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        waterfill_allocation(df, "g", "w", budget=-1)
+
+
+def test_quantile_norm_goldens(spark):
+    """x116's operator: percent_rank over the (score, id) order per
+    group; single-row groups rank 0.0; the keep flag realizes 'top 20%
+    of every group' regardless of each group's score scale."""
+    from go_fish_spark.operators.sampling import per_group_quantile_norm
+
+    rows = [
+        ("A", 1, 10), ("A", 2, 20), ("A", 3, 30), ("A", 4, 40),
+        ("A", 5, 50), ("A", 6, 60),
+        ("B", 7, 1000), ("B", 8, 2000),
+        ("C", 9, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, s long")
+    out = {
+        r.id: (r.pct_rank, r.keep)
+        for r in per_group_quantile_norm(
+            df, "g", "s", "id", keep_quantile=0.8
+        ).collect()
+    }
+    assert out[1] == (0.0, False) and out[6] == (1.0, True)
+    assert out[5] == (0.8, True)  # (5-1)/(6-1)
+    # group B: low absolute scores elsewhere don't matter — its top doc
+    # keeps; group C single row ranks 0.0
+    assert out[8] == (1.0, True) and out[7] == (0.0, False)
+    assert out[9] == (0.0, False)
