@@ -59,7 +59,7 @@ SHOWCASE = [
     ("x81_heavy_hitters", "MG candidate stage is the only Python (ArrowEvalPython/MapInPandas); exact verification joins the corpus to BROADCAST candidates — the token-keyed shuffle is candidate-bounded"),
     ("x82_containment_pairs", "asymmetric containment: same inverted-index self-join law as x04 — one shuffle on the shingle key, map-side partial aggregation"),
     ("q80_funnel_steps", "per-step keyed aggs over each step's own event slice; 1-row-per-user step frames broadcast into the next join (SMJ past broadcast size via AQE)"),
-    ("x87_group_sketch_overlap", "map-only signatures; ONE bounded (group × 64) groupBy; pair join entirely on the sketch frame"),
+    ("x87_group_sketch_overlap", "round-8: reads the SHARED fitted signature frame (InMemoryTableScan — fitted once per session for x87/x93/x94/x100); ONE bounded (group × 64) groupBy; pair join entirely on the sketch frame"),
     ("x89_degree_histogram", "node-key groupBy over the symmetrized pair graph + ≤ 40-bin groupBy — no iteration, no window"),
     ("x90_threshold_sweep", "ONE x04 pair pass feeds every threshold band — a bounded-key groupBy on top, not a join per candidate threshold"),
     ("q82_event_paths", "session groupBy + array-side 3-grams (no self-joins); global top-20 via TakeOrdered over bounded path counts"),
@@ -70,6 +70,13 @@ SHOWCASE = [
     ("x103_pair_budget_estimate", "one (shingle) exchange with partial agg to the df frame + a 40-key rollup — prices the x04 join without running it"),
     ("x105_key_skew_audit", "one key exchange with map-side combine + bounded bucket rollup"),
     ("x93_neardup_blocklist_screen", "round-7 rewrite: posexplode signatures + BROADCAST (sketch,pos,value) hash join — work ∝ position collisions, not |blocklist|; was 64×|blocklist| lambda ops per row"),
+    # round 8
+    ("x112_js_divergence", "ONE (group, token) exchange to the vocab-bounded count frame; totals broadcast; the pair join runs on count frames (≤ sources² law) — corpus text never joins"),
+    ("x113_winnow_pair_screen", "winnowing fingerprints are per-row array expressions (window minima inside codegen); ONE exchange on the fingerprint key — an index ~2/(w+1) of x04's"),
+    ("x115_sorted_neighborhood", "bucketed prefix rank (broadcast offsets — no single-task corpus window) + w equi-joins on rank+d: candidates exactly n·w; array_intersect verification inside codegen"),
+    ("x116_quantile_norm", "per-source percent_rank windows — parallel across sources, never a global window; the keep flag evaluates inside codegen"),
+    ("x117_waterfill_budget", "ONE source-keyed exchange with partial agg to the ≤|sources| capacity frame; saturation/level windows and the k* broadcast all run on that bounded frame"),
+    ("q93_purchase_attribution", "one user-keyed join with the 7-day bounds as join filters (no corpus-wide window); per-purchase min/max struct aggregation; bounded full-outer attribution rollup"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —
