@@ -121,3 +121,40 @@ def shared_doc_sigs(
         )
         _SIG_FRAMES[key] = frame
     return frame
+
+
+# --- shared dedup-audit pass (round-8 perf item) ----------------------------
+#
+# x49 / x62 / x66 / x72 / x91 all consume the SAME audit products
+# (components / canonical / histogram) of the SAME corpus at the same
+# (k=3, threshold=0.3, quality_score) parameters, and each used to
+# rebuild the pair graph and re-run connected components. dedup_audit
+# already shares WITHIN a query (the x66 pattern); this caches the pass
+# per (session, sf_dir) so the whole audit FAMILY pays the pair graph
+# and the CC iteration once — the label frame is localCheckpoint-ed by
+# connected_components, so every later consumer scans the materialized
+# RDD. At 100 TB this is the audit table a release pipeline writes once
+# and every report reads.
+
+_AUDIT_PASSES: dict = {}
+
+
+def shared_dedup_audit(spark, sf_dir: str):
+    """Session-cached :func:`~go_fish_spark.operators.audit.dedup_audit`
+    over ``sf_dir``'s documents (doc_id/text, quality_score, k=3,
+    t=0.3). Keyed by (applicationId, sf_dir); dead-session entries are
+    evicted (their checkpointed RDDs are GC-reclaimed once
+    unreferenced)."""
+    from ...catalog import table
+    from ...functions import text as tx
+    from ...operators.audit import dedup_audit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k_ for k_ in _AUDIT_PASSES if k_[0] != key[0]]:
+        _AUDIT_PASSES.pop(stale, None)
+    if key not in _AUDIT_PASSES:
+        _AUDIT_PASSES[key] = dedup_audit(
+            table(spark, sf_dir, "documents"), "doc_id", "text",
+            tx.quality_score("text"),
+        )
+    return _AUDIT_PASSES[key]

@@ -688,14 +688,27 @@ def x94_source_turnover(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    # old side = plain text → the shared fitted frame; new side has the
-    # %11 edit applied, so its signatures are genuinely different and
-    # are computed fresh
+    # Both sides read the shared fitted frame for PLAIN-text docs; the
+    # new side recomputes only the %11 EDITED slice (its text genuinely
+    # changed) and unions it in — the incremental-signature discipline
+    # a recurring crawl applies (re-hash what changed, read the rest).
+    sigs = shared_doc_sigs(spark, sf_dir)
+    new_sigs = sigs.filter(
+        (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 11 != 0)
+    ).select("source", "_sig").unionByName(
+        docs.filter(
+            (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 11 == 0)
+        ).select(
+            "source",
+            dedup.minhash_signature(
+                F.upper("text"), 64, 3, 42, portable=True
+            ).alias("_sig"),
+        )
+    )
     return dedup.group_sketch_turnover(
         old, new, "source", "text", portable=True,
-        old_sig_frame=shared_doc_sigs(spark, sf_dir).filter(
-            F.col("doc_id") % 7 != 0
-        ),
+        old_sig_frame=sigs.filter(F.col("doc_id") % 7 != 0),
+        new_sig_frame=new_sigs,
     ).orderBy("source")
 
 

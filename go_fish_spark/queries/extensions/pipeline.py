@@ -295,10 +295,10 @@ def x49_best_quality_canonical(spark, sf_dir):
     across engines (x08), so the argmax is oracle-checkable. One window
     over the component key on top of the CC output (shared-audit stage,
     operators/audit.py)."""
-    from ...operators.audit import dedup_audit
+    from ._shared import shared_dedup_audit
 
     docs = table(spark, sf_dir, "documents")
-    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    audit = shared_dedup_audit(spark, sf_dir)
     return audit.canonical.orderBy("component")
 
 
@@ -345,10 +345,10 @@ def x62_cluster_size_histogram(spark, sf_dir):
     As a standalone oracle entry this recomputes the graph; a composed
     pipeline shares ONE CC across all audit consumers — that sharing is
     the x66 entry (operators/audit.dedup_audit)."""
-    from ...operators.audit import dedup_audit
+    from ._shared import shared_dedup_audit
 
     docs = table(spark, sf_dir, "documents")
-    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    audit = shared_dedup_audit(spark, sf_dir)
     return audit.histogram
 
 
@@ -425,10 +425,10 @@ def x66_dedup_audit(spark, sf_dir):
     rebuilding the graph per report (round-4 verdict item: x49 + x62
     standalone were the two costliest entries at ~2.9 s each; the shared
     pass pays the graph once for both)."""
-    from ...operators.audit import dedup_audit
+    from ._shared import shared_dedup_audit
 
     docs = table(spark, sf_dir, "documents")
-    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    audit = shared_dedup_audit(spark, sf_dir)
     bucket = (
         F.pow(F.lit(2.0), F.floor(F.log2("n_members")))
         .cast("bigint")
@@ -476,10 +476,10 @@ def x72_source_attrition(spark, sf_dir):
     All-integer output (exact). One CC pass + two broadcast-joinable
     lookups of the bounded docs(source) projection; the doc→source map
     is corpus-sized but joins on doc_id (the CC frame's own key)."""
-    from ...operators.audit import dedup_audit
+    from ._shared import shared_dedup_audit
 
     docs = table(spark, sf_dir, "documents")
-    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    audit = shared_dedup_audit(spark, sf_dir)
     src = docs.select("doc_id", "source")
     j = (
         audit.components.select(
@@ -570,10 +570,10 @@ def x91_quality_by_cluster_size(spark, sf_dir):
     AND this cross-tab with no recompute); the cross-tab itself is two
     bounded-key groupBys and a doc-key quality join, decimal-exact
     mean."""
-    from ...operators.audit import dedup_audit
+    from ._shared import shared_dedup_audit
 
     docs = table(spark, sf_dir, "documents")
-    audit = dedup_audit(docs, "doc_id", "text", tx.quality_score("text"))
+    audit = shared_dedup_audit(spark, sf_dir)
     comp = audit.components.select(
         F.col("id").alias("doc_id"), "component"
     )
