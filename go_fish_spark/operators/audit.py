@@ -93,14 +93,21 @@ def dedup_audit(
     quality: Column,
     k: int = 3,
     threshold: float = 0.3,
+    pairs: DataFrame | None = None,
 ) -> DedupAudit:
     """Run the shared pass: Jaccard pairs (once) → connected components
     (once, materialized) → canonical selection + size histogram, both
     reading the SAME label frame. ``quality`` is the per-row quality
-    expression (e.g. ``functions.text.quality_score(text_col)``)."""
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, k=k, threshold=threshold
-    )
+    expression (e.g. ``functions.text.quality_score(text_col)``).
+    ``pairs``: optional pre-materialized pair frame (id_a, id_b,
+    jaccard) at the SAME (k, threshold) — a pipeline that already
+    holds the pair table hands it in instead of re-running the shingle
+    self-join (the session-shared form lives in
+    ``queries/extensions/_shared.shared_jaccard_pairs``)."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, k=k, threshold=threshold
+        )
     comp = connected_components(df.select(id_col), pairs, id_col=id_col)
     q = df.select(F.col(id_col), quality.alias("_q"))
     return DedupAudit(

@@ -156,5 +156,44 @@ def shared_dedup_audit(spark, sf_dir: str):
         _AUDIT_PASSES[key] = dedup_audit(
             table(spark, sf_dir, "documents"), "doc_id", "text",
             tx.quality_score("text"),
+            pairs=shared_jaccard_pairs(spark, sf_dir),
         )
     return _AUDIT_PASSES[key]
+
+
+# --- shared exact-Jaccard pair graph (round-8 perf item, part 2) ------------
+#
+# x04 defines the pair pass; x18 / x71 / x89 / x110 and the shared
+# audit pass all consume the SAME (doc_id, text, k=3, t=0.3) pair graph
+# and each used to re-run the shingle self-join. One persisted slim
+# (id_a, id_b, jaccard) frame per (session, sf_dir) — at 100 TB this is
+# the pair TABLE a dedup pipeline materializes once and every graph
+# audit reads.
+
+_PAIR_FRAMES: dict = {}
+
+
+def shared_jaccard_pairs(spark, sf_dir: str):
+    """Session-cached exact word-3-shingle Jaccard pairs (t=0.3) over
+    ``sf_dir``'s documents — the x04 pair graph as a materialized slim
+    frame. Keyed by (applicationId, sf_dir); dead-session entries
+    unpersisted."""
+    from pyspark import StorageLevel
+
+    from ...catalog import table
+    from ...operators.dedup import ngram_jaccard_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    for stale in [k_ for k_ in _PAIR_FRAMES if k_[0] != key[0]]:
+        try:
+            _PAIR_FRAMES.pop(stale).unpersist()
+        except Exception:
+            pass
+    frame = _PAIR_FRAMES.get(key)
+    if frame is None:
+        frame = ngram_jaccard_pairs(
+            table(spark, sf_dir, "documents"), "doc_id", "text",
+            k=3, threshold=0.3,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _PAIR_FRAMES[key] = frame
+    return frame

@@ -144,7 +144,9 @@ def x18_dup_components(spark, sf_dir):
     from ...operators.graph import connected_components
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    from ._shared import shared_jaccard_pairs
+
+    pairs = shared_jaccard_pairs(spark, sf_dir)
     comp = connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
@@ -891,9 +893,9 @@ def x110_triangle_census(spark, sf_dir):
     from ...operators.graph import triangle_census
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.3
-    )
+    from ._shared import shared_jaccard_pairs
+
+    pairs = shared_jaccard_pairs(spark, sf_dir)
     return triangle_census(pairs)
 
 

@@ -134,7 +134,9 @@ def x71_dupgraph_pagerank(spark, sf_dir):
     made possible by the fixed iteration count. Deterministic across
     engines via the round-12/decimal-sum/round-9 discipline."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3)
+    from ._shared import shared_jaccard_pairs
+
+    pairs = shared_jaccard_pairs(spark, sf_dir)
     return pagerank(
         docs.select("doc_id"), pairs, id_col="doc_id", n_iter=5
     ).orderBy("doc_id")
@@ -222,9 +224,9 @@ def x89_degree_histogram(spark, sf_dir):
     from ...operators.graph import degree_histogram
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.3
-    )
+    from ._shared import shared_jaccard_pairs
+
+    pairs = shared_jaccard_pairs(spark, sf_dir)
     return degree_histogram(
         docs.select("doc_id"), pairs, id_col="doc_id"
     )
