@@ -242,6 +242,8 @@ def main() -> None:
         table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         qd = REGISTRY.get(name)
@@ -253,6 +255,11 @@ def main() -> None:
         # — default 3 since round 4, so round-over-round deltas are robust
         # to single-run JVM/host noise (observed ±25% on untouched
         # queries). Set to 1 for a quick smoke timing.
+        # Round-9 (r8 verdict #1): the artifact also carries per-query
+        # COLD (first rep — pays any session-cache fit on first touch)
+        # and WARM (fastest later rep — pure steady state) columns, so
+        # the one-time shared-frame fitting cost is reconstructable from
+        # the committed artifact instead of prose.
         reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
         try:
             walls = []
@@ -261,9 +268,15 @@ def main() -> None:
                 df = qd.fn(spark, sf_dir)
                 n = df.count()
                 walls.append(time.perf_counter() - t0)
-            walls.sort()
-            timings[name] = round(walls[len(walls) // 2], 3)
-            progress(f"# {name}: {timings[name]:.3f}s rows={n}")
+            cold[name] = round(walls[0], 3)
+            if len(walls) > 1:
+                warm[name] = round(min(walls[1:]), 3)
+            swalls = sorted(walls)
+            timings[name] = round(swalls[len(swalls) // 2], 3)
+            progress(
+                f"# {name}: {timings[name]:.3f}s "
+                f"(cold {cold[name]:.3f}s) rows={n}"
+            )
         except Exception as exc:  # noqa: BLE001 — record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             progress(f"# {name}: ERROR {errors[name]}")
@@ -279,6 +292,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))),
+        # first-rep / best-later-rep walls: cold−warm on the first
+        # cache-consuming query ≈ the one-time session-cache fit
+        "queries_cold": cold,
+        "queries_warm": warm,
     }
     if errors:
         out["errors"] = errors

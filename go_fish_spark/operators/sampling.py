@@ -879,16 +879,19 @@ def duck_quantile_norm_sql(
     id_col: str,
     keep_quantile: float = 0.8,
 ) -> str:
-    """DuckDB mirror of :func:`per_group_quantile_norm`."""
+    """DuckDB mirror of :func:`per_group_quantile_norm`. The
+    percent_rank window is evaluated ONCE in the inner query and ``keep``
+    derives from that single copy — no duplicated expression to drift."""
     return f"""
-    SELECT {id_col}, {group_col}, {score_col},
-           round(percent_rank() OVER (
-             PARTITION BY {group_col} ORDER BY {score_col}, {id_col}
-           ), 9) AS pct_rank,
-           round(percent_rank() OVER (
-             PARTITION BY {group_col} ORDER BY {score_col}, {id_col}
-           ), 9) >= {keep_quantile} AS keep
-    FROM {tbl}
+    SELECT {id_col}, {group_col}, {score_col}, pct_rank,
+           pct_rank >= {keep_quantile} AS keep
+    FROM (
+      SELECT {id_col}, {group_col}, {score_col},
+             round(percent_rank() OVER (
+               PARTITION BY {group_col} ORDER BY {score_col}, {id_col}
+             ), 9) AS pct_rank
+      FROM {tbl}
+    )
     ORDER BY {id_col}
     """
 
@@ -923,8 +926,12 @@ def waterfill_allocation(
 
     if budget < 0:
         raise ValueError("budget must be >= 0")
+    # FLOOR before the bigint cast: Spark's cast truncates toward zero
+    # while DuckDB's rounds-to-nearest, so a bare cast diverges across
+    # engines on fractional weight sums. floor() agrees in both engines
+    # (the oracle mirror applies the same floor).
     caps = df.groupBy(group_col).agg(
-        F.sum(weight_col).cast("bigint").alias("_cap")
+        F.floor(F.sum(weight_col)).cast("bigint").alias("_cap")
     )
     wo = Window.orderBy("_cap", group_col)
     c = (
@@ -981,7 +988,8 @@ def duck_waterfill_sql(
     b = int(budget)
     return f"""
     WITH caps AS (
-      SELECT {group_col} AS g, CAST(sum({weight_col}) AS BIGINT) AS cap
+      SELECT {group_col} AS g,
+             CAST(floor(sum({weight_col})) AS BIGINT) AS cap
       FROM {tbl} GROUP BY {group_col}
     ),
     c AS (

@@ -61,19 +61,134 @@ _DUCK_STOP = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
 _DUCK_EVAL = "doc_id % 97 = 0"
 
 
-# --- shared fitted MinHash signature frame (round-8 perf item) --------------
+# --- session caches (round-8 perf item, round-9 hardening) ------------------
 #
-# x87 / x93 / x94(old side) / x100 all consume per-document MinHash
-# signatures of the SAME corpus at the SAME params (64 hashes, k=3,
-# seed=42, portable). Fitting them once per (session, sf_dir) and
-# persisting the slim (doc_id, source, _sig) frame is the x66
-# shared-audit pattern applied to the sketch family: every consumer
-# reads the materialized frame instead of re-tokenizing + 64×-hashing
-# the corpus. At 100 TB this frame is the signature TABLE a pipeline
-# writes once (one map-only pass) and every sketch audit scans — the
-# cache here is the session-local form of that materialization.
+# x87 / x93 / x94 / x100 consume per-document MinHash signatures of the
+# SAME corpus at the SAME params; x49 / x62 / x66 / x72 / x91 consume
+# the SAME audit products; x18 / x71 / x89 / x110 the SAME pair graph.
+# Fitting each once per (session, corpus) and persisting the slim frame
+# is the x66 shared-audit pattern applied family-wide: at 100 TB these
+# are the signature / pair / audit TABLES a pipeline writes once (one
+# map-only pass each) and every report reads — the caches are the
+# session-local form of that materialization.
+#
+# Round-9 hardening (r8 verdict #1 + ADVICE):
+#   * BOUNDED: each cache is an LRU capped at _SESSION_CACHE_MAX
+#     (dir, params) entries per live app — eviction unpersists, so a
+#     long-lived multi-corpus service cannot accumulate persisted
+#     frames without bound.
+#   * FINGERPRINTED: keys carry (mtime_ns, size) of the corpus file, so
+#     regenerating data at the same path within one session refits
+#     instead of silently serving stale frames.
+#   * RELEASABLE: release_session_caches() drops + unpersists
+#     everything explicitly (the audit pass included — no GC reliance).
 
-_SIG_FRAMES: dict = {}
+from collections import OrderedDict
+
+_SESSION_CACHE_MAX = 4  # (sf_dir, params) entries per cache per live app
+
+
+def _corpus_fingerprint(sf_dir: str, tbl: str = "documents") -> tuple:
+    """Cheap data-identity stamp for cache keys: (mtime_ns, size) of the
+    corpus file (or a sorted tuple of per-file stamps for a directory
+    table). Regenerated data ⇒ new stamp ⇒ cache miss + refit."""
+    import glob as _glob
+    import os as _os
+
+    path = _os.path.join(sf_dir, f"{tbl}.parquet")
+    try:
+        if _os.path.isdir(path):
+            return tuple(
+                sorted(
+                    (_os.path.basename(p), st.st_mtime_ns, st.st_size)
+                    for p in _glob.glob(_os.path.join(path, "*"))
+                    for st in [_os.stat(p)]
+                )
+            )
+        st = _os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
+class _SessionCache:
+    """Tiny LRU over (app_id, fingerprint, …params) → value with an
+    unpersist hook run on every eviction path (dead-app sweep, LRU
+    overflow, explicit release)."""
+
+    def __init__(self, release_fn):
+        self._d: OrderedDict = OrderedDict()
+        self._release = release_fn
+
+    def _drop(self, key) -> None:
+        val = self._d.pop(key, None)
+        if val is not None:
+            try:
+                self._release(val)
+            except Exception:
+                pass  # best-effort: a dead JVM makes unpersist moot
+
+    def get_or_fit(self, key, fit_fn):
+        # evict entries from other (dead) sessions first, then bound the
+        # live app's footprint to the LRU cap. Keys are
+        # (app_id, fingerprint, …params): an entry with the SAME app and
+        # params but a DIFFERENT fingerprint is the superseded frame of
+        # regenerated data — drop (and unpersist) it BEFORE fitting,
+        # both for correctness hygiene and because Spark's CacheManager
+        # matches cached data by logical plan: a still-persisted stale
+        # frame over the same path would be silently reused by the
+        # refit's persist().
+        for stale in [
+            k
+            for k in self._d
+            if k[0] != key[0]
+            or (k[2:] == key[2:] and k[1] != key[1])
+        ]:
+            self._drop(stale)
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        val = fit_fn()
+        self._d[key] = val
+        while len(self._d) > _SESSION_CACHE_MAX:
+            self._drop(next(iter(self._d)))
+        return val
+
+    def clear(self) -> None:
+        for key in list(self._d):
+            self._drop(key)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
+def _unpersist_frame(frame) -> None:
+    frame.unpersist()
+
+
+def _release_audit(audit) -> None:
+    # components is localCheckpoint-ed (RDD blocks freed once the
+    # reference drops); canonical/histogram are derivations. Best-effort
+    # unpersist all three so nothing waits on GC.
+    for f in (audit.components, audit.canonical, audit.histogram):
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+
+
+_SIG_FRAMES = _SessionCache(_unpersist_frame)
+_PAIR_FRAMES = _SessionCache(_unpersist_frame)
+_AUDIT_PASSES = _SessionCache(_release_audit)
+
+
+def release_session_caches() -> None:
+    """Explicitly drop + unpersist every session-cached shared frame
+    (signatures, pair graph, audit pass). The long-lived multi-corpus
+    service these caches model calls this between corpora; tests call it
+    to assert the caches cannot leak."""
+    for cache in (_SIG_FRAMES, _PAIR_FRAMES, _AUDIT_PASSES):
+        cache.clear()
 
 
 def shared_doc_sigs(
@@ -87,28 +202,20 @@ def shared_doc_sigs(
     """Session-cached per-document MinHash signature frame over
     ``sf_dir``'s documents table: columns (doc_id, source, _sig), persisted
     on first use (MEMORY_AND_DISK — ~n_hashes ints per doc, far smaller
-    than the text it replaces). Keyed by (applicationId, sf_dir, params)
-    so a new session or SF refits."""
+    than the text it replaces). Keyed by (applicationId, data
+    fingerprint, sf_dir, params); bounded LRU, evictions unpersist."""
     from pyspark import StorageLevel
 
     from ...catalog import table
     from ...operators.dedup import minhash_signature
 
     key = (
-        spark.sparkContext.applicationId, sf_dir, n_hashes, k, seed,
-        portable,
+        spark.sparkContext.applicationId, _corpus_fingerprint(sf_dir),
+        sf_dir, n_hashes, k, seed, portable,
     )
-    # evict entries from other (dead) sessions so a long-lived process
-    # that cycles SparkSessions never accumulates persisted frames —
-    # the cache is bounded to the LIVE application's SF dirs
-    for stale in [k_ for k_ in _SIG_FRAMES if k_[0] != key[0]]:
-        try:
-            _SIG_FRAMES.pop(stale).unpersist()
-        except Exception:
-            pass
-    frame = _SIG_FRAMES.get(key)
-    if frame is None:
-        frame = (
+
+    def fit():
+        return (
             table(spark, sf_dir, "documents")
             .select(
                 "doc_id",
@@ -119,81 +226,53 @@ def shared_doc_sigs(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        _SIG_FRAMES[key] = frame
-    return frame
 
-
-# --- shared dedup-audit pass (round-8 perf item) ----------------------------
-#
-# x49 / x62 / x66 / x72 / x91 all consume the SAME audit products
-# (components / canonical / histogram) of the SAME corpus at the same
-# (k=3, threshold=0.3, quality_score) parameters, and each used to
-# rebuild the pair graph and re-run connected components. dedup_audit
-# already shares WITHIN a query (the x66 pattern); this caches the pass
-# per (session, sf_dir) so the whole audit FAMILY pays the pair graph
-# and the CC iteration once — the label frame is localCheckpoint-ed by
-# connected_components, so every later consumer scans the materialized
-# RDD. At 100 TB this is the audit table a release pipeline writes once
-# and every report reads.
-
-_AUDIT_PASSES: dict = {}
+    return _SIG_FRAMES.get_or_fit(key, fit)
 
 
 def shared_dedup_audit(spark, sf_dir: str):
     """Session-cached :func:`~go_fish_spark.operators.audit.dedup_audit`
     over ``sf_dir``'s documents (doc_id/text, quality_score, k=3,
-    t=0.3). Keyed by (applicationId, sf_dir); dead-session entries are
-    evicted (their checkpointed RDDs are GC-reclaimed once
-    unreferenced)."""
+    t=0.3). Keyed by (applicationId, data fingerprint, sf_dir); bounded
+    LRU, evictions unpersist the pass's frames."""
     from ...catalog import table
     from ...functions import text as tx
     from ...operators.audit import dedup_audit
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    for stale in [k_ for k_ in _AUDIT_PASSES if k_[0] != key[0]]:
-        _AUDIT_PASSES.pop(stale, None)
-    if key not in _AUDIT_PASSES:
-        _AUDIT_PASSES[key] = dedup_audit(
+    key = (
+        spark.sparkContext.applicationId, _corpus_fingerprint(sf_dir),
+        sf_dir,
+    )
+
+    def fit():
+        return dedup_audit(
             table(spark, sf_dir, "documents"), "doc_id", "text",
             tx.quality_score("text"),
             pairs=shared_jaccard_pairs(spark, sf_dir),
         )
-    return _AUDIT_PASSES[key]
 
-
-# --- shared exact-Jaccard pair graph (round-8 perf item, part 2) ------------
-#
-# x04 defines the pair pass; x18 / x71 / x89 / x110 and the shared
-# audit pass all consume the SAME (doc_id, text, k=3, t=0.3) pair graph
-# and each used to re-run the shingle self-join. One persisted slim
-# (id_a, id_b, jaccard) frame per (session, sf_dir) — at 100 TB this is
-# the pair TABLE a dedup pipeline materializes once and every graph
-# audit reads.
-
-_PAIR_FRAMES: dict = {}
+    return _AUDIT_PASSES.get_or_fit(key, fit)
 
 
 def shared_jaccard_pairs(spark, sf_dir: str):
     """Session-cached exact word-3-shingle Jaccard pairs (t=0.3) over
     ``sf_dir``'s documents — the x04 pair graph as a materialized slim
-    frame. Keyed by (applicationId, sf_dir); dead-session entries
-    unpersisted."""
+    frame. Keyed by (applicationId, data fingerprint, sf_dir); bounded
+    LRU, evictions unpersist."""
     from pyspark import StorageLevel
 
     from ...catalog import table
     from ...operators.dedup import ngram_jaccard_pairs
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    for stale in [k_ for k_ in _PAIR_FRAMES if k_[0] != key[0]]:
-        try:
-            _PAIR_FRAMES.pop(stale).unpersist()
-        except Exception:
-            pass
-    frame = _PAIR_FRAMES.get(key)
-    if frame is None:
-        frame = ngram_jaccard_pairs(
+    key = (
+        spark.sparkContext.applicationId, _corpus_fingerprint(sf_dir),
+        sf_dir,
+    )
+
+    def fit():
+        return ngram_jaccard_pairs(
             table(spark, sf_dir, "documents"), "doc_id", "text",
             k=3, threshold=0.3,
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _PAIR_FRAMES[key] = frame
-    return frame
+
+    return _PAIR_FRAMES.get_or_fit(key, fit)

@@ -209,6 +209,8 @@ class _AuditWriterMixin:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("gofish_audit writer requires option 'path'")
+        # concurrent-writer safety margin for the orphan sweep (round 9)
+        self.orphan_grace_sec = float(options.get("orphan_grace_sec", "300"))
 
     def write(self, iterator) -> _FileCommit:
         _os.makedirs(_os.path.join(self.path, "_tmp"), exist_ok=True)
@@ -278,14 +280,28 @@ class _AuditBatchWriter(_AuditWriterMixin, DataSourceWriter):
                 _os.remove(old)
         else:
             # drop orphans of crashed batch publishes: part files whose
-            # suffix never got its manifest (manifest is written LAST)
+            # suffix never got its manifest (manifest is written LAST).
+            # GRACE PERIOD: a concurrent writer renames its parts before
+            # writing its manifest, so a manifest-less part that is
+            # FRESH may be another writer's in-flight publish, not a
+            # crash — only sweep parts older than the grace window
+            # (default 300 s; tests shrink it via the option) so a live
+            # publish is never deleted out from under its writer.
+            import time as _time
+
+            grace = self.orphan_grace_sec
+            now = _time.time()
             for f in _glob.glob(_os.path.join(self.path, "part-b*.jsonl")):
                 m = _re.match(r"part-(b[0-9a-f]+)-\d+\.jsonl$",
                               _os.path.basename(f))
                 if m and not _os.path.exists(
                     _os.path.join(self.path, f"_manifest-{m.group(1)}.json")
                 ):
-                    _os.remove(f)
+                    try:
+                        if now - _os.path.getmtime(f) > grace:
+                            _os.remove(f)
+                    except OSError:
+                        pass  # already swept by a concurrent commit
         self._publish(messages, self.suffix)
 
 

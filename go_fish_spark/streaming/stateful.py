@@ -434,15 +434,21 @@ def pit_feature_stream(
         st["types"] = sorted(types)
         state.update((_json.dumps(st),))
         recency = (cutoff_day - date.fromisoformat(st["max_day"])).days
-        total = (
-            float(
-                Decimal(st["units"]).scaleb(-12).quantize(
+        # Mirror the BATCH arm's rounding path EXACTLY: the batch sum is
+        # decimal(27,18) → CAST AS DOUBLE → round(x, 6), and Spark's
+        # round-on-double goes through BigDecimal.valueOf(double) — i.e.
+        # Decimal(repr(x)) — before HALF_UP. Quantizing the exact decimal
+        # directly can differ on half-ulp .5 boundaries at the 6th
+        # decimal, so convert to float FIRST, then re-parse its repr.
+        if st["units"] is not None:
+            as_double = float(Decimal(st["units"]).scaleb(-12))
+            total = float(
+                Decimal(repr(as_double)).quantize(
                     Decimal("1e-6"), rounding=ROUND_HALF_UP
                 )
             )
-            if st["units"] is not None
-            else None
-        )
+        else:
+            total = None
         yield pd.DataFrame(
             [[key[0], st["n"], len(types), recency, total]], columns=cols
         )

@@ -13,6 +13,7 @@
 import glob
 import json
 import struct
+import time
 
 import pytest
 
@@ -607,14 +608,24 @@ def test_audit_sink_orphan_partials_cleaned_on_next_commit(spark, tmp_path):
     src.write.format("gofish_audit").option("path", out).mode(
         "append"
     ).save()
-    # simulate a crashed publish: a part file with NO manifest
+    # simulate a crashed publish: a part file with NO manifest. Age it
+    # past the round-9 concurrent-writer grace window (a FRESH
+    # manifest-less part may be another writer's in-flight publish and
+    # must survive the sweep — asserted below).
     orphan = os.path.join(out, "part-bdeadbeef0000-00000.jsonl")
     with open(orphan, "w") as f:
         f.write('{"ghost": 1}\n')
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+    fresh = os.path.join(out, "part-bfeedface0000-00000.jsonl")
+    with open(fresh, "w") as f:
+        f.write('{"inflight": 1}\n')
     src.write.format("gofish_audit").option("path", out).mode(
         "append"
     ).save()
     assert not os.path.exists(orphan), "orphan partial survived"
+    assert os.path.exists(fresh), "in-flight publish swept inside grace"
+    os.remove(fresh)  # not a committed row; drop before the recount
     rows = [
         json.loads(l)
         for f in glob.glob(out + "/part-*.jsonl")

@@ -1,0 +1,168 @@
+"""Round-9 hardening tests: bounded/fingerprinted session caches with
+explicit release (r8 verdict Next #1 + ADVICE), cross-engine waterfill
+floor semantics (ADVICE), and the audit-sink orphan grace window
+(ADVICE — the sweep test itself lives in test_round8).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _write_docs(path: str, rows) -> None:
+    """Write a tiny documents.parquet with the testdata schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["web"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, os.path.join(path, "documents.parquet"))
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog today"),
+    (3, "completely different text about spark sql engines here"),
+]
+
+
+def test_session_cache_lru_bound_unpersists(spark, tmp_path, monkeypatch):
+    """Beyond _SESSION_CACHE_MAX live entries the LRU evicts AND
+    unpersists — a long-lived multi-corpus service cannot accumulate
+    persisted frames without bound."""
+    from go_fish_spark.queries.extensions import _shared
+
+    monkeypatch.setattr(_shared, "_SESSION_CACHE_MAX", 2)
+    _shared._SIG_FRAMES.clear()
+    frames = []
+    for i in range(3):
+        d = str(tmp_path / f"corpus{i}")
+        _write_docs(d, DOCS)
+        frames.append(_shared.shared_doc_sigs(spark, d))
+    assert len(_shared._SIG_FRAMES) == 2
+    # the first (LRU) frame was unpersisted on eviction
+    assert not frames[0].storageLevel.useMemory
+    assert frames[2].storageLevel.useMemory
+    _shared.release_session_caches()
+
+
+def test_session_cache_fingerprint_invalidation(spark, tmp_path):
+    """Regenerating the data at the SAME path within one session is a
+    cache MISS (the key carries the file fingerprint), so consumers
+    never silently read stale frames."""
+    from go_fish_spark.queries.extensions import _shared
+
+    _shared.release_session_caches()
+    d = str(tmp_path / "corpus")
+    _write_docs(d, DOCS)
+    f1 = _shared.shared_doc_sigs(spark, d)
+    assert f1.count() == 3
+    # same path, new data (and force a new mtime stamp)
+    _write_docs(d, DOCS + [(4, "a fourth document appended after regen")])
+    p = os.path.join(d, "documents.parquet")
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns + 1_000_000, st.st_mtime_ns + 1_000_000))
+    f2 = _shared.shared_doc_sigs(spark, d)
+    assert f2 is not f1
+    assert f2.count() == 4
+    _shared.release_session_caches()
+
+
+def test_release_session_caches_clears_all_three(spark):
+    """release_session_caches() empties the signature, pair, and audit
+    caches and unpersists their frames (the audit pass included — no
+    reliance on GC)."""
+    from go_fish_spark.queries.extensions import _shared
+
+    sig = _shared.shared_doc_sigs(spark, SF_SMALL)
+    pairs = _shared.shared_jaccard_pairs(spark, SF_SMALL)
+    audit = _shared.shared_dedup_audit(spark, SF_SMALL)
+    assert audit.components.count() > 0
+    assert len(_shared._SIG_FRAMES) == 1
+    assert len(_shared._PAIR_FRAMES) == 1
+    assert len(_shared._AUDIT_PASSES) == 1
+    _shared.release_session_caches()
+    assert len(_shared._SIG_FRAMES) == 0
+    assert len(_shared._PAIR_FRAMES) == 0
+    assert len(_shared._AUDIT_PASSES) == 0
+    assert not sig.storageLevel.useMemory
+    assert not pairs.storageLevel.useMemory
+    # a later call refits cleanly
+    assert _shared.shared_doc_sigs(spark, SF_SMALL).count() > 0
+    _shared.release_session_caches()
+
+
+def test_waterfill_floor_semantics_cross_engine(spark, duck):
+    """ADVICE fix: fractional weight sums are FLOORED (not
+    truncate-vs-round engine-dependent) on both arms — capacities agree
+    between Spark and DuckDB for non-integer weights."""
+    from go_fish_spark.operators.sampling import (
+        duck_waterfill_sql,
+        waterfill_allocation,
+    )
+
+    rows = [("a", 2.6), ("a", 2.9), ("b", 0.7), ("c", 9.9)]
+    df = spark.createDataFrame(rows, "src string, w double")
+    got = {
+        r["src"]: (r["available"], r["allocated"])
+        for r in waterfill_allocation(df, "src", "w", budget=7).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE VIEW wtest AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{s}', {w})" for s, w in rows)
+        + ") AS t(src, w)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            duck_waterfill_sql("wtest", "src", "w", budget=7)
+        ).fetchall()
+    }
+    assert got == want
+    # floor semantics explicitly: sum(a)=5.5→5, b=0.7→0, c=9.9→9
+    assert got["a"][0] == 5 and got["b"][0] == 0 and got["c"][0] == 9
+    # max-min fairness at B=7 over caps (0, 5, 9): b takes 0, level
+    # splits 7 across a and c → 4/3 with the remainder to the first
+    # unsaturated group in (cap, group) order
+    assert sum(v[1] for v in got.values()) == 7
+
+
+def test_quantile_norm_oracle_single_window(spark, duck):
+    """ADVICE fix: the oracle SQL evaluates percent_rank ONCE; values
+    still match the Spark arm."""
+    from go_fish_spark.operators.sampling import (
+        duck_quantile_norm_sql,
+        per_group_quantile_norm,
+    )
+
+    rows = [(i, "s" if i % 2 else "t", float(i * 7 % 11)) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, src string, score double")
+    got = sorted(
+        (r["id"], r["pct_rank"], r["keep"])
+        for r in per_group_quantile_norm(
+            df, "src", "score", "id", keep_quantile=0.5
+        ).collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW qtest AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{s}', {v})" for i, s, v in rows)
+        + ") AS t(id, src, score)"
+    )
+    sql = duck_quantile_norm_sql("qtest", "src", "score", "id", 0.5)
+    assert sql.lower().count("percent_rank") == 1
+    want = sorted(
+        (r[0], r[3], r[4]) for r in duck.execute(sql).fetchall()
+    )
+    assert got == want
