@@ -207,6 +207,8 @@ HEADLINE = [
     "q93_purchase_attribution",
     "x116_quantile_norm",
     "x117_waterfill_budget",
+    # round 9
+    "x118_incremental_audit",
 ]
 
 

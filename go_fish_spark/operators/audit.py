@@ -86,6 +86,86 @@ def quality_canonical(
     )
 
 
+def incremental_audit_merge(
+    old_components: DataFrame,
+    delta_ids: DataFrame,
+    delta_pairs: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Merge a new crawl batch into EXISTING dedup-component labels
+    without re-running connected components over the corpus — the
+    incremental union-find discipline (the reference's KV-state pattern,
+    `state/kv.go:45-80`, applied to the dedup graph; Next #2 of the r8
+    verdict).
+
+    Inputs: ``old_components`` = (id, component) for the historical
+    corpus where component = min member id (the
+    :func:`~go_fish_spark.operators.graph.connected_components`
+    contract); ``delta_ids`` = one ``id_col`` column of the batch's doc
+    ids (DISJOINT from history — append-only maintenance; an edit that
+    REMOVES similarity needs a full recompute, since component splits
+    cannot be expressed as merges); ``delta_pairs`` = verified pairs
+    touching ≥ 1 delta doc (e.g.
+    :func:`~go_fish_spark.operators.dedup.delta_minhash_pairs`).
+
+    Exactness: labels are min-reachable-id, so an old label IS the min
+    id of its members; contracting each touched old component to its
+    label-node and running CC on the REDUCED graph (delta ids + touched
+    labels, delta edges with old endpoints rewritten to their labels)
+    yields merged labels equal to the full recompute's — pairwise pair
+    disciplines make pairs(all) = pairs(hist×hist) ∪ delta_pairs, and
+    min-label CC composes over that union (parity-tested).
+
+    Output: (id, component) for history ∪ batch.
+
+    100 TB shape: the TWO corpus-scale touches are slim keyed joins —
+    rewriting delta-pair endpoints through the label store (delta-
+    bounded rows move; a store bucketed on id makes it zero-exchange on
+    the stored side) and the final relabel left-join against the
+    ≤|touched components| merge map (broadcastable). The CC iteration
+    itself runs on the reduced graph, bounded by |batch| + |touched
+    components| — never the corpus."""
+    from .graph import connected_components
+
+    old = old_components.select(
+        F.col("id").alias("_oid"), F.col("component").alias("_ocomp")
+    )
+    # rewrite pair endpoints: old ids contract to their component label,
+    # delta ids stay themselves (left joins; delta ids miss the store)
+    e = (
+        delta_pairs.select(
+            F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+        )
+        .join(old.withColumnRenamed("_oid", "_a"), "_a", "left")
+        .withColumnRenamed("_ocomp", "_ca")
+        .join(old.withColumnRenamed("_oid", "_b"), "_b", "left")
+        .withColumnRenamed("_ocomp", "_cb")
+        .select(
+            F.coalesce("_ca", "_a").alias("id_a"),
+            F.coalesce("_cb", "_b").alias("id_b"),
+        )
+    )
+    nodes = delta_ids.select(F.col(id_col).alias("id"))
+    merged = connected_components(nodes, e, id_col="id")
+    # relabel map for TOUCHED old components: label-node → merged label
+    # (≤ |touched components| rows — broadcast side of the final join)
+    relabel = merged.join(
+        old_components.select(F.col("component").alias("id")).distinct(),
+        "id",
+    ).select(F.col("id").alias("_ocomp"), F.col("component").alias("_new"))
+    hist = (
+        old_components.withColumnRenamed("component", "_ocomp")
+        .join(F.broadcast(relabel), "_ocomp", "left")
+        .select("id", F.coalesce("_new", "_ocomp").alias("component"))
+    )
+    batch = merged.join(
+        nodes.select(F.col("id")), "id", "left_semi"
+    ).select("id", "component")
+    return hist.unionByName(batch)
+
+
 def dedup_audit(
     df: DataFrame,
     id_col: str,

@@ -1387,6 +1387,97 @@ def duck_incremental_near_dedup_sql(
     """
 
 
+def delta_minhash_pairs(
+    new_df: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Verified near-dup PAIRS touching a new crawl batch — the pair-grain
+    sibling of :func:`incremental_near_dedup` (which reduces the same
+    candidates to per-doc statuses): every (id_a, id_b, est_jaccard) with
+    est ≥ ``threshold`` where AT LEAST ONE side is a new doc; the other
+    side may come from the historical :func:`sketch_store`. id_a < id_b.
+
+    This is the edge feed for incremental dedup-graph maintenance
+    (:func:`~go_fish_spark.operators.audit.incremental_audit_merge`):
+    pairs(corpus ∪ batch) = pairs(corpus × corpus) ∪ THIS, because the
+    signature estimator is pairwise — so merging these edges into the
+    existing component labels reproduces the full recompute exactly
+    (parity-tested in tests/test_round9.py).
+
+    100 TB shape: identical to :func:`incremental_near_dedup` — history
+    is touched only through its stored signatures (band hashes re-derive
+    by array math; no historical text is read), both band-bucket joins
+    move slim (id, band, bh) rows, candidates are bounded by the x02
+    banding law, and the store side carries no broadcast hint (bucketed
+    store ⇒ zero-exchange probe)."""
+    assert n_hashes % bands == 0
+    new_sigs = _persist(
+        new_df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(text_col, n_hashes, k, seed, portable).alias(
+                "_sig"
+            ),
+        )
+    )
+    hist_sigs = _persist(store.select("_id", "_sig"))
+    band_cols = _band_struct_array(n_hashes, bands, portable)
+
+    def ex(sigs: DataFrame) -> DataFrame:
+        return sigs.select("_id", F.explode(band_cols).alias("bd")).select(
+            "_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+        )
+
+    new_ex, hist_ex = ex(new_sigs), ex(hist_sigs)
+
+    cand_h = (
+        new_ex.alias("n")
+        .join(
+            hist_ex.alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bh") == F.col("h.bh")),
+        )
+        .select(
+            F.least("n._id", "h._id").alias("id_a"),
+            F.greatest("n._id", "h._id").alias("id_b"),
+        )
+    )
+    a, b = new_ex.alias("a"), new_ex.alias("b")
+    cand_b = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    cand = cand_h.unionByName(cand_b).dropDuplicates(["id_a", "id_b"])
+
+    sigs = new_sigs.unionByName(hist_sigs).dropDuplicates(["_id"])
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = agree / F.lit(float(n_hashes))
+    return (
+        cand.join(
+            sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def passage_dedup(
     df: DataFrame, id_col: str, text_col: str, span_tokens: int = 20
 ) -> DataFrame:

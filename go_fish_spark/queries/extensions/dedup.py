@@ -942,3 +942,82 @@ def x115_sorted_neighborhood(spark, sf_dir):
         table(spark, sf_dir, "documents"), "doc_id", "text",
         window=3, key_len=20, threshold=0.3,
     )
+
+
+def _x118_oracle() -> str:
+    """Full-recompute oracle for the INCREMENTAL arm: MinHash(64, 16
+    bands, portable) pairs over the WHOLE mutated corpus + recursive-CTE
+    connected components — the incremental merge must reproduce this
+    exactly (min-label CC composes over pairs(hist×hist) ∪ delta pairs)."""
+    from ...operators.dedup import _duck_minhash_parts
+    from ...operators.similarity import _dlit
+
+    p = _duck_minhash_parts("text", 64, 16, 3, 42)
+    thr = f"{p['agree']} / {_dlit(64)} >= {_dlit(0.35)}"
+    return f"""
+    WITH RECURSIVE
+    th AS (SELECT doc_id AS _id, {p['tok']} AS th FROM documents),
+    shn AS (SELECT _id, {p['shing']} AS sh FROM th),
+    sig AS (SELECT _id, {p['sig']} AS sig FROM shn),
+    ex AS (SELECT _id, bd.band AS band, bd.bh AS bh
+           FROM (SELECT _id, unnest({p['bandlist']}) AS bd FROM sig)),
+    cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+             FROM ex a JOIN ex b
+             ON a.band = b.band AND a.bh = b.bh AND a._id < b._id),
+    pairs AS (SELECT id_a, id_b
+              FROM cand JOIN sig sa ON cand.id_a = sa._id
+                        JOIN sig sb ON cand.id_b = sb._id
+              WHERE {thr}),
+    und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    )
+    SELECT src AS doc_id, min(dst) AS component,
+           src % 7 = 0 AS is_new
+    FROM reach GROUP BY src ORDER BY doc_id
+    """
+
+
+@query("x118_incremental_audit", oracle=_x118_oracle())
+def x118_incremental_audit(spark, sf_dir):
+    """INCREMENTAL dedup-graph maintenance (r8 verdict Next #2): the
+    recurring-crawl production form of the shared audit pass. History
+    (doc_id % 7 != 0) already holds component labels and a persisted
+    MinHash sketch_store; today's batch (doc_id % 7 == 0) probes the
+    STORE for its pairs (dedup.delta_minhash_pairs — no historical text
+    is re-read, x77's discipline at pair grain) and
+    audit.incremental_audit_merge folds those edges into the existing
+    labels by contracting touched components to their label-nodes and
+    running CC on the REDUCED graph (bounded by |batch| + |touched
+    components|, never the corpus). The ORACLE is the full recompute
+    over the mutated corpus — pairwise estimators + min-label CC make
+    incremental ≡ full exactly, and the hash compare proves it. The
+    reference's KV-state get-or-create pattern (`state/kv.go:45-80`)
+    applied to the dedup graph."""
+    from ...operators.audit import incremental_audit_merge
+    from ...operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 7 == 0
+    hist, delta = docs.filter(~is_new), docs.filter(is_new)
+    old_pairs = dedup.minhash_lsh_pairs(
+        hist, "doc_id", "text", threshold=0.35, portable=True
+    )
+    old_comp = connected_components(
+        hist.select("doc_id"), old_pairs, id_col="doc_id"
+    )
+    store = dedup.sketch_store(hist, "doc_id", "text", portable=True)
+    dpairs = dedup.delta_minhash_pairs(
+        delta, store, "doc_id", "text", threshold=0.35, portable=True
+    )
+    merged = incremental_audit_merge(
+        old_comp, delta.select("doc_id"), dpairs, id_col="doc_id"
+    )
+    return merged.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") % 7 == 0).alias("is_new"),
+    ).orderBy("doc_id")

@@ -166,3 +166,109 @@ def test_quantile_norm_oracle_single_window(spark, duck):
         (r[0], r[3], r[4]) for r in duck.execute(sql).fetchall()
     )
     assert got == want
+
+
+def test_incremental_audit_merge_bridges_components(spark):
+    """A batch doc pairing with members of TWO old components merges
+    them (and any old-old merge via the delta bridge) to the global min
+    label; untouched components keep their labels; pair-less batch docs
+    become singletons."""
+    from go_fish_spark.operators.audit import incremental_audit_merge
+
+    old = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (20, 20)],
+        "id long, component long",
+    )
+    delta = spark.createDataFrame([(30,), (31,)], "id long")
+    # 30 bridges old components 1 and 10; 31 has no pairs
+    pairs = spark.createDataFrame(
+        [(2, 30), (30, 11)], "id_a long, id_b long"
+    )
+    got = sorted(
+        (r["id"], r["component"])
+        for r in incremental_audit_merge(old, delta, pairs).collect()
+    )
+    assert got == [
+        (1, 1), (2, 1), (10, 1), (11, 1), (20, 20), (30, 1), (31, 31)
+    ]
+
+
+def test_incremental_audit_equals_full_recompute(spark):
+    """Parity (r8 verdict Next #2 done-condition): the incremental merge
+    over (history labels + store-probed delta pairs) reproduces the full
+    CC recompute over the mutated corpus row-for-row."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import dedup
+    from go_fish_spark.operators.audit import incremental_audit_merge
+    from go_fish_spark.operators.graph import connected_components
+
+    docs = table(spark, SF_SMALL, "documents")
+    is_new = F.col("doc_id") % 7 == 0
+    hist, delta = docs.filter(~is_new), docs.filter(is_new)
+    old_comp = connected_components(
+        hist.select("doc_id"),
+        dedup.minhash_lsh_pairs(
+            hist, "doc_id", "text", threshold=0.35, portable=True
+        ),
+        id_col="doc_id",
+    )
+    inc = incremental_audit_merge(
+        old_comp,
+        delta.select("doc_id"),
+        dedup.delta_minhash_pairs(
+            delta,
+            dedup.sketch_store(hist, "doc_id", "text", portable=True),
+            "doc_id", "text", threshold=0.35, portable=True,
+        ),
+        id_col="doc_id",
+    )
+    full = connected_components(
+        docs.select("doc_id"),
+        dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.35, portable=True
+        ),
+        id_col="doc_id",
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    dedup.release_caches()
+
+
+def test_delta_minhash_pairs_cover_full_pairs(spark):
+    """pairs(all) = pairs(hist x hist) ∪ delta_minhash_pairs — the union
+    law incremental_audit_merge relies on (pairwise estimator, so the
+    split cannot change any pair's verdict)."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import dedup
+
+    docs = table(spark, SF_SMALL, "documents")
+    is_new = F.col("doc_id") % 7 == 0
+    hist, delta = docs.filter(~is_new), docs.filter(is_new)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.35, portable=True
+        ).collect()
+    }
+    hh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            hist, "doc_id", "text", threshold=0.35, portable=True
+        ).collect()
+    }
+    dp = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.delta_minhash_pairs(
+            delta,
+            dedup.sketch_store(hist, "doc_id", "text", portable=True),
+            "doc_id", "text", threshold=0.35, portable=True,
+        ).collect()
+    }
+    assert hh | dp == full
+    assert hh.isdisjoint(dp)
+    dedup.release_caches()
