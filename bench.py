@@ -209,6 +209,7 @@ HEADLINE = [
     "x117_waterfill_budget",
     # round 9
     "x118_incremental_audit",
+    "x119_snm_multikey",
 ]
 
 

@@ -2406,6 +2406,31 @@ def duck_winnow_pair_screen_sql(
     """
 
 
+#: The multi-pass SNM sort-key family (Hernández & Stolfo's multi-key
+#: remedy): ``prefix`` = normalized-text prefix (the x115 single key),
+#: ``reversed`` = prefix of the REVERSED normalized text (catches pairs
+#: whose heads diverge but tails agree), ``token_sorted`` = prefix of
+#: the alphabetically-sorted token sequence (catches token reorders).
+_SNM_KEYS = ("prefix", "reversed", "token_sorted")
+
+
+def _snm_key_expr(text_col: str, kind: str, key_len: int) -> Column:
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    if kind == "prefix":
+        return F.substring(norm, 1, key_len)
+    if kind == "reversed":
+        return F.substring(F.reverse(norm), 1, key_len)
+    if kind == "token_sorted":
+        return F.substring(
+            F.array_join(F.array_sort(F.split(norm, " ")), " "),
+            1,
+            key_len,
+        )
+    raise ValueError(f"unknown SNM key kind: {kind!r} (use {_SNM_KEYS})")
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,
@@ -2414,69 +2439,98 @@ def sorted_neighborhood_pairs(
     key_len: int = 20,
     threshold: float = 0.3,
     k: int = 3,
+    keys: tuple = ("prefix",),
 ) -> DataFrame:
     """Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD'95 — the
     classic record-linkage blocking strategy): sort the corpus by a
-    normalized sort key (here the first ``key_len`` chars of the
+    normalized sort key (the first ``key_len`` chars of the
     lowercase/alnum-collapsed text), slide a window of ``window`` over
     the GLOBAL order, verify only rank-adjacent pairs with exact
     word-k-shingle Jaccard. The third blocking discipline of the dedup
     family, with a different guarantee again: x04 indexes content
     (finds any shingle overlap, heaviest), x113 windows hashes (finds
     shared runs, guaranteed), this sorts keys — candidates are bounded
-    at EXACTLY n·window regardless of duplication skew (no hot-shingle
-    blowup is possible, the property the other two buy with estimators
-    and caps), at the cost of missing pairs whose prefixes diverge
-    (documented recall trade; the multi-pass multi-key variant is the
-    standard remedy).
+    at EXACTLY n·window·len(keys) regardless of duplication skew (no
+    hot-shingle blowup is possible, the property the other two buy with
+    estimators and caps), at the cost of missing pairs whose sort keys
+    diverge.
+
+    ``keys`` (round-9): the MULTI-PASS remedy for that recall trade —
+    one blocking pass per named key from :data:`_SNM_KEYS` (``prefix``,
+    ``reversed``, ``token_sorted``), candidate sets unioned and
+    de-duplicated BEFORE the single verification join, so each
+    surviving pair is verified exactly once. Recall lift is measured on
+    the salted-clique corpus in SCALE.md; the single-key default keeps
+    the x115 contract (and oracle) unchanged.
 
     Output: (id_a, id_b, jaccard) for rank-window pairs with exact
     Jaccard ≥ ``threshold``, id_a < id_b, ordered.
 
-    100 TB shape: the global order comes from
+    100 TB shape: each pass's global order comes from
     :func:`~go_fish_spark.operators.sampling.value_bucketed_rank`
     (bounded first-character buckets → broadcast offsets; NO
     single-task window), the window join is ``window`` equi-joins on
-    rank+d (explode d — a range join rewritten as equi), and exact
-    verification touches exactly n·window candidate pairs."""
+    rank+d (explode d — a range join rewritten as equi), candidate
+    generation is n·window rows per pass, and exact verification
+    touches the distinct union once."""
     if window < 1:
         raise ValueError("window must be >= 1")
+    if not keys:
+        raise ValueError("keys must name at least one SNM pass")
     from .sampling import value_bucketed_rank
 
-    norm = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
-    )
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.substring(norm, 1, key_len).alias("_key"),
-        word_shingles(text_col, k).alias("_sh"),
-    )
-    ranked = _persist(
-        value_bucketed_rank(
-            base, F.substring("_key", 1, 1), ["_key", "_id"], out="_r"
-        ).select("_id", "_r", "_sh")
+    shingles = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(text_col, k).alias("_sh"),
+        )
     )
     d = df.sparkSession.range(1, window + 1).select(
         F.col("id").alias("_d")
     )
-    a = ranked.select(
-        F.col("_id").alias("_ida"), F.col("_r").alias("_ra"),
-        F.col("_sh").alias("_sha"),
-    ).crossJoin(F.broadcast(d))
-    b = ranked.select(
-        F.col("_id").alias("_idb"), F.col("_r").alias("_rb"),
-        F.col("_sh").alias("_shb"),
-    )
+    cand = None
+    for kind in keys:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            _snm_key_expr(text_col, kind, key_len).alias("_key"),
+        )
+        ranked = value_bucketed_rank(
+            base, F.substring("_key", 1, 1), ["_key", "_id"], out="_r"
+        ).select("_id", "_r")
+        a = ranked.select(
+            F.col("_id").alias("_ida"), F.col("_r").alias("_ra")
+        ).crossJoin(F.broadcast(d))
+        b = ranked.select(
+            F.col("_id").alias("_idb"), F.col("_r").alias("_rb")
+        )
+        p = a.join(b, F.col("_ra") + F.col("_d") == F.col("_rb")).select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+
     inter = F.size(F.array_intersect("_sha", "_shb"))
     denom = F.size("_sha") + F.size("_shb") - inter
     # two adjacent sub-k-token docs have empty shingle sets → 0/0 under
     # ANSI would kill the job; NULL jaccard drops the pair instead
     jac = F.when(denom > 0, inter / denom)
     return (
-        a.join(b, F.col("_ra") + F.col("_d") == F.col("_rb"))
+        cand.join(
+            shingles.select(
+                F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")
+            ),
+            "id_a",
+        )
+        .join(
+            shingles.select(
+                F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")
+            ),
+            "id_b",
+        )
         .select(
-            F.least("_ida", "_idb").alias("id_a"),
-            F.greatest("_ida", "_idb").alias("id_b"),
+            "id_a",
+            "id_b",
             jac.alias("jaccard"),
         )
         .filter(
@@ -2521,6 +2575,67 @@ def duck_sorted_neighborhood_sql(
       FROM r a JOIN r b ON b._r - a._r BETWEEN 1 AND {int(window)}
     )
     SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+           CASE WHEN len(sa.sh) + len(sb.sh)
+                     - len(list_intersect(sa.sh, sb.sh)) > 0
+                THEN len(list_intersect(sa.sh, sb.sh))
+                     / (len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)))
+           END AS jaccard
+    FROM cand
+    JOIN s sa ON sa._id = cand.ia
+    JOIN s sb ON sb._id = cand.ib
+    WHERE jaccard >= {threshold} AND jaccard IS NOT NULL
+    ORDER BY id_a, id_b
+    """
+
+
+def duck_multikey_snm_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    key_len: int = 20,
+    threshold: float = 0.3,
+    keys: tuple = _SNM_KEYS,
+) -> str:
+    """DuckDB mirror of ``sorted_neighborhood_pairs(..., keys=keys)`` —
+    one row_number order per sort key, candidate sets unioned DISTINCT,
+    one exact-Jaccard verification."""
+    from ..queries.extensions._shared import _DUCK_SHINGLES
+
+    norm = (
+        f"trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g'))"
+    )
+    key_sql = {
+        "prefix": f"substr({norm}, 1, {int(key_len)})",
+        "reversed": f"substr(reverse({norm}), 1, {int(key_len)})",
+        "token_sorted": (
+            f"substr(array_to_string(list_sort(string_split({norm}, ' ')),"
+            f" ' '), 1, {int(key_len)})"
+        ),
+    }
+    rank_ctes = ",\n    ".join(
+        f"r{i} AS (SELECT {id_col} AS _id, row_number() OVER ("
+        f"ORDER BY {key_sql[kind]}, {id_col}) AS _r FROM {tbl})"
+        for i, kind in enumerate(keys)
+    )
+    cand_union = "\n      UNION\n      ".join(
+        f"SELECT least(a._id, b._id) AS ia, greatest(a._id, b._id) AS ib "
+        f"FROM r{i} a JOIN r{i} b "
+        f"ON b._r - a._r BETWEEN 1 AND {int(window)}"
+        for i in range(len(keys))
+    )
+    return f"""
+    WITH {rank_ctes},
+    cand AS (
+      {cand_union}
+    ),
+    s AS (
+      SELECT {id_col} AS _id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT {id_col}, string_split({text_col}, ' ') AS ws
+            FROM {tbl})
+    )
+    SELECT ia AS id_a, ib AS id_b,
            CASE WHEN len(sa.sh) + len(sb.sh)
                      - len(list_intersect(sa.sh, sb.sh)) > 0
                 THEN len(list_intersect(sa.sh, sb.sh))

@@ -272,3 +272,49 @@ def test_delta_minhash_pairs_cover_full_pairs(spark):
     assert hh | dp == full
     assert hh.isdisjoint(dp)
     dedup.release_caches()
+
+
+def test_multikey_snm_superset_and_recall_lift(spark):
+    """x119: the multi-key candidate union contains the single-key
+    pass's pairs (prefix is one of the keys), and on a head-salted
+    corpus the reversed/token-sorted passes recover pairs prefix
+    blocking misses entirely."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import dedup
+
+    base = table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    salted = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zz"), (F.col("doc_id") % 97).cast("string"),
+            F.lit("salt "), F.col("text"),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(salted)
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            corpus, "doc_id", "text", window=3, threshold=0.3,
+            keys=("prefix",),
+        ).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            corpus, "doc_id", "text", window=3, threshold=0.3,
+            keys=dedup._SNM_KEYS,
+        ).collect()
+    }
+    assert single <= multi
+    # every doc's head-salted twin is a true near-dup pair the prefix
+    # key largely misses; the added keys must find strictly more
+    twins_found = {
+        p for p in multi if p[1] - p[0] == 1_000_000
+    }
+    twins_single = {
+        p for p in single if p[1] - p[0] == 1_000_000
+    }
+    assert len(twins_found) > 2 * max(len(twins_single), 1)
+    dedup.release_caches()
