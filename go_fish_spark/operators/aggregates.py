@@ -96,3 +96,87 @@ def salted_agg(
         finals.append(merge_fn(f"_p_{alias}").alias(alias))
     stage1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def salt_plan(
+    df: DataFrame,
+    keys: list[str],
+    partial_budget: int = 1_000_000,
+    max_salt: int = 64,
+) -> dict:
+    """Pre-flight salting decision for a keyed aggregation — the
+    x89→auto-budget pattern (`graph.wedge_budget_plan`) applied to
+    shuffle skew (r8 verdict Next #4): read the key histogram x105
+    already prices (`profile.key_skew_audit` — same per-key count
+    frame), and decide from the HOTTEST key whether the groupBy needs a
+    salt stage at all, and how much.
+
+    Decision rule: the hot key's rows all land on one reducer, so its
+    group size IS that reducer's merge workload. If ``max_group ≤
+    partial_budget`` the direct plan is fine (Spark's map-side combine
+    + AQE handle the rest) → ``{"action": "direct", "n_salt": 1}``.
+    Otherwise ``n_salt = min(max_salt, ceil(max_group /
+    partial_budget))`` spreads the hot key until each (key, salt) cell
+    fits the budget → ``{"action": "salt"}``. Also returned:
+    ``max_group``, ``n_keys``, ``total_rows``, ``mean_group`` (rounded),
+    ``budget``.
+
+    100 TB shape: ONE key exchange with map-side combine to the
+    distinct-key frame, then a single-row max/count/sum agg — strictly
+    cheaper than the aggregation it prices; the collect is one row."""
+    if partial_budget < 1:
+        raise ValueError("partial_budget must be >= 1")
+    per_key = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    row = per_key.agg(
+        F.max("_n").alias("mx"),
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("_n").alias("tot"),
+    ).collect()[0]
+    mx, nk, tot = row["mx"] or 0, row["nk"], row["tot"] or 0
+    plan = {
+        "max_group": mx,
+        "n_keys": nk,
+        "total_rows": tot,
+        "mean_group": round(tot / nk, 1) if nk else 0.0,
+        "budget": partial_budget,
+    }
+    if mx <= partial_budget:
+        plan.update(action="direct", n_salt=1)
+    else:
+        plan.update(
+            action="salt",
+            n_salt=min(max_salt, -(-mx // partial_budget)),
+        )
+    return plan
+
+
+def auto_salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column | str]],
+    partial_budget: int = 1_000_000,
+    max_salt: int = 64,
+) -> DataFrame:
+    """:func:`salted_agg` with the salt factor chosen by
+    :func:`salt_plan` instead of handed in — and NO salt stage at all
+    when the histogram says the direct plan is fine (the plan is then
+    exactly the plain groupBy: same aggregates, one exchange). Results
+    are bitwise-identical either way for the supported algebraic
+    aggregates; only the physical shape adapts."""
+    plan = salt_plan(df, keys, partial_budget, max_salt)
+    if plan["action"] == "salt":
+        return salted_agg(df, keys, aggs, n_salt=plan["n_salt"])
+    finals = []
+    for alias, (kind, col) in aggs.items():
+        try:
+            partial_fn, _ = _SALTED_MERGE[kind]
+        except KeyError:
+            raise ValueError(
+                f"auto_salted_agg supports {sorted(_SALTED_MERGE)}; "
+                f"got {kind!r}"
+            ) from None
+        c = F.col(col) if isinstance(col, str) else col
+        finals.append(partial_fn(c).alias(alias))
+    return df.groupBy(*keys).agg(*finals)

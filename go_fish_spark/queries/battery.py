@@ -297,15 +297,21 @@ def q50_salted_agg(spark, sf_dir):
     """Skew-salted two-stage aggregation over a genuinely hot key space
     (events has ~5 distinct event_types for every row in the table —
     exactly the shape where one reducer would merge all map-side partials
-    of a hot key). The oracle is the PLAIN group-by: salting is a physical
-    rewrite, so the result must be bitwise identical. Only exact
-    aggregates (count / integer sum / min / max) are emitted — salting
-    changes double-addition order, so float sums go through decimal
-    moments as usual (q43)."""
-    from ..operators.aggregates import salted_agg
+    of a hot key). Round-9: the salt factor is no longer hand-tuned —
+    ``auto_salted_agg`` reads the key histogram (the x105 skew audit's
+    per-key frame) and chooses n_salt = ceil(max_group/partial_budget),
+    or SKIPS the salt stage entirely when the hottest key fits the
+    budget (the plan is then the plain one-exchange groupBy —
+    plan-asserted in tests/test_round9.py). The oracle is the PLAIN
+    group-by: salting is a physical rewrite, so the result must be
+    bitwise identical at ANY decision. Only exact aggregates (count /
+    integer sum / min / max) are emitted — salting changes
+    double-addition order, so float sums go through decimal moments as
+    usual (q43)."""
+    from ..operators.aggregates import auto_salted_agg
 
     e = table(spark, sf_dir, "events")
-    return salted_agg(
+    return auto_salted_agg(
         e,
         ["event_type"],
         {
@@ -314,7 +320,7 @@ def q50_salted_agg(spark, sf_dir):
             "vmin": ("min", "value"),
             "vmax": ("max", "value"),
         },
-        n_salt=16,
+        partial_budget=10_000,
     ).orderBy("event_type")
 
 

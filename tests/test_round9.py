@@ -318,3 +318,52 @@ def test_multikey_snm_superset_and_recall_lift(spark):
     }
     assert len(twins_found) > 2 * max(len(twins_single), 1)
     dedup.release_caches()
+
+
+def test_salt_plan_decisions_and_parity(spark):
+    """Next #4: the salting decision reads the key histogram — a
+    hub-heavy synthetic salts with n_salt scaled to the hot key, a
+    uniform key space keeps the DIRECT one-exchange plan (no _salt
+    stage anywhere in it) — and both physical shapes return identical
+    results."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators.aggregates import (
+        auto_salted_agg,
+        salt_plan,
+    )
+
+    # hub-heavy: key 'hub' holds 5000 rows, 50 cold keys hold 10 each
+    hub = spark.range(5000).select(
+        F.lit("hub").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(500).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    df = hub.unionByName(cold)
+    p = salt_plan(df, ["k"], partial_budget=1000, max_salt=64)
+    assert p["action"] == "salt"
+    assert p["n_salt"] == 5  # ceil(5000/1000)
+    assert p["max_group"] == 5000 and p["n_keys"] == 51
+    # uniform: nothing exceeds the budget -> direct
+    pu = salt_plan(cold, ["k"], partial_budget=1000)
+    assert pu["action"] == "direct" and pu["n_salt"] == 1
+    aggs = {
+        "n": ("count", F.lit(1)),
+        "s": ("sum", "v"),
+        "mn": ("min", "v"),
+        "mx": ("max", "v"),
+    }
+    direct = auto_salted_agg(cold, ["k"], aggs, partial_budget=1000)
+    assert "_salt" not in direct._jdf.queryExecution().executedPlan().toString()
+    salted = auto_salted_agg(df, ["k"], aggs, partial_budget=1000)
+    assert "_salt" in salted._jdf.queryExecution().executedPlan().toString()
+    # parity: the salted physical rewrite is bitwise-equal to direct
+    want = sorted(
+        map(tuple, df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect())
+    )
+    assert sorted(map(tuple, salted.collect())) == want
