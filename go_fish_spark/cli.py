@@ -93,6 +93,29 @@ def main(argv: list[str] | None = None) -> int:
         "O(sample)); default: full pass",
     )
 
+    cb = sub.add_parser(
+        "choose-blocking",
+        help="pick the cheapest blocking discipline (exact index / "
+        "MinHash bands / winnowing / sorted-neighborhood) meeting a "
+        "recall contract within a candidate-pair budget — every "
+        "discipline priced from its key histogram, no pair join runs",
+    )
+    cb.add_argument("parquet", help="parquet file/dir with the corpus")
+    cb.add_argument("--id-col", default="doc_id")
+    cb.add_argument("--text-col", default="text")
+    cb.add_argument("--min-recall", type=float, required=True)
+    cb.add_argument("--pair-budget", type=int, required=True)
+    cb.add_argument("--threshold", type=float, default=0.5)
+    cb.add_argument("--master", default=None)
+    cb.add_argument(
+        "--measured-recall",
+        default=None,
+        help="JSON object feeding corpus-measured recalls for the "
+        "guarantee-class disciplines, e.g. "
+        '\'{"sorted_neighborhood": 0.93}\' (the x100 sweep / '
+        "scripts/snm_recall.py are the instruments)",
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "check-task":
@@ -158,6 +181,32 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
         return 0
+
+    if args.cmd == "choose-blocking":
+        import json as _json
+
+        from .operators.dedup import choose_blocking
+        from .session import get_spark
+
+        spark = get_spark(
+            app_name="go-fish-choose-blocking", master=args.master
+        )
+        try:
+            df = spark.read.parquet(args.parquet)
+            plan = choose_blocking(
+                df, args.id_col, args.text_col,
+                min_recall=args.min_recall,
+                pair_budget=args.pair_budget,
+                threshold=args.threshold,
+                measured_recall=(
+                    _json.loads(args.measured_recall)
+                    if args.measured_recall else None
+                ),
+            )
+            print(_json.dumps(plan, indent=2))
+        finally:
+            spark.stop()
+        return 0 if plan["action"] == "proceed" else 1
 
     # run
     from .plans import ValidationError, compile_pipeline, parse_spec, resolve_tasks

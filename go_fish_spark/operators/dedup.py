@@ -2203,6 +2203,140 @@ def pair_budget_estimate(
     )
 
 
+def _cooccurrence_cost(keyed: DataFrame, key_col: str) -> int:
+    """Σ m·(m−1)/2 over the key histogram — the exact candidate-pair
+    row count a self-join on ``key_col`` will produce (the x103 law).
+    One key exchange with map-side combine + a single-row sum; never
+    runs the join it prices."""
+    row = (
+        keyed.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .agg(F.sum(F.expr("_m * (_m - 1) div 2")).alias("_c"))
+        .collect()[0]
+    )
+    return int(row["_c"] or 0)
+
+
+def choose_blocking(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_recall: float,
+    pair_budget: int,
+    threshold: float = 0.5,
+    k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    window: int = 3,
+    snm_keys: tuple | None = None,
+    winnow_w: int = 4,
+    measured_recall: dict | None = None,
+    portable: bool = False,
+) -> dict:
+    """Unified blocking-discipline PLANNER (r8 verdict Next #5 — the
+    engine's one genuinely novel optimizer rule, SURVEY §4.3): given a
+    recall contract (``min_recall`` for near-dup pairs at Jaccard ≥
+    ``threshold``) and a candidate-pair ``pair_budget``, price all four
+    blocking disciplines from their key histograms WITHOUT running any
+    pair join, and return the cheapest one that meets the contract.
+
+    Cost = the exact candidate-pair count each discipline's
+    verification stage will touch, each from the x103 co-occurrence law
+    (Σ m·(m−1)/2 over that discipline's OWN blocking keys — shingles /
+    LSH band buckets / winnowed fingerprints), or pure arithmetic
+    (sorted-neighborhood: n·window·len(keys), the only skew-immune
+    bound). Pricing a discipline costs one map-only pass + one bounded
+    aggregation — strictly cheaper than the join it prices.
+
+    Recall per discipline:
+      * ``exact_index`` (x04): 1.0 — exact.
+      * ``minhash_bands`` (x02): the analytic S-curve LOWER bound at
+        the contract boundary, 1−(1−t^r)^b with r = n_hashes/bands —
+        pairs above ``threshold`` collide with at least this
+        probability, so it is a true worst-case contract.
+      * ``winnow_index`` (x113) and ``sorted_neighborhood`` (x119):
+        guarantee classes that do not translate to a Jaccard recall in
+        closed form (winnowing guarantees ≥(w+k−1)-token shared runs;
+        SNM is key-design-bounded — SCALE.md measures 0.93 multi-key) —
+        they are ELIGIBLE only when the caller supplies a measured
+        recall for this corpus shape (``measured_recall`` — the x100
+        sampled sweep is the instrument).
+
+    Returns a dict: ``action`` ∈ {"proceed", "over_budget",
+    "no_discipline"}, ``chosen`` (discipline name or None), and
+    ``disciplines`` — per discipline (cost, recall, eligible,
+    within_budget). "over_budget" names the cheapest contract-meeting
+    discipline anyway so the caller can decide to raise the budget;
+    "no_discipline" means the contract itself is unmeetable (raise
+    ``min_recall`` tooling: run the x100 sweep and pass
+    ``measured_recall``)."""
+    if not 0.0 <= min_recall <= 1.0:
+        raise ValueError("min_recall must be in [0, 1]")
+    if pair_budget < 0:
+        raise ValueError("pair_budget must be >= 0")
+    measured = measured_recall or {}
+    if snm_keys is None:
+        snm_keys = _SNM_KEYS  # defined with the SNM family below
+    n_docs = df.count()
+
+    shingled = df.select(
+        F.explode(word_shingles(text_col, k)).alias("_key")
+    )
+    exact_cost = _cooccurrence_cost(shingled, "_key")
+
+    band_cols = _band_struct_array(n_hashes, bands, portable)
+    banded = df.select(
+        minhash_signature(text_col, n_hashes, k, 42, portable).alias("_sig")
+    ).select(F.explode(band_cols).alias("bd")).select(
+        F.concat_ws(":", "bd.band", "bd.bh").alias("_key")
+    )
+    r = n_hashes // bands
+    s_curve = 1.0 - (1.0 - threshold**r) ** bands
+    minhash_cost = _cooccurrence_cost(banded, "_key")
+
+    winnowed = df.select(
+        F.explode(
+            winnow_fingerprints_expr(text_col, k, winnow_w, portable)
+        ).alias("_key")
+    )
+    winnow_cost = _cooccurrence_cost(winnowed, "_key")
+
+    disciplines = {
+        "exact_index": {"cost": exact_cost, "recall": 1.0},
+        "minhash_bands": {
+            "cost": minhash_cost, "recall": round(s_curve, 6)
+        },
+        "winnow_index": {
+            "cost": winnow_cost, "recall": measured.get("winnow_index")
+        },
+        "sorted_neighborhood": {
+            "cost": n_docs * window * len(snm_keys),
+            "recall": measured.get("sorted_neighborhood"),
+        },
+    }
+    for d in disciplines.values():
+        d["eligible"] = d["recall"] is not None and d["recall"] >= min_recall
+        d["within_budget"] = d["cost"] <= pair_budget
+    eligible = sorted(
+        (name for name, d in disciplines.items() if d["eligible"]),
+        key=lambda name: disciplines[name]["cost"],
+    )
+    plan = {
+        "disciplines": disciplines,
+        "n_docs": n_docs,
+        "min_recall": min_recall,
+        "pair_budget": pair_budget,
+        "threshold": threshold,
+    }
+    if not eligible:
+        plan.update(action="no_discipline", chosen=None)
+    elif disciplines[eligible[0]]["within_budget"]:
+        plan.update(action="proceed", chosen=eligible[0])
+    else:
+        plan.update(action="over_budget", chosen=eligible[0])
+    return plan
+
+
 def sketch_screen_matches(
     df: DataFrame,
     id_col: str,

@@ -367,3 +367,106 @@ def test_salt_plan_decisions_and_parity(spark):
         ).collect())
     )
     assert sorted(map(tuple, salted.collect())) == want
+
+
+def test_choose_blocking_three_corpus_shapes(spark):
+    """Next #5 done-condition: the planner picks differently on (a) a
+    clean corpus with an affordable exact index, (b) a hot-shingle
+    corpus whose exact co-occurrence blows the budget, and (c) a
+    tight-budget corpus where only the measured sorted-neighborhood
+    bound fits."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators.dedup import choose_blocking, release_caches
+
+    # (a) clean / skew-free: 60 distinct docs, light shingle sharing —
+    # exact index affordable, recall contract 1.0 forces it
+    clean = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha"), (F.col("id") * 7 % 13).cast("string"),
+            F.lit("beta"), (F.col("id") * 11 % 17).cast("string"),
+            F.lit("gamma"), (F.col("id") * 3 % 19).cast("string"),
+            F.lit("delta"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    p = choose_blocking(
+        clean, "doc_id", "text", min_recall=1.0, pair_budget=100_000
+    )
+    assert p["action"] == "proceed" and p["chosen"] == "exact_index"
+    assert p["disciplines"]["exact_index"]["cost"] <= 100_000
+    # minhash can never satisfy recall=1.0
+    assert not p["disciplines"]["minhash_bands"]["eligible"]
+
+    # (b) hot-shingle: every doc shares a boilerplate run -> the shared
+    # shingles contribute n*(n-1)/2 each; exact blows a budget the band
+    # buckets (distinct signatures) still fit; S-curve at t=0.5,
+    # r=4, b=16 is 1-(1-1/16)^16 ~ 0.644
+    hot = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("common boilerplate header tokens everywhere"),
+            F.col("id").cast("string"),
+            (F.col("id") * 7 % 997).cast("string"),
+            (F.col("id") * 13 % 991).cast("string"),
+            (F.col("id") * 17 % 983).cast("string"),
+        ).alias("text"),
+    )
+    p = choose_blocking(
+        hot, "doc_id", "text", min_recall=0.6, pair_budget=30_000,
+        threshold=0.5,
+    )
+    assert p["disciplines"]["exact_index"]["cost"] > 30_000
+    assert p["action"] == "proceed" and p["chosen"] == "minhash_bands"
+
+    # (c) tight budget: only SNM's n*window*keys arithmetic bound fits,
+    # and it is eligible only because a measured recall is supplied
+    p_no = choose_blocking(
+        hot, "doc_id", "text", min_recall=0.9, pair_budget=2_000,
+    )
+    assert p_no["action"] in ("no_discipline", "over_budget")
+    p = choose_blocking(
+        hot, "doc_id", "text", min_recall=0.9, pair_budget=2_000,
+        measured_recall={"sorted_neighborhood": 0.93},
+    )
+    assert p["action"] == "proceed" and p["chosen"] == "sorted_neighborhood"
+    assert p["disciplines"]["sorted_neighborhood"]["cost"] == 200 * 3 * 3
+    release_caches()
+
+
+def test_cli_choose_blocking(tmp_path, spark):
+    """choose-blocking prints the decision JSON and exits 0 on
+    proceed / 1 otherwise."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "other words entirely distinct here today")],
+        "doc_id long, text string",
+    )
+    corpus = str(tmp_path / "corpus.parquet")
+    df.write.mode("overwrite").parquet(corpus)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "choose-blocking",
+         corpus, "--min-recall", "1.0", "--pair-budget", "1000",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    plan = json.loads(proc.stdout)
+    assert plan["action"] == "proceed" and plan["chosen"] == "exact_index"
+    # an unmeetable budget exits non-zero
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "choose-blocking",
+         corpus, "--min-recall", "1.0", "--pair-budget", "0",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 1
+    assert json.loads(proc.stdout)["action"] == "over_budget"
