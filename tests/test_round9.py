@@ -470,3 +470,59 @@ def test_cli_choose_blocking(tmp_path, spark):
     )
     assert proc.returncode == 1
     assert json.loads(proc.stdout)["action"] == "over_budget"
+
+
+def test_signature_store_stream_restart_and_parity(spark, tmp_path):
+    """Next #6 done-condition: the streaming signature store survives a
+    RESTART (checkpointed offsets — batch 2 is processed exactly once by
+    a NEW query), an appended batch lands incrementally, an edited doc
+    supersedes its old signature (latest-wins), and the final store
+    matches the full sketch_store recompute row-for-row."""
+    import pyspark.sql.types as T
+
+    from go_fish_spark.operators.dedup import sketch_store
+    from go_fish_spark.streaming.sigstore import (
+        read_signature_store,
+        signature_store_stream,
+    )
+
+    src = str(tmp_path / "incoming")
+    store = str(tmp_path / "sigstore")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    b1 = [(1, "the quick brown fox jumps over the lazy dog"),
+          (2, "a completely different second document body here")]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = signature_store_stream(stream, store, cp)
+    q.awaitTermination(120)
+
+    # restart: append batch 2 (one NEW doc + one EDIT of doc 2), new query
+    b2 = [(3, "third document arriving in the next crawl batch"),
+          (2, "the second document after an edit changed its text")]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = signature_store_stream(stream2, store, cp)
+    q2.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: tuple(r["_sig"])
+        for r in read_signature_store(spark, store).collect()
+    }
+    current = {1: b1[0][1], 2: b2[1][1], 3: b2[0][1]}
+    want = {
+        r["_id"]: tuple(r["_sig"])
+        for r in sketch_store(
+            spark.createDataFrame(
+                [(i, t) for i, t in current.items()], schema
+            ),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert got == want  # incremental store ≡ full recompute; edit superseded
