@@ -210,6 +210,7 @@ HEADLINE = [
     # round 9
     "x118_incremental_audit",
     "x119_snm_multikey",
+    "x120_blocking_choice",
 ]
 
 

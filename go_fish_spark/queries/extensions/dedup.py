@@ -1045,3 +1045,124 @@ def x119_snm_multikey(spark, sf_dir):
         window=3, key_len=20, threshold=0.3,
         keys=dedup._SNM_KEYS,
     )
+
+
+def _x120_oracle() -> str:
+    """DuckDB mirror of the choose_blocking pricing table: each
+    discipline's candidate-pair cost from its OWN key histogram (the
+    x103 co-occurrence law — shingles / band buckets / winnowed
+    fingerprints; SNM by arithmetic), the same recall constants, the
+    same eligibility/budget/choice booleans."""
+    from ...operators.dedup import (
+        _duck_minhash_parts,
+        _P31,
+        _SHINGLE_A,
+        _DUCK_TOKEN_HASH,
+    )
+
+    p = _duck_minhash_parts("text", 64, 16, 3, 42)
+    s_curve = round(1.0 - (1.0 - 0.5 ** 4) ** 16, 6)
+    sh_e = "th[i]"
+    for j in range(1, 3):
+        sh_e = f"(({sh_e}) * {_SHINGLE_A} + th[i+{j}]) % {_P31}"
+    w = 4
+    return f"""
+    WITH th AS (SELECT doc_id AS _id, {p['tok']} AS th FROM documents),
+    shn AS (SELECT _id, {p['shing']} AS sh FROM th),
+    exact_c AS (
+      SELECT coalesce(sum(m * (m - 1) // 2), 0) AS c
+      FROM (SELECT s, count(*) AS m
+            FROM (SELECT unnest(sh) AS s FROM shn) GROUP BY s)
+    ),
+    sig AS (SELECT _id, {p['sig']} AS sig FROM shn),
+    ex AS (SELECT _id, bd.band AS band, bd.bh AS bh
+           FROM (SELECT _id, unnest({p['bandlist']}) AS bd FROM sig)),
+    mh_c AS (
+      SELECT coalesce(sum(m * (m - 1) // 2), 0) AS c
+      FROM (SELECT band, bh, count(*) AS m FROM ex GROUP BY band, bh)
+    ),
+    kg AS (
+      SELECT _id,
+             CASE WHEN len(th) >= 3
+                  THEN [{sh_e} for i in range(1, len(th) - 1)]
+                  ELSE CAST([] AS BIGINT[]) END AS kgh
+      FROM th
+    ),
+    fp AS (
+      SELECT _id,
+             CASE WHEN len(kgh) >= {w}
+                  THEN list_distinct([list_min(kgh[i:i+{w - 1}])
+                                      for i in range(1, len(kgh) - {w - 2})])
+                  WHEN len(kgh) >= 1 THEN [list_min(kgh)]
+                  ELSE CAST([] AS BIGINT[]) END AS f
+      FROM kg
+    ),
+    wn_c AS (
+      SELECT coalesce(sum(m * (m - 1) // 2), 0) AS c
+      FROM (SELECT f, count(*) AS m
+            FROM (SELECT unnest(f) AS f FROM fp) GROUP BY f)
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    t AS (
+      SELECT 'exact_index' AS discipline,
+             CAST((SELECT c FROM exact_c) AS BIGINT) AS cost,
+             1.0 AS recall
+      UNION ALL
+      SELECT 'minhash_bands', CAST((SELECT c FROM mh_c) AS BIGINT),
+             {s_curve}
+      UNION ALL
+      SELECT 'winnow_index', CAST((SELECT c FROM wn_c) AS BIGINT),
+             CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'sorted_neighborhood',
+             CAST((SELECT n FROM n) * 3 * 3 AS BIGINT),
+             CAST(NULL AS DOUBLE)
+    ),
+    e AS (
+      SELECT *, recall IS NOT NULL AND recall >= 0.6 AS eligible,
+             cost <= 20000 AS within_budget
+      FROM t
+    )
+    SELECT discipline, cost, recall, eligible, within_budget,
+           eligible AND cost = (SELECT min(cost) FROM e WHERE eligible)
+             AS chosen
+    FROM e ORDER BY discipline
+    """
+
+
+@query("x120_blocking_choice", oracle=_x120_oracle())
+def x120_blocking_choice(spark, sf_dir):
+    """The choose_blocking PLANNER itself, hash-verified (r8 verdict
+    Next #5 carried to oracle grade): price the four blocking
+    disciplines over the documents corpus — exact inverted index /
+    MinHash(64,16) bands / winnowing(k=3,w=4) / 3-key
+    sorted-neighborhood — at the (min_recall=0.6, pair_budget=20,000,
+    t=0.5) contract and emit one row per discipline with its
+    co-occurrence cost, recall bound, eligibility, budget fit, and the
+    chosen flag. Every cost comes from a key histogram (one map-only
+    pass + bounded agg per discipline; SNM is pure arithmetic), so this
+    entry proves the planner's arithmetic cross-engine, not just its
+    code path. Result frame is 4 rows — the bounded-collect pattern."""
+    from ...operators.dedup import choose_blocking
+
+    plan = choose_blocking(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        min_recall=0.6, pair_budget=20_000, threshold=0.5,
+        portable=True,
+    )
+    rows = [
+        (
+            name,
+            d["cost"],
+            d["recall"],
+            d["eligible"],
+            d["within_budget"],
+            name == plan["chosen"],
+        )
+        for name, d in sorted(plan["disciplines"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "discipline string, cost long, recall double, eligible boolean, "
+        "within_budget boolean, chosen boolean",
+    ).orderBy("discipline")
