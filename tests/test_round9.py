@@ -526,3 +526,28 @@ def test_signature_store_stream_restart_and_parity(spark, tmp_path):
         ).collect()
     }
     assert got == want  # incremental store ≡ full recompute; edit superseded
+
+
+def test_recurring_crawl_demo_runs(spark):
+    """examples/recurring_crawl_demo.py must keep working as the
+    composed round-9 loop (sigstore -> delta probe -> incremental
+    merge ≡ full recompute)."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "recurring_crawl_demo",
+        os.path.join(repo, "examples/recurring_crawl_demo.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="crawl_demo_test_")
+    try:
+        n_clusters = mod.run_demo(spark, SF_SMALL, work)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+    assert n_clusters > 0
