@@ -211,6 +211,7 @@ HEADLINE = [
     "x118_incremental_audit",
     "x119_snm_multikey",
     "x120_blocking_choice",
+    "x121_cluster_split",
 ]
 
 

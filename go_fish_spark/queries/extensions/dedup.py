@@ -1166,3 +1166,67 @@ def x120_blocking_choice(spark, sf_dir):
         "discipline string, cost long, recall double, eligible boolean, "
         "within_budget boolean, chosen boolean",
     ).orderBy("discipline")
+
+
+@query(
+    "x121_cluster_split",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component
+             FROM reach GROUP BY src)
+    SELECT doc_id, component,
+           CASE WHEN {{b}} < 80 THEN 'train'
+                WHEN {{b}} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp ORDER BY doc_id
+    """.format(b="CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS UBIGINT) % 100"),
+)
+def x121_cluster_split(spark, sf_dir):
+    """DEDUP-AWARE train/val/test assignment — the FIX whose guard is
+    x45 (split-leakage audit): a per-document hash split puts near-dup
+    twins on opposite sides of the train/eval fence; splitting at
+    CLUSTER granularity makes leakage impossible BY CONSTRUCTION — every
+    doc inherits the split of its connected component's label (min
+    member id), so a near-dup pair (same component) can never straddle
+    splits. Rides the session-shared pair graph + audit pass (ONE CC
+    run for the whole audit family); the split itself is the x14
+    deterministic hash-bucket rule applied to the component key.
+    100 TB: one broadcast-map over the materialized label frame."""
+    from ...operators.graph import connected_components
+    from ...operators.sampling import split_assign
+
+    docs = table(spark, sf_dir, "documents")
+    from ._shared import shared_jaccard_pairs
+
+    comp = connected_components(
+        docs.select("doc_id"),
+        shared_jaccard_pairs(spark, sf_dir),
+        id_col="doc_id",
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        split_assign(
+            "component", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
+    ).orderBy("doc_id")

@@ -551,3 +551,26 @@ def test_recurring_crawl_demo_runs(spark):
 
         shutil.rmtree(work, ignore_errors=True)
     assert n_clusters > 0
+
+
+def test_cluster_split_has_zero_leakage(spark):
+    """x121's construction guarantee: no near-dup pair straddles the
+    train/eval fence (the x45 audit finds nothing), because both sides
+    of every pair share a component and the split keys on it."""
+    from go_fish_spark.queries import REGISTRY
+    from go_fish_spark.queries.extensions._shared import (
+        release_session_caches,
+        shared_jaccard_pairs,
+    )
+
+    out = REGISTRY["x121_cluster_split"].fn(spark, SF_SMALL)
+    splits = {r["doc_id"]: r["split"] for r in out.collect()}
+    pairs = shared_jaccard_pairs(spark, SF_SMALL).collect()
+    assert pairs, "corpus should contain near-dup pairs"
+    straddling = [
+        (p["id_a"], p["id_b"])
+        for p in pairs
+        if splits[p["id_a"]] != splits[p["id_b"]]
+    ]
+    assert straddling == []
+    release_session_caches()
