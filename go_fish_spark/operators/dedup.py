@@ -232,6 +232,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding, verified by
     signature agreement.
@@ -246,20 +247,28 @@ def minhash_lsh_pairs(
     the ENTIRE pipeline — shingles, signatures, banding, verification —
     integer-for-integer in SQL. Same shape, same shuffle structure; the
     estimator is exact either way (agree/n_hashes is a dyadic rational).
+
+    ``sigs``: optional pre-fitted (_id, _sig) frame at the SAME params
+    (a :func:`sketch_store` / shared signature frame) — a pipeline that
+    already holds the signatures hands them in instead of re-hashing
+    the corpus (the shared-sketch discipline).
     """
     assert n_hashes % bands == 0
 
     # Persist: signatures feed the banding explode AND both sides of the
     # candidate self-join; without this the whole shingle+signature
     # computation re-runs per consumer. ~0.5 KB/row, spills to disk if big.
-    sigs = _persist(
-        df.select(
-            F.col(id_col).alias("_id"),
-            minhash_signature(text_col, n_hashes, k, seed, portable).alias(
-                "_sig"
-            ),
+    if sigs is None:
+        sigs = _persist(
+            df.select(
+                F.col(id_col).alias("_id"),
+                minhash_signature(
+                    text_col, n_hashes, k, seed, portable
+                ).alias("_sig"),
+            )
         )
-    )
+    else:
+        sigs = _persist(sigs.select("_id", "_sig"))
 
     band_cols = _band_struct_array(n_hashes, bands, portable)
     exploded = sigs.select("_id", F.explode(band_cols).alias("bd")).select(

@@ -1003,13 +1003,16 @@ def x118_incremental_audit(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 7 == 0
     hist, delta = docs.filter(~is_new), docs.filter(is_new)
+    # ONE signature pass over history serves both the day-1 pair graph
+    # and the delta probe (the shared-sketch discipline — in production
+    # this is the durable streaming/sigstore table)
+    store = dedup.sketch_store(hist, "doc_id", "text", portable=True)
     old_pairs = dedup.minhash_lsh_pairs(
-        hist, "doc_id", "text", threshold=0.35, portable=True
+        hist, "doc_id", "text", threshold=0.35, portable=True, sigs=store
     )
     old_comp = connected_components(
         hist.select("doc_id"), old_pairs, id_col="doc_id"
     )
-    store = dedup.sketch_store(hist, "doc_id", "text", portable=True)
     dpairs = dedup.delta_minhash_pairs(
         delta, store, "doc_id", "text", threshold=0.35, portable=True
     )
