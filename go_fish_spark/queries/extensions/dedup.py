@@ -1004,9 +1004,17 @@ def x118_incremental_audit(spark, sf_dir):
     is_new = F.col("doc_id") % 7 == 0
     hist, delta = docs.filter(~is_new), docs.filter(is_new)
     # ONE signature pass over history serves both the day-1 pair graph
-    # and the delta probe (the shared-sketch discipline — in production
-    # this is the durable streaming/sigstore table)
-    store = dedup.sketch_store(hist, "doc_id", "text", portable=True)
+    # and the delta probe — and it is the SESSION-SHARED signature frame
+    # (same 64/k=3/seed=42/portable params), so the whole sketch family
+    # (x87/x93/x94/x100/x118) pays the corpus hash once per session; in
+    # production this is the durable streaming/sigstore table
+    from ._shared import shared_doc_sigs
+
+    store = (
+        shared_doc_sigs(spark, sf_dir)
+        .filter(~(F.col("doc_id") % 7 == 0))
+        .select(F.col("doc_id").alias("_id"), "_sig")
+    )
     old_pairs = dedup.minhash_lsh_pairs(
         hist, "doc_id", "text", threshold=0.35, portable=True, sigs=store
     )
