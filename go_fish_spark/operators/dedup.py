@@ -2622,14 +2622,55 @@ def sorted_neighborhood_pairs(
         raise ValueError("keys must name at least one SNM pass")
     from .sampling import value_bucketed_rank
 
+    d = df.sparkSession.range(1, window + 1).select(
+        F.col("id").alias("_d")
+    )
+    if len(keys) == 1:
+        # single-pass fast path (the x115 plan shape): carry the
+        # shingles THROUGH the rank exchange and verify inline — no
+        # verification join, no pair dedupe (one pass's rank-window
+        # pairs are already unique). The multi-key path below trades
+        # these two joins for cross-pass dedupe before verification.
+        inter1 = F.size(F.array_intersect("_sha", "_shb"))
+        denom1 = F.size("_sha") + F.size("_shb") - inter1
+        jac1 = F.when(denom1 > 0, inter1 / denom1)
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            _snm_key_expr(text_col, keys[0], key_len).alias("_key"),
+            word_shingles(text_col, k).alias("_sh"),
+        )
+        ranked1 = _persist(
+            value_bucketed_rank(
+                base, F.substring("_key", 1, 1), ["_key", "_id"], out="_r"
+            ).select("_id", "_r", "_sh")
+        )
+        a1 = ranked1.select(
+            F.col("_id").alias("_ida"), F.col("_r").alias("_ra"),
+            F.col("_sh").alias("_sha"),
+        ).crossJoin(F.broadcast(d))
+        b1 = ranked1.select(
+            F.col("_id").alias("_idb"), F.col("_r").alias("_rb"),
+            F.col("_sh").alias("_shb"),
+        )
+        return (
+            a1.join(b1, F.col("_ra") + F.col("_d") == F.col("_rb"))
+            .select(
+                F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+                jac1.alias("jaccard"),
+            )
+            .filter(
+                (F.col("jaccard") >= threshold)
+                & F.col("jaccard").isNotNull()
+            )
+            .orderBy("id_a", "id_b")
+        )
+
     shingles = _persist(
         df.select(
             F.col(id_col).alias("_id"),
             word_shingles(text_col, k).alias("_sh"),
         )
-    )
-    d = df.sparkSession.range(1, window + 1).select(
-        F.col("id").alias("_d")
     )
     cand = None
     for kind in keys:
