@@ -2832,3 +2832,294 @@ def duck_multikey_snm_sql(
     WHERE jaccard >= {threshold} AND jaccard IS NOT NULL
     ORDER BY id_a, id_b
     """
+
+
+def edit_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    key_len: int = 20,
+    max_dist: int = 40,
+) -> DataFrame:
+    """Edit-distance-verified near-dup pairs: sorted-neighborhood
+    blocking (Hernández & Stolfo '95, the x115 discipline — candidates
+    bounded at EXACTLY n·window regardless of skew) verified with the
+    EXACT character-level Levenshtein distance instead of shingle
+    Jaccard — the verifier of record when near-dups differ by small
+    in-place edits (typo farms, template fills) that leave most
+    shingles intact but also when token order is untouched and only
+    characters drift, where Jaccard over-scores.
+
+    Two cost guards keep verification affordable at corpus scale:
+
+    * the length prefilter ``|len(a) − len(b)| ≤ max_dist`` is applied
+      IN the candidate join (edit distance is ≥ the length difference,
+      so this drops only pairs that could never pass — free, exact);
+    * Spark's three-argument ``levenshtein(a, b, threshold)`` abandons
+      each DP computation as soon as the running minimum exceeds
+      ``max_dist`` (banded O(len·k) instead of O(len²) per pair).
+
+    Output: (id_a, id_b, lev BIGINT, sim DOUBLE round-6) with
+    ``sim = 1 − lev / max(len_a, len_b)``, id_a < id_b, ordered.
+
+    100 TB shape: identical to x115 — the global order comes from
+    value_bucketed_rank (no single-task window), text rides the one
+    rank exchange exactly as shingles do there, and the window join is
+    ``window`` equi-joins on rank+d."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from .sampling import value_bucketed_rank
+
+    d = df.sparkSession.range(1, window + 1).select(F.col("id").alias("_d"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _snm_key_expr(text_col, "prefix", key_len).alias("_key"),
+        F.col(text_col).alias("_t"),
+    )
+    ranked = _persist(
+        value_bucketed_rank(
+            base, F.substring("_key", 1, 1), ["_key", "_id"], out="_r"
+        ).select("_id", "_r", "_t")
+    )
+    a = ranked.select(
+        F.col("_id").alias("_ida"), F.col("_r").alias("_ra"),
+        F.col("_t").alias("_ta"),
+    ).crossJoin(F.broadcast(d))
+    b = ranked.select(
+        F.col("_id").alias("_idb"), F.col("_r").alias("_rb"),
+        F.col("_t").alias("_tb"),
+    )
+    lev = F.levenshtein("_ta", "_tb", int(max_dist))
+    mx = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = F.when(
+        mx > 0, F.round(F.lit(1.0) - F.col("lev") / mx.cast("double"), 6)
+    ).otherwise(F.lit(1.0))
+    return (
+        a.join(
+            b,
+            (F.col("_ra") + F.col("_d") == F.col("_rb"))
+            & (
+                F.abs(F.length("_ta") - F.length("_tb"))
+                <= F.lit(int(max_dist))
+            ),
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            lev.cast("bigint").alias("lev"),
+            "_ta",
+            "_tb",
+        )
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= int(max_dist)))
+        .select("id_a", "id_b", "lev", sim.alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def duck_edit_verified_sql(
+    tbl: str,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    key_len: int = 20,
+    max_dist: int = 40,
+) -> str:
+    """DuckDB mirror of :func:`edit_verified_pairs` — same sort key and
+    total order, same length prefilter, plain ``levenshtein`` + filter
+    (DuckDB has no threshold arg; rows kept are identical because any
+    pair the banded Spark computation abandons is > max_dist and
+    filtered on both arms)."""
+    return f"""
+    WITH r AS (
+      SELECT {id_col} AS _id, {text_col} AS _t,
+             row_number() OVER (
+               ORDER BY substr(trim(regexp_replace(lower({text_col}),
+                                     '[^a-z0-9]+', ' ', 'g')),
+                        1, {int(key_len)}),
+                        {id_col}
+             ) AS _r
+      FROM {tbl}
+    ),
+    cand AS (
+      SELECT a._id AS ia, a._t AS ta, b._id AS ib, b._t AS tb
+      FROM r a JOIN r b
+      ON b._r - a._r BETWEEN 1 AND {int(window)}
+         AND abs(length(a._t) - length(b._t)) <= {int(max_dist)}
+    ),
+    v AS (
+      SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+             CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+             greatest(length(ta), length(tb)) AS mx
+      FROM cand
+    )
+    SELECT id_a, id_b, lev,
+           CASE WHEN mx > 0
+                THEN round(1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+                ELSE 1.0 END AS sim
+    FROM v WHERE lev <= {int(max_dist)}
+    ORDER BY id_a, id_b
+    """
+
+
+def dup_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN profile (the ExactSubstr
+    diagnostic of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at token granularity): mark every token
+    ``k``-gram that occurs in ≥ 2 DISTINCT documents, then merge
+    overlapping/adjacent marked windows per document into MAXIMAL
+    duplicated spans (interval union via gaps-and-islands), and report
+    each document's duplicated-region footprint.
+
+    This is x36's complement: passage_dedup REWRITES docs by keeping
+    each fixed disjoint chunk's first occurrence; this PROFILES the
+    exact extent of shared text at arbitrary alignment — the number a
+    curation pipeline thresholds on ("drop docs > 60% duplicated",
+    RefinedWeb's dup-n-gram rule) before deciding to rewrite at all.
+    Within-document repetition is deliberately out of scope (that is
+    x22's signal): a gram must appear in two distinct docs to count.
+
+    Output: (id_col, n_tokens, n_dup_spans, dup_tokens, dup_frac
+    DOUBLE round-6), one row per input document — docs with no
+    duplicated span report zeros.
+
+    100 TB shape: the gram frame is O(total tokens) rows of 16-byte
+    digests — the honest ExactSubstr cost — with exactly two exchanges
+    on the digest (the distinct-doc count, map-side combined, and the
+    semi-join back); island merging is a per-document window (parallel
+    across docs, never a global sort); everything else is doc-keyed."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ws = F.split(F.col(text_col), " ")
+    # NB: Spark's sequence(1, stop) turns DESCENDING when stop < 1 (a
+    # sub-k-token doc would fabricate windows), so the sequence is
+    # floored at 1 and the trailing filter drops the phantom start —
+    # only full k-token windows survive, matching the DuckDB
+    # generate_series (empty when stop < start) exactly.
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(1, greatest("
+                f"size(split({text_col}, ' ')) - {int(k)} + 1, 1)), "
+                f"i -> struct(i AS pos, md5(concat_ws(' ', "
+                f"slice(split({text_col}, ' '), i, {int(k)}))) AS g)), "
+                f"s -> s.pos <= size(split({text_col}, ' ')) - {int(k)} + 1)"
+            )
+        ).alias("_pg"),
+    ).select("_id", F.col("_pg.pos").alias("pos"), F.col("_pg.g").alias("g"))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("g")
+    )
+    dp = grams.join(dup, "g", "left_semi")
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(int(k) - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_end.isNull() | (F.col("pos") > prev_end + 1)
+    ).cast("int")
+    isl = dp.select(
+        "_id",
+        "pos",
+        F.sum(new_island)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = isl.groupBy("_id", "island").agg(
+        F.min("pos").alias("_s"),
+        (F.max("pos") + F.lit(int(k) - 1)).alias("_e"),
+    )
+    agg = spans.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_tokens"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("_id"), F.size(ws).cast("bigint").alias("n_tokens")
+        )
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duck_dup_span_sql(
+    tbl: str, id_col: str, text_col: str, k: int = 8
+) -> str:
+    """DuckDB mirror of :func:`dup_span_profile` — same 1-based window
+    starts, same md5-of-joined-slice digest, same ≥2-distinct-docs dup
+    rule, same gaps-and-islands interval union."""
+    return f"""
+    WITH d AS (
+      SELECT {id_col} AS _id, string_split({text_col}, ' ') AS ws
+      FROM {tbl}
+    ),
+    gr AS (
+      SELECT _id, pos,
+             md5(array_to_string(ws[pos:pos + {int(k)} - 1], ' ')) AS g
+      FROM (SELECT _id, ws,
+                   unnest(generate_series(1, len(ws) - {int(k)} + 1)) AS pos
+            FROM d)
+    ),
+    dup AS (SELECT g FROM gr GROUP BY g
+            HAVING count(DISTINCT _id) >= 2),
+    dp AS (SELECT gr._id, gr.pos FROM gr JOIN dup USING (g)),
+    pe AS (
+      SELECT _id, pos,
+             max(pos + {int(k)} - 1) OVER (
+               PARTITION BY _id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM dp
+    ),
+    isl AS (
+      SELECT _id, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY _id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM pe
+    ),
+    spans AS (
+      SELECT _id, island, min(pos) AS _s,
+             max(pos) + {int(k)} - 1 AS _e
+      FROM isl GROUP BY _id, island
+    ),
+    agg AS (
+      SELECT _id, count(*) AS n_dup_spans,
+             sum(_e - _s + 1) AS dup_tokens
+      FROM spans GROUP BY _id
+    )
+    SELECT d._id AS {id_col},
+           CAST(len(d.ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(agg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(CAST(coalesce(agg.dup_tokens, 0) AS DOUBLE)
+                 / CAST(len(d.ws) AS DOUBLE), 6) AS dup_frac
+    FROM d LEFT JOIN agg USING (_id)
+    ORDER BY {id_col}
+    """

@@ -807,3 +807,152 @@ def duck_source_kl_sql(table: str, group_col: str, text_col: str) -> str:
     GROUP BY cnt._g
     ORDER BY {group_col}
     """
+
+
+def moore_lewis_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    in_domain,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Moore–Lewis cross-entropy difference selection (Moore & Lewis,
+    ACL 2010 — "Intelligent Selection of Language Model Training Data"):
+    score every document by its mean per-token log-likelihood RATIO
+    between an in-domain unigram model (fit on the ``in_domain`` slice)
+    and the full-corpus model. Documents that look like the target
+    domain but unlike the general corpus score high — the classic
+    data-selection recipe DSIR (x43) generalizes; this is the exact
+    unigram form, not the hashed-feature importance weight.
+
+    Both models are add-``alpha`` smoothed over the JOINT vocabulary, so
+    tokens unseen in-domain still score (finitely negative) instead of
+    degenerating:  lr(t) = ln((c_in(t)+α)/(N_in+α·V))
+                         − ln((c_all(t)+α)/(N_all+α·V)).
+
+    ``in_domain`` is a boolean Column over ``df``'s rows (a document
+    property — e.g. ``F.col("source") == "seed"``).
+
+    Output: (id_col, in_domain BOOLEAN, n_tokens, ml_score) — ml_score
+    is the per-doc mean lr, the ranking key for selection thresholds.
+
+    Cross-engine float discipline (the x34/x114 pattern): lr is computed
+    ONCE PER DISTINCT TOKEN on the vocab-bounded frequency frame (two
+    lns per vocab entry, not per occurrence), rounded to 12 before the
+    decimal(27,18) cast; the per-doc mean accumulates decimal ·
+    occurrence-count (exact, order-independent) and rounds to 9.
+
+    100 TB shape: ONE explode feeds one (doc, token) count aggregation
+    ``g`` (in-domain flag rides along — it is functionally dependent on
+    the doc key, so the grouping is unchanged); the frequency frame
+    computes BOTH models in a single token-keyed exchange (the
+    in-domain counts are a conditional sum, not a second pass); model
+    totals are a 1-row broadcast; the scoring join touches DISTINCT
+    (doc, token) pairs, never raw occurrences, so Zipf-head skew is
+    bounded by document count exactly as in unigram_logprob."""
+    from .dedup import _persist
+
+    term = df.select(
+        F.col(id_col).alias("_id"),
+        in_domain.alias("_in"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    g = _persist(
+        term.groupBy("_id", "_in", "token").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+    )
+    freq = g.groupBy("token").agg(
+        F.sum("_c").alias("cnt_all"),
+        F.sum(F.when(F.col("_in"), F.col("_c")).otherwise(F.lit(0))).alias(
+            "cnt_in"
+        ),
+    )
+    tot = freq.agg(
+        F.sum("cnt_all").alias("n_all"),
+        F.sum("cnt_in").alias("n_in"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = float(alpha)
+    lr = F.round(
+        F.log(
+            (F.col("cnt_in").cast("double") + F.lit(a))
+            / (F.col("n_in").cast("double") + F.lit(a) * F.col("v").cast("double"))
+        )
+        - F.log(
+            (F.col("cnt_all").cast("double") + F.lit(a))
+            / (F.col("n_all").cast("double") + F.lit(a) * F.col("v").cast("double"))
+        ),
+        12,
+    )
+    scored = freq.crossJoin(F.broadcast(tot)).select("token", lr.alias("_lr"))
+    return (
+        g.join(scored, "token")
+        .groupBy("_id", "_in")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.round(
+                # (27,18) × (10,0) fits (38,18) exactly — the
+                # unigram_logprob precision note applies verbatim.
+                F.sum(
+                    F.col("_lr").cast("decimal(27,18)")
+                    * F.col("_c").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("_c"),
+                9,
+            ).alias("ml_score"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_in").alias("in_domain"),
+            "n_tokens",
+            "ml_score",
+        )
+    )
+
+
+def duck_moore_lewis_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    in_domain_sql: str,
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB mirror of :func:`moore_lewis_score` — same fused shape,
+    same per-distinct-token round-12 lr, same decimal accumulation."""
+    a = float(alpha)
+    return f"""
+    WITH term AS (
+      SELECT {id_col} AS _id, {in_domain_sql} AS _in,
+             unnest(string_split({text_col}, ' ')) AS token
+      FROM {table}
+    ),
+    g AS (SELECT _id, _in, token, count(*) AS _c
+          FROM term GROUP BY _id, _in, token),
+    freq AS (
+      SELECT token, sum(_c) AS cnt_all,
+             coalesce(sum(CASE WHEN _in THEN _c END), 0) AS cnt_in
+      FROM g GROUP BY token
+    ),
+    tot AS (SELECT sum(cnt_all) AS n_all, sum(cnt_in) AS n_in,
+                   count(*) AS v
+            FROM freq),
+    scored AS (
+      SELECT token,
+             round(
+               ln((CAST(cnt_in AS DOUBLE) + {a!r})
+                  / (CAST(n_in AS DOUBLE) + {a!r} * CAST(v AS DOUBLE)))
+               - ln((CAST(cnt_all AS DOUBLE) + {a!r})
+                    / (CAST(n_all AS DOUBLE) + {a!r} * CAST(v AS DOUBLE)))
+             , 12) AS _lr
+      FROM freq CROSS JOIN tot
+    )
+    SELECT g._id AS {id_col}, g._in AS in_domain,
+           CAST(sum(_c) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(_lr AS DECIMAL(27,18))
+                           * CAST(_c AS DECIMAL(10,0))) AS DOUBLE)
+                 / sum(_c), 9) AS ml_score
+    FROM g JOIN scored USING (token)
+    GROUP BY g._id, g._in
+    ORDER BY {id_col}
+    """

@@ -1312,3 +1312,138 @@ def group_centroid_drift(
             "drift",
         )
     )
+
+
+def centroid_silhouette(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Per-cluster SILHOUETTE quality (Rousseeuw 1987, the centroid
+    a.k.a. "simplified" variant — a(i)/b(i) against cluster CENTROIDS
+    rather than all-pairs member distances, the form that stays O(n·L)
+    instead of O(n²) and is the standard proxy at corpus scale): for
+    every vector, a = Euclidean distance to its OWN label's centroid,
+    b = distance to the NEAREST OTHER centroid, s = (b − a)/max(a, b).
+    Per-label means answer the curation question x62/x91 raise for
+    dedup clusters, for the embedding space itself: are the label
+    partitions actually separated (s → 1), or entangled (s → 0/neg) —
+    the gate before trusting labels for stratified sampling (x16/x85)
+    or nearest-centroid routing (x65).
+
+    Output: (label_col, n, mean_a, mean_b, mean_silhouette), all means
+    double round-9, ordered by label.
+
+    Cross-engine float discipline: centroids are the exact
+    decimal(38,12) means (fit_label_centroids — bit-identical to the
+    oracle's DuckDB re-fit); per-row distances are the Quantizer's
+    left-fold squared-L2 over centroid literals (mirrored
+    operation-for-operation by duck_dist_list), sqrt is IEEE-exact on
+    both engines, and the per-label means accumulate decimal(27,18)
+    casts of bit-identical doubles — exact, order-independent.
+
+    100 TB shape: the model is a ≤ L×dim driver-side literal (the x65
+    contract); scoring is ONE map-only pass (no join — the centroid
+    matrix rides the expression tree), and the only exchange is the
+    final ≤ |labels| aggregation."""
+    labels, cent = fit_label_centroids(df, label_col, vec_col, dim)
+    q = Quantizer(cent)
+    n_l = len(labels)
+    labs_sql = "array(" + ",".join(repr(int(l)) for l in labels) + ")"
+    t = df.select(
+        F.col(label_col).alias("_lab"),
+        F.expr(q.dist_sql(_q_ident(vec_col))).alias("_dl"),
+    ).withColumn(
+        "_idx", F.expr(f"CAST(array_position({labs_sql}, _lab) AS INT)")
+    )
+    v = t.select(
+        "_lab",
+        F.expr("sqrt(element_at(_dl, _idx))").alias("_a"),
+        F.expr(
+            f"sqrt(array_min(transform(sequence(1, {n_l}), "
+            f"i -> IF(i = _idx, CAST('Infinity' AS DOUBLE), "
+            f"element_at(_dl, i)))))"
+        ).alias("_b"),
+    )
+    s = F.when(
+        F.greatest("_a", "_b") > 0,
+        (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"),
+    ).otherwise(F.lit(0.0))
+
+    def _mean9(col) -> Column:
+        # round-12 BEFORE the decimal cast (the x112/KL pattern): Spark's
+        # double→decimal goes through BigDecimal.valueOf (shortest-repr,
+        # ~16 sig digits) while DuckDB converts the exact binary value —
+        # unrounded casts drift ~1e-15/row and 42 rows were measured to
+        # flip the 9th digit of a mean. A 12-decimal value converts
+        # identically on both engines.
+        return F.round(
+            F.sum(F.round(col, 12).cast("decimal(27,18)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        )
+
+    return (
+        v.groupBy("_lab")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _mean9(F.col("_a")).alias("mean_a"),
+            _mean9(F.col("_b")).alias("mean_b"),
+            _mean9(s).alias("mean_silhouette"),
+        )
+        .select(
+            F.col("_lab").alias(label_col),
+            "n",
+            "mean_a",
+            "mean_b",
+            "mean_silhouette",
+        )
+        .orderBy(label_col)
+    )
+
+
+def duck_centroid_silhouette_sql(
+    tbl: str, label_col: str, vec_expr: str, labels: list, centroids
+) -> str:
+    """DuckDB mirror of :func:`centroid_silhouette` over the SAME
+    centroid values (caller re-fits them decimal-exact from the same
+    parquet): same distance list, same own/nearest-other split, same
+    decimal-accumulated means."""
+    n_l = len(labels)
+    dl = duck_dist_list(vec_expr, centroids)
+    labs = "[" + ",".join(str(int(l)) for l in labels) + "]"
+
+    def m9(x: str) -> str:
+        return (
+            f"round(CAST(sum(CAST(round({x}, 12) AS DECIMAL(27,18)))"
+            f" AS DOUBLE) / count(*), 9)"
+        )
+
+    s = (
+        "CASE WHEN greatest(_a, _b) > 0"
+        " THEN (_b - _a) / greatest(_a, _b) ELSE 0.0 END"
+    )
+    return f"""
+    WITH t AS (
+      SELECT {label_col} AS _lab,
+             CAST(list_position({labs}, {label_col}) AS INT) AS _idx,
+             {dl} AS _dl
+      FROM {tbl}
+    ),
+    v AS (
+      SELECT _lab,
+             sqrt(_dl[_idx]) AS _a,
+             sqrt(list_min([CASE WHEN i = _idx
+                                 THEN 'infinity'::DOUBLE
+                                 ELSE _dl[i] END
+                            for i in range(1, {n_l + 1})])) AS _b
+      FROM t
+    )
+    SELECT _lab AS {label_col}, count(*) AS n,
+           {m9('_a')} AS mean_a,
+           {m9('_b')} AS mean_b,
+           {m9(s)} AS mean_silhouette
+    FROM v GROUP BY _lab ORDER BY {label_col}
+    """

@@ -903,3 +903,77 @@ def x104_centroid_drift(spark, sf_dir):
         emb.filter(F.col("vec_id") % 3 != 0),
         "label", "embedding",
     ).orderBy("label")
+
+
+def _x125_centroids(sf_dir: str):
+    """Full-set per-label centroids for the x125 oracle — the x65
+    decimal(38,12) re-fit pattern WITHOUT the train-slice filter (the
+    silhouette audits the whole labeled space).
+
+    The per-value cast goes float → DOUBLE → VARCHAR → DECIMAL: Spark's
+    double→decimal conversion rounds the SHORTEST string repr
+    (BigDecimal.valueOf) at scale 12 HALF_UP, while DuckDB's direct
+    double→decimal rounds the exact binary expansion — for values whose
+    shortest repr terminates in ...5 exactly at digit 12 the two
+    disagree by 1e-12 per row (measured: 1 cell in 640 at sf0.01,
+    enough to flip mean_b's 9th digit downstream, since the silhouette
+    consumes centroid BITS, unlike x65's argmin). DuckDB's
+    double→VARCHAR is the same shortest round-trip repr, and its
+    string→decimal rounds half-away-from-zero = Java HALF_UP, so the
+    VARCHAR hop reproduces Spark's cast bit-for-bit."""
+    import os
+
+    import duckdb
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None, None
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT label, d,
+               sum(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR)
+                        AS DECIMAL(38,12))) AS s,
+               count(*) AS n
+        FROM (
+          SELECT label,
+                 generate_subscripts(embedding, 1) - 1 AS d,
+                 unnest(embedding) AS v
+          FROM read_parquet('{path}')
+        ) GROUP BY label, d
+        """
+    ).fetchall()
+    import numpy as np
+
+    labels = sorted({r[0] for r in rows})
+    idx = {l: i for i, l in enumerate(labels)}
+    cent = np.zeros((len(labels), _EMB_DIM), dtype=np.float64)
+    for l, d, s, n in rows:
+        cent[idx[l], d] = float(s) / n
+    return labels, cent
+
+
+def _x125_oracle(sf_dir: str) -> str | None:
+    labels, cent = _x125_centroids(sf_dir)
+    if labels is None:
+        return None
+    return similarity.duck_centroid_silhouette_sql(
+        "embeddings", "label", "embedding", labels, cent
+    )
+
+
+@query("x125_silhouette", oracle=_x125_oracle)
+def x125_silhouette(spark, sf_dir):
+    """Per-cluster centroid silhouette (similarity.centroid_silhouette
+    — Rousseeuw 1987, the O(n·L) centroid variant): a = distance to own
+    centroid, b = nearest OTHER centroid, s = (b−a)/max(a,b), per-label
+    means. The separation gate before trusting labels for stratified
+    sampling (x16/x85) or Rocchio routing (x65). Model is a ≤L×dim
+    literal; scoring is ONE map-only pass; the only exchange is the
+    ≤|labels| aggregation. Oracle re-fits byte-equal centroids via
+    DuckDB decimal sums (x65 pattern) and mirrors the distance fold
+    expression-for-expression."""
+    from ...operators.similarity import centroid_silhouette
+
+    emb = table(spark, sf_dir, "embeddings")
+    return centroid_silhouette(emb, "vec_id", "label", "embedding", _EMB_DIM)

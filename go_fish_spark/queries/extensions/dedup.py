@@ -1241,3 +1241,41 @@ def x121_cluster_split(spark, sf_dir):
             "component", {"train": 0.8, "val": 0.1, "test": 0.1}
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "x123_edit_verify",
+    oracle=dedup.duck_edit_verified_sql(
+        "documents", "doc_id", "text", window=3, key_len=20, max_dist=60
+    ),
+)
+def x123_edit_verify(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs (dedup.edit_verified_pairs):
+    x115's sorted-neighborhood blocking (candidates EXACTLY n·w, skew-
+    immune) verified with EXACT character Levenshtein instead of shingle
+    Jaccard — the verifier for in-place edit near-dups. Cost guards:
+    the |Δlen| ≤ d prefilter rides IN the join (edit distance ≥ length
+    gap), and Spark's banded 3-arg levenshtein(a, b, threshold)
+    early-exits each DP at the bound. Integer distances are exact
+    cross-engine; sim = 1 − lev/max(len) rounds at 6."""
+    return dedup.edit_verified_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        window=3, key_len=20, max_dist=60,
+    )
+
+
+@query(
+    "x124_dup_spans",
+    oracle=dedup.duck_dup_span_sql("documents", "doc_id", "text", k=8),
+)
+def x124_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-SPAN profile (dedup.dup_span_profile —
+    the ExactSubstr diagnostic of Lee et al. 2022 at token-8-gram
+    granularity): windows shared by ≥2 distinct docs, merged per doc
+    into MAXIMAL spans by gaps-and-islands interval union; reports each
+    doc's duplicated-token footprint (the RefinedWeb dup-n-gram
+    threshold input). Two digest-keyed exchanges + per-doc windows —
+    the honest O(corpus) ExactSubstr cost, no global sort."""
+    return dedup.dup_span_profile(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=8
+    )

@@ -1085,3 +1085,30 @@ def x114_source_kl(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return source_kl_to_corpus(docs, "source", "text")
+
+
+from ...operators.ngrams import duck_moore_lewis_sql, moore_lewis_score  # noqa: E402
+
+
+@query(
+    "x122_moore_lewis",
+    oracle=duck_moore_lewis_sql(
+        "documents", "doc_id", "text", "source IN ('src0', 'src1')"
+    ),
+)
+def x122_moore_lewis(spark, sf_dir):
+    """Moore–Lewis cross-entropy difference selection
+    (ngrams.moore_lewis_score — Moore & Lewis, ACL 2010): per-doc mean
+    ln(p_in/p_all) under add-0.5-smoothed unigram models, the in-domain
+    seed being sources src0/src1 (~10% of the corpus). The EXACT
+    unigram form of the selection family x43's DSIR approximates with
+    hashed features — rank by ml_score, keep the top slice. One
+    explode, one token-keyed model exchange computing BOTH models, a
+    1-row totals broadcast, doc-distinct scoring join (x34's fused
+    Zipf-skew shape)."""
+    return moore_lewis_score(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        F.col("source").isin("src0", "src1"),
+    ).orderBy("doc_id")

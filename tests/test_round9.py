@@ -667,3 +667,162 @@ def test_dedup_maintenance_stream_three_batches(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(map(tuple, read_labels(spark, labels).collect())) == got
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (pure-python DP) for expected values."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_verified_pairs_semantics(spark):
+    """x123: exact dup scores lev=0/sim=1, a small in-place edit scores
+    its exact distance, a pair whose length gap exceeds max_dist is
+    pruned by the in-join prefilter, and every reported distance equals
+    the reference DP."""
+    from go_fish_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumped over the lazy dog"),
+        # same 20-char sort prefix as 1-3 but 60+ chars longer: the
+        # |len gap| > max_dist prefilter must drop its pairs before
+        # any levenshtein evaluates
+        (4, "the quick brown fox " + "padding " * 12 + "tail"),
+        (5, "zzz wholly unrelated text about engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.edit_verified_pairs(
+        df, "doc_id", "text", window=4, key_len=20, max_dist=10
+    ).collect()
+    got = {(r.id_a, r.id_b): (r.lev, r.sim) for r in out}
+    texts = dict(rows)
+    for (a, b), (lev, sim) in got.items():
+        assert lev == _lev(texts[a], texts[b])
+        mx = max(len(texts[a]), len(texts[b]))
+        assert sim == round(1.0 - lev / mx, 6)
+    assert got[(1, 2)][0] == 0 and got[(1, 2)][1] == 1.0
+    # jumps -> jumped: substitute s->e + insert d
+    assert got[(1, 3)][0] == 2 and got[(2, 3)][0] == 2
+    assert not any(4 in p for p in got), "length prefilter must prune doc 4"
+    assert not any(5 in p for p in got), "unrelated text exceeds max_dist"
+    dedup.release_caches()
+
+
+def test_dup_span_profile_merges_overlapping_windows(spark):
+    """x124: a 10-token run shared by two docs yields ONE maximal span
+    of exactly 10 tokens in each (the three overlapping 8-gram hits
+    merge), a doc sharing nothing reports zeros, and within-doc
+    repetition alone does NOT count as duplication."""
+    from go_fish_spark.operators import dedup
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        (1, "u1 u2 " + shared + " u3 u4"),          # 14 tokens, run at 3-12
+        (2, shared + " v1 v2 v3"),                   # 13 tokens, run at 1-10
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),   # nothing shared
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),  # self-repeat
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.dup_span_profile(
+        df, "doc_id", "text", k=8).collect()}
+    assert out[1].n_tokens == 14 and out[2].n_tokens == 13
+    assert out[1].n_dup_spans == 1 and out[1].dup_tokens == 10
+    assert out[2].n_dup_spans == 1 and out[2].dup_tokens == 10
+    assert out[1].dup_frac == round(10 / 14, 6)
+    assert out[2].dup_frac == round(10 / 13, 6)
+    assert out[3].n_dup_spans == 0 and out[3].dup_tokens == 0
+    assert out[4].n_dup_spans == 0, "within-doc repeats are x22's signal"
+    # sub-k docs must not fabricate phantom windows (the sequence(1,0)
+    # descending pitfall)
+    tiny = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    t = {r.doc_id: r for r in dedup.dup_span_profile(
+        tiny, "doc_id", "text", k=8).collect()}
+    assert t[1].n_dup_spans == 0 and t[1].dup_tokens == 0
+
+
+def test_moore_lewis_ranks_in_domain_vocabulary(spark):
+    """x122: docs written in the in-domain slice's vocabulary outrank
+    general-corpus docs; a smoothed score exists for every doc (even
+    tokens unseen in-domain), and the mean-lr identity holds for a
+    single-token doc."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators.ngrams import moore_lewis_score
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "seed"),
+        (2, "alpha gamma beta beta alpha", "seed"),
+        (3, "alpha beta gamma beta", "web"),    # in-domain-looking
+        (4, "delta epsilon zeta delta eta", "web"),
+        (5, "epsilon zeta eta delta zeta", "web"),
+        (6, "gamma", "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r for r in moore_lewis_score(
+        df, "doc_id", "text", F.col("source") == "seed").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[1].in_domain and not out[3].in_domain
+    # in-domain-vocabulary doc 3 must outrank general docs 4/5
+    assert out[3].ml_score > out[4].ml_score
+    assert out[3].ml_score > out[5].ml_score
+    # single-token doc: score == that token's lr, computable by hand
+    import math
+
+    v = len({t for _, tx, _ in rows for t in tx.split()})
+    c_in = sum(tx.split().count("gamma") for _, tx, s in rows if s == "seed")
+    c_all = sum(tx.split().count("gamma") for _, tx, _ in rows)
+    n_in = sum(len(tx.split()) for _, tx, s in rows if s == "seed")
+    n_all = sum(len(tx.split()) for _, tx, _ in rows)
+    lr = round(
+        math.log((c_in + 0.5) / (n_in + 0.5 * v))
+        - math.log((c_all + 0.5) / (n_all + 0.5 * v)),
+        12,
+    )
+    assert out[6].ml_score == round(lr, 9)
+
+
+def test_centroid_silhouette_separates_clusters(spark):
+    """x125: two tight, well-separated label clusters score a mean
+    silhouette near 1; collapsing them onto one point drives the score
+    to ~0 (a == b is impossible; entangled labels -> b barely above a)."""
+    import random
+
+    from go_fish_spark.operators.similarity import centroid_silhouette
+
+    rng = random.Random(7)
+
+    def jit(base):
+        return [v + rng.uniform(-0.02, 0.02) for v in base]
+
+    rows = [(i, 0, jit([1.0, 0.0, 0.0, 0.0])) for i in range(20)]
+    rows += [(100 + i, 1, jit([0.0, 1.0, 0.0, 0.0])) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    df = df.selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<FLOAT>) AS embedding"
+    )
+    out = {r.label: r for r in centroid_silhouette(
+        df, "vec_id", "label", "embedding", 4).collect()}
+    assert out[0].n == 20 and out[1].n == 20
+    assert out[0].mean_silhouette > 0.9
+    assert out[1].mean_silhouette > 0.9
+    # entangled: both labels drawn from the SAME blob
+    rows2 = [(i, i % 2, jit([0.5, 0.5, 0.0, 0.0])) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, ["vec_id", "label", "embedding"])
+    df2 = df2.selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<FLOAT>) AS embedding"
+    )
+    out2 = {r.label: r for r in centroid_silhouette(
+        df2, "vec_id", "label", "embedding", 4).collect()}
+    assert abs(out2[0].mean_silhouette) < 0.3
+    assert abs(out2[1].mean_silhouette) < 0.3
