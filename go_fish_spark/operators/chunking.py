@@ -146,3 +146,68 @@ def token_budget_report(df: DataFrame, text_col: str) -> DataFrame:
         .select("bucket_lo", "n_docs", "tok_total", "cum_share")
         .orderBy("bucket_lo")
     )
+
+
+def pack_purity_profile(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    capacity: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Pack-PURITY audit over :func:`pack_documents`' layout: how much
+    cross-source contamination does concatenate-and-cut packing create?
+    Every pack that mixes sources trains attention across a document
+    boundary the curriculum never intended (the reason production
+    packers add boundary masks or source-partitioned streams) — this
+    measures the exposure before anyone pays for either fix.
+
+    Per pack: token-weighted majority-source share (purity). Output is
+    the BOUNDED histogram (n_sources, purity_bin, n_packs, tok_total)
+    ordered by (n_sources, purity_bin), where purity_bin = the 0.1-wide
+    bin index 0–9 (pure single-source packs land in bin 9 with
+    n_sources = 1).
+
+    Integer discipline: token counts aggregate exactly; the one purity
+    division is IEEE-identical cross-engine (same ints in, same op), and
+    binning floors the raw double — no rounding boundary to disagree on.
+
+    100 TB shape: rides x25's md5-sharded offset windows (parallel per
+    shard, never a global sort); the per-(pack, source) token agg is
+    map-side combined; the histogram itself is a ≤ |sources|·10-key
+    aggregate."""
+    packed = pack_documents(docs, id_col, text_col, capacity, n_shards)
+    src = docs.select(F.col(id_col), F.col(source_col).alias("_src"))
+    ps = (
+        packed.join(src, id_col)
+        .groupBy("shard", "pack_id", "_src")
+        .agg(F.sum("n_tokens").alias("_tok"))
+    )
+    per_pack = ps.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("_tok").alias("_tot"),
+        F.max("_tok").alias("_mx"),
+    )
+    purity = F.col("_mx").cast("double") / F.col("_tot").cast("double")
+    binned = per_pack.select(
+        "n_sources",
+        F.least(F.floor(purity * 10).cast("int"), F.lit(9)).alias(
+            "purity_bin"
+        ),
+        "_tot",
+    )
+    return (
+        binned.groupBy("n_sources", "purity_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("_tot").cast("bigint").alias("tok_total"),
+        )
+        .select(
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            "purity_bin",
+            "n_packs",
+            "tok_total",
+        )
+        .orderBy("n_sources", "purity_bin")
+    )

@@ -1194,3 +1194,142 @@ def kmv_distinct_audit(
             ).alias("rel_err"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_n: int = 200,
+) -> DataFrame:
+    """Per-source Zipf-law fit: OLS of ln(freq) on ln(rank) over each
+    source's ``top_n`` most frequent tokens — slope ≈ −1 is the healthy
+    natural-text signature (Zipf 1949); a flat slope flags synthetic /
+    templated text (token frequencies too uniform), a cliff flags
+    boilerplate domination. The release-audit companion to x114's KL
+    (KL says "this source DIFFERS from the corpus"; the Zipf slope says
+    "this source doesn't look like language at all").
+
+    Rank is deterministic: count DESC, token ASC (the vocab_coverage
+    boundary rule). Output: (group_col, n_terms, slope, r2), doubles
+    round-9, ordered by group.
+
+    Cross-engine float discipline: each point's x = ln(rank),
+    y = ln(cnt) and the products x·y, x², y² are doubles rounded to 12
+    and accumulated as decimal(27,18) (exact, order-independent); the
+    closed-form slope/R² arithmetic then runs on bit-identical doubles
+    in a mirrored operation order, rounding 9 at the end. ln is 1-ulp
+    cross-engine on ~1e-4 of inputs — but ln of INTEGER rank/count
+    values is measured-stable (the unigram_logprob note), and round-12
+    absorbs the residual.
+
+    100 TB shape: one (group, token) exchange to the vocab-bounded
+    count frame; per-GROUP rank windows parallelize across sources
+    (never a global sort); the regression sums are a ≤ |sources| agg
+    over ≤ top_n rows each."""
+    if top_n < 2:
+        raise ValueError("top_n must be >= 2")
+    from ..functions.text import tokens
+
+    cnts = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .groupBy("_g", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("cnt").desc(), F.col("token"))
+    top = cnts.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= top_n
+    )
+    x = F.round(F.log(F.col("_r").cast("double")), 12)
+    y = F.round(F.log(F.col("cnt").cast("double")), 12)
+    pt = top.select(
+        "_g",
+        x.alias("_x"),
+        y.alias("_y"),
+        F.round(x * y, 12).alias("_xy"),
+        F.round(x * x, 12).alias("_xx"),
+        F.round(y * y, 12).alias("_yy"),
+    )
+
+    def dec(c: str) -> Column:
+        return F.sum(F.col(c).cast("decimal(27,18)")).cast("double")
+
+    sums = pt.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        dec("_x").alias("sx"),
+        dec("_y").alias("sy"),
+        dec("_xy").alias("sxy"),
+        dec("_xx").alias("sxx"),
+        dec("_yy").alias("syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return sums.select(
+        F.col("_g").alias(group_col),
+        F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.round(cov / vx, 9).alias("slope"),
+        F.round(
+            F.when(vy > 0, (cov * cov) / (vx * vy)).otherwise(F.lit(0.0)), 9
+        ).alias("r2"),
+    ).orderBy(group_col)
+
+
+def duck_zipf_fit_sql(
+    table: str, group_col: str, text_col: str, top_n: int = 200
+) -> str:
+    """DuckDB mirror of :func:`zipf_fit` — same deterministic rank,
+    round-12 points, decimal sums, and closed-form arithmetic order."""
+    return f"""
+    WITH cnts AS (
+      SELECT {group_col} AS _g, token, count(*) AS cnt
+      FROM (SELECT {group_col},
+                   unnest(string_split({text_col}, ' ')) AS token
+            FROM {table})
+      GROUP BY _g, token
+    ),
+    top AS (
+      SELECT _g, cnt,
+             row_number() OVER (
+               PARTITION BY _g ORDER BY cnt DESC, token ASC
+             ) AS _r
+      FROM cnts QUALIFY _r <= {int(top_n)}
+    ),
+    pt AS (
+      SELECT _g,
+             round(ln(CAST(_r AS DOUBLE)), 12) AS _x,
+             round(ln(CAST(cnt AS DOUBLE)), 12) AS _y
+      FROM top
+    ),
+    pts AS (
+      SELECT _g, _x, _y,
+             round(_x * _y, 12) AS _xy,
+             round(_x * _x, 12) AS _xx,
+             round(_y * _y, 12) AS _yy
+      FROM pt
+    ),
+    sums AS (
+      SELECT _g, count(*) AS n_terms,
+             CAST(sum(CAST(_x AS DECIMAL(27,18))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(_y AS DECIMAL(27,18))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(_xy AS DECIMAL(27,18))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(_xx AS DECIMAL(27,18))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(_yy AS DECIMAL(27,18))) AS DOUBLE) AS syy
+      FROM pts GROUP BY _g
+    )
+    SELECT _g AS {group_col},
+           CAST(n_terms AS BIGINT) AS n_terms,
+           round((sxy - sx * sy / CAST(n_terms AS DOUBLE))
+                 / (sxx - sx * sx / CAST(n_terms AS DOUBLE)), 9) AS slope,
+           round(CASE WHEN (syy - sy * sy / CAST(n_terms AS DOUBLE)) > 0
+                      THEN ((sxy - sx * sy / CAST(n_terms AS DOUBLE))
+                            * (sxy - sx * sy / CAST(n_terms AS DOUBLE)))
+                           / ((sxx - sx * sx / CAST(n_terms AS DOUBLE))
+                              * (syy - sy * sy / CAST(n_terms AS DOUBLE)))
+                      ELSE 0.0 END, 9) AS r2
+    FROM sums ORDER BY {group_col}
+    """

@@ -1018,3 +1018,93 @@ def duck_waterfill_sql(
     FROM c CROSS JOIN k
     ORDER BY {group_col}
     """
+
+
+def robust_scale(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group robust z-score: (value − median) / (1.4826 · MAD) —
+    the outlier-immune alternative to mean/std standardization
+    (Hampel 1974; 1.4826 makes MAD consistent with σ under normality)
+    and the rank-free sibling of x116's quantile normalization: x116
+    forces a target distribution, this preserves shape while making
+    quality scores comparable ACROSS sources whose scales drift (the
+    cross-source threshold problem x28-style filters hit).
+
+    Output: (id_col, group_col, value, med, mad, robust_z) — robust_z
+    NULL where MAD = 0 (constant group: no scale to normalize by;
+    callers treat those as pass-through). Doubles round-9.
+
+    Cross-engine: both medians are Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` (exact interpolated — the q42-established
+    equivalence); deviations and the final division are IEEE-identical
+    on both engines, rounded 9 at the edge.
+
+    100 TB shape: two bounded ≤|groups| aggregations (median, then MAD
+    of broadcast-joined deviations) + a map-only scoring pass — no
+    per-group windows, no global sort. Spark's exact percentile
+    collects each group's values onto one reducer: at extreme group
+    sizes swap in approx_percentile(·, ·, accuracy) and accept the
+    documented error bound."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(v, F.lit(0.5)).alias("med")
+    )
+    dev = df.join(
+        F.broadcast(med), F.col(group_col) == F.col("_g")
+    ).withColumn("_dev", F.abs(v - F.col("med")))
+    mad = dev.groupBy("_g").agg(
+        F.percentile(F.col("_dev"), F.lit(0.5)).alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        F.round((v - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 9),
+    )
+    return (
+        dev.drop("_g")
+        .join(F.broadcast(mad), F.col(group_col) == F.col("_g"))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            v.alias("value"),
+            F.round("med", 9).alias("med"),
+            F.round("mad", 9).alias("mad"),
+            z.alias("robust_z"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duck_robust_scale_sql(
+    tbl: str, group_col: str, id_col: str, value_col: str
+) -> str:
+    """DuckDB mirror of :func:`robust_scale` — quantile_cont medians,
+    same deviation/scale arithmetic and NULL-on-zero-MAD rule."""
+    return f"""
+    WITH med AS (
+      SELECT {group_col} AS _g,
+             quantile_cont(CAST({value_col} AS DOUBLE), 0.5) AS med
+      FROM {tbl} GROUP BY _g
+    ),
+    dev AS (
+      SELECT t.{id_col}, t.{group_col},
+             CAST(t.{value_col} AS DOUBLE) AS value, m.med,
+             abs(CAST(t.{value_col} AS DOUBLE) - m.med) AS _dev
+      FROM {tbl} t JOIN med m ON t.{group_col} = m._g
+    ),
+    mad AS (
+      SELECT {group_col} AS _g, quantile_cont(_dev, 0.5) AS mad
+      FROM dev GROUP BY _g
+    )
+    SELECT d.{id_col}, d.{group_col}, d.value,
+           round(d.med, 9) AS med,
+           round(m.mad, 9) AS mad,
+           CASE WHEN m.mad > 0
+                THEN round((d.value - d.med) / (1.4826 * m.mad), 9)
+           END AS robust_z
+    FROM dev d JOIN mad m ON d.{group_col} = m._g
+    ORDER BY d.{id_col}
+    """

@@ -1447,3 +1447,62 @@ def duck_centroid_silhouette_sql(
            {m9(s)} AS mean_silhouette
     FROM v GROUP BY _lab ORDER BY {label_col}
     """
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-NEGATIVE mining: for each query vector, the top-k most
+    similar corpus vectors carrying a DIFFERENT label — the contrastive-
+    training staple (dense-retriever and embedding-model pipelines mine
+    exactly this: negatives that are hard because the encoder currently
+    confuses them). The complement of :func:`brute_force_topk`'s
+    neighbor list under a label constraint; a label-entangled space
+    (x125 silhouette → 0) yields negatives with cos → 1, which is the
+    curriculum signal.
+
+    Output: (query_id, query_label, rank, vec_id, neg_label, cos
+    round-6), ties broken by vec_id.
+
+    100 TB shape: the x06 contract — the bounded query set broadcasts,
+    the corpus is scanned MAP-ONLY (label filter fused into the same
+    stage, no shuffle of raw vectors), per-partition top-k heaps merge
+    ≤ k·|queries| rows. Corpus-scale query sets belong in the x15/x47
+    bucketed/IVF routes, not here."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .withColumn("cos", vectors.cosine("cv", "qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "rank",
+            "vec_id",
+            "neg_label",
+            F.round("cos", 6).alias("cos"),
+        )
+    )

@@ -977,3 +977,34 @@ def x125_silhouette(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return centroid_silhouette(emb, "vec_id", "label", "embedding", _EMB_DIM)
+
+
+@query(
+    "x127_hard_negatives",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)} DESC,
+                      c.vec_id
+           ) AS rank,
+           c.vec_id AS vec_id, c.label AS neg_label,
+           round({vectors.duck_cosine('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS cos
+    FROM embeddings c
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+      ON c.label != q.label
+    QUALIFY rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def x127_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negative_topk): per query,
+    the top-10 most-similar corpus vectors with a DIFFERENT label — the
+    contrastive-training staple. x06's broadcast-queries/map-only-corpus
+    contract with the label constraint fused into the scan stage; an
+    entangled space (x125 → 0) surfaces cos→1 negatives, which is the
+    curriculum signal."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    ).orderBy("query_id", "rank")

@@ -336,3 +336,20 @@ def x109_kmv_distinct(spark, sf_dir):
         table(spark, sf_dir, "documents"), "source", "text",
         k_shingle=3, k_min=256,
     ).orderBy("source")
+
+
+from ...operators.profile import duck_zipf_fit_sql, zipf_fit  # noqa: E402
+
+
+@query(
+    "x129_zipf_fit",
+    oracle=duck_zipf_fit_sql("documents", "source", "text", top_n=200),
+)
+def x129_zipf_fit(spark, sf_dir):
+    """Per-source Zipf-law fit (profile.zipf_fit): OLS slope + R² of
+    ln(freq) on ln(rank) over each source's top-200 tokens — slope ≈ −1
+    is natural text, flat flags synthetic/templated sources, the
+    "is this language at all" companion to x114's KL. One (source,
+    token) exchange, per-SOURCE rank windows, ≤|sources| regression
+    agg with round-12/decimal point sums."""
+    return zipf_fit(table(spark, sf_dir, "documents"), "source", "text", 200)

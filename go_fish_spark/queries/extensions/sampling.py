@@ -831,3 +831,94 @@ def x117_waterfill_budget(spark, sf_dir):
         table(spark, sf_dir, "documents"), "source", "n_chars",
         budget=60_000,
     )
+
+
+@query(
+    "x128_pack_purity",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT doc_id, source,
+             CAST({duck_hash_bucket('doc_id', 64)} AS BIGINT) AS shard,
+             len(string_split(text,' ')) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, source, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  AS BIGINT) - n_tokens AS "offset"
+      FROM s
+    ),
+    p AS (
+      SELECT shard, CAST(floor("offset" / 2048.0) AS BIGINT) AS pack_id,
+             source, sum(n_tokens) AS _tok
+      FROM o GROUP BY shard, pack_id, source
+    ),
+    pp AS (
+      SELECT shard, pack_id, count(*) AS n_sources,
+             sum(_tok) AS _tot, max(_tok) AS _mx
+      FROM p GROUP BY shard, pack_id
+    )
+    SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(least(floor((CAST(_mx AS DOUBLE) / CAST(_tot AS DOUBLE))
+                            * 10), 9) AS INT) AS purity_bin,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(_tot) AS BIGINT) AS tok_total
+    FROM pp GROUP BY n_sources, purity_bin
+    ORDER BY n_sources, purity_bin
+    """,
+)
+def x128_pack_purity(spark, sf_dir):
+    """Pack-purity audit (chunking.pack_purity_profile): token-weighted
+    majority-source share per x25 pack, reported as the bounded
+    (n_sources × 0.1-bin) histogram — the cross-source contamination
+    exposure of concatenate-and-cut packing, measured before paying for
+    boundary masks or source-partitioned streams. Integer token sums;
+    the one division is IEEE-identical cross-engine; binning floors the
+    raw double (no rounding boundary)."""
+    from ...operators.chunking import pack_purity_profile
+
+    return pack_purity_profile(
+        table(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        capacity=2048, n_shards=64,
+    )
+
+
+@query(
+    "x130_robust_scale",
+    oracle="""
+    WITH med AS (
+      SELECT source AS _g,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+      FROM documents GROUP BY _g
+    ),
+    dev AS (
+      SELECT t.doc_id, t.source,
+             CAST(t.n_chars AS DOUBLE) AS value, m.med,
+             abs(CAST(t.n_chars AS DOUBLE) - m.med) AS _dev
+      FROM documents t JOIN med m ON t.source = m._g
+    ),
+    mad AS (
+      SELECT source AS _g, quantile_cont(_dev, 0.5) AS mad
+      FROM dev GROUP BY _g
+    )
+    SELECT d.doc_id, d.source, d.value,
+           round(d.med, 9) AS med,
+           round(m.mad, 9) AS mad,
+           CASE WHEN m.mad > 0
+                THEN round((d.value - d.med) / (1.4826 * m.mad), 9)
+           END AS robust_z
+    FROM dev d JOIN mad m ON d.source = m._g
+    ORDER BY d.doc_id
+    """,
+)
+def x130_robust_scale(spark, sf_dir):
+    """Per-source robust z-scores (sampling.robust_scale): (value −
+    median)/(1.4826·MAD) over n_chars — outlier-immune cross-source
+    score normalization, the shape-preserving sibling of x116's
+    quantile norm. Two bounded ≤|sources| aggregations (percentile ≡
+    quantile_cont, the q42 equivalence) + a map-only scoring pass."""
+    from ...operators.sampling import robust_scale
+
+    return robust_scale(
+        table(spark, sf_dir, "documents"), "source", "doc_id", "n_chars"
+    )

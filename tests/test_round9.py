@@ -826,3 +826,130 @@ def test_centroid_silhouette_separates_clusters(spark):
         df2, "vec_id", "label", "embedding", 4).collect()}
     assert abs(out2[0].mean_silhouette) < 0.3
     assert abs(out2[1].mean_silhouette) < 0.3
+
+
+def test_bigram_logprob_detects_word_salad(spark):
+    """x126: a shuffle that preserves unigram counts but breaks word
+    order scores strictly lower than the natural docs (the signal
+    unigram_logprob is blind to); sub-2-token docs report n_bigrams=0
+    and NULL score."""
+    from go_fish_spark.operators.ngrams import bigram_logprob
+
+    natural = "the cat sat on the mat " * 4
+    rows = [
+        (1, natural.strip()),
+        (2, natural.strip()),
+        # same multiset of tokens as doc 1, order scrambled
+        (3, "cat the mat sat the on the cat on sat mat the "
+            "on the sat cat the mat the on sat cat mat the"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert out[4].n_bigrams == 0 and out[4].avg_logprob is None
+    assert out[1].n_bigrams == 23
+    assert out[1].avg_logprob == out[2].avg_logprob
+    assert out[1].avg_logprob > out[3].avg_logprob + 0.3
+
+
+def test_hard_negative_topk_label_constraint(spark):
+    """x127: every mined negative carries a different label than its
+    query, ranks follow cos desc with vec_id tie-break, and the row
+    count per query is min(k, |other-label corpus|)."""
+    import random
+
+    from go_fish_spark.operators.similarity import hard_negative_topk
+
+    rng = random.Random(3)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    df = df.selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<FLOAT>) AS embedding"
+    )
+    out = hard_negative_topk(
+        df, df.filter("vec_id < 3"), k=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        assert r.neg_label != r.query_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, lst in by_q.items():
+        lst.sort(key=lambda r: r.rank)
+        assert len(lst) == 5
+        cos_seq = [r.cos for r in lst]
+        assert cos_seq == sorted(cos_seq, reverse=True)
+
+
+def test_pack_purity_histogram_accounting(spark):
+    """x128: the histogram accounts for every pack and every token; an
+    all-one-source corpus lands entirely in (n_sources=1, bin 9)."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators.chunking import (
+        pack_documents,
+        pack_purity_profile,
+    )
+
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(40)),
+         "a" if i % 4 else "b")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    hist = pack_purity_profile(
+        df, "doc_id", "text", "source", capacity=100, n_shards=4
+    ).collect()
+    packs = pack_documents(df, "doc_id", "text", capacity=100, n_shards=4)
+    n_packs = packs.select("shard", "pack_id").distinct().count()
+    total_tokens = 60 * 40
+    assert sum(r.n_packs for r in hist) == n_packs
+    assert sum(r.tok_total for r in hist) == total_tokens
+    assert all(0 <= r.purity_bin <= 9 for r in hist)
+    mono = df.withColumn("source", F.lit("only"))
+    h1 = pack_purity_profile(
+        mono, "doc_id", "text", "source", capacity=100, n_shards=4
+    ).collect()
+    assert len(h1) == 1
+    assert h1[0].n_sources == 1 and h1[0].purity_bin == 9
+
+
+def test_zipf_fit_slope_on_synthetic_power_law(spark):
+    """x129: an exact 1/rank frequency corpus fits slope ≈ −1 with
+    R² ≈ 1; a uniform-frequency corpus fits slope 0 (every token the
+    same count) with R² = 0."""
+    from go_fish_spark.operators.profile import zipf_fit
+
+    zipf_tokens = []
+    for rank in range(1, 51):
+        zipf_tokens += [f"w{rank:03d}"] * (600 // rank)
+    uni_tokens = [f"u{i:03d}" for i in range(50)] * 12
+    df = spark.createDataFrame(
+        [(1, " ".join(zipf_tokens), "zipf"), (2, " ".join(uni_tokens), "flat")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r for r in zipf_fit(df, "source", "text", 50).collect()}
+    assert out["zipf"].n_terms == 50 and out["flat"].n_terms == 50
+    assert -1.1 < out["zipf"].slope < -0.9
+    assert out["zipf"].r2 > 0.99
+    assert abs(out["flat"].slope) < 1e-9
+    assert out["flat"].r2 == 0.0
+
+
+def test_robust_scale_median_mad_goldens(spark):
+    """x130: hand-checkable median/MAD/z on a 5-value group; a constant
+    group yields MAD 0 and NULL z for every member."""
+    from go_fish_spark.operators.sampling import robust_scale
+
+    rows = [(i + 1, "g", v) for i, v in enumerate([1, 2, 3, 4, 100])]
+    rows += [(10 + i, "const", 7) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r.doc_id: r for r in robust_scale(
+        df, "source", "doc_id", "n_chars").collect()}
+    assert out[3].med == 3.0 and out[3].mad == 1.0
+    assert out[3].robust_z == 0.0
+    assert out[5].robust_z == round(97 / 1.4826, 9)
+    assert out[1].robust_z == round(-2 / 1.4826, 9)
+    for i in range(10, 14):
+        assert out[i].mad == 0.0 and out[i].robust_z is None
