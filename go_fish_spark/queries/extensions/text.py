@@ -1135,3 +1135,37 @@ def x126_bigram_logprob(spark, sf_dir):
     return bigram_logprob(
         table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+from ...operators.ngrams import (  # noqa: E402
+    distinct_ngram_diversity,
+    duck_distinct_ngram_diversity_sql,
+    duck_pmi_collocations_sql,
+    pmi_collocations,
+)
+
+
+@query(
+    "x131_pmi_collocations",
+    oracle=duck_pmi_collocations_sql("documents", "text", 5, 50),
+)
+def x131_pmi_collocations(spark, sf_dir):
+    """Top-50 PMI collocations with count ≥ 5 (ngrams.pmi_collocations
+    — Church & Hanks 1990): the phrase-mining pass before multiword
+    vocab merges. Ratios-first PMI (no c2·N bigint product to overflow
+    at corpus scale), one (prev, tok) exchange, TakeOrdered top-k."""
+    return pmi_collocations(table(spark, sf_dir, "documents"), "text", 5, 50)
+
+
+@query(
+    "x132_distinct_ngrams",
+    oracle=duck_distinct_ngram_diversity_sql("documents", "source", "text"),
+)
+def x132_distinct_ngrams(spark, sf_dir):
+    """Per-source distinct-1/distinct-2 diversity (ngrams.
+    distinct_ngram_diversity — Li et al. 2016): the mode-collapse /
+    template gauge for synthetic or scraped sources; exact distinct on
+    the (source, gram) exchange, ≤|sources| output."""
+    return distinct_ngram_diversity(
+        table(spark, sf_dir, "documents"), "source", "text"
+    )
