@@ -77,6 +77,16 @@ SHOWCASE = [
     ("x116_quantile_norm", "per-source percent_rank windows — parallel across sources, never a global window; the keep flag evaluates inside codegen"),
     ("x117_waterfill_budget", "ONE source-keyed exchange with partial agg to the ≤|sources| capacity frame; saturation/level windows and the k* broadcast all run on that bounded frame"),
     ("q93_purchase_attribution", "one user-keyed join with the 7-day bounds as join filters (no corpus-wide window); per-purchase min/max struct aggregation; bounded full-outer attribution rollup"),
+    ("x118_incremental_audit", "delta docs probe the signature store via band-bucket equi-joins; CC runs on the REDUCED graph (batch + touched components); final relabel is a broadcast join"),
+    ("x120_blocking_choice", "four discipline costs from bounded key-histogram aggs — no pair join anywhere in the plan"),
+    ("x122_moore_lewis", "one token exchange computing BOTH models (conditional sum); 1-row totals broadcast; scoring join on distinct (doc, token) pairs"),
+    ("x123_edit_verify", "x115's bucketed rank + w equi-joins; |Δlen| prefilter inside the join condition; banded levenshtein inside codegen"),
+    ("x124_dup_spans", "two digest-keyed exchanges (distinct-doc count + semi-join back); island merge windows partition by DOC — parallel, never global"),
+    ("x126_bigram_logprob", "zip_with transitions in-row (no self-join); bigram/context/target frames off one (doc,prev,tok) agg; totals broadcast"),
+    ("x127_hard_negatives", "queries broadcast with label constraint fused into the map-only corpus scan — no shuffle of raw vectors"),
+    ("x128_pack_purity", "md5-sharded offset windows (parallel per shard); bounded (pack,source) agg; ≤|sources|·10 histogram keys"),
+    ("x129_zipf_fit", "one (source, token) exchange; per-SOURCE rank windows; ≤|sources| regression agg over ≤top_n rows each"),
+    ("x131_pmi_collocations", "one (prev,tok) exchange with map-side combine; TakeOrdered top-k — never a global sort"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —

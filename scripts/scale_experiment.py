@@ -206,6 +206,24 @@ def main() -> None:
         "q82_event_paths": lambda d: REGISTRY["q82_event_paths"].fn(spark, d).count(),
         "x85_cell_balanced_sample": lambda d: REGISTRY["x85_cell_balanced_sample"].fn(spark, d).count(),
         "x86_source_floor": lambda d: REGISTRY["x86_source_floor"].fn(spark, d).count(),
+        # round-9 part 4: selection/fluency (one token/bigram exchange +
+        # broadcast models), SNM+Levenshtein (n·w candidates), dup spans
+        # (digest exchanges + per-doc windows), silhouette (bounded fit +
+        # map-only scoring), hard negatives (broadcast queries), pack
+        # purity (sharded offset windows + bounded histogram), Zipf /
+        # PMI / diversity (vocab- or bigram-bounded aggs), robust scale
+        # (two ≤|groups| percentile aggs).
+        "x122_moore_lewis": lambda d: REGISTRY["x122_moore_lewis"].fn(spark, d).count(),
+        "x123_edit_verify": lambda d: REGISTRY["x123_edit_verify"].fn(spark, d).count(),
+        "x124_dup_spans": lambda d: REGISTRY["x124_dup_spans"].fn(spark, d).count(),
+        "x125_silhouette": lambda d: REGISTRY["x125_silhouette"].fn(spark, d).count(),
+        "x126_bigram_logprob": lambda d: REGISTRY["x126_bigram_logprob"].fn(spark, d).count(),
+        "x127_hard_negatives": lambda d: REGISTRY["x127_hard_negatives"].fn(spark, d).count(),
+        "x128_pack_purity": lambda d: REGISTRY["x128_pack_purity"].fn(spark, d).count(),
+        "x129_zipf_fit": lambda d: REGISTRY["x129_zipf_fit"].fn(spark, d).count(),
+        "x130_robust_scale": lambda d: REGISTRY["x130_robust_scale"].fn(spark, d).count(),
+        "x131_pmi_collocations": lambda d: REGISTRY["x131_pmi_collocations"].fn(spark, d).count(),
+        "x132_distinct_ngrams": lambda d: REGISTRY["x132_distinct_ngrams"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:
