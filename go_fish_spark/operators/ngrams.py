@@ -1109,102 +1109,6 @@ def duck_bigram_logprob_sql(
     """
 
 
-def pmi_collocations(
-    df: DataFrame,
-    text_col: str,
-    min_count: int = 5,
-    top_k: int = 50,
-) -> DataFrame:
-    """Top-``top_k`` bigram collocations by pointwise mutual information
-    (Church & Hanks 1990): PMI(p,t) = ln(P(p,t)/(P(p)·P(t))) over
-    corpus-wide adjacent-pair counts, with a ``min_count`` support
-    floor (raw PMI promotes hapax pairs; the floor is the standard
-    remedy). The phrase-mining pass a tokenizer/vocab pipeline runs
-    before merging multiword units.
-
-    Output: (prev, tok, pair_count BIGINT, pmi DOUBLE round-9),
-    ordered pmi DESC then (prev, tok) — deterministic because pmi is
-    a round-9 of bit-identical doubles on both engines.
-
-    Cross-engine/overflow discipline: PMI is evaluated as
-    ln((c2/cp) · (N/ct)) — ratios FIRST, so no c2·N bigint product
-    (which overflows at corpus scale where N ~ 1e13), with the
-    operation order mirrored verbatim in the DuckDB arm.
-
-    100 TB shape: transitions built in-row by zip_with (no self-join);
-    one (prev, tok) exchange with map-side combine; context/target
-    frames re-aggregate the same frame; totals broadcast from one row;
-    the final top-k is TakeOrdered (distributed heap, never a global
-    sort)."""
-    if min_count < 1:
-        raise ValueError("min_count must be >= 1")
-    ws = f"split({text_col}, ' ')"
-    pairs = (
-        f"zip_with(slice({ws}, 1, size({ws}) - 1), "
-        f"slice({ws}, 2, size({ws}) - 1), "
-        f"(p, t) -> struct(p AS prev, t AS tok))"
-    )
-    from .dedup import _persist
-
-    g2 = _persist(
-        df.select(F.explode(F.expr(pairs)).alias("_pt"))
-        .select(F.col("_pt.prev").alias("prev"), F.col("_pt.tok").alias("tok"))
-        .groupBy("prev", "tok")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    ctx = g2.groupBy("prev").agg(F.sum("c2").alias("cp"))
-    tgt = g2.groupBy("tok").agg(F.sum("c2").alias("ct"))
-    tot = g2.agg(F.sum("c2").alias("n_total"))
-    pmi = F.round(
-        F.log(
-            (F.col("c2").cast("double") / F.col("cp").cast("double"))
-            * (F.col("n_total").cast("double") / F.col("ct").cast("double"))
-        ),
-        9,
-    )
-    return (
-        g2.filter(F.col("c2") >= min_count)
-        .join(ctx, "prev")
-        .join(tgt, "tok")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "prev", "tok", F.col("c2").cast("bigint").alias("pair_count"),
-            pmi.alias("pmi"),
-        )
-        .orderBy(F.col("pmi").desc(), "prev", "tok")
-        .limit(int(top_k))
-    )
-
-
-def duck_pmi_collocations_sql(
-    table: str, text_col: str, min_count: int = 5, top_k: int = 50
-) -> str:
-    """DuckDB mirror of :func:`pmi_collocations` — same ratios-first
-    PMI, support floor, ordering, and limit."""
-    return f"""
-    WITH d AS (
-      SELECT string_split({text_col}, ' ') AS ws FROM {table}
-    ),
-    term AS (
-      SELECT z[1] AS prev, z[2] AS tok
-      FROM (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z
-            FROM d)
-    ),
-    g2 AS (SELECT prev, tok, count(*) AS c2 FROM term GROUP BY prev, tok),
-    ctx AS (SELECT prev, sum(c2) AS cp FROM g2 GROUP BY prev),
-    tgt AS (SELECT tok, sum(c2) AS ct FROM g2 GROUP BY tok),
-    tot AS (SELECT sum(c2) AS n_total FROM g2)
-    SELECT prev, tok, CAST(c2 AS BIGINT) AS pair_count,
-           round(ln((CAST(c2 AS DOUBLE) / CAST(cp AS DOUBLE))
-                    * (CAST(n_total AS DOUBLE) / CAST(ct AS DOUBLE))), 9)
-             AS pmi
-    FROM g2 JOIN ctx USING (prev) JOIN tgt USING (tok) CROSS JOIN tot
-    WHERE c2 >= {int(min_count)}
-    ORDER BY pmi DESC, prev, tok
-    LIMIT {int(top_k)}
-    """
-
-
 def distinct_ngram_diversity(
     df: DataFrame, group_col: str, text_col: str
 ) -> DataFrame:

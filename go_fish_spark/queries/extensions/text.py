@@ -1140,21 +1140,7 @@ def x126_bigram_logprob(spark, sf_dir):
 from ...operators.ngrams import (  # noqa: E402
     distinct_ngram_diversity,
     duck_distinct_ngram_diversity_sql,
-    duck_pmi_collocations_sql,
-    pmi_collocations,
 )
-
-
-@query(
-    "x131_pmi_collocations",
-    oracle=duck_pmi_collocations_sql("documents", "text", 5, 50),
-)
-def x131_pmi_collocations(spark, sf_dir):
-    """Top-50 PMI collocations with count ≥ 5 (ngrams.pmi_collocations
-    — Church & Hanks 1990): the phrase-mining pass before multiword
-    vocab merges. Ratios-first PMI (no c2·N bigint product to overflow
-    at corpus scale), one (prev, tok) exchange, TakeOrdered top-k."""
-    return pmi_collocations(table(spark, sf_dir, "documents"), "text", 5, 50)
 
 
 @query(

@@ -86,7 +86,6 @@ SHOWCASE = [
     ("x127_hard_negatives", "queries broadcast with label constraint fused into the map-only corpus scan — no shuffle of raw vectors"),
     ("x128_pack_purity", "md5-sharded offset windows (parallel per shard); bounded (pack,source) agg; ≤|sources|·10 histogram keys"),
     ("x129_zipf_fit", "one (source, token) exchange; per-SOURCE rank windows; ≤|sources| regression agg over ≤top_n rows each"),
-    ("x131_pmi_collocations", "one (prev,tok) exchange with map-side combine; TakeOrdered top-k — never a global sort"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —

@@ -222,7 +222,6 @@ def main() -> None:
         "x128_pack_purity": lambda d: REGISTRY["x128_pack_purity"].fn(spark, d).count(),
         "x129_zipf_fit": lambda d: REGISTRY["x129_zipf_fit"].fn(spark, d).count(),
         "x130_robust_scale": lambda d: REGISTRY["x130_robust_scale"].fn(spark, d).count(),
-        "x131_pmi_collocations": lambda d: REGISTRY["x131_pmi_collocations"].fn(spark, d).count(),
         "x132_distinct_ngrams": lambda d: REGISTRY["x132_distinct_ngrams"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")

@@ -955,29 +955,6 @@ def test_robust_scale_median_mad_goldens(spark):
         assert out[i].mad == 0.0 and out[i].robust_z is None
 
 
-def test_pmi_collocations_support_floor_and_value(spark):
-    """x131: a frozen collocation tops the list with the hand-computed
-    PMI; pairs below min_count never appear."""
-    import math
-
-    from go_fish_spark.operators.ngrams import pmi_collocations
-
-    # "new york" 6 times; filler bigrams all distinct; one rare pair
-    rows = [(i, "new york " + f"f{i}a f{i}b f{i}c") for i in range(6)]
-    rows.append((99, "rare pair"))
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
-    out = pmi_collocations(df, "text", min_count=5, top_k=10).collect()
-    assert all(r.pair_count >= 5 for r in out)
-    assert [(r.prev, r.tok) for r in out][0] == ("new", "york")
-    top = out[0]
-    # totals: 6 docs x 4 bigrams + 1 = 25 transitions
-    n = 25
-    c2, cp, ct = 6, 6, 6
-    assert top.pair_count == 6
-    assert top.pmi == round(math.log((c2 / cp) * (n / ct)), 9)
-    assert not any(r.prev == "rare" for r in out)
-
-
 def test_distinct_ngram_diversity_flags_template_collapse(spark):
     """x132: a mode-collapsed (single repeated template) source scores
     far lower distinct-1/2 than a fully diverse one; an all-single-token
