@@ -958,157 +958,6 @@ def duck_moore_lewis_sql(
     """
 
 
-def bigram_logprob(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    lam: float = 0.75,
-) -> DataFrame:
-    """Per-document mean INTERPOLATED bigram log-probability — the
-    Jelinek–Mercer smoothed 2-gram upgrade of :func:`unigram_logprob`'s
-    KenLM-shaped fluency signal (Jelinek & Mercer 1980; the smoothing
-    every n-gram LM filter since CC-Net uses in some form):
-
-        score(doc) = mean over transitions of
-            ln( λ·c(p,t)/c(p,·)  +  (1−λ)·c(·,t)/N )
-
-    with c(p,t) the corpus bigram count, c(p,·) the count of ``p`` as a
-    CONTEXT (bigrams starting with p), c(·,t) the count of ``t`` as a
-    TARGET and N total bigrams — every statistic derived from ONE
-    (doc, prev, tok) count frame, so the unigram backoff keeps each
-    transition finite (any token seen anywhere as a target has mass)
-    without add-α vocabulary sweeps. Word-salad shuffles that keep
-    unigram frequencies intact crater here — the signal unigram_logprob
-    is blind to.
-
-    Output: (id_col, n_bigrams BIGINT, avg_logprob DOUBLE round-9) —
-    sub-2-token docs report n_bigrams = 0 and NULL score.
-
-    Cross-engine float discipline: the interpolated ln is computed once
-    per DISTINCT corpus bigram (never per occurrence) with the division
-    order mirrored verbatim in the DuckDB arm, rounded to 12, and the
-    per-doc mean accumulates decimal(27,18) × occurrence-count (exact,
-    order-independent; (27,18)×(10,0) fits (38,18)) with one round-9
-    division per doc — the x122/unigram discipline verbatim.
-
-    100 TB shape: ONE zip_with builds transitions in-row (no
-    self-join, no per-doc window); one (doc, prev, tok) aggregation
-    feeds bigram/context/target frames re-aggregated map-side; totals
-    are a 1-row broadcast; the scoring join touches DISTINCT
-    (doc, prev, tok) rows so Zipf-head skew is bounded by document
-    count, exactly as in unigram_logprob."""
-    if not 0.0 < lam < 1.0:
-        raise ValueError(f"lam must be in (0, 1), got {lam}")
-    from .dedup import _persist
-
-    ws = f"split({text_col}, ' ')"
-    pairs = (
-        f"zip_with(slice({ws}, 1, size({ws}) - 1), "
-        f"slice({ws}, 2, size({ws}) - 1), "
-        f"(p, t) -> struct(p AS prev, t AS tok))"
-    )
-    term = df.select(
-        F.col(id_col).alias("_id"), F.explode(F.expr(pairs)).alias("_pt")
-    ).select("_id", F.col("_pt.prev").alias("prev"), F.col("_pt.tok").alias("tok"))
-    g2 = _persist(
-        term.groupBy("_id", "prev", "tok").agg(F.count(F.lit(1)).alias("_c"))
-    )
-    big = g2.groupBy("prev", "tok").agg(F.sum("_c").alias("c2"))
-    ctx = g2.groupBy("prev").agg(F.sum("_c").alias("cp"))
-    tgt = g2.groupBy("tok").agg(F.sum("_c").alias("ct"))
-    tot = g2.agg(F.sum("_c").alias("n_total"))
-    lam = float(lam)
-    lp = F.round(
-        F.log(
-            F.lit(lam)
-            * (F.col("c2").cast("double") / F.col("cp").cast("double"))
-            + F.lit(1.0 - lam)
-            * (F.col("ct").cast("double") / F.col("n_total").cast("double"))
-        ),
-        12,
-    )
-    scored = (
-        big.join(ctx, "prev")
-        .join(tgt, "tok")
-        .crossJoin(F.broadcast(tot))
-        .select("prev", "tok", lp.alias("_lp"))
-    )
-    per_doc = (
-        g2.join(scored, ["prev", "tok"])
-        .groupBy("_id")
-        .agg(
-            F.sum("_c").alias("n_bigrams"),
-            F.round(
-                F.sum(
-                    F.col("_lp").cast("decimal(27,18)")
-                    * F.col("_c").cast("decimal(10,0)")
-                ).cast("double")
-                / F.sum("_c"),
-                9,
-            ).alias("avg_logprob"),
-        )
-    )
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(per_doc, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
-            "avg_logprob",
-        )
-        .orderBy(id_col)
-    )
-
-
-def duck_bigram_logprob_sql(
-    table: str, id_col: str, text_col: str, lam: float = 0.75
-) -> str:
-    """DuckDB mirror of :func:`bigram_logprob` — same single-frame
-    derivation, same interpolation order, same round-12 per-distinct-
-    bigram ln and decimal mean."""
-    lam = float(lam)
-    return f"""
-    WITH d AS (
-      SELECT {id_col} AS _id, string_split({text_col}, ' ') AS ws
-      FROM {table}
-    ),
-    term AS (
-      SELECT _id, pt['prev'] AS prev, pt['tok'] AS tok
-      FROM (SELECT _id,
-                   unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z,
-                   struct_pack(prev := z[1], tok := z[2]) AS pt
-            FROM d)
-    ),
-    g2 AS (SELECT _id, prev, tok, count(*) AS _c
-           FROM term GROUP BY _id, prev, tok),
-    big AS (SELECT prev, tok, sum(_c) AS c2 FROM g2 GROUP BY prev, tok),
-    ctx AS (SELECT prev, sum(_c) AS cp FROM g2 GROUP BY prev),
-    tgt AS (SELECT tok, sum(_c) AS ct FROM g2 GROUP BY tok),
-    tot AS (SELECT sum(_c) AS n_total FROM g2),
-    scored AS (
-      SELECT prev, tok,
-             round(ln({lam!r} * (CAST(c2 AS DOUBLE) / CAST(cp AS DOUBLE))
-                      + {1.0 - lam!r} * (CAST(ct AS DOUBLE)
-                                         / CAST(n_total AS DOUBLE))), 12)
-               AS _lp
-      FROM big JOIN ctx USING (prev) JOIN tgt USING (tok) CROSS JOIN tot
-    ),
-    per_doc AS (
-      SELECT g2._id, CAST(sum(_c) AS BIGINT) AS n_bigrams,
-             round(CAST(sum(CAST(_lp AS DECIMAL(27,18))
-                             * CAST(_c AS DECIMAL(10,0))) AS DOUBLE)
-                   / sum(_c), 9) AS avg_logprob
-      FROM g2 JOIN scored USING (prev, tok)
-      GROUP BY g2._id
-    )
-    SELECT d._id AS {id_col},
-           CAST(coalesce(per_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           per_doc.avg_logprob AS avg_logprob
-    FROM d LEFT JOIN per_doc USING (_id)
-    ORDER BY {id_col}
-    """
-
-
 def distinct_ngram_diversity(
     df: DataFrame, group_col: str, text_col: str
 ) -> DataFrame:

@@ -1115,29 +1115,6 @@ def x122_moore_lewis(spark, sf_dir):
 
 
 from ...operators.ngrams import (  # noqa: E402
-    bigram_logprob,
-    duck_bigram_logprob_sql,
-)
-
-
-@query(
-    "x126_bigram_logprob",
-    oracle=duck_bigram_logprob_sql("documents", "doc_id", "text"),
-)
-def x126_bigram_logprob(spark, sf_dir):
-    """Interpolated bigram LM fluency (ngrams.bigram_logprob — Jelinek–
-    Mercer λ=0.75): per-doc mean ln(λ·P(t|p) + (1−λ)·P(t)) over corpus-
-    fit bigram/unigram models, all statistics from ONE (doc, prev, tok)
-    frame. The word-ORDER upgrade of x34's unigram fluency: shuffled
-    word salad keeps its unigram score and craters here. zip_with
-    builds transitions in-row (no self-join); scoring touches distinct
-    corpus bigrams only."""
-    return bigram_logprob(
-        table(spark, sf_dir, "documents"), "doc_id", "text"
-    )
-
-
-from ...operators.ngrams import (  # noqa: E402
     distinct_ngram_diversity,
     duck_distinct_ngram_diversity_sql,
 )

@@ -82,7 +82,6 @@ SHOWCASE = [
     ("x122_moore_lewis", "one token exchange computing BOTH models (conditional sum); 1-row totals broadcast; scoring join on distinct (doc, token) pairs"),
     ("x123_edit_verify", "x115's bucketed rank + w equi-joins; |Δlen| prefilter inside the join condition; banded levenshtein inside codegen"),
     ("x124_dup_spans", "two digest-keyed exchanges (distinct-doc count + semi-join back); island merge windows partition by DOC — parallel, never global"),
-    ("x126_bigram_logprob", "zip_with transitions in-row (no self-join); bigram/context/target frames off one (doc,prev,tok) agg; totals broadcast"),
     ("x127_hard_negatives", "queries broadcast with label constraint fused into the map-only corpus scan — no shuffle of raw vectors"),
     ("x128_pack_purity", "md5-sharded offset windows (parallel per shard); bounded (pack,source) agg; ≤|sources|·10 histogram keys"),
     ("x129_zipf_fit", "one (source, token) exchange; per-SOURCE rank windows; ≤|sources| regression agg over ≤top_n rows each"),

@@ -217,7 +217,6 @@ def main() -> None:
         "x123_edit_verify": lambda d: REGISTRY["x123_edit_verify"].fn(spark, d).count(),
         "x124_dup_spans": lambda d: REGISTRY["x124_dup_spans"].fn(spark, d).count(),
         "x125_silhouette": lambda d: REGISTRY["x125_silhouette"].fn(spark, d).count(),
-        "x126_bigram_logprob": lambda d: REGISTRY["x126_bigram_logprob"].fn(spark, d).count(),
         "x127_hard_negatives": lambda d: REGISTRY["x127_hard_negatives"].fn(spark, d).count(),
         "x128_pack_purity": lambda d: REGISTRY["x128_pack_purity"].fn(spark, d).count(),
         "x129_zipf_fit": lambda d: REGISTRY["x129_zipf_fit"].fn(spark, d).count(),

@@ -828,30 +828,6 @@ def test_centroid_silhouette_separates_clusters(spark):
     assert abs(out2[1].mean_silhouette) < 0.3
 
 
-def test_bigram_logprob_detects_word_salad(spark):
-    """x126: a shuffle that preserves unigram counts but breaks word
-    order scores strictly lower than the natural docs (the signal
-    unigram_logprob is blind to); sub-2-token docs report n_bigrams=0
-    and NULL score."""
-    from go_fish_spark.operators.ngrams import bigram_logprob
-
-    natural = "the cat sat on the mat " * 4
-    rows = [
-        (1, natural.strip()),
-        (2, natural.strip()),
-        # same multiset of tokens as doc 1, order scrambled
-        (3, "cat the mat sat the on the cat on sat mat the "
-            "on the sat cat the mat the on sat cat mat the"),
-        (4, "x"),
-    ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
-    out = {r.doc_id: r for r in bigram_logprob(df, "doc_id", "text").collect()}
-    assert out[4].n_bigrams == 0 and out[4].avg_logprob is None
-    assert out[1].n_bigrams == 23
-    assert out[1].avg_logprob == out[2].avg_logprob
-    assert out[1].avg_logprob > out[3].avg_logprob + 0.3
-
-
 def test_hard_negative_topk_label_constraint(spark):
     """x127: every mined negative carries a different label than its
     query, ranks follow cos desc with vec_id tie-break, and the row
