@@ -380,3 +380,91 @@ def bag_fingerprint(text: Column | str) -> Column:
     return F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-likeness (heuristic code/text separator)
+
+#: Characters that are dense in source code and sparse in prose.
+CODE_SYMBOLS: tuple[str, ...] = (
+    "{", "}", "(", ")", "[", "]", ";", "=", "<", ">",
+)
+
+#: Language-agnostic keyword markers (whitespace-token exact hits).
+CODE_KEYWORDS: tuple[str, ...] = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "void", "int", "public", "static", "if", "else", "for", "while",
+    "null", "true", "false", "==", "!=", "->", "=>",
+)
+
+
+def _char_count(text: Column | str, ch: str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.length(t) - F.length(F.replace(t, F.lit(ch), F.lit("")))
+
+
+def code_symbol_count(text: Column | str) -> Column:
+    """Total occurrences of the CODE_SYMBOLS characters — exact integer
+    arithmetic (length-difference per character), identical on any
+    engine."""
+    c = F.lit(0)
+    for ch in CODE_SYMBOLS:
+        c = c + _char_count(text, ch)
+    return c.cast("bigint")
+
+
+def code_keyword_hits(text: Column | str) -> Column:
+    """Number of DISTINCT CODE_KEYWORDS appearing as whitespace tokens
+    (distinct-hit count: prose that happens to say "if" once scores 1,
+    not its repeat count — repeats are the symbol signal's job)."""
+    kw = F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+    return F.size(F.array_intersect(tokens(text), kw)).cast("bigint")
+
+
+def code_likeness(text: Column | str) -> Column:
+    """Heuristic code-likeness score in [0, 1] — the code/text separator
+    every mixed-crawl pipeline needs (The Stack / StarCoder pipelines
+    route code and prose to different cleaning stacks): a blend of
+    symbol-character density (40× a prose baseline of ~0.01 saturates
+    the term) and distinct keyword hits (5 distinct markers saturate).
+
+        score = 0.6·min(symbol_ratio·40, 1) + 0.4·min(kw_hits/5, 1)
+
+    Pure Column arithmetic over exact integer counts — one IEEE
+    division per term, mirrored verbatim by the DuckDB oracle."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    sym = code_symbol_count(t).cast("double") / F.when(n > 0, n).otherwise(
+        F.lit(1)
+    ).cast("double")
+    kw = code_keyword_hits(t).cast("double")
+    return F.round(
+        F.lit(0.6) * F.least(sym * 40, F.lit(1.0))
+        + F.lit(0.4) * F.least(kw / 5, F.lit(1.0)),
+        9,
+    )
+
+
+def duck_code_likeness_sql(text_expr: str) -> str:
+    """DuckDB mirror of :func:`code_likeness` (+ the two count terms) —
+    same length-difference counts, distinct-token keyword hits, and
+    blend order. Returns a SELECT-fragment dict-like 3-tuple of SQL
+    expressions (symbol_count, kw_hits, score)."""
+    sym_terms = " + ".join(
+        f"(length({text_expr}) - length(replace({text_expr}, '{ch}', '')))"
+        for ch in CODE_SYMBOLS
+    )
+    kw_list = "[" + ", ".join(f"'{k}'" for k in CODE_KEYWORDS) + "]"
+    sym = f"CAST({sym_terms} AS BIGINT)"
+    kw = (
+        f"CAST(len(list_intersect(string_split({text_expr}, ' '), "
+        f"{kw_list})) AS BIGINT)"
+    )
+    score = (
+        f"round(0.6 * least((CAST(({sym_terms}) AS DOUBLE) / "
+        f"CAST(CASE WHEN length({text_expr}) > 0 "
+        f"THEN length({text_expr}) ELSE 1 END AS DOUBLE)) * 40, 1.0) "
+        f"+ 0.4 * least(CAST(len(list_intersect(string_split({text_expr}, "
+        f"' '), {kw_list})) AS DOUBLE) / 5, 1.0), 9)"
+    )
+    return sym, kw, score

@@ -1333,3 +1333,144 @@ def duck_zipf_fit_sql(
                       ELSE 0.0 END, 9) AS r2
     FROM sums ORDER BY {group_col}
     """
+
+
+def hill_tail_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Per-group Hill estimator of the heavy-tail index (Hill 1975) over
+    a positive size column — THE capacity-planning number for document
+    lengths: α ≈ 1 means Zipf-like mass in the giants (packing,
+    shuffle-partition sizing, and executor memory must budget for
+    monsters), α > 2 means the tail is tame and mean-based sizing is
+    safe. The length-DISTRIBUTION companion to x67's drift (x67 asks
+    "did it change", this asks "how dangerous is it").
+
+        H = (1/k) Σ_{i=1..k} ln(x_(i) / x_(k+1)),   α̂ = 1/H
+
+    over each group's k largest values x_(1) ≥ … ≥ x_(k+1) (ties broken
+    deterministically). Groups need ≥ k+1 positive values; smaller
+    groups use k' = n−1; groups with < 2 positive values report NULL.
+
+    Output: (group_col, n BIGINT, k_used BIGINT, hill_h, hill_alpha),
+    doubles round-9, ordered by group.
+
+    Cross-engine float discipline: each ln ratio rounds to 12 and
+    accumulates as decimal(27,18); H and α derive from the exact sum in
+    a mirrored operation order, rounding 9 at the edge.
+
+    100 TB shape: one rank window PER GROUP (parallel across groups —
+    for a single monster group, route the rank through
+    value_bucketed_rank); the estimator consumes ≤ k+1 rows per group
+    and aggregates to ≤ |groups| rows."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.col(value_col).cast("double")
+    pos = df.filter(v > 0).select(
+        F.col(group_col).alias("_g"), v.alias("_v"),
+        F.col(value_col).alias("_tie"),
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_v").desc(), F.col("_tie"))
+    ranked = pos.select(
+        "_g", "_v", F.row_number().over(w).alias("_r")
+    )
+    sizes = ranked.groupBy("_g").agg(F.count(F.lit(1)).alias("n"))
+    ku = sizes.select(
+        "_g", "n",
+        F.least(F.lit(int(k)), F.col("n") - 1).alias("k_used"),
+    )
+    ref = (
+        ranked.join(F.broadcast(ku), "_g")
+        .filter(F.col("_r") == F.col("k_used") + 1)
+        .select("_g", F.col("_v").alias("_xk1"))
+    )
+    terms = (
+        ranked.join(F.broadcast(ku), "_g")
+        .filter(F.col("_r") <= F.col("k_used"))
+        .join(F.broadcast(ref), "_g")
+        .select(
+            "_g",
+            F.round(F.log(F.col("_v") / F.col("_xk1")), 12).alias("_t"),
+        )
+    )
+    h = (
+        terms.groupBy("_g")
+        .agg(
+            F.sum(F.col("_t").cast("decimal(27,18)")).cast("double").alias(
+                "_s"
+            ),
+            F.count(F.lit(1)).alias("_k"),
+        )
+        .select(
+            "_g",
+            (F.col("_s") / F.col("_k").cast("double")).alias("_h"),
+        )
+    )
+    return (
+        ku.join(h, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n").cast("bigint").alias("n"),
+            F.greatest(F.col("k_used"), F.lit(0)).cast("bigint").alias(
+                "k_used"
+            ),
+            F.round("_h", 9).alias("hill_h"),
+            F.when(F.col("_h") > 0, F.round(F.lit(1.0) / F.col("_h"), 9))
+            .alias("hill_alpha"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def duck_hill_tail_index_sql(
+    table: str, group_col: str, value_col: str, k: int = 50
+) -> str:
+    """DuckDB mirror of :func:`hill_tail_index` — same deterministic
+    rank, k' truncation, round-12 terms, decimal sum, and operation
+    order."""
+    return f"""
+    WITH pos AS (
+      SELECT {group_col} AS _g,
+             CAST({value_col} AS DOUBLE) AS _v,
+             {value_col} AS _tie
+      FROM {table} WHERE CAST({value_col} AS DOUBLE) > 0
+    ),
+    ranked AS (
+      SELECT _g, _v,
+             row_number() OVER (
+               PARTITION BY _g ORDER BY _v DESC, _tie
+             ) AS _r
+      FROM pos
+    ),
+    ku AS (
+      SELECT _g, count(*) AS n,
+             least({int(k)}, count(*) - 1) AS k_used
+      FROM ranked GROUP BY _g
+    ),
+    ref AS (
+      SELECT r._g, r._v AS _xk1
+      FROM ranked r JOIN ku USING (_g)
+      WHERE r._r = ku.k_used + 1
+    ),
+    terms AS (
+      SELECT r._g, round(ln(r._v / ref._xk1), 12) AS _t
+      FROM ranked r JOIN ku USING (_g) JOIN ref USING (_g)
+      WHERE r._r <= ku.k_used
+    ),
+    h AS (
+      SELECT _g,
+             CAST(sum(CAST(_t AS DECIMAL(27,18))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS _h
+      FROM terms GROUP BY _g
+    )
+    SELECT ku._g AS {group_col},
+           CAST(ku.n AS BIGINT) AS n,
+           CAST(greatest(ku.k_used, 0) AS BIGINT) AS k_used,
+           round(h._h, 9) AS hill_h,
+           CASE WHEN h._h > 0 THEN round(1.0 / h._h, 9) END AS hill_alpha
+    FROM ku LEFT JOIN h USING (_g)
+    ORDER BY {group_col}
+    """

@@ -353,3 +353,24 @@ def x129_zipf_fit(spark, sf_dir):
     token) exchange, per-SOURCE rank windows, ≤|sources| regression
     agg with round-12/decimal point sums."""
     return zipf_fit(table(spark, sf_dir, "documents"), "source", "text", 200)
+
+
+from ...operators.profile import (  # noqa: E402
+    duck_hill_tail_index_sql,
+    hill_tail_index,
+)
+
+
+@query(
+    "x134_hill_tail_index",
+    oracle=duck_hill_tail_index_sql("documents", "source", "n_chars", k=20),
+)
+def x134_hill_tail_index(spark, sf_dir):
+    """Per-source Hill heavy-tail index over document lengths
+    (profile.hill_tail_index — Hill 1975, k=20): α ≈ 1 ⇒ Zipf-mass
+    monsters dominate (packing/memory must budget for them), α > 2 ⇒
+    tame tail. Per-GROUP rank windows over ≤ k+1 rows each, decimal-
+    summed round-12 ln terms, ≤|sources| output."""
+    return hill_tail_index(
+        table(spark, sf_dir, "documents"), "source", "n_chars", k=20
+    )

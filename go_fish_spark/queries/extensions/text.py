@@ -1132,3 +1132,30 @@ def x132_distinct_ngrams(spark, sf_dir):
     return distinct_ngram_diversity(
         table(spark, sf_dir, "documents"), "source", "text"
     )
+
+
+def _x133_oracle() -> str:
+    sym, kw, score = tx.duck_code_likeness_sql("text")
+    return f"""
+    SELECT doc_id, {sym} AS symbol_count, {kw} AS kw_hits,
+           {score} AS code_score
+    FROM documents ORDER BY doc_id
+    """
+
+
+@query("x133_code_likeness", oracle=_x133_oracle())
+def x133_code_likeness(spark, sf_dir):
+    """Heuristic code/text separation signal (functions.text
+    .code_likeness — the routing gate Stack-style mixed-crawl pipelines
+    apply before language-specific cleaning): symbol-character density
+    + distinct keyword hits blended to [0,1]. Exact integer counts via
+    per-character length differences, one IEEE division per term —
+    pure map-only Column arithmetic, zero shuffles before the
+    presentation sort."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.code_symbol_count("text").alias("symbol_count"),
+        tx.code_keyword_hits("text").alias("kw_hits"),
+        tx.code_likeness("text").alias("code_score"),
+    ).orderBy("doc_id")

@@ -84,6 +84,8 @@ SHOWCASE = [
     ("x124_dup_spans", "two digest-keyed exchanges (distinct-doc count + semi-join back); island merge windows partition by DOC — parallel, never global"),
     ("x127_hard_negatives", "queries broadcast with label constraint fused into the map-only corpus scan — no shuffle of raw vectors"),
     ("x128_pack_purity", "md5-sharded offset windows (parallel per shard); bounded (pack,source) agg; ≤|sources|·10 histogram keys"),
+    ("x133_code_likeness", "map-only Column arithmetic — no joins, no Python; one presentation sort"),
+    ("x134_hill_tail_index", "per-group rank windows truncated at k+1 rows; broadcast k/ref frames; bounded group agg"),
     ("x129_zipf_fit", "one (source, token) exchange; per-SOURCE rank windows; ≤|sources| regression agg over ≤top_n rows each"),
 ]
 

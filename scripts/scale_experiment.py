@@ -222,6 +222,8 @@ def main() -> None:
         "x129_zipf_fit": lambda d: REGISTRY["x129_zipf_fit"].fn(spark, d).count(),
         "x130_robust_scale": lambda d: REGISTRY["x130_robust_scale"].fn(spark, d).count(),
         "x132_distinct_ngrams": lambda d: REGISTRY["x132_distinct_ngrams"].fn(spark, d).count(),
+        "x133_code_likeness": lambda d: REGISTRY["x133_code_likeness"].fn(spark, d).count(),
+        "x134_hill_tail_index": lambda d: REGISTRY["x134_hill_tail_index"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:

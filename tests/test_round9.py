@@ -954,3 +954,67 @@ def test_distinct_ngram_diversity_flags_template_collapse(spark):
     assert c.distinct_2 == round(7 / 70, 9)
     assert c.distinct_2 < d.distinct_2
     assert t.n_bigrams == 0 and t.distinct_2 is None
+
+
+def test_code_likeness_separates_code_from_prose(spark):
+    """x133: a code snippet scores far above prose, counts are exact,
+    and the empty doc is guarded (no divide-by-zero)."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.functions import text as tx
+
+    code = "def f(x): return (x + 1) * g[0]; // if x == null { x = 0; }"
+    prose = "the quick brown fox jumps over the lazy dog and runs away"
+    df = spark.createDataFrame(
+        [(1, code), (2, prose), (3, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id",
+        tx.code_symbol_count("text").alias("sym"),
+        tx.code_keyword_hits("text").alias("kw"),
+        tx.code_likeness("text").alias("score"),
+    ).collect()}
+    assert out[1].sym == sum(code.count(c) for c in tx.CODE_SYMBOLS)
+    assert out[1].kw == len(
+        set(code.split()) & set(tx.CODE_KEYWORDS)
+    )
+    assert out[2].sym == 0 and out[2].kw == 0 and out[2].score == 0.0
+    assert out[3].score == 0.0
+    assert out[1].score > 0.8 > 0.2 > out[2].score
+
+
+def test_hill_tail_index_pareto_vs_light(spark):
+    """x134: on exact Pareto(α) order statistics the estimator matches
+    the hand-computed H (same round-12/decimal arithmetic), heavy tails
+    score lower α than light tails, and degenerate groups are guarded
+    (k' = n−1 truncation; NULL for single-value groups)."""
+    import math
+    from decimal import Decimal
+
+    from go_fish_spark.operators.profile import hill_tail_index
+
+    alpha = 1.5
+    n = 60
+    heavy = [round(1000 * (n / i) ** (1 / alpha)) for i in range(1, n + 1)]
+    light = [1000 - 5 * i for i in range(n)]
+    rows = [(i, "heavy", v) for i, v in enumerate(heavy)]
+    rows += [(1000 + i, "light", v) for i, v in enumerate(light)]
+    rows += [(2000, "single", 7)]
+    rows += [(3000, "pair", 100), (3001, "pair", 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r.source: r for r in hill_tail_index(
+        df, "source", "n_chars", k=20).collect()}
+    # hand-compute H for the heavy group exactly as the operator does
+    xs = sorted((float(v) for v in heavy), reverse=True)
+    terms = [round(math.log(xs[i] / xs[20]), 12) for i in range(20)]
+    s = sum(Decimal(repr(t)) for t in terms)
+    h = float(s) / 20
+    assert out["heavy"].hill_h == round(h, 9)
+    assert out["heavy"].hill_alpha == round(1 / h, 9)
+    assert 1.2 < out["heavy"].hill_alpha < 1.9  # near the true 1.5
+    assert out["light"].hill_alpha > out["heavy"].hill_alpha
+    assert out["single"].k_used == 0 and out["single"].hill_alpha is None
+    assert out["pair"].k_used == 1
+    assert out["pair"].hill_h == round(
+        round(math.log(100 / 10), 12), 9
+    )
