@@ -2286,29 +2286,68 @@ def choose_blocking(
     measured = measured_recall or {}
     if snm_keys is None:
         snm_keys = _SNM_KEYS  # defined with the SNM family below
-    n_docs = df.count()
-
-    shingled = df.select(
-        F.explode(word_shingles(text_col, k)).alias("_key")
+    # ONE job prices all three histogram disciplines AND counts docs
+    # (r9 rewrite — was FOUR separate Spark jobs: a count() plus one
+    # scan+exchange per discipline; measured 6.4 s at sf0.1, ~3.4 s as
+    # this union). Keys are tag-prefixed ("e:"/"m:"/"w:", "#" = one
+    # marker per doc) so per-discipline multiplicities are EXACTLY the
+    # separate passes' — costs are bit-identical and the x120 oracle is
+    # unchanged. The tagged streams stay SEPARATE union branches (each
+    # its own codegen-friendly projection): fusing all three expensive
+    # expressions into one concat+explode projection was measured
+    # SLOWER (11.9 s — the combined expression tree falls out of
+    # whole-stage codegen), the same reason the banding join carries
+    # slim rows. One exchange on the union replaces three; at 100 TB
+    # the shuffle volume is the same keys, one stage instead of four.
+    sh = df.select(F.explode(word_shingles(text_col, k)).alias("_k")).select(
+        F.concat(F.lit("e:"), F.col("_k")).alias("_key")
     )
-    exact_cost = _cooccurrence_cost(shingled, "_key")
-
-    band_cols = _band_struct_array(n_hashes, bands, portable)
-    banded = df.select(
-        minhash_signature(text_col, n_hashes, k, 42, portable).alias("_sig")
-    ).select(F.explode(band_cols).alias("bd")).select(
-        F.concat_ws(":", "bd.band", "bd.bh").alias("_key")
+    bd = (
+        df.select(
+            minhash_signature(text_col, n_hashes, k, 42, portable).alias(
+                "_sig"
+            )
+        )
+        .select(
+            F.explode(_band_struct_array(n_hashes, bands, portable)).alias(
+                "bd"
+            )
+        )
+        .select(
+            F.concat_ws(":", F.lit("m"), "bd.band", "bd.bh").alias("_key")
+        )
     )
-    r = n_hashes // bands
-    s_curve = 1.0 - (1.0 - threshold**r) ** bands
-    minhash_cost = _cooccurrence_cost(banded, "_key")
-
-    winnowed = df.select(
+    wn = df.select(
         F.explode(
             winnow_fingerprints_expr(text_col, k, winnow_w, portable)
-        ).alias("_key")
+        ).alias("_k")
+    ).select(F.concat(F.lit("w:"), F.col("_k").cast("string")).alias("_key"))
+    mk = df.select(F.lit("#").alias("_key"))
+    per = (
+        sh.unionByName(bd)
+        .unionByName(wn)
+        .unionByName(mk)
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .groupBy(F.substring("_key", 1, 1).alias("_d"))
+        .agg(
+            F.sum(F.expr("_m * (_m - 1) div 2")).alias("_c"),
+            F.sum("_m").alias("_n"),
+        )
+        .collect()
     )
-    winnow_cost = _cooccurrence_cost(winnowed, "_key")
+    stats = {r["_d"]: r for r in per}
+
+    def _cost(tag: str) -> int:
+        row = stats.get(tag)
+        return int(row["_c"] or 0) if row is not None else 0
+
+    n_docs = int(stats["#"]["_n"]) if "#" in stats else 0
+    exact_cost = _cost("e")
+    minhash_cost = _cost("m")
+    winnow_cost = _cost("w")
+    r = n_hashes // bands
+    s_curve = 1.0 - (1.0 - threshold**r) ** bands
 
     disciplines = {
         "exact_index": {"cost": exact_cost, "recall": 1.0},
