@@ -187,7 +187,9 @@ def release_session_caches() -> None:
     (signatures, pair graph, audit pass). The long-lived multi-corpus
     service these caches model calls this between corpora; tests call it
     to assert the caches cannot leak."""
-    for cache in (_SIG_FRAMES, _PAIR_FRAMES, _AUDIT_PASSES):
+    for cache in (
+        _SIG_FRAMES, _PAIR_FRAMES, _AUDIT_PASSES, _LABEL_FRAMES,
+    ):
         cache.clear()
 
 
@@ -276,3 +278,50 @@ def shared_jaccard_pairs(spark, sf_dir: str):
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     return _PAIR_FRAMES.get_or_fit(key, fit)
+
+
+_LABEL_FRAMES = _SessionCache(_unpersist_frame)
+
+
+def shared_history_labels(spark, sf_dir: str, threshold: float = 0.35):
+    """Session-cached DAY-1 component labels of the recurring-crawl demo
+    family: the history slice (doc_id % 7 != 0) pair graph (MinHash LSH
+    at ``threshold`` over the shared signature frame) closed by
+    connected components, persisted. This is the PERSISTED LABEL TABLE
+    the incremental-maintenance discipline is premised on — production
+    reads yesterday's labels, it never recomputes them — so with this
+    frame cached, x118's measured cost is genuinely the delta probe +
+    reduced-graph merge, exactly the steady-state the operator models.
+    Keyed by (applicationId, data fingerprint, sf_dir, threshold);
+    bounded LRU, evictions unpersist."""
+    from pyspark import StorageLevel
+
+    from pyspark.sql import functions as F
+
+    from ...catalog import table
+    from ...operators import dedup as _dedup
+    from ...operators.graph import connected_components
+
+    key = (
+        spark.sparkContext.applicationId, _corpus_fingerprint(sf_dir),
+        sf_dir, threshold,
+    )
+
+    def fit():
+        hist = table(spark, sf_dir, "documents").filter(
+            ~(F.col("doc_id") % 7 == 0)
+        )
+        store = (
+            shared_doc_sigs(spark, sf_dir)
+            .filter(~(F.col("doc_id") % 7 == 0))
+            .select(F.col("doc_id").alias("_id"), "_sig")
+        )
+        pairs = _dedup.minhash_lsh_pairs(
+            hist, "doc_id", "text", threshold=threshold, portable=True,
+            sigs=store,
+        )
+        return connected_components(
+            hist.select("doc_id"), pairs, id_col="doc_id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _LABEL_FRAMES.get_or_fit(key, fit)

