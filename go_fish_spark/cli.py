@@ -116,6 +116,25 @@ def main(argv: list[str] | None = None) -> int:
         "scripts/snm_recall.py are the instruments)",
     )
 
+    pc = sub.add_parser(
+        "profile-corpus",
+        help="one-call release data card over a parquet corpus: totals "
+        "+ per-source mix/code-rate (x55/x133), Zipf fit (x129), "
+        "distinct-n diversity (x132), and the Hill length-tail index "
+        "(x134) as one JSON document",
+    )
+    pc.add_argument("parquet", help="parquet file/dir with the corpus")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--source-col", default="source")
+    pc.add_argument("--zipf-top-n", type=int, default=200)
+    pc.add_argument("--hill-k", type=int, default=50)
+    pc.add_argument("--master", default=None)
+    pc.add_argument(
+        "--out", default=None,
+        help="write the JSON here instead of stdout",
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "check-task":
@@ -207,6 +226,34 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             spark.stop()
         return 0 if plan["action"] == "proceed" else 1
+
+    if args.cmd == "profile-corpus":
+        import json as _json
+
+        from .operators.profile import corpus_profile_report
+        from .session import get_spark
+
+        spark = get_spark(
+            app_name="go-fish-profile-corpus", master=args.master
+        )
+        try:
+            report = corpus_profile_report(
+                spark.read.parquet(args.parquet),
+                id_col=args.id_col,
+                text_col=args.text_col,
+                source_col=args.source_col,
+                zipf_top_n=args.zipf_top_n,
+                hill_k=args.hill_k,
+            )
+            payload = _json.dumps(report, indent=2)
+            if args.out:
+                with open(args.out, "w") as f:
+                    f.write(payload + "\n")
+            else:
+                print(payload)
+        finally:
+            spark.stop()
+        return 0
 
     # run
     from .plans import ValidationError, compile_pipeline, parse_spec, resolve_tasks

@@ -1054,3 +1054,31 @@ def test_shared_history_labels_cached_and_released(spark):
     assert len(_shared._LABEL_FRAMES) == 0
     assert not f1.storageLevel.useMemory
     d.release_caches()
+
+
+def test_cli_profile_corpus(tmp_path, spark):
+    """profile-corpus emits one JSON data card with every audit section
+    populated and internally consistent."""
+    import json
+
+    from go_fish_spark.cli import main
+
+    out = str(tmp_path / "card.json")
+    rc = main([
+        "profile-corpus", f"{SF_SMALL}/documents.parquet",
+        "--hill-k", "10", "--zipf-top-n", "50", "--out", out,
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    card = json.load(open(out))
+    assert set(card) == {
+        "totals", "sources", "zipf", "diversity", "length_tail"
+    }
+    assert card["totals"]["n_docs"] > 0
+    srcs = {s["source"] for s in card["sources"]}
+    assert srcs == {z["source"] for z in card["zipf"]}
+    assert srcs == {d["source"] for d in card["diversity"]}
+    assert abs(sum(s["doc_share"] for s in card["sources"]) - 1.0) < 1e-3
+    assert sum(s["n_docs"] for s in card["sources"]) == card["totals"]["n_docs"]
+    for z in card["zipf"]:
+        assert z["slope"] < 0  # natural-ish text
