@@ -1108,3 +1108,62 @@ def duck_robust_scale_sql(
     FROM dev d JOIN mad m ON d.{group_col} = m._g
     ORDER BY d.{id_col}
     """
+
+
+def robust_scale_stats(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Fit arm of :func:`robust_scale` (the x30/x43/x57
+    fit-on-history / apply-on-stream split): per-group (med, mad) from
+    a STATIC/history corpus as a slim ≤|groups| frame a live stream
+    broadcasts. Same two percentile aggregations as the batch op."""
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(v, F.lit(0.5)).alias("med")
+    )
+    return (
+        df.join(F.broadcast(med), F.col(group_col) == F.col("_g"))
+        .groupBy("_g")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+        .select(F.col("_g").alias(group_col), "med", "mad")
+    )
+
+
+def apply_robust_scale(
+    df: DataFrame,
+    stats: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Apply arm: score rows (batch OR stream — a broadcast join plus
+    pure per-row arithmetic, streaming-safe with no state) against
+    frozen (med, mad) stats. On the fitting corpus itself this
+    reproduces :func:`robust_scale` exactly (parity-tested); on a live
+    stream the frozen stats are the standard approximation — rows of
+    groups absent from the stats pass through with NULL z (no scale to
+    judge them by). Output schema ≡ robust_scale."""
+    v = F.col(value_col).cast("double")
+    s = stats.select(
+        F.col(group_col).alias("_g"),
+        F.col("med").alias("_med"),
+        F.col("mad").alias("_mad"),
+    )
+    z = F.when(
+        F.col("_mad") > 0,
+        F.round((v - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")), 9),
+    )
+    return (
+        df.join(F.broadcast(s), df[group_col] == F.col("_g"), "left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            v.alias("value"),
+            F.round("_med", 9).alias("med"),
+            F.round("_mad", 9).alias("mad"),
+            z.alias("robust_z"),
+        )
+    )

@@ -1082,3 +1082,53 @@ def test_cli_profile_corpus(tmp_path, spark):
     assert sum(s["n_docs"] for s in card["sources"]) == card["totals"]["n_docs"]
     for z in card["zipf"]:
         assert z["slope"] < 0  # natural-ish text
+
+
+def test_robust_scale_fit_apply_parity_and_stream(spark, tmp_path):
+    """The fit/apply split reproduces robust_scale exactly on the
+    fitting corpus, scores a live micro-batch stream with the frozen
+    stats (pure per-row arithmetic — no state), and passes unknown
+    groups through with NULL z."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from go_fish_spark.operators.sampling import (
+        apply_robust_scale,
+        robust_scale,
+        robust_scale_stats,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", float(3 * i % 17)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    stats = robust_scale_stats(df, "source", "n_chars")
+    got = sorted(
+        tuple(r) for r in apply_robust_scale(
+            df, stats, "source", "doc_id", "n_chars").collect()
+    )
+    want = sorted(tuple(r) for r in robust_scale(
+        df, "source", "doc_id", "n_chars").collect())
+    assert got == want
+    # streaming arm: frozen stats score a file-source micro-batch
+    src = str(tmp_path / "in"); os.makedirs(src)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.DoubleType()),
+    ])
+    spark.createDataFrame(
+        [(100, "a", 5.0), (101, "zz", 7.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    scored = apply_robust_scale(stream, stats, "source", "doc_id", "n_chars")
+    assert scored.isStreaming
+    q = (scored.writeStream.format("memory").queryName("rs_stream")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    out = {r.doc_id: r for r in spark.sql("SELECT * FROM rs_stream").collect()}
+    batch = {r.doc_id: r for r in apply_robust_scale(
+        spark.read.parquet(src), stats, "source", "doc_id", "n_chars"
+    ).collect()}
+    assert out[100].robust_z == batch[100].robust_z
+    assert out[101].robust_z is None and out[101].med is None
