@@ -1058,18 +1058,23 @@ def test_shared_history_labels_cached_and_released(spark):
 
 def test_cli_profile_corpus(tmp_path, spark):
     """profile-corpus emits one JSON data card with every audit section
-    populated and internally consistent."""
+    populated and internally consistent. Subprocess like the other CLI
+    tests — the command owns (and stops) its Spark session."""
     import json
-
-    from go_fish_spark.cli import main
+    import os
+    import subprocess
+    import sys
 
     out = str(tmp_path / "card.json")
-    rc = main([
-        "profile-corpus", f"{SF_SMALL}/documents.parquet",
-        "--hill-k", "10", "--zipf-top-n", "50", "--out", out,
-        "--master", "local[4]",
-    ])
-    assert rc == 0
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "profile-corpus",
+         f"{SF_SMALL}/documents.parquet",
+         "--hill-k", "10", "--zipf-top-n", "50", "--out", out,
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
     card = json.load(open(out))
     assert set(card) == {
         "totals", "sources", "zipf", "diversity", "length_tail"
