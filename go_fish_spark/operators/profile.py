@@ -1580,3 +1580,106 @@ def corpus_profile_report(
             for r in hill
         ],
     }
+
+
+def score_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Per-group AUC of a score against a binary label — the scalar
+    companion to x74's calibration curve and the standard filter-
+    development metric (is the quality score actually ranking the
+    positive class higher?): computed as the Mann–Whitney U statistic
+    with the average-rank tie correction,
+
+        AUC = (Σ ranks(pos) − P(P+1)/2) / (P·N)
+
+    Cross-engine EXACTNESS by construction: average ranks are
+    half-integers, so the op carries 2×rank as pure BIGINT arithmetic
+    (R2 = Σ n_pos·(2·cum_before + n + 1) over distinct score values)
+    and evaluates AUC = (R2 − P(P+1)) / (2·P·N) with ONE final
+    division of exact integers — no rounding discipline needed beyond
+    the presentation round-9. Groups lacking both classes report NULL.
+
+    ``score_col`` / ``label_col`` may be column names or Column
+    expressions (label must evaluate to boolean).
+
+    100 TB shape: one (group, score) aggregation (map-side combined —
+    work ∝ distinct scores, not rows), a per-GROUP cumulative window
+    over that bounded frame, and a ≤|groups| final agg."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    g = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            score.alias("_s"),
+            label.cast("int").alias("_y"),
+        )
+        .groupBy("_g", "_s")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").alias("_np"),
+        )
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.withColumn("_cum", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+    agg = ranked.groupBy("_g").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_np").alias("n_pos"),
+        F.sum(
+            F.col("_np") * (F.lit(2) * F.col("_cum") + F.col("_n") + 1)
+        ).alias("_r2"),
+    )
+    p_ = F.col("n_pos")
+    n_ = F.col("n") - F.col("n_pos")
+    auc = (F.col("_r2") - p_ * (p_ + 1)).cast("double") / (
+        F.lit(2.0) * (p_ * n_).cast("double")
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.when((p_ > 0) & (n_ > 0), F.round(auc, 9)).alias("auc"),
+    ).orderBy(group_col)
+
+
+def duck_score_auc_sql(
+    table: str, group_col: str, score_sql: str, label_sql: str
+) -> str:
+    """DuckDB mirror of :func:`score_auc` — identical integer rank
+    arithmetic and the single final division."""
+    return f"""
+    WITH g AS (
+      SELECT {group_col} AS _g, {score_sql} AS _s,
+             count(*) AS _n,
+             sum(CAST({label_sql} AS INT)) AS _np
+      FROM {table} GROUP BY _g, _s
+    ),
+    ranked AS (
+      SELECT _g, _n, _np,
+             coalesce(sum(_n) OVER (
+               PARTITION BY _g ORDER BY _s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS _cum
+      FROM g
+    ),
+    agg AS (
+      SELECT _g, sum(_n) AS n, sum(_np) AS n_pos,
+             sum(_np * (2 * _cum + _n + 1)) AS _r2
+      FROM ranked GROUP BY _g
+    )
+    SELECT _g AS {group_col},
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0
+                THEN round(CAST(_r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                           / (2.0 * CAST(n_pos * (n - n_pos) AS DOUBLE)), 9)
+           END AS auc
+    FROM agg ORDER BY {group_col}
+    """

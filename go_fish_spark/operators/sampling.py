@@ -1167,3 +1167,103 @@ def apply_robust_scale(
             z.alias("robust_z"),
         )
     )
+
+
+def top_p_token_mass(
+    df: DataFrame,
+    group_col: str,
+    score_col,
+    id_col: str,
+    text_col: str,
+    p: float,
+) -> DataFrame:
+    """Per-group TOP-P selection by TOKEN MASS (the nucleus rule
+    applied to curation budgets): order each group's documents by
+    (score DESC, id) and keep the smallest prefix whose cumulative
+    token count reaches ``p`` of the group's total — "the best docs
+    covering 60% of every source's tokens". The budget-semantics
+    sibling of x30 (which keeps a fraction of DOCS: a long-doc-heavy
+    source blows a token budget under x30, never under this).
+
+    keep ⇔ cum_before < p · total (the first doc crossing the target
+    is INCLUDED — the standard nucleus convention, so the kept set
+    always covers ≥ p of the mass; a group's single giant doc is kept
+    whole). Output: (id_col, group_col, n_tokens, cum_tokens, keep),
+    ordered by id.
+
+    Cross-engine: token counts and cumulative sums are exact integers;
+    the one comparison multiplies the same double ``p`` by the same
+    BIGINT on both engines — IEEE-identical — and compares to an exact
+    integer. No rounding discipline needed.
+
+    100 TB shape: one (group, n_tokens) exchange; per-GROUP cumulative
+    windows (parallel across groups — a single monster group routes
+    through value_bucketed_rank as usual); totals broadcast from the
+    ≤|groups| frame."""
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from pyspark.sql import Window
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_g"),
+        score.alias("_sc"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.col("_sc").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = base.groupBy("_g").agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(tot), "_g")
+        .select(
+            F.col(id_col),
+            F.col("_g").alias(group_col),
+            "n_tokens",
+            "cum_tokens",
+            (
+                (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
+                < F.lit(float(p)) * F.col("_tot").cast("double")
+            ).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def duck_top_p_token_mass_sql(
+    tbl: str,
+    group_col: str,
+    score_sql: str,
+    id_col: str,
+    text_col: str,
+    p: float,
+) -> str:
+    """DuckDB mirror of :func:`top_p_token_mass` — same order, integer
+    cumulative sums, and the single IEEE comparison."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {group_col} AS _g, {score_sql} AS _sc,
+             CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens
+      FROM {tbl}
+    ),
+    c AS (
+      SELECT {id_col}, _g, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY _g ORDER BY _sc DESC, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens,
+             sum(n_tokens) OVER (PARTITION BY _g) AS _tot
+      FROM base
+    )
+    SELECT {id_col}, _g AS {group_col},
+           n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_tokens - n_tokens AS DOUBLE) < {float(p)!r} * CAST(_tot AS DOUBLE)
+             AS keep
+    FROM c ORDER BY {id_col}
+    """

@@ -374,3 +374,36 @@ def x134_hill_tail_index(spark, sf_dir):
     return hill_tail_index(
         table(spark, sf_dir, "documents"), "source", "n_chars", k=20
     )
+
+
+from ...operators.profile import duck_score_auc_sql, score_auc  # noqa: E402
+from ._shared import _DUCK_STOP  # noqa: E402
+
+_DUCK_QUALITY = (
+    "(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0)"
+    " + 0.3 * (1.0 - len(list_filter(string_split(text, ' '),"
+    f" w -> w IN ({_DUCK_STOP}))) / len(string_split(text, ' ')))"
+    " + 0.3 * least((length(text) - (len(string_split(text, ' ')) - 1))"
+    " / len(string_split(text, ' ')) / 10.0, 1.0))"
+)
+
+
+@query(
+    "x135_score_auc",
+    oracle=duck_score_auc_sql(
+        "documents", "source", _DUCK_QUALITY, "lang = 'en'"
+    ),
+)
+def x135_score_auc(spark, sf_dir):
+    """Per-source AUC of the quality score against the lang='en' label
+    (profile.score_auc — Mann–Whitney with average-rank ties): the
+    scalar does-the-filter-rank-anything metric beside x74's
+    calibration curve. EXACT by construction: 2×ranks stay BIGINT
+    (R2 = Σ n_pos·(2·cum+n+1) over distinct scores), one final
+    division. One (group, score) exchange + bounded windows."""
+    from ...functions import text as tx
+
+    docs = table(spark, sf_dir, "documents")
+    return score_auc(
+        docs, "source", tx.quality_score("text"), F.col("lang") == "en"
+    )

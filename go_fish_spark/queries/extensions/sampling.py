@@ -922,3 +922,30 @@ def x130_robust_scale(spark, sf_dir):
     return robust_scale(
         table(spark, sf_dir, "documents"), "source", "doc_id", "n_chars"
     )
+
+
+from ...operators.sampling import (  # noqa: E402
+    duck_top_p_token_mass_sql,
+    top_p_token_mass,
+)
+from .profile import _DUCK_QUALITY  # noqa: E402
+
+
+@query(
+    "x136_top_p_tokens",
+    oracle=duck_top_p_token_mass_sql(
+        "documents", "source", _DUCK_QUALITY, "doc_id", "text", 0.6
+    ),
+)
+def x136_top_p_tokens(spark, sf_dir):
+    """Per-source top-p selection by TOKEN mass (sampling.
+    top_p_token_mass, p=0.6): the best docs covering 60% of every
+    source's tokens — the budget-semantics sibling of x30's top
+    fraction of DOCS. Integer cumulative sums, one IEEE boundary
+    comparison, per-source windows."""
+    from ...functions import text as tx
+
+    return top_p_token_mass(
+        table(spark, sf_dir, "documents"), "source",
+        tx.quality_score("text"), "doc_id", "text", 0.6,
+    )

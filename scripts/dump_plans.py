@@ -86,6 +86,8 @@ SHOWCASE = [
     ("x128_pack_purity", "md5-sharded offset windows (parallel per shard); bounded (pack,source) agg; ≤|sources|·10 histogram keys"),
     ("x133_code_likeness", "map-only Column arithmetic — no joins, no Python; one presentation sort"),
     ("x134_hill_tail_index", "per-group rank windows truncated at k+1 rows; broadcast k/ref frames; bounded group agg"),
+    ("x135_score_auc", "one (group,score) exchange — work bounded by distinct scores; integer rank arithmetic inside codegen"),
+    ("x136_top_p_tokens", "per-group cumulative windows over integer token counts; ≤|groups| totals broadcast"),
     ("x129_zipf_fit", "one (source, token) exchange; per-SOURCE rank windows; ≤|sources| regression agg over ≤top_n rows each"),
 ]
 

@@ -224,6 +224,8 @@ def main() -> None:
         "x132_distinct_ngrams": lambda d: REGISTRY["x132_distinct_ngrams"].fn(spark, d).count(),
         "x133_code_likeness": lambda d: REGISTRY["x133_code_likeness"].fn(spark, d).count(),
         "x134_hill_tail_index": lambda d: REGISTRY["x134_hill_tail_index"].fn(spark, d).count(),
+        "x135_score_auc": lambda d: REGISTRY["x135_score_auc"].fn(spark, d).count(),
+        "x136_top_p_tokens": lambda d: REGISTRY["x136_top_p_tokens"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:

@@ -1137,3 +1137,59 @@ def test_robust_scale_fit_apply_parity_and_stream(spark, tmp_path):
     ).collect()}
     assert out[100].robust_z == batch[100].robust_z
     assert out[101].robust_z is None and out[101].med is None
+
+
+def test_score_auc_exact_rank_arithmetic(spark):
+    """x135: hand-checkable AUCs — perfect separation = 1.0, inverted
+    = 0.0, ties share average ranks (the 0.5-contribution rule), and
+    one-class groups report NULL."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators.profile import score_auc
+
+    rows = [
+        # perfect: all positives above all negatives
+        ("sep", 0.9, True), ("sep", 0.8, True),
+        ("sep", 0.2, False), ("sep", 0.1, False),
+        # inverted
+        ("inv", 0.9, False), ("inv", 0.1, True),
+        # one tie across classes: AUC = (1 pair won + 0.5 tie)/2
+        ("tie", 0.5, True), ("tie", 0.5, False), ("tie", 0.1, False),
+        # single class
+        ("mono", 0.7, True), ("mono", 0.3, True),
+    ]
+    df = spark.createDataFrame(rows, ["source", "s", "y"])
+    out = {r.source: r for r in score_auc(
+        df, "source", F.col("s"), F.col("y")).collect()}
+    assert out["sep"].auc == 1.0
+    assert out["inv"].auc == 0.0
+    assert out["tie"].auc == 0.75  # (1 + 0.5) / (1*2)
+    assert out["mono"].auc is None
+    assert out["sep"].n == 4 and out["sep"].n_pos == 2
+
+
+def test_top_p_token_mass_nucleus_semantics(spark):
+    """x136: the kept prefix always covers >= p of the group's tokens,
+    is minimal (dropping its last doc goes under p), follows score-desc
+    order, and a single-giant-doc group keeps the giant."""
+    from go_fish_spark.operators.sampling import top_p_token_mass
+
+    rows = [
+        (1, "a", 1.0, "t " * 50), (2, "a", 0.9, "t " * 30),
+        (3, "a", 0.8, "t " * 20),
+        (10, "g", 1.0, "x " * 100), (11, "g", 0.9, "x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, q, t.strip()) for i, s, q, t in rows],
+        ["doc_id", "source", "q", "text"],
+    )
+    out = {r.doc_id: r for r in top_p_token_mass(
+        df, "source", "q", "doc_id", "text", p=0.6).collect()}
+    # group a: total 100, target 60 -> doc1 (50) kept, doc2 crosses
+    # (cum_before 50 < 60 -> kept), doc3 (cum_before 80) dropped
+    assert out[1].keep and out[2].keep and not out[3].keep
+    kept_mass = sum(out[i].n_tokens for i in (1, 2))
+    assert kept_mass >= 0.6 * 100
+    assert kept_mass - out[2].n_tokens < 0.6 * 100  # minimal prefix
+    # group g: the giant covers everything; the tail doc is dropped
+    assert out[10].keep and not out[11].keep
