@@ -93,6 +93,7 @@ def incremental_audit_merge(
     id_col: str = "id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    emit: str = "full",
 ) -> DataFrame:
     """Merge a new crawl batch into EXISTING dedup-component labels
     without re-running connected components over the corpus — the
@@ -118,15 +119,27 @@ def incremental_audit_merge(
     disciplines make pairs(all) = pairs(hist×hist) ∪ delta_pairs, and
     min-label CC composes over that union (parity-tested).
 
-    Output: (id, component) for history ∪ batch.
+    Output: (id, component) for history ∪ batch with ``emit="full"``;
+    with ``emit="changed"`` only the rows whose label is NEW OR CHANGED
+    — the batch itself plus members of touched-and-merged old
+    components — i.e. the UPSERT set a label-table maintainer writes
+    back. At recurring-crawl scale this is the difference between
+    rewriting the archive's label table daily and appending a
+    delta-bounded patch (measured in scripts/incremental_thesis.py:
+    the full-emit incremental step still pays one corpus-wide relabel
+    map; the changed-emit output is bounded by |batch| + |touched
+    members|).
 
     100 TB shape: the TWO corpus-scale touches are slim keyed joins —
     rewriting delta-pair endpoints through the label store (delta-
     bounded rows move; a store bucketed on id makes it zero-exchange on
     the stored side) and the final relabel left-join against the
-    ≤|touched components| merge map (broadcastable). The CC iteration
-    itself runs on the reduced graph, bounded by |batch| + |touched
-    components| — never the corpus."""
+    ≤|touched components| merge map (broadcastable; with
+    ``emit="changed"`` it becomes a semi-join that moves only touched
+    members). The CC iteration itself runs on the reduced graph,
+    bounded by |batch| + |touched components| — never the corpus."""
+    if emit not in ("full", "changed"):
+        raise ValueError(f"emit must be 'full' or 'changed', got {emit!r}")
     from .graph import connected_components
 
     old = old_components.select(
@@ -155,14 +168,24 @@ def incremental_audit_merge(
         old_components.select(F.col("component").alias("id")).distinct(),
         "id",
     ).select(F.col("id").alias("_ocomp"), F.col("component").alias("_new"))
+    batch = merged.join(
+        nodes.select(F.col("id")), "id", "left_semi"
+    ).select("id", "component")
+    if emit == "changed":
+        # only touched-and-RELABELED old members move: inner-join the
+        # (≤ touched) relabel map, keep rows whose label actually moved
+        hist_changed = (
+            old_components.withColumnRenamed("component", "_ocomp")
+            .join(F.broadcast(relabel), "_ocomp")
+            .filter(F.col("_new") != F.col("_ocomp"))
+            .select("id", F.col("_new").alias("component"))
+        )
+        return hist_changed.unionByName(batch)
     hist = (
         old_components.withColumnRenamed("component", "_ocomp")
         .join(F.broadcast(relabel), "_ocomp", "left")
         .select("id", F.coalesce("_new", "_ocomp").alias("component"))
     )
-    batch = merged.join(
-        nodes.select(F.col("id")), "id", "left_semi"
-    ).select("id", "component")
     return hist.unionByName(batch)
 
 

@@ -1193,3 +1193,36 @@ def test_top_p_token_mass_nucleus_semantics(spark):
     assert kept_mass - out[2].n_tokens < 0.6 * 100  # minimal prefix
     # group g: the giant covers everything; the tail doc is dropped
     assert out[10].keep and not out[11].keep
+
+
+def test_incremental_merge_changed_emit(spark):
+    """emit='changed' returns exactly the upsert set: the batch plus
+    relabeled old members; applying it as a patch over the old table
+    reproduces emit='full'."""
+    from go_fish_spark.operators.audit import incremental_audit_merge
+
+    old = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (20, 20)],
+        "id long, component long",
+    )
+    delta = spark.createDataFrame([(30,), (31,)], "id long")
+    pairs = spark.createDataFrame([(2, 30), (30, 11)], "id_a long, id_b long")
+    full = {
+        r["id"]: r["component"]
+        for r in incremental_audit_merge(old, delta, pairs).collect()
+    }
+    changed = {
+        r["id"]: r["component"]
+        for r in incremental_audit_merge(
+            old, delta, pairs, emit="changed"
+        ).collect()
+    }
+    # the upsert set: batch docs 30/31 + relabeled members of component 10
+    assert changed == {10: 1, 11: 1, 30: 1, 31: 31}
+    patched = {r["id"]: r["component"] for r in old.collect()}
+    patched.update(changed)
+    assert patched == full
+    import pytest
+
+    with pytest.raises(ValueError):
+        incremental_audit_merge(old, delta, pairs, emit="nope")
