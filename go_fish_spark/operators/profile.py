@@ -1683,3 +1683,139 @@ def duck_score_auc_sql(
            END AS auc
     FROM agg ORDER BY {group_col}
     """
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    score_col,
+    decimals: int = 3,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov drift gate: the sup-gap
+    between each group's score ECDF and the REST-of-corpus ECDF —
+    "which source's score distribution no longer looks like everyone
+    else's", the distribution-shape alarm beside x67's binned KL (KL
+    needs a bin design and saturates on disjoint support; KS is the
+    assumption-free sup metric drift monitors page on).
+
+    Scores are quantized to ``decimals`` first (the test's resolution):
+    the ECDF grid is then the ≤ 10^decimals·range distinct quantized
+    values, so the (group × value) evaluation frame stays BOUNDED at
+    any corpus size — the sup over a quantized ECDF equals the exact
+    KS of the quantized distributions. The gap is evaluated at every
+    grid value ACROSS the corpus (a group missing a value still steps
+    the complement CDF there — skipping those points would understate
+    the sup).
+
+    Output: (group_col, n, ks DOUBLE round-9), ordered by group; NULL
+    ks for a group that IS the whole corpus (empty complement).
+
+    Cross-engine: quantized values group exactly; cumulative counts
+    are integers; per-point gaps are single divisions of exact BIGINTs
+    (IEEE-identical); one max + round-9.
+
+    100 TB shape: one (group, value) exchange with map-side combine to
+    the bounded count frame; the grid completion is a (≤ groups ×
+    values) cross of two BOUNDED frames; windows run per group over
+    grid rows only."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    q = F.round(score.cast("double"), decimals)
+    cnt = (
+        df.select(F.col(group_col).alias("_g"), q.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grid = cnt.select("_v").distinct()
+    groups = cnt.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    tot = cnt.agg(F.sum("_c").alias("_nt"))
+    vals = cnt.groupBy("_v").agg(F.sum("_c").alias("_cv"))
+    full = (
+        groups.crossJoin(grid)
+        .join(cnt, ["_g", "_v"], "left")
+        .withColumn("_c", F.coalesce("_c", F.lit(0)))
+        .join(F.broadcast(vals), "_v")
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = full.select(
+        "_g", "_ng", "_nt",
+        F.sum("_c").over(w).alias("_cumg"),
+        F.sum("_cv").over(w).alias("_cumt"),
+    )
+    comp = F.col("_nt") - F.col("_ng")
+    # try_divide: the empty-complement (single-group) case must reach
+    # the NULL-ks branch, not an ANSI divide-by-zero
+    gap = F.abs(
+        F.col("_cumg").cast("double") / F.col("_ng").cast("double")
+        - F.try_divide(
+            (F.col("_cumt") - F.col("_cumg")).cast("double"),
+            comp.cast("double"),
+        )
+    )
+    return (
+        stepped.groupBy("_g")
+        .agg(
+            F.first("_ng").alias("n"),
+            F.when(
+                F.first(comp) > 0, F.round(F.max(gap), 9)
+            ).alias("ks"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n").cast("bigint").alias("n"),
+            "ks",
+        )
+        .orderBy(group_col)
+    )
+
+
+def duck_ks_drift_sql(
+    table: str, group_col: str, score_sql: str, decimals: int = 3
+) -> str:
+    """DuckDB mirror of :func:`ks_drift` — same quantized grid,
+    integer cumulative counts, per-point IEEE gap, max, round-9."""
+    return f"""
+    WITH cnt AS (
+      SELECT {group_col} AS _g,
+             round(CAST({score_sql} AS DOUBLE), {int(decimals)}) AS _v,
+             count(*) AS _c
+      FROM {table} GROUP BY _g, _v
+    ),
+    grid AS (SELECT DISTINCT _v FROM cnt),
+    groups AS (SELECT _g, sum(_c) AS _ng FROM cnt GROUP BY _g),
+    vals AS (SELECT _v, sum(_c) AS _cv FROM cnt GROUP BY _v),
+    tot AS (SELECT sum(_c) AS _nt FROM cnt),
+    gridded AS (
+      SELECT g._g, g._ng, gr._v,
+             coalesce(c._c, 0) AS _c, v._cv, t._nt
+      FROM groups g CROSS JOIN grid gr
+      LEFT JOIN cnt c ON c._g = g._g AND c._v = gr._v
+      JOIN vals v ON v._v = gr._v
+      CROSS JOIN tot t
+    ),
+    stepped AS (
+      SELECT _g, _ng, _nt,
+             sum(_c) OVER (
+               PARTITION BY _g ORDER BY _v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS _cumg,
+             sum(_cv) OVER (
+               PARTITION BY _g ORDER BY _v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS _cumt
+      FROM gridded
+    )
+    SELECT _g AS {group_col},
+           CAST(any_value(_ng) AS BIGINT) AS n,
+           CASE WHEN any_value(_nt - _ng) > 0
+                THEN round(max(abs(
+                       CAST(_cumg AS DOUBLE) / CAST(_ng AS DOUBLE)
+                       - CAST(_cumt - _cumg AS DOUBLE)
+                         / CAST(_nt - _ng AS DOUBLE))), 9)
+           END AS ks
+    FROM stepped GROUP BY _g ORDER BY {group_col}
+    """

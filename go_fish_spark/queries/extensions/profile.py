@@ -407,3 +407,24 @@ def x135_score_auc(spark, sf_dir):
     return score_auc(
         docs, "source", tx.quality_score("text"), F.col("lang") == "en"
     )
+
+
+from ...operators.profile import duck_ks_drift_sql, ks_drift  # noqa: E402
+
+
+@query(
+    "x137_ks_drift",
+    oracle=duck_ks_drift_sql("documents", "source", _DUCK_QUALITY, 3),
+)
+def x137_ks_drift(spark, sf_dir):
+    """Per-source two-sample KS drift (profile.ks_drift, round-3
+    quantized quality score): sup-gap between each source's ECDF and
+    the rest of the corpus — the assumption-free shape alarm beside
+    x67's binned KL. Bounded (group × quantized-value) grid, integer
+    cumulative counts, one IEEE division per grid point."""
+    from ...functions import text as tx
+
+    return ks_drift(
+        table(spark, sf_dir, "documents"), "source",
+        tx.quality_score("text"), decimals=3,
+    )

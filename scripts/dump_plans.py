@@ -88,6 +88,7 @@ SHOWCASE = [
     ("x134_hill_tail_index", "per-group rank windows truncated at k+1 rows; broadcast k/ref frames; bounded group agg"),
     ("x135_score_auc", "one (group,score) exchange — work bounded by distinct scores; integer rank arithmetic inside codegen"),
     ("x136_top_p_tokens", "per-group cumulative windows over integer token counts; ≤|groups| totals broadcast"),
+    ("x137_ks_drift", "bounded (group x quantized-value) grid from two bounded frames; per-group windows over grid rows only"),
     ("x129_zipf_fit", "one (source, token) exchange; per-SOURCE rank windows; ≤|sources| regression agg over ≤top_n rows each"),
 ]
 

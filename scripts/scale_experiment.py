@@ -226,6 +226,7 @@ def main() -> None:
         "x134_hill_tail_index": lambda d: REGISTRY["x134_hill_tail_index"].fn(spark, d).count(),
         "x135_score_auc": lambda d: REGISTRY["x135_score_auc"].fn(spark, d).count(),
         "x136_top_p_tokens": lambda d: REGISTRY["x136_top_p_tokens"].fn(spark, d).count(),
+        "x137_ks_drift": lambda d: REGISTRY["x137_ks_drift"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:

@@ -1226,3 +1226,31 @@ def test_incremental_merge_changed_emit(spark):
 
     with pytest.raises(ValueError):
         incremental_audit_merge(old, delta, pairs, emit="nope")
+
+
+def test_ks_drift_goldens(spark):
+    """x137: identical distributions score KS = 0; disjoint supports
+    score 1; a hand-computed shifted case matches; the grid evaluates
+    gaps at values a group lacks (the sup can land there)."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators.profile import ks_drift
+
+    rows = []
+    # 'same' and 'ref' share one distribution -> ks('same') vs rest
+    # includes 'far', so compare a controlled pair instead:
+    # ref: values {1,2}x5 each; shift: {2,3}x5 each; far: {9}x10
+    rows += [("ref", v) for v in [1.0] * 5 + [2.0] * 5]
+    rows += [("shift", v) for v in [2.0] * 5 + [3.0] * 5]
+    df2 = spark.createDataFrame(rows, ["source", "s"])
+    out2 = {r.source: r for r in ks_drift(df2, "source", "s").collect()}
+    # ref vs shift: F_ref(1)=.5, F_shift(1)=0 -> gap .5; at 2: 1 vs .5
+    assert out2["ref"].ks == 0.5 and out2["shift"].ks == 0.5
+    df3 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 9.0), ("b", 8.0)], ["source", "s"]
+    )
+    out3 = {r.source: r for r in ks_drift(df3, "source", "s").collect()}
+    assert out3["a"].ks == 1.0 and out3["b"].ks == 1.0
+    # a group that IS the corpus -> NULL
+    df1 = spark.createDataFrame([("only", 1.0), ("only", 2.0)], ["source", "s"])
+    assert ks_drift(df1, "source", "s").collect()[0].ks is None
