@@ -628,3 +628,135 @@ def test_quota_apportion_property(spark, sizes, k):
     for g, (n, q) in out.items():
         assert abs(q - k * n / total) < 1 + 1e-9, (g, k, n, total, q)
         assert 0 <= q <= n or k == total
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(0, 1, allow_nan=False, width=32),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_score_auc_invariants(spark, rows):
+    """AUC ∈ [0,1] whenever defined, AUC(score) + AUC(−score) == 1 per
+    group (the Mann–Whitney complement identity — exact under the
+    integer rank arithmetic), NULL iff a group lacks a class."""
+    import pyspark.sql.functions as F
+
+    from go_fish_spark.operators.profile import score_auc
+
+    df = spark.createDataFrame(
+        [(g, float(s), y) for g, s, y in rows], "g string, s double, y boolean"
+    )
+    fwd = {r.g: r for r in score_auc(df, "g", F.col("s"), F.col("y")).collect()}
+    rev = {r.g: r for r in score_auc(df, "g", -F.col("s"), F.col("y")).collect()}
+    for g, r in fwd.items():
+        both = 0 < r.n_pos < r.n
+        if not both:
+            assert r.auc is None
+            continue
+        assert 0.0 <= r.auc <= 1.0
+        assert abs(r.auc + rev[g].auc - 1.0) < 2e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s", "t"]),
+            st.floats(0, 5, allow_nan=False, width=16),
+            st.integers(1, 40),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.floats(0.05, 1.0),
+)
+def test_top_p_token_mass_coverage_property(spark, rows, p):
+    """For every group: the kept set covers ≥ p of the tokens, and is
+    MINIMAL — dropping the kept doc with the lowest (score, −id) order
+    position goes under target (unless it is the only kept doc's
+    group-total edge case)."""
+    from go_fish_spark.operators.sampling import top_p_token_mass
+
+    data = [
+        (i, g, float(s), " ".join(["w"] * n))
+        for i, (g, s, n) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, g string, q double, text string")
+    out = top_p_token_mass(df, "g", "q", "doc_id", "text", p=p).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    for g, rs in by_g.items():
+        total = sum(r.n_tokens for r in rs)
+        kept = [r for r in rs if r.keep]
+        assert kept, "nucleus rule always keeps at least one doc"
+        mass = sum(r.n_tokens for r in kept)
+        assert mass * 1.0 >= p * total - 1e-9
+        last = max(kept, key=lambda r: r.cum_tokens)
+        if len(kept) > 1:
+            assert (mass - last.n_tokens) < p * total + 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "z"]),
+            st.floats(0, 1, allow_nan=False, width=16),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_ks_drift_bounds_and_null(spark, rows):
+    """KS ∈ [0,1]; NULL exactly when the group is the whole corpus."""
+    from go_fish_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    out = ks_drift(df, "g", "v").collect()
+    n_total = len(rows)
+    for r in out:
+        if r.n == n_total:
+            assert r.ks is None
+        else:
+            assert 0.0 <= r.ks <= 1.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab cd", min_size=0, max_size=30
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_edit_verified_sim_bounds_and_symmetry(spark, ts):
+    """Every reported pair has 0 ≤ lev ≤ max_dist, sim ∈ [0,1], and the
+    distances equal the reference DP regardless of input shape
+    (duplicates, empties, whitespace runs)."""
+    from go_fish_spark.operators import dedup
+    from tests.test_round9 import _lev
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "doc_id long, text string"
+    )
+    out = dedup.edit_verified_pairs(
+        df, "doc_id", "text", window=3, key_len=10, max_dist=12
+    ).collect()
+    texts = dict(enumerate(ts))
+    for r in out:
+        assert 0 <= r.lev <= 12
+        assert 0.0 <= r.sim <= 1.0
+        assert r.lev == _lev(texts[r.id_a], texts[r.id_b])
+    dedup.release_caches()
