@@ -1819,3 +1819,189 @@ def duck_ks_drift_sql(
            END AS ks
     FROM stepped GROUP BY _g ORDER BY {group_col}
     """
+
+
+def _spectrum_metrics(n: int, sum_x, sum_xx, dim: int) -> dict:
+    """Shared sums→metrics step for the spectrum audit (BOTH the Spark
+    arm and the DuckDB oracle call this with bit-identical exact
+    decimal sums, so every derived float is computed once by the same
+    numpy code on the same doubles): covariance eigenspectrum +
+    anisotropy summaries."""
+    import numpy as np
+
+    mu = np.array([float(s) / n for s in sum_x], dtype=np.float64)
+    # sum_xx is the ROW-MAJOR UPPER TRIANGLE (i <= j) — reconstruct the
+    # symmetric matrix (the triangle halves the exchange and the
+    # per-row product expansion; E[xxT] is symmetric by definition)
+    exx = np.empty((dim, dim), dtype=np.float64)
+    k = 0
+    for i in range(dim):
+        for j in range(i, dim):
+            v = float(sum_xx[k]) / n
+            exx[i, j] = v
+            exx[j, i] = v
+            k += 1
+    cov = exx - np.outer(mu, mu)
+    lam = np.linalg.eigvalsh((cov + cov.T) / 2.0)
+    lam = np.clip(lam, 0.0, None)
+    tot = float(lam.sum())
+    p = lam / tot if tot > 0 else lam
+    nz = p[p > 0]
+    eff_rank = float(np.exp(-(nz * np.log(nz)).sum())) if tot > 0 else 0.0
+    mean_sq_norm = float(exx.trace())
+    return {
+        "n": int(n),
+        "dim": int(dim),
+        "total_var": round(tot, 9),
+        "top1_share": round(float(lam[-1]) / tot, 9) if tot > 0 else None,
+        "top8_share": round(float(lam[-8:].sum()) / tot, 9)
+        if tot > 0 else None,
+        "effective_rank": round(eff_rank, 9),
+        "mean_sq_norm": round(mean_sq_norm, 9),
+        "centroid_share": round(float(mu @ mu) / mean_sq_norm, 9)
+        if mean_sq_norm > 0 else None,
+    }
+
+
+_SPECTRUM_COLS = (
+    "n", "dim", "total_var", "top1_share", "top8_share",
+    "effective_rank", "mean_sq_norm", "centroid_share",
+)
+
+
+def embedding_spectrum_audit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    id_col: str | None = None,
+    max_fit: int | None = None,
+) -> dict:
+    """Embedding-SPACE spectrum audit (driver-side dict): covariance
+    eigenstructure + anisotropy of the corpus embedding distribution —
+    the health check before trusting cosine geometry (Ethayarajh 2019:
+    contextual embedding spaces are often so anisotropic that cosines
+    are dominated by one common direction). x68 audits each dimension
+    ALONE (diagonal); this measures the off-diagonal structure those
+    per-dim stats cannot see:
+
+      * ``top1_share`` / ``top8_share`` — fraction of total variance in
+        the top eigendirections (→ 1 = rogue common direction; ANN
+        recall and clustering degrade),
+      * ``effective_rank`` — exp of the spectral entropy (how many
+        directions the space actually uses),
+      * ``centroid_share`` — ‖μ‖²/E[‖x‖²], the mean-vector offset share
+        (the classic "subtract the mean before cosine" trigger).
+
+    Cross-engine EXACTNESS: per-value and per-product sums accumulate
+    as DECIMAL(38,30) — LOSSLESS for |x| < 1e8 (a double's shortest
+    repr carries ≤ 17 significant digits, all ≥ 1e-30 here), so unlike
+    the round-12 discipline there is NO rounding boundary to disagree
+    on; the oracle reproduces the identical decimals via DuckDB's
+    VARCHAR-mediated cast (the x125 lesson) and both arms derive the
+    eigenspectrum from the same exact sums via the same
+    :func:`_spectrum_metrics`.
+
+    100 TB shape: ONE in-row product expansion (dim² slim decimal
+    values per row) into a BOUNDED dim²-key exchange with map-side
+    combine — no joins, no driver data besides the 4 KB sums frame. At
+    corpus scale fit on a deterministic hash-ordered sample (the
+    quantizer-fit contract) — the audit is a distribution estimate,
+    and the decimal sums make any fixed sample engine-reproducible."""
+    if max_fit is not None:
+        if id_col is None:
+            raise ValueError("max_fit requires id_col for the hash order")
+        # deterministic hash-total-order sample (the quantizer-fit
+        # contract: engine-reproducible, so the oracle refits the SAME
+        # rows) — bounds the dim^2 expansion at any corpus size
+        df = (
+            df.orderBy(
+                F.md5(F.col(id_col).cast("string")),
+                F.col(id_col).cast("string"),
+            )
+            .limit(int(max_fit))
+        )
+    # materialize the double array ONCE per row: element_at inside the
+    # triangle lambdas would otherwise re-evaluate the float→double
+    # array cast PER ELEMENT (measured: 13.5 s → 3.3 s at 2000×64 —
+    # the cast made the dim² expansion effectively dim³)
+    pre = df.select(
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("_v")
+    )
+    prods = (
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> "
+        f"CAST(element_at(_v, i + 1) * element_at(_v, j + 1) "
+        f"AS DECIMAL(38,30)))))"
+    )
+    vals = "transform(_v, x -> CAST(x AS DECIMAL(38,30)))"
+    xx = (
+        pre.select(F.posexplode(F.expr(prods)).alias("_i", "_d"))
+        .groupBy("_i")
+        .agg(F.sum("_d").alias("_s"))
+        .collect()
+    )
+    xs = (
+        pre.select(F.posexplode(F.expr(vals)).alias("_i", "_d"))
+        .groupBy("_i")
+        .agg(F.sum("_d").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    n = int(xs[0]["_n"])
+    sum_x = [r["_s"] for r in sorted(xs, key=lambda r: r["_i"])]
+    sum_xx = [r["_s"] for r in sorted(xx, key=lambda r: r["_i"])]
+    return _spectrum_metrics(n, sum_x, sum_xx, dim)
+
+
+def duck_spectrum_sums(
+    path: str,
+    vec_col: str,
+    dim: int,
+    id_col: str | None = None,
+    max_fit: int | None = None,
+):
+    """Oracle-arm twin of the Spark sums: identical DECIMAL(38,30)
+    accumulation via the VARCHAR-mediated cast (DuckDB's direct
+    double→decimal rounds the exact binary expansion; the VARCHAR hop
+    reproduces Spark's shortest-repr cast bit-for-bit — measured in the
+    x125 fix). Returns (n, sum_x, sum_xx) for :func:`_spectrum_metrics`."""
+    import duckdb
+
+    con = duckdb.connect()
+    dec = "DECIMAL(38,30)"
+    src = f"read_parquet('{path}')"
+    if max_fit is not None:
+        src = (
+            f"(SELECT * FROM read_parquet('{path}') "
+            f"ORDER BY md5(CAST({id_col} AS VARCHAR)), "
+            f"CAST({id_col} AS VARCHAR) LIMIT {int(max_fit)})"
+        )
+    xx = con.execute(
+        f"""
+        SELECT _i, sum(_d) AS _s FROM (
+          SELECT generate_subscripts(p, 1) - 1 AS _i, unnest(p) AS _d
+          FROM (
+            SELECT flatten([[CAST(CAST(
+                     CAST({vec_col}[i + 1] AS DOUBLE)
+                     * CAST({vec_col}[j + 1] AS DOUBLE) AS VARCHAR)
+                   AS {dec})
+                    for j in range(i, {dim})]
+                   for i in range(0, {dim})]) AS p
+            FROM {src}
+          )
+        ) GROUP BY _i ORDER BY _i
+        """
+    ).fetchall()
+    xs = con.execute(
+        f"""
+        SELECT _i, sum(_d) AS _s, count(*) AS _n FROM (
+          SELECT generate_subscripts(p, 1) - 1 AS _i, unnest(p) AS _d
+          FROM (
+            SELECT [CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS {dec})
+                    for x in {vec_col}] AS p
+            FROM {src}
+          )
+        ) GROUP BY _i ORDER BY _i
+        """
+    ).fetchall()
+    n = int(xs[0][2])
+    return n, [r[1] for r in xs], [r[1] for r in xx]

@@ -428,3 +428,62 @@ def x137_ks_drift(spark, sf_dir):
         table(spark, sf_dir, "documents"), "source",
         tx.quality_score("text"), decimals=3,
     )
+
+
+from ...operators.profile import (  # noqa: E402
+    _SPECTRUM_COLS,
+    _spectrum_metrics,
+    duck_spectrum_sums,
+    embedding_spectrum_audit,
+)
+from ._shared import _EMB_DIM  # noqa: E402
+
+
+def _x138_oracle(sf_dir: str) -> str | None:
+    """Re-derive the exact decimal sums with DuckDB, run the SAME
+    sums→metrics numpy step, and emit the result row as literals —
+    every float is computed once by shared code from bit-identical
+    inputs, so the hash compare proves the sum pipelines agree."""
+    import os
+
+    path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    n, sum_x, sum_xx = duck_spectrum_sums(
+        path, "embedding", _EMB_DIM, id_col="vec_id", max_fit=1000
+    )
+    m = _spectrum_metrics(n, sum_x, sum_xx, _EMB_DIM)
+    cols = ", ".join(
+        ("NULL" if m[c] is None else repr(m[c])) + f" AS {c}"
+        for c in _SPECTRUM_COLS
+    )
+    return (
+        f"SELECT CAST(n AS BIGINT) AS n, CAST(dim AS INT) AS dim, "
+        f"total_var, top1_share, top8_share, effective_rank, "
+        f"mean_sq_norm, centroid_share FROM (SELECT {cols})"
+    )
+
+
+@query("x138_embedding_spectrum", oracle=_x138_oracle)
+def x138_embedding_spectrum(spark, sf_dir):
+    """Embedding-space spectrum/anisotropy audit (profile.
+    embedding_spectrum_audit — Ethayarajh 2019): covariance
+    eigenspectrum shares, effective rank, and the centroid-offset share
+    — the off-diagonal health check x68's per-dim stats cannot see,
+    run before trusting cosine geometry. DECIMAL(38,30) lossless sums
+    (no rounding boundary at all) over the UPPER-TRIANGLE products into
+    a bounded dim(dim+1)/2-key exchange, fit on the deterministic
+    hash-ordered 1000-vector sample (the quantizer contract — the
+    oracle refits the same rows at any SF); eigen on the driver from
+    the exact sums, shared with the oracle arm."""
+    m = embedding_spectrum_audit(
+        table(spark, sf_dir, "embeddings"), "embedding", _EMB_DIM,
+        id_col="vec_id", max_fit=1000,
+    )
+    row = [tuple(m[c] for c in _SPECTRUM_COLS)]
+    return spark.createDataFrame(
+        row,
+        "n bigint, dim int, total_var double, top1_share double, "
+        "top8_share double, effective_rank double, mean_sq_norm double, "
+        "centroid_share double",
+    )

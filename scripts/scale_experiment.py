@@ -227,6 +227,7 @@ def main() -> None:
         "x135_score_auc": lambda d: REGISTRY["x135_score_auc"].fn(spark, d).count(),
         "x136_top_p_tokens": lambda d: REGISTRY["x136_top_p_tokens"].fn(spark, d).count(),
         "x137_ks_drift": lambda d: REGISTRY["x137_ks_drift"].fn(spark, d).count(),
+        "x138_embedding_spectrum": lambda d: REGISTRY["x138_embedding_spectrum"].fn(spark, d).count(),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     if only:

@@ -1254,3 +1254,42 @@ def test_ks_drift_goldens(spark):
     # a group that IS the corpus -> NULL
     df1 = spark.createDataFrame([("only", 1.0), ("only", 2.0)], ["source", "s"])
     assert ks_drift(df1, "source", "s").collect()[0].ks is None
+
+
+def test_embedding_spectrum_known_structures(spark):
+    """x138: rank-1 data puts ~all variance in one direction
+    (top1_share → 1, effective_rank → 1); isotropic data spreads it
+    (top1_share small, effective_rank near dim); a constant corpus has
+    zero variance (None shares) and centroid_share = 1."""
+    import random
+
+    from go_fish_spark.operators.profile import embedding_spectrum_audit
+
+    rng = random.Random(11)
+    dim = 8
+    direction = [1.0, -1.0, 0.5, 0.0, 0.25, -0.5, 0.75, -0.25]
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        return df.selectExpr(
+            "vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding"
+        )
+
+    scales = [rng.gauss(0, 1) for _ in range(50)]
+    rank1 = mk([
+        (i, [scales[i] * d for d in direction]) for i in range(50)
+    ])
+    m1 = embedding_spectrum_audit(rank1, "embedding", dim)
+    assert m1["top1_share"] > 0.999
+    assert m1["effective_rank"] < 1.2
+    iso = mk([
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(300)
+    ])
+    m2 = embedding_spectrum_audit(iso, "embedding", dim)
+    assert m2["top1_share"] < 0.35
+    assert m2["effective_rank"] > 6.0
+    assert m2["centroid_share"] < 0.1
+    const = mk([(i, direction) for i in range(10)])
+    m3 = embedding_spectrum_audit(const, "embedding", dim)
+    assert m3["top1_share"] is None and m3["total_var"] == 0.0
+    assert m3["centroid_share"] == 1.0
