@@ -212,6 +212,22 @@ HEADLINE = [
     "x119_snm_multikey",
     "x120_blocking_choice",
     "x121_cluster_split",
+    # round 9 part 2
+    "x122_moore_lewis",
+    "x123_edit_verify",
+    "x124_dup_spans",
+    "x125_silhouette",
+    "x127_hard_negatives",
+    "x128_pack_purity",
+    "x129_zipf_fit",
+    "x130_robust_scale",
+    "x132_distinct_ngrams",
+    "x133_code_likeness",
+    "x134_hill_tail_index",
+    "x135_score_auc",
+    "x136_top_p_tokens",
+    "x137_ks_drift",
+    "x138_embedding_spectrum",
 ]
 
 
