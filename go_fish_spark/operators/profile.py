@@ -1720,8 +1720,13 @@ def ks_drift(
     grid rows only."""
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     q = F.round(score.cast("double"), decimals)
+    # NULL scores carry no distribution mass: they must not count in a
+    # group's n (the NULL grid value is unreachable through the
+    # NULL-unsafe _v joins, so keeping them would leave the group ECDF
+    # short of 1 and silently distort the sup-gap — r9 ADVICE #3).
     cnt = (
         df.select(F.col(group_col).alias("_g"), q.alias("_v"))
+        .filter(F.col("_v").isNotNull())
         .groupBy("_g", "_v")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -1783,7 +1788,9 @@ def duck_ks_drift_sql(
       SELECT {group_col} AS _g,
              round(CAST({score_sql} AS DOUBLE), {int(decimals)}) AS _v,
              count(*) AS _c
-      FROM {table} GROUP BY _g, _v
+      FROM {table}
+      WHERE round(CAST({score_sql} AS DOUBLE), {int(decimals)}) IS NOT NULL
+      GROUP BY _g, _v
     ),
     grid AS (SELECT DISTINCT _v FROM cnt),
     groups AS (SELECT _g, sum(_c) AS _ng FROM cnt GROUP BY _g),
@@ -1934,21 +1941,41 @@ def embedding_spectrum_audit(
         f"AS DECIMAL(38,30)))))"
     )
     vals = "transform(_v, x -> CAST(x AS DECIMAL(38,30)))"
-    xx = (
-        pre.select(F.posexplode(F.expr(prods)).alias("_i", "_d"))
-        .groupBy("_i")
-        .agg(F.sum("_d").alias("_s"))
-        .collect()
+    _overflow_hint = (
+        "embedding_spectrum_audit: DECIMAL(38,30) accumulator "
+        "overflowed (a value, or a per-index sum of x_i or x_i*x_j, "
+        "exceeded 1e8 in magnitude). Bound the fit with max_fit=... "
+        "(the intended corpus-scale form) or normalize the embeddings "
+        "before auditing."
     )
-    xs = (
-        pre.select(F.posexplode(F.expr(vals)).alias("_i", "_d"))
-        .groupBy("_i")
-        .agg(F.sum("_d").alias("_s"), F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
+    try:
+        xx = (
+            pre.select(F.posexplode(F.expr(prods)).alias("_i", "_d"))
+            .groupBy("_i")
+            .agg(F.sum("_d").alias("_s"))
+            .collect()
+        )
+        xs = (
+            pre.select(F.posexplode(F.expr(vals)).alias("_i", "_d"))
+            .groupBy("_i")
+            .agg(F.sum("_d").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+    except Exception as exc:  # ANSI mode: the cast/sum throws 22003
+        if "NUMERIC_VALUE_OUT_OF_RANGE" in str(
+            exc
+        ) or "ARITHMETIC_OVERFLOW" in str(exc):
+            raise ValueError(_overflow_hint) from exc
+        raise
     n = int(xs[0]["_n"])
     sum_x = [r["_s"] for r in sorted(xs, key=lambda r: r["_i"])]
     sum_xx = [r["_s"] for r in sorted(xx, key=lambda r: r["_i"])]
+    # DECIMAL(38,30) leaves 8 integer digits; under non-ANSI mode a
+    # decimal overflow yields NULL sums, which would surface far from
+    # here as float(None). Fail loud at the cause instead (r9 ADVICE
+    # #1; the ANSI-mode throw is translated in the except above).
+    if any(s is None for s in sum_x) or any(s is None for s in sum_xx):
+        raise ValueError(_overflow_hint)
     return _spectrum_metrics(n, sum_x, sum_xx, dim)
 
 

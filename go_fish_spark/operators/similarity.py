@@ -1314,6 +1314,22 @@ def group_centroid_drift(
     )
 
 
+def _sql_label_literal(v) -> str:
+    """SQL literal for a cluster-label value of any scalar type —
+    integers stay bare, everything else becomes a properly escaped
+    string literal (Spark's default parser honors backslash escapes),
+    so string-labeled inputs don't crash the array_position lookup
+    (r9 ADVICE #2)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, float):
+        return repr(v)
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
 def centroid_silhouette(
     df: DataFrame,
     id_col: str,
@@ -1351,26 +1367,39 @@ def centroid_silhouette(
     labels, cent = fit_label_centroids(df, label_col, vec_col, dim)
     q = Quantizer(cent)
     n_l = len(labels)
-    labs_sql = "array(" + ",".join(repr(int(l)) for l in labels) + ")"
+    labs_sql = (
+        "array(" + ",".join(_sql_label_literal(l) for l in labels) + ")"
+    )
     t = df.select(
         F.col(label_col).alias("_lab"),
         F.expr(q.dist_sql(_q_ident(vec_col))).alias("_dl"),
     ).withColumn(
         "_idx", F.expr(f"CAST(array_position({labs_sql}, _lab) AS INT)")
     )
-    v = t.select(
-        "_lab",
-        F.expr("sqrt(element_at(_dl, _idx))").alias("_a"),
-        F.expr(
-            f"sqrt(array_min(transform(sequence(1, {n_l}), "
-            f"i -> IF(i = _idx, CAST('Infinity' AS DOUBLE), "
-            f"element_at(_dl, i)))))"
-        ).alias("_b"),
-    )
-    s = F.when(
-        F.greatest("_a", "_b") > 0,
-        (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"),
-    ).otherwise(F.lit(0.0))
+    if n_l == 1:
+        # silhouette is undefined with a single cluster (no "nearest
+        # OTHER centroid" exists) — publish NULL b/s rather than the
+        # Inf/Inf = NaN the general expression would yield (r9 ADVICE).
+        v = t.select(
+            "_lab",
+            F.expr("sqrt(element_at(_dl, _idx))").alias("_a"),
+            F.lit(None).cast("double").alias("_b"),
+        )
+        s = F.lit(None).cast("double")
+    else:
+        v = t.select(
+            "_lab",
+            F.expr("sqrt(element_at(_dl, _idx))").alias("_a"),
+            F.expr(
+                f"sqrt(array_min(transform(sequence(1, {n_l}), "
+                f"i -> IF(i = _idx, CAST('Infinity' AS DOUBLE), "
+                f"element_at(_dl, i)))))"
+            ).alias("_b"),
+        )
+        s = F.when(
+            F.greatest("_a", "_b") > 0,
+            (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b"),
+        ).otherwise(F.lit(0.0))
 
     def _mean9(col) -> Column:
         # round-12 BEFORE the decimal cast (the x112/KL pattern): Spark's

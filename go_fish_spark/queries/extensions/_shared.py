@@ -177,20 +177,84 @@ def _release_audit(audit) -> None:
             pass
 
 
+def _release_curation(pass_) -> None:
+    surv, audit = pass_
+    try:
+        surv.unpersist()
+    except Exception:
+        pass
+    _release_audit(audit)
+
+
 _SIG_FRAMES = _SessionCache(_unpersist_frame)
 _PAIR_FRAMES = _SessionCache(_unpersist_frame)
 _AUDIT_PASSES = _SessionCache(_release_audit)
+_CURATION_PASSES = _SessionCache(_release_curation)
 
 
 def release_session_caches() -> None:
     """Explicitly drop + unpersist every session-cached shared frame
-    (signatures, pair graph, audit pass). The long-lived multi-corpus
-    service these caches model calls this between corpora; tests call it
-    to assert the caches cannot leak."""
+    (signatures, pair graph, audit pass, curation pass). The long-lived
+    multi-corpus service these caches model calls this between corpora;
+    tests call it to assert the caches cannot leak."""
     for cache in (
         _SIG_FRAMES, _PAIR_FRAMES, _AUDIT_PASSES, _LABEL_FRAMES,
+        _CURATION_PASSES,
     ):
         cache.clear()
+
+
+def shared_curation_pass(spark, sf_dir: str):
+    """Session-cached (survivors, audit) of the flagship curation flow:
+    language ID + quality gate (en, score ≥ 0.5) → exact dedup (min
+    doc_id per content hash; survivor frame persisted) → ONE
+    :func:`~go_fish_spark.operators.audit.dedup_audit` pass over the
+    SURVIVORS (k=3, t=0.3). This is the label/selection TABLE a real
+    pipeline materializes once per corpus snapshot and every consumer
+    (x20's published selection, downstream reports) reads — fitting it
+    per-consumer would re-run the pair join and the iterative CC, the
+    costliest duplicated work in the registry (the r9→r10 x20 warm-rep
+    regression was exactly this re-fit). Keyed by (applicationId, data
+    fingerprint, sf_dir); bounded LRU, evictions unpersist both the
+    survivor frame and the audit pass."""
+    from pyspark import StorageLevel
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ...catalog import table
+    from ...functions import text as tx
+    from ...operators.audit import dedup_audit
+
+    key = (
+        spark.sparkContext.applicationId, _corpus_fingerprint(sf_dir),
+        sf_dir, "curation",
+    )
+
+    def fit():
+        docs = table(spark, sf_dir, "documents")
+        scored = docs.select(
+            "doc_id",
+            "text",
+            tx.lang_id("text").alias("lang_pred"),
+            tx.quality_score("text").alias("score"),
+        )
+        kept = scored.filter(
+            (F.col("lang_pred") == "en") & (F.col("score") >= 0.5)
+        )
+        w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        surv = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        audit = dedup_audit(
+            surv, "doc_id", "text", F.col("score"), k=3, threshold=0.3
+        )
+        return (surv, audit)
+
+    return _CURATION_PASSES.get_or_fit(key, fit)
 
 
 def shared_doc_sigs(

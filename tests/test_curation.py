@@ -1002,6 +1002,13 @@ def test_x20_flagship_runs_one_cc_and_publishes_audit_columns(
     from go_fish_spark.operators import audit as audit_mod
     from go_fish_spark.operators import graph as graph_mod
     from go_fish_spark.queries import REGISTRY
+    from go_fish_spark.queries.extensions._shared import (
+        release_session_caches,
+    )
+
+    # the curation pass is session-cached — clear so the fit (and its
+    # single CC run) lands inside this test's counter
+    release_session_caches()
 
     calls = {"n": 0}
     real_cc = graph_mod.connected_components
