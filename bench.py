@@ -262,6 +262,23 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).count()
 
+    # Run-quality probe (round-9 verdict #7): SCALE.md documents a
+    # same-day run where IDENTICAL code measured 2-3.5x slower from
+    # transient host contention. A fixed data-independent job (shuffle +
+    # agg over a generated range — no parquet, no session caches) is
+    # timed immediately after warmup and again after the last query; a
+    # first/last disagreement > 1.5x marks the whole artifact as
+    # contended so the cross-round diff knows not to trust the run.
+    def _quality_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr("id % 997 AS k").groupBy(
+            "k"
+        ).count().selectExpr("sum(count)").collect()
+        return time.perf_counter() - t0
+
+    _quality_probe()  # warm the probe's own codegen/JIT path, untimed
+    probe_first = round(min(_quality_probe(), _quality_probe()), 3)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -305,6 +322,19 @@ def main() -> None:
 
         release_caches()  # dedup ops pin signature caches; free between queries
 
+    probe_last = round(min(_quality_probe(), _quality_probe()), 3)
+    # Direction matters: a LAST probe slower than the first means the
+    # host got busier while the queries ran (the r9 SCALE.md incident);
+    # a faster last probe is benign long-run JIT/C2 compilation.
+    ratio = round(probe_last / max(probe_first, 1e-9), 3)
+    bench_quality = {
+        "probe_first": probe_first,
+        "probe_last": probe_last,
+        "ratio": ratio,
+        "status": "ok" if ratio <= 1.5 else "contended",
+    }
+    progress(f"# bench_quality: {json.dumps(bench_quality)}")
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
@@ -317,6 +347,7 @@ def main() -> None:
         # cache-consuming query ≈ the one-time session-cache fit
         "queries_cold": cold,
         "queries_warm": warm,
+        "bench_quality": bench_quality,
     }
     if errors:
         out["errors"] = errors
@@ -347,6 +378,7 @@ def main() -> None:
         }
         summary["n_queries"] = len(timings)
         summary["n_errors"] = len(errors)
+        summary["quality"] = bench_quality["status"]
         summary["queries_file"] = "BENCH_FULL.json"
         print(json.dumps(summary))
     spark.stop()

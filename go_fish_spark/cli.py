@@ -115,6 +115,28 @@ def main(argv: list[str] | None = None) -> int:
         '\'{"sorted_neighborhood": 0.93}\' (the x100 sweep / '
         "scripts/snm_recall.py are the instruments)",
     )
+    cb.add_argument(
+        "--run",
+        action="store_true",
+        help="execute the chosen discipline under the ENFORCED budget "
+        "(run_blocking: an in-plan guard aborts if the realized "
+        "candidate count exceeds the estimate x --slack — the priced "
+        "contract made binding); prints the verified pair count",
+    )
+    cb.add_argument(
+        "--slack",
+        type=float,
+        default=1.5,
+        help="allowed realized/estimated candidate-count ratio before "
+        "the --run guard aborts (default 1.5)",
+    )
+    cb.add_argument(
+        "--measure",
+        action="store_true",
+        help="let the planner run its own recall instrument (one "
+        "sampled exact-pair job) for the guarantee-class disciplines "
+        "when no --measured-recall is supplied",
+    )
 
     pc = sub.add_parser(
         "profile-corpus",
@@ -221,8 +243,17 @@ def main(argv: list[str] | None = None) -> int:
                     _json.loads(args.measured_recall)
                     if args.measured_recall else None
                 ),
+                measure=args.measure,
             )
             print(_json.dumps(plan, indent=2))
+            if args.run and plan["action"] == "proceed":
+                from .operators.dedup import run_blocking
+
+                n = run_blocking(
+                    df, args.id_col, args.text_col, plan,
+                    slack=args.slack,
+                ).count()
+                print(_json.dumps({"ran": plan["chosen"], "pairs": n}))
         finally:
             spark.stop()
         return 0 if plan["action"] == "proceed" else 1

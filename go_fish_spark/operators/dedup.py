@@ -2241,6 +2241,8 @@ def choose_blocking(
     winnow_w: int = 4,
     measured_recall: dict | None = None,
     portable: bool = False,
+    measure: bool = False,
+    measure_sample_docs: int = 2000,
 ) -> dict:
     """Unified blocking-discipline PLANNER (r8 verdict Next #5 — the
     engine's one genuinely novel optimizer rule, SURVEY §4.3): given a
@@ -2362,13 +2364,6 @@ def choose_blocking(
             "recall": measured.get("sorted_neighborhood"),
         },
     }
-    for d in disciplines.values():
-        d["eligible"] = d["recall"] is not None and d["recall"] >= min_recall
-        d["within_budget"] = d["cost"] <= pair_budget
-    eligible = sorted(
-        (name for name, d in disciplines.items() if d["eligible"]),
-        key=lambda name: disciplines[name]["cost"],
-    )
     plan = {
         "disciplines": disciplines,
         "n_docs": n_docs,
@@ -2376,13 +2371,255 @@ def choose_blocking(
         "pair_budget": pair_budget,
         "threshold": threshold,
     }
-    if not eligible:
-        plan.update(action="no_discipline", chosen=None)
-    elif disciplines[eligible[0]]["within_budget"]:
-        plan.update(action="proceed", chosen=eligible[0])
-    else:
-        plan.update(action="over_budget", chosen=eligible[0])
+
+    def _decide() -> None:
+        for d in disciplines.values():
+            d["eligible"] = (
+                d["recall"] is not None and d["recall"] >= min_recall
+            )
+            d["within_budget"] = d["cost"] <= pair_budget
+        eligible = sorted(
+            (name for name, d in disciplines.items() if d["eligible"]),
+            key=lambda name: disciplines[name]["cost"],
+        )
+        if not eligible:
+            plan.update(action="no_discipline", chosen=None)
+        elif disciplines[eligible[0]]["within_budget"]:
+            plan.update(action="proceed", chosen=eligible[0])
+        else:
+            plan.update(action="over_budget", chosen=eligible[0])
+
+    _decide()
+    if measure and plan["action"] != "proceed":
+        # the histogram disciplines busted the budget (or the contract):
+        # run the planner's OWN instrument for the guarantee-class
+        # disciplines nobody supplied a recall for — one sampled
+        # exact-pair job — and re-decide (r9 verdict Next #4: the
+        # SCALE.md part-7 flip without a hand-carried recall dict)
+        missing = tuple(
+            name
+            for name in ("winnow_index", "sorted_neighborhood")
+            if disciplines[name]["recall"] is None
+        )
+        if missing:
+            inst = measure_blocking_recall(
+                df, id_col, text_col, which=missing,
+                threshold=threshold, k=k, window=window,
+                snm_keys=snm_keys, winnow_w=winnow_w, portable=portable,
+                sample_docs=measure_sample_docs,
+            )
+            for name, rec in inst.items():
+                disciplines[name]["recall"] = rec
+                disciplines[name]["recall_source"] = "instrument"
+            plan["instrument_recall"] = inst
+            _decide()
+    plan["params"] = {
+        "k": k, "n_hashes": n_hashes, "bands": bands, "window": window,
+        "snm_keys": tuple(snm_keys), "winnow_w": winnow_w,
+        "portable": portable,
+    }
     return plan
+
+
+def measure_blocking_recall(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    which: tuple = ("winnow_index", "sorted_neighborhood"),
+    threshold: float = 0.5,
+    k: int = 3,
+    window: int = 3,
+    key_len: int = 20,
+    snm_keys: tuple | None = None,
+    winnow_w: int = 4,
+    portable: bool = False,
+    sample_docs: int = 2000,
+) -> dict:
+    """The planner's own RECALL INSTRUMENT (r9 verdict Next #4 — the
+    x100 sampled-sweep discipline as a callable): estimate each
+    guarantee-class discipline's pair recall at Jaccard ≥ ``threshold``
+    on a deterministic md5-hash-ordered DOC sample — ground truth is
+    the exact inverted-index pairs (x04) over the SAMPLE (bounded:
+    sample_docs² worst case, in practice the sample's co-occurrence
+    law), found = the discipline's pairs over the same sample, recall
+    = \\|found ∩ GT\\| / \\|GT\\|. One sampled exact-pair job per call —
+    the price of making winnowing/SNM eligible without a hand-carried
+    recall dict.
+
+    Returns {discipline: recall float} — a discipline is ABSENT when
+    the sample contains no ground-truth pair (nothing to measure; the
+    caller should widen the sample). Honest-estimate caveat
+    (documented, matches scripts/snm_recall.py): doc-sampling removes
+    intervening docs, which can flatter rank-adjacency disciplines on
+    sparse corpora — treat the estimate as the instrument's reading,
+    not a guarantee class."""
+    if snm_keys is None:
+        snm_keys = _SNM_KEYS
+    samp = (
+        df.select(id_col, text_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(sample_docs))
+        .localCheckpoint()
+    )
+    gt = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            samp, id_col, text_col, k=k, threshold=threshold
+        ).collect()
+    }
+    if not gt:
+        return {}
+    out: dict = {}
+    for name in which:
+        if name == "winnow_index":
+            # winnowing SCREENS candidates; recall of the verified pair
+            # set = screened candidates that are true pairs / GT
+            cand = {
+                (r["id_a"], r["id_b"])
+                for r in winnow_pair_screen(
+                    samp, id_col, text_col, k=k, w=winnow_w,
+                    portable=portable,
+                ).collect()
+            }
+            found = cand & gt
+        elif name == "sorted_neighborhood":
+            found = {
+                (r["id_a"], r["id_b"])
+                for r in sorted_neighborhood_pairs(
+                    samp, id_col, text_col, window=window,
+                    key_len=key_len, threshold=threshold, k=k,
+                    keys=snm_keys,
+                ).collect()
+            } & gt
+        else:
+            raise ValueError(
+                f"no instrument for discipline {name!r} "
+                "(exact/minhash have analytic recall)"
+            )
+        out[name] = round(len(found) / len(gt), 6)
+    return out
+
+
+def run_blocking(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    plan: dict,
+    slack: float = 1.5,
+    key_len: int = 20,
+) -> DataFrame:
+    """Execute the discipline a :func:`choose_blocking` plan chose, with
+    the priced contract ENFORCED (r9 verdict Next #3): the output pair
+    frame carries a LAZY in-plan guard (`raise_error`, the x117
+    discipline — no extra job) that re-derives the realized candidate
+    count from the CURRENT corpus via the same co-occurrence law the
+    planner priced with, and aborts the job if it exceeds the plan's
+    estimate × ``slack``. A corpus that mutated between pricing and
+    execution — the TOCTOU window every cost-based optimizer has —
+    fails fast at the first output evaluation instead of silently
+    running a candidate join the budget never sanctioned.
+
+    The guard's cost is one bounded key-histogram aggregation riding
+    the same action (the pricing pass's shape — strictly cheaper than
+    the pair join it protects); it is broadcast as a 1-row frame into
+    the output plan, so the pair join itself only starts work under a
+    verified count. An empty pair output never evaluates the guard
+    (no rows to carry it) — harmless, since no budget is spent either.
+
+    ``plan`` must carry ``action == "proceed"`` (anything else raises:
+    an over-budget or contract-less plan is not runnable) and the
+    ``params`` block choose_blocking stamped."""
+    if plan.get("action") != "proceed":
+        raise ValueError(
+            f"plan is not runnable: action={plan.get('action')!r} "
+            f"(chosen={plan.get('chosen')!r}); raise pair_budget or "
+            f"supply measured_recall and re-plan"
+        )
+    chosen = plan["chosen"]
+    p = plan["params"]
+    threshold = plan["threshold"]
+    k, n_hashes, bands = p["k"], p["n_hashes"], p["bands"]
+    window, snm_keys = p["window"], tuple(p["snm_keys"])
+    winnow_w, portable = p["winnow_w"], p["portable"]
+    est = int(plan["disciplines"][chosen]["cost"])
+    cap = int(est * slack)
+
+    # realized candidate count from the CURRENT corpus — same law,
+    # same keys as the pricing pass
+    if chosen == "exact_index":
+        keyed = df.select(
+            F.explode(word_shingles(text_col, k)).alias("_k")
+        )
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+    elif chosen == "minhash_bands":
+        keyed = (
+            df.select(
+                minhash_signature(
+                    text_col, n_hashes, k, 42, portable
+                ).alias("_sig")
+            )
+            .select(
+                F.explode(
+                    _band_struct_array(n_hashes, bands, portable)
+                ).alias("bd")
+            )
+            .select(F.concat_ws(":", "bd.band", "bd.bh").alias("_k"))
+        )
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, n_hashes, bands, k, threshold, 42,
+            portable,
+        )
+    elif chosen == "winnow_index":
+        keyed = df.select(
+            F.explode(
+                winnow_fingerprints_expr(text_col, k, winnow_w, portable)
+            ).alias("_k")
+        )
+        pairs = winnow_pair_screen(
+            df, id_col, text_col, k=k, w=winnow_w, portable=portable
+        )
+    elif chosen == "sorted_neighborhood":
+        # SNM candidates are EXACTLY n·window·len(keys) — the realized
+        # count is arithmetic on the current doc count
+        keyed = None
+        pairs = sorted_neighborhood_pairs(
+            df, id_col, text_col, window=window, key_len=key_len,
+            threshold=threshold, k=k, keys=snm_keys,
+        )
+    else:  # pragma: no cover — planner only emits the four above
+        raise ValueError(f"unknown discipline {chosen!r}")
+
+    if keyed is None:
+        realized = df.agg(
+            (F.count(F.lit(1)) * window * len(snm_keys)).alias("_realized")
+        )
+    else:
+        realized = (
+            keyed.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("_m * (_m - 1) div 2")), F.lit(0)
+                ).alias("_realized")
+            )
+        )
+    guard = F.when(
+        F.col("_realized") > cap,
+        F.raise_error(
+            F.format_string(
+                "run_blocking: realized candidate count %s for "
+                f"discipline '{chosen}' exceeds the priced estimate "
+                f"{est} x slack {slack} = {cap}; the corpus changed "
+                "after pricing - re-run choose_blocking",
+                F.col("_realized").cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return (
+        pairs.crossJoin(F.broadcast(realized))
+        .filter(guard)
+        .drop("_realized")
+    )
 
 
 def sketch_screen_matches(

@@ -1278,3 +1278,103 @@ def x124_dup_spans(spark, sf_dir):
     return dedup.dup_span_profile(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=8
     )
+
+
+def _x139_oracle() -> str:
+    """Final state of the incrementally-maintained label store: after any
+    sequence of append-only batches, latest-wins read-back must equal
+    the one-shot global computation — labels = min(doc_id) per content
+    hash, shard = the deterministic md5 bucket of the id."""
+    from ...operators.sampling import duck_hash_bucket
+
+    return f"""
+    SELECT d.doc_id AS id,
+           min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS component,
+           CAST({duck_hash_bucket('d.doc_id', 64)} AS INT) AS shard
+    FROM documents d
+    ORDER BY id
+    """
+
+
+@query("x139_label_store_readback", oracle=_x139_oracle())
+def x139_label_store_readback(spark, sf_dir):
+    """Durable label-table READ-BACK (r9 verdict Next #2's oracle arm):
+    ingest the corpus as THREE append-only crawl batches (doc_id % 3),
+    maintaining an on-disk SHARDED label store through
+    `streaming/labelstore.append_label_patch` — batch 0 bootstraps,
+    batches 1-2 append only `incremental_audit_merge(...,
+    emit="changed")`'s upsert set (exact-duplicate pairs here, so the
+    oracle is one window) — then read the store back latest-wins. The
+    invariant the hash compare proves: an incrementally-maintained,
+    patch-appended, shard-partitioned store reads back EXACTLY the
+    one-shot global labels (min doc_id per content hash), with the
+    stored shard matching the deterministic md5 bucket. The durable
+    twin of the reference's BoltDB KV state (`state/kv.go:23-37`).
+
+    100 TB shape: each patch is bounded by |batch| + |touched members|
+    and lands with ONE exchange on the shard key; the read-back is a
+    per-id window over slim label rows; no full-table rewrite ever
+    happens (the thing this entry exists to keep true)."""
+    import os
+    import shutil
+
+    from ...operators.audit import incremental_audit_merge
+    from ...streaming.labelstore import (
+        append_label_patch,
+        read_label_store,
+    )
+    from pyspark.sql import Window
+
+    base = os.path.join(
+        "/tmp", f"gofish_x139_{spark.sparkContext.applicationId}"
+    )
+    labels_path = os.path.join(base, "labels")
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("_h")
+    )
+    for b in range(3):
+        fresh = docs.filter(F.col("doc_id") % 3 == b)
+        prev = read_label_store(spark, labels_path)
+        if prev is None:
+            w = Window.partitionBy("_h")
+            patch = fresh.select(
+                F.col("doc_id").alias("id"),
+                F.min("doc_id").over(w).alias("component"),
+            )
+        else:
+            # delta pairs: exact-dup edges touching >= 1 fresh doc (the
+            # other side may be historical) — id_a < id_b
+            hist = docs.filter(F.col("doc_id") % 3 < b)
+            both = hist.unionByName(fresh)
+            f2 = fresh.select(
+                F.col("doc_id").alias("_fid"), F.col("_h").alias("_fh")
+            )
+            dpairs = (
+                both.join(f2, both["_h"] == f2["_fh"])
+                .filter(F.col("doc_id") != F.col("_fid"))
+                .select(
+                    F.least("doc_id", "_fid").alias("id_a"),
+                    F.greatest("doc_id", "_fid").alias("id_b"),
+                )
+                .distinct()
+            )
+            patch = incremental_audit_merge(
+                prev, fresh.select(F.col("doc_id").alias("id")), dpairs,
+                id_col="id", emit="changed",
+            )
+        append_label_patch(patch, labels_path, batch_id=b, n_shards=64)
+
+    raw = spark.read.parquet(labels_path)
+    w = Window.partitionBy("id").orderBy(
+        F.col("_batch_id").desc(), F.col("component").asc()
+    )
+    return (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id", "component", F.col("shard").cast("int").alias("shard")
+        )
+        .orderBy("id")
+    )

@@ -145,3 +145,350 @@ def test_x20_output_unchanged_by_caching(spark):
     r2 = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
     assert r1 == r2 and len(r1) > 0
     release_session_caches()
+
+
+# --- durable sharded label store (r9 verdict Next #2) -------------------------
+
+
+_LS_SCHEMA = "doc_id long, text string"
+_LS_BATCHES = [
+    [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        (3, "utterly different content about streaming engines here "
+            "today friend"),
+    ],
+    [
+        (4, "utterly different content about streaming engines here "
+            "today friend"),
+        (5, "a lone document with nothing in common with others"),
+    ],
+    # 6 bridges cluster{1,2} and cluster{3,4}
+    [
+        (6,
+         "alpha beta gamma delta epsilon zeta eta theta iota "
+         "utterly different content about streaming engines here "
+         "today friend"),
+    ],
+]
+
+
+def _full_labels(spark, rows):
+    from go_fish_spark.operators.dedup import minhash_lsh_pairs
+    from go_fish_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(rows, _LS_SCHEMA)
+    return sorted(
+        map(
+            tuple,
+            connected_components(
+                df.select("doc_id"),
+                minhash_lsh_pairs(
+                    df, "doc_id", "text", bands=32, threshold=0.3,
+                    portable=True,
+                ),
+                id_col="doc_id",
+            ).collect(),
+        )
+    )
+
+
+def _ls_stream(spark, src, store, cp):
+    from go_fish_spark.streaming.labelstore import (
+        label_store_maintenance_stream,
+    )
+
+    return label_store_maintenance_stream(
+        spark.readStream.schema(_LS_SCHEMA).parquet(src),
+        store, cp, bands=32, threshold=0.3, portable=True, n_shards=8,
+    )
+
+
+def test_label_store_crash_between_sigs_and_labels_replays(
+    spark, tmp_path, monkeypatch
+):
+    """The done-condition restart e2e: batch 0 bootstraps; batch 1
+    CRASHES after its signatures were appended but before the label
+    patch landed (the worst interleaving); a restarted query on the
+    same checkpoint replays it; batch 2 then bridges two clusters.
+    After every successful drain the store equals the full CC recompute
+    over everything ingested so far — the restart resumed from the
+    persisted table, nothing refit."""
+    import os
+
+    from go_fish_spark.streaming import labelstore as ls
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+
+    seen = list(_LS_BATCHES[0])
+    spark.createDataFrame(_LS_BATCHES[0], _LS_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    _ls_stream(spark, src, store, cp).awaitTermination(120)
+    got = sorted(
+        map(tuple, ls.read_label_store(
+            spark, os.path.join(store, "labels")).collect())
+    )
+    assert got == _full_labels(spark, seen)
+
+    # batch 1: inject a crash AFTER the sig append, BEFORE the label
+    # append (append_label_patch raises once)
+    spark.createDataFrame(_LS_BATCHES[1], _LS_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    seen.extend(_LS_BATCHES[1])
+    real_append = ls.append_label_patch
+    state = {"raised": False}
+
+    def crashing_append(*a, **kw):
+        if not state["raised"]:
+            state["raised"] = True
+            raise RuntimeError("injected crash between (1) and (2)")
+        return real_append(*a, **kw)
+
+    monkeypatch.setattr(ls, "append_label_patch", crashing_append)
+    q = _ls_stream(spark, src, store, cp)
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the injected crash kills the query
+    assert state["raised"]
+    # previous committed state is intact (batch 1 not visible)
+    got = sorted(
+        map(tuple, ls.read_label_store(
+            spark, os.path.join(store, "labels")).collect())
+    )
+    assert got == _full_labels(spark, _LS_BATCHES[0])
+
+    # restart on the SAME checkpoint: batch 1 replays exactly once
+    _ls_stream(spark, src, store, cp).awaitTermination(120)
+    got = sorted(
+        map(tuple, ls.read_label_store(
+            spark, os.path.join(store, "labels")).collect())
+    )
+    assert got == _full_labels(spark, seen)
+
+    # batch 2 bridges two clusters -> changed-emit patch relabels them
+    spark.createDataFrame(_LS_BATCHES[2], _LS_SCHEMA).write.mode(
+        "append"
+    ).parquet(src)
+    seen.extend(_LS_BATCHES[2])
+    _ls_stream(spark, src, store, cp).awaitTermination(120)
+    got = sorted(
+        map(tuple, ls.read_label_store(
+            spark, os.path.join(store, "labels")).collect())
+    )
+    assert got == _full_labels(spark, seen)
+
+    # idle restart: a new query on the same checkpoint is a no-op
+    _ls_stream(spark, src, store, cp).awaitTermination(120)
+    got2 = sorted(
+        map(tuple, ls.read_label_store(
+            spark, os.path.join(store, "labels")).collect())
+    )
+    assert got2 == got
+
+    # the upsert discipline: the store holds APPENDED patches (id 1's
+    # relabel from batch 2 coexists with its bootstrap row), and
+    # compaction folds them to one latest-wins row per id
+    import pyspark.sql.functions as F
+    raw = spark.read.parquet(os.path.join(store, "labels"))
+    assert raw.count() > len(seen)  # history retained -> true upserts
+    n = ls.compact_label_store(spark, os.path.join(store, "labels"),
+                               n_shards=8)
+    assert n == len(seen)
+    compacted = sorted(
+        map(
+            tuple,
+            ls.read_label_store(
+                spark, os.path.join(store, "labels") + "_compacted"
+            ).collect(),
+        )
+    )
+    assert compacted == got
+
+
+def test_label_store_shard_lookup_prunes_partitions(spark, tmp_path):
+    """The sharded layout pays off at read time: a single-id lookup
+    carries a PartitionFilters entry on the shard column (the scan
+    lists exactly one shard directory)."""
+    import os
+
+    from go_fish_spark.streaming import labelstore as ls
+
+    store = str(tmp_path / "labels")
+    patch = spark.createDataFrame(
+        [(i, i % 3) for i in range(40)], "id long, component long"
+    )
+    ls.append_label_patch(patch, store, batch_id=0, n_shards=8)
+    out = ls.read_label_shard(spark, store, 17, n_shards=8)
+    rows = out.collect()
+    assert [(r.id, r.component) for r in rows] == [(17, 2)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+
+
+# --- run_blocking: the priced contract enforced (r9 verdict Next #3) ---------
+
+
+def _hot_corpus(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("common boilerplate header tokens everywhere"),
+            F.col("id").cast("string"),
+            (F.col("id") * 7 % 997).cast("string"),
+            (F.col("id") * 13 % 991).cast("string"),
+            (F.col("id") * 17 % 983).cast("string"),
+        ).alias("text"),
+    )
+
+
+def test_run_blocking_executes_chosen_discipline(spark):
+    """A 'proceed' plan runs its discipline; the guard passes when the
+    corpus is the one that was priced; a non-proceed plan refuses."""
+    import pytest as _pytest
+
+    from go_fish_spark.operators.dedup import (
+        choose_blocking,
+        release_caches,
+        run_blocking,
+    )
+
+    hot = _hot_corpus(spark)
+    plan = choose_blocking(
+        hot, "doc_id", "text", min_recall=0.6, pair_budget=30_000,
+        threshold=0.5,
+    )
+    assert plan["action"] == "proceed" and plan["chosen"] == "minhash_bands"
+    out = run_blocking(hot, "doc_id", "text", plan)
+    assert "_realized" not in out.columns
+    out.count()  # guard evaluates clean on the priced corpus
+
+    over = choose_blocking(
+        hot, "doc_id", "text", min_recall=0.9, pair_budget=2_000
+    )
+    with _pytest.raises(ValueError, match="not runnable"):
+        run_blocking(hot, "doc_id", "text", over)
+    release_caches()
+
+
+def test_run_blocking_guard_trips_on_mutated_corpus(spark):
+    """The TOCTOU enforcement: price on corpus A, execute on corpus B
+    (100 added copies of one hot doc) -> the in-plan raise_error guard
+    aborts the job with the realized count in the message."""
+    import pytest as _pytest
+
+    from go_fish_spark.operators.dedup import (
+        choose_blocking,
+        release_caches,
+        run_blocking,
+    )
+
+    hot = _hot_corpus(spark)
+    plan = choose_blocking(
+        hot, "doc_id", "text", min_recall=0.6, pair_budget=30_000,
+        threshold=0.5,
+    )
+    assert plan["action"] == "proceed"
+    clones = spark.range(100).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.lit(
+            "common boilerplate header tokens everywhere 1 7 13 17"
+        ).alias("text"),
+    )
+    mutated = hot.unionByName(clones)
+    with _pytest.raises(Exception, match="run_blocking: realized"):
+        run_blocking(mutated, "doc_id", "text", plan).count()
+    release_caches()
+
+
+def test_choose_blocking_measures_own_recall(spark):
+    """r9 verdict Next #4 done-condition: on a salted-clique corpus
+    whose histogram disciplines bust the budget, measure=True lets the
+    planner run its OWN sampled instrument and flip to
+    sorted-neighborhood WITHOUT a hand-passed recall dict."""
+    from go_fish_spark.operators.dedup import (
+        choose_blocking,
+        release_caches,
+    )
+
+    # 80 cliques of 5: same 20-word base per clique, per-doc salt token
+    # APPENDED (prefix key unchanged -> SNM adjacency intact)
+    base_words = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit(f"w{j}c"), (F.col("clique") * (j + 7) % 997).cast(
+                    "string"
+                )
+            )
+            for j in range(20)
+        ],
+    )
+    corpus = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 80).alias("clique"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", base_words,
+                F.concat(F.lit("salt"), F.col("doc_id").cast("string")),
+            ).alias("text"),
+        )
+    )
+    # without the instrument: nothing both eligible and within budget
+    p0 = choose_blocking(
+        corpus, "doc_id", "text", min_recall=0.85, pair_budget=4_000,
+        threshold=0.5,
+    )
+    assert p0["action"] in ("no_discipline", "over_budget")
+    assert p0["disciplines"]["exact_index"]["cost"] > 4_000
+    # with it: one sampled job measures SNM recall and the plan proceeds
+    p = choose_blocking(
+        corpus, "doc_id", "text", min_recall=0.85, pair_budget=4_000,
+        threshold=0.5, measure=True,
+    )
+    assert p["action"] == "proceed", p
+    assert p["chosen"] == "sorted_neighborhood"
+    assert p["instrument_recall"]["sorted_neighborhood"] >= 0.85
+    assert (
+        p["disciplines"]["sorted_neighborhood"]["recall_source"]
+        == "instrument"
+    )
+    release_caches()
+
+
+def test_cli_choose_blocking_run_flag(tmp_path, spark):
+    """--run executes the chosen discipline under the enforced budget
+    and prints a second JSON line with the verified pair count."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "other words entirely distinct here today")],
+        "doc_id long, text string",
+    )
+    corpus = str(tmp_path / "corpus.parquet")
+    df.write.mode("overwrite").parquet(corpus)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "choose-blocking",
+         corpus, "--min-recall", "1.0", "--pair-budget", "1000",
+         "--master", "local[2]", "--run"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
+    ran = json.loads(lines[-1])
+    assert ran == {"ran": "exact_index", "pairs": 1}  # the (1,2) dup
