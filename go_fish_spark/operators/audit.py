@@ -189,6 +189,100 @@ def incremental_audit_merge(
     return hist.unionByName(batch)
 
 
+def maintenance_plan(
+    old_components: DataFrame,
+    delta_ids: DataFrame,
+    delta_pairs: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    cost_cutoff: float = 0.5,
+) -> dict:
+    """Incremental-vs-full maintenance POLICY (r9 verdict Next #5):
+    decide whether to fold a crawl batch into the existing labels via
+    :func:`incremental_audit_merge` or to re-run the full recompute —
+    the same decision-procedure-as-code pattern as ``choose_blocking``
+    / ``salt_plan``, priced from the DELTA PROBE's own output (the
+    pairs are already in hand when this question is asked; pricing adds
+    two slim aggregations over the label table, never a pair join).
+
+    The SCALE.md x118 sweep identified the crossover variable:
+    TOUCHED-COMPONENT growth. The incremental step's corpus-scale work
+    is the relabel semi-join over touched members (+ the batch itself);
+    the full recompute's is the whole history. So:
+
+      * **correctness gate first**: any delta id ALREADY labeled is an
+        EDIT — component splits cannot be expressed as merges
+        (incremental_audit_merge's documented append-only contract) —
+        → ``full`` regardless of cost, reason ``edited_ids``.
+      * otherwise price ``incremental_frac = (|delta| + touched
+        members) / (|history| + |delta|)`` and recommend
+        ``incremental`` when it is ≤ ``cost_cutoff`` (incremental also
+        skips re-hashing history, so the cutoff is deliberately
+        conservative), else ``full`` with reason ``touched_growth``.
+
+    Returns {"action": "incremental"|"full", "reason", "n_history",
+    "n_delta", "touched_components", "touched_members",
+    "incremental_frac"}.
+
+    100 TB shape: endpoint→label lookup and the touched-member count
+    are slim keyed joins over the label table (the store is bucketed on
+    id ⇒ zero-exchange on the stored side); nothing touches text."""
+    n_delta = delta_ids.count()
+    old_ids = old_components.select(F.col("id"))
+    n_edits = delta_ids.select(
+        F.col(id_col).alias("id")
+    ).join(old_ids, "id", "left_semi").count()
+    n_history = old_components.count()
+    if n_edits > 0:
+        return {
+            "action": "full",
+            "reason": "edited_ids",
+            "n_history": n_history,
+            "n_delta": n_delta,
+            "n_edited": n_edits,
+            "touched_components": None,
+            "touched_members": None,
+            "incremental_frac": None,
+        }
+    ends = (
+        delta_pairs.select(F.col(src_col).alias("id"))
+        .unionByName(delta_pairs.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    touched = (
+        old_components.join(ends, "id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    stats = (
+        old_components.join(touched, "component", "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("_members"),
+            F.countDistinct("component").alias("_comps"),
+        )
+        .collect()[0]
+    )
+    t_members, t_comps = int(stats["_members"]), int(stats["_comps"])
+    frac = (
+        (n_delta + t_members) / (n_history + n_delta)
+        if (n_history + n_delta) > 0
+        else 0.0
+    )
+    return {
+        "action": "incremental" if frac <= cost_cutoff else "full",
+        "reason": (
+            "bounded_touch" if frac <= cost_cutoff else "touched_growth"
+        ),
+        "n_history": n_history,
+        "n_delta": n_delta,
+        "n_edited": 0,
+        "touched_components": t_comps,
+        "touched_members": t_members,
+        "incremental_frac": round(frac, 6),
+    }
+
+
 def dedup_audit(
     df: DataFrame,
     id_col: str,

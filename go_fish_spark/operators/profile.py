@@ -1828,6 +1828,193 @@ def duck_ks_drift_sql(
     """
 
 
+def score_distribution_baseline(
+    df: DataFrame,
+    group_col: str,
+    score_col,
+    decimals: int | None = None,
+) -> DataFrame:
+    """FIT arm shared by the x135/x137 streaming gates (r9 verdict Next
+    #6 — the x130/x67 fit-on-history / gate-the-stream discipline
+    applied to the round-9 statistics family): freeze each group's
+    score distribution from a HISTORY corpus as a slim per-group step
+    function — (group_col, value DOUBLE, cum_le BIGINT, mass BIGINT,
+    n BIGINT), one row per distinct (group, value). NULL scores are
+    excluded (they carry no distribution mass — the x137 rule).
+
+    ``decimals``: quantize values first (the KS gate's resolution;
+    leave None for the AUC gate — MW ranks need the raw values).
+
+    100 TB shape: one (group, value) exchange with map-side combine;
+    the frame is bounded by distinct quantized values per group and is
+    the broadcast side of every gate evaluation."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    v = score.cast("double")
+    if decimals is not None:
+        v = F.round(v, decimals)
+    cnt = (
+        df.select(F.col(group_col).alias("_g"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("mass"))
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cnt.select(
+        F.col("_g").alias(group_col),
+        F.col("_v").alias("value"),
+        F.sum("mass").over(w).alias("cum_le"),
+        "mass",
+        F.sum("mass").over(Window.partitionBy("_g")).alias("n"),
+    )
+
+
+def _merged_step(df, baseline, group_col, score_col, decimals):
+    """Shared merge for the gates: full-outer the batch's (group,
+    value) counts with the frozen baseline rows and window-fill the
+    baseline's step function (cum_le at the greatest baseline value ≤
+    each grid value) — bounded by |batch distinct| + |baseline| rows
+    per group, one ordered window each."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    v = score.cast("double")
+    if decimals is not None:
+        v = F.round(v, decimals)
+    bcnt = (
+        df.select(F.col(group_col).alias("_g"), v.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_np"))
+    )
+    base = baseline.select(
+        F.col(group_col).alias("_g"),
+        F.col("value").alias("_v"),
+        "cum_le",
+        "mass",
+        "n",
+    )
+    m = bcnt.join(base, ["_g", "_v"], "full")
+    wfill = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        m.withColumn(
+            "_base_cum",
+            F.coalesce(
+                F.last("cum_le", ignorenulls=True).over(wfill), F.lit(0)
+            ),
+        )
+        .withColumn("_base_eq", F.coalesce("mass", F.lit(0)))
+        .withColumn("_np", F.coalesce("_np", F.lit(0)))
+        .withColumn(
+            "_base_n",
+            F.first(
+                F.col("n"), ignorenulls=True
+            ).over(Window.partitionBy("_g")),
+        )
+    )
+
+
+def apply_auc_gate(
+    df: DataFrame,
+    baseline: DataFrame,
+    group_col: str,
+    score_col,
+) -> DataFrame:
+    """APPLY arm of the x135 AUC — Mann–Whitney AUC of the incoming
+    rows' scores (the "positive" sample) against the FROZEN history
+    distribution (the "negative" sample), per group: exactly
+    ``score_auc`` evaluated through the U-statistic identity
+
+        2·P·N·AUC = Σ_v n_pos(v) · (2·hist_cum<(v) + hist_mass=(v))
+
+    so the numerator is pure BIGINT over the merged step function and
+    the one final division is IEEE-identical to the batch op's —
+    apply(pos rows, fit(neg rows)) ≡ score_auc(pos ∪ neg) EXACTLY
+    (parity-tested, not approximately). Output: (group_col, n, auc
+    round-9); NULL auc when the group is absent from the baseline or
+    either sample is empty. Runs per micro-batch under foreachBatch —
+    the aggregation is per-group over the bounded merged frame."""
+    m = _merged_step(df, baseline, group_col, score_col, None)
+    num = F.sum(
+        F.col("_np")
+        * (
+            F.lit(2) * (F.col("_base_cum") - F.col("_base_eq"))
+            + F.col("_base_eq")
+        )
+    )
+    agg = m.groupBy("_g").agg(
+        F.sum("_np").alias("n"),
+        num.alias("_u2"),
+        F.first("_base_n").alias("_nn"),
+    )
+    auc = F.col("_u2").cast("double") / (
+        F.lit(2.0) * (F.col("n") * F.col("_nn")).cast("double")
+    )
+    return (
+        agg.filter(F.col("n") > 0)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n").cast("bigint").alias("n"),
+            F.when(
+                F.col("_nn").isNotNull() & (F.col("_nn") > 0),
+                F.round(auc, 9),
+            ).alias("auc"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def apply_ks_gate(
+    df: DataFrame,
+    baseline: DataFrame,
+    group_col: str,
+    score_col,
+    decimals: int = 3,
+) -> DataFrame:
+    """APPLY arm of the x137 KS gate: sup-gap between the incoming
+    rows' score ECDF and the FROZEN history ECDF, per group, evaluated
+    at every merged grid value (a group missing a value still steps the
+    other side's CDF there — skipping would understate the sup, the
+    ks_drift rule). Integer cumulative counts, per-point IEEE gaps, one
+    max + round-9 — on the fitting corpus, apply(group rows,
+    fit(complement rows)) ≡ the batch ``ks_drift`` row for that group
+    EXACTLY (parity-tested). Output: (group_col, n, ks round-9); NULL
+    ks when the baseline lacks the group. foreachBatch-shaped, bounded
+    per-group frames."""
+    m = _merged_step(df, baseline, group_col, score_col, decimals)
+    wcum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = m.withColumn("_bcum", F.sum("_np").over(wcum))
+    ng = F.sum("_np").over(Window.partitionBy("_g"))
+    stepped = stepped.withColumn("_ng", ng)
+    gap = F.abs(
+        F.col("_bcum").cast("double") / F.col("_ng").cast("double")
+        - F.col("_base_cum").cast("double")
+        / F.col("_base_n").cast("double")
+    )
+    agg = stepped.filter(F.col("_ng") > 0).groupBy("_g").agg(
+        F.first("_ng").alias("n"),
+        F.first("_base_n").alias("_nn"),
+        F.max(gap).alias("_ks"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            F.col("_nn").isNotNull() & (F.col("_nn") > 0),
+            F.round("_ks", 9),
+        ).alias("ks"),
+    ).orderBy(group_col)
+
+
 def _spectrum_metrics(n: int, sum_x, sum_xx, dim: int) -> dict:
     """Shared sums→metrics step for the spectrum audit (BOTH the Spark
     arm and the DuckDB oracle call this with bit-identical exact

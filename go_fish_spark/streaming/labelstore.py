@@ -165,6 +165,9 @@ def label_store_maintenance_stream(
     portable: bool = False,
     n_shards: int = LABEL_SHARDS,
     available_now: bool = True,
+    policy: bool = False,
+    policy_cutoff: float = 0.5,
+    on_plan=None,
 ):
     """Start the durable maintenance loop (returns the StreamingQuery):
     batch 0 bootstraps (within-batch LSH pairs + CC — every row is new,
@@ -173,7 +176,18 @@ def label_store_maintenance_stream(
     under ``store_dir/labels`` (sharded parquet), signatures under
     ``store_dir/_sigs``. Read the table with :func:`read_label_store`;
     a restarted query resumes from the persisted table — nothing
-    refits."""
+    refits.
+
+    ``policy=True`` (r9 verdict Next #5): each batch first runs
+    :func:`~go_fish_spark.operators.audit.maintenance_plan` on the
+    delta probe's pairs; when touched-component growth makes the
+    incremental step no cheaper than starting over
+    (``incremental_frac > policy_cutoff``), the batch instead re-labels
+    from the SIGNATURE STORE (banding pair join over stored sigs + one
+    CC — no text is ever re-read) and appends the full relabel as the
+    patch (latest-wins supersedes everything older). ``on_plan`` is an
+    optional callable receiving each batch's decision dict — the hook
+    monitoring/tests observe the policy through."""
     from ..operators.audit import incremental_audit_merge
     from ..operators.dedup import (
         delta_minhash_pairs,
@@ -222,10 +236,40 @@ def label_store_maintenance_stream(
                 fresh, store, id_col, text_col, n_hashes, bands, k,
                 threshold, seed, portable,
             )
-            patch = incremental_audit_merge(
-                prev, fresh.select(id_col), dpairs, id_col=id_col,
-                emit="changed",
-            )
+            go_full = False
+            if policy:
+                from ..operators.audit import maintenance_plan
+
+                plan = maintenance_plan(
+                    prev,
+                    fresh.select(F.col(id_col).alias("id")),
+                    dpairs,
+                    cost_cutoff=policy_cutoff,
+                )
+                if on_plan is not None:
+                    on_plan(dict(plan, batch_id=batch_id))
+                go_full = plan["action"] == "full"
+            if go_full:
+                # full relabel FROM THE SIGNATURE STORE (batch sigs are
+                # already appended): banding pair join over sigs + one
+                # CC — no text re-read; the full label frame is the
+                # patch, latest-wins supersedes all older rows
+                all_sigs = spark.read.parquet(sig_dir).dropDuplicates(
+                    ["_id"]
+                )
+                pairs = minhash_lsh_pairs(
+                    None, "_id", text_col, n_hashes, bands, k,
+                    threshold, seed, portable, sigs=all_sigs,
+                )
+                patch = connected_components(
+                    all_sigs.select(F.col("_id").alias("id")), pairs,
+                    id_col="id",
+                ).select("id", "component")
+            else:
+                patch = incremental_audit_merge(
+                    prev, fresh.select(id_col), dpairs, id_col=id_col,
+                    emit="changed",
+                )
         # (2) labels last — the bounded upsert, never a table rewrite
         append_label_patch(patch, labels_path, batch_id, n_shards)
 

@@ -492,3 +492,238 @@ def test_cli_choose_blocking_run_flag(tmp_path, spark):
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
     ran = json.loads(lines[-1])
     assert ran == {"ran": "exact_index", "pairs": 1}  # the (1,2) dup
+
+
+# --- maintenance_plan: incremental-vs-full policy (r9 verdict Next #5) -------
+
+
+def test_maintenance_plan_decisions(spark):
+    """The three regimes: append-only bounded delta -> incremental;
+    edited ids -> full (correctness gate, not cost); a bridge-storm
+    delta touching most of history -> full (touched growth)."""
+    from go_fish_spark.operators.audit import maintenance_plan
+
+    old = spark.createDataFrame(
+        [(i, i - i % 10) for i in range(1000)], "id long, component long"
+    )  # 100 components of 10
+
+    # (a) append-only, touching 2 components
+    delta = spark.createDataFrame([(5000,), (5001,)], "id long")
+    dpairs = spark.createDataFrame(
+        [(3, 5000), (17, 5001)], "id_a long, id_b long"
+    )
+    p = maintenance_plan(old, delta, dpairs)
+    assert p["action"] == "incremental" and p["reason"] == "bounded_touch"
+    assert p["touched_components"] == 2 and p["touched_members"] == 20
+    assert p["incremental_frac"] < 0.05
+
+    # (b) an edit: delta id 17 already labeled -> full, regardless
+    delta_e = spark.createDataFrame([(17,), (5002,)], "id long")
+    p = maintenance_plan(old, delta_e, dpairs)
+    assert p["action"] == "full" and p["reason"] == "edited_ids"
+    assert p["n_edited"] == 1
+
+    # (c) bridge storm: one delta doc pairs into 90 of 100 components
+    storm = spark.createDataFrame(
+        [(i * 10, 6000) for i in range(90)], "id_a long, id_b long"
+    )
+    p = maintenance_plan(
+        old, spark.createDataFrame([(6000,)], "id long"), storm
+    )
+    assert p["action"] == "full" and p["reason"] == "touched_growth"
+    assert p["touched_members"] == 900
+    assert p["incremental_frac"] > 0.5
+
+
+def test_label_store_policy_full_fallback(spark, tmp_path):
+    """policy=True in the maintenance stream: a bridge-storm batch that
+    touches every existing cluster flips the policy to a FULL relabel
+    from the signature store (no text re-read), and the resulting table
+    still equals the full CC recompute."""
+    import os
+
+    from go_fish_spark.streaming import labelstore as ls
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    plans: list = []
+
+    def run(batch_rows):
+        from go_fish_spark.streaming.labelstore import (
+            label_store_maintenance_stream,
+        )
+
+        spark.createDataFrame(batch_rows, _LS_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        q = label_store_maintenance_stream(
+            spark.readStream.schema(_LS_SCHEMA).parquet(src),
+            store, cp, bands=32, threshold=0.3, portable=True,
+            n_shards=8, policy=True, policy_cutoff=0.5,
+            on_plan=plans.append,
+        )
+        q.awaitTermination(120)
+
+    # batch 0: two 1-doc clusters + one 2-doc cluster (bootstrap)
+    run(_LS_BATCHES[0])
+    # batch 1: one doc bridging BOTH existing clusters -> touched
+    # members ~= history -> the policy recommends full
+    bridge = [(
+        9,
+        "alpha beta gamma delta epsilon zeta eta theta iota "
+        "utterly different content about streaming engines here "
+        "today friend",
+    )]
+    run(bridge)
+    assert plans and plans[-1]["action"] == "full"
+    assert plans[-1]["reason"] == "touched_growth"
+    got = sorted(
+        map(tuple, ls.read_label_store(
+            spark, os.path.join(store, "labels")).collect())
+    )
+    assert got == _full_labels(spark, _LS_BATCHES[0] + bridge)
+
+    # a quiet batch afterwards goes back to the incremental arm
+    lone = [(12, "yet another totally unrelated document body appears")]
+    run(lone)
+    assert plans[-1]["action"] == "incremental"
+    got = sorted(
+        map(tuple, ls.read_label_store(
+            spark, os.path.join(store, "labels")).collect())
+    )
+    assert got == _full_labels(spark, _LS_BATCHES[0] + bridge + lone)
+
+
+# --- x135/x137 streaming fit/apply arms (r9 verdict Next #6) ------------------
+
+
+def test_auc_gate_fit_apply_exact_parity(spark):
+    """apply(pos rows, fit(neg rows)) reproduces the batch score_auc
+    EXACTLY (same BIGINT numerator through the U-statistic identity,
+    same single division) — including tie-heavy scores."""
+    from go_fish_spark.operators.profile import (
+        apply_auc_gate,
+        score_auc,
+        score_distribution_baseline,
+    )
+
+    rows = [
+        (i, "s%d" % (i % 3), float((i * 7) % 5), i % 4 == 0)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s double, y boolean")
+    batch = {
+        r.g: (r.n_pos, r.auc)
+        for r in score_auc(df, "g", "s", "y").collect()
+    }
+    base = score_distribution_baseline(df.filter(~F.col("y")), "g", "s")
+    gate = {
+        r.g: (r.n, r.auc)
+        for r in apply_auc_gate(
+            df.filter(F.col("y")), base, "g", "s"
+        ).collect()
+    }
+    assert set(gate) == set(batch)
+    for g in batch:
+        assert gate[g] == batch[g], (g, gate[g], batch[g])
+
+
+def test_ks_gate_fit_apply_exact_parity(spark):
+    """apply(group rows, fit(complement rows)) reproduces the batch
+    ks_drift row for every group EXACTLY (merged-grid sup, integer
+    cums, same IEEE per-point gap)."""
+    from go_fish_spark.operators.profile import (
+        apply_ks_gate,
+        ks_drift,
+        score_distribution_baseline,
+    )
+
+    rows = [
+        (i, "s%d" % (i % 3), float((i * 13) % 23) / 7.0)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    batch = {r.g: (r.n, r.ks) for r in ks_drift(df, "g", "s").collect()}
+    for g in ("s0", "s1", "s2"):
+        base = score_distribution_baseline(
+            df.filter(F.col("g") != g).select(
+                F.lit(g).alias("g"), "s"
+            ),
+            "g", "s", decimals=3,
+        )
+        got = apply_ks_gate(
+            df.filter(F.col("g") == g), base, "g", "s", decimals=3
+        ).collect()
+        assert len(got) == 1
+        assert (got[0].n, got[0].ks) == batch[g], (g, got[0], batch[g])
+
+
+def test_gates_stream_equals_batch(spark, tmp_path):
+    """The streaming arm: both gates run per micro-batch under
+    foreachBatch against the frozen baseline and reproduce the batch
+    computation over the same rows; a group unknown to the baseline
+    reports NULL."""
+    import os
+
+    import pyspark.sql.types as T
+
+    from go_fish_spark.operators.profile import (
+        apply_auc_gate,
+        apply_ks_gate,
+        score_distribution_baseline,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i % 11)) for i in range(80)],
+        "id long, g string, s double",
+    )
+    base_auc = score_distribution_baseline(hist, "g", "s").localCheckpoint()
+    base_ks = score_distribution_baseline(
+        hist, "g", "s", decimals=3
+    ).localCheckpoint()
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("g", T.StringType()),
+        T.StructField("s", T.DoubleType()),
+    ])
+    todays = [(1000 + i, ["a", "b", "zz"][i % 3], float(i % 7) + 2.0)
+              for i in range(30)]
+    spark.createDataFrame(todays, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    got: dict = {}
+
+    def gate_batch(bdf, batch_id):
+        got["auc"] = sorted(
+            map(tuple, apply_auc_gate(bdf, base_auc, "g", "s").collect())
+        )
+        got["ks"] = sorted(
+            map(tuple, apply_ks_gate(bdf, base_ks, "g", "s").collect())
+        )
+
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    bdf = spark.read.parquet(src)
+    assert got["auc"] == sorted(
+        map(tuple, apply_auc_gate(bdf, base_auc, "g", "s").collect())
+    )
+    assert got["ks"] == sorted(
+        map(tuple, apply_ks_gate(bdf, base_ks, "g", "s").collect())
+    )
+    # unknown group "zz" is present with NULL verdicts
+    auc = {t[0]: t for t in got["auc"]}
+    ks = {t[0]: t for t in got["ks"]}
+    assert auc["zz"][2] is None and ks["zz"][2] is None
+    assert auc["a"][2] is not None and ks["a"][2] is not None
