@@ -228,6 +228,18 @@ HEADLINE = [
     "x136_top_p_tokens",
     "x137_ks_drift",
     "x138_embedding_spectrum",
+    # round 10
+    "x139_label_store_readback",
+    "x140_run_blocking_handoff",
+    "x141_auc_gate_readback",
+    "x142_component_cohesion",
+    "x143_good_turing",
+    "x144_roc_points",
+    "x145_winsorized_mean",
+    "x146_source_gini",
+    "x147_oov_rate",
+    "x148_ivf_distortion",
+    "x149_maintenance_policy",
 ]
 
 

@@ -189,6 +189,64 @@ def incremental_audit_merge(
     return hist.unionByName(batch)
 
 
+def component_cohesion(
+    components: DataFrame,
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Per-cluster EDGE DENSITY of the dedup graph — the QA gauge for
+    transitive-closure over-merging (the known failure mode of
+    connected-components dedup: A~B and B~C chain into {A,B,C} even
+    when A≁C): density = edges / C(n,2) per component. 1.0 = a true
+    clique (every member pairwise-similar — safe to collapse to one
+    canonical); low density on a large cluster = a chain/hub merge the
+    threshold should probably not have closed (raise t, or verify with
+    x123's edit-distance arm before collapsing).
+
+    Inputs: ``components`` = (id, component) (the CC contract);
+    ``pairs`` = the verified pair frame the components were closed
+    over. Both endpoints of every pair share a component BY
+    CONSTRUCTION, so one endpoint lookup keys the edge count. Only
+    components with ≥ 2 members are reported (density undefined on
+    singletons).
+
+    Output: (component, n_members, n_edges, density round-9) —
+    integers exact, one IEEE division.
+
+    100 TB shape: two keyed aggregations over slim frames (member
+    counts on the label table, edge counts on pairs joined through ONE
+    endpoint) — bounded output ≤ |components|."""
+    members = (
+        components.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    edges = (
+        pairs.select(F.col(src_col).alias("id"))
+        .join(components, "id")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    possible = (
+        F.col("n_members") * (F.col("n_members") - 1) / F.lit(2)
+    ).cast("bigint")
+    return (
+        members.join(edges, "component", "left")
+        .withColumn("n_edges", F.coalesce("n_edges", F.lit(0)))
+        .select(
+            "component",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.round(
+                F.col("n_edges").cast("double") / possible.cast("double"),
+                9,
+            ).alias("density"),
+        )
+        .orderBy("component")
+    )
+
+
 def maintenance_plan(
     old_components: DataFrame,
     delta_ids: DataFrame,

@@ -1828,6 +1828,345 @@ def duck_ks_drift_sql(
     """
 
 
+def roc_points(
+    df: DataFrame,
+    score_col,
+    label_col,
+    decimals: int | None = None,
+) -> DataFrame:
+    """ROC curve POINTS for a score against a binary label — the
+    curve-shaped companion to x135's scalar AUC (a filter developer
+    reads the operating point off this, not off one number): for every
+    distinct quantized score t (predict positive when score ≥ t),
+    TP/FP counts and TPR/FPR rates.
+
+    Output: (thr, tp, fp, tpr, fpr) ordered by thr — counts BIGINT
+    (exact), rates round-9 doubles (one IEEE division each, NULL when
+    the class is empty). NULL scores are excluded (no mass — the x137
+    rule).
+
+    ``decimals=None`` (the oracle-checked default) grids on the RAW
+    distinct score doubles — engine-bitwise-identical when the score
+    expression is mirrored, with no quantization boundary at all; pass
+    an int to coarsen the curve when distinct raw scores are unbounded
+    (accepting the documented cross-engine half-boundary of round()).
+
+    100 TB shape: ONE (value) aggregation with map-side combine (work
+    ∝ distinct [quantized] scores), a descending cumulative window
+    over that bounded frame, two ≤1-row class totals carried by the
+    same frame."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    v = score.cast("double")
+    if decimals is not None:
+        v = F.round(v, decimals)
+    cnt = (
+        df.select(
+            v.alias("_v"),
+            label.cast("int").alias("_y"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").alias("_np"),
+        )
+    )
+    wge = (
+        Window.orderBy(F.col("_v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    pts = cnt.select(
+        F.col("_v").alias("thr"),
+        F.sum("_np").over(wge).alias("tp"),
+        (F.sum("_n").over(wge) - F.sum("_np").over(wge)).alias("fp"),
+        F.sum("_np").over(wall).alias("_P"),
+        (F.sum("_n").over(wall) - F.sum("_np").over(wall)).alias("_N"),
+    )
+    return pts.select(
+        "thr",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.when(
+            F.col("_P") > 0,
+            F.round(F.col("tp").cast("double") / F.col("_P").cast("double"), 9),
+        ).alias("tpr"),
+        F.when(
+            F.col("_N") > 0,
+            F.round(F.col("fp").cast("double") / F.col("_N").cast("double"), 9),
+        ).alias("fpr"),
+    ).orderBy("thr")
+
+
+def duck_roc_sql(
+    table: str, score_sql: str, label_sql: str,
+    decimals: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`roc_points` — same grid (raw doubles by
+    default), integer descending cums, one IEEE division per rate."""
+    v = f"CAST({score_sql} AS DOUBLE)"
+    if decimals is not None:
+        v = f"round({v}, {int(decimals)})"
+    return f"""
+    WITH cnt AS (
+      SELECT {v} AS _v,
+             count(*) AS _n, sum(CAST({label_sql} AS INT)) AS _np
+      FROM {table}
+      WHERE {v} IS NOT NULL
+      GROUP BY _v
+    ),
+    pts AS (
+      SELECT _v AS thr,
+             sum(_np) OVER (ORDER BY _v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(_n) OVER (ORDER BY _v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - sum(_np) OVER (ORDER BY _v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             sum(_np) OVER () AS _P,
+             sum(_n) OVER () - sum(_np) OVER () AS _N
+      FROM cnt
+    )
+    SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CASE WHEN _P > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(_P AS DOUBLE), 9)
+           END AS tpr,
+           CASE WHEN _N > 0
+                THEN round(CAST(fp AS DOUBLE) / CAST(_N AS DOUBLE), 9)
+           END AS fpr
+    FROM pts ORDER BY thr
+    """
+
+
+def good_turing_unseen(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group GOOD–TURING missing-mass estimate (Good 1953): the
+    probability that the NEXT token drawn from each source is a type
+    never seen in it — f₁/N (singleton types over token count), the
+    classic coverage answer to "have we crawled enough of this source
+    for its vocabulary to be representative?" (unseen_mass → 0 =
+    saturated; high = the corpus still misses this source's tail — the
+    coverage gauge beside x132's distinct-n diversity and x129's Zipf
+    shape).
+
+    Output: (group_col, n_tokens, vocab, singletons, unseen_mass
+    round-9) — the first three exact BIGINTs, one IEEE division.
+
+    100 TB shape: ONE (group, token) exchange with map-side combine
+    (the x129/x132 vocab-bounded frame), then a ≤|groups| agg."""
+    cnt = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+        )
+        .groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    agg = cnt.groupBy("_g").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("singletons"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("singletons").cast("bigint").alias("singletons"),
+        F.round(
+            F.col("singletons").cast("double")
+            / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("unseen_mass"),
+    ).orderBy(group_col)
+
+
+def duck_good_turing_sql(table: str, group_col: str, text_col: str) -> str:
+    """DuckDB mirror of :func:`good_turing_unseen`."""
+    return f"""
+    WITH cnt AS (
+      SELECT _g, _t, count(*) AS _c FROM (
+        SELECT {group_col} AS _g,
+               unnest(string_split({text_col}, ' ')) AS _t
+        FROM {table}
+      ) GROUP BY _g, _t
+    ),
+    agg AS (
+      SELECT _g, sum(_c) AS n_tokens, count(*) AS vocab,
+             sum(CASE WHEN _c = 1 THEN 1 ELSE 0 END) AS singletons
+      FROM cnt GROUP BY _g
+    )
+    SELECT _g AS {group_col},
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(singletons AS BIGINT) AS singletons,
+           round(CAST(singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+             AS unseen_mass
+    FROM agg ORDER BY {group_col}
+    """
+
+
+def source_gini(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """GINI COEFFICIENT of token-mass concentration across sources —
+    the one-number "is this corpus a monoculture" gauge a mixture
+    designer (x16/x85/x108/x117 quota family) reads before choosing
+    weights: 0 = every source contributes equal token mass, → 1 = one
+    source dominates. Computed by the exact sorted-cumulative formula
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over sources ordered by
+    (mass, source) — ties contribute identically under any tie order,
+    so the rank is deterministic. All-integer arithmetic to ONE final
+    division (round-9).
+
+    Output: one row (n_sources, total_tokens, gini).
+
+    100 TB shape: one (group) exchange to a ≤|sources| frame; the rank
+    window and final agg run on that bounded frame."""
+    mass = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            (F.size(F.split(F.col(text_col), " "))).alias("_m"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_m").alias("_x"))
+    )
+    w = Window.orderBy(F.col("_x").asc(), F.col("_g").asc())
+    ranked = mass.withColumn("_i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("_x").alias("total_tokens"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_ix"),
+    )
+    n = F.col("n_sources")
+    tot = F.col("total_tokens")
+    gini = (
+        (F.lit(2) * F.col("_ix") - (n + 1) * tot).cast("double")
+        / (n * tot).cast("double")
+    )
+    return agg.select(
+        n.cast("bigint").alias("n_sources"),
+        tot.cast("bigint").alias("total_tokens"),
+        F.when(tot > 0, F.round(gini, 9)).alias("gini"),
+    )
+
+
+def duck_gini_sql(table: str, group_col: str, text_col: str) -> str:
+    """DuckDB mirror of :func:`source_gini` — same deterministic rank,
+    same integer arithmetic to one division."""
+    return f"""
+    WITH mass AS (
+      SELECT {group_col} AS _g,
+             sum(len(string_split({text_col}, ' '))) AS _x
+      FROM {table} GROUP BY _g
+    ),
+    ranked AS (
+      SELECT _g, _x,
+             row_number() OVER (ORDER BY _x ASC, _g ASC) AS _i
+      FROM mass
+    ),
+    agg AS (
+      SELECT count(*) AS n_sources, sum(_x) AS total_tokens,
+             sum(_i * _x) AS _ix
+      FROM ranked
+    )
+    SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CASE WHEN total_tokens > 0 THEN
+             round(CAST(2 * _ix - (n_sources + 1) * total_tokens AS DOUBLE)
+                   / CAST(n_sources * total_tokens AS DOUBLE), 9)
+           END AS gini
+    FROM agg
+    """
+
+
+def oov_rate(
+    df: DataFrame, group_col: str, text_col: str, top_n: int = 1000
+) -> DataFrame:
+    """Per-group OUT-OF-VOCABULARY rate against a FROZEN corpus
+    vocabulary — the tokenizer-coverage question (what share of each
+    source's token occurrences falls outside the corpus top-``top_n``
+    types?) that decides whether a fixed vocab/tokenizer will shred a
+    source into byte fallbacks. Vocabulary = top_n tokens by (count
+    DESC, token ASC) — the x129/x136 deterministic rank.
+
+    Output: (group_col, n_tokens, oov_occurrences, oov_rate round-9) —
+    integers exact, one IEEE division.
+
+    100 TB shape: ONE (group, token) exchange (vocab-bounded frame);
+    the global vocab derives from the SAME frame by re-aggregation (no
+    second corpus pass); rank window + joins run on bounded frames."""
+    cnt = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+        )
+        .groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    glob = cnt.groupBy("_t").agg(F.sum("_c").alias("_gc"))
+    w = Window.orderBy(F.col("_gc").desc(), F.col("_t").asc())
+    vocab = (
+        glob.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .select("_t")
+    )
+    flagged = cnt.join(
+        vocab.withColumn("_in", F.lit(1)), "_t", "left"
+    )
+    agg = flagged.groupBy("_g").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), F.col("_c")).otherwise(0)).alias(
+            "oov_occurrences"
+        ),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("oov_occurrences").cast("bigint").alias("oov_occurrences"),
+        F.round(
+            F.col("oov_occurrences").cast("double")
+            / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("oov_rate"),
+    ).orderBy(group_col)
+
+
+def duck_oov_sql(
+    table: str, group_col: str, text_col: str, top_n: int = 1000
+) -> str:
+    """DuckDB mirror of :func:`oov_rate` — same deterministic vocab
+    rank, same integer sums."""
+    return f"""
+    WITH cnt AS (
+      SELECT _g, _t, count(*) AS _c FROM (
+        SELECT {group_col} AS _g,
+               unnest(string_split({text_col}, ' ')) AS _t
+        FROM {table}
+      ) GROUP BY _g, _t
+    ),
+    gcnt AS (SELECT _t, sum(_c) AS _gc FROM cnt GROUP BY _t),
+    vocab AS (
+      SELECT _t FROM (
+        SELECT _t, row_number() OVER (ORDER BY _gc DESC, _t ASC) AS _rk
+        FROM gcnt
+      ) WHERE _rk <= {int(top_n)}
+    ),
+    agg AS (
+      SELECT c._g, sum(c._c) AS n_tokens,
+             sum(CASE WHEN v._t IS NULL THEN c._c ELSE 0 END)
+               AS oov_occurrences
+      FROM cnt c LEFT JOIN vocab v ON c._t = v._t
+      GROUP BY c._g
+    )
+    SELECT _g AS {group_col},
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(oov_occurrences AS BIGINT) AS oov_occurrences,
+           round(CAST(oov_occurrences AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+             AS oov_rate
+    FROM agg ORDER BY {group_col}
+    """
+
+
 def score_distribution_baseline(
     df: DataFrame,
     group_col: str,

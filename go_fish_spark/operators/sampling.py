@@ -1169,6 +1169,92 @@ def apply_robust_scale(
     )
 
 
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    p: float = 0.05,
+) -> DataFrame:
+    """Per-group WINSORIZED mean: clamp values to the group's
+    [p, 1−p] interpolated percentiles, then average — the
+    outlier-resistant location estimate that (unlike x130's median)
+    still moves with the bulk of the distribution, the standard
+    robust summary for per-source quality dashboards where one
+    pathological crawl page shouldn't swing the source's number.
+
+    Output: (group_col, n, lo, hi, wmean) — lo/hi/wmean round-9.
+
+    Cross-engine: both percentiles are Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` (the q42 equivalence); clamping is
+    least/greatest over IEEE-identical doubles; the mean accumulates
+    round-12 values as decimal(27,18) (the x125 discipline — Spark's
+    double→decimal shortest-repr cast vs DuckDB's exact-binary cast
+    only agree on values already rounded below the repr boundary).
+
+    100 TB shape: one ≤|groups| percentile aggregation + a broadcast
+    join + map-only clamping into a second ≤|groups| agg. Spark's
+    exact percentile gathers each group's values on one reducer —
+    swap in approx_percentile at extreme group sizes."""
+    if not 0.0 <= p < 0.5:
+        raise ValueError("p must be in [0, 0.5)")
+    v = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("double")
+    pct = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.percentile(v, F.lit(float(p))).alias("_lo"),
+        F.percentile(v, F.lit(1.0 - float(p))).alias("_hi"),
+    )
+    clamped = df.join(
+        F.broadcast(pct), F.col(group_col) == F.col("_g")
+    ).withColumn("_w", F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+    agg = clamped.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("_lo").alias("_l"),
+        F.first("_hi").alias("_h"),
+        F.sum(F.round(F.col("_w"), 12).cast("decimal(27,18)")).alias("_s"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("_l", 9).alias("lo"),
+        F.round("_h", 9).alias("hi"),
+        F.round(
+            F.col("_s").cast("double") / F.col("n").cast("double"), 9
+        ).alias("wmean"),
+    ).orderBy(group_col)
+
+
+def duck_winsorized_mean_sql(
+    table: str, group_col: str, value_sql: str, p: float = 0.05
+) -> str:
+    """DuckDB mirror of :func:`winsorized_mean` — quantile_cont
+    percentiles, same clamp, same decimal-accumulated mean."""
+    return f"""
+    WITH pct AS (
+      SELECT {group_col} AS _g,
+             quantile_cont(CAST({value_sql} AS DOUBLE), {float(p)!r}) AS _lo,
+             quantile_cont(CAST({value_sql} AS DOUBLE), {1.0 - float(p)!r})
+               AS _hi
+      FROM {table} GROUP BY _g
+    ),
+    clamped AS (
+      SELECT t.{group_col} AS _g, p._lo, p._hi,
+             least(greatest(CAST({value_sql} AS DOUBLE), p._lo), p._hi)
+               AS _w
+      FROM {table} t JOIN pct p ON t.{group_col} = p._g
+    ),
+    agg AS (
+      SELECT _g, count(*) AS n, any_value(_lo) AS _l, any_value(_hi) AS _h,
+             sum(CAST(round(_w, 12) AS DECIMAL(27,18))) AS _s
+      FROM clamped GROUP BY _g
+    )
+    SELECT _g AS {group_col}, CAST(n AS BIGINT) AS n,
+           round(_l, 9) AS lo, round(_h, 9) AS hi,
+           round(CAST(_s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS wmean
+    FROM agg ORDER BY {group_col}
+    """
+
+
 def top_p_token_mass(
     df: DataFrame,
     group_col: str,

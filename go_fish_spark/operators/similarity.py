@@ -1314,6 +1314,76 @@ def group_centroid_drift(
     )
 
 
+def ivf_cell_distortion(
+    df: DataFrame,
+    vec_col: str,
+    centers,
+) -> DataFrame:
+    """Per-CELL quantization distortion of an IVF coarse quantizer —
+    k-means inertia at cell grain: for each vector, squared-L2 to its
+    OWN (nearest) centroid; per cell, count and mean. The index-health
+    gauge behind the x47/x65 ANN family: a cell whose mean distortion
+    is an outlier is under-clustered (its candidate lists will be
+    unselective — split it or refit k), and empty cells waste probes.
+    The residual-energy complement to x125's separation view.
+
+    Output: (cell, n, mean_sq_dist round-9), ordered by cell — cells
+    with no assigned vector are absent (nothing to average).
+
+    Cross-engine: assignment and the distance array are the Quantizer's
+    oracle-checkable expression twins (duck_dist_list mirrors the fold
+    operation-for-operation); per-cell means accumulate round-12 values
+    as decimal(27,18) (the x125 discipline).
+
+    100 TB shape: the centroid matrix rides the expression tree
+    (driver literal, ≤ k×dim — the x65 contract), scoring is ONE
+    map-only pass, the only exchange is the ≤|cells| aggregation."""
+    q = Quantizer(centers)
+    t = df.select(
+        F.expr(q.dist_sql(_q_ident(vec_col))).alias("_dl")
+    ).select(
+        F.expr(
+            "CAST(element_at(transform(array(_dl), "
+            "d -> array_position(d, array_min(d))), 1) - 1 AS INT)"
+        ).alias("cell"),
+        F.expr("array_min(_dl)").alias("_d"),
+    )
+    agg = t.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("_d"), 12).cast("decimal(27,18)")).alias("_s"),
+    )
+    return agg.select(
+        "cell",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            F.col("_s").cast("double") / F.col("n").cast("double"), 9
+        ).alias("mean_sq_dist"),
+    ).orderBy("cell")
+
+
+def duck_ivf_distortion_sql(table: str, vec_expr: str, centers) -> str:
+    """DuckDB mirror of :func:`ivf_cell_distortion` — same distance
+    list, argmin, and decimal-accumulated mean."""
+    dl = duck_dist_list(vec_expr, centers)
+    return f"""
+    WITH d AS (SELECT {dl} AS _dl FROM {table}),
+    t AS (
+      SELECT (list_position(_dl, list_min(_dl)) - 1) AS cell,
+             list_min(_dl) AS _d
+      FROM d
+    ),
+    agg AS (
+      SELECT cell, count(*) AS n,
+             sum(CAST(round(_d, 12) AS DECIMAL(27,18))) AS _s
+      FROM t GROUP BY cell
+    )
+    SELECT CAST(cell AS INT) AS cell, CAST(n AS BIGINT) AS n,
+           round(CAST(_s AS DOUBLE) / CAST(n AS DOUBLE), 9)
+             AS mean_sq_dist
+    FROM agg ORDER BY cell
+    """
+
+
 def _sql_label_literal(v) -> str:
     """SQL literal for a cluster-label value of any scalar type —
     integers stay bare, everything else becomes a properly escaped

@@ -1008,3 +1008,32 @@ def x127_hard_negatives(spark, sf_dir):
     return similarity.hard_negative_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10
     ).orderBy("query_id", "rank")
+
+
+def _x148_oracle(sf_dir: str) -> str | None:
+    centers = _det_centers(16, sf_dir)
+    if centers is None:
+        return None
+    return similarity.duck_ivf_distortion_sql(
+        "embeddings", "embedding", centers
+    )
+
+
+@query("x148_ivf_distortion", oracle=_x148_oracle)
+def x148_ivf_distortion(spark, sf_dir):
+    """Per-cell IVF quantization distortion (similarity.
+    ivf_cell_distortion): k-means inertia at cell grain — mean squared
+    L2 to each vector's own (nearest) centroid. The index-health gauge
+    behind x15/x47/x65: an outlier cell is under-clustered (its
+    candidate lists will be unselective), the residual-energy
+    complement to x125's separation view. Deterministic sample-fit
+    centroids (the oracle refits byte-identical centers), distances as
+    the Quantizer's mirrored fold, decimal-accumulated means, one
+    ≤|cells| exchange."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    import numpy as _np
+
+    return similarity.ivf_cell_distortion(
+        emb, "embedding", _np.asarray(q.clusterCenters())
+    )

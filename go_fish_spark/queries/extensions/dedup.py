@@ -1378,3 +1378,195 @@ def x139_label_store_readback(spark, sf_dir):
         )
         .orderBy("id")
     )
+
+
+@query(
+    "x140_run_blocking_handoff",
+    oracle=dedup.duck_minhash_lsh_sql(
+        "documents", "doc_id", "text", threshold=0.35
+    ),
+)
+def x140_run_blocking_handoff(spark, sf_dir):
+    """Planner → EXECUTION handoff under the oracle contract (r9
+    verdict Next #3): choose_blocking prices the four disciplines from
+    key histograms (min_recall 0.2 keeps MinHash's S-curve bound
+    eligible at t=0.35), run_blocking executes the winner with the
+    realized-candidate guard riding the plan (raise_error past estimate
+    × slack). On any natural text corpus the band buckets are orders
+    of magnitude cheaper than the shingle index, so the chosen
+    discipline is the x02 pipeline — SAME oracle, genuinely different
+    Spark path (pricing pass + in-plan budget enforcement wrapped
+    around the pair join), which is exactly what this entry certifies:
+    the priced, guarded route returns bit-identical pairs to the
+    direct call. Not a duplicate of x02: a planner or guard bug (wrong
+    discipline, wrong params threading, guard corrupting rows) fails
+    THIS hash and not x02's."""
+    docs = table(spark, sf_dir, "documents")
+    plan = dedup.choose_blocking(
+        docs, "doc_id", "text", min_recall=0.2, pair_budget=10**9,
+        threshold=0.35, portable=True,
+    )
+    assert plan["chosen"] == "minhash_bands", plan
+    return dedup.run_blocking(
+        docs, "doc_id", "text", plan
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "x142_component_cohesion",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    members AS (
+      SELECT component, count(*) AS n_members FROM comp
+      GROUP BY component HAVING count(*) >= 2
+    ),
+    edges AS (
+      SELECT c.component, count(*) AS n_edges
+      FROM pairs p JOIN comp c ON p.id_a = c.doc_id
+      GROUP BY c.component
+    )
+    SELECT m.component,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(coalesce(e.n_edges, 0) AS BIGINT) AS n_edges,
+           round(CAST(coalesce(e.n_edges, 0) AS DOUBLE)
+                 / CAST(m.n_members * (m.n_members - 1) // 2 AS DOUBLE), 9)
+             AS density
+    FROM members m LEFT JOIN edges e ON m.component = e.component
+    ORDER BY m.component
+    """,
+)
+def x142_component_cohesion(spark, sf_dir):
+    """Per-cluster edge DENSITY of the dedup graph
+    (audit.component_cohesion): edges / C(n,2) per component — the QA
+    gauge for transitive-closure over-merging (a chain A~B~C closes
+    {A,B,C} even when A≁C; density 1.0 = true clique, low density on a
+    big cluster = a merge the threshold shouldn't have closed). Rides
+    the session-shared pair graph + audit pass (one CC for the whole
+    family); two bounded keyed aggs on top."""
+    from ._shared import shared_dedup_audit, shared_jaccard_pairs
+    from ...operators.audit import component_cohesion
+
+    pairs = shared_jaccard_pairs(spark, sf_dir)
+    audit = shared_dedup_audit(spark, sf_dir)
+    return component_cohesion(audit.components, pairs)
+
+
+@query(
+    "x149_maintenance_policy",
+    oracle="""
+    WITH hist AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS component
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    delta AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    pairs AS (
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b
+      FROM documents a JOIN documents b
+        ON md5(a.text) = md5(b.text) AND a.doc_id != b.doc_id
+      WHERE b.doc_id % 10 = 0
+      GROUP BY 1, 2
+    ),
+    ends AS (
+      SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    touched AS (
+      SELECT DISTINCT h.component FROM hist h JOIN ends e
+        ON h.doc_id = e.id
+    ),
+    tstats AS (
+      SELECT count(*) AS members, count(DISTINCT h.component) AS comps
+      FROM hist h JOIN touched t ON h.component = t.component
+    ),
+    base AS (
+      SELECT (SELECT count(*) FROM hist) AS n_history,
+             (SELECT count(*) FROM delta) AS n_delta,
+             (SELECT members FROM tstats) AS touched_members,
+             (SELECT comps FROM tstats) AS touched_components
+    )
+    SELECT CASE WHEN CAST(n_delta + touched_members AS DOUBLE)
+                     / CAST(n_history + n_delta AS DOUBLE) <= 0.5
+                THEN 'incremental' ELSE 'full' END AS action,
+           CASE WHEN CAST(n_delta + touched_members AS DOUBLE)
+                     / CAST(n_history + n_delta AS DOUBLE) <= 0.5
+                THEN 'bounded_touch' ELSE 'touched_growth' END AS reason,
+           CAST(n_history AS BIGINT) AS n_history,
+           CAST(n_delta AS BIGINT) AS n_delta,
+           CAST(0 AS BIGINT) AS n_edited,
+           CAST(touched_components AS BIGINT) AS touched_components,
+           CAST(touched_members AS BIGINT) AS touched_members,
+           round(CAST(n_delta + touched_members AS DOUBLE)
+                 / CAST(n_history + n_delta AS DOUBLE), 6)
+             AS incremental_frac
+    FROM base
+    """,
+)
+def x149_maintenance_policy(spark, sf_dir):
+    """The incremental-vs-full maintenance POLICY under the oracle
+    contract (audit.maintenance_plan, r9 verdict Next #5): history =
+    doc_id % 10 != 0 with exact-dup min-id labels, delta = the
+    remaining tenth (append-only), delta pairs = content-hash edges
+    touching the batch. The oracle recomputes every pricing input
+    (history size, touched components/members from the endpoint→label
+    lookup) and the decision rule itself in SQL — the hash compare
+    certifies the policy's arithmetic, not just its direction. The
+    decision-procedure-as-code family: x120 prices blocking, x105
+    prices salting, THIS prices maintenance."""
+    from pyspark.sql import Window
+
+    from ...operators.audit import maintenance_plan
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("_h")
+    )
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    w = Window.partitionBy("_h")
+    old = hist.select(
+        F.col("doc_id").alias("id"),
+        F.min("doc_id").over(w).alias("component"),
+    )
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    d2 = delta.select(
+        F.col("doc_id").alias("_did"), F.col("_h").alias("_dh")
+    )
+    dpairs = (
+        docs.join(d2, docs["_h"] == d2["_dh"])
+        .filter(F.col("doc_id") != F.col("_did"))
+        .select(
+            F.least("doc_id", "_did").alias("id_a"),
+            F.greatest("doc_id", "_did").alias("id_b"),
+        )
+        .distinct()
+    )
+    p = maintenance_plan(old, delta.select(F.col("doc_id").alias("id")), dpairs)
+    return spark.createDataFrame(
+        [(
+            p["action"], p["reason"], p["n_history"], p["n_delta"],
+            p["n_edited"], p["touched_components"], p["touched_members"],
+            round(p["incremental_frac"], 6),
+        )],
+        "action string, reason string, n_history bigint, n_delta bigint, "
+        "n_edited bigint, touched_components bigint, "
+        "touched_members bigint, incremental_frac double",
+    )

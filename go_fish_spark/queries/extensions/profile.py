@@ -487,3 +487,136 @@ def x138_embedding_spectrum(spark, sf_dir):
         "top8_share double, effective_rank double, mean_sq_norm double, "
         "centroid_share double",
     )
+
+
+# --- round 10: coverage/calibration/concentration reports --------------------
+
+from ...operators.profile import (  # noqa: E402
+    apply_auc_gate,
+    duck_gini_sql,
+    duck_good_turing_sql,
+    duck_oov_sql,
+    duck_roc_sql,
+    good_turing_unseen,
+    oov_rate,
+    roc_points,
+    score_distribution_baseline,
+    source_gini,
+)
+from ._shared import _DUCK_EVAL  # noqa: E402
+
+
+def _x141_oracle() -> str:
+    """The gate-vs-batch parity identity IS the oracle: the frozen-
+    baseline AUC of the eval slice against history equals the batch
+    Mann–Whitney over the combined sample (same BIGINT numerator, same
+    single division), so DuckDB computes the BATCH form and the hash
+    compare proves the streaming arm's identity holds on real data."""
+    return f"""
+    WITH g AS (
+      SELECT source AS _g, {_DUCK_QUALITY} AS _s, count(*) AS _n,
+             sum(CASE WHEN {_DUCK_EVAL} THEN 1 ELSE 0 END) AS _np
+      FROM documents GROUP BY _g, _s
+    ),
+    ranked AS (
+      SELECT _g, _n, _np,
+             coalesce(sum(_n) OVER (
+               PARTITION BY _g ORDER BY _s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS _cum
+      FROM g
+    ),
+    agg AS (
+      SELECT _g, sum(_n) AS n, sum(_np) AS n_pos,
+             sum(_np * (2 * _cum + _n + 1)) AS _r2
+      FROM ranked GROUP BY _g
+    )
+    SELECT _g AS source, CAST(n_pos AS BIGINT) AS n,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0
+                THEN round(CAST(_r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                           / (2.0 * CAST(n_pos * (n - n_pos) AS DOUBLE)), 9)
+           END AS auc
+    FROM agg WHERE n_pos > 0 ORDER BY source
+    """
+
+
+@query("x141_auc_gate_readback", oracle=_x141_oracle())
+def x141_auc_gate_readback(spark, sf_dir):
+    """The x135 STREAMING arm under the oracle contract: fit the frozen
+    per-source score baseline on HISTORY (docs outside the eval slice),
+    gate the eval slice (doc_id % 97 == 0 — "today's batch") with
+    apply_auc_gate, per source. The U-statistic identity makes
+    gate(batch, fit(history)) ≡ batch score_auc EXACTLY, so the oracle
+    is the plain batch MW SQL — the hash compare certifies the
+    fit/apply split end-to-end on corpus data, not just in the unit
+    parity test. Bounded per-group merged-step frames; the baseline is
+    the broadcast side."""
+    from ...functions import text as tx
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 97 == 0
+    base = score_distribution_baseline(
+        docs.filter(~is_new), "source", tx.quality_score("text")
+    )
+    return apply_auc_gate(
+        docs.filter(is_new), base, "source", tx.quality_score("text")
+    )
+
+
+@query(
+    "x143_good_turing",
+    oracle=duck_good_turing_sql("documents", "source", "text"),
+)
+def x143_good_turing(spark, sf_dir):
+    """Per-source Good–Turing missing mass (profile.good_turing_unseen
+    — Good 1953): P(next token is an unseen type) = singletons/N, the
+    have-we-crawled-enough coverage gauge beside x132's diversity and
+    x129's Zipf shape. One vocab-bounded (source, token) exchange."""
+    return good_turing_unseen(
+        table(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+@query(
+    "x144_roc_points",
+    oracle=duck_roc_sql("documents", _DUCK_QUALITY, _DUCK_EVAL),
+)
+def x144_roc_points(spark, sf_dir):
+    """ROC curve of the quality score against the eval-slice label
+    (profile.roc_points): TPR/FPR at every distinct raw score — the
+    operating-point view x135's scalar AUC summarizes. The grid is the
+    raw mirrored doubles (bitwise-identical cross-engine, no rounding
+    boundary); integer descending cums over the bounded frame."""
+    from ...functions import text as tx
+
+    return roc_points(
+        table(spark, sf_dir, "documents"),
+        tx.quality_score("text"),
+        F.col("doc_id") % 97 == 0,
+    )
+
+
+@query(
+    "x146_source_gini",
+    oracle=duck_gini_sql("documents", "source", "text"),
+)
+def x146_source_gini(spark, sf_dir):
+    """Gini coefficient of token-mass concentration across sources
+    (profile.source_gini, exact sorted-cumulative formula): the
+    monoculture gauge a mixture designer reads before the x16/x85/x108
+    quota family chooses weights. Integer arithmetic to one division
+    over the ≤|sources| frame."""
+    return source_gini(table(spark, sf_dir, "documents"), "source", "text")
+
+
+@query(
+    "x147_oov_rate",
+    oracle=duck_oov_sql("documents", "source", "text", 1000),
+)
+def x147_oov_rate(spark, sf_dir):
+    """Per-source out-of-vocabulary occurrence rate against the frozen
+    corpus top-1000 vocabulary (profile.oov_rate — count-DESC/token-ASC
+    deterministic rank): the tokenizer-coverage question. The global
+    vocab re-aggregates the SAME (source, token) frame — one corpus
+    pass total."""
+    return oov_rate(table(spark, sf_dir, "documents"), "source", "text", 1000)

@@ -949,3 +949,30 @@ def x136_top_p_tokens(spark, sf_dir):
         table(spark, sf_dir, "documents"), "source",
         tx.quality_score("text"), "doc_id", "text", 0.6,
     )
+
+
+from ...operators.sampling import (  # noqa: E402
+    duck_winsorized_mean_sql,
+    winsorized_mean,
+)
+
+
+@query(
+    "x145_winsorized_mean",
+    oracle=duck_winsorized_mean_sql("documents", "source", _DUCK_QUALITY, 0.05),
+)
+def x145_winsorized_mean(spark, sf_dir):
+    """Per-source winsorized mean quality (sampling.winsorized_mean,
+    p=0.05): values clamped to the source's [p5, p95] interpolated
+    percentiles before averaging — the outlier-resistant location
+    estimate that still moves with the bulk (unlike x130's median),
+    the robust dashboard number one pathological page can't swing.
+    percentile ≡ quantile_cont (the q42 equivalence), decimal-
+    accumulated mean (the x125 discipline), one ≤|sources| agg each
+    side of a map-only clamp."""
+    from ...functions import text as tx
+
+    return winsorized_mean(
+        table(spark, sf_dir, "documents"), "source",
+        tx.quality_score("text"), p=0.05,
+    )

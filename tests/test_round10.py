@@ -727,3 +727,133 @@ def test_gates_stream_equals_batch(spark, tmp_path):
     ks = {t[0]: t for t in got["ks"]}
     assert auc["zz"][2] is None and ks["zz"][2] is None
     assert auc["a"][2] is not None and ks["a"][2] is not None
+
+
+# --- round-10 coverage ops: golden-value semantics ----------------------------
+
+
+def test_source_gini_goldens(spark):
+    """Equal masses -> 0; near-total concentration -> ~1 - 1/n; the
+    exact sorted-cumulative formula on a hand-checkable case."""
+    from go_fish_spark.operators.profile import source_gini
+
+    eq = spark.createDataFrame(
+        [("a", "w x y"), ("b", "p q r"), ("c", "m n o")],
+        "source string, text string",
+    )
+    r = source_gini(eq, "source", "text").collect()[0]
+    assert (r.n_sources, r.total_tokens, r.gini) == (3, 9, 0.0)
+
+    # masses 1, 1, 8: sorted x=(1,1,8), Σix = 1+2+24 = 27
+    # G = (2*27 - 4*10) / (3*10) = 14/30
+    skew = spark.createDataFrame(
+        [("a", "w"), ("b", "p"), ("c", " ".join("t%d" % i for i in range(8)))],
+        "source string, text string",
+    )
+    r = source_gini(skew, "source", "text").collect()[0]
+    assert r.gini == round(14 / 30, 9)
+
+
+def test_good_turing_goldens(spark):
+    """singletons/N by hand: tokens (a a b c) -> f1=2 (b,c), N=4."""
+    from go_fish_spark.operators.profile import good_turing_unseen
+
+    df = spark.createDataFrame(
+        [("s", "a a b c"), ("t", "x x x x")], "source string, text string"
+    )
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.singletons, r.unseen_mass)
+        for r in good_turing_unseen(df, "source", "text").collect()
+    }
+    assert got["s"] == (4, 3, 2, 0.5)
+    assert got["t"] == (4, 1, 0, 0.0)
+
+
+def test_roc_points_goldens(spark):
+    """Perfectly separating score: at the lowest positive threshold
+    TPR=1 with FPR=0; at the lowest threshold overall both are 1."""
+    from go_fish_spark.operators.profile import roc_points
+
+    df = spark.createDataFrame(
+        [(float(i), i >= 5) for i in range(10)], "s double, y boolean"
+    )
+    pts = {r.thr: (r.tp, r.fp, r.tpr, r.fpr)
+           for r in roc_points(df, "s", "y").collect()}
+    assert pts[5.0] == (5, 0, 1.0, 0.0)
+    assert pts[0.0] == (5, 5, 1.0, 1.0)
+    assert pts[9.0] == (1, 0, 0.2, 0.0)
+
+
+def test_oov_rate_goldens(spark):
+    """top_n=2 vocab is {a, b} (count desc, token asc): source u's c/d
+    occurrences are OOV."""
+    from go_fish_spark.operators.profile import oov_rate
+
+    df = spark.createDataFrame(
+        [("s", "a a b"), ("t", "a b b"), ("u", "a c d c")],
+        "source string, text string",
+    )
+    got = {
+        r.source: (r.n_tokens, r.oov_occurrences, r.oov_rate)
+        for r in oov_rate(df, "source", "text", top_n=2).collect()
+    }
+    assert got["s"] == (3, 0, 0.0)
+    assert got["t"] == (3, 0, 0.0)
+    assert got["u"] == (4, 3, 0.75)
+
+
+def test_winsorized_mean_clamps_outlier(spark):
+    """A single 1e9 outlier moves the plain mean by orders of magnitude
+    but the winsorized mean stays at the bulk's scale; uniform data is
+    untouched (lo/hi at the extremes clamp nothing)."""
+    from go_fish_spark.operators.sampling import winsorized_mean
+
+    rows = [("a", float(v)) for v in range(1, 100)] + [("a", 1e9)]
+    df = spark.createDataFrame(rows, "source string, v double")
+    r = winsorized_mean(df, "source", "v", p=0.05).collect()[0]
+    assert r.n == 100 and r.wmean < 200  # plain mean would be ~1e7
+    assert r.lo > 1.0 and r.hi < 1e9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winsorized_mean(df, "source", "v", p=0.6)
+
+
+def test_component_cohesion_clique_vs_chain(spark):
+    """A 3-clique (3 edges) has density 1.0; a 4-chain (3 edges of 6
+    possible) has density 0.5; singletons are absent."""
+    from go_fish_spark.operators.audit import component_cohesion
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (13, 10),
+         (99, 99)],
+        "id long, component long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.component: (r.n_members, r.n_edges, r.density)
+        for r in component_cohesion(comps, pairs).collect()
+    }
+    assert got == {1: (3, 3, 1.0), 10: (4, 3, 0.5)}
+
+
+def test_ivf_distortion_zero_on_centroids(spark):
+    """Vectors sitting exactly on a centroid have zero distortion;
+    displaced vectors report the exact squared offset."""
+    import numpy as np
+
+    from go_fish_spark.operators.similarity import ivf_cell_distortion
+
+    centers = np.array([[0.0, 0.0], [10.0, 0.0]])
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [10.0, 3.0])],
+        "vec_id long, v array<double>",
+    )
+    got = {
+        r.cell: (r.n, r.mean_sq_dist)
+        for r in ivf_cell_distortion(df, "v", centers).collect()
+    }
+    assert got == {0: (2, 0.0), 1: (1, 9.0)}
