@@ -240,6 +240,7 @@ HEADLINE = [
     "x147_oov_rate",
     "x148_ivf_distortion",
     "x149_maintenance_policy",
+    "x150_sigstore_readback",
 ]
 
 

@@ -157,7 +157,67 @@ def main(argv: list[str] | None = None) -> int:
         help="write the JSON here instead of stdout",
     )
 
+    ls = sub.add_parser(
+        "label-store",
+        help="operate the durable sharded dedup-label store "
+        "(streaming/labelstore): read the latest-wins table, look up "
+        "one id (partition-pruned), or compact the append history",
+    )
+    ls.add_argument("store", help="label store directory (sharded parquet)")
+    ls.add_argument(
+        "action", choices=["read", "lookup", "compact"],
+        help="read = print row count + sample; lookup = one id's label; "
+        "compact = fold history to one row per id",
+    )
+    ls.add_argument("--id", default=None, help="id for lookup")
+    ls.add_argument("--n-shards", type=int, default=64)
+    ls.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "label-store":
+        import json as _json
+
+        from .session import get_spark
+        from .streaming import labelstore as _ls
+
+        spark = get_spark(
+            app_name="go-fish-label-store", master=args.master
+        )
+        try:
+            if args.action == "read":
+                df = _ls.read_label_store(spark, args.store)
+                if df is None:
+                    print(_json.dumps({"rows": 0}))
+                    return 1
+                n = df.count()
+                sample = [
+                    {"id": r["id"], "component": r["component"]}
+                    for r in df.orderBy("id").limit(5).collect()
+                ]
+                print(_json.dumps({"rows": n, "head": sample}))
+            elif args.action == "lookup":
+                if args.id is None:
+                    print("lookup requires --id", file=sys.stderr)
+                    return 2
+                rows = _ls.read_label_shard(
+                    spark, args.store, int(args.id), args.n_shards
+                ).collect()
+                print(
+                    _json.dumps(
+                        {"id": int(args.id),
+                         "component": rows[0]["component"] if rows else None}
+                    )
+                )
+                return 0 if rows else 1
+            else:
+                n = _ls.compact_label_store(
+                    spark, args.store, args.n_shards
+                )
+                print(_json.dumps({"compacted_rows": n}))
+        finally:
+            spark.stop()
+        return 0
 
     if args.cmd == "check-task":
         from .tasks import check_task, get_task

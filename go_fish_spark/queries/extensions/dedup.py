@@ -1290,7 +1290,7 @@ def _x139_oracle() -> str:
     return f"""
     SELECT d.doc_id AS id,
            min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS component,
-           CAST({duck_hash_bucket('d.doc_id', 64)} AS INT) AS shard
+           CAST({duck_hash_bucket('d.doc_id', 16)} AS INT) AS shard
     FROM documents d
     ORDER BY id
     """
@@ -1364,7 +1364,7 @@ def x139_label_store_readback(spark, sf_dir):
                 prev, fresh.select(F.col("doc_id").alias("id")), dpairs,
                 id_col="id", emit="changed",
             )
-        append_label_patch(patch, labels_path, batch_id=b, n_shards=64)
+        append_label_patch(patch, labels_path, batch_id=b, n_shards=16)
 
     raw = spark.read.parquet(labels_path)
     w = Window.partitionBy("id").orderBy(
@@ -1570,3 +1570,75 @@ def x149_maintenance_policy(spark, sf_dir):
         "n_edited bigint, touched_components bigint, "
         "touched_members bigint, incremental_frac double",
     )
+
+
+def _x150_oracle() -> str:
+    """The store contract in SQL: after any append sequence, the
+    latest-wins read-back equals the portable MinHash signatures of the
+    CURRENT corpus (with the edits applied) — fingerprinted as
+    md5(comma-joined sig) so the 64-int signature rides the hash
+    compare as one column."""
+    p = dedup._duck_minhash_parts("text", 64, 16, 3, 42)
+    return f"""
+    WITH cur AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 'edited ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, {p['tok']} AS th FROM cur),
+    s AS (SELECT doc_id, {p['shing']} AS sh FROM t),
+    g AS (SELECT doc_id, {p['sig']} AS sig FROM s)
+    SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_md5
+    FROM g ORDER BY doc_id
+    """
+
+
+@query("x150_sigstore_readback", oracle=_x150_oracle())
+def x150_sigstore_readback(spark, sf_dir):
+    """Durable SIGNATURE-store read-back under the oracle contract (the
+    x139 discipline applied to the sketch table): the corpus ingested
+    as three append-only batches (doc_id % 3) through the
+    streaming/sigstore writer, then every doc_id % 10 == 0 doc
+    RE-APPENDED with edited text (a fourth batch — the latest-wins
+    supersede case). The hash compare proves the store reads back the
+    portable MinHash signatures of the CURRENT corpus — edits
+    supersede, nothing stale survives — integer-for-integer against
+    DuckDB's mirror of the whole hash pipeline (fingerprinted as
+    md5(joined sig) per doc). Restart semantics are covered by the
+    round-9 e2e; THIS entry pins the read-back values themselves."""
+    import os
+    import shutil
+
+    from ...streaming.sigstore import read_signature_store
+
+    base = os.path.join(
+        "/tmp", f"gofish_x150_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.minhash_signature("text", 64, 3, 42, portable=True)
+
+    def write_batch(bdf, batch_id):
+        bdf.select(
+            "doc_id", sig.alias("_sig")
+        ).withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(base)
+
+    for b in range(3):
+        write_batch(docs.filter(F.col("doc_id") % 3 == b), b)
+    edited = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.lit("edited "), F.col("text")).alias("text")
+    )
+    write_batch(edited, 3)
+
+    store = read_signature_store(spark, base, id_col="doc_id")
+    return store.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("_sig"), lambda x: x.cast("string"))
+            )
+        ).alias("sig_md5"),
+    ).orderBy("doc_id")

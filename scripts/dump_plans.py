@@ -90,6 +90,13 @@ SHOWCASE = [
     ("x136_top_p_tokens", "per-group cumulative windows over integer token counts; ≤|groups| totals broadcast"),
     ("x137_ks_drift", "bounded (group x quantized-value) grid from two bounded frames; per-group windows over grid rows only"),
     ("x129_zipf_fit", "one (source, token) exchange; per-SOURCE rank windows; ≤|sources| regression agg over ≤top_n rows each"),
+    # round 10
+    ("x140_run_blocking_handoff", "planner-chosen pair join with the realized-count budget guard riding the plan as a broadcast 1-row frame — enforcement adds one bounded histogram agg, no second corpus pass"),
+    ("x141_auc_gate_readback", "frozen per-group baseline (bounded step frame) full-outer merged with batch counts; BIGINT numerator inside codegen; ≤|groups| agg"),
+    ("x144_roc_points", "ONE distinct-score aggregation (map-side combined) + descending cumulative window over the bounded frame"),
+    ("x146_source_gini", "one |sources|-key exchange; rank window + final agg on the bounded frame; single division at the edge"),
+    ("x147_oov_rate", "global vocab re-aggregates the SAME (source, token) frame — one corpus pass; rank window and joins on bounded frames"),
+    ("x148_ivf_distortion", "centroid matrix rides the expression tree (no join); map-only scoring; one ≤|cells| exchange"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —

@@ -857,3 +857,44 @@ def test_ivf_distortion_zero_on_centroids(spark):
         for r in ivf_cell_distortion(df, "v", centers).collect()
     }
     assert got == {0: (2, 0.0), 1: (1, 9.0)}
+
+
+def test_cli_label_store(tmp_path, spark):
+    """label-store read / lookup / compact through the CLI."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from go_fish_spark.streaming import labelstore as ls
+
+    store = str(tmp_path / "labels")
+    patch = spark.createDataFrame(
+        [(i, i % 4) for i in range(20)], "id long, component long"
+    )
+    ls.append_label_patch(patch, store, batch_id=0, n_shards=8)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "go_fish_spark.cli", "label-store",
+             store, *argv, "--n-shards", "8", "--master", "local[2]"],
+            capture_output=True, text=True, timeout=300, cwd=repo,
+        )
+
+    p = run("read")
+    assert p.returncode == 0, p.stderr[-1500:]
+    out = json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 20 and out["head"][0] == {"id": 0, "component": 0}
+
+    p = run("lookup", "--id", "7")
+    assert p.returncode == 0
+    assert json.loads(p.stdout.strip().splitlines()[-1]) == {
+        "id": 7, "component": 3,
+    }
+
+    p = run("compact")
+    assert p.returncode == 0
+    assert json.loads(p.stdout.strip().splitlines()[-1]) == {
+        "compacted_rows": 20,
+    }
