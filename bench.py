@@ -241,6 +241,8 @@ HEADLINE = [
     "x148_ivf_distortion",
     "x149_maintenance_policy",
     "x150_sigstore_readback",
+    "x151_cluster_source_breadth",
+    "x152_chunk_overlap_audit",
 ]
 
 

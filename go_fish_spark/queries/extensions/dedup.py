@@ -1642,3 +1642,91 @@ def x150_sigstore_readback(spark, sf_dir):
             )
         ).alias("sig_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "x151_cluster_source_breadth",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    j AS (
+      SELECT c.component, d.source FROM comp c
+      JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    per AS (
+      SELECT component, source, count(*) AS n_src
+      FROM j GROUP BY component, source
+    ),
+    agg AS (
+      SELECT component, sum(n_src) AS n_members,
+             count(*) AS n_sources, max(n_src) AS top_n
+      FROM per GROUP BY component HAVING sum(n_src) >= 2
+    )
+    SELECT component,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           round(CAST(top_n AS DOUBLE) / CAST(n_members AS DOUBLE), 9)
+             AS top_source_share
+    FROM agg ORDER BY component
+    """,
+)
+def x151_cluster_source_breadth(spark, sf_dir):
+    """Cross-SOURCE breadth of each near-dup cluster: (n_members,
+    n_sources, dominant-source share) per component — the provenance
+    view of duplication the cluster-grain x62 histogram and the
+    source-pair-grain x92 syndication matrix both miss: a cluster with
+    n_sources = 1 is within-crawl duplication (dedup freely), a wide
+    low-top-share cluster is SYNDICATED content whose removal shifts
+    the source mix (x31/x72 should be re-read after collapsing it).
+    Rides the session-shared audit pass; one (component, source)
+    exchange + a bounded agg on top."""
+    from ._shared import shared_dedup_audit
+
+    audit = shared_dedup_audit(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = (
+        audit.components.select(
+            F.col("id").alias("doc_id"), "component"
+        )
+        .join(docs, "doc_id")
+        .groupBy("component", "source")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    agg = (
+        per.groupBy("component")
+        .agg(
+            F.sum("_n").alias("n_members"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.max("_n").alias("_top"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return agg.select(
+        "component",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        F.round(
+            F.col("_top").cast("double") / F.col("n_members").cast("double"),
+            9,
+        ).alias("top_source_share"),
+    ).orderBy("component")

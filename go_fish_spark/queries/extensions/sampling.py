@@ -976,3 +976,74 @@ def x145_winsorized_mean(spark, sf_dir):
         table(spark, sf_dir, "documents"), "source",
         tx.quality_score("text"), p=0.05,
     )
+
+
+@query(
+    "x152_chunk_overlap_audit",
+    oracle="""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS MATERIALIZED (
+      SELECT doc_id, ws,
+             CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT) + 1 AS n_chunks
+      FROM w
+    ),
+    e AS (
+      SELECT doc_id, unnest(generate_series(1, n_chunks)) AS i, ws FROM c
+    ),
+    per AS (
+      SELECT doc_id,
+             count(*) AS n_chunks,
+             any_value(len(ws)) AS doc_tokens,
+             sum(least(64, len(ws) - (i-1)*48)) AS chunk_tokens
+      FROM e GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(doc_tokens AS BIGINT) AS doc_tokens,
+           CAST(chunk_tokens AS BIGINT) AS chunk_tokens,
+           CAST(chunk_tokens - doc_tokens AS BIGINT) AS overlap_tokens,
+           round(CAST(chunk_tokens AS DOUBLE) / CAST(doc_tokens AS DOUBLE), 9)
+             AS dup_factor
+    FROM per ORDER BY doc_id
+    """,
+)
+def x152_chunk_overlap_audit(spark, sf_dir):
+    """Chunk-boundary DUPLICATION accounting for the x24 overlapping
+    windows (64/48): per doc, how many tokens the stride overlap
+    re-emits (chunk_tokens − doc_tokens) and the duplication factor a
+    token sees per epoch — the number a token-budget planner (x46/x107)
+    must multiply through before trusting its epoch math, and the
+    direct cost of the overlap that makes chunk boundaries trainable.
+    Aggregates the REAL chunk operator's output (not a closed form), so
+    a chunking bug shows up here as an accounting mismatch."""
+    from ...operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", win=64, stride=48)
+    per = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("chunk_tokens"),
+    )
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("doc_tokens")
+    )
+    return (
+        per.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("doc_tokens").cast("bigint").alias("doc_tokens"),
+            F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+            (F.col("chunk_tokens") - F.col("doc_tokens"))
+            .cast("bigint")
+            .alias("overlap_tokens"),
+            F.round(
+                F.col("chunk_tokens").cast("double")
+                / F.col("doc_tokens").cast("double"),
+                9,
+            ).alias("dup_factor"),
+        )
+        .orderBy("doc_id")
+    )

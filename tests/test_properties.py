@@ -760,3 +760,100 @@ def test_edit_verified_sim_bounds_and_symmetry(spark, ts):
         assert 0.0 <= r.sim <= 1.0
         assert r.lev == _lev(texts[r.id_a], texts[r.id_b])
     dedup.release_caches()
+
+
+# --- round-10 operators: invariants over arbitrary inputs ---------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 30)),
+        min_size=1, max_size=20,
+    )
+)
+def test_gini_bounds_and_equality_case(spark, rows):
+    """0 ≤ G < 1 always; G = 0 iff every source's token mass is equal
+    (computed over arbitrary per-source word counts)."""
+    from go_fish_spark.operators.profile import source_gini
+
+    df = spark.createDataFrame(
+        [(f"s{g}-{i}", " ".join(["w"] * (n + 1))) for i, (g, n) in enumerate(rows)],
+        "source string, text string",
+    )
+    r = source_gini(df, "source", "text").collect()[0]
+    assert r.gini is not None and 0.0 <= r.gini < 1.0
+    masses = [n + 1 for _, n in rows]
+    if len(set(masses)) == 1:
+        assert r.gini == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.floats(-100, 100, allow_nan=False), min_size=3, max_size=40)
+)
+def test_winsorized_mean_within_clamp_bounds(spark, vals):
+    """lo ≤ wmean ≤ hi, and both bounds lie within [min, max] of the
+    data, for arbitrary float samples."""
+    from go_fish_spark.operators.sampling import winsorized_mean
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "source string, v double"
+    )
+    r = winsorized_mean(df, "source", "v", p=0.1).collect()[0]
+    assert min(vals) - 1e-9 <= r.lo <= r.hi <= max(vals) + 1e-9
+    assert r.lo - 1e-6 <= r.wmean <= r.hi + 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(0, 1, allow_nan=False), st.booleans()),
+        min_size=2, max_size=60,
+    ).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+)
+def test_auc_gate_equals_batch_on_random_frames(spark, rows):
+    """The U-statistic identity holds for ARBITRARY score/label samples
+    (ties, duplicates, extremes): gate(pos, fit(neg)) == score_auc."""
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators.profile import (
+        apply_auc_gate,
+        score_auc,
+        score_distribution_baseline,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", float(s), bool(y)) for i, (s, y) in enumerate(rows)],
+        "id long, g string, s double, y boolean",
+    )
+    batch = score_auc(df, "g", "s", "y").collect()[0]
+    base = score_distribution_baseline(df.filter(~F.col("y")), "g", "s")
+    gate = apply_auc_gate(df.filter(F.col("y")), base, "g", "s").collect()[0]
+    assert gate.auc == batch.auc
+    assert gate.n == batch.n_pos
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.floats(0, 5, allow_nan=False), min_size=1, max_size=40),
+    st.lists(st.floats(0, 5, allow_nan=False), min_size=1, max_size=40),
+)
+def test_ks_gate_bounds(spark, xs, ys):
+    """0 ≤ KS ≤ 1 for arbitrary two samples; identical samples give 0."""
+    from go_fish_spark.operators.profile import (
+        apply_ks_gate,
+        score_distribution_baseline,
+    )
+
+    hist = spark.createDataFrame(
+        [("g", float(v)) for v in xs], "g string, s double"
+    )
+    batch = spark.createDataFrame(
+        [("g", float(v)) for v in ys], "g string, s double"
+    )
+    base = score_distribution_baseline(hist, "g", "s", decimals=6)
+    r = apply_ks_gate(batch, base, "g", "s", decimals=6).collect()[0]
+    assert 0.0 <= r.ks <= 1.0
+    same = apply_ks_gate(hist, base, "g", "s", decimals=6).collect()[0]
+    assert same.ks == 0.0
