@@ -322,3 +322,77 @@ class AnomalyGate(BasicTask):
                 alias, "is_anomaly"
             )
         return flagged
+
+
+def ecdf_gate_config(baseline_df, max_points: int = 512) -> list:
+    """Convert ONE group's frozen score baseline
+    (`profile.score_distribution_baseline` rows: value, cum_le, n) into
+    the ``ecdf_gate`` task's ``baseline`` option — a sorted
+    [[value, cdf], ...] step list, capped at ``max_points`` by even
+    rank subsampling (a task config is a JSON document, not a table).
+    The subsample keeps the LAST point of each kept run so the step
+    function still reaches 1.0."""
+    rows = sorted(
+        (float(r["value"]), int(r["cum_le"]), int(r["n"]))
+        for r in baseline_df.collect()
+    )
+    pts = [[v, c / n] for v, c, n in rows]
+    if len(pts) > max_points:
+        step = len(pts) / float(max_points)
+        keep = sorted({min(int((i + 1) * step) - 1, len(pts) - 1)
+                       for i in range(max_points)})
+        pts = [pts[i] for i in keep]
+    return pts
+
+
+@register_task("ecdf_gate")
+class EcdfGate(BasicTask):
+    """Frozen-ECDF TAIL gate — the per-row declarable arm of the x137
+    drift family (batch/stream sup-gap lives in
+    `profile.apply_ks_gate`; THIS task gates individual rows): score
+    each row's value by its percentile under a HISTORY distribution
+    frozen into the task config (fit with
+    `profile.score_distribution_baseline` → `ecdf_gate_config`), and
+    flag rows outside the [lo, hi] percentile band — "this document's
+    quality score would have been a tail event last month". A pure
+    array-literal expression (binary-search-free step lookup over the
+    bounded config list), so it runs identically in batch and
+    streaming pipelines, like every gate in this family.
+
+    ROW-PRESERVING in the default ``mode='flag'`` (appends ``<alias>``
+    and ``is_tail``); ``mode='drop'`` filters tail rows out. NULL
+    values get NULL percentile and are NOT tail events (the
+    anomaly_gate rule: unseen must not be silently dropped). Options:
+    baseline [[value, cdf], ...] (sorted), value_col (default
+    'value'), alias (default 'pctl'), lo (default 0.01), hi (default
+    0.99), mode."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        value_col = self.options.get("value_col", "value")
+        alias = self.options.get("alias", "pctl")
+        lo = float(self.options.get("lo", 0.01))
+        hi = float(self.options.get("hi", 0.99))
+        pts = list(self.options["baseline"])
+        v = F.col(value_col).cast("double")
+        if pts:
+            vals = F.array(*[F.lit(float(p[0])) for p in pts])
+            cdfs = F.array(*[F.lit(float(p[1])) for p in pts])
+            idx = F.size(F.filter(vals, lambda x: x <= v))
+            pctl = F.when(
+                v.isNotNull(),
+                F.when(idx > 0, F.element_at(cdfs, idx)).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+        else:  # empty baseline: nothing scorable
+            pctl = F.lit(None).cast("double")
+        flagged = df.select(
+            "*",
+            F.round(pctl, 9).alias(alias),
+            F.coalesce(
+                (pctl < lo) | (pctl > hi), F.lit(False)
+            ).alias("is_tail"),
+        )
+        if self.options.get("mode", "flag") == "drop":
+            return flagged.filter(~F.col("is_tail")).drop(alias, "is_tail")
+        return flagged

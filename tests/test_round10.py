@@ -898,3 +898,44 @@ def test_cli_label_store(tmp_path, spark):
     assert json.loads(p.stdout.strip().splitlines()[-1]) == {
         "compacted_rows": 20,
     }
+
+
+def test_ecdf_gate_task(spark):
+    """The declarable frozen-ECDF tail gate: percentile lookup matches
+    the fitted baseline, tails flag/drop, NULLs pass unflagged, and the
+    task is declarable through the registry (check-task contract)."""
+    from go_fish_spark.operators.profile import score_distribution_baseline
+    from go_fish_spark.tasks import check_task, get_task
+    from go_fish_spark.tasks.builtin import ecdf_gate_config
+
+    hist = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 101)], "g string, s double"
+    )
+    base = score_distribution_baseline(hist, "g", "s")
+    cfg = ecdf_gate_config(base)
+    assert cfg[0] == [1.0, 0.01] and cfg[-1] == [100.0, 1.0]
+
+    task = get_task(
+        "ecdf_gate", baseline=cfg, value_col="v", lo=0.05, hi=0.95
+    )
+    check_task(task)
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 2.0), (3, 1000.0), (4, None), (5, 0.5)],
+        "id long, v double",
+    )
+    got = {r.id: (r.pctl, r.is_tail) for r in task.apply(df).collect()}
+    assert got[1] == (0.5, False)
+    assert got[2] == (0.02, True)        # low tail
+    assert got[3] == (1.0, True)         # above everything -> high tail
+    assert got[4] == (None, False)       # NULL passes unflagged
+    assert got[5] == (0.0, True)         # below everything -> pctl 0
+    dropped = get_task(
+        "ecdf_gate", baseline=cfg, value_col="v", lo=0.05, hi=0.95,
+        mode="drop",
+    ).apply(df)
+    assert sorted(r.id for r in dropped.collect()) == [1, 4]
+    assert dropped.columns == ["id", "v"]  # row-preserving family, drop mode
+
+    # subsampling keeps the step's top (cdf reaches 1.0)
+    small = ecdf_gate_config(base, max_points=10)
+    assert len(small) <= 10 and small[-1][1] == 1.0
