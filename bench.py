@@ -243,6 +243,7 @@ HEADLINE = [
     "x150_sigstore_readback",
     "x151_cluster_source_breadth",
     "x152_chunk_overlap_audit",
+    "x153_ecdf_gate_readback",
 ]
 
 

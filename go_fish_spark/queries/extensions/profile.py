@@ -620,3 +620,60 @@ def x147_oov_rate(spark, sf_dir):
     vocab re-aggregates the SAME (source, token) frame — one corpus
     pass total."""
     return oov_rate(table(spark, sf_dir, "documents"), "source", "text", 1000)
+
+
+@query(
+    "x153_ecdf_gate_readback",
+    oracle=f"""
+    WITH hist AS (
+      SELECT round(CAST({_DUCK_QUALITY} AS DOUBLE), 2) AS _h
+      FROM documents WHERE NOT ({_DUCK_EVAL})
+    ),
+    n AS (SELECT count(*) AS _n FROM hist),
+    ev AS (
+      SELECT doc_id, CAST({_DUCK_QUALITY} AS DOUBLE) AS _v
+      FROM documents WHERE {_DUCK_EVAL}
+    )
+    SELECT e.doc_id,
+           round(CAST((SELECT count(*) FROM hist h WHERE h._h <= e._v)
+                      AS DOUBLE) / CAST(n._n AS DOUBLE), 9) AS pctl,
+           (CAST((SELECT count(*) FROM hist h WHERE h._h <= e._v)
+                 AS DOUBLE) / CAST(n._n AS DOUBLE)) < 0.05
+           OR (CAST((SELECT count(*) FROM hist h WHERE h._h <= e._v)
+                    AS DOUBLE) / CAST(n._n AS DOUBLE)) > 0.95 AS is_tail
+    FROM ev e, n ORDER BY e.doc_id
+    """,
+)
+def x153_ecdf_gate_readback(spark, sf_dir):
+    """The declarable `ecdf_gate` TASK under the oracle contract: fit
+    the frozen quality-score ECDF on HISTORY (round-2 quantized values
+    — a bounded ≤~100-point step list, so the task config needs no
+    rank subsampling and the oracle can recompute the exact step), run
+    the task's pure array-literal percentile lookup over the eval
+    slice, flag the [0.05, 0.95] tails. The oracle re-derives every
+    row's percentile as count(history ≤ v)/N in SQL — the hash compare
+    certifies the gate EXPRESSION (step lookup, tail logic, rounding)
+    on corpus data, the same way x141 certifies the AUC gate."""
+    from ...functions import text as tx
+    from ...tasks import get_task
+    from ...tasks.builtin import ecdf_gate_config
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 97 == 0
+    base = score_distribution_baseline(
+        docs.filter(~is_new).select(
+            F.lit("g").alias("g"),
+            F.round(tx.quality_score("text"), 2).alias("s"),
+        ),
+        "g", "s",
+    )
+    task = get_task(
+        "ecdf_gate", baseline=ecdf_gate_config(base, max_points=10**9),
+        value_col="_v", lo=0.05, hi=0.95,
+    )
+    ev = docs.filter(is_new).select(
+        "doc_id", tx.quality_score("text").alias("_v")
+    )
+    return task.apply(ev).select("doc_id", "pctl", "is_tail").orderBy(
+        "doc_id"
+    )
