@@ -939,3 +939,29 @@ def test_ecdf_gate_task(spark):
     # subsampling keeps the step's top (cdf reaches 1.0)
     small = ecdf_gate_config(base, max_points=10)
     assert len(small) <= 10 and small[-1][1] == 1.0
+
+
+def test_durable_labels_demo_runs(spark):
+    """examples/durable_labels_demo.py must keep working as the
+    composed round-10 loop (policy-routed upserts -> restart-resume ->
+    labels ≡ full recompute -> compaction)."""
+    import importlib.util
+    import os
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "durable_labels_demo",
+        os.path.join(repo, "examples/durable_labels_demo.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    work = tempfile.mkdtemp(prefix="durable_demo_test_")
+    try:
+        from tests.conftest import SF_SMALL
+
+        n_clusters = mod.run_demo(spark, SF_SMALL, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    assert n_clusters > 0
