@@ -2243,6 +2243,7 @@ def choose_blocking(
     portable: bool = False,
     measure: bool = False,
     measure_sample_docs: int = 2000,
+    sigs: DataFrame | None = None,
 ) -> dict:
     """Unified blocking-discipline PLANNER (r8 verdict Next #5 — the
     engine's one genuinely novel optimizer rule, SURVEY §4.3): given a
@@ -2304,13 +2305,20 @@ def choose_blocking(
     sh = df.select(F.explode(word_shingles(text_col, k)).alias("_k")).select(
         F.concat(F.lit("e:"), F.col("_k")).alias("_key")
     )
+    # ``sigs``: optional pre-fitted (_id, _sig) frame at the SAME params
+    # (the shared-sketch discipline) — prices the band discipline from
+    # the materialized signature table instead of re-hashing the corpus.
     bd = (
         df.select(
             minhash_signature(text_col, n_hashes, k, 42, portable).alias(
                 "_sig"
             )
         )
-        .select(
+        if sigs is None
+        else sigs.select("_sig")
+    )
+    bd = (
+        bd.select(
             F.explode(_band_struct_array(n_hashes, bands, portable)).alias(
                 "bd"
             )
@@ -2507,6 +2515,7 @@ def run_blocking(
     plan: dict,
     slack: float = 1.5,
     key_len: int = 20,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Execute the discipline a :func:`choose_blocking` plan chose, with
     the priced contract ENFORCED (r9 verdict Next #3): the output pair
@@ -2552,22 +2561,26 @@ def run_blocking(
         )
         pairs = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
     elif chosen == "minhash_bands":
+        # ``sigs``: optional pre-fitted (_id, _sig) frame at the SAME
+        # params — both the realized-count keys and the pair join read
+        # the materialized signature table (no second corpus hash)
         keyed = (
             df.select(
                 minhash_signature(
                     text_col, n_hashes, k, 42, portable
                 ).alias("_sig")
             )
-            .select(
-                F.explode(
-                    _band_struct_array(n_hashes, bands, portable)
-                ).alias("bd")
-            )
-            .select(F.concat_ws(":", "bd.band", "bd.bh").alias("_k"))
+            if sigs is None
+            else sigs.select("_sig")
         )
+        keyed = keyed.select(
+            F.explode(
+                _band_struct_array(n_hashes, bands, portable)
+            ).alias("bd")
+        ).select(F.concat_ws(":", "bd.band", "bd.bh").alias("_k"))
         pairs = minhash_lsh_pairs(
             df, id_col, text_col, n_hashes, bands, k, threshold, 42,
-            portable,
+            portable, sigs=sigs,
         )
     elif chosen == "winnow_index":
         keyed = df.select(

@@ -1400,15 +1400,23 @@ def x140_run_blocking_handoff(spark, sf_dir):
     the priced, guarded route returns bit-identical pairs to the
     direct call. Not a duplicate of x02: a planner or guard bug (wrong
     discipline, wrong params threading, guard corrupting rows) fails
-    THIS hash and not x02's."""
+    THIS hash and not x02's. Pricing, the realized-count guard, AND
+    the pair join all read the session-shared signature frame (same
+    64/k=3/seed=42/portable params) — the corpus is hashed once per
+    session, not once per stage."""
+    from ._shared import shared_doc_sigs
+
     docs = table(spark, sf_dir, "documents")
+    sigs = shared_doc_sigs(spark, sf_dir).select(
+        F.col("doc_id").alias("_id"), "_sig"
+    )
     plan = dedup.choose_blocking(
         docs, "doc_id", "text", min_recall=0.2, pair_budget=10**9,
-        threshold=0.35, portable=True,
+        threshold=0.35, portable=True, sigs=sigs,
     )
     assert plan["chosen"] == "minhash_bands", plan
     return dedup.run_blocking(
-        docs, "doc_id", "text", plan
+        docs, "doc_id", "text", plan, sigs=sigs
     ).orderBy("id_a", "id_b")
 
 
