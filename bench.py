@@ -244,6 +244,7 @@ HEADLINE = [
     "x151_cluster_source_breadth",
     "x152_chunk_overlap_audit",
     "x153_ecdf_gate_readback",
+    "x154_frame_sample",
 ]
 
 

@@ -364,3 +364,73 @@ def synth_png_frame(
     return base.mapInPandas(
         run, "doc_id long, content binary"
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def frame_sample(
+    binary_df: DataFrame,
+    win: int = 64,
+    stride: int = 48,
+    every: int = 1,
+) -> DataFrame:
+    """FRAME SAMPLING over opaque binary payloads — the video-pipeline
+    plumbing shape (r1 brief: "frame-sample as Pandas UDFs over
+    mapInPandas"): slide a ``win``-byte window at ``stride`` over each
+    payload (the x24 chunking rule at byte grain: every byte covered,
+    final frame short, one frame for sub-window payloads), keep every
+    ``every``-th frame (the temporal-subsampling knob a video pipeline
+    turns), and emit (doc_id, frame_id, offset, n_bytes, frame_md5) per
+    kept frame. The byte-window extraction is REAL (Arrow batch in,
+    exploded frame batch out — the exact shape a codec-backed frame
+    decoder drops into); the per-frame "decode" is the deterministic
+    md5 fingerprint, the integration point for a real frame featurizer.
+
+    100 TB shape: decode parallelism == partition count, no shuffle —
+    one input batch yields its own frame rows; output volume is
+    len/stride/every rows per payload, controlled by the two knobs."""
+    if win < 1 or stride < 1 or every < 1:
+        raise ValueError("win, stride, every must all be >= 1")
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_id": [], "offset": [],
+                "n_bytes": [], "frame_md5": [],
+            }
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(buf)
+                n = len(buf)
+                n_frames = max(0, -(-max(n - win, 0) // stride)) + 1
+                for f in range(0, n_frames, every):
+                    frame = buf[f * stride: f * stride + win]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["offset"].append(f * stride)
+                    out["n_bytes"].append(len(frame))
+                    out["frame_md5"].append(
+                        hashlib.md5(frame).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_id": pd.Series(out["frame_id"], dtype="int32"),
+                    "offset": pd.Series(out["offset"], dtype="int64"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int32"),
+                    "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, FRAME_SCHEMA
+    )

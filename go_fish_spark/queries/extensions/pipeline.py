@@ -613,3 +613,49 @@ def x111_image_meta_roundtrip(spark, sf_dir):
         F.col("doc_id") % 80 + 1,
     )
     return extract_image_meta(pngs).orderBy("doc_id")
+
+
+@query(
+    "x154_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(encode(text) AS VARCHAR) AS payload,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, payload,
+             CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT) + 1 AS nf
+      FROM b
+    ),
+    e AS (
+      SELECT doc_id, payload,
+             unnest(generate_series(0, nf - 1)) AS f
+      FROM c
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_id,
+           CAST(f * 48 AS BIGINT) AS offset,
+           CAST(length(substr(payload, f * 48 + 1, 64)) AS INT) AS n_bytes,
+           md5(substr(payload, f * 48 + 1, 64)) AS frame_md5
+    FROM e WHERE f % 3 = 0 ORDER BY doc_id, frame_id
+    """,
+)
+def x154_frame_sample(spark, sf_dir):
+    """Binary FRAME EXTRACTION under the full-content oracle
+    (multimodal.frame_sample): 64-byte windows at stride 48 over the
+    ingested payloads, keeping every 3rd frame — the temporal-subsample
+    knob — with each kept frame's BYTES md5-fingerprinted. x19 pins the
+    fan-out's offset/length ARITHMETIC and drops the frame bytes from
+    the compare; THIS entry hash-verifies the extracted content itself
+    (a slicing bug that keeps lengths right but bytes wrong fails x154
+    and not x19), plus the overlapping-window rule (x24 at byte grain)
+    and the every-Nth selection. The oracle re-slices and re-hashes in
+    SQL — byte-exact because the corpus is ASCII (octet_length ==
+    length verified across SFs), so DuckDB's VARCHAR slicing equals the
+    Spark arm's true byte slicing."""
+    binary_df = multimodal.ingest_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.frame_sample(
+        binary_df, win=64, stride=48, every=3
+    ).orderBy("doc_id", "frame_id")

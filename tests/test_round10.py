@@ -965,3 +965,33 @@ def test_durable_labels_demo_runs(spark):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     assert n_clusters > 0
+
+
+def test_frame_sample_semantics(spark):
+    """Byte-window frames: coverage rule (x24 at byte grain), short
+    final frame, every-N selection, content correctness, validation."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from go_fish_spark.operators.multimodal import frame_sample, ingest_binary
+
+    payload = "abcdefghij" * 3  # 30 bytes
+    df = spark.createDataFrame([(1, payload), (2, "xy")], "doc_id long, text string")
+    b = ingest_binary(df, "doc_id", "text")
+    rows = frame_sample(b, win=8, stride=6, every=2).collect()
+    got = {(r.doc_id, r.frame_id): (r.offset, r.n_bytes, r.frame_md5) for r in rows}
+    # doc 1: 30 bytes -> n_frames = ceil(22/6)+1 = 5 (ids 0..4); every=2 -> 0,2,4
+    assert sorted(f for d, f in got if d == 1) == [0, 2, 4]
+    by = payload.encode()
+    for f in (0, 2, 4):
+        off, n, h = got[(1, f)]
+        assert off == f * 6
+        frame = by[off:off + 8]
+        assert n == len(frame)
+        assert h == hashlib.md5(frame).hexdigest()
+    assert got[(1, 4)][1] == 6  # short final frame (30 - 24)
+    # doc 2: sub-window payload -> exactly one (short) frame
+    assert got[(2, 0)] == (0, 2, hashlib.md5(b"xy").hexdigest())
+    with _pytest.raises(ValueError):
+        frame_sample(b, win=0)
