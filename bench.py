@@ -245,6 +245,8 @@ HEADLINE = [
     "x152_chunk_overlap_audit",
     "x153_ecdf_gate_readback",
     "x154_frame_sample",
+    "x155_canonical_ownership",
+    "q94_ewma_level",
 ]
 
 

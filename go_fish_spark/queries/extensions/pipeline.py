@@ -659,3 +659,129 @@ def x154_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(
         binary_df, win=64, stride=48, every=3
     ).orderBy("doc_id", "frame_id")
+
+
+@query(
+    "x155_canonical_ownership",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    q AS (
+      SELECT d.doc_id, d.source, c.component,
+             (0.4 * least(len(string_split(d.text, ' ')) / 100.0, 1.0)
+              + 0.3 * (1.0 - len(list_filter(string_split(d.text, ' '),
+                  w -> w IN ({_DUCK_STOP}))) / len(string_split(d.text, ' ')))
+              + 0.3 * least((length(d.text)
+                  - (len(string_split(d.text, ' ')) - 1))
+                  / len(string_split(d.text, ' ')) / 10.0, 1.0)) AS _q
+      FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    multi AS (
+      SELECT component FROM q
+      GROUP BY component HAVING count(DISTINCT source) >= 2
+    ),
+    mq AS (SELECT q.* FROM q JOIN multi USING (component)),
+    win AS (
+      SELECT component, doc_id, source FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY component ORDER BY _q DESC, doc_id
+        ) AS rn FROM mq
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT m.source,
+             count(*) AS n_contested,
+             sum(CASE WHEN w.source = m.source
+                      AND w.doc_id = m.doc_id THEN 1 ELSE 0 END) AS n_wins
+      FROM mq m JOIN win w ON m.component = w.component
+      GROUP BY m.source
+    )
+    SELECT source,
+           CAST(n_contested AS BIGINT) AS n_contested,
+           CAST(n_wins AS BIGINT) AS n_wins,
+           round(CAST(n_wins AS DOUBLE) / CAST(n_contested AS DOUBLE), 9)
+             AS win_share
+    FROM agg ORDER BY source
+    """,
+)
+def x155_canonical_ownership(spark, sf_dir):
+    """QUALITY-CANONICAL ownership of CONTESTED clusters: restrict to
+    multi-source near-dup clusters (x151's breadth ≥ 2 — the clusters
+    where dedup is a zero-sum game between sources) and report, per
+    source, how many of its docs sit in contested clusters and how many
+    of those docs ARE the x49 quality-argmax winner. x72 answers the
+    min-id rule's absorption; THIS answers the quality rule's politics
+    — a source with many contested docs and near-zero win share is the
+    one the x49 selection systematically drops, which is exactly what a
+    mixture owner needs to know before signing off on dedup. Rides the
+    shared audit pass; bounded (component, source) aggregations."""
+    from ._shared import shared_dedup_audit
+
+    docs = table(spark, sf_dir, "documents")
+    audit = shared_dedup_audit(spark, sf_dir)
+    comp = audit.components.select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    q = docs.select(
+        "doc_id", "source", tx.quality_score("text").alias("_q")
+    ).join(comp, "doc_id")
+    multi = (
+        q.groupBy("component")
+        .agg(F.countDistinct("source").alias("_ns"))
+        .filter(F.col("_ns") >= 2)
+        .select("component")
+    )
+    mq = q.join(multi, "component")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc(), F.col("doc_id")
+    )
+    win = (
+        mq.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("_wid"),
+        )
+    )
+    agg = (
+        mq.join(win, "component")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_contested"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("_wid"), 1).otherwise(0)
+            ).alias("n_wins"),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("n_contested").cast("bigint").alias("n_contested"),
+        F.col("n_wins").cast("bigint").alias("n_wins"),
+        F.round(
+            F.col("n_wins").cast("double")
+            / F.col("n_contested").cast("double"),
+            9,
+        ).alias("win_share"),
+    ).orderBy("source")

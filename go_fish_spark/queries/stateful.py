@@ -986,3 +986,71 @@ def q93_purchase_attribution(spark, sf_dir):
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "q94_ewma_level",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY ts DESC, event_id DESC
+             ) - 1 AS j
+      FROM events
+    ),
+    trail AS (SELECT * FROM ranked WHERE j <= 47),
+    agg AS (
+      SELECT event_type,
+             count(*) AS n_used,
+             sum(CAST(round(value / CAST(1::BIGINT << (j + 1) AS DOUBLE),
+                            12) AS DECIMAL(27,18))) AS _s,
+             max(CASE WHEN j = 0 THEN value END) AS last_value
+      FROM trail GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_used AS BIGINT) AS n_used,
+           round(CAST(_s AS DOUBLE), 9) AS ewma,
+           round(last_value, 9) AS last_value
+    FROM agg ORDER BY event_type
+    """,
+)
+def q94_ewma_level(spark, sf_dir):
+    """Per-type EWMA level of the event-value stream — the smoothing
+    stage every monitoring pipeline puts in front of its alarm (q86's
+    control chart reads daily aggregates; THIS is the event-grain
+    exponentially-weighted level): α = 0.5 over the trailing 48 events
+    ordered by (ts, event_id) DESC. EXACT cross-engine by construction:
+    the weights are dyadic (value / 2^(j+1) — one IEEE division by an
+    exact power of two, no pow() library call anywhere), terms round-12
+    into decimal(27,18) sums (the x125 discipline), and the truncation
+    at 48 is part of the definition (0.5^48 ≈ 3.6e-15 — below the
+    round-12 grain, so the truncated sum IS the EWMA at published
+    precision).
+
+    100 TB shape: the rank window is per-type and the trailing filter
+    caps it at 48 rows per type before the ≤|types| aggregation — on a
+    stream this is the x30/x67 frozen-window form (foreachBatch over
+    the per-type trailing buffer)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    trail = events.withColumn(
+        "_j", F.row_number().over(w) - 1
+    ).filter(F.col("_j") <= 47)
+    term = F.round(
+        F.col("value")
+        / F.expr("CAST(shiftleft(1L, _j + 1) AS DOUBLE)"),
+        12,
+    ).cast("decimal(27,18)")
+    agg = trail.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(term).alias("_s"),
+        F.max(F.when(F.col("_j") == 0, F.col("value"))).alias("_last"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_used").cast("bigint").alias("n_used"),
+        F.round(F.col("_s").cast("double"), 9).alias("ewma"),
+        F.round("_last", 9).alias("last_value"),
+    ).orderBy("event_type")
