@@ -366,7 +366,7 @@ def synth_png_frame(
     )
 
 
-FRAME_SCHEMA = T.StructType(
+FRAME_WINDOW_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_id", T.IntegerType()),
@@ -432,5 +432,5 @@ def frame_sample(
             )
 
     return binary_df.select("doc_id", "content").mapInPandas(
-        run, FRAME_SCHEMA
+        run, FRAME_WINDOW_SCHEMA
     )
