@@ -247,6 +247,7 @@ HEADLINE = [
     "x154_frame_sample",
     "x155_canonical_ownership",
     "q94_ewma_level",
+    "x156_sentiment_profile",
 ]
 
 

@@ -468,3 +468,55 @@ def duck_code_likeness_sql(text_expr: str) -> str:
         f"' '), {kw_list})) AS DOUBLE) / 5, 1.0), 9)"
     )
     return sym, kw, score
+
+
+#: Tiny embedded sentiment lexicon — the AFINN-style lexicon IDEA
+#: (Nielsen 2011) with an original minimal word list; real deployments
+#: swap in a full lexicon through the same two tuples.
+POSITIVE_WORDS = (
+    "good", "great", "excellent", "amazing", "love", "best", "happy",
+    "wonderful", "fantastic", "awesome", "perfect", "beautiful",
+    "success", "win", "benefit", "improve", "easy", "clear", "helpful",
+    "reliable", "fast", "strong", "positive", "gain", "safe",
+)
+NEGATIVE_WORDS = (
+    "bad", "terrible", "awful", "hate", "worst", "sad", "horrible",
+    "poor", "fail", "failure", "broken", "slow", "wrong", "problem",
+    "error", "risk", "loss", "negative", "hard", "difficult", "unsafe",
+    "weak", "ugly", "angry", "crash",
+)
+
+
+def sentiment_metrics(text: Column | str) -> dict[str, Column]:
+    """Lexicon-based sentiment signals (the SURVEY §7 phase-5
+    "sentiment-style" text analyzer, as pure column expressions — no
+    UDF): positive/negative token counts against the embedded lexicon
+    and the normalized polarity (pos − neg)/n_words in [-1, 1]."""
+    t = F.col(text) if isinstance(text, str) else text
+    w = F.split(t, " ")
+    n = F.size(w)
+    n_pos = F.size(F.filter(w, lambda x: x.isin(*POSITIVE_WORDS)))
+    n_neg = F.size(F.filter(w, lambda x: x.isin(*NEGATIVE_WORDS)))
+    pol = F.when(
+        n > 0,
+        (n_pos - n_neg).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {"n_words": n, "n_pos": n_pos, "n_neg": n_neg, "polarity": pol}
+
+
+def sentiment_score(text: Column | str) -> Column:
+    """Normalized polarity in [-1, 1] (see :func:`sentiment_metrics`)."""
+    return sentiment_metrics(text)["polarity"]
+
+
+def duck_sentiment_parts(text_sql: str = "text") -> dict[str, str]:
+    """DuckDB mirrors of :func:`sentiment_metrics` over the SAME
+    lexicon tuples."""
+    pos = ", ".join(f"'{w}'" for w in POSITIVE_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEGATIVE_WORDS)
+    ws = f"string_split({text_sql}, ' ')"
+    return {
+        "n_words": f"len({ws})",
+        "n_pos": f"len(list_filter({ws}, w -> w IN ({pos})))",
+        "n_neg": f"len(list_filter({ws}, w -> w IN ({neg})))",
+    }

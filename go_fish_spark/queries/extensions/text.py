@@ -1159,3 +1159,78 @@ def x133_code_likeness(spark, sf_dir):
         tx.code_keyword_hits("text").alias("kw_hits"),
         tx.code_likeness("text").alias("code_score"),
     ).orderBy("doc_id")
+
+
+def _x156_oracle() -> str:
+    p = tx.duck_sentiment_parts("text")
+    pol = (
+        f"CASE WHEN {p['n_words']} > 0 THEN "
+        f"CAST({p['n_pos']} - {p['n_neg']} AS DOUBLE)"
+        f" / CAST({p['n_words']} AS DOUBLE) ELSE 0.0 END"
+    )
+    return f"""
+    WITH s AS (
+      SELECT source, doc_id,
+             CAST({p['n_pos']} AS BIGINT) AS n_pos,
+             CAST({p['n_neg']} AS BIGINT) AS n_neg,
+             {pol} AS _pol
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_pos) AS BIGINT) AS pos_tokens,
+           CAST(sum(n_neg) AS BIGINT) AS neg_tokens,
+           round(CAST(sum(CAST(round(_pol, 12) AS DECIMAL(27,18)))
+                      AS DOUBLE) / count(*), 9) AS mean_polarity,
+           CAST(sum(CASE WHEN _pol > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive_docs,
+           CAST(sum(CASE WHEN _pol < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative_docs
+    FROM s GROUP BY source ORDER BY source
+    """
+
+
+@query("x156_sentiment_profile", oracle=_x156_oracle())
+def x156_sentiment_profile(spark, sf_dir):
+    """Per-source SENTIMENT profile (functions/text.sentiment_metrics —
+    the SURVEY §7 phase-5 "sentiment-style" analyzer as pure column
+    expressions over an embedded lexicon, no UDF): token polarity
+    counts, decimal-accumulated mean polarity, and per-sign doc counts.
+    The tone dimension of the x55 data card a content-mix owner reads
+    next to quality/code-rate. Map-only scan into a ≤|sources| agg;
+    the lexicon rides the expression tree (IN-list, codegen-side)."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    m = tx.sentiment_metrics("text")
+    s = docs.select(
+        "source",
+        m["n_pos"].alias("_np"),
+        m["n_neg"].alias("_nn"),
+        m["polarity"].alias("_pol"),
+    )
+    agg = s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_np").alias("pos_tokens"),
+        F.sum("_nn").alias("neg_tokens"),
+        F.sum(
+            F.round(F.col("_pol"), 12).cast("decimal(27,18)")
+        ).alias("_s"),
+        F.sum(F.when(F.col("_pol") > 0, 1).otherwise(0)).alias(
+            "n_positive_docs"
+        ),
+        F.sum(F.when(F.col("_pol") < 0, 1).otherwise(0)).alias(
+            "n_negative_docs"
+        ),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("pos_tokens").cast("bigint").alias("pos_tokens"),
+        F.col("neg_tokens").cast("bigint").alias("neg_tokens"),
+        F.round(
+            F.col("_s").cast("double") / F.col("n_docs").cast("double"), 9
+        ).alias("mean_polarity"),
+        F.col("n_positive_docs").cast("bigint").alias("n_positive_docs"),
+        F.col("n_negative_docs").cast("bigint").alias("n_negative_docs"),
+    ).orderBy("source")

@@ -995,3 +995,30 @@ def test_frame_sample_semantics(spark):
     assert got[(2, 0)] == (0, 2, hashlib.md5(b"xy").hexdigest())
     with _pytest.raises(ValueError):
         frame_sample(b, win=0)
+
+
+def test_sentiment_metrics_goldens(spark):
+    """Polarity arithmetic on hand-checkable texts; empty text -> 0."""
+    from go_fish_spark.functions.text import sentiment_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "good good bad other words here"),
+            (2, "terrible awful day"),
+            (3, "neutral words only"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    m = sentiment_metrics("text")
+    rows = {
+        r.doc_id: (r.n_pos, r.n_neg, r.polarity)
+        for r in df.select(
+            "doc_id", m["n_pos"].alias("n_pos"), m["n_neg"].alias("n_neg"),
+            m["polarity"].alias("polarity"),
+        ).collect()
+    }
+    assert rows[1] == (2, 1, (2 - 1) / 6)
+    assert rows[2] == (0, 2, -2 / 3)
+    assert rows[3] == (0, 0, 0.0)
+    assert rows[4][2] == 0.0  # split('') -> [''] but no lexicon hit
