@@ -206,24 +206,35 @@ def component_cohesion(
 
     Inputs: ``components`` = (id, component) (the CC contract);
     ``pairs`` = the verified pair frame the components were closed
-    over. Both endpoints of every pair share a component BY
-    CONSTRUCTION, so one endpoint lookup keys the edge count. Only
-    components with ≥ 2 members are reported (density undefined on
-    singletons).
+    over. Edges are CANONICALIZED first (least/greatest + distinct,
+    self-loops dropped — ADVICE r10 #4): a pairs frame carrying both
+    orientations or duplicate rows counts each undirected edge exactly
+    once, so density can never exceed 1. Both endpoints of every
+    canonical pair share a component BY CONSTRUCTION, so one endpoint
+    lookup keys the edge count. Only components with ≥ 2 members are
+    reported (density undefined on singletons).
 
     Output: (component, n_members, n_edges, density round-9) —
     integers exact, one IEEE division.
 
     100 TB shape: two keyed aggregations over slim frames (member
-    counts on the label table, edge counts on pairs joined through ONE
-    endpoint) — bounded output ≤ |components|."""
+    counts on the label table, canonical-edge counts joined through
+    ONE endpoint) — bounded output ≤ |components|."""
     members = (
         components.groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") >= 2)
     )
+    canon = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_b"),
+        )
+        .filter(F.col("_a") < F.col("_b"))
+        .distinct()
+    )
     edges = (
-        pairs.select(F.col(src_col).alias("id"))
+        canon.select(F.col("_a").alias("id"))
         .join(components, "id")
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_edges"))

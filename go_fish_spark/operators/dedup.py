@@ -2535,6 +2535,13 @@ def run_blocking(
     verified count. An empty pair output never evaluates the guard
     (no rows to carry it) — harmless, since no budget is spent either.
 
+    Output contract (uniform across disciplines — ADVICE r10 #3):
+    every branch returns THRESHOLD-VERIFIED pairs (id_a < id_b, with a
+    similarity column ≥ the plan's threshold). The winnow screen's
+    candidates are verified with the exact k-gram Jaccard on the
+    candidate set before returning — a caller switching plans sees the
+    same semantics from every discipline.
+
     ``plan`` must carry ``action == "proceed"`` (anything else raises:
     an over-budget or contract-less plan is not runnable) and the
     ``params`` block choose_blocking stamped."""
@@ -2588,8 +2595,43 @@ def run_blocking(
                 winnow_fingerprints_expr(text_col, k, winnow_w, portable)
             ).alias("_k")
         )
-        pairs = winnow_pair_screen(
+        # winnowing SCREENS candidates; to keep run_blocking's output
+        # contract uniform across disciplines (threshold-verified pairs
+        # — ADVICE r10 #3) the candidates are verified with the exact
+        # k-gram Jaccard on the CANDIDATE SET only (join through the
+        # shingle arrays; bounded by the priced candidate count, never
+        # the full pair space)
+        cand = winnow_pair_screen(
             df, id_col, text_col, k=k, w=winnow_w, portable=portable
+        )
+        vsh = df.select(
+            F.col(id_col).alias("_vid"),
+            word_shingles(text_col, k).alias("_vsh"),
+        ).withColumn("_vn", F.size("_vsh"))
+        verified = (
+            cand.join(
+                vsh.select(
+                    F.col("_vid").alias("id_a"),
+                    F.col("_vsh").alias("_sha"),
+                    F.col("_vn").alias("n_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                vsh.select(
+                    F.col("_vid").alias("id_b"),
+                    F.col("_vsh").alias("_shb"),
+                    F.col("_vn").alias("n_b"),
+                ),
+                "id_b",
+            )
+            .withColumn("inter", F.size(F.array_intersect("_sha", "_shb")))
+        )
+        jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        pairs = (
+            verified.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
     elif chosen == "sorted_neighborhood":
         # SNM candidates are EXACTLY n·window·len(keys) — the realized

@@ -293,20 +293,17 @@ def test_label_store_crash_between_sigs_and_labels_replays(
 
     # the upsert discipline: the store holds APPENDED patches (id 1's
     # relabel from batch 2 coexists with its bootstrap row), and
-    # compaction folds them to one latest-wins row per id
-    import pyspark.sql.functions as F
-    raw = spark.read.parquet(os.path.join(store, "labels"))
+    # compaction folds them to one latest-wins row per id — served by
+    # the SAME reader of record via the generation manifest (r11)
+    labels_path = os.path.join(store, "labels")
+    raw = spark.read.parquet(labels_path)
     assert raw.count() > len(seen)  # history retained -> true upserts
-    n = ls.compact_label_store(spark, os.path.join(store, "labels"),
-                               n_shards=8)
+    n = ls.compact_label_store(spark, labels_path, n_shards=8)
     assert n == len(seen)
+    man = ls.read_compaction_manifest(labels_path)
+    assert man is not None and man["gen"] == 1
     compacted = sorted(
-        map(
-            tuple,
-            ls.read_label_store(
-                spark, os.path.join(store, "labels") + "_compacted"
-            ).collect(),
-        )
+        map(tuple, ls.read_label_store(spark, labels_path).collect())
     )
     assert compacted == got
 

@@ -1,0 +1,378 @@
+"""Round-11 tests, part 1: the four r10 ADVICE fixes (label-store read
+error propagation, real generation+manifest compaction, run_blocking's
+uniform verified-pair contract, component_cohesion edge
+canonicalization) and the r10 verdict's store hardening — atomic
+cross-store commit (Next #3) and the compaction policy (Next #4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# --- ADVICE #1: read_label_store error propagation ---------------------------
+
+
+def test_read_label_store_missing_path_is_none(spark, tmp_path):
+    from go_fish_spark.streaming import labelstore as ls
+
+    assert ls.read_label_store(spark, str(tmp_path / "nope")) is None
+
+
+def test_read_label_store_corrupt_store_raises(spark, tmp_path):
+    """A store directory that EXISTS but cannot be read is corruption,
+    not emptiness: returning None here would send the maintenance
+    stream down the bootstrap path and permanently split cross-batch
+    components (ADVICE r10 #1)."""
+    from go_fish_spark.streaming import labelstore as ls
+
+    bad = tmp_path / "labels"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        df = ls.read_label_store(spark, str(bad))
+        # some failure modes surface only at action time
+        if df is not None:
+            df.collect()
+
+
+# --- ADVICE #4: component_cohesion canonicalizes edges ------------------------
+
+
+def test_component_cohesion_orientation_and_dup_invariant(spark):
+    """A pairs frame carrying both orientations and duplicate rows must
+    count each undirected edge once — density can never exceed 1."""
+    from go_fish_spark.operators.audit import component_cohesion
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, component long"
+    )
+    canonical = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (2, 3), (3, 2), (1, 1)],
+        "id_a long, id_b long",
+    )
+    want = [
+        (r.component, r.n_members, r.n_edges, r.density)
+        for r in component_cohesion(comps, canonical).collect()
+    ]
+    got = [
+        (r.component, r.n_members, r.n_edges, r.density)
+        for r in component_cohesion(comps, messy).collect()
+    ]
+    assert got == want
+    assert want == [(1, 3, 2, round(2 / 3, 9))]
+    assert all(d <= 1.0 for (_, _, _, d) in got)
+
+
+# --- ADVICE #3: run_blocking winnow branch verifies against threshold --------
+
+
+def test_run_blocking_winnow_returns_verified_pairs(spark):
+    """Every run_blocking discipline returns THRESHOLD-VERIFIED pairs.
+    The winnow screen's candidates include any pair sharing one long
+    token run even when the pair's overall Jaccard is far below the
+    plan threshold — those must be filtered out before returning."""
+    from go_fish_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        run_blocking,
+        winnow_pair_screen,
+    )
+
+    shared_run = "quick brown fox jumps over the lazy dog tonight"
+    filler_a = " ".join(f"atoken{i}" for i in range(40))
+    filler_b = " ".join(f"btoken{i}" for i in range(40))
+    rows = [
+        # 1-2: true near-dups (high Jaccard)
+        (1, shared_run + " alpha beta gamma"),
+        (2, shared_run + " alpha beta delta"),
+        # 3-4: share ONLY the run inside long distinct filler (low J)
+        (3, filler_a + " " + shared_run),
+        (4, filler_b + " " + shared_run),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    # the screen alone WOULD surface (3,4) — the premise of the test
+    cand = {
+        (r.id_a, r.id_b)
+        for r in winnow_pair_screen(
+            df, "doc_id", "text", k=3, w=4, portable=True
+        ).collect()
+    }
+    assert (3, 4) in cand
+    plan = {
+        "action": "proceed",
+        "chosen": "winnow_index",
+        "threshold": t,
+        "disciplines": {"winnow_index": {"cost": 10_000}},
+        "params": {
+            "k": 3, "n_hashes": 64, "bands": 16, "window": 3,
+            "snm_keys": (), "winnow_w": 4, "portable": True,
+        },
+    }
+    out = run_blocking(df, "doc_id", "text", plan)
+    assert "jaccard" in out.columns
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=t
+        ).collect()
+        if (r.id_a, r.id_b) in cand
+    }
+    assert got == want
+    assert (1, 2) in got and (3, 4) not in got
+    assert all(r.jaccard >= t for r in out.collect())
+
+
+# --- ADVICE #2 + r10 Next #4: generation+manifest compaction ------------------
+
+
+def _mk_patches(spark, ls, path, n_batches, n_shards=4, rows_per=6):
+    for b in range(n_batches):
+        patch = spark.createDataFrame(
+            [(i, max(0, i - b)) for i in range(rows_per)],
+            "id long, component long",
+        )
+        ls.append_label_patch(patch, path, batch_id=b, n_shards=n_shards)
+
+
+def test_compaction_generation_manifest_and_reader_of_record(
+    spark, tmp_path
+):
+    from go_fish_spark.streaming import labelstore as ls
+
+    path = str(tmp_path / "labels")
+    _mk_patches(spark, ls, path, n_batches=3)
+    before = sorted(map(tuple, ls.read_label_store(spark, path).collect()))
+    n = ls.compact_label_store(spark, path, n_shards=4)
+    assert n == len(before)
+    man = ls.read_compaction_manifest(path)
+    assert man == {"gen": 1, "covered_max_batch": 2, "version": 1}
+    # the reader of record serves the generation — same answer
+    after = sorted(map(tuple, ls.read_label_store(spark, path).collect()))
+    assert after == before
+    # prune removed the superseded patch dir
+    assert not os.path.exists(path)
+    # new patches after compaction layer on top of the generation
+    patch = spark.createDataFrame([(0, 99)], "id long, component long")
+    ls.append_label_patch(patch, path, batch_id=7, n_shards=4)
+    got = dict(
+        (r.id, r.component)
+        for r in ls.read_label_store(spark, path).collect()
+    )
+    assert got[0] == 99 and got[1] == before[1][1]
+    # second compaction folds again: gen 2, old gen pruned
+    n2 = ls.compact_label_store(spark, path, n_shards=4)
+    assert n2 == len(before)
+    man2 = ls.read_compaction_manifest(path)
+    assert man2["gen"] == 2 and man2["covered_max_batch"] == 7
+    assert not os.path.exists(ls._generation_path(path, 1))
+    got2 = dict(
+        (r.id, r.component)
+        for r in ls.read_label_store(spark, path).collect()
+    )
+    assert got2 == got
+
+
+def test_torn_compaction_invisible_until_repoint(spark, tmp_path):
+    """A crash AFTER the new generation is written but BEFORE the
+    manifest repoint leaves the reader on the old (complete) view; a
+    re-run of compaction recovers by rewriting the torn generation."""
+    from go_fish_spark.streaming import labelstore as ls
+
+    path = str(tmp_path / "labels")
+    _mk_patches(spark, ls, path, n_batches=2)
+    before = sorted(map(tuple, ls.read_label_store(spark, path).collect()))
+    # simulate the torn write: generation 1 exists, no manifest
+    latest = ls.read_label_store(spark, path)
+    ls.append_label_patch(
+        latest, ls._generation_path(path, 1), batch_id=1, n_shards=4
+    )
+    assert ls.read_compaction_manifest(path) is None
+    assert (
+        sorted(map(tuple, ls.read_label_store(spark, path).collect()))
+        == before
+    )
+    # recovery: compaction re-runs end-to-end
+    n = ls.compact_label_store(spark, path, n_shards=4)
+    assert n == len(before)
+    assert (
+        sorted(map(tuple, ls.read_label_store(spark, path).collect()))
+        == before
+    )
+
+
+def test_read_label_shard_prunes_after_compaction(spark, tmp_path):
+    from go_fish_spark.streaming import labelstore as ls
+
+    path = str(tmp_path / "labels")
+    patch = spark.createDataFrame(
+        [(i, i % 3) for i in range(40)], "id long, component long"
+    )
+    ls.append_label_patch(patch, path, batch_id=0, n_shards=8)
+    ls.compact_label_store(spark, path, n_shards=8)
+    ls.append_label_patch(
+        spark.createDataFrame([(17, 42)], "id long, component long"),
+        path, batch_id=1, n_shards=8,
+    )
+    out = ls.read_label_shard(spark, path, 17, n_shards=8)
+    rows = out.collect()
+    assert [(r.id, r.component) for r in rows] == [(17, 42)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+
+
+# --- r10 Next #3: atomic cross-store commit -----------------------------------
+
+
+def test_store_commit_forward_only(tmp_path):
+    from go_fish_spark.streaming import labelstore as ls
+
+    d = str(tmp_path)
+    assert ls.read_store_commit(d) is None
+    ls.publish_store_commit(d, 5)
+    assert ls.read_store_commit(d) == 5
+    ls.publish_store_commit(d, 3)  # a replayed batch can't move it back
+    assert ls.read_store_commit(d) == 5
+    ls.publish_store_commit(d, 6)
+    assert ls.read_store_commit(d) == 6
+
+
+def test_committed_reader_never_sees_sig_label_skew(spark, tmp_path):
+    """Reader isolation across BOTH crash windows of a batch commit:
+    (a) sigs appended, labels not; (b) sigs+labels appended, manifest
+    not published. In both, read_committed_store serves the previous
+    matched (sig, label) pair; after publish it serves the new pair."""
+    from go_fish_spark.operators.dedup import minhash_signature
+    from go_fish_spark.streaming import labelstore as ls
+
+    store = str(tmp_path / "store")
+    labels_path = os.path.join(store, "labels")
+    sig_dir = os.path.join(store, "_sigs")
+    os.makedirs(store)
+
+    def _append_sigs(rows, batch_id):
+        spark.createDataFrame(rows, "doc_id long, text string").select(
+            F.col("doc_id").alias("_id"),
+            minhash_signature("text", 64, 3, 42, True).alias("_sig"),
+        ).withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sig_dir)
+
+    # batch 0: full commit
+    b0 = [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")]
+    _append_sigs(b0, 0)
+    ls.append_label_patch(
+        spark.createDataFrame([(1, 1), (2, 2)], "id long, component long"),
+        labels_path, batch_id=0, n_shards=4,
+    )
+    ls.publish_store_commit(store, 0)
+    view0 = ls.read_committed_store(spark, store)
+    assert view0["committed_batch"] == 0
+    ids0 = {r._id for r in view0["sigs"].collect()}
+    lab0 = {r.id for r in view0["labels"].collect()}
+    assert ids0 == lab0 == {1, 2}
+
+    # window (a): batch 1 sigs landed, labels did not (crash)
+    b1 = [(3, "iota kappa lambda mu")]
+    _append_sigs(b1, 1)
+    view_a = ls.read_committed_store(spark, store)
+    assert {r._id for r in view_a["sigs"].collect()} == {1, 2}
+    assert {r.id for r in view_a["labels"].collect()} == {1, 2}
+
+    # window (b): labels landed too, manifest not yet published
+    ls.append_label_patch(
+        spark.createDataFrame([(3, 3)], "id long, component long"),
+        labels_path, batch_id=1, n_shards=4,
+    )
+    view_b = ls.read_committed_store(spark, store)
+    assert {r._id for r in view_b["sigs"].collect()} == {1, 2}
+    assert {r.id for r in view_b["labels"].collect()} == {1, 2}
+
+    # publish: both surfaces advance together
+    ls.publish_store_commit(store, 1)
+    view1 = ls.read_committed_store(spark, store)
+    assert {r._id for r in view1["sigs"].collect()} == {1, 2, 3}
+    assert {r.id for r in view1["labels"].collect()} == {1, 2, 3}
+
+
+# --- r10 Next #4: compaction policy --------------------------------------------
+
+
+def test_compaction_plan_many_small_vs_few_large(spark, tmp_path):
+    from go_fish_spark.streaming import labelstore as ls
+
+    many = str(tmp_path / "many")
+    _mk_patches(spark, ls, many, n_batches=10, n_shards=2, rows_per=4)
+    plan = ls.compaction_plan(many, file_cutoff=4.0, min_patch_files=8)
+    assert plan["action"] == "compact"
+    assert plan["read_amp"] >= 4.0
+
+    few = str(tmp_path / "few")
+    _mk_patches(spark, ls, few, n_batches=2, n_shards=2, rows_per=4)
+    plan2 = ls.compaction_plan(few, file_cutoff=4.0, min_patch_files=8)
+    assert plan2["action"] == "skip"
+
+    # post-compaction: read_amp collapses to ~1, policy says skip,
+    # and the read-back is unchanged (parity)
+    before = sorted(map(tuple, ls.read_label_store(spark, many).collect()))
+    ls.compact_label_store(spark, many, n_shards=2)
+    plan3 = ls.compaction_plan(many, file_cutoff=4.0, min_patch_files=8)
+    assert plan3["action"] == "skip"
+    assert plan3["read_amp"] <= 1.0
+    after = sorted(map(tuple, ls.read_label_store(spark, many).collect()))
+    assert after == before
+
+
+def test_maintenance_stream_runs_compaction_policy(spark, tmp_path):
+    """E2E: the stream prices compaction after each commit and folds
+    the store when the cutoff trips; the read-back still equals the
+    full recompute (parity through compaction)."""
+    from test_round10 import _LS_BATCHES, _LS_SCHEMA, _full_labels
+
+    from go_fish_spark.streaming.labelstore import (
+        label_store_maintenance_stream,
+        read_compaction_manifest,
+        read_label_store,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    decisions = []
+
+    def _drain():
+        label_store_maintenance_stream(
+            spark.readStream.schema(_LS_SCHEMA).parquet(src),
+            store, cp, bands=32, threshold=0.3, portable=True,
+            n_shards=4, compaction_policy=True,
+            compaction_file_cutoff=1.0, compaction_min_files=1,
+            on_compaction=decisions.append,
+        ).awaitTermination(120)
+
+    seen = []
+    for batch in _LS_BATCHES:
+        spark.createDataFrame(batch, _LS_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        seen.extend(batch)
+        _drain()
+    assert any(d["action"] == "compact" for d in decisions)
+    assert read_compaction_manifest(os.path.join(store, "labels"))
+    got = sorted(
+        map(
+            tuple,
+            read_label_store(
+                spark, os.path.join(store, "labels")
+            ).collect(),
+        )
+    )
+    assert got == _full_labels(spark, seen)
