@@ -1605,3 +1605,473 @@ def hard_negative_topk(
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# choose_ann / run_ann — the ANN family's blocking planner (r10 verdict
+# Next #2): the choose_blocking/run_blocking discipline applied to
+# similarity search. Reference anchor: gap category — the reference
+# (`rule.go:31-43`) validates a rule before running it; this prices an
+# index strategy before building it.
+
+
+def _ann_cost_model(
+    n_c: int,
+    n_q: int,
+    cand_l: int,
+    cand_v: int,
+    dim: int,
+    n_planes: int,
+    n_cells: int,
+    n_probe: int,
+    m: int,
+    ksub: int,
+) -> dict:
+    """SEARCH-time cost of each discipline in multiply-add units (one
+    float multiply-add = 1; one ADC table lookup-add = 1), from corpus
+    statistics only — the x103 co-occurrence law in the ANN family's
+    currency. ``cand_l`` = Σ_buckets |corpus ∩ b|·|queries ∩ b| (LSH),
+    ``cand_v`` = Σ_cells |corpus ∩ cell|·|queries probing cell| (IVF
+    routing law). Build costs (one-time index construction: bucket
+    keys / cell assignment / PQ encoding) are reported separately and
+    NOT charged against the search budget — at 100 TB the index is
+    built once and amortized over every query batch; the numpy
+    quantizer fits are driver-side bounded (≤ train_cap × dim) and
+    excluded like choose_blocking excludes its own pricing pass."""
+    dsub = dim // m
+    return {
+        "brute_force": {
+            "build_cost": 0,
+            "cost": n_q * n_c * dim,
+        },
+        "lsh_buckets": {
+            "build_cost": n_c * n_planes * dim,
+            "cost": n_q * n_planes * dim + cand_l * dim,
+        },
+        "ivf_probe": {
+            "build_cost": n_c * n_cells * dim,
+            "cost": n_q * n_cells * dim + cand_v * dim,
+        },
+        "ivfpq_adc": {
+            "build_cost": n_c * n_cells * dim + n_c * m * ksub * dsub,
+            "cost": (
+                n_q * n_cells * dim
+                + n_q * n_probe * m * ksub * dsub
+                + cand_v * m
+            ),
+        },
+    }
+
+
+def choose_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    min_recall: float,
+    flop_budget: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    pq_m: int = 4,
+    pq_ksub: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
+    measured_recall: dict | None = None,
+    measure: bool = False,
+    measure_sample_queries: int = 50,
+    quantizer: "Quantizer | None" = None,
+) -> dict:
+    """ANN-discipline PLANNER (r10 verdict Next #2 — choose_blocking's
+    twin for similarity search): given a recall contract
+    (``min_recall`` for top-``k`` retrieval) and a search-time
+    ``flop_budget`` (multiply-add units), price all four disciplines —
+    brute force / LSH buckets / IVF probing / IVF-PQ ADC — from corpus
+    statistics WITHOUT running any search, and return the plan.
+
+    Pricing is ONE Spark job (the choose_blocking union discipline):
+    corpus rows emit their LSH bucket and IVF cell keys, query rows
+    emit their bucket and *probe-routing* keys (n_probe nearest cells,
+    the same expression tree ivf_topk_expr routes with), tagged by
+    side; one exchange produces per-key (corpus, query) multiplicities
+    whose product-sums are the EXACT candidate counts each discipline's
+    scoring stage will touch. Costs then follow :func:`_ann_cost_model`.
+
+    Decision rule — deliberately the MIRROR of choose_blocking's: dedup
+    disciplines verify their candidates, so the cheapest
+    contract-meeting one wins; an ANN discipline's recall IS its output
+    quality, so among disciplines that meet ``min_recall`` AND fit the
+    budget, the HIGHEST-RECALL one wins (ties → cheaper). Recall per
+    discipline: brute force is 1.0 analytically; LSH/IVF/IVF-PQ have no
+    closed form — they are eligible only with a ``measured_recall``
+    entry, or ``measure=True``, which runs the planner's own instrument
+    (:func:`measure_ann_recall` — the x79 recall audit over a
+    deterministic query sample) when the analytic disciplines bust the
+    budget, then re-decides.
+
+    Returns a dict: ``action`` ∈ {"proceed", "over_budget",
+    "no_discipline"}, ``chosen``, per-discipline cost/build_cost/
+    recall/eligible/within_budget, the corpus stats, and the ``params``
+    block :func:`run_ann` executes under."""
+    if not 0.0 <= min_recall <= 1.0:
+        raise ValueError("min_recall must be in [0, 1]")
+    if flop_budget < 0:
+        raise ValueError("flop_budget must be >= 0")
+    if dim % pq_m != 0:
+        raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
+    measured = measured_recall or {}
+    if quantizer is None:
+        quantizer = fit_quantizer_det(
+            corpus, id_col, vec_col, n_cells, train_cap, seed
+        )
+    planes = hyperplanes(dim, n_planes, seed)
+
+    bk = bucket_key(vec_col, planes)
+    cor_keys = (
+        corpus.select(F.concat(F.lit("l:"), bk.cast("string")).alias("_key"))
+        .unionByName(
+            corpus.select(
+                F.concat(
+                    F.lit("v:"),
+                    quantizer.assign_expr_col(vec_col).cast("string"),
+                ).alias("_key")
+            )
+        )
+        .unionByName(corpus.select(F.lit("#").alias("_key")))
+        .withColumn("_side", F.lit("c"))
+    )
+    wp = Window.partitionBy("_qid").orderBy("_d", "cell")
+    probe = (
+        queries.select(
+            F.col(id_col).alias("_qid"),
+            F.posexplode(quantizer.dist_expr_arr(vec_col)).alias(
+                "cell", "_d"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+    )
+    q_keys = (
+        queries.select(
+            F.concat(F.lit("l:"), bk.cast("string")).alias("_key")
+        )
+        .unionByName(
+            probe.select(
+                F.concat(F.lit("v:"), F.col("cell").cast("string")).alias(
+                    "_key"
+                )
+            )
+        )
+        .unionByName(queries.select(F.lit("#").alias("_key")))
+        .withColumn("_side", F.lit("q"))
+    )
+    per = (
+        cor_keys.unionByName(q_keys)
+        .groupBy("_key")
+        .agg(
+            F.sum(F.when(F.col("_side") == "c", 1).otherwise(0)).alias(
+                "_cm"
+            ),
+            F.sum(F.when(F.col("_side") == "q", 1).otherwise(0)).alias(
+                "_qm"
+            ),
+        )
+        .groupBy(F.substring("_key", 1, 1).alias("_d"))
+        .agg(
+            F.sum(F.expr("_cm * _qm")).alias("_prod"),
+            F.sum("_cm").alias("_nc"),
+            F.sum("_qm").alias("_nq"),
+        )
+        .collect()
+    )
+    stats = {r["_d"]: r for r in per}
+    n_c = int(stats["#"]["_nc"]) if "#" in stats else 0
+    n_q = int(stats["#"]["_nq"]) if "#" in stats else 0
+    cand_l = int(stats["l"]["_prod"] or 0) if "l" in stats else 0
+    cand_v = int(stats["v"]["_prod"] or 0) if "v" in stats else 0
+
+    disciplines = _ann_cost_model(
+        n_c, n_q, cand_l, cand_v, dim, n_planes, n_cells, n_probe,
+        pq_m, pq_ksub,
+    )
+    disciplines["brute_force"]["recall"] = 1.0
+    for name in ("lsh_buckets", "ivf_probe", "ivfpq_adc"):
+        disciplines[name]["recall"] = measured.get(name)
+    plan = {
+        "disciplines": disciplines,
+        "n_corpus": n_c,
+        "n_queries": n_q,
+        "cand_lsh": cand_l,
+        "cand_ivf": cand_v,
+        "min_recall": min_recall,
+        "flop_budget": flop_budget,
+    }
+
+    def _decide() -> None:
+        for d in disciplines.values():
+            d["eligible"] = (
+                d["recall"] is not None and d["recall"] >= min_recall
+            )
+            d["within_budget"] = d["cost"] <= flop_budget
+        runnable = [
+            name
+            for name, d in disciplines.items()
+            if d["eligible"] and d["within_budget"]
+        ]
+        if runnable:
+            plan.update(
+                action="proceed",
+                # highest recall wins; ties -> cheaper search
+                chosen=max(
+                    runnable,
+                    key=lambda n: (
+                        disciplines[n]["recall"],
+                        -disciplines[n]["cost"],
+                    ),
+                ),
+            )
+            return
+        eligible = sorted(
+            (n for n, d in disciplines.items() if d["eligible"]),
+            key=lambda n: disciplines[n]["cost"],
+        )
+        if eligible:
+            plan.update(action="over_budget", chosen=eligible[0])
+        else:
+            plan.update(action="no_discipline", chosen=None)
+
+    _decide()
+    if measure and plan["action"] != "proceed":
+        missing = tuple(
+            n
+            for n in ("lsh_buckets", "ivf_probe", "ivfpq_adc")
+            if disciplines[n]["recall"] is None
+        )
+        if missing:
+            inst = measure_ann_recall(
+                corpus, queries, dim,
+                which=missing, id_col=id_col, vec_col=vec_col, k=k,
+                n_planes=n_planes, n_cells=n_cells, n_probe=n_probe,
+                pq_m=pq_m, pq_ksub=pq_ksub, seed=seed,
+                train_cap=train_cap,
+                sample_queries=measure_sample_queries,
+                quantizer=quantizer,
+            )
+            for name, rec in inst.items():
+                disciplines[name]["recall"] = rec
+                disciplines[name]["recall_source"] = "instrument"
+            plan["instrument_recall"] = inst
+            _decide()
+    plan["params"] = {
+        "dim": dim, "k": k, "n_planes": n_planes, "n_cells": n_cells,
+        "n_probe": n_probe, "pq_m": pq_m, "pq_ksub": pq_ksub,
+        "seed": seed, "train_cap": train_cap,
+    }
+    return plan
+
+
+def measure_ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    which: tuple = ("lsh_buckets", "ivf_probe", "ivfpq_adc"),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    pq_m: int = 4,
+    pq_ksub: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
+    sample_queries: int = 50,
+    quantizer: "Quantizer | None" = None,
+) -> dict:
+    """The ANN planner's RECALL INSTRUMENT (the x79 audit as a
+    callable, mirroring measure_blocking_recall): mean recall@k of each
+    approximate discipline against the exact brute-force ground truth,
+    over a deterministic md5-hash-ordered QUERY sample. Ground truth
+    costs |sample| × |corpus| × dim — the bounded price of making the
+    approximate disciplines eligible without a hand-carried recall
+    dict. Returns {discipline: mean recall}; honest-estimate caveat:
+    recall on the sampled queries estimates, not bounds, full-set
+    recall."""
+    samp = (
+        queries.select(id_col, vec_col)
+        .orderBy(
+            F.md5(F.col(id_col).cast("string")),
+            F.col(id_col).cast("string"),
+        )
+        .limit(int(sample_queries))
+        .localCheckpoint()
+    )
+    truth = brute_force_topk(corpus, samp, id_col, vec_col, k)
+    if quantizer is None and any(
+        n in which for n in ("ivf_probe", "ivfpq_adc")
+    ):
+        quantizer = fit_quantizer_det(
+            corpus, id_col, vec_col, n_cells, train_cap, seed
+        )
+    out: dict = {}
+    for name in which:
+        if name == "lsh_buckets":
+            approx = lsh_topk(
+                corpus, samp, dim, id_col, vec_col, k, n_planes, seed
+            )
+        elif name == "ivf_probe":
+            approx = ivf_topk_expr(
+                corpus, samp, quantizer, id_col, vec_col, k, n_probe
+            )
+        elif name == "ivfpq_adc":
+            coarse, pq = fit_ivfpq_det(
+                corpus, id_col, vec_col, n_cells, pq_m, pq_ksub,
+                train_cap, seed,
+            )
+            approx = ivfpq_topk_expr(
+                corpus, samp, coarse, pq, id_col, vec_col, k, n_probe
+            )
+        else:
+            raise ValueError(
+                f"no instrument for discipline {name!r} "
+                "(brute force is exact)"
+            )
+        row = (
+            ann_recall_audit(truth, approx, k)
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]
+        )
+        out[name] = round(float(row["r"]), 6) if row["r"] is not None else 0.0
+    return out
+
+
+def run_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    plan: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    slack: float = 1.5,
+    quantizer: "Quantizer | None" = None,
+) -> DataFrame:
+    """Execute the discipline a :func:`choose_ann` plan chose, with the
+    priced contract ENFORCED (the run_blocking x140 discipline for the
+    ANN family): the output top-k frame carries a LAZY in-plan
+    ``raise_error`` guard that re-derives the realized CANDIDATE count
+    from the CURRENT corpus/queries via the same product law the
+    planner priced with, and aborts at first evaluation if it exceeds
+    the plan's candidate estimate × ``slack`` — a corpus or query set
+    that mutated between pricing and execution fails fast instead of
+    silently running a search the budget never sanctioned. (The
+    routing/dtable terms of the cost are pure arithmetic in the counts,
+    so candidates are the only data-dependent exposure.)
+
+    Output: the chosen discipline's native top-k frame — (query_id,
+    rank, vec_id, cos) for brute/LSH/IVF, (query_id, rank, vec_id,
+    adist) for IVF-PQ; rank ≤ plan k per query in all cases.
+
+    Quantizer reuse: pass the SAME pre-fitted coarse quantizer the plan
+    priced with when you have it; otherwise the deterministic fit
+    (:func:`fit_quantizer_det` at the plan's stamped params) reproduces
+    it exactly."""
+    if plan.get("action") != "proceed":
+        raise ValueError(
+            f"plan is not runnable: action={plan.get('action')!r} "
+            f"(chosen={plan.get('chosen')!r}); raise flop_budget or "
+            f"supply measured_recall / measure=True and re-plan"
+        )
+    chosen = plan["chosen"]
+    p = plan["params"]
+    dim, k, seed = p["dim"], p["k"], p["seed"]
+    n_planes, n_cells, n_probe = p["n_planes"], p["n_cells"], p["n_probe"]
+
+    if chosen == "brute_force":
+        est = plan["n_corpus"] * plan["n_queries"]
+        realized = (
+            corpus.agg(F.count(F.lit(1)).alias("_nc"))
+            .crossJoin(queries.agg(F.count(F.lit(1)).alias("_nq")))
+            .select((F.col("_nc") * F.col("_nq")).alias("_realized"))
+        )
+        result = brute_force_topk(corpus, queries, id_col, vec_col, k)
+    elif chosen == "lsh_buckets":
+        est = plan["cand_lsh"]
+        planes = hyperplanes(dim, n_planes, seed)
+        bk = bucket_key(vec_col, planes)
+        ch = corpus.select(bk.alias("_bk")).groupBy("_bk").agg(
+            F.count(F.lit(1)).alias("_cm")
+        )
+        qh = queries.select(bk.alias("_bk")).groupBy("_bk").agg(
+            F.count(F.lit(1)).alias("_qm")
+        )
+        realized = ch.join(qh, "_bk").agg(
+            F.coalesce(F.sum(F.expr("_cm * _qm")), F.lit(0)).alias(
+                "_realized"
+            )
+        )
+        result = lsh_topk(
+            corpus, queries, dim, id_col, vec_col, k, n_planes, seed
+        )
+    elif chosen in ("ivf_probe", "ivfpq_adc"):
+        est = plan["cand_ivf"]
+        if quantizer is None:
+            quantizer = fit_quantizer_det(
+                corpus, id_col, vec_col, n_cells, p["train_cap"], seed
+            )
+        ch = (
+            corpus.select(quantizer.assign_expr_col(vec_col).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_cm"))
+        )
+        wp = Window.partitionBy("_qid").orderBy("_d", "cell")
+        qh = (
+            queries.select(
+                F.col(id_col).alias("_qid"),
+                F.posexplode(quantizer.dist_expr_arr(vec_col)).alias(
+                    "cell", "_d"
+                ),
+            )
+            .withColumn("_rn", F.row_number().over(wp))
+            .filter(F.col("_rn") <= n_probe)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_qm"))
+        )
+        realized = ch.join(qh, "cell").agg(
+            F.coalesce(F.sum(F.expr("_cm * _qm")), F.lit(0)).alias(
+                "_realized"
+            )
+        )
+        if chosen == "ivf_probe":
+            result = ivf_topk_expr(
+                corpus, queries, quantizer, id_col, vec_col, k, n_probe
+            )
+        else:
+            coarse, pq = fit_ivfpq_det(
+                corpus, id_col, vec_col, n_cells, p["pq_m"], p["pq_ksub"],
+                p["train_cap"], seed,
+            )
+            result = ivfpq_topk_expr(
+                corpus, queries, coarse, pq, id_col, vec_col, k, n_probe
+            )
+    else:  # pragma: no cover — planner only emits the four above
+        raise ValueError(f"unknown discipline {chosen!r}")
+
+    cap = int(est * slack)
+    guard = F.when(
+        F.col("_realized") > cap,
+        F.raise_error(
+            F.format_string(
+                "run_ann: realized candidate count %s for discipline "
+                f"'{chosen}' exceeds the priced estimate {est} x slack "
+                f"{slack} = {cap}; the corpus or query set changed "
+                "after pricing - re-run choose_ann",
+                F.col("_realized").cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return (
+        result.crossJoin(F.broadcast(realized))
+        .filter(guard)
+        .drop("_realized")
+    )

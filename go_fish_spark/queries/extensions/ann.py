@@ -1037,3 +1037,130 @@ def x148_ivf_distortion(spark, sf_dir):
     return similarity.ivf_cell_distortion(
         emb, "embedding", _np.asarray(q.clusterCenters())
     )
+
+
+_X157_RECALLS = {"ivf_probe": 0.9, "ivfpq_adc": 0.85, "lsh_buckets": 0.5}
+_X157_MIN_RECALL = 0.8
+_X157_BUDGET = 2_000_000
+
+
+def _x157_oracle(sf_dir: str) -> str | None:
+    """DuckDB mirror of the choose_ann pricing table: the same corpus
+    statistics (counts, LSH bucket product-sum over duck_bucket_key,
+    IVF probe product-sum over the deterministic centroid routing of
+    _x15_oracle), the same search-FLOP arithmetic per discipline, the
+    same recall constants, eligibility/budget booleans, and the
+    highest-recall-within-budget choice rule."""
+    from ...operators.dedup import duck_bucket_key
+
+    centers = _det_centers(16, sf_dir)
+    if centers is None:
+        return None
+    planes = similarity.hyperplanes(_EMB_DIM, 8, 42)
+    bk = duck_bucket_key("embedding", planes)
+    dl = similarity.duck_dist_list("embedding", centers)
+    d = _EMB_DIM
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    nc AS (SELECT count(*) AS n FROM embeddings),
+    nq AS (SELECT count(*) AS n FROM q),
+    cbh AS (SELECT bk, count(*) AS cm
+            FROM (SELECT {bk} AS bk FROM embeddings) GROUP BY bk),
+    qbh AS (SELECT bk, count(*) AS qm
+            FROM (SELECT {bk} AS bk FROM q) GROUP BY bk),
+    cand_l AS (SELECT coalesce(sum(cm * qm), 0) AS v
+               FROM cbh JOIN qbh USING (bk)),
+    ch AS (SELECT cell, count(*) AS cm FROM (
+             SELECT {similarity.duck_assign('dl')} AS cell
+             FROM (SELECT {dl} AS dl FROM embeddings)
+           ) GROUP BY cell),
+    qd AS (SELECT vec_id AS query_id, {dl} AS dl FROM q),
+    pe AS (SELECT query_id, CAST(unnest(range(0, 16)) AS INT) AS cell,
+                  unnest(dl) AS dist FROM qd),
+    probe AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, cell) AS rn
+        FROM pe
+      ) WHERE rn <= 4
+    ),
+    qh AS (SELECT cell, count(*) AS qm FROM probe GROUP BY cell),
+    cand_v AS (SELECT coalesce(sum(cm * qm), 0) AS v
+               FROM ch JOIN qh USING (cell)),
+    t AS (
+      SELECT 'brute_force' AS discipline,
+             CAST((SELECT n FROM nq) * (SELECT n FROM nc) * {d} AS BIGINT)
+               AS cost,
+             CAST(1.0 AS DOUBLE) AS recall
+      UNION ALL
+      SELECT 'ivf_probe',
+             CAST((SELECT n FROM nq) * 16 * {d}
+                  + (SELECT v FROM cand_v) * {d} AS BIGINT),
+             CAST({_X157_RECALLS["ivf_probe"]} AS DOUBLE)
+      UNION ALL
+      SELECT 'ivfpq_adc',
+             CAST((SELECT n FROM nq) * 16 * {d}
+                  + (SELECT n FROM nq) * 4 * 4 * 16 * {d // 4}
+                  + (SELECT v FROM cand_v) * 4 AS BIGINT),
+             CAST({_X157_RECALLS["ivfpq_adc"]} AS DOUBLE)
+      UNION ALL
+      SELECT 'lsh_buckets',
+             CAST((SELECT n FROM nq) * 8 * {d}
+                  + (SELECT v FROM cand_l) * {d} AS BIGINT),
+             CAST({_X157_RECALLS["lsh_buckets"]} AS DOUBLE)
+    ),
+    e AS (
+      SELECT *, recall >= {_X157_MIN_RECALL} AS eligible,
+             cost <= {_X157_BUDGET} AS within_budget
+      FROM t
+    )
+    SELECT discipline, cost, recall, eligible, within_budget,
+           eligible AND within_budget AND recall =
+             (SELECT max(recall) FROM e WHERE eligible AND within_budget)
+             AS chosen
+    FROM e ORDER BY discipline
+    """
+
+
+@query("x157_ann_choice", oracle=_x157_oracle)
+def x157_ann_choice(spark, sf_dir):
+    """The choose_ann PLANNER itself, hash-verified (r10 verdict Next
+    #2 — x120's discipline for the ANN family): price brute force /
+    LSH(8 planes) / IVF(16 cells, probe 4) / IVF-PQ(m=4, ksub=16) over
+    the embeddings corpus for a 20-query batch at the
+    (min_recall=0.8, flop_budget=2M) contract, and emit one row per
+    discipline with its search cost, recall, eligibility, budget fit,
+    and the chosen flag. Pricing is ONE union job (corpus + query keys
+    tagged by side → per-key multiplicities → product-sums), with the
+    IVF probe routing as the same centroid expressions the x15 search
+    runs — so the oracle re-derives every candidate count and cost
+    integer cross-engine. Decision rule: highest recall within budget
+    (ANN recall IS output quality — the mirror of choose_blocking's
+    cheapest-verified rule). At sf0.01 brute force fits the budget and
+    wins on recall; at sf0.1 it busts and the planner flips to IVF —
+    the x120 SCALE flip, visible across the SFs this entry runs at."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    quant = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    plan = similarity.choose_ann(
+        emb, q, _EMB_DIM,
+        min_recall=_X157_MIN_RECALL, flop_budget=_X157_BUDGET,
+        measured_recall=_X157_RECALLS, quantizer=quant,
+    )
+    rows = [
+        (
+            name,
+            d["cost"],
+            d["recall"],
+            d["eligible"],
+            d["within_budget"],
+            bool(plan["action"] == "proceed" and name == plan["chosen"]),
+        )
+        for name, d in sorted(plan["disciplines"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "discipline string, cost long, recall double, eligible boolean, "
+        "within_budget boolean, chosen boolean",
+    ).orderBy("discipline")

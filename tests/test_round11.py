@@ -376,3 +376,140 @@ def test_maintenance_stream_runs_compaction_policy(spark, tmp_path):
         )
     )
     assert got == _full_labels(spark, seen)
+
+
+# --- r10 Next #2: choose_ann / run_ann -----------------------------------------
+
+
+def _ann_corpus(spark, n, dim=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((16, dim)) * 5
+    X = centers[rng.integers(0, 16, n)] + rng.standard_normal((n, dim))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+_ANN_RECALLS = {"ivf_probe": 0.9, "ivfpq_adc": 0.85, "lsh_buckets": 0.5}
+
+
+def test_choose_ann_flips_brute_ivf_ivfpq_across_scales(spark):
+    """The done-condition decision test (r10 verdict Next #2): a fixed
+    (min_recall=0.8, flop_budget=150k) contract chooses brute force at
+    1x, IVF at 10x, IVF-PQ at 30x — highest-recall discipline that
+    fits the budget, the x120 SCALE sweep for the ANN family."""
+    from go_fish_spark.operators.similarity import choose_ann
+
+    want = {150: "brute_force", 1500: "ivf_probe", 4500: "ivfpq_adc"}
+    for n, expect in want.items():
+        df = _ann_corpus(spark, n)
+        plan = choose_ann(
+            df, df.filter("vec_id < 20"), 16,
+            min_recall=0.8, flop_budget=150_000,
+            measured_recall=_ANN_RECALLS,
+        )
+        assert plan["action"] == "proceed", (n, plan["action"])
+        assert plan["chosen"] == expect, (n, plan["chosen"])
+        d = plan["disciplines"]
+        # the decision rule: every discipline with recall under the
+        # contract is ineligible; the chosen one fits the budget and
+        # no eligible-and-affordable discipline has higher recall
+        assert not d["lsh_buckets"]["eligible"]
+        assert d[expect]["within_budget"]
+        better = [
+            nm for nm, dd in d.items()
+            if dd["eligible"] and dd["within_budget"]
+            and dd["recall"] > d[expect]["recall"]
+        ]
+        assert better == []
+
+
+def test_choose_ann_measure_instrument_makes_ann_eligible(spark):
+    """With no hand-carried recall dict and a budget brute force
+    busts, measure=True runs the planner's own x79-style instrument
+    and re-decides — the approximate disciplines become eligible with
+    measured recall on well-separated clusters."""
+    from go_fish_spark.operators.similarity import choose_ann
+
+    df = _ann_corpus(spark, 1500)
+    q = df.filter("vec_id < 20")
+    plan = choose_ann(
+        df, q, 16, min_recall=0.7, flop_budget=150_000,
+        measure=True, measure_sample_queries=10,
+    )
+    assert plan["action"] == "proceed"
+    assert plan["chosen"] != "brute_force"
+    assert "instrument_recall" in plan
+    chosen = plan["disciplines"][plan["chosen"]]
+    assert chosen.get("recall_source") == "instrument"
+    assert chosen["recall"] >= 0.7
+
+
+def test_run_ann_executes_chosen_and_matches_direct_call(spark):
+    from go_fish_spark.operators.similarity import (
+        brute_force_topk,
+        choose_ann,
+        fit_quantizer_det,
+        ivf_topk_expr,
+        run_ann,
+    )
+
+    df = _ann_corpus(spark, 150)
+    q = df.filter("vec_id < 20")
+    plan = choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=150_000,
+        measured_recall=_ANN_RECALLS,
+    )
+    assert plan["chosen"] == "brute_force"
+    got = sorted(map(tuple, run_ann(df, q, plan).collect()))
+    want = sorted(map(tuple, brute_force_topk(df, q, k=10).collect()))
+    assert got == want
+
+    # force the IVF arm through the same handoff
+    plan_ivf = dict(plan, chosen="ivf_probe")
+    quant = fit_quantizer_det(df, "vec_id", "embedding", 16)
+    got_ivf = sorted(
+        map(tuple, run_ann(df, q, plan_ivf, quantizer=quant).collect())
+    )
+    want_ivf = sorted(
+        map(
+            tuple,
+            ivf_topk_expr(df, q, quant, k=10, n_probe=4).collect(),
+        )
+    )
+    assert got_ivf == want_ivf
+
+
+def test_run_ann_guard_trips_on_mutated_corpus(spark):
+    """The TOCTOU enforcement: price on corpus A, execute on the 10x
+    corpus B — the in-plan guard aborts at first evaluation."""
+    import pytest as _pytest
+
+    from go_fish_spark.operators.similarity import choose_ann, run_ann
+
+    small = _ann_corpus(spark, 150)
+    q = small.filter("vec_id < 20")
+    plan = choose_ann(
+        small, q, 16, min_recall=0.8, flop_budget=150_000,
+        measured_recall=_ANN_RECALLS,
+    )
+    assert plan["chosen"] == "brute_force"
+    mutated = _ann_corpus(spark, 1500)
+    with _pytest.raises(Exception, match="run_ann: realized"):
+        run_ann(mutated, q, plan).count()
+
+
+def test_run_ann_rejects_unrunnable_plan(spark):
+    import pytest as _pytest
+
+    from go_fish_spark.operators.similarity import choose_ann, run_ann
+
+    df = _ann_corpus(spark, 1500)
+    q = df.filter("vec_id < 20")
+    plan = choose_ann(df, q, 16, min_recall=0.99, flop_budget=100)
+    assert plan["action"] in ("over_budget", "no_discipline")
+    with _pytest.raises(ValueError, match="not runnable"):
+        run_ann(df, q, plan)
