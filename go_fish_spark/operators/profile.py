@@ -2558,3 +2558,266 @@ def duck_spectrum_sums(
     ).fetchall()
     n = int(xs[0][2])
     return n, [r[1] for r in xs], [r[1] for r in xx]
+
+
+# ---------------------------------------------------------------------------
+# Frozen-baseline arms for the round-10 statistics (r10 verdict Next #5):
+# Good–Turing coverage, source-Gini concentration, and OOV rate each get
+# the x130/x141/x153 fit/apply split — fit a slim state table on HISTORY,
+# gate each micro-batch against it, with EXACT parity: because every one
+# of these statistics is a pure function of additive integer count
+# tables, apply(batch, fit(history)) ≡ the batch operator over
+# history ∪ batch bit-for-bit (same BIGINT sums, same single IEEE
+# division) — the score_auc exactness discipline, not an approximation.
+
+
+def fit_token_counts(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """FIT arm shared by the Good–Turing gate (and reusable by any
+    vocabulary statistic): freeze the per-(group, token) occurrence
+    counts of a history corpus — (group_col, token, cnt). This is the
+    statistic's ENTIRE sufficient state: counts are additive, so any
+    later batch merges by integer addition and every downstream
+    quantity (N, vocab, singletons) is exact. 100 TB shape: one
+    (group, token) exchange with map-side combine; the frame is
+    vocab-bounded (the x129/x132 law) and in production persists as
+    the sketch-store-style stat table a stream maintains."""
+    return (
+        df.select(
+            F.col(group_col).alias(group_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def apply_good_turing_gate(
+    df: DataFrame,
+    baseline: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """APPLY arm of the x143 Good–Turing coverage gauge: merge the
+    incoming batch's (group, token) counts with the FROZEN history
+    counts by integer addition and evaluate f₁/N on the merged table.
+    EXACT parity: apply(batch, fit(history)) ≡
+    good_turing_unseen(history ∪ batch) bit-for-bit — counts add, the
+    merged table is identical, and the one division sees the same
+    BIGINTs. Output schema = good_turing_unseen's: (group_col,
+    n_tokens, vocab, singletons, unseen_mass round-9).
+
+    foreachBatch-shaped: the merge is one (group, token) join bounded
+    by |batch vocab| + |history vocab|; history rows never re-derive
+    from text (the signature-store rule applied to token counts)."""
+    batch = fit_token_counts(df, group_col, text_col)
+    base = baseline.select(
+        F.col(group_col), F.col("token"), F.col("cnt").alias("_bc")
+    )
+    merged = (
+        batch.withColumnRenamed("cnt", "_nc")
+        .join(base, [group_col, "token"], "full")
+        .select(
+            group_col,
+            "token",
+            (
+                F.coalesce("_nc", F.lit(0)) + F.coalesce("_bc", F.lit(0))
+            ).alias("_c"),
+        )
+    )
+    agg = merged.groupBy(group_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("singletons"),
+    )
+    return agg.select(
+        group_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("singletons").cast("bigint").alias("singletons"),
+        F.round(
+            F.col("singletons").cast("double")
+            / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("unseen_mass"),
+    ).orderBy(group_col)
+
+
+def fit_source_mass(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """FIT arm of the x146 Gini gate: per-source token mass —
+    (group_col, mass BIGINT), the Lorenz table. ≤|sources| rows; mass
+    is additive, so streaming maintenance is integer addition."""
+    return (
+        df.select(
+            F.col(group_col).alias(group_col),
+            F.size(F.split(F.col(text_col), " ")).alias("_m"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("_m").cast("bigint").alias("mass"))
+    )
+
+
+def apply_gini_gate(
+    df: DataFrame,
+    baseline: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """APPLY arm of the x146 concentration gauge: add the batch's
+    per-source token mass to the FROZEN history masses and evaluate
+    the exact sorted-cumulative Gini on the merged ≤|sources| table.
+    EXACT parity: apply(batch, fit(history)) ≡
+    source_gini(history ∪ batch) — masses add, the deterministic
+    (mass, source) rank sees identical integers, one final division.
+    Output schema = source_gini's: (n_sources, total_tokens, gini)."""
+    batch = fit_source_mass(df, group_col, text_col)
+    base = baseline.select(
+        F.col(group_col), F.col("mass").alias("_bm")
+    )
+    merged = (
+        batch.withColumnRenamed("mass", "_nm")
+        .join(base, [group_col], "full")
+        .select(
+            F.col(group_col).alias("_g"),
+            (
+                F.coalesce("_nm", F.lit(0)) + F.coalesce("_bm", F.lit(0))
+            ).alias("_x"),
+        )
+    )
+    w = Window.orderBy(F.col("_x").asc(), F.col("_g").asc())
+    ranked = merged.withColumn("_i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("_x").alias("total_tokens"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_ix"),
+    )
+    n = F.col("n_sources")
+    tot = F.col("total_tokens")
+    gini = (
+        (F.lit(2) * F.col("_ix") - (n + 1) * tot).cast("double")
+        / (n * tot).cast("double")
+    )
+    return agg.select(
+        n.cast("bigint").alias("n_sources"),
+        tot.cast("bigint").alias("total_tokens"),
+        F.when(tot > 0, F.round(gini, 9)).alias("gini"),
+    )
+
+
+def fit_vocab_topn(
+    df: DataFrame, text_col: str, top_n: int = 1000
+) -> DataFrame:
+    """FIT arm of the x147 OOV gate: the frozen corpus top-``top_n``
+    vocabulary — (token) rows under the deterministic (count DESC,
+    token ASC) rank, exactly the vocabulary :func:`oov_rate` derives
+    internally, so apply(df, fit(df)) reproduces the batch operator
+    bit-for-bit. ≤top_n rows — the broadcast side of every gate
+    evaluation."""
+    cnt = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_gc"))
+    )
+    w = Window.orderBy(F.col("_gc").desc(), F.col("token").asc())
+    return (
+        cnt.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(top_n))
+        .select("token")
+    )
+
+
+def apply_oov_gate(
+    df: DataFrame,
+    vocab: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """APPLY arm of the x147 tokenizer-coverage gauge: per-group OOV
+    occurrence rate of the incoming batch against a FROZEN vocabulary
+    — the streaming question ("how much of today's crawl falls outside
+    the tokenizer vocab we already shipped?"), where the batch op
+    re-derives the vocab from the same corpus. EXACT parity on the
+    fitting corpus: apply(df, fit_vocab_topn(df)) ≡ oov_rate(df)
+    bit-for-bit (same rank rule, same integer sums). Output schema =
+    oov_rate's: (group_col, n_tokens, oov_occurrences, oov_rate
+    round-9)."""
+    cnt = (
+        df.select(
+            F.col(group_col).alias(group_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    flagged = cnt.join(
+        F.broadcast(vocab.select("token").withColumn("_in", F.lit(1))),
+        "token",
+        "left",
+    )
+    agg = flagged.groupBy(group_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("_in").isNull(), F.col("_c")).otherwise(0)
+        ).alias("oov_occurrences"),
+    )
+    return agg.select(
+        group_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("oov_occurrences").cast("bigint").alias("oov_occurrences"),
+        F.round(
+            F.col("oov_occurrences").cast("double")
+            / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("oov_rate"),
+    ).orderBy(group_col)
+
+
+def duck_oov_frozen_sql(
+    table: str,
+    group_col: str,
+    text_col: str,
+    top_n: int,
+    hist_pred: str,
+    batch_pred: str,
+) -> str:
+    """DuckDB mirror of the FROZEN-vocab OOV gate: vocabulary ranked
+    from the HISTORY slice only, OOV of the BATCH slice against it —
+    the streaming split (x147's duck_oov_sql is the fit-on-self batch
+    form)."""
+    return f"""
+    WITH hcnt AS (
+      SELECT _t, count(*) AS _gc FROM (
+        SELECT unnest(string_split({text_col}, ' ')) AS _t
+        FROM {table} WHERE {hist_pred}
+      ) GROUP BY _t
+    ),
+    vocab AS (
+      SELECT _t FROM (
+        SELECT _t, row_number() OVER (ORDER BY _gc DESC, _t ASC) AS _rk
+        FROM hcnt
+      ) WHERE _rk <= {int(top_n)}
+    ),
+    cnt AS (
+      SELECT _g, _t, count(*) AS _c FROM (
+        SELECT {group_col} AS _g,
+               unnest(string_split({text_col}, ' ')) AS _t
+        FROM {table} WHERE {batch_pred}
+      ) GROUP BY _g, _t
+    ),
+    agg AS (
+      SELECT c._g, sum(c._c) AS n_tokens,
+             sum(CASE WHEN v._t IS NULL THEN c._c ELSE 0 END)
+               AS oov_occurrences
+      FROM cnt c LEFT JOIN vocab v ON c._t = v._t
+      GROUP BY c._g
+    )
+    SELECT _g AS {group_col},
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(oov_occurrences AS BIGINT) AS oov_occurrences,
+           round(CAST(oov_occurrences AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+             AS oov_rate
+    FROM agg ORDER BY {group_col}
+    """

@@ -495,6 +495,7 @@ from ...operators.profile import (  # noqa: E402
     apply_auc_gate,
     duck_gini_sql,
     duck_good_turing_sql,
+    duck_oov_frozen_sql,
     duck_oov_sql,
     duck_roc_sql,
     good_turing_unseen,
@@ -677,3 +678,76 @@ def x153_ecdf_gate_readback(spark, sf_dir):
     return task.apply(ev).select("doc_id", "pctl", "is_tail").orderBy(
         "doc_id"
     )
+
+
+# --- round 11: frozen arms for the round-10 statistics (r10 Next #5) ---------
+
+
+@query(
+    "x158_gt_gate_readback",
+    oracle=duck_good_turing_sql("documents", "source", "text"),
+)
+def x158_gt_gate_readback(spark, sf_dir):
+    """The x143 Good–Turing STREAMING arm under the oracle contract
+    (the x141 pattern): fit the frozen per-(source, token) count table
+    on HISTORY (docs outside the eval slice), merge "today's batch"
+    (doc_id % 97 == 0) by integer addition with
+    profile.apply_good_turing_gate. Counts are additive, so
+    gate(batch, fit(history)) ≡ good_turing_unseen(history ∪ batch)
+    EXACTLY — the oracle is the plain batch SQL over the whole table,
+    and the hash compare certifies the fit/apply split end-to-end on
+    corpus data. Bounded vocab frames; history never re-reads text."""
+    from ...operators.profile import (
+        apply_good_turing_gate,
+        fit_token_counts,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 97 == 0
+    base = fit_token_counts(docs.filter(~is_new), "source", "text")
+    return apply_good_turing_gate(
+        docs.filter(is_new), base, "source", "text"
+    )
+
+
+@query(
+    "x159_gini_gate_readback",
+    oracle=duck_gini_sql("documents", "source", "text"),
+)
+def x159_gini_gate_readback(spark, sf_dir):
+    """The x146 Gini STREAMING arm under the oracle contract: freeze
+    the per-source token-mass Lorenz table on HISTORY, add the eval
+    batch's masses with profile.apply_gini_gate, evaluate the exact
+    sorted-cumulative Gini on the merged ≤|sources| table. Masses add,
+    so gate(batch, fit(history)) ≡ source_gini(full corpus) EXACTLY —
+    batch SQL as the oracle, hash-certified split."""
+    from ...operators.profile import apply_gini_gate, fit_source_mass
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 97 == 0
+    base = fit_source_mass(docs.filter(~is_new), "source", "text")
+    return apply_gini_gate(docs.filter(is_new), base, "source", "text")
+
+
+@query(
+    "x160_oov_gate_readback",
+    oracle=duck_oov_frozen_sql(
+        "documents", "source", "text", 1000,
+        hist_pred="doc_id % 97 != 0", batch_pred="doc_id % 97 = 0",
+    ),
+)
+def x160_oov_gate_readback(spark, sf_dir):
+    """The x147 OOV STREAMING arm under the oracle contract: the
+    top-1000 vocabulary is FROZEN from history (count-DESC/token-ASC
+    deterministic rank — profile.fit_vocab_topn) and today's batch is
+    gated against it with profile.apply_oov_gate — the real streaming
+    split ("how much of today's crawl falls outside the tokenizer
+    vocab we already shipped?"), which duck_oov_frozen_sql mirrors with
+    the same history/batch predicates. The frozen side is a ≤1000-row
+    broadcast; the batch side is one (source, token) exchange."""
+    from ...operators.profile import apply_oov_gate, fit_vocab_topn
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 97 == 0
+    vocab = fit_vocab_topn(docs.filter(~is_new), "text", 1000)
+    return apply_oov_gate(docs.filter(is_new), vocab, "source", "text")

@@ -396,3 +396,140 @@ class EcdfGate(BasicTask):
         if self.options.get("mode", "flag") == "drop":
             return flagged.filter(~F.col("is_tail")).drop(alias, "is_tail")
         return flagged
+
+
+@register_task("oov_gate")
+class OovGate(BasicTask):
+    """Frozen-vocabulary OOV gate — the per-row declarable arm of the
+    x147 coverage family (the aggregate monitor is
+    `profile.apply_oov_gate`; THIS task gates individual rows): score
+    each document's share of token occurrences outside a HISTORY
+    vocabulary frozen into the task config (fit with
+    `profile.fit_vocab_topn`), and flag documents past ``max_oov`` —
+    "a fixed tokenizer would shred this document into byte fallbacks".
+    A pure array-expression check over the bounded vocab literal, so
+    it runs identically in batch and streaming pipelines.
+
+    ROW-PRESERVING in the default ``mode='flag'`` (appends ``<alias>``
+    and ``is_oov``); ``mode='drop'`` filters flagged rows out. NULL or
+    empty text has no tokens: NULL share, NOT flagged (the
+    anomaly_gate rule). Options: vocab [token, ...], max_oov (default
+    0.5), column (default 'text'), alias (default 'oov_share'),
+    mode."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        col = self.options.get("column", "text")
+        alias = self.options.get("alias", "oov_share")
+        max_oov = float(self.options.get("max_oov", 0.5))
+        vocab = [str(t) for t in self.options["vocab"]]
+        toks = F.split(F.col(col), " ")
+        if vocab:
+            vlit = F.array(*[F.lit(t) for t in vocab])
+            n_oov = F.size(
+                F.filter(toks, lambda t: ~F.array_contains(vlit, t))
+            )
+        else:  # empty vocab: every occurrence is OOV
+            n_oov = F.size(toks)
+        share = F.when(
+            F.col(col).isNotNull() & (F.size(toks) > 0),
+            n_oov.cast("double") / F.size(toks).cast("double"),
+        )
+        flagged = df.select(
+            "*",
+            F.round(share, 9).alias(alias),
+            F.coalesce(share > max_oov, F.lit(False)).alias("is_oov"),
+        )
+        if self.options.get("mode", "flag") == "drop":
+            return flagged.filter(~F.col("is_oov")).drop(alias, "is_oov")
+        return flagged
+
+
+@register_task("source_cap_gate")
+class SourceCapGate(BasicTask):
+    """Dominant-source cap — the ENFORCEMENT arm of the x146 Gini
+    monoculture gauge: given the FROZEN per-source token-mass Lorenz
+    table (fit with `profile.fit_source_mass`), flag rows from sources
+    whose frozen share of total token mass exceeds ``max_share`` — the
+    mixture-designer's cap on the sources that drive Gini toward 1. A
+    pure per-source when-chain over the bounded source set (the
+    anomaly_gate shape), identical in batch and streaming pipelines.
+
+    ROW-PRESERVING in the default ``mode='flag'`` (appends
+    ``<alias>`` and ``is_capped``); ``mode='drop'`` filters capped
+    rows. Sources absent from the frozen table get NULL share and are
+    NOT capped (unseen must not be silently dropped). Options: masses
+    {source: token_count}, max_share (default 0.5), source_col
+    (default 'source'), alias (default 'mass_share'), mode."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        source_col = self.options.get("source_col", "source")
+        alias = self.options.get("alias", "mass_share")
+        max_share = float(self.options.get("max_share", 0.5))
+        masses = {str(k): int(v) for k, v in dict(self.options["masses"]).items()}
+        total = float(sum(masses.values()))
+        share = None
+        for s, m in masses.items():
+            cond = F.col(source_col) == s
+            expr = F.lit(m / total if total > 0 else None).cast("double")
+            share = (
+                F.when(cond, expr) if share is None else share.when(cond, expr)
+            )
+        if share is None:
+            share = F.lit(None).cast("double")
+        flagged = df.select(
+            "*",
+            F.round(share, 9).alias(alias),
+            F.coalesce(share > max_share, F.lit(False)).alias("is_capped"),
+        )
+        if self.options.get("mode", "flag") == "drop":
+            return flagged.filter(~F.col("is_capped")).drop(
+                alias, "is_capped"
+            )
+        return flagged
+
+
+@register_task("coverage_gate")
+class CoverageGate(BasicTask):
+    """Good–Turing coverage gate — the per-row declarable arm of the
+    x143 family: route rows by their source's FROZEN unseen-mass
+    estimate (fit once on history with `profile.good_turing_unseen`;
+    the streaming monitor that keeps it current is
+    `profile.apply_good_turing_gate`). A source with unseen_mass past
+    ``max_unseen`` is under-crawled — its vocabulary is still growing
+    — and a curation pipeline typically routes it to more crawling
+    instead of training. Pure per-source when-chain (anomaly_gate
+    shape), identical in batch and streaming pipelines.
+
+    ROW-PRESERVING in the default ``mode='flag'`` (appends
+    ``<alias>`` and ``is_undercrawled``); ``mode='drop'`` filters the
+    flagged rows. Unseen sources get NULL and are NOT flagged.
+    Options: baselines {source: unseen_mass}, max_unseen (default
+    0.1), source_col (default 'source'), alias (default
+    'unseen_mass'), mode."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        source_col = self.options.get("source_col", "source")
+        alias = self.options.get("alias", "unseen_mass")
+        max_unseen = float(self.options.get("max_unseen", 0.1))
+        um = None
+        for s, v in dict(self.options["baselines"]).items():
+            cond = F.col(source_col) == s
+            um = (
+                F.when(cond, F.lit(float(v)))
+                if um is None
+                else um.when(cond, F.lit(float(v)))
+            )
+        if um is None:
+            um = F.lit(None).cast("double")
+        flagged = df.select(
+            "*",
+            F.round(um, 9).alias(alias),
+            F.coalesce(um > max_unseen, F.lit(False)).alias(
+                "is_undercrawled"
+            ),
+        )
+        if self.options.get("mode", "flag") == "drop":
+            return flagged.filter(~F.col("is_undercrawled")).drop(
+                alias, "is_undercrawled"
+            )
+        return flagged
