@@ -434,3 +434,257 @@ def frame_sample(
     return binary_df.select("doc_id", "content").mapInPandas(
         run, FRAME_WINDOW_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio/video HEADER metadata (r10 verdict Next #6 — x111 beyond images):
+# WAV/RIFF and MP4 carry everything a multimodal curation pipeline
+# buckets audio/video on (sample rate, channels, duration, brand) in
+# stdlib-parseable header structures — no codec library, exactly like
+# the PNG/JPEG work. Pixel/sample DECODE remains the documented PIL/av
+# integration point; container metadata is real and tested here.
+
+
+def synth_wav(
+    sample_rate: int, n_channels: int, n_samples: int, bits: int = 16
+) -> bytes:
+    """A COMPLETE valid WAV (RIFF + fmt + data, PCM silence) built with
+    the stdlib — the deterministic audio generator twin of
+    :func:`synth_png`. Any real WAV reader opens it."""
+    import struct
+
+    block = n_channels * bits // 8
+    byte_rate = sample_rate * block
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_mp4(brand: str, timescale: int, duration: int) -> bytes:
+    """A minimal structurally-valid MP4 box tree (ftyp + moov/mvhd v0)
+    built with the stdlib — enough container structure for any box
+    walker to recover brand, timescale, and duration (no media track;
+    this is the header-metadata generator, not an encoder)."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", brand.encode()[:4].ljust(4) + struct.pack(">I", 0)
+               + brand.encode()[:4].ljust(4))
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"              # version 0 + flags
+        + struct.pack(">II", 0, 0)        # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)   # rate 1.0
+        + struct.pack(">H", 0x0100)       # volume 1.0
+        + b"\x00" * 70,                   # reserved + matrix + next_track
+    )
+    return ftyp + box(b"moov", mvhd)
+
+
+def _parse_media_header(buf: bytes):
+    """REAL (stdlib-only) audio/video container metadata: WAV/RIFF
+    chunk walk (audio format, channels, sample rate, byte rate, bits,
+    data size → duration) and MP4 box walk (ftyp major brand,
+    moov/mvhd timescale + duration, versions 0 and 1). Returns
+    (format, brand, sample_rate, n_channels, bits, duration_ms) with
+    Nones for fields the container lacks; ("unknown", ...) for
+    unrecognized/truncated bytes — a poison payload is a status, never
+    an exception (the _parse_image_header rule). duration_ms is EXACT
+    integer arithmetic (x·1000 // rate) so a SQL oracle reproduces it
+    bit-for-bit."""
+    b = bytes(buf)
+    try:
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i = 12
+            sr = ch = bits = byte_rate = None
+            data_size = None
+            while i + 8 <= len(b):
+                typ = b[i : i + 4]
+                size = int.from_bytes(b[i + 4 : i + 8], "little")
+                if typ == b"fmt " and i + 24 <= len(b):
+                    ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                    sr = int.from_bytes(b[i + 12 : i + 16], "little")
+                    byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+                    bits = int.from_bytes(b[i + 22 : i + 24], "little")
+                elif typ == b"data":
+                    data_size = size
+                i += 8 + size + (size & 1)  # RIFF chunks pad to even
+            if sr is None:
+                return ("unknown", None, None, None, None, None)
+            dur = (
+                data_size * 1000 // byte_rate
+                if data_size is not None and byte_rate
+                else None
+            )
+            return ("wav", None, sr, ch, bits, dur)
+        # MP4: top-level box walk (size u32 BE + 4cc type)
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            brand = b[8:12].decode("ascii", "replace").strip()
+            i = 0
+            ts = dur = None
+            while i + 8 <= len(b):
+                size = int.from_bytes(b[i : i + 4], "big")
+                typ = b[i + 4 : i + 8]
+                if size < 8:
+                    break
+                if typ == b"moov":
+                    j = i + 8
+                    end = min(i + size, len(b))
+                    while j + 8 <= end:
+                        csize = int.from_bytes(b[j : j + 4], "big")
+                        ctyp = b[j + 4 : j + 8]
+                        if csize < 8:
+                            break
+                        if ctyp == b"mvhd" and j + 12 <= end:
+                            ver = b[j + 8]
+                            if ver == 1 and j + 40 <= end:
+                                ts = int.from_bytes(
+                                    b[j + 28 : j + 32], "big"
+                                )
+                                dur = int.from_bytes(
+                                    b[j + 32 : j + 40], "big"
+                                )
+                            elif ver == 0 and j + 28 <= end:
+                                ts = int.from_bytes(
+                                    b[j + 20 : j + 24], "big"
+                                )
+                                dur = int.from_bytes(
+                                    b[j + 24 : j + 28], "big"
+                                )
+                        j += csize
+                i += size
+            dur_ms = dur * 1000 // ts if dur is not None and ts else None
+            return ("mp4", brand, None, None, None, dur_ms)
+    except (IndexError, ValueError):  # truncated header mid-field
+        pass
+    return ("unknown", None, None, None, None, None)
+
+
+MEDIA_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+def extract_media_meta(binary_df: DataFrame) -> DataFrame:
+    """Header-level audio/video metadata over Arrow ``mapInPandas`` —
+    the WAV/MP4 sibling of :func:`extract_image_meta`: format routing,
+    sample rate / channels / bit depth (audio), brand and exact
+    integer duration_ms (both) parsed from the payload bytes with the
+    stdlib. Unrecognized payloads report status 'unsupported' with
+    NULL fields — row-preserving, never throwing. Decode parallelism
+    == partition count, zero driver involvement."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["content"].map(_parse_media_header)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": parsed.map(lambda t: t[0]),
+                    "brand": parsed.map(lambda t: t[1]).astype("object"),
+                    "sample_rate": parsed.map(lambda t: t[2]).astype(
+                        "object"
+                    ),
+                    "n_channels": parsed.map(lambda t: t[3]).astype(
+                        "object"
+                    ),
+                    "bits_per_sample": parsed.map(lambda t: t[4]).astype(
+                        "object"
+                    ),
+                    "duration_ms": parsed.map(lambda t: t[5]).astype(
+                        "object"
+                    ),
+                    "status": parsed.map(
+                        lambda t: "decoded"
+                        if t[0] != "unknown"
+                        else "unsupported"
+                    ),
+                }
+            )
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, MEDIA_HEADER_SCHEMA
+    )
+
+
+def synth_media_frame(
+    df: DataFrame,
+    id_col: str,
+    kind: str,
+    sample_rate_expr=None,
+    n_channels_expr=None,
+    n_samples_expr=None,
+    brand_expr=None,
+    timescale_expr=None,
+    duration_expr=None,
+) -> DataFrame:
+    """(id, content binary) frame of real synthesized WAV or MP4
+    payloads with per-row parameters — the write-side twin of
+    :func:`extract_media_meta` (the synth_png_frame pattern)."""
+    if kind == "wav":
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            sample_rate_expr.cast("int").alias("_sr"),
+            n_channels_expr.cast("int").alias("_ch"),
+            n_samples_expr.cast("int").alias("_ns"),
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "content": [
+                            synth_wav(int(sr), int(ch), int(ns))
+                            for sr, ch, ns in zip(
+                                pdf["_sr"], pdf["_ch"], pdf["_ns"]
+                            )
+                        ],
+                    }
+                )
+
+    elif kind == "mp4":
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            brand_expr.cast("string").alias("_br"),
+            timescale_expr.cast("int").alias("_ts"),
+            duration_expr.cast("int").alias("_du"),
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "content": [
+                            synth_mp4(str(br), int(ts), int(du))
+                            for br, ts, du in zip(
+                                pdf["_br"], pdf["_ts"], pdf["_du"]
+                            )
+                        ],
+                    }
+                )
+
+    else:
+        raise ValueError(f"unknown media kind {kind!r}")
+
+    return base.mapInPandas(run, "doc_id long, content binary")

@@ -785,3 +785,90 @@ def x155_canonical_ownership(spark, sf_dir):
             9,
         ).alias("win_share"),
     ).orderBy("source")
+
+
+@query(
+    "x161_wav_meta_roundtrip",
+    oracle="""
+    SELECT doc_id, 'wav' AS format, CAST(NULL AS VARCHAR) AS brand,
+           CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(((doc_id % 500 + 1) * (1 + doc_id % 2) * 2 * 1000)
+                // ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2)
+                AS BIGINT) AS duration_ms,
+           'decoded' AS status
+    FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id
+    """,
+)
+def x161_wav_meta_roundtrip(spark, sf_dir):
+    """The x111 construct→parse round trip for AUDIO (r10 verdict Next
+    #6): synthesize a complete valid WAV per document
+    (multimodal.synth_wav — RIFF/fmt/data, PCM; parameters derived
+    from doc_id; the stdlib `wave` module opens these, asserted in
+    tests), then parse the container back with the stdlib chunk walker
+    (multimodal.extract_media_meta). The oracle computes sample rate,
+    channels, bit depth, and the EXACT integer duration_ms
+    (data_bytes·1000 // byte_rate) arithmetically from doc_id — the
+    driver hash-checks that BYTES → PARSE recovers exactly what
+    CONSTRUCT encoded. Both sides Arrow mapInPandas,
+    partition-parallel; 1-in-10 sample bounds generated bytes."""
+    from ...operators.multimodal import (
+        extract_media_meta,
+        synth_media_frame,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    wavs = synth_media_frame(
+        docs, "doc_id", "wav",
+        sample_rate_expr=F.lit(8000) + (F.col("doc_id") % 8) * 1000,
+        n_channels_expr=F.lit(1) + F.col("doc_id") % 2,
+        n_samples_expr=F.col("doc_id") % 500 + 1,
+    )
+    return extract_media_meta(wavs).orderBy("doc_id")
+
+
+@query(
+    "x162_mp4_meta_roundtrip",
+    oracle="""
+    SELECT doc_id, 'mp4' AS format,
+           (['isom', 'mp42', 'avc1'])[CAST(doc_id % 3 AS INT) + 1] AS brand,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS INTEGER) AS n_channels,
+           CAST(NULL AS INTEGER) AS bits_per_sample,
+           CAST(((doc_id % 10000 + 1) * 1000)
+                // (600 + (doc_id % 4) * 300) AS BIGINT) AS duration_ms,
+           'decoded' AS status
+    FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id
+    """,
+)
+def x162_mp4_meta_roundtrip(spark, sf_dir):
+    """The x111 construct→parse round trip for VIDEO containers:
+    synthesize a structurally-valid MP4 box tree per document
+    (multimodal.synth_mp4 — ftyp major brand + moov/mvhd v0 with
+    timescale and duration from doc_id), then box-walk it back
+    (multimodal.extract_media_meta — handles mvhd v0 AND v1). The
+    oracle derives brand and the EXACT integer duration_ms
+    (duration·1000 // timescale) arithmetically — what a multimodal
+    curation pipeline buckets video on (brand routing, duration
+    binning) hash-checked end to end without any codec library."""
+    from ...operators.multimodal import (
+        extract_media_meta,
+        synth_media_frame,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    mp4s = synth_media_frame(
+        docs, "doc_id", "mp4",
+        brand_expr=F.element_at(
+            F.array(F.lit("isom"), F.lit("mp42"), F.lit("avc1")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ),
+        timescale_expr=F.lit(600) + (F.col("doc_id") % 4) * 300,
+        duration_expr=F.col("doc_id") % 10000 + 1,
+    )
+    return extract_media_meta(mp4s).orderBy("doc_id")

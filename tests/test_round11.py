@@ -688,3 +688,121 @@ def test_oov_and_cap_and_coverage_gate_tasks(spark):
     }
     assert got[1] == (0.02, False) and got[3] == (0.4, True)
     assert got[4] == (None, False)
+
+
+# --- r10 Next #6: WAV/MP4 header metadata ---------------------------------------
+
+
+def test_wav_roundtrip_and_stdlib_cross_check():
+    """synth_wav parses back exactly, and the stdlib wave module —
+    an independent reader — agrees on every encoded field."""
+    import io
+    import wave as wavemod
+
+    from go_fish_spark.operators.multimodal import (
+        _parse_media_header,
+        synth_wav,
+    )
+
+    buf = synth_wav(44100, 2, 1000)
+    fmt, brand, sr, ch, bits, dur = _parse_media_header(buf)
+    assert (fmt, brand, sr, ch, bits) == ("wav", None, 44100, 2, 16)
+    assert dur == 1000 * 1000 // 44100
+    w = wavemod.open(io.BytesIO(buf))
+    assert (w.getframerate(), w.getnchannels(), w.getnframes(),
+            w.getsampwidth()) == (44100, 2, 1000, 2)
+
+
+def test_mp4_roundtrip_v0_and_v1():
+    import struct
+
+    from go_fish_spark.operators.multimodal import (
+        _parse_media_header,
+        synth_mp4,
+    )
+
+    fmt, brand, sr, ch, bits, dur = _parse_media_header(
+        synth_mp4("mp42", 600, 1234)
+    )
+    assert (fmt, brand, dur) == ("mp4", "mp42", 1234 * 1000 // 600)
+    assert sr is None and ch is None and bits is None
+
+    # hand-build an mvhd VERSION 1 box (64-bit times)
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000)
+        + struct.pack(">Q", 450000)
+        + b"\x00" * 80,
+    )
+    buf = box(b"ftyp", b"avc1" + struct.pack(">I", 0) + b"avc1") + box(
+        b"moov", mvhd1
+    )
+    fmt, brand, _, _, _, dur = _parse_media_header(buf)
+    assert (fmt, brand, dur) == ("mp4", "avc1", 450000 * 1000 // 90000)
+
+
+def test_media_header_poison_bytes_never_throw():
+    from go_fish_spark.operators.multimodal import (
+        _parse_media_header,
+        synth_mp4,
+        synth_wav,
+    )
+
+    cases = [
+        b"",
+        b"RIFF",                         # truncated RIFF
+        b"RIFFxxxxWAVE",                 # WAVE with no chunks
+        synth_wav(8000, 1, 10)[:20],     # cut mid-fmt
+        synth_mp4("isom", 600, 5)[:10],  # cut mid-ftyp
+        b"\x00" * 64,
+    ]
+    for buf in cases:
+        fmt, *_ = _parse_media_header(buf)
+        assert fmt in ("unknown", "wav", "mp4")  # no exception is the bar
+
+
+def test_wav_riff_odd_chunk_padding():
+    """RIFF chunks pad to even sizes; a walker that forgets the pad
+    byte misses the data chunk behind an odd-sized chunk."""
+    import struct
+
+    from go_fish_spark.operators.multimodal import _parse_media_header
+
+    fmt_payload = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 + pad
+    data = b"data" + struct.pack("<I", 32) + b"\x00" * 32
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_payload)) \
+        + fmt_payload + odd + data
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    fmt, _, sr, ch, bits, dur = _parse_media_header(buf)
+    assert (fmt, sr, ch, bits) == ("wav", 8000, 1, 16)
+    assert dur == 32 * 1000 // 16000
+
+
+def test_extract_media_meta_mixed_frame(spark):
+    """One binary frame carrying WAV, MP4, and junk rows: per-row
+    format routing with NULL-field statuses, row-preserving."""
+    from go_fish_spark.operators.multimodal import (
+        extract_media_meta,
+        synth_mp4,
+        synth_wav,
+    )
+
+    rows = [
+        (1, bytearray(synth_wav(16000, 1, 160))),
+        (2, bytearray(synth_mp4("isom", 1000, 2500))),
+        (3, bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in extract_media_meta(df).collect()}
+    assert got[1].format == "wav" and got[1].sample_rate == 16000
+    assert got[1].duration_ms == 160 * 1000 // 16000
+    assert got[2].format == "mp4" and got[2].brand == "isom"
+    assert got[2].duration_ms == 2500
+    assert got[3].format == "unknown" and got[3].status == "unsupported"
+    assert got[3].duration_ms is None
