@@ -138,6 +138,47 @@ def main(argv: list[str] | None = None) -> int:
         "when no --measured-recall is supplied",
     )
 
+    ca = sub.add_parser(
+        "choose-ann",
+        help="pick the ANN discipline (brute force / LSH buckets / IVF "
+        "probing / IVF-PQ ADC) for a query batch under a recall "
+        "contract and a search-FLOP budget — highest recall within "
+        "budget; costs priced from corpus statistics, no search runs",
+    )
+    ca.add_argument("parquet", help="parquet file/dir with the corpus")
+    ca.add_argument(
+        "--queries-parquet", default=None,
+        help="parquet with the query vectors (default: the corpus "
+        "rows selected by --query-limit)",
+    )
+    ca.add_argument("--id-col", default="vec_id")
+    ca.add_argument("--vec-col", default="embedding")
+    ca.add_argument("--dim", type=int, required=True)
+    ca.add_argument("--min-recall", type=float, required=True)
+    ca.add_argument("--flop-budget", type=int, required=True)
+    ca.add_argument("--k", type=int, default=10)
+    ca.add_argument("--query-limit", type=int, default=20)
+    ca.add_argument("--master", default=None)
+    ca.add_argument(
+        "--measured-recall", default=None,
+        help='JSON recalls for the approximate disciplines, e.g. '
+        '\'{"ivf_probe": 0.9}\' (the x79 audit is the instrument)',
+    )
+    ca.add_argument(
+        "--measure", action="store_true",
+        help="let the planner run its own recall instrument (brute "
+        "ground truth over a deterministic query sample) when the "
+        "analytic disciplines bust the budget",
+    )
+    ca.add_argument(
+        "--run", action="store_true",
+        help="execute the chosen discipline under the ENFORCED budget "
+        "(run_ann: an in-plan guard aborts if the realized candidate "
+        "count exceeds the estimate x --slack); prints the top-k "
+        "row count",
+    )
+    ca.add_argument("--slack", type=float, default=1.5)
+
     pc = sub.add_parser(
         "profile-corpus",
         help="one-call release data card over a parquet corpus: totals "
@@ -314,6 +355,42 @@ def main(argv: list[str] | None = None) -> int:
                     slack=args.slack,
                 ).count()
                 print(_json.dumps({"ran": plan["chosen"], "pairs": n}))
+        finally:
+            spark.stop()
+        return 0 if plan["action"] == "proceed" else 1
+
+    if args.cmd == "choose-ann":
+        import json as _json
+
+        from .operators.similarity import choose_ann, run_ann
+        from .session import get_spark
+
+        spark = get_spark(app_name="go-fish-choose-ann", master=args.master)
+        try:
+            df = spark.read.parquet(args.parquet)
+            if args.queries_parquet:
+                q = spark.read.parquet(args.queries_parquet)
+            else:
+                q = df.limit(args.query_limit)
+            plan = choose_ann(
+                df, q, args.dim,
+                min_recall=args.min_recall,
+                flop_budget=args.flop_budget,
+                id_col=args.id_col, vec_col=args.vec_col, k=args.k,
+                measured_recall=(
+                    _json.loads(args.measured_recall)
+                    if args.measured_recall else None
+                ),
+                measure=args.measure,
+            )
+            print(_json.dumps(plan, indent=2))
+            if args.run and plan["action"] == "proceed":
+                n = run_ann(
+                    df, q, plan,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                    slack=args.slack,
+                ).count()
+                print(_json.dumps({"ran": plan["chosen"], "topk_rows": n}))
         finally:
             spark.stop()
         return 0 if plan["action"] == "proceed" else 1

@@ -806,3 +806,43 @@ def test_extract_media_meta_mixed_frame(spark):
     assert got[2].duration_ms == 2500
     assert got[3].format == "unknown" and got[3].status == "unsupported"
     assert got[3].duration_ms is None
+
+
+# --- choose-ann CLI pre-flight ---------------------------------------------
+
+
+def test_cli_choose_ann(tmp_path, spark):
+    """choose-ann prints the decision JSON and exits 0 on proceed / 1
+    otherwise; --run executes under the enforced budget."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    df = _ann_corpus(spark, 120)
+    corpus = str(tmp_path / "emb.parquet")
+    df.write.mode("overwrite").parquet(corpus)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "choose-ann",
+         corpus, "--dim", "16", "--min-recall", "1.0",
+         "--flop-budget", "2000000", "--query-limit", "10",
+         "--run", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l]
+    ran = json.loads(lines[-1])
+    plan = json.loads("\n".join(lines[:-1]))
+    assert plan["action"] == "proceed" and plan["chosen"] == "brute_force"
+    assert ran["ran"] == "brute_force" and ran["topk_rows"] > 0
+    # an unmeetable budget exits non-zero
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "choose-ann",
+         corpus, "--dim", "16", "--min-recall", "1.0",
+         "--flop-budget", "10", "--query-limit", "10",
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 1
+    assert json.loads(proc.stdout)["action"] == "over_budget"
