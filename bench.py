@@ -255,6 +255,8 @@ HEADLINE = [
     "x160_oov_gate_readback",
     "x161_wav_meta_roundtrip",
     "x162_mp4_meta_roundtrip",
+    "x163_compacted_store_readback",
+    "x164_committed_store_readback",
 ]
 
 

@@ -1738,3 +1738,203 @@ def x151_cluster_source_breadth(spark, sf_dir):
             9,
         ).alias("top_source_share"),
     ).orderBy("component")
+
+
+def _x163_oracle() -> str:
+    """Same invariant as x139 — the store reads back the one-shot
+    global labels — but the Spark arm folds a COMPACTION into the
+    middle of the batch sequence, so the hash compare certifies the
+    generation+manifest reader of record, not just raw patches."""
+    return """
+    SELECT d.doc_id AS id,
+           min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS component
+    FROM documents d
+    ORDER BY id
+    """
+
+
+@query("x163_compacted_store_readback", oracle=_x163_oracle())
+def x163_compacted_store_readback(spark, sf_dir):
+    """The r11 compaction discipline under the oracle contract: ingest
+    the corpus as three append-only batches like x139, but COMPACT the
+    store between batches 1 and 2 (generation directory written, then
+    the manifest repointed atomically, then the superseded patches
+    pruned — `compact_label_store`), so batch 2's patch lands ON TOP
+    of a generation. The read-back goes through the reader of record
+    (`read_label_store`: generation + newer patches + latest-wins) and
+    must STILL equal the one-shot global labels (min doc_id per
+    content hash) — the invariant compaction exists to preserve while
+    collapsing read amplification (SCALE.md round-11 part 1: 10.9× →
+    1.0 live files per shard). 100 TB shape: compaction work is
+    bounded per shard; the repoint is one atomic rename; readers never
+    block."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ...operators.audit import incremental_audit_merge
+    from ...streaming.labelstore import (
+        append_label_patch,
+        compact_label_store,
+        read_compaction_manifest,
+        read_label_store,
+    )
+
+    base = os.path.join(
+        "/tmp", f"gofish_x163_{spark.sparkContext.applicationId}"
+    )
+    labels_path = os.path.join(base, "labels")
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("_h")
+    )
+    for b in range(3):
+        fresh = docs.filter(F.col("doc_id") % 3 == b)
+        prev = read_label_store(spark, labels_path)
+        if prev is None:
+            w = Window.partitionBy("_h")
+            patch = fresh.select(
+                F.col("doc_id").alias("id"),
+                F.min("doc_id").over(w).alias("component"),
+            )
+        else:
+            hist = docs.filter(F.col("doc_id") % 3 < b)
+            both = hist.unionByName(fresh)
+            f2 = fresh.select(
+                F.col("doc_id").alias("_fid"), F.col("_h").alias("_fh")
+            )
+            dpairs = (
+                both.join(f2, both["_h"] == f2["_fh"])
+                .filter(F.col("doc_id") != F.col("_fid"))
+                .select(
+                    F.least("doc_id", "_fid").alias("id_a"),
+                    F.greatest("doc_id", "_fid").alias("id_b"),
+                )
+                .distinct()
+            )
+            patch = incremental_audit_merge(
+                prev, fresh.select(F.col("doc_id").alias("id")), dpairs,
+                id_col="id", emit="changed",
+            )
+        append_label_patch(patch, labels_path, batch_id=b, n_shards=16)
+        if b == 1:  # fold batches 0-1 into generation 1 mid-sequence
+            compact_label_store(spark, labels_path, n_shards=16)
+            man = read_compaction_manifest(labels_path)
+            assert man is not None and man["gen"] == 1
+
+    return read_label_store(spark, labels_path).orderBy("id")
+
+
+def _x164_oracle() -> str:
+    """The cross-store commit contract in SQL: the committed view
+    joins every labeled id to its signature — one row per doc with the
+    one-shot global label AND the portable MinHash fingerprint. A
+    reader that could see sig/label skew (a batch's sigs without its
+    labels) would break the inner-join cardinality and fail the row
+    count before the hash."""
+    p = dedup._duck_minhash_parts("text", 64, 16, 3, 42)
+    return f"""
+    WITH t AS (SELECT doc_id, text, {p['tok']} AS th FROM documents),
+    s AS (SELECT doc_id, text, {p['shing']} AS sh FROM t),
+    g AS (SELECT doc_id, text, {p['sig']} AS sig FROM s)
+    SELECT doc_id AS id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS component,
+           md5(array_to_string(sig, ',')) AS sig_md5
+    FROM g ORDER BY id
+    """
+
+
+@query("x164_committed_store_readback", oracle=_x164_oracle())
+def x164_committed_store_readback(spark, sf_dir):
+    """The r11 ATOMIC CROSS-STORE COMMIT under the oracle contract:
+    ingest the corpus as three batches, each appending (1) signatures,
+    (2) the label patch, then (3) publishing the pair as ONE manifest
+    version (`publish_store_commit`); read back through
+    `read_committed_store`, which cuts BOTH stores at the committed
+    batch — a reader can never see a batch's signatures without its
+    labels. The output inner-joins the committed labels to the
+    committed sigs per id, so any skew breaks the row count before the
+    hash; values must equal the one-shot global labels plus the
+    portable MinHash fingerprint of every doc (the x139 ∪ x150
+    invariants through the consistent reader). 100 TB shape: the
+    commit is one atomic rename per batch; both read cuts are
+    partition-prunable `_batch_id` filters."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ...operators.audit import incremental_audit_merge
+    from ...streaming.labelstore import (
+        append_label_patch,
+        publish_store_commit,
+        read_committed_store,
+        read_label_store,
+    )
+
+    base = os.path.join(
+        "/tmp", f"gofish_x164_{spark.sparkContext.applicationId}"
+    )
+    labels_path = os.path.join(base, "labels")
+    sig_dir = os.path.join(base, "_sigs")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.md5("text").alias("_h")
+    )
+    sig = dedup.minhash_signature("text", 64, 3, 42, portable=True)
+    for b in range(3):
+        fresh = docs.filter(F.col("doc_id") % 3 == b)
+        fresh.select(
+            F.col("doc_id").alias("_id"), sig.alias("_sig")
+        ).withColumn("_batch_id", F.lit(b)).write.mode("append").parquet(
+            sig_dir
+        )
+        prev = read_label_store(spark, labels_path)
+        if prev is None:
+            w = Window.partitionBy("_h")
+            patch = fresh.select(
+                F.col("doc_id").alias("id"),
+                F.min("doc_id").over(w).alias("component"),
+            )
+        else:
+            hist = docs.filter(F.col("doc_id") % 3 < b)
+            both = hist.unionByName(fresh)
+            f2 = fresh.select(
+                F.col("doc_id").alias("_fid"), F.col("_h").alias("_fh")
+            )
+            dpairs = (
+                both.join(f2, both["_h"] == f2["_fh"])
+                .filter(F.col("doc_id") != F.col("_fid"))
+                .select(
+                    F.least("doc_id", "_fid").alias("id_a"),
+                    F.greatest("doc_id", "_fid").alias("id_b"),
+                )
+                .distinct()
+            )
+            patch = incremental_audit_merge(
+                prev, fresh.select(F.col("doc_id").alias("id")), dpairs,
+                id_col="id", emit="changed",
+            )
+        append_label_patch(patch, labels_path, batch_id=b, n_shards=16)
+        publish_store_commit(base, b)
+
+    view = read_committed_store(spark, base)
+    return (
+        view["labels"]
+        .join(view["sigs"].withColumnRenamed("_id", "id"), "id")
+        .select(
+            "id",
+            "component",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(F.col("_sig"), lambda x: x.cast("string")),
+                )
+            ).alias("sig_md5"),
+        )
+        .orderBy("id")
+    )
