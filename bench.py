@@ -257,6 +257,8 @@ HEADLINE = [
     "x162_mp4_meta_roundtrip",
     "x163_compacted_store_readback",
     "x164_committed_store_readback",
+    "x165_ann_store_readback",
+    "x166_ann_store_search",
 ]
 
 

@@ -1164,3 +1164,133 @@ def x157_ann_choice(spark, sf_dir):
         "discipline string, cost long, recall double, eligible boolean, "
         "within_budget boolean, chosen boolean",
     ).orderBy("discipline")
+
+
+def _x165_oracle(sf_dir: str) -> str | None:
+    """The ANN store contract in SQL: after any append sequence (with
+    edits re-appended), the latest-wins read-back equals the frozen
+    model's cell assignment + residual PQ codes of the CURRENT corpus
+    — the x150 sigstore invariant for the compressed inverted file.
+    The model literals re-fit deterministically from the same table."""
+    X = _duck_sample_X(sf_dir)
+    if X is None:
+        return None
+    coarse = similarity._kmeans_fit(X, 16, 42)
+    import numpy as _np
+
+    D = -2.0 * (X @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
+    R = X - coarse[D.argmin(axis=1)]
+    pq = similarity.ProductQuantizer(
+        similarity._pq_fit(R, m=4, ksub=16, seed=42)
+    )
+    cl = similarity.duck_centers_lit(coarse)
+    dl = similarity.duck_dist_list("v", coarse)
+    rv = (
+        f"[v[i] - (({cl})[cell + 1])[i] "
+        f"for i in range(1, {_EMB_DIM + 1})]"
+    )
+    codes = similarity.duck_pq_codes("rv", pq)
+    return f"""
+    WITH cur AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 0
+                  THEN [-embedding[i]::DOUBLE
+                        for i in range(1, {_EMB_DIM + 1})]
+                  ELSE [embedding[i]::DOUBLE
+                        for i in range(1, {_EMB_DIM + 1})]
+             END AS v
+      FROM embeddings
+    ),
+    a0 AS (SELECT vec_id, v, {dl} AS dl FROM cur),
+    asg AS (SELECT vec_id, v, {similarity.duck_assign('dl')} AS cell
+            FROM a0),
+    resc AS (SELECT vec_id, cell, {rv} AS rv FROM asg),
+    coded AS (SELECT vec_id, cell, {codes} AS codes FROM resc)
+    SELECT vec_id AS id, CAST(cell AS INTEGER) AS cell,
+           md5(array_to_string(codes, ',')) AS codes_md5
+    FROM coded ORDER BY id
+    """
+
+
+@query("x165_ann_store_readback", oracle=_x165_oracle)
+def x165_ann_store_readback(spark, sf_dir):
+    """Durable ANN-index read-back under the oracle contract (r11 —
+    the x150 discipline applied to the billion-vector layout): the
+    embeddings corpus ingested as three append-only batches into the
+    cell-partitioned IVF-PQ store (streaming/annstore: frozen model
+    manifest + (id, cell, residual codes) rows), then every
+    vec_id % 10 == 0 vector RE-APPENDED NEGATED (an embedding
+    refresh — the vector moves cells, the latest-wins reader must
+    supersede both cell and codes). The hash compare proves the store
+    reads back the frozen model's assignment + codes of the CURRENT
+    corpus, fingerprinted per id, against DuckDB's mirror of the
+    entire routing + residual + codebook pipeline. Map-only encodes;
+    one exchange per append (the partitionBy(cell) write)."""
+    import os
+    import shutil
+
+    from ...streaming import annstore
+
+    base = os.path.join(
+        "/tmp", f"gofish_x165_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings")
+    coarse, pq = similarity.fit_ivfpq_det(
+        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
+    )
+    annstore.publish_ann_model(base, coarse, pq, gen=1)
+    for b in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == b)
+        annstore.append_ann_patch(
+            annstore.encode_ann_batch(batch, coarse, pq), base, b, gen=1
+        )
+    edited = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(edited, coarse, pq), base, 3, gen=1
+    )
+    store = annstore.read_ann_store(spark, base)
+    return store.select(
+        F.col("_id").alias("id"),
+        "cell",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("codes"), lambda x: x.cast("string"))
+            )
+        ).alias("codes_md5"),
+    ).orderBy("id")
+
+
+@query("x166_ann_store_search", oracle=_x47_oracle)
+def x166_ann_store_search(spark, sf_dir):
+    """SERVE from the durable index: adc_search_store answers top-k
+    from the cell-partitioned store alone — probe routing and residual
+    distance tables from the manifest's frozen literals, candidates
+    from the probed cell PARTITIONS (PartitionFilters — the layout's
+    payoff), ADC over stored codes; raw corpus vectors are never read.
+    The oracle is x47's own SQL: search-from-store must hash-equal the
+    direct IVF-PQ search, which is exactly the property that makes the
+    store a drop-in index rather than a cache."""
+    import os
+    import shutil
+
+    from ...streaming import annstore
+
+    base = os.path.join(
+        "/tmp", f"gofish_x166_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings")
+    coarse, pq = similarity.fit_ivfpq_det(
+        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
+    )
+    annstore.publish_ann_model(base, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(emb, coarse, pq), base, 0, gen=1
+    )
+    return annstore.adc_search_store(
+        spark, base, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4
+    ).orderBy("query_id", "rank")

@@ -1,0 +1,412 @@
+"""Durable IVF-PQ ANN index STORE with a streaming maintenance arm —
+the ANN family's durable twin (r11: the x139/x150 store discipline
+applied to the billion-vector layout the x47 search runs on).
+
+What persists:
+
+* **The frozen model** — coarse centroids + residual PQ codebooks —
+  as one JSON manifest (``MODEL.json``), published with write-tmp +
+  atomic rename and carrying the data GENERATION pointer. The model is
+  deliberately tiny (n_cells×dim + m×ksub×dsub doubles) and frozen:
+  every executor-side stage is a pure column expression over its
+  literals, so any engine (and the DuckDB oracle) reproduces cells and
+  codes bit-for-bit from the manifest alone.
+* **The compressed inverted file** — slim (id, cell, codes,
+  _batch_id) rows, parquet ``partitionBy("cell")`` under
+  ``cells/<gen>/``: the cell IS the partition, so a probe reads
+  exactly its probed cell directories (PartitionFilters — the
+  labelstore sharding payoff, with the search key as the shard key).
+  At m=4/ksub=16 the store is ~2 bytes of codes per vector — the form
+  that lets a 100 TB embedding corpus live in cluster RAM.
+
+Maintenance is MAP-ONLY: each micro-batch encodes its own rows against
+the frozen literals (no shuffle — the one exchange is the
+partitionBy(cell) write) and appends; edited ids re-append and the
+latest-wins reader supersedes (the sigstore rule). Restart safety =
+checkpointed offsets + latest-wins collapse of a replayed batch.
+
+Refit is a PRICED DECISION, not a reflex: :func:`ann_refit_plan`
+compares the incoming batch's cell distribution against the model's
+train-time distribution (Jensen–Shannon divergence over two bounded
+≤n_cells histograms — the x112 law) and prices the full re-encode a
+refit costs; :func:`refit_ann_store` then runs it as a BATCH job over
+the raw-vector lake (fit new model → re-encode → write generation N+1
+→ repoint the manifest LAST — the compact_label_store commit), because
+at 100 TB re-encoding the corpus is a planned job, never a micro-batch
+side effect.
+
+Reference anchor: the persisted-state pattern of `state/kv.go:45-80` /
+`backend.go:64-188` applied to the retrieval index (gap category —
+SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+import json as _json
+import math as _math
+import os as _os
+import shutil as _shutil
+
+import numpy as _np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ProductQuantizer, Quantizer
+
+
+def _model_path(store_dir: str) -> str:
+    return _os.path.join(store_dir, "MODEL.json")
+
+
+def _cells_path(store_dir: str, gen: int) -> str:
+    return _os.path.join(store_dir, "cells", str(int(gen)))
+
+
+def publish_ann_model(
+    store_dir: str,
+    coarse: Quantizer,
+    pq: ProductQuantizer,
+    cell_mass: list[int] | None = None,
+    gen: int | None = None,
+) -> dict:
+    """Atomically publish the frozen model manifest (and the data
+    generation it governs). ``cell_mass`` freezes the train-time cell
+    distribution — the drift baseline :func:`ann_refit_plan` prices
+    against. Write-tmp + rename: readers see old or new, never torn."""
+    _os.makedirs(store_dir, exist_ok=True)
+    cur = load_ann_manifest(store_dir)
+    doc = {
+        "version": (int(cur["version"]) + 1) if cur else 1,
+        "gen": int(gen if gen is not None else (cur["gen"] if cur else 1)),
+        "coarse": [[float(x) for x in c] for c in coarse._centers],
+        "books": [
+            [[float(x) for x in c] for c in b._centers] for b in pq.books
+        ],
+        "cell_mass": [int(x) for x in cell_mass] if cell_mass else None,
+    }
+    tmp = _model_path(store_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(doc, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    _os.replace(tmp, _model_path(store_dir))
+    return doc
+
+
+def load_ann_manifest(store_dir: str) -> dict | None:
+    p = _model_path(store_dir)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return _json.load(fh)
+
+
+def load_ann_model(
+    store_dir: str,
+) -> tuple[Quantizer, ProductQuantizer, dict] | None:
+    doc = load_ann_manifest(store_dir)
+    if doc is None:
+        return None
+    coarse = Quantizer(_np.asarray(doc["coarse"], dtype=_np.float64))
+    pq = ProductQuantizer(
+        [_np.asarray(b, dtype=_np.float64) for b in doc["books"]]
+    )
+    return coarse, pq, doc
+
+
+def encode_ann_batch(
+    df: DataFrame,
+    coarse: Quantizer,
+    pq: ProductQuantizer,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(_id, cell, codes) for one batch — cell assignment + residual PQ
+    codes as pure expressions over the frozen literals (the
+    ivfpq_topk_expr corpus side). Map-only: no shuffle."""
+    from ..operators.similarity import _centers_lit
+
+    cl = _centers_lit(coarse._centers)
+    asg = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        coarse.assign_expr_col(vec_col).alias("cell"),
+    )
+    rv = F.zip_with(
+        F.col("_v").cast("array<double>"),
+        F.element_at(cl, F.col("cell") + 1),
+        lambda x, y: x - y,
+    )
+    return asg.select("_id", "cell", rv.alias("_rv")).select(
+        "_id", "cell", pq.codes_col("_rv").alias("codes")
+    )
+
+
+def append_ann_patch(
+    coded: DataFrame, store_dir: str, batch_id: int, gen: int = 1
+) -> None:
+    """Append a coded batch to the current generation, one file per
+    touched cell directory (ONE exchange on the cell key)."""
+    (
+        coded.withColumn("_batch_id", F.lit(int(batch_id)))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(_cells_path(store_dir, gen))
+    )
+
+
+def read_ann_store(spark, store_dir: str, cells: list[int] | None = None):
+    """Latest-wins view of the current generation: one (_id, cell,
+    codes) row per id — re-appended (edited) ids supersede; a replayed
+    batch's duplicate rows are identical and collapse. ``cells``
+    restricts the scan to the probed cell PARTITIONS (the layout's
+    payoff — PartitionFilters, asserted in tests)."""
+    from pyspark.sql import Window
+
+    doc = load_ann_manifest(store_dir)
+    if doc is None:
+        return None
+    df = spark.read.parquet(_cells_path(store_dir, doc["gen"]))
+    if cells is not None:
+        df = df.filter(F.col("cell").isin([int(c) for c in cells]))
+    w = Window.partitionBy("_id").orderBy(F.col("_batch_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", F.col("cell").cast("int").alias("cell"), "codes")
+    )
+
+
+def ann_store_stream(
+    vec_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    train_cap: int = 100_000,
+    seed: int = 42,
+    available_now: bool = True,
+    on_plan=None,
+    refit_cutoff: float = 0.1,
+):
+    """Start the maintenance arm: batch 0 fits the model
+    deterministically from its own rows (``fit_ivfpq_det`` — or call
+    :func:`publish_ann_model` first to pre-freeze one) and publishes
+    the manifest; every batch encodes map-only against the FROZEN
+    literals and appends to the current generation. When ``on_plan``
+    is given, each post-bootstrap batch also prices
+    :func:`ann_refit_plan` and passes the decision to the hook — the
+    hook (or an out-of-band scheduler) decides when to actually run
+    :func:`refit_ann_store` as a batch job; a micro-batch never
+    re-encodes the corpus inline."""
+    from ..operators.similarity import fit_ivfpq_det
+
+    spark = vec_stream.sparkSession
+
+    def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf = bdf.select(id_col, vec_col).dropDuplicates([id_col])
+        if bdf.rdd.isEmpty():
+            return
+        model = load_ann_model(store_dir)
+        if model is None:
+            coarse, pq = fit_ivfpq_det(
+                bdf, id_col, vec_col, n_cells, m, ksub, train_cap, seed
+            )
+            coded = encode_ann_batch(bdf, coarse, pq, id_col, vec_col)
+            mass = _cell_hist(coded, n_cells)
+            publish_ann_model(store_dir, coarse, pq, cell_mass=mass, gen=1)
+        else:
+            coarse, pq, doc = model
+            coded = encode_ann_batch(bdf, coarse, pq, id_col, vec_col)
+            if on_plan is not None:
+                plan = ann_refit_plan(
+                    doc, _cell_hist(coded, n_cells), cutoff=refit_cutoff
+                )
+                on_plan(dict(plan, batch_id=batch_id))
+        doc = load_ann_manifest(store_dir)
+        append_ann_patch(coded, store_dir, batch_id, gen=doc["gen"])
+
+    writer = vec_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _cell_hist(coded: DataFrame, n_cells: int) -> list[int]:
+    rows = coded.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    mass = [0] * n_cells
+    for r in rows:
+        mass[int(r["cell"])] = int(r["n"])
+    return mass
+
+
+def ann_refit_plan(
+    manifest: dict,
+    batch_mass: list[int],
+    cutoff: float = 0.1,
+) -> dict:
+    """PRICE the refit decision (the maintenance_plan / x149 pattern
+    for the index): Jensen–Shannon divergence (base-2, the x112 law)
+    between the model's frozen TRAIN-time cell distribution and the
+    incoming batch's — a drifted corpus fills cells the quantizer
+    never shaped, degrading probe selectivity (the x148 distortion
+    complement, computable from two ≤n_cells histograms with no
+    vector math). action = "refit" when divergence > cutoff, else
+    "incremental". The decision is advisory to an out-of-band batch
+    job (:func:`refit_ann_store`); pricing costs two bounded
+    histograms, nothing else."""
+    base = manifest.get("cell_mass")
+    if not base or sum(base) == 0 or sum(batch_mass) == 0:
+        return {
+            "action": "incremental",
+            "reason": "no_baseline_or_empty",
+            "js_divergence": None,
+            "cutoff": cutoff,
+        }
+    p_tot, q_tot = float(sum(base)), float(sum(batch_mass))
+    js = 0.0
+    for pb, qb in zip(base, batch_mass):
+        p, q = pb / p_tot, qb / q_tot
+        mm = (p + q) / 2.0
+        if p > 0:
+            js += 0.5 * p * _math.log2(p / mm)
+        if q > 0:
+            js += 0.5 * q * _math.log2(q / mm)
+    js = round(js, 9)
+    return {
+        "action": "refit" if js > cutoff else "incremental",
+        "reason": "cell_distribution_drift" if js > cutoff else "stable",
+        "js_divergence": js,
+        "cutoff": cutoff,
+    }
+
+
+def refit_ann_store(
+    spark,
+    store_dir: str,
+    vectors_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 4,
+    ksub: int = 16,
+    train_cap: int = 100_000,
+    seed: int = 42,
+    prune: bool = True,
+) -> int:
+    """The REFIT arm as a batch job over the raw-vector lake: fit a
+    fresh model deterministically from ``vectors_df``, re-encode it
+    into generation N+1, and repoint the manifest LAST (atomic rename
+    — the compact_label_store commit discipline; a crash before the
+    repoint leaves readers on the old generation+model, fully
+    consistent). Old generation pruned best-effort after the commit.
+    Returns the re-encoded row count."""
+    from ..operators.similarity import fit_ivfpq_det
+
+    cur = load_ann_manifest(store_dir)
+    new_gen = (int(cur["gen"]) + 1) if cur else 1
+    coarse, pq = fit_ivfpq_det(
+        vectors_df, id_col, vec_col, n_cells, m, ksub, train_cap, seed
+    )
+    coded = encode_ann_batch(vectors_df, coarse, pq, id_col, vec_col)
+    gen_path = _cells_path(store_dir, new_gen)
+    if _os.path.exists(gen_path):  # torn previous attempt never repointed
+        _shutil.rmtree(gen_path)
+    (
+        coded.withColumn("_batch_id", F.lit(0))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(gen_path)
+    )
+    n = spark.read.parquet(gen_path).count()
+    mass = _cell_hist(coded, n_cells)
+    publish_ann_model(  # the commit point — model + gen repoint LAST
+        store_dir, coarse, pq, cell_mass=mass, gen=new_gen
+    )
+    if prune and cur is not None:
+        old = _cells_path(store_dir, cur["gen"])
+        if _os.path.exists(old) and int(cur["gen"]) != new_gen:
+            _shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
+def adc_search_store(
+    spark,
+    store_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve approximate top-k FROM THE STORE: probe routing and
+    residual distance tables from the manifest's frozen literals
+    (ivfpq_topk_expr's query side), candidates from the probed cell
+    PARTITIONS only (the probed-cell list is ≤ |queries|·n_probe ints,
+    collected bounded, pushed as a partition filter — the scan lists
+    exactly the probed directories), ADC scoring over stored codes.
+    Raw corpus vectors are never read — the store IS the index, which
+    is the point of persisting it."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _centers_lit
+
+    model = load_ann_model(store_dir)
+    if model is None:
+        raise FileNotFoundError(f"no ANN model manifest in {store_dir}")
+    coarse, pq, _doc = model
+
+    cl = _centers_lit(coarse._centers)
+    probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(coarse.dist_expr_arr(vec_col)).alias("cell", "_d"),
+    )
+    wp = Window.partitionBy("query_id").orderBy("_d", "cell")
+    probe = (
+        probe.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("qv").cast("array<double>"),
+                F.element_at(cl, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ).alias("_rv"),
+        )
+        .select("query_id", "cell", pq.dtables_col("_rv").alias("dt"))
+        .localCheckpoint()  # bounded (|q|·n_probe rows); fixes the cell list
+    )
+    cells = sorted(
+        {int(r["cell"]) for r in probe.select("cell").distinct().collect()}
+    )
+    store = read_ann_store(spark, store_dir, cells=cells)
+    adist = F.aggregate(
+        F.zip_with("codes", "dt", lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        store.withColumnRenamed("_id", "vec_id")
+        .join(probe, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adist", adist)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "vec_id", F.round("adist", 6).alias("adist")
+        )
+    )

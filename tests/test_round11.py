@@ -846,3 +846,145 @@ def test_cli_choose_ann(tmp_path, spark):
     )
     assert proc.returncode == 1
     assert json.loads(proc.stdout)["action"] == "over_budget"
+
+
+# --- r11: durable IVF-PQ ANN store ---------------------------------------------
+
+
+def test_ann_store_stream_restart_edit_and_parity(spark, tmp_path):
+    """The sigstore restart discipline for the ANN index: batch 0
+    bootstraps (fits + publishes the frozen model), a RESTARTED query
+    on the same checkpoint processes batch 1 exactly once, an edited
+    (re-appended) vector supersedes cell AND codes, and the final
+    read-back equals a one-shot encode of the current corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 90)
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "ann")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+
+    def drain():
+        annstore.ann_store_stream(
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).parquet(src),
+            store, cp, n_cells=8, m=4, ksub=16,
+        ).awaitTermination(120)
+
+    df.filter("vec_id % 2 = 0").write.mode("append").parquet(src)
+    drain()
+    assert annstore.load_ann_manifest(store)["gen"] == 1
+    df.filter("vec_id % 2 = 1").write.mode("append").parquet(src)
+    drain()  # a NEW query on the same checkpoint — restart semantics
+    # edit: vector 4 moves (negated) — re-append supersedes
+    edited = df.filter("vec_id = 4").select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    edited.write.mode("append").parquet(src)
+    drain()
+
+    coarse, pq, _doc = annstore.load_ann_model(store)
+    current = df.filter("vec_id != 4").unionByName(edited)
+    want = sorted(
+        map(
+            tuple,
+            annstore.encode_ann_batch(current, coarse, pq)
+            .select("_id", "cell", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            annstore.read_ann_store(spark, store)
+            .select("_id", "cell", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_ann_refit_plan_and_generation_commit(spark, tmp_path):
+    """Refit is priced (JS divergence of cell distributions) and runs
+    as a generation commit: new model + re-encoded gen N+1, manifest
+    repointed LAST, old generation pruned; a torn refit (generation
+    written, manifest not) leaves readers untouched."""
+    import os
+
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 120)
+    store = str(tmp_path / "ann")
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 8, 4, 16)
+    coded = annstore.encode_ann_batch(df, coarse, pq)
+    mass = annstore._cell_hist(coded, 8)
+    annstore.publish_ann_model(store, coarse, pq, cell_mass=mass, gen=1)
+    annstore.append_ann_patch(coded, store, 0, gen=1)
+
+    doc = annstore.load_ann_manifest(store)
+    assert annstore.ann_refit_plan(doc, mass)["action"] == "incremental"
+    skew = [0] * 8
+    skew[2] = 500
+    drifted = annstore.ann_refit_plan(doc, skew)
+    assert drifted["action"] == "refit"
+    assert drifted["js_divergence"] > drifted["cutoff"]
+
+    # torn refit: write the would-be generation 2, never repoint
+    before = sorted(
+        map(tuple, annstore.read_ann_store(spark, store)
+            .select("_id", "cell").collect())
+    )
+    annstore.append_ann_patch(coded, store, 0, gen=2)
+    assert annstore.load_ann_manifest(store)["gen"] == 1
+    assert sorted(
+        map(tuple, annstore.read_ann_store(spark, store)
+            .select("_id", "cell").collect())
+    ) == before
+
+    # real refit: gen bumps, old gen pruned, search still serves
+    n = annstore.refit_ann_store(
+        spark, store, df, n_cells=8, m=4, ksub=16
+    )
+    assert n == 120
+    doc2 = annstore.load_ann_manifest(store)
+    # the torn generation-2 attempt is REWRITTEN, not skipped
+    assert doc2["gen"] == 2 and doc2["version"] > doc["version"]
+    assert not os.path.exists(annstore._cells_path(store, 1))
+    out = annstore.adc_search_store(
+        spark, store, df.filter("vec_id < 3"), k=5, n_probe=2
+    )
+    assert out.groupBy("query_id").count().count() == 3
+
+
+def test_ann_store_search_prunes_cell_partitions(spark, tmp_path):
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 100)
+    store = str(tmp_path / "ann")
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 8, 4, 16)
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(df, coarse, pq), store, 0, gen=1
+    )
+    out = annstore.adc_search_store(
+        spark, store, df.filter("vec_id < 2"), k=5, n_probe=2
+    )
+    want = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_expr(
+                df, df.filter("vec_id < 2"), coarse, pq, k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
