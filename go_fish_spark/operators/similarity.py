@@ -1683,6 +1683,7 @@ def choose_ann(
     measure: bool = False,
     measure_sample_queries: int = 50,
     quantizer: "Quantizer | None" = None,
+    coded: DataFrame | None = None,
 ) -> dict:
     """ANN-discipline PLANNER (r10 verdict Next #2 — choose_blocking's
     twin for similarity search): given a recall contract
@@ -1711,6 +1712,14 @@ def choose_ann(
     deterministic query sample) when the analytic disciplines bust the
     budget, then re-decides.
 
+    ``coded``: an optional (cell, ...) frame from the DURABLE index
+    (``streaming/annstore.read_ann_store`` — the sigs= discipline):
+    the IVF cell histogram is priced from the materialized store
+    instead of re-assigning the corpus, which drops one full-corpus
+    expression scan from the pricing job. The LSH bucket keys still
+    derive from ``corpus`` (the store holds no raw vectors — by
+    design), and the ``#`` corpus count rides the bucket branch.
+
     Returns a dict: ``action`` ∈ {"proceed", "over_budget",
     "no_discipline"}, ``chosen``, per-discipline cost/build_cost/
     recall/eligible/within_budget, the corpus stats, and the ``params``
@@ -1729,16 +1738,23 @@ def choose_ann(
     planes = hyperplanes(dim, n_planes, seed)
 
     bk = bucket_key(vec_col, planes)
-    cor_keys = (
-        corpus.select(F.concat(F.lit("l:"), bk.cast("string")).alias("_key"))
-        .unionByName(
-            corpus.select(
-                F.concat(
-                    F.lit("v:"),
-                    quantizer.assign_expr_col(vec_col).cast("string"),
-                ).alias("_key")
+    cor_cells = (
+        corpus.select(
+            F.concat(
+                F.lit("v:"),
+                quantizer.assign_expr_col(vec_col).cast("string"),
+            ).alias("_key")
+        )
+        if coded is None
+        else coded.select(
+            F.concat(F.lit("v:"), F.col("cell").cast("string")).alias(
+                "_key"
             )
         )
+    )
+    cor_keys = (
+        corpus.select(F.concat(F.lit("l:"), bk.cast("string")).alias("_key"))
+        .unionByName(cor_cells)
         .unionByName(corpus.select(F.lit("#").alias("_key")))
         .withColumn("_side", F.lit("c"))
     )

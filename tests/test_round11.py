@@ -988,3 +988,34 @@ def test_ann_store_search_prunes_cell_partitions(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == want
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_choose_ann_prices_from_the_store(spark, tmp_path):
+    """coded= (the sigs= discipline): pricing from the durable index's
+    cell rows yields the SAME plan as re-assigning the corpus."""
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 300)
+    q = df.filter("vec_id < 20")
+    quant = sim.fit_quantizer_det(df, "vec_id", "embedding", 16)
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 16, 4, 16)
+    store = str(tmp_path / "ann")
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(df, coarse, pq), store, 0, gen=1
+    )
+    base = sim.choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=150_000,
+        measured_recall=_ANN_RECALLS, quantizer=quant,
+    )
+    from_store = sim.choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=150_000,
+        measured_recall=_ANN_RECALLS, quantizer=quant,
+        coded=annstore.read_ann_store(spark, store),
+    )
+    # the coarse quantizer (hash-ordered sample, same seed) matches
+    # fit_ivfpq_det's coarse stage, so cell histograms agree exactly
+    assert from_store["cand_ivf"] == base["cand_ivf"]
+    assert from_store["chosen"] == base["chosen"]
+    assert from_store["disciplines"] == base["disciplines"]
