@@ -1019,3 +1019,58 @@ def test_choose_ann_prices_from_the_store(spark, tmp_path):
     assert from_store["cand_ivf"] == base["cand_ivf"]
     assert from_store["chosen"] == base["chosen"]
     assert from_store["disciplines"] == base["disciplines"]
+
+
+def test_coverage_pipeline_spec_batch_and_streaming(spark, tmp_path):
+    """The SHIPPED examples/coverage_pipeline.json chains the three
+    round-11 frozen-statistics gates (oov_gate → source_cap_gate →
+    coverage_gate) as declarable tasks; loaded verbatim (paths
+    rewired) it must admit exactly the doc that clears all three, in
+    BATCH and — unchanged — in STREAMING mode."""
+    import json
+    import os
+
+    from go_fish_spark.plans.compiler import compile_pipeline
+    from go_fish_spark.plans.spec import parse_spec
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = json.load(
+        open(os.path.join(repo, "examples/coverage_pipeline.json"))
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    outdir = str(tmp_path / "out")
+    spec["sources"]["crawl"]["options"]["path"] = str(indir)
+    spec["sinks"]["admitted"]["options"]["path"] = outdir
+
+    rows = [
+        # 1: in-vocab text, capped-but-under source, well-crawled -> kept
+        dict(doc_id=1, text="the model data training pipeline",
+             source="books"),
+        # 2: mostly OOV -> oov_gate drops
+        dict(doc_id=2, text="zz qq ww ee rr tt yy uu", source="books"),
+        # 3: dominant source (web share 0.9 > 0.8) -> source_cap_gate
+        dict(doc_id=3, text="the model data training", source="web"),
+        # 4: under-crawled source (forum unseen 0.35 > 0.2) ->
+        # coverage_gate routes it away from training
+        dict(doc_id=4, text="the model data training", source="forum"),
+    ]
+    (indir / "docs.json").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+
+    compile_pipeline(spark, parse_spec(spec), streaming=False).run()
+    got = spark.read.schema(
+        "doc_id long, text string, source string"
+    ).json(outdir).collect()
+    assert [r.doc_id for r in got] == [1]
+
+    out2 = str(tmp_path / "out2")
+    spec["sinks"]["admitted"]["options"]["path"] = out2
+    compiled = compile_pipeline(spark, parse_spec(spec), streaming=True)
+    for q in compiled.start(str(tmp_path / "ckpt"), available_now=True):
+        q.awaitTermination(120)
+    streamed = spark.read.schema(
+        "doc_id long, text string, source string"
+    ).json(out2).collect()
+    assert [r.doc_id for r in streamed] == [1]
