@@ -1971,6 +1971,7 @@ def run_ann(
     vec_col: str = "embedding",
     slack: float = 1.5,
     quantizer: "Quantizer | None" = None,
+    store_dir: str | None = None,
 ) -> DataFrame:
     """Execute the discipline a :func:`choose_ann` plan chose, with the
     priced contract ENFORCED (the run_blocking x140 discipline for the
@@ -1991,7 +1992,14 @@ def run_ann(
     Quantizer reuse: pass the SAME pre-fitted coarse quantizer the plan
     priced with when you have it; otherwise the deterministic fit
     (:func:`fit_quantizer_det` at the plan's stamped params) reproduces
-    it exactly."""
+    it exactly.
+
+    ``store_dir``: when the IVF-PQ discipline wins and a durable index
+    exists (``streaming/annstore``), serve from the STORE —
+    ``adc_search_store`` answers from the frozen manifest + the
+    cell-partitioned codes (raw corpus vectors never read; the
+    realized-count guard derives from the store's cell histogram) —
+    the planner → durable-index handoff end to end."""
     if plan.get("action") != "proceed":
         raise ValueError(
             f"plan is not runnable: action={plan.get('action')!r} "
@@ -2028,6 +2036,48 @@ def run_ann(
         )
         result = lsh_topk(
             corpus, queries, dim, id_col, vec_col, k, n_planes, seed
+        )
+    elif chosen == "ivfpq_adc" and store_dir is not None:
+        # serve from the durable index: routing + dtables from the
+        # manifest's frozen literals, candidates from the probed cell
+        # partitions, realized count from the store's own histogram
+        from ..streaming.annstore import (
+            adc_search_store,
+            load_ann_model,
+            read_ann_store,
+        )
+
+        est = plan["cand_ivf"]
+        model = load_ann_model(store_dir)
+        if model is None:
+            raise FileNotFoundError(f"no ANN model manifest in {store_dir}")
+        coarse_s, _pq_s, _doc = model
+        spark = corpus.sparkSession
+        ch = (
+            read_ann_store(spark, store_dir)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_cm"))
+        )
+        wp = Window.partitionBy("_qid").orderBy("_d", "cell")
+        qh = (
+            queries.select(
+                F.col(id_col).alias("_qid"),
+                F.posexplode(coarse_s.dist_expr_arr(vec_col)).alias(
+                    "cell", "_d"
+                ),
+            )
+            .withColumn("_rn", F.row_number().over(wp))
+            .filter(F.col("_rn") <= n_probe)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_qm"))
+        )
+        realized = ch.join(qh, "cell").agg(
+            F.coalesce(F.sum(F.expr("_cm * _qm")), F.lit(0)).alias(
+                "_realized"
+            )
+        )
+        result = adc_search_store(
+            spark, store_dir, queries, id_col, vec_col, k, n_probe
         )
     elif chosen in ("ivf_probe", "ivfpq_adc"):
         est = plan["cand_ivf"]

@@ -1074,3 +1074,91 @@ def test_coverage_pipeline_spec_batch_and_streaming(spark, tmp_path):
         "doc_id long, text string, source string"
     ).json(out2).collect()
     assert [r.doc_id for r in streamed] == [1]
+
+
+def test_run_ann_serves_ivfpq_from_the_store(spark, tmp_path):
+    """The planner → durable-index handoff: a plan whose chosen
+    discipline is IVF-PQ executes against the store (store_dir=) and
+    matches the direct IVF-PQ search; the guard still trips when the
+    store grew past the priced estimate."""
+    import pytest as _pytest
+
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 4500)
+    q = df.filter("vec_id < 20")
+    quant = sim.fit_quantizer_det(df, "vec_id", "embedding", 16)
+    plan = sim.choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=150_000,
+        measured_recall=_ANN_RECALLS, quantizer=quant,
+    )
+    assert plan["chosen"] == "ivfpq_adc"
+
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 16, 4, 16)
+    store = str(tmp_path / "ann")
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(df, coarse, pq), store, 0, gen=1
+    )
+    got = sorted(
+        map(tuple, sim.run_ann(df, q, plan, store_dir=store).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_expr(
+                df, q, coarse, pq, k=10, n_probe=4
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # mutate the STORE past the estimate: the realized count now comes
+    # from the store's own histogram, so the guard trips
+    bigger = _ann_corpus(spark, 45000, seed=11).filter("vec_id >= 4500")
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(bigger, coarse, pq), store, 1, gen=1
+    )
+    with _pytest.raises(Exception, match="run_ann: realized"):
+        sim.run_ann(df, q, plan, store_dir=store).count()
+
+
+def test_label_store_random_append_compact_interleavings(spark, tmp_path):
+    """Seeded randomized sweep: arbitrary interleavings of patch
+    appends (with id overlaps and label moves) and compactions must
+    always read back the latest-wins reference state — the
+    manifest/generation reader is order-insensitive by construction."""
+    import random
+
+    from go_fish_spark.streaming import labelstore as ls
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"labels_{seed}")
+        ref: dict[int, int] = {}
+        batch_id = 0
+        for _step in range(8):
+            if ref and rng.random() < 0.3:
+                n = ls.compact_label_store(spark, path, n_shards=4)
+                assert n == len(ref)
+                continue
+            ids = rng.sample(range(20), rng.randint(1, 6))
+            rows = []
+            for i in ids:
+                # merges only move labels DOWN (the store's law)
+                comp = min(ref.get(i, i), rng.randint(0, i) if i else 0)
+                ref[i] = comp
+                rows.append((i, comp))
+            ls.append_label_patch(
+                spark.createDataFrame(rows, "id long, component long"),
+                path, batch_id=batch_id, n_shards=4,
+            )
+            batch_id += 1
+        if not ref:
+            continue
+        got = dict(
+            (r.id, r.component)
+            for r in ls.read_label_store(spark, path).collect()
+        )
+        assert got == ref, f"seed {seed} diverged"
