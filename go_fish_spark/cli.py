@@ -212,6 +212,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     ls.add_argument("--id", default=None, help="id for lookup")
     ls.add_argument("--n-shards", type=int, default=64)
+    ls.add_argument(
+        "--committed", action="store_true",
+        help="for `read`: treat the given path as a maintenance-stream "
+        "STORE DIRECTORY and serve only the atomically-published "
+        "(sig, label) version via read_committed_store — never the "
+        "inter-append window",
+    )
     ls.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -227,6 +234,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         try:
             if args.action == "read":
+                if args.committed:
+                    view = _ls.read_committed_store(spark, args.store)
+                    df = view["labels"]
+                    if df is None:
+                        print(_json.dumps(
+                            {"rows": 0, "committed_batch": None}
+                        ))
+                        return 1
+                    n = df.count()
+                    print(_json.dumps({
+                        "rows": n,
+                        "committed_batch": view["committed_batch"],
+                        "sig_rows": view["sigs"].count()
+                        if view["sigs"] is not None else 0,
+                    }))
+                    return 0
                 df = _ls.read_label_store(spark, args.store)
                 if df is None:
                     print(_json.dumps({"rows": 0}))

@@ -1162,3 +1162,45 @@ def test_label_store_random_append_compact_interleavings(spark, tmp_path):
             for r in ls.read_label_store(spark, path).collect()
         )
         assert got == ref, f"seed {seed} diverged"
+
+
+def test_cli_label_store_committed_read(tmp_path, spark):
+    """label-store read --committed serves only the atomically
+    published (sig, label) version."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from go_fish_spark.operators.dedup import minhash_signature
+    from go_fish_spark.streaming import labelstore as ls
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    ).select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature("text", 64, 3, 42, True).alias("_sig"),
+    ).withColumn("_batch_id", F.lit(0)).write.mode("append").parquet(
+        os.path.join(store, "_sigs")
+    )
+    ls.append_label_patch(
+        spark.createDataFrame([(1, 1)], "id long, component long"),
+        os.path.join(store, "labels"), batch_id=0, n_shards=4,
+    )
+    ls.publish_store_commit(store, 0)
+    # batch 1 half-landed (labels only, never published)
+    ls.append_label_patch(
+        spark.createDataFrame([(2, 2)], "id long, component long"),
+        os.path.join(store, "labels"), batch_id=1, n_shards=4,
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-m", "go_fish_spark.cli", "label-store",
+         store, "read", "--committed", "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout)
+    assert out == {"rows": 1, "committed_batch": 0, "sig_rows": 1}
