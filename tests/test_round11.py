@@ -1204,3 +1204,67 @@ def test_cli_label_store_committed_read(tmp_path, spark):
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout)
     assert out == {"rows": 1, "committed_batch": 0, "sig_rows": 1}
+
+
+# --- property tests: guarantee classes under randomization ---------------------
+
+
+def test_winnow_guarantee_property_randomized(spark):
+    """Winnowing's GUARANTEE class, checked under randomization: any
+    document pair sharing a token run of length >= w+k-1 MUST surface
+    in winnow_pair_screen (Schleimer et al. 2003's detection bound) —
+    three seeded corpora of random-token docs with planted shared
+    runs."""
+    import random
+
+    from go_fish_spark.operators.dedup import winnow_pair_screen
+
+    k, w = 3, 4
+    run_len = w + k - 1  # 6 tokens: the guaranteed-detection bound
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = [f"t{j}" for j in range(500)]
+        planted = " ".join(
+            rng.choice(vocab) for _ in range(run_len)
+        )
+        rows = []
+        planted_pairs = set()
+        for i in range(12):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(10, 30))]
+            if i % 3 == 0:  # plant the run in docs 0,3,6,9
+                pos = rng.randint(0, len(toks))
+                toks[pos:pos] = planted.split()
+            rows.append((i, " ".join(toks)))
+        carriers = [i for i in range(12) if i % 3 == 0]
+        for a in carriers:
+            for b in carriers:
+                if a < b:
+                    planted_pairs.add((a, b))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in winnow_pair_screen(
+                df, "doc_id", "text", k=k, w=w, portable=True
+            ).collect()
+        }
+        missing = planted_pairs - got
+        assert not missing, f"seed {seed}: guarantee violated {missing}"
+
+
+def test_fit_quantizer_det_partition_invariance(spark):
+    """The deterministic fit's engine-independence contract, checked at
+    its weakest point: the SAME centroids regardless of physical
+    partitioning (the hash-total-order sample is a pure function of
+    the keys, never of partition layout)."""
+    import numpy as np
+
+    from go_fish_spark.operators.similarity import fit_quantizer_det
+
+    df = _ann_corpus(spark, 300)
+    c1 = fit_quantizer_det(
+        df.repartition(1), "vec_id", "embedding", 8
+    )._centers
+    c7 = fit_quantizer_det(
+        df.repartition(7, "vec_id"), "vec_id", "embedding", 8
+    )._centers
+    assert np.array_equal(c1, c7)
