@@ -192,6 +192,10 @@ def ann_store_stream(
     available_now: bool = True,
     on_plan=None,
     refit_cutoff: float = 0.1,
+    compaction_policy: bool = False,
+    compaction_file_cutoff: float = 4.0,
+    compaction_min_files: int = 8,
+    on_compaction=None,
 ):
     """Start the maintenance arm: batch 0 fits the model
     deterministically from its own rows (``fit_ivfpq_det`` — or call
@@ -229,6 +233,16 @@ def ann_store_stream(
                 on_plan(dict(plan, batch_id=batch_id))
         doc = load_ann_manifest(store_dir)
         append_ann_patch(coded, store_dir, batch_id, gen=doc["gen"])
+        if compaction_policy:
+            cplan = ann_compaction_plan(
+                store_dir,
+                file_cutoff=compaction_file_cutoff,
+                min_files=compaction_min_files,
+            )
+            if cplan["action"] == "compact":
+                cplan["compacted"] = compact_ann_store(spark, store_dir)
+            if on_compaction is not None:
+                on_compaction(dict(cplan, batch_id=batch_id))
 
     writer = vec_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -410,3 +424,95 @@ def adc_search_store(
             "query_id", "rank", "vec_id", F.round("adist", 6).alias("adist")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Store compaction (the labelstore round-11 discipline at index grain):
+# sustained per-batch appends fragment every cell directory — the
+# small-files problem again, with the probe paying it (every live file
+# in a probed cell is a LIST+GET at 100 TB). compaction keeps the MODEL
+# (no refit — that is refit_ann_store's job) and folds the data
+# generation to one latest-wins row per id.
+
+
+def ann_compaction_plan(
+    store_dir: str,
+    file_cutoff: float = 4.0,
+    min_files: int = 8,
+) -> dict:
+    """Decide whether folding the append history pays, from per-CELL
+    live-file counts of the current generation — a catalog listing,
+    never a data scan (the labelstore compaction_plan at index grain).
+    read_amp ≈ mean live files per non-empty cell directory = the
+    extra file opens every probe of that cell pays. Compact when
+    read_amp ≥ ``file_cutoff`` AND at least ``min_files`` live files
+    exist. Returns the decision dict the stream's ``on_compaction``
+    hook observes."""
+    doc = load_ann_manifest(store_dir)
+    if doc is None:
+        return {"action": "skip", "reason": "no_store", "read_amp": 0.0}
+    root = _cells_path(store_dir, doc["gen"])
+    per_cell: dict = {}
+    total = 0
+    if _os.path.isdir(root):
+        for dirpath, _dirs, files in _os.walk(root):
+            cell = _os.path.basename(dirpath)
+            for fn in files:
+                if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                    continue
+                total += 1
+                per_cell[cell] = per_cell.get(cell, 0) + 1
+    read_amp = (sum(per_cell.values()) / len(per_cell)) if per_cell else 0.0
+    action = (
+        "compact"
+        if read_amp >= file_cutoff and total >= min_files
+        else "skip"
+    )
+    return {
+        "action": action,
+        "read_amp": round(read_amp, 3),
+        "file_cutoff": file_cutoff,
+        "live_files": total,
+        "n_live_cells": len(per_cell),
+        "max_files_one_cell": max(per_cell.values()) if per_cell else 0,
+    }
+
+
+def compact_ann_store(spark, store_dir: str, prune: bool = True) -> int:
+    """Fold the current generation to ONE latest-wins row per id in a
+    NEW generation — same frozen model, no re-encode (refit is the
+    separate, priced, more expensive arm) — with the manifest
+    repointed LAST (atomic rename; a torn compaction leaves readers on
+    the old generation). Old generation pruned best-effort after the
+    commit. Single-writer discipline: never concurrent with an
+    appender — the stream runs it inline between batches. Returns the
+    compacted row count."""
+    doc = load_ann_manifest(store_dir)
+    if doc is None:
+        return 0
+    latest = read_ann_store(spark, store_dir)
+    new_gen = int(doc["gen"]) + 1
+    gen_path = _cells_path(store_dir, new_gen)
+    if _os.path.exists(gen_path):  # torn previous attempt never repointed
+        _shutil.rmtree(gen_path)
+    (
+        latest.withColumnRenamed("_id", "_id")
+        .withColumn("_batch_id", F.lit(0))
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(gen_path)
+    )
+    n = spark.read.parquet(gen_path).count()
+    coarse = Quantizer(_np.asarray(doc["coarse"], dtype=_np.float64))
+    pq = ProductQuantizer(
+        [_np.asarray(b, dtype=_np.float64) for b in doc["books"]]
+    )
+    publish_ann_model(  # same model, new data generation — repoint LAST
+        store_dir, coarse, pq, cell_mass=doc.get("cell_mass"), gen=new_gen
+    )
+    if prune:
+        old = _cells_path(store_dir, doc["gen"])
+        if _os.path.exists(old):
+            _shutil.rmtree(old, ignore_errors=True)
+    return n

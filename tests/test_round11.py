@@ -1268,3 +1268,122 @@ def test_fit_quantizer_det_partition_invariance(spark):
         df.repartition(7, "vec_id"), "vec_id", "embedding", 8
     )._centers
     assert np.array_equal(c1, c7)
+
+
+def test_ann_store_compaction_policy_and_fold(spark, tmp_path):
+    """The labelstore compaction discipline at index grain: many small
+    per-batch appends price 'compact'; the fold keeps the model (no
+    refit), bumps the data generation with the manifest repointed
+    LAST, prunes the old one, and the read-back AND the search are
+    unchanged."""
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 120)
+    store = str(tmp_path / "ann")
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 8, 4, 16)
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    for b in range(6):
+        annstore.append_ann_patch(
+            annstore.encode_ann_batch(
+                df.filter(F.col("vec_id") % 6 == b), coarse, pq
+            ),
+            store, b, gen=1,
+        )
+    plan = annstore.ann_compaction_plan(store, file_cutoff=3.0)
+    assert plan["action"] == "compact" and plan["read_amp"] >= 3.0
+    before = sorted(
+        map(
+            tuple,
+            annstore.read_ann_store(spark, store)
+            .select("_id", "cell", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    q = df.filter("vec_id < 3")
+    search_before = sorted(
+        map(
+            tuple,
+            annstore.adc_search_store(
+                spark, store, q, k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    n = annstore.compact_ann_store(spark, store)
+    assert n == 120
+    doc = annstore.load_ann_manifest(store)
+    assert doc["gen"] == 2
+    import os
+
+    assert not os.path.exists(annstore._cells_path(store, 1))
+    plan2 = annstore.ann_compaction_plan(store, file_cutoff=3.0)
+    assert plan2["action"] == "skip" and plan2["read_amp"] <= 1.0
+    after = sorted(
+        map(
+            tuple,
+            annstore.read_ann_store(spark, store)
+            .select("_id", "cell", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    assert after == before
+    search_after = sorted(
+        map(
+            tuple,
+            annstore.adc_search_store(
+                spark, store, q, k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    assert search_after == search_before
+
+
+def test_ann_store_stream_with_compaction_policy(spark, tmp_path):
+    """E2E: the ANN maintenance stream prices compaction after each
+    batch and folds when the cutoff trips; read-back still equals the
+    one-shot encode."""
+    import os
+
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 90)
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "ann")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    decisions = []
+
+    def drain():
+        annstore.ann_store_stream(
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).parquet(src),
+            store, cp, n_cells=8, m=4, ksub=16,
+            compaction_policy=True, compaction_file_cutoff=1.0,
+            compaction_min_files=1, on_compaction=decisions.append,
+        ).awaitTermination(120)
+
+    for b in range(3):
+        df.filter(F.col("vec_id") % 3 == b).write.mode("append").parquet(
+            src
+        )
+        drain()
+    assert any(d["action"] == "compact" for d in decisions)
+    coarse, pq, _ = annstore.load_ann_model(store)
+    want = sorted(
+        map(
+            tuple,
+            annstore.encode_ann_batch(df, coarse, pq)
+            .select("_id", "cell", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            annstore.read_ann_store(spark, store)
+            .select("_id", "cell", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    assert got == want
