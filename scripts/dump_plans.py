@@ -97,6 +97,10 @@ SHOWCASE = [
     ("x146_source_gini", "one |sources|-key exchange; rank window + final agg on the bounded frame; single division at the edge"),
     ("x147_oov_rate", "global vocab re-aggregates the SAME (source, token) frame — one corpus pass; rank window and joins on bounded frames"),
     ("x148_ivf_distortion", "centroid matrix rides the expression tree (no join); map-only scoring; one ≤|cells| exchange"),
+    # round 11
+    ("x157_ann_choice", "ONE union pricing job: corpus+query keys tagged by side, one exchange, per-family product-sums — no pair join, no search runs"),
+    ("x163_compacted_store_readback", "generation + newer-patches union under the manifest; per-id latest-wins window over slim label rows; shard stays the partition column"),
+    ("x166_ann_store_search", "probed-cell PartitionFilters on the cell-partitioned codes scan; ADC lookups inside codegen; per-query top-k window"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —
@@ -143,7 +147,7 @@ def condense(plan: str) -> str:
         m = re.match(r"\((\d+)\) (\w+)", line)
         if m:
             node = f"({m.group(1)}) {m.group(2)}"
-        if re.match(r"(ReadSchema|PushedFilters|Arguments: hashpartitioning.*|Location)", line.strip()):
+        if re.match(r"(ReadSchema|PushedFilters|PartitionFilters|Arguments: hashpartitioning.*|Location)", line.strip()):
             key = line.strip()
             if key.startswith("Location"):
                 key = re.sub(r"\[.*?(\w+)\.parquet.*\]", r"[\1.parquet]", key)
