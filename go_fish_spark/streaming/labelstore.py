@@ -147,6 +147,14 @@ def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
             or "[PATH_NOT_FOUND]" in msg
         ):
             return None
+        if "UNABLE_TO_INFER_SCHEMA" in msg:
+            # the directory exists but holds NO committed parquet footer
+            # — a crash during the very first append leaves exactly this
+            # (task files land under _temporary/ and only move at job
+            # commit), so "no visible data file" IS "nothing committed":
+            # bootstrap, don't die. Corrupt FILES still raise (they are
+            # visible, so schema inference fails differently).
+            return None
         raise
 
 
@@ -269,11 +277,26 @@ def compact_label_store(
     import shutil
 
     man = read_compaction_manifest(store_path)
-    live = _live_label_rows(spark, store_path)
+    # Fold only PUBLISHED state: when the labels dir lives inside a
+    # maintenance-stream store (a sibling COMMIT.json exists), cap the
+    # fold at the committed batch — an out-of-band compaction must
+    # never bake a half-committed batch into a generation stamped at
+    # its own _batch_id, which would surface it to the committed
+    # reader before its publish (r11 hardening; newer patches stay in
+    # place and keep layering on top of the generation).
+    committed = read_store_commit(_os.path.dirname(store_path.rstrip("/")))
+    cut = (
+        F.col("_batch_id") <= int(committed)
+        if committed is not None
+        else None
+    )
+    live = _live_label_rows(spark, store_path, cut)
     if live is None:
         return 0
     covered = live.agg(F.max("_batch_id").alias("m")).collect()[0]["m"]
-    covered = int(covered) if covered is not None else 0
+    if covered is None:
+        return 0  # nothing published yet — nothing to fold
+    covered = int(covered)
     latest = _latest_wins(live)
     new_gen = (int(man["gen"]) + 1) if man is not None else 1
     gen_path = _generation_path(store_path, new_gen)
@@ -294,7 +317,15 @@ def compact_label_store(
             old = _generation_path(store_path, man["gen"])
             if _os.path.exists(old):
                 shutil.rmtree(old, ignore_errors=True)
-        if _os.path.exists(store_path):
+        # the patch dir is removable only when EVERYTHING in it was
+        # folded; under a committed-batch cut, unpublished newer
+        # patches must survive (the reader filters the superseded ones
+        # — garbage until the next compaction, never data loss)
+        patches = _read_parquet_if_exists(spark, store_path)
+        has_newer = patches is not None and not patches.filter(
+            F.col("_batch_id") > covered
+        ).rdd.isEmpty()
+        if not has_newer and _os.path.exists(store_path):
             shutil.rmtree(store_path, ignore_errors=True)
     return n
 

@@ -1387,3 +1387,64 @@ def test_ann_store_stream_with_compaction_policy(spark, tmp_path):
         )
     )
     assert got == want
+
+
+# --- r11 hardening: torn-first-append bootstrap + committed-cut compaction ----
+
+
+def test_read_label_store_empty_dir_bootstraps(spark, tmp_path):
+    """A directory that exists but holds NO committed parquet footer
+    (a crash during the very first append) is 'nothing committed' —
+    the reader returns None and the stream bootstraps instead of
+    dying; a dir with a VISIBLE corrupt file still raises."""
+    from go_fish_spark.streaming import labelstore as ls
+
+    empty = tmp_path / "labels"
+    empty.mkdir()
+    (empty / "_temporary").mkdir()  # the torn-write residue shape
+    assert ls.read_label_store(spark, str(empty)) is None
+
+
+def test_compaction_never_folds_or_drops_unpublished_batches(
+    spark, tmp_path
+):
+    """Out-of-band compaction on a maintenance-stream store (sibling
+    COMMIT.json) folds ONLY published batches: a half-committed batch
+    is neither baked into the generation (where the committed reader
+    would see it early) nor deleted by the prune — it stays a patch
+    and publishes later."""
+    import os
+
+    from go_fish_spark.streaming import labelstore as ls
+
+    store = str(tmp_path / "store")
+    labels = os.path.join(store, "labels")
+    os.makedirs(store)
+    ls.append_label_patch(
+        spark.createDataFrame([(1, 1), (2, 2)], "id long, component long"),
+        labels, batch_id=0, n_shards=4,
+    )
+    ls.publish_store_commit(store, 0)
+    # batch 1 half-landed: labels appended, never published
+    ls.append_label_patch(
+        spark.createDataFrame([(3, 3)], "id long, component long"),
+        labels, batch_id=1, n_shards=4,
+    )
+    n = ls.compact_label_store(spark, labels, n_shards=4)
+    assert n == 2  # only the published rows folded
+    man = ls.read_compaction_manifest(labels)
+    assert man["covered_max_batch"] == 0
+    # committed reader: still exactly the published view
+    view = ls.read_committed_store(spark, store)
+    assert {r.id for r in view["labels"].collect()} == {1, 2}
+    # the unpublished patch SURVIVED the prune and layers on the gen
+    raw = sorted(
+        map(tuple, ls.read_label_store(spark, labels).collect())
+    )
+    assert raw == [(1, 1), (2, 2), (3, 3)]
+    # once published, the batch becomes visible and compactable
+    ls.publish_store_commit(store, 1)
+    view2 = ls.read_committed_store(spark, store)
+    assert {r.id for r in view2["labels"].collect()} == {1, 2, 3}
+    n2 = ls.compact_label_store(spark, labels, n_shards=4)
+    assert n2 == 3
