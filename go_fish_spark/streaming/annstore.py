@@ -170,7 +170,14 @@ def read_ann_store(spark, store_dir: str, cells: list[int] | None = None):
     df = spark.read.parquet(_cells_path(store_dir, doc["gen"]))
     if cells is not None:
         df = df.filter(F.col("cell").isin([int(c) for c in cells]))
-    w = Window.partitionBy("_id").orderBy(F.col("_batch_id").desc())
+    # deterministic tiebreak (ADVICE r11 #4): if a lost checkpoint
+    # restarts batch ids and a re-append ties an existing row's
+    # _batch_id, the pick is still a pure function of the rows (cell,
+    # then codes — arrays of orderable ints compare lexicographically),
+    # never partition order
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_batch_id").desc(), F.col("cell").asc(), F.col("codes").asc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -213,7 +220,7 @@ def ann_store_stream(
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf = bdf.select(id_col, vec_col).dropDuplicates([id_col])
-        if bdf.rdd.isEmpty():
+        if bdf.isEmpty():
             return
         model = load_ann_model(store_dir)
         if model is None:
@@ -221,14 +228,21 @@ def ann_store_stream(
                 bdf, id_col, vec_col, n_cells, m, ksub, train_cap, seed
             )
             coded = encode_ann_batch(bdf, coarse, pq, id_col, vec_col)
-            mass = _cell_hist(coded, n_cells)
+            mass = _cell_hist(coded, len(coarse._centers))
             publish_ann_model(store_dir, coarse, pq, cell_mass=mass, gen=1)
         else:
             coarse, pq, doc = model
             coded = encode_ann_batch(bdf, coarse, pq, id_col, vec_col)
             if on_plan is not None:
+                # histogram at the LOADED model's cell count, never the
+                # stream's n_cells parameter: a pre-frozen/refit model
+                # with a different cell count would otherwise IndexError
+                # (more cells) or silently truncate the drift signal
+                # (fewer) — ADVICE r11 #1
                 plan = ann_refit_plan(
-                    doc, _cell_hist(coded, n_cells), cutoff=refit_cutoff
+                    doc,
+                    _cell_hist(coded, len(coarse._centers)),
+                    cutoff=refit_cutoff,
                 )
                 on_plan(dict(plan, batch_id=batch_id))
         doc = load_ann_manifest(store_dir)
@@ -283,6 +297,16 @@ def ann_refit_plan(
             "js_divergence": None,
             "cutoff": cutoff,
         }
+    if len(base) != len(batch_mass):
+        # a silent zip-truncation would understate divergence exactly
+        # under the drift the plan exists to detect (ADVICE r11 #1):
+        # mass in cells the baseline never had is the strongest refit
+        # signal there is — mismatched histograms are a caller bug
+        raise ValueError(
+            f"cell histogram length mismatch: model has {len(base)} "
+            f"cells, batch histogram has {len(batch_mass)} — histogram "
+            "the batch at the loaded model's cell count"
+        )
     p_tot, q_tot = float(sum(base)), float(sum(batch_mass))
     js = 0.0
     for pb, qb in zip(base, batch_mass):
@@ -325,6 +349,7 @@ def refit_ann_store(
 
     cur = load_ann_manifest(store_dir)
     new_gen = (int(cur["gen"]) + 1) if cur else 1
+    covered = _covered_batch(spark, store_dir, cur)
     coarse, pq = fit_ivfpq_det(
         vectors_df, id_col, vec_col, n_cells, m, ksub, train_cap, seed
     )
@@ -333,22 +358,60 @@ def refit_ann_store(
     if _os.path.exists(gen_path):  # torn previous attempt never repointed
         _shutil.rmtree(gen_path)
     (
-        coded.withColumn("_batch_id", F.lit(0))
+        # stamp at the COVERED max batch id (ADVICE r11 #4, the
+        # labelstore rule): a lost checkpoint restarting batch ids at 0
+        # must not tie the folded rows in the latest-wins window
+        coded.withColumn("_batch_id", F.lit(int(covered)))
         .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(gen_path)
     )
     n = spark.read.parquet(gen_path).count()
-    mass = _cell_hist(coded, n_cells)
+    mass = _cell_hist(coded, len(coarse._centers))
     publish_ann_model(  # the commit point — model + gen repoint LAST
         store_dir, coarse, pq, cell_mass=mass, gen=new_gen
     )
-    if prune and cur is not None:
-        old = _cells_path(store_dir, cur["gen"])
-        if _os.path.exists(old) and int(cur["gen"]) != new_gen:
-            _shutil.rmtree(old, ignore_errors=True)
+    if prune:
+        _prune_generations(store_dir, keep_from=new_gen - 1)
     return n
+
+
+def _covered_batch(spark, store_dir: str, doc: dict | None) -> int:
+    """Max ``_batch_id`` in the current generation (0 when the store is
+    empty) — the stamp a fold writes so its rows outrank every batch
+    they supersede, and ONLY those (ADVICE r11 #4)."""
+    if doc is None:
+        return 0
+    path = _cells_path(store_dir, doc["gen"])
+    if not _os.path.isdir(path):
+        return 0
+    m = (
+        spark.read.parquet(path)
+        .agg(F.max("_batch_id").alias("m"))
+        .collect()[0]["m"]
+    )
+    return int(m) if m is not None else 0
+
+
+def _prune_generations(store_dir: str, keep_from: int) -> None:
+    """Best-effort GC of cell generations STRICTLY OLDER than
+    ``keep_from``. Deliberately retains the N-1 generation one extra
+    cycle (ADVICE r11 #3): a reader that loaded the previous manifest
+    may still hold a lazy DataFrame over its generation — deleting it
+    under them fails their scan mid-action. The N-1 directory is pruned
+    by the NEXT fold, by which time any reader of the N-2 manifest is
+    two commits stale."""
+    root = _os.path.join(store_dir, "cells")
+    if not _os.path.isdir(root):
+        return
+    for name in _os.listdir(root):
+        try:
+            g = int(name)
+        except ValueError:
+            continue
+        if g < keep_from:
+            _shutil.rmtree(_os.path.join(root, name), ignore_errors=True)
 
 
 def adc_search_store(
@@ -490,14 +553,17 @@ def compact_ann_store(spark, store_dir: str, prune: bool = True) -> int:
     doc = load_ann_manifest(store_dir)
     if doc is None:
         return 0
+    covered = _covered_batch(spark, store_dir, doc)
     latest = read_ann_store(spark, store_dir)
     new_gen = int(doc["gen"]) + 1
     gen_path = _cells_path(store_dir, new_gen)
     if _os.path.exists(gen_path):  # torn previous attempt never repointed
         _shutil.rmtree(gen_path)
     (
-        latest.withColumnRenamed("_id", "_id")
-        .withColumn("_batch_id", F.lit(0))
+        # stamped at the covered max batch id, not 0 (ADVICE r11 #4):
+        # a checkpoint-loss restart re-appending at batch 0 must LOSE
+        # to the fold, and the labelstore stamps the same way
+        latest.withColumn("_batch_id", F.lit(int(covered)))
         .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
@@ -512,7 +578,5 @@ def compact_ann_store(spark, store_dir: str, prune: bool = True) -> int:
         store_dir, coarse, pq, cell_mass=doc.get("cell_mass"), gen=new_gen
     )
     if prune:
-        old = _cells_path(store_dir, doc["gen"])
-        if _os.path.exists(old):
-            _shutil.rmtree(old, ignore_errors=True)
+        _prune_generations(store_dir, keep_from=new_gen - 1)
     return n

@@ -128,17 +128,24 @@ def append_label_patch(
     )
 
 
-def _read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+def _read_parquet_if_exists(
+    spark, path: str, merge_schema: bool = False
+) -> DataFrame | None:
     """Read a parquet store, returning None ONLY when the path does not
     exist yet (the before-first-patch case). Every other failure —
     corruption, permission, schema mismatch — RE-RAISES: treating a
     transient read error as "store empty" would silently send the
     maintenance stream down the bootstrap path and label a batch
-    without merging against history (ADVICE r10 #1)."""
+    without merging against history (ADVICE r10 #1). ``merge_schema``
+    unions file schemas so legacy files missing later-added columns
+    surface them as nulls instead of being schema-clipped."""
     from pyspark.errors import AnalysisException
 
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     try:
-        return spark.read.parquet(path)
+        return reader.parquet(path)
     except AnalysisException as e:
         msg = str(e)
         if (
@@ -313,21 +320,66 @@ def compact_label_store(
         },
     )
     if prune:  # best-effort garbage collection AFTER the commit point
-        if man is not None:
-            old = _generation_path(store_path, man["gen"])
-            if _os.path.exists(old):
-                shutil.rmtree(old, ignore_errors=True)
-        # the patch dir is removable only when EVERYTHING in it was
-        # folded; under a committed-batch cut, unpublished newer
-        # patches must survive (the reader filters the superseded ones
-        # — garbage until the next compaction, never data loss)
-        patches = _read_parquet_if_exists(spark, store_path)
-        has_newer = patches is not None and not patches.filter(
-            F.col("_batch_id") > covered
-        ).rdd.isEmpty()
-        if not has_newer and _os.path.exists(store_path):
-            shutil.rmtree(store_path, ignore_errors=True)
+        # Generation retention (ADVICE r11 #3): the N-1 generation is
+        # RETAINED one cycle and pruned by the NEXT fold — a reader
+        # that loaded the previous manifest may still hold a lazy
+        # DataFrame over it, and its file index must stay servable
+        # until that reader is two commits stale. (compaction_plan is
+        # unaffected: it counts only the CURRENT generation's files.)
+        _prune_label_generations(store_path, keep_from=new_gen - 1)
+        # Patch files wholly covered by THIS fold are removed per-file
+        # (tighter than the r11 all-or-nothing dir removal: under a
+        # committed-batch cut, folded files go even while unpublished
+        # newer patches live on). A reader racing this fold with an
+        # already-materialized file index over the patch dir can hit
+        # FileNotFound on the pruned tail and must retry against the
+        # new manifest — the documented contract for the (small) patch
+        # tail; on an object store the production form is a
+        # snapshot/manifest reader (Iceberg-style), not dir listing.
+        _prune_superseded_patches(spark, store_path, covered)
     return n
+
+
+def _prune_label_generations(store_path: str, keep_from: int) -> None:
+    """GC generation directories STRICTLY OLDER than ``keep_from`` (the
+    N-1 generation is retained one cycle — see compact_label_store)."""
+    import shutil
+
+    root = store_path.rstrip("/") + "_gen"
+    if not _os.path.isdir(root):
+        return
+    for name in _os.listdir(root):
+        try:
+            g = int(name)
+        except ValueError:
+            continue
+        if g < keep_from:
+            shutil.rmtree(_os.path.join(root, name), ignore_errors=True)
+
+
+def _prune_superseded_patches(spark, store_path: str, covered: int) -> None:
+    """Delete patch FILES wholly folded by the fold that just committed
+    — every row in them has ``_batch_id <= covered``, so the reader of
+    record never returns their rows. File→max-batch comes from one slim
+    column scan of the patch dir grouped by ``input_file_name`` —
+    bounded by the live patch population, which compaction just reset."""
+    from urllib.parse import unquote, urlparse
+
+    patches = _read_parquet_if_exists(spark, store_path)
+    if patches is None:
+        return
+    rows = (
+        patches.groupBy(F.input_file_name().alias("f"))
+        .agg(F.max("_batch_id").alias("m"))
+        .collect()
+    )
+    for r in rows:
+        if r["m"] is not None and int(r["m"]) <= covered:
+            p = unquote(urlparse(r["f"]).path)
+            try:
+                _os.remove(p)
+            except OSError:
+                pass  # best-effort GC — a vanished file is already gone
 
 
 # ---------------------------------------------------------------------------
@@ -376,11 +428,22 @@ def read_committed_store(spark, store_dir: str) -> dict:
     labels = read_label_store(
         spark, _os.path.join(store_dir, "labels"), committed_batch=committed
     )
-    sigs = _read_parquet_if_exists(spark, _os.path.join(store_dir, "_sigs"))
+    sigs = _read_parquet_if_exists(
+        spark, _os.path.join(store_dir, "_sigs"), merge_schema=True
+    )
     if sigs is not None:
         from pyspark.sql import Window
 
         if "_batch_id" in sigs.columns:
+            # mergeSchema + coalesce(-1) (ADVICE r11 #2): a pre-commit-
+            # discipline store continued post-upgrade holds legacy files
+            # WITHOUT _batch_id; merged in, their rows carry null — the
+            # ``<= committed`` cut must keep them (they predate every
+            # commit point), and in the latest-wins window they lose to
+            # any stamped re-append, which is the correct precedence.
+            sigs = sigs.withColumn(
+                "_batch_id", F.coalesce(F.col("_batch_id"), F.lit(-1))
+            )
             sigs = sigs.filter(F.col("_batch_id") <= committed)
             w = Window.partitionBy("_id").orderBy(F.col("_batch_id").desc())
             sigs = (
@@ -541,7 +604,7 @@ def label_store_maintenance_stream(
                 prev.select(F.col("id").alias(id_col)), id_col, "left_anti"
             )
         fresh = bdf.localCheckpoint()
-        if fresh.rdd.isEmpty():
+        if fresh.isEmpty():
             return
         sig = minhash_signature(text_col, n_hashes, k, seed, portable)
         # (1) sigs first — replay-safe (module docstring); the batch

@@ -158,8 +158,9 @@ def test_compaction_generation_manifest_and_reader_of_record(
     # the reader of record serves the generation — same answer
     after = sorted(map(tuple, ls.read_label_store(spark, path).collect()))
     assert after == before
-    # prune removed the superseded patch dir
-    assert not os.path.exists(path)
+    # prune removed every folded patch FILE (r12: per-file GC — the
+    # directory skeleton may remain, but no live parquet file does)
+    assert _live_parquet_files(path) == []
     # new patches after compaction layer on top of the generation
     patch = spark.createDataFrame([(0, 99)], "id long, component long")
     ls.append_label_patch(patch, path, batch_id=7, n_shards=4)
@@ -168,17 +169,37 @@ def test_compaction_generation_manifest_and_reader_of_record(
         for r in ls.read_label_store(spark, path).collect()
     )
     assert got[0] == 99 and got[1] == before[1][1]
-    # second compaction folds again: gen 2, old gen pruned
+    # second compaction folds again: gen 2; gen 1 is RETAINED one cycle
+    # (ADVICE r11 #3 — a reader of the old manifest may still hold a
+    # lazy frame over it) and pruned only by the THIRD fold
     n2 = ls.compact_label_store(spark, path, n_shards=4)
     assert n2 == len(before)
     man2 = ls.read_compaction_manifest(path)
     assert man2["gen"] == 2 and man2["covered_max_batch"] == 7
-    assert not os.path.exists(ls._generation_path(path, 1))
+    assert os.path.exists(ls._generation_path(path, 1))
     got2 = dict(
         (r.id, r.component)
         for r in ls.read_label_store(spark, path).collect()
     )
     assert got2 == got
+    ls.append_label_patch(
+        spark.createDataFrame([(0, 98)], "id long, component long"),
+        path, batch_id=8, n_shards=4,
+    )
+    ls.compact_label_store(spark, path, n_shards=4)
+    assert not os.path.exists(ls._generation_path(path, 1))
+    assert os.path.exists(ls._generation_path(path, 2))
+
+
+def _live_parquet_files(root):
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out += [
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    return out
 
 
 def test_torn_compaction_invisible_until_repoint(spark, tmp_path):
@@ -948,7 +969,9 @@ def test_ann_refit_plan_and_generation_commit(spark, tmp_path):
             .select("_id", "cell").collect())
     ) == before
 
-    # real refit: gen bumps, old gen pruned, search still serves
+    # real refit: gen bumps; gen 1 is RETAINED one cycle (ADVICE r11
+    # #3 — a reader of the old manifest may still hold a lazy frame
+    # over it) and pruned only by the NEXT fold; search still serves
     n = annstore.refit_ann_store(
         spark, store, df, n_cells=8, m=4, ksub=16
     )
@@ -956,11 +979,16 @@ def test_ann_refit_plan_and_generation_commit(spark, tmp_path):
     doc2 = annstore.load_ann_manifest(store)
     # the torn generation-2 attempt is REWRITTEN, not skipped
     assert doc2["gen"] == 2 and doc2["version"] > doc["version"]
-    assert not os.path.exists(annstore._cells_path(store, 1))
+    assert os.path.exists(annstore._cells_path(store, 1))
     out = annstore.adc_search_store(
         spark, store, df.filter("vec_id < 3"), k=5, n_probe=2
     )
     assert out.groupBy("query_id").count().count() == 3
+    # the next fold prunes generation 1 and retains generation 2
+    annstore.compact_ann_store(spark, store)
+    assert annstore.load_ann_manifest(store)["gen"] == 3
+    assert not os.path.exists(annstore._cells_path(store, 1))
+    assert os.path.exists(annstore._cells_path(store, 2))
 
 
 def test_ann_store_search_prunes_cell_partitions(spark, tmp_path):
@@ -1315,7 +1343,8 @@ def test_ann_store_compaction_policy_and_fold(spark, tmp_path):
     assert doc["gen"] == 2
     import os
 
-    assert not os.path.exists(annstore._cells_path(store, 1))
+    # generation 1 retained one cycle (ADVICE r11 #3)
+    assert os.path.exists(annstore._cells_path(store, 1))
     plan2 = annstore.ann_compaction_plan(store, file_cutoff=3.0)
     assert plan2["action"] == "skip" and plan2["read_amp"] <= 1.0
     after = sorted(

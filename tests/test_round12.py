@@ -1,0 +1,178 @@
+"""Round-12 regressions: the four r11 ADVICE findings (model-derived
+cell histograms, legacy-sig schema merge, generation retention, fold
+batch-id stamping) plus the round's new store machinery."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ann_corpus(spark, n, dim=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((16, dim)) * 5
+    X = centers[rng.integers(0, 16, n)] + rng.standard_normal((n, dim))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+# --- ADVICE r11 #1: histograms at the MODEL's cell count ----------------------
+
+
+def test_ann_refit_plan_rejects_mismatched_histogram():
+    from go_fish_spark.streaming import annstore
+
+    manifest = {"cell_mass": [10, 10, 10, 10]}
+    with pytest.raises(ValueError, match="cell histogram length mismatch"):
+        annstore.ann_refit_plan(manifest, [5, 5])
+    with pytest.raises(ValueError, match="cell histogram length mismatch"):
+        annstore.ann_refit_plan(manifest, [5] * 8)
+    # matched lengths still price normally
+    ok = annstore.ann_refit_plan(manifest, [10, 10, 10, 10])
+    assert ok["action"] == "incremental" and ok["js_divergence"] == 0.0
+
+
+def test_ann_stream_histograms_at_loaded_model_cell_count(spark, tmp_path):
+    """A PRE-FROZEN model with more cells than the stream's n_cells
+    parameter used to IndexError the stream's drift histogram (and
+    silently truncate it when fewer) — the histogram must size itself
+    from the loaded model."""
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 80)
+    store = str(tmp_path / "ann")
+    src = str(tmp_path / "in")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    # freeze a 16-cell model; the stream is (mis)configured with n_cells=4
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 16, 4, 16)
+    mass = annstore._cell_hist(
+        annstore.encode_ann_batch(df, coarse, pq), len(coarse._centers)
+    )
+    annstore.publish_ann_model(store, coarse, pq, cell_mass=mass, gen=1)
+
+    plans = []
+    df.write.mode("append").parquet(src)
+    annstore.ann_store_stream(
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .parquet(src),
+        store, cp, n_cells=4, on_plan=plans.append,
+    ).awaitTermination(120)
+    assert len(plans) == 1
+    # the full-corpus batch matches the train distribution exactly —
+    # with the truncation bug half the mass vanished and js drifted
+    assert plans[0]["js_divergence"] == 0.0
+    assert plans[0]["action"] == "incremental"
+
+
+# --- ADVICE r11 #2: legacy sig files survive the committed cut ----------------
+
+
+def test_committed_store_legacy_sigs_survive_schema_merge(spark, tmp_path):
+    from go_fish_spark.streaming import labelstore as ls
+
+    store = str(tmp_path / "store")
+    sig_dir = os.path.join(store, "_sigs")
+    # legacy file: written before the commit discipline — no _batch_id
+    spark.createDataFrame(
+        [(1, "sigA"), (2, "sigB")], "_id long, _sig string"
+    ).write.mode("append").parquet(sig_dir)
+    # post-upgrade file: carries the batch stamp
+    spark.createDataFrame(
+        [(3, "sigC")], "_id long, _sig string"
+    ).withColumn("_batch_id", F.lit(0)).write.mode("append").parquet(sig_dir)
+    ls.append_label_patch(
+        spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 3)], "id long, component long"
+        ),
+        os.path.join(store, "labels"), batch_id=0, n_shards=4,
+    )
+    ls.publish_store_commit(store, 0)
+
+    view = ls.read_committed_store(spark, store)
+    got = {r["_id"]: r["_sig"] for r in view["sigs"].collect()}
+    # without mergeSchema the read could adopt the stamped schema and
+    # the <= committed cut silently dropped the legacy rows as null
+    assert got == {1: "sigA", 2: "sigB", 3: "sigC"}
+    # a stamped re-append of a legacy id supersedes it (null sorts last)
+    spark.createDataFrame(
+        [(1, "sigA2")], "_id long, _sig string"
+    ).withColumn("_batch_id", F.lit(1)).write.mode("append").parquet(sig_dir)
+    ls.publish_store_commit(store, 1)
+    got2 = {
+        r["_id"]: r["_sig"]
+        for r in ls.read_committed_store(spark, store)["sigs"].collect()
+    }
+    assert got2[1] == "sigA2" and got2[2] == "sigB"
+
+
+# --- ADVICE r11 #4: fold rows outrank a restarted batch-id space --------------
+
+
+def test_ann_fold_stamped_at_covered_outranks_restarted_ids(spark, tmp_path):
+    """compact_ann_store stamps the folded generation at the covered
+    max _batch_id (the labelstore rule): after a checkpoint loss
+    restarts batch ids at 0, a re-append at batch 0 deterministically
+    LOSES to the fold instead of tying nondeterministically."""
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 60)
+    store = str(tmp_path / "ann")
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 8, 4, 16)
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    for b in range(3):
+        annstore.append_ann_patch(
+            annstore.encode_ann_batch(
+                df.filter(F.col("vec_id") % 3 == b), coarse, pq
+            ),
+            store, b, gen=1,
+        )
+    annstore.compact_ann_store(spark, store, prune=False)
+    # the folded generation carries the covered stamp, not 0
+    doc = annstore.load_ann_manifest(store)
+    folded = spark.read.parquet(annstore._cells_path(store, doc["gen"]))
+    assert folded.agg(F.max("_batch_id")).collect()[0][0] == 2
+
+    before = {
+        r["_id"]: (r["cell"], str(r["codes"]))
+        for r in annstore.read_ann_store(spark, store).collect()
+    }
+    # checkpoint loss: an EDITED vector re-appends at batch 0
+    edited = df.filter("vec_id = 7").select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(edited, coarse, pq),
+        store, 0, gen=doc["gen"],
+    )
+    after = {
+        r["_id"]: (r["cell"], str(r["codes"]))
+        for r in annstore.read_ann_store(spark, store).collect()
+    }
+    # batch 0 < covered stamp 2 — the fold wins, deterministically
+    assert after == before
+
+
+def test_ann_refit_generation_stamped_at_covered(spark, tmp_path):
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 60)
+    store = str(tmp_path / "ann")
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 8, 4, 16)
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(df, coarse, pq), store, 5, gen=1
+    )
+    annstore.refit_ann_store(spark, store, df, n_cells=8, m=4, ksub=16)
+    doc = annstore.load_ann_manifest(store)
+    gen = spark.read.parquet(annstore._cells_path(store, doc["gen"]))
+    assert gen.agg(F.max("_batch_id")).collect()[0][0] == 5
