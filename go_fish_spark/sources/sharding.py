@@ -156,6 +156,45 @@ def stream_sharded(
     return w.start()
 
 
+def shard_compaction_plan(
+    path: str,
+    file_cutoff: float = 4.0,
+    min_files: int = 8,
+) -> dict:
+    """Decide whether :func:`compact_shards` pays for itself, from
+    per-shard live-file counts (storekernel.walk_parquet_files — a
+    catalog listing, never a data scan; the same priced-decision rule
+    the label and ANN stores run). Streaming deliveries and appends
+    fragment shard directories; read amplification ≈ mean live files
+    per shard directory, 1.0 being the one-file-per-shard ideal this
+    layout exists for. Compact when the mean crosses ``file_cutoff``
+    AND at least ``min_files`` live files exist."""
+    from ..streaming import storekernel as _sk
+
+    _total, bytes_, per_dir = _sk.walk_parquet_files(path)
+    # the _manifest sidecar is not data — neither its files nor its
+    # directory count toward read amplification
+    live = {
+        d: n for d, n in per_dir.items() if not d.startswith(("_", "."))
+    }
+    total = sum(live.values())
+    read_amp = (total / len(live)) if live else 0.0
+    action = (
+        "compact"
+        if read_amp >= file_cutoff and total >= min_files
+        else "skip"
+    )
+    return {
+        "action": action,
+        "read_amp": round(read_amp, 3),
+        "file_cutoff": file_cutoff,
+        "live_files": total,
+        "live_bytes": bytes_,
+        "n_live_shards": len(live),
+        "max_files_one_shard": max(live.values()) if live else 0,
+    }
+
+
 def compact_shards(
     spark,
     path: str,

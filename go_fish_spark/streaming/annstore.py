@@ -41,7 +41,6 @@ SURVEY.md §2.6)."""
 
 from __future__ import annotations
 
-import json as _json
 import math as _math
 import os as _os
 import shutil as _shutil
@@ -52,14 +51,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.similarity import ProductQuantizer, Quantizer
+from . import storekernel as _sk
 
 
 def _model_path(store_dir: str) -> str:
     return _os.path.join(store_dir, "MODEL.json")
 
 
+def _cells_root(store_dir: str) -> str:
+    return _os.path.join(store_dir, "cells")
+
+
 def _cells_path(store_dir: str, gen: int) -> str:
-    return _os.path.join(store_dir, "cells", str(int(gen)))
+    return _sk.generation_path(_cells_root(store_dir), gen)
 
 
 def publish_ann_model(
@@ -84,21 +88,12 @@ def publish_ann_model(
         ],
         "cell_mass": [int(x) for x in cell_mass] if cell_mass else None,
     }
-    tmp = _model_path(store_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        _json.dump(doc, fh)
-        fh.flush()
-        _os.fsync(fh.fileno())
-    _os.replace(tmp, _model_path(store_dir))
+    _sk.atomic_write_json(_model_path(store_dir), doc)
     return doc
 
 
 def load_ann_manifest(store_dir: str) -> dict | None:
-    p = _model_path(store_dir)
-    if not _os.path.exists(p):
-        return None
-    with open(p) as fh:
-        return _json.load(fh)
+    return _sk.read_json_if_exists(_model_path(store_dir))
 
 
 def load_ann_model(
@@ -162,8 +157,6 @@ def read_ann_store(spark, store_dir: str, cells: list[int] | None = None):
     batch's duplicate rows are identical and collapse. ``cells``
     restricts the scan to the probed cell PARTITIONS (the layout's
     payoff — PartitionFilters, asserted in tests)."""
-    from pyspark.sql import Window
-
     doc = load_ann_manifest(store_dir)
     if doc is None:
         return None
@@ -175,13 +168,11 @@ def read_ann_store(spark, store_dir: str, cells: list[int] | None = None):
     # _batch_id, the pick is still a pure function of the rows (cell,
     # then codes — arrays of orderable ints compare lexicographically),
     # never partition order
-    w = Window.partitionBy("_id").orderBy(
-        F.col("_batch_id").desc(), F.col("cell").asc(), F.col("codes").asc()
-    )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_id", F.col("cell").cast("int").alias("cell"), "codes")
+    return _sk.latest_wins(
+        df,
+        ["_id"],
+        [F.col("cell").asc(), F.col("codes").asc()],
+        ["_id", F.col("cell").cast("int").alias("cell"), "codes"],
     )
 
 
@@ -395,23 +386,10 @@ def _covered_batch(spark, store_dir: str, doc: dict | None) -> int:
 
 
 def _prune_generations(store_dir: str, keep_from: int) -> None:
-    """Best-effort GC of cell generations STRICTLY OLDER than
-    ``keep_from``. Deliberately retains the N-1 generation one extra
-    cycle (ADVICE r11 #3): a reader that loaded the previous manifest
-    may still hold a lazy DataFrame over its generation — deleting it
-    under them fails their scan mid-action. The N-1 directory is pruned
-    by the NEXT fold, by which time any reader of the N-2 manifest is
-    two commits stale."""
-    root = _os.path.join(store_dir, "cells")
-    if not _os.path.isdir(root):
-        return
-    for name in _os.listdir(root):
-        try:
-            g = int(name)
-        except ValueError:
-            continue
-        if g < keep_from:
-            _shutil.rmtree(_os.path.join(root, name), ignore_errors=True)
+    """GC cell generations STRICTLY OLDER than ``keep_from`` — the N-1
+    generation is retained one cycle for in-flight readers of the
+    previous manifest (storekernel.prune_generations, ADVICE r11 #3)."""
+    _sk.prune_generations(_cells_root(store_dir), keep_from)
 
 
 def adc_search_store(
@@ -514,17 +492,9 @@ def ann_compaction_plan(
     doc = load_ann_manifest(store_dir)
     if doc is None:
         return {"action": "skip", "reason": "no_store", "read_amp": 0.0}
-    root = _cells_path(store_dir, doc["gen"])
-    per_cell: dict = {}
-    total = 0
-    if _os.path.isdir(root):
-        for dirpath, _dirs, files in _os.walk(root):
-            cell = _os.path.basename(dirpath)
-            for fn in files:
-                if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
-                    continue
-                total += 1
-                per_cell[cell] = per_cell.get(cell, 0) + 1
+    total, _bytes, per_cell = _sk.walk_parquet_files(
+        _cells_path(store_dir, doc["gen"])
+    )
     read_amp = (sum(per_cell.values()) / len(per_cell)) if per_cell else 0.0
     action = (
         "compact"

@@ -47,21 +47,19 @@ shard size.
 
 from __future__ import annotations
 
-import json as _json
 import os as _os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import storekernel as _sk
+
 LABEL_SHARDS = 64
 
 
 # ---------------------------------------------------------------------------
-# Manifests — the atomic-publish primitive both disciplines share
-#
-# A manifest is a tiny JSON file published with write-to-tmp + os.replace
-# (atomic on POSIX): a reader sees either the old version or the new one,
-# never a torn write. Two manifests exist at different grains:
+# Manifests — the atomic-publish primitive (storekernel.atomic_write_json)
+# at two grains:
 #   * ``<labels>_MANIFEST.json`` — the COMPACTION manifest of one label
 #     table: which generation directory is current and the highest
 #     ``_batch_id`` it folded (ADVICE r10 #2: the generation-directory +
@@ -73,28 +71,16 @@ LABEL_SHARDS = 64
 #     (r10 verdict Next #3).
 
 
-def _atomic_write_json(path: str, payload: dict) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        _json.dump(payload, f)
-        f.flush()
-        _os.fsync(f.fileno())
-    _os.replace(tmp, path)
-
-
-def _read_json_if_exists(path: str) -> dict | None:
-    if not _os.path.exists(path):
-        return None
-    with open(path) as f:
-        return _json.load(f)
-
-
 def _compaction_manifest_path(store_path: str) -> str:
     return store_path.rstrip("/") + "_MANIFEST.json"
 
 
+def _generation_root(store_path: str) -> str:
+    return store_path.rstrip("/") + "_gen"
+
+
 def _generation_path(store_path: str, gen: int) -> str:
-    return store_path.rstrip("/") + f"_gen/{int(gen)}"
+    return _sk.generation_path(_generation_root(store_path), gen)
 
 
 def read_compaction_manifest(store_path: str) -> dict | None:
@@ -102,7 +88,7 @@ def read_compaction_manifest(store_path: str) -> dict | None:
     ``{"gen": N, "covered_max_batch": B, "version": k}`` — patches with
     ``_batch_id <= B`` are folded into generation directory N; the
     reader of record scans gen N plus only the newer patches."""
-    return _read_json_if_exists(_compaction_manifest_path(store_path))
+    return _sk.read_json_if_exists(_compaction_manifest_path(store_path))
 
 
 def append_label_patch(
@@ -128,41 +114,9 @@ def append_label_patch(
     )
 
 
-def _read_parquet_if_exists(
-    spark, path: str, merge_schema: bool = False
-) -> DataFrame | None:
-    """Read a parquet store, returning None ONLY when the path does not
-    exist yet (the before-first-patch case). Every other failure —
-    corruption, permission, schema mismatch — RE-RAISES: treating a
-    transient read error as "store empty" would silently send the
-    maintenance stream down the bootstrap path and label a batch
-    without merging against history (ADVICE r10 #1). ``merge_schema``
-    unions file schemas so legacy files missing later-added columns
-    surface them as nulls instead of being schema-clipped."""
-    from pyspark.errors import AnalysisException
-
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    try:
-        return reader.parquet(path)
-    except AnalysisException as e:
-        msg = str(e)
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "[PATH_NOT_FOUND]" in msg
-        ):
-            return None
-        if "UNABLE_TO_INFER_SCHEMA" in msg:
-            # the directory exists but holds NO committed parquet footer
-            # — a crash during the very first append leaves exactly this
-            # (task files land under _temporary/ and only move at job
-            # commit), so "no visible data file" IS "nothing committed":
-            # bootstrap, don't die. Corrupt FILES still raise (they are
-            # visible, so schema inference fails differently).
-            return None
-        raise
+#: existence-aware read (None ONLY for nothing-committed; everything
+#: else re-raises — ADVICE r10 #1) — storekernel.read_parquet_if_exists
+_read_parquet_if_exists = _sk.read_parquet_if_exists
 
 
 def _live_label_rows(
@@ -198,15 +152,10 @@ def _live_label_rows(
 
 
 def _latest_wins(df: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy(
-        F.col("_batch_id").desc(), F.col("component").asc()
-    )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "component")
+    # ties to the SMALLER component: merges only move labels down, so
+    # the smaller same-batch row is the more-merged, correct one
+    return _sk.latest_wins(
+        df, ["id"], [F.col("component").asc()], ["id", "component"]
     )
 
 
@@ -311,7 +260,7 @@ def compact_label_store(
         shutil.rmtree(gen_path)
     append_label_patch(latest, gen_path, batch_id=covered, n_shards=n_shards)
     n = spark.read.parquet(gen_path).count()
-    _atomic_write_json(  # the commit point — repoint LAST
+    _sk.atomic_write_json(  # the commit point — repoint LAST
         _compaction_manifest_path(store_path),
         {
             "gen": new_gen,
@@ -343,43 +292,14 @@ def compact_label_store(
 def _prune_label_generations(store_path: str, keep_from: int) -> None:
     """GC generation directories STRICTLY OLDER than ``keep_from`` (the
     N-1 generation is retained one cycle — see compact_label_store)."""
-    import shutil
-
-    root = store_path.rstrip("/") + "_gen"
-    if not _os.path.isdir(root):
-        return
-    for name in _os.listdir(root):
-        try:
-            g = int(name)
-        except ValueError:
-            continue
-        if g < keep_from:
-            shutil.rmtree(_os.path.join(root, name), ignore_errors=True)
+    _sk.prune_generations(_generation_root(store_path), keep_from)
 
 
 def _prune_superseded_patches(spark, store_path: str, covered: int) -> None:
     """Delete patch FILES wholly folded by the fold that just committed
-    — every row in them has ``_batch_id <= covered``, so the reader of
-    record never returns their rows. File→max-batch comes from one slim
-    column scan of the patch dir grouped by ``input_file_name`` —
-    bounded by the live patch population, which compaction just reset."""
-    from urllib.parse import unquote, urlparse
-
-    patches = _read_parquet_if_exists(spark, store_path)
-    if patches is None:
-        return
-    rows = (
-        patches.groupBy(F.input_file_name().alias("f"))
-        .agg(F.max("_batch_id").alias("m"))
-        .collect()
-    )
-    for r in rows:
-        if r["m"] is not None and int(r["m"]) <= covered:
-            p = unquote(urlparse(r["f"]).path)
-            try:
-                _os.remove(p)
-            except OSError:
-                pass  # best-effort GC — a vanished file is already gone
+    (storekernel.prune_covered_files — one slim column scan of the
+    patch dir, bounded by the live patch population)."""
+    _sk.prune_covered_files(spark, store_path, covered)
 
 
 # ---------------------------------------------------------------------------
@@ -388,31 +308,18 @@ def _prune_superseded_patches(spark, store_path: str, covered: int) -> None:
 # window between them (sigs landed, labels not yet — sig/label skew).
 
 
-def _commit_path(store_dir: str) -> str:
-    return _os.path.join(store_dir, "COMMIT.json")
-
-
 def publish_store_commit(store_dir: str, batch_id: int) -> dict:
     """Publish batch ``batch_id`` as committed: both its signature and
     label appends are durable. Forward-only (a replayed batch can never
-    move the commit point backwards); atomic rename is the commit."""
-    cur = _read_json_if_exists(_commit_path(store_dir))
-    committed = int(batch_id)
-    if cur is not None:
-        committed = max(committed, int(cur["committed_batch"]))
-    payload = {
-        "committed_batch": committed,
-        "version": (int(cur.get("version", 0)) + 1) if cur else 1,
-    }
-    _atomic_write_json(_commit_path(store_dir), payload)
-    return payload
+    move the commit point backwards); atomic rename is the commit
+    (storekernel.publish_commit)."""
+    return _sk.publish_commit(store_dir, batch_id)
 
 
 def read_store_commit(store_dir: str) -> int | None:
     """The highest atomically-published batch id (None = nothing
     committed yet)."""
-    cur = _read_json_if_exists(_commit_path(store_dir))
-    return int(cur["committed_batch"]) if cur is not None else None
+    return _sk.read_commit(store_dir)
 
 
 def read_committed_store(spark, store_dir: str) -> dict:
@@ -482,27 +389,14 @@ def compaction_plan(
     ``read_amp`` (mean live files per non-empty shard), per-surface
     file counts and bytes."""
 
-    def _walk(root: str) -> tuple[int, int, dict]:
-        files = bytes_ = 0
-        per_shard: dict = {}
-        if not _os.path.isdir(root):
-            return 0, 0, {}
-        for dirpath, _dirnames, filenames in _os.walk(root):
-            shard = _os.path.basename(dirpath)
-            for fn in filenames:
-                if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
-                    continue
-                files += 1
-                bytes_ += _os.path.getsize(_os.path.join(dirpath, fn))
-                per_shard[shard] = per_shard.get(shard, 0) + 1
-        return files, bytes_, per_shard
-
     man = read_compaction_manifest(store_path)
-    patch_files, patch_bytes, patch_shards = _walk(store_path)
+    patch_files, patch_bytes, patch_shards = _sk.walk_parquet_files(
+        store_path
+    )
     gen_files = gen_bytes = 0
     gen_shards: dict = {}
     if man is not None:
-        gen_files, gen_bytes, gen_shards = _walk(
+        gen_files, gen_bytes, gen_shards = _sk.walk_parquet_files(
             _generation_path(store_path, man["gen"])
         )
     shards = set(patch_shards) | set(gen_shards)

@@ -161,6 +161,36 @@ def test_ann_fold_stamped_at_covered_outranks_restarted_ids(spark, tmp_path):
     assert after == before
 
 
+# --- r11 Next #2: the store kernel backs all three stores ---------------------
+
+
+def test_shard_compaction_plan_prices_from_file_census(spark, tmp_path):
+    """The sharded-corpus layout now runs the same priced compaction
+    decision as the label/ANN stores (storekernel.walk_parquet_files):
+    fragmented shard dirs price 'compact', a fresh one-file-per-shard
+    rewrite prices 'skip' at read_amp 1.0."""
+    from go_fish_spark.sources import sharding
+
+    path = str(tmp_path / "corpus")
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    sharding.write_sharded(df, path, id_col="doc_id", n_shards=4)
+    plan = sharding.shard_compaction_plan(path, file_cutoff=2.0, min_files=4)
+    assert plan["action"] == "skip" and plan["read_amp"] == 1.0
+    # appends fragment the shard dirs
+    for _ in range(3):
+        sharding.write_sharded(
+            df, path, id_col="doc_id", n_shards=4, mode="append"
+        )
+    plan2 = sharding.shard_compaction_plan(path, file_cutoff=2.0, min_files=4)
+    assert plan2["action"] == "compact" and plan2["read_amp"] >= 2.0
+    assert plan2["n_live_shards"] == 4
+    sharding.compact_shards(spark, path)
+    plan3 = sharding.shard_compaction_plan(path, file_cutoff=2.0, min_files=4)
+    assert plan3["action"] == "skip" and plan3["read_amp"] == 1.0
+
+
 def test_ann_refit_generation_stamped_at_covered(spark, tmp_path):
     from go_fish_spark.operators import similarity as sim
     from go_fish_spark.streaming import annstore
