@@ -208,8 +208,16 @@ def ann_store_stream(
     from ..operators.similarity import fit_ivfpq_det
 
     spark = vec_stream.sparkSession
+    # single-writer enforcement (r11 verdict Next #3) — see
+    # label_store_maintenance_stream: appender holds the writer lease
+    # per batch; same-checkpoint replay reclaims its own stale lease
+    lease_owner = f"stream:{_os.path.abspath(checkpoint_dir)}"
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        with _sk.writer_lease(store_dir, lease_owner):
+            _run_batch(bdf, batch_id)
+
+    def _run_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf = bdf.select(id_col, vec_col).dropDuplicates([id_col])
         if bdf.isEmpty():
             return
@@ -245,7 +253,9 @@ def ann_store_stream(
                 min_files=compaction_min_files,
             )
             if cplan["action"] == "compact":
-                cplan["compacted"] = compact_ann_store(spark, store_dir)
+                cplan["compacted"] = compact_ann_store(
+                    spark, store_dir, lease=False  # stream holds the lease
+                )
             if on_compaction is not None:
                 on_compaction(dict(cplan, batch_id=batch_id))
 
@@ -328,6 +338,7 @@ def refit_ann_store(
     train_cap: int = 100_000,
     seed: int = 42,
     prune: bool = True,
+    lease: bool = True,
 ) -> int:
     """The REFIT arm as a batch job over the raw-vector lake: fit a
     fresh model deterministically from ``vectors_df``, re-encode it
@@ -335,9 +346,17 @@ def refit_ann_store(
     — the compact_label_store commit discipline; a crash before the
     repoint leaves readers on the old generation+model, fully
     consistent). Old generation pruned best-effort after the commit.
-    Returns the re-encoded row count."""
+    Takes the store's writer lease (refused while the maintenance
+    stream holds it — r11 verdict Next #3); ``lease=False`` only for
+    callers that already hold it. Returns the re-encoded row count."""
     from ..operators.similarity import fit_ivfpq_det
 
+    if lease:
+        with _sk.writer_lease(store_dir, f"refit:{_os.getpid()}"):
+            return refit_ann_store(
+                spark, store_dir, vectors_df, id_col, vec_col, n_cells,
+                m, ksub, train_cap, seed, prune, lease=False,
+            )
     cur = load_ann_manifest(store_dir)
     new_gen = (int(cur["gen"]) + 1) if cur else 1
     covered = _covered_batch(spark, store_dir, cur)
@@ -511,15 +530,24 @@ def ann_compaction_plan(
     }
 
 
-def compact_ann_store(spark, store_dir: str, prune: bool = True) -> int:
+def compact_ann_store(
+    spark, store_dir: str, prune: bool = True, lease: bool = True
+) -> int:
     """Fold the current generation to ONE latest-wins row per id in a
     NEW generation — same frozen model, no re-encode (refit is the
     separate, priced, more expensive arm) — with the manifest
     repointed LAST (atomic rename; a torn compaction leaves readers on
     the old generation). Old generation pruned best-effort after the
-    commit. Single-writer discipline: never concurrent with an
-    appender — the stream runs it inline between batches. Returns the
+    commit. Single-writer discipline ENFORCED via the store's writer
+    lease (r11 verdict Next #3): refused while the maintenance stream
+    holds it; ``lease=False`` only when the caller already holds it
+    (the stream folding inline between its own batches). Returns the
     compacted row count."""
+    if lease:
+        with _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}"):
+            return compact_ann_store(
+                spark, store_dir, prune=prune, lease=False
+            )
     doc = load_ann_manifest(store_dir)
     if doc is None:
         return 0

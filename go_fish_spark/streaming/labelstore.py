@@ -211,6 +211,7 @@ def compact_label_store(
     store_path: str,
     n_shards: int = LABEL_SHARDS,
     prune: bool = True,
+    lease: bool = True,
 ) -> int:
     """Fold the live rows down to one latest-wins row per id, written
     as a NEW generation directory, with the manifest repointed LAST
@@ -224,12 +225,24 @@ def compact_label_store(
     at the old generation (fully intact); after the repoint, during
     the prune → superseded files remain but every reader filters them
     with ``_batch_id > covered_max_batch``. Single-writer discipline
-    (the LSM rule): compaction must not run concurrently with an
-    appender — the maintenance stream runs it inline between batches.
+    (the LSM rule), now ENFORCED (r11 verdict Next #3): the fold takes
+    the store's writer lease — an out-of-band compaction racing the
+    maintenance stream (which holds the lease for each batch) is
+    REFUSED with :class:`storekernel.LeaseHeld` instead of interleaving
+    with a half-appended batch; a crashed holder's lease is reclaimed
+    after its TTL. ``lease=False`` is for callers that already hold it
+    (the stream compacting inline between its own batches).
 
     Returns the compacted row count. Sandbox form of the periodic
     per-shard compaction job a 100 TB store schedules; per-shard work
     is bounded by shard size."""
+    if lease:
+        store_dir = _os.path.dirname(store_path.rstrip("/"))
+        with _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}"):
+            return compact_label_store(
+                spark, store_path, n_shards=n_shards, prune=prune,
+                lease=False,
+            )
     import shutil
 
     man = read_compaction_manifest(store_path)
@@ -489,8 +502,20 @@ def label_store_maintenance_stream(
     spark = docs_stream.sparkSession
     labels_path = _os.path.join(store_dir, "labels")
     sig_dir = _os.path.join(store_dir, "_sigs")
+    # single-writer enforcement (r11 verdict Next #3): the appender
+    # holds the store's writer lease for the whole batch (sig append →
+    # label append → publish → inline compaction), so an out-of-band
+    # compactor can never interleave. Owner = the checkpoint identity:
+    # a crash-replayed batch under the same checkpoint reclaims its own
+    # stale lease immediately (the previous incarnation is dead by
+    # construction — same checkpoint, same process slot).
+    lease_owner = f"stream:{_os.path.abspath(checkpoint_dir)}"
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
+        with _sk.writer_lease(store_dir, lease_owner):
+            _run_batch(bdf, batch_id)
+
+    def _run_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf = bdf.select(id_col, text_col).dropDuplicates([id_col])
         prev = read_label_store(spark, labels_path)
         if prev is not None:
@@ -579,7 +604,8 @@ def label_store_maintenance_stream(
             )
             if cplan["action"] == "compact":
                 cplan["compacted"] = compact_label_store(
-                    spark, labels_path, n_shards=n_shards
+                    spark, labels_path, n_shards=n_shards,
+                    lease=False,  # the stream already holds the lease
                 )
             if on_compaction is not None:
                 on_compaction(dict(cplan, batch_id=batch_id))

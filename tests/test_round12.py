@@ -161,6 +161,88 @@ def test_ann_fold_stamped_at_covered_outranks_restarted_ids(spark, tmp_path):
     assert after == before
 
 
+# --- r11 Next #3: single-writer lease enforcement -----------------------------
+
+
+def test_compactor_refused_while_appender_holds_lease(spark, tmp_path):
+    """An out-of-band compaction racing a live appender is REFUSED
+    (LeaseHeld) instead of interleaving with the half-appended batch
+    and stranding its patch behind the covered cut."""
+    from go_fish_spark.streaming import annstore
+    from go_fish_spark.streaming import labelstore as ls
+    from go_fish_spark.streaming import storekernel as sk
+
+    store = str(tmp_path / "store")
+    labels = os.path.join(store, "labels")
+    ls.append_label_patch(
+        spark.createDataFrame([(1, 1)], "id long, component long"),
+        labels, batch_id=0, n_shards=2,
+    )
+    # the appender (maintenance stream) holds the lease mid-batch
+    sk.acquire_lease(store, "stream:/cp/labels")
+    with pytest.raises(sk.LeaseHeld):
+        ls.compact_label_store(spark, labels, n_shards=2)
+    sk.release_lease(store, "stream:/cp/labels")
+    assert ls.compact_label_store(spark, labels, n_shards=2) == 1
+    # and the lease is released afterwards (a second fold succeeds)
+    assert ls.compact_label_store(spark, labels, n_shards=2) == 1
+
+    ann = str(tmp_path / "ann")
+    df = _ann_corpus(spark, 30)
+    from go_fish_spark.operators import similarity as sim
+
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 4, 4, 16)
+    annstore.publish_ann_model(ann, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(df, coarse, pq), ann, 0, gen=1
+    )
+    sk.acquire_lease(ann, "stream:/cp/ann")
+    with pytest.raises(sk.LeaseHeld):
+        annstore.compact_ann_store(spark, ann)
+    with pytest.raises(sk.LeaseHeld):
+        annstore.refit_ann_store(spark, ann, df, n_cells=4, m=4, ksub=16)
+    sk.release_lease(ann, "stream:/cp/ann")
+    assert annstore.compact_ann_store(spark, ann) == 30
+
+
+def test_stale_lease_reclaimed_after_ttl(tmp_path):
+    """A crashed holder's lease is reclaimed once its TTL passes; a
+    live (in-TTL) lease from another owner still refuses."""
+    import json
+    import time
+
+    from go_fish_spark.streaming import storekernel as sk
+
+    d = str(tmp_path)
+    sk.acquire_lease(d, "crashed-writer", ttl_s=1000)
+    with pytest.raises(sk.LeaseHeld):
+        sk.acquire_lease(d, "other")
+    # backdate the lease past its TTL — the holder crashed
+    doc = json.load(open(sk.lease_path(d)))
+    doc["acquired_at"] = time.time() - 2000
+    json.dump(doc, open(sk.lease_path(d), "w"))
+    got = sk.acquire_lease(d, "other")
+    assert got["owner"] == "other"
+    sk.release_lease(d, "other")
+
+
+def test_same_owner_reclaims_own_lease(tmp_path):
+    """Same-checkpoint replay after a crash reclaims its own lease
+    immediately (the previous incarnation is dead by construction);
+    a late release from the reclaimed-from incarnation is a no-op."""
+    from go_fish_spark.streaming import storekernel as sk
+
+    d = str(tmp_path)
+    sk.acquire_lease(d, "stream:/cp/x", ttl_s=1000)
+    got = sk.acquire_lease(d, "stream:/cp/x", ttl_s=1000)  # replay
+    assert got["owner"] == "stream:/cp/x"
+    # another owner releasing does nothing
+    sk.release_lease(d, "someone-else")
+    assert os.path.exists(sk.lease_path(d))
+    sk.release_lease(d, "stream:/cp/x")
+    assert not os.path.exists(sk.lease_path(d))
+
+
 # --- r11 Next #2: the store kernel backs all three stores ---------------------
 
 
