@@ -254,7 +254,12 @@ def ann_store_stream(
             )
             if cplan["action"] == "compact":
                 cplan["compacted"] = compact_ann_store(
-                    spark, store_dir, lease=False  # stream holds the lease
+                    spark, store_dir, lease=False,  # stream holds the lease
+                    cells=(
+                        cplan["cells_to_fold"]
+                        if cplan["fold_scope"] == "selective"
+                        else None
+                    ),
                 )
             if on_compaction is not None:
                 on_compaction(dict(cplan, batch_id=batch_id))
@@ -520,6 +525,19 @@ def ann_compaction_plan(
         if read_amp >= file_cutoff and total >= min_files
         else "skip"
     )
+    # Selective-fold decision (r11 verdict Next #1): the cells whose
+    # OWN file count crossed the cutoff; cold cells are hard-link-
+    # carried into the new generation instead of rewritten.
+    to_fold = sorted(
+        int(c.split("=", 1)[1])
+        for c, nf in per_cell.items()
+        if c.startswith("cell=") and nf >= file_cutoff
+    )
+    fold_scope = (
+        "full"
+        if (not to_fold or len(to_fold) == len(per_cell))
+        else "selective"
+    )
     return {
         "action": action,
         "read_amp": round(read_amp, 3),
@@ -527,32 +545,54 @@ def ann_compaction_plan(
         "live_files": total,
         "n_live_cells": len(per_cell),
         "max_files_one_cell": max(per_cell.values()) if per_cell else 0,
+        "cells_to_fold": to_fold,
+        "fold_scope": fold_scope,
     }
 
 
 def compact_ann_store(
-    spark, store_dir: str, prune: bool = True, lease: bool = True
+    spark,
+    store_dir: str,
+    prune: bool = True,
+    lease: bool = True,
+    cells: list[int] | None = None,
 ) -> int:
     """Fold the current generation to ONE latest-wins row per id in a
     NEW generation — same frozen model, no re-encode (refit is the
     separate, priced, more expensive arm) — with the manifest
     repointed LAST (atomic rename; a torn compaction leaves readers on
-    the old generation). Old generation pruned best-effort after the
-    commit. Single-writer discipline ENFORCED via the store's writer
-    lease (r11 verdict Next #3): refused while the maintenance stream
-    holds it; ``lease=False`` only when the caller already holds it
-    (the stream folding inline between its own batches). Returns the
-    compacted row count."""
+    the old generation).
+
+    ``cells`` makes the fold SELECTIVE (r11 verdict Next #1): only the
+    listed (hot, fragmented) cells are rewritten; every other cell's
+    files are CARRIED into the new generation by hard link (same inode,
+    zero bytes — storekernel.carry_partitions). Unlike label shards, a
+    vector's cell is DATA-dependent (an edit can move it), so the fold
+    input is the GLOBAL latest-wins view filtered to the hot cells: a
+    stale hot-cell row whose winner moved to a cold cell is dropped
+    (its winner rides along in the carried file), and a hot-cell winner
+    is stamped at the covered batch so any stale cold-cell copy of it
+    keeps losing the read window. One slim full-gen scan prices that
+    window; the WRITE — the expensive half at 100 TB — touches hot
+    cells only.
+
+    Single-writer discipline ENFORCED via the store's writer lease
+    (r11 verdict Next #3): refused while the maintenance stream holds
+    it; ``lease=False`` only when the caller already holds it. Returns
+    the folded row count (hot cells only when selective)."""
     if lease:
         with _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}"):
             return compact_ann_store(
-                spark, store_dir, prune=prune, lease=False
+                spark, store_dir, prune=prune, lease=False, cells=cells
             )
     doc = load_ann_manifest(store_dir)
     if doc is None:
         return 0
     covered = _covered_batch(spark, store_dir, doc)
-    latest = read_ann_store(spark, store_dir)
+    latest = read_ann_store(spark, store_dir)  # GLOBAL latest-wins
+    sel = sorted({int(c) for c in cells}) if cells is not None else None
+    if sel is not None:
+        latest = latest.filter(F.col("cell").isin(sel))
     new_gen = int(doc["gen"]) + 1
     gen_path = _cells_path(store_dir, new_gen)
     if _os.path.exists(gen_path):  # torn previous attempt never repointed
@@ -567,7 +607,21 @@ def compact_ann_store(
         .partitionBy("cell")
         .parquet(gen_path)
     )
-    n = spark.read.parquet(gen_path).count()
+    if sel is not None:
+        old_root = _cells_path(store_dir, doc["gen"])
+        hot = {f"cell={c}" for c in sel}
+        cold = [
+            d
+            for d in _os.listdir(old_root)
+            if d.startswith("cell=") and d not in hot
+        ]
+        _sk.carry_partitions(old_root, gen_path, cold)
+        n_df = spark.read.parquet(gen_path).filter(
+            F.col("cell").isin(sel)
+        )
+    else:
+        n_df = spark.read.parquet(gen_path)
+    n = n_df.count()
     coarse = Quantizer(_np.asarray(doc["coarse"], dtype=_np.float64))
     pq = ProductQuantizer(
         [_np.asarray(b, dtype=_np.float64) for b in doc["books"]]

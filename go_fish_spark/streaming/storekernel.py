@@ -228,30 +228,41 @@ def walk_parquet_files(root: str) -> tuple[int, int, dict]:
     return files, bytes_, per_dir
 
 
-def prune_covered_files(spark, path: str, covered: int) -> int:
+def prune_covered_files(
+    spark,
+    path: str,
+    covered: int,
+    key_col: str | None = None,
+    covered_by_key: dict | None = None,
+) -> int:
     """Delete data FILES under ``path`` wholly superseded by a fold —
-    every row in them has ``_batch_id <= covered``, so the reader of
-    record never returns their rows. File→max-batch comes from one slim
-    column scan grouped by ``input_file_name`` — bounded by the live
-    patch population, which the fold just reset. Returns the number of
-    files removed. A reader racing this with an already-materialized
-    file index can hit FileNotFound on the pruned tail and must retry
-    against the new manifest (the documented patch-tail contract; an
-    object-store deployment reads through snapshot manifests instead
-    of dir listings and never races)."""
+    every row in them has ``_batch_id <=`` its key's covered cut, so
+    the reader of record never returns their rows. File→max-batch comes
+    from one slim column scan grouped by ``input_file_name`` — bounded
+    by the live patch population, which the fold just reset. With
+    ``key_col``/``covered_by_key`` (selective compaction), each file's
+    cut is its partition key's entry (falling back to ``covered``), so
+    a fold of only the hot shards prunes only their files. Returns the
+    number of files removed. A reader racing this with an
+    already-materialized file index can hit FileNotFound on the pruned
+    tail and must retry against the new manifest (the documented
+    patch-tail contract; an object-store deployment reads through
+    snapshot manifests instead of dir listings and never races)."""
     from urllib.parse import unquote, urlparse
 
     df = read_parquet_if_exists(spark, path)
     if df is None:
         return 0
-    rows = (
-        df.groupBy(F.input_file_name().alias("f"))
-        .agg(F.max("_batch_id").alias("m"))
-        .collect()
-    )
+    aggs = [F.max("_batch_id").alias("m")]
+    if key_col is not None:
+        aggs.append(F.first(F.col(key_col)).alias("k"))
+    rows = df.groupBy(F.input_file_name().alias("f")).agg(*aggs).collect()
     removed = 0
     for r in rows:
-        if r["m"] is not None and int(r["m"]) <= covered:
+        cut = covered
+        if key_col is not None and covered_by_key is not None:
+            cut = covered_by_key.get(str(r["k"]), covered)
+        if r["m"] is not None and int(r["m"]) <= int(cut):
             p = unquote(urlparse(r["f"]).path)
             try:
                 _os.remove(p)
@@ -259,6 +270,39 @@ def prune_covered_files(spark, path: str, covered: int) -> int:
             except OSError:
                 pass  # best-effort GC — a vanished file is already gone
     return removed
+
+
+def carry_partitions(
+    src_root: str, dst_root: str, leaf_names: list[str]
+) -> int:
+    """Carry untouched partition directories from one generation into
+    the next WITHOUT rewriting them: hard-link every data file (same
+    inode — zero bytes moved; copy only if the filesystem refuses the
+    link). This is what makes compaction SELECTIVE: a fold of the hot
+    partitions pays write cost proportional to the hot data only, while
+    cold partitions ride along for the price of a directory entry. On
+    an object store the equivalent is re-listing the same immutable
+    objects in the new generation's manifest. Returns the number of
+    files carried."""
+    carried = 0
+    for leaf in leaf_names:
+        src = _os.path.join(src_root, leaf)
+        if not _os.path.isdir(src):
+            continue
+        dst = _os.path.join(dst_root, leaf)
+        _os.makedirs(dst, exist_ok=True)
+        for fn in _os.listdir(src):
+            if fn.startswith(("_", ".")) or not _os.path.isfile(
+                _os.path.join(src, fn)
+            ):
+                continue
+            s, d = _os.path.join(src, fn), _os.path.join(dst, fn)
+            try:
+                _os.link(s, d)
+            except OSError:
+                _shutil.copy2(s, d)
+            carried += 1
+    return carried
 
 
 # ---------------------------------------------------------------------------

@@ -154,7 +154,9 @@ def test_compaction_generation_manifest_and_reader_of_record(
     n = ls.compact_label_store(spark, path, n_shards=4)
     assert n == len(before)
     man = ls.read_compaction_manifest(path)
-    assert man == {"gen": 1, "covered_max_batch": 2, "version": 1}
+    assert (man["gen"], man["covered_max_batch"], man["version"]) == (1, 2, 1)
+    # a full fold resets the per-shard map to a uniform cut (r12)
+    assert man["covered"] == {} and man["covered_default"] == 2
     # the reader of record serves the generation — same answer
     after = sorted(map(tuple, ls.read_label_store(spark, path).collect()))
     assert after == before

@@ -10,6 +10,17 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def _live_parquet_files(root):
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out += [
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    return out
+
+
 def _ann_corpus(spark, n, dim=16, seed=7):
     import numpy as np
 
@@ -241,6 +252,175 @@ def test_same_owner_reclaims_own_lease(tmp_path):
     assert os.path.exists(sk.lease_path(d))
     sk.release_lease(d, "stream:/cp/x")
     assert not os.path.exists(sk.lease_path(d))
+
+
+# --- r11 Next #1: SELECTIVE compaction ----------------------------------------
+
+
+def _shard_of(x, n):
+    import hashlib
+
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:8], 16) % n
+
+
+def test_selective_label_compaction_folds_only_hot_shards(spark, tmp_path):
+    """A fold of only the fragmented shards: hot shards' patches fold
+    and their files are GC'd; cold shards' generation files are
+    hard-link-carried (inode-identical — zero bytes rewritten) and
+    their live patches keep serving; the reader of record equals the
+    full-fold answer throughout."""
+    from go_fish_spark.streaming import labelstore as ls
+
+    path = str(tmp_path / "labels")
+    n_shards = 4
+    ids = list(range(60))
+    hot = _shard_of(ids[0], n_shards)
+    hot_ids = [i for i in ids if _shard_of(i, n_shards) == hot]
+    cold_ids = [i for i in ids if _shard_of(i, n_shards) != hot]
+
+    # batch 0: everything; full fold -> generation 1
+    ls.append_label_patch(
+        spark.createDataFrame(
+            [(i, i) for i in ids], "id long, component long"
+        ),
+        path, batch_id=0, n_shards=n_shards,
+    )
+    ls.compact_label_store(spark, path, n_shards=n_shards)
+    man1 = ls.read_compaction_manifest(path)
+    gen1 = ls._generation_path(path, 1)
+    cold_inodes = {
+        f: os.stat(f).st_ino
+        for f in _live_parquet_files(gen1)
+        if f"shard={hot}" not in f
+    }
+    assert cold_inodes, "need cold generation files for the carry check"
+
+    # hot-only churn: batches 1..3 rewrite hot ids; one cold patch too
+    for b in (1, 2, 3):
+        ls.append_label_patch(
+            spark.createDataFrame(
+                [(i, i * 10 + b) for i in hot_ids],
+                "id long, component long",
+            ),
+            path, batch_id=b, n_shards=n_shards,
+        )
+    ls.append_label_patch(
+        spark.createDataFrame(
+            [(cold_ids[0], 777)], "id long, component long"
+        ),
+        path, batch_id=4, n_shards=n_shards,
+    )
+    expect = {i: i for i in ids}
+    expect.update({i: i * 10 + 3 for i in hot_ids})
+    expect[cold_ids[0]] = 777
+
+    n = ls.compact_label_store(
+        spark, path, n_shards=n_shards, shards=[hot]
+    )
+    assert n == len(hot_ids)
+    man2 = ls.read_compaction_manifest(path)
+    assert man2["gen"] == 2
+    # hot shard's cut advanced; default (cold shards) unchanged
+    assert man2["covered"] == {str(hot): 3}
+    assert man2["covered_default"] == man1["covered_default"] == 0
+    # cold generation files were CARRIED: same inode, zero bytes moved
+    gen2 = ls._generation_path(path, 2)
+    carried = {
+        f: os.stat(f).st_ino
+        for f in _live_parquet_files(gen2)
+        if f"shard={hot}" not in f
+    }
+    assert set(os.path.basename(f) for f in carried) == set(
+        os.path.basename(f) for f in cold_inodes
+    )
+    assert sorted(carried.values()) == sorted(cold_inodes.values())
+    # hot patches GC'd, the cold (batch-4) patch survives and serves
+    live_patches = _live_parquet_files(path)
+    assert live_patches and all(
+        f"shard={hot}" not in f for f in live_patches
+    )
+    got = {
+        r.id: r.component
+        for r in ls.read_label_store(spark, path).collect()
+    }
+    assert got == expect
+    # a later FULL fold resets the map and still agrees
+    ls.compact_label_store(spark, path, n_shards=n_shards)
+    man3 = ls.read_compaction_manifest(path)
+    assert man3["covered"] == {} and man3["covered_default"] == 4
+    got3 = {
+        r.id: r.component
+        for r in ls.read_label_store(spark, path).collect()
+    }
+    assert got3 == expect
+
+
+def test_selective_ann_compaction_carries_cold_cells(spark, tmp_path):
+    """Per-cell selective fold: hot cells rewritten, cold cells
+    hard-link-carried; an edit that MOVED a vector from a hot cell to
+    a cold one (and vice versa) still reads back correctly because the
+    fold input is the global latest-wins view."""
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 80)
+    store = str(tmp_path / "ann")
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 8, 4, 16)
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(df, coarse, pq), store, 0, gen=1
+    )
+    # edits: negate a handful of vectors — most change cell
+    edited = df.filter("vec_id % 11 = 0").select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(edited, coarse, pq), store, 1, gen=1
+    )
+    current = df.filter("vec_id % 11 != 0").unionByName(edited)
+    want = sorted(
+        map(
+            tuple,
+            annstore.encode_ann_batch(current, coarse, pq)
+            .select("_id", "cell", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    # pick the fragmented cells (2 files) as hot; the rest are cold
+    plan = annstore.ann_compaction_plan(store, file_cutoff=2.0, min_files=1)
+    hot = plan["cells_to_fold"]
+    assert hot and plan["fold_scope"] == "selective"
+    gen1 = annstore._cells_path(store, 1)
+    cold_files = {
+        f: os.stat(f).st_ino
+        for f in _live_parquet_files(gen1)
+        if not any(f"cell={c}/" in f for c in hot)
+    }
+    assert cold_files, "need cold cells for the carry check"
+    annstore.compact_ann_store(spark, store, cells=hot)
+    assert annstore.load_ann_manifest(store)["gen"] == 2
+    gen2 = annstore._cells_path(store, 2)
+    carried = {
+        f: os.stat(f).st_ino
+        for f in _live_parquet_files(gen2)
+        if not any(f"cell={c}/" in f for c in hot)
+    }
+    assert sorted(carried.values()) == sorted(cold_files.values())
+    # hot cells collapsed to one file each in the new generation
+    for c in hot:
+        hot_files = [
+            f for f in _live_parquet_files(gen2) if f"cell={c}/" in f
+        ]
+        assert len(hot_files) == 1
+    got = sorted(
+        map(
+            tuple,
+            annstore.read_ann_store(spark, store)
+            .select("_id", "cell", F.col("codes").cast("string"))
+            .collect(),
+        )
+    )
+    assert got == want
 
 
 # --- r11 Next #2: the store kernel backs all three stores ---------------------
