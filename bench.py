@@ -259,6 +259,8 @@ HEADLINE = [
     "x164_committed_store_readback",
     "x165_ann_store_readback",
     "x166_ann_store_search",
+    # round 12
+    "x167_ann_search_stream",
 ]
 
 

@@ -1294,3 +1294,49 @@ def x166_ann_store_search(spark, sf_dir):
     return annstore.adc_search_store(
         spark, base, emb.filter(F.col("vec_id") < 5), k=10, n_probe=4
     ).orderBy("query_id", "rank")
+
+
+@query("x167_ann_search_stream", oracle=_x47_oracle)
+def x167_ann_search_stream(spark, sf_dir):
+    """SERVE from the durable index as a STREAM (r11 verdict Next #4):
+    the same five queries x47/x166 answer, but submitted as TWO query
+    micro-batches through ann_search_stream — per-batch bounded probe
+    lists against the frozen manifest, results appended with a batch
+    stamp, read back latest-wins (a replayed batch collapses, a
+    re-submitted query supersedes). The oracle is x47's own SQL:
+    stream results must hash-equal the one-shot IVF-PQ search, which
+    is exactly the frozen-manifest purity the streaming arm rests on.
+    Scale: each batch reads only its probed cell partitions; the
+    result log is |answers|-bounded, never corpus-bounded."""
+    import os
+    import shutil
+
+    from ...streaming import annstore
+
+    base = os.path.join(
+        "/tmp", f"gofish_x167_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    store, src, out, cp = (os.path.join(base, d) for d in
+                          ("store", "q", "res", "cp"))
+    emb = table(spark, sf_dir, "embeddings")
+    coarse, pq = similarity.fit_ivfpq_det(
+        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
+    )
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(emb, coarse, pq), store, 0, gen=1
+    )
+    q = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    os.makedirs(src, exist_ok=True)
+    for pred in ("vec_id < 3", "vec_id >= 3"):
+        q.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        annstore.ann_search_stream(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(src),
+            store, out, cp, k=10, n_probe=4,
+        ).awaitTermination(120)
+    return (
+        annstore.read_search_results(spark, out)
+        .orderBy("query_id", "rank")
+    )

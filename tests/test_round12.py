@@ -423,6 +423,119 @@ def test_selective_ann_compaction_carries_cold_cells(spark, tmp_path):
     assert got == want
 
 
+# --- r11 Next #4: streaming search arm for the ANN store ----------------------
+
+
+def test_ann_search_stream_parity_restart_and_recall(spark, tmp_path):
+    """Stream ≡ batch: the search stream's accumulated results equal
+    adc_search_store on the same queries (frozen manifest ⇒ pure
+    function); a restarted query on the same checkpoint continues
+    exactly-once; the live recall monitor reports per-batch recall@k
+    against the raw-vector lake."""
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 100)
+    store = str(tmp_path / "ann")
+    src = str(tmp_path / "q")
+    out = str(tmp_path / "res")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 8, 4, 16)
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(df, coarse, pq), store, 0, gen=1
+    )
+
+    infos = []
+
+    def drain():
+        annstore.ann_search_stream(
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).parquet(src),
+            store, out, cp, k=5, n_probe=2,
+            on_batch=infos.append, recall_corpus=df, recall_sample=4,
+        ).awaitTermination(120)
+
+    df.filter("vec_id < 5").write.mode("append").parquet(src)
+    drain()
+    first = annstore.read_search_results(spark, out)
+    assert {r.query_id for r in first.collect()} == set(range(5))
+    # restart: a NEW stream on the same checkpoint picks up new queries
+    df.filter("vec_id >= 5 and vec_id < 10").write.mode("append").parquet(src)
+    drain()
+    got = sorted(
+        map(tuple, annstore.read_search_results(spark, out).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            annstore.adc_search_store(
+                spark, store, df.filter("vec_id < 10"), k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert [i["batch_id"] for i in infos] == [0, 1]
+    assert all(0.0 <= i["recall_at_k"] <= 1.0 for i in infos)
+    assert all(i["n_queries"] == 5 for i in infos)
+
+
+def test_ann_search_stream_resubmitted_query_supersedes(spark, tmp_path):
+    """A query re-submitted after the store changed gets its NEW answer
+    in the latest-wins read-back (the store-edit rule applied to
+    results)."""
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 60)
+    store = str(tmp_path / "ann")
+    src = str(tmp_path / "q")
+    out = str(tmp_path / "res")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    half = df.filter("vec_id < 30")
+    coarse, pq = sim.fit_ivfpq_det(half, "vec_id", "embedding", 8, 4, 16)
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(half, coarse, pq), store, 0, gen=1
+    )
+
+    def drain():
+        annstore.ann_search_stream(
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>"
+            ).parquet(src),
+            store, out, cp, k=5, n_probe=2,
+        ).awaitTermination(120)
+
+    q = df.filter("vec_id = 3")
+    q.write.mode("append").parquet(src)
+    drain()
+    # the corpus grows; the SAME query re-submitted sees the new corpus
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(
+            df.filter("vec_id >= 30"), coarse, pq
+        ),
+        store, 1, gen=1,
+    )
+    q.write.mode("append").parquet(src)
+    drain()
+    got = sorted(
+        map(tuple, annstore.read_search_results(spark, out).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            annstore.adc_search_store(
+                spark, store, q, k=5, n_probe=2
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 # --- r11 Next #2: the store kernel backs all three stores ---------------------
 
 
