@@ -317,6 +317,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     reps_map: dict[str, list] = {}
     errors: dict[str, str] = {}
+    family_of: dict[str, str] = {}
     for name in HEADLINE:
         qd = REGISTRY.get(name)
         if qd is None:
@@ -342,6 +343,7 @@ def main() -> None:
         reps_slow = max(
             reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SLOW", "5"))
         )
+        fam = getattr(qd, "family", "query")
         try:
             walls = []
 
@@ -355,10 +357,20 @@ def main() -> None:
             for _ in range(reps):
                 _run_once()
             swalls = sorted(walls)
-            if reps > 1 and swalls[len(swalls) // 2] > 1.0:
+            # protocol-family entries (durable-store read-backs — r11
+            # verdict #5) never escalate to slow reps: their wall is the
+            # protocol's round-trip count, constant in corpus size, and
+            # the 5-rep upgrade was making them an ever-growing share of
+            # headline wall without measuring the engine
+            if (
+                fam != "protocol"
+                and reps > 1
+                and swalls[len(swalls) // 2] > 1.0
+            ):
                 for _ in range(reps_slow - reps):
                     _run_once()
             n = nonlocal_n[0]
+            family_of[name] = fam
             cold[name] = round(walls[0], 3)
             if len(walls) > 1:
                 warm[name] = round(min(walls[1:]), 3)
@@ -390,11 +402,24 @@ def main() -> None:
     progress(f"# bench_quality: {json.dumps(bench_quality)}")
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Family split (r11 verdict #5): the protocol entries (durable-store
+    # read-backs) are reported beside the query headline, not inside it
+    # opaquely — their wall measures persistence round-trips, the query
+    # families' wall measures the engine. `value` stays the grand total
+    # for cross-round continuity; the split makes it decomposable.
+    families: dict[str, dict] = {}
+    for nm, secs in timings.items():
+        f = family_of.get(nm, "query")
+        d = families.setdefault(f, {"n": 0, "total": 0.0})
+        d["n"] += 1
+        d["total"] = round(d["total"] + secs, 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "families": families,
+        "family_of": family_of,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))),
         # first-rep / best-later-rep walls: cold−warm on the first
@@ -436,6 +461,7 @@ def main() -> None:
         summary["n_queries"] = len(timings)
         summary["n_errors"] = len(errors)
         summary["quality"] = bench_quality["status"]
+        summary["families"] = families
         summary["queries_file"] = "BENCH_FULL.json"
         print(json.dumps(summary))
     spark.stop()

@@ -1212,7 +1212,7 @@ def _x165_oracle(sf_dir: str) -> str | None:
     """
 
 
-@query("x165_ann_store_readback", oracle=_x165_oracle)
+@query("x165_ann_store_readback", oracle=_x165_oracle, family="protocol")
 def x165_ann_store_readback(spark, sf_dir):
     """Durable ANN-index read-back under the oracle contract (r11 —
     the x150 discipline applied to the billion-vector layout): the
@@ -1264,7 +1264,7 @@ def x165_ann_store_readback(spark, sf_dir):
     ).orderBy("id")
 
 
-@query("x166_ann_store_search", oracle=_x47_oracle)
+@query("x166_ann_store_search", oracle=_x47_oracle, family="protocol")
 def x166_ann_store_search(spark, sf_dir):
     """SERVE from the durable index: adc_search_store answers top-k
     from the cell-partitioned store alone — probe routing and residual
@@ -1296,7 +1296,7 @@ def x166_ann_store_search(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-@query("x167_ann_search_stream", oracle=_x47_oracle)
+@query("x167_ann_search_stream", oracle=_x47_oracle, family="protocol")
 def x167_ann_search_stream(spark, sf_dir):
     """SERVE from the durable index as a STREAM (r11 verdict Next #4):
     the same five queries x47/x166 answer, but submitted as TWO query

@@ -1296,7 +1296,7 @@ def _x139_oracle() -> str:
     """
 
 
-@query("x139_label_store_readback", oracle=_x139_oracle())
+@query("x139_label_store_readback", oracle=_x139_oracle(), family="protocol")
 def x139_label_store_readback(spark, sf_dir):
     """Durable label-table READ-BACK (r9 verdict Next #2's oracle arm):
     ingest the corpus as THREE append-only crawl batches (doc_id % 3),
@@ -1602,7 +1602,7 @@ def _x150_oracle() -> str:
     """
 
 
-@query("x150_sigstore_readback", oracle=_x150_oracle())
+@query("x150_sigstore_readback", oracle=_x150_oracle(), family="protocol")
 def x150_sigstore_readback(spark, sf_dir):
     """Durable SIGNATURE-store read-back under the oracle contract (the
     x139 discipline applied to the sketch table): the corpus ingested
@@ -1753,7 +1753,7 @@ def _x163_oracle() -> str:
     """
 
 
-@query("x163_compacted_store_readback", oracle=_x163_oracle())
+@query("x163_compacted_store_readback", oracle=_x163_oracle(), family="protocol")
 def x163_compacted_store_readback(spark, sf_dir):
     """The r11 compaction discipline under the oracle contract: ingest
     the corpus as three append-only batches like x139, but COMPACT the
@@ -1846,7 +1846,7 @@ def _x164_oracle() -> str:
     """
 
 
-@query("x164_committed_store_readback", oracle=_x164_oracle())
+@query("x164_committed_store_readback", oracle=_x164_oracle(), family="protocol")
 def x164_committed_store_readback(spark, sf_dir):
     """The r11 ATOMIC CROSS-STORE COMMIT under the oracle contract:
     ingest the corpus as three batches, each appending (1) signatures,
