@@ -261,6 +261,7 @@ HEADLINE = [
     "x166_ann_store_search",
     # round 12
     "x167_ann_search_stream",
+    "x168_bpe_train",
 ]
 
 

@@ -527,6 +527,166 @@ def bpe_merge_candidates(
     )
 
 
+#: ASCII unit separator — the in-word symbol delimiter of the BPE fold
+#: below. Cannot occur inside a token (tokens are split on spaces from
+#: text; 0x1f never appears in the corpora) so "last symbol == a" is
+#: exactly "accumulator ends with SEP+a (or IS a)".
+_BPE_SEP = "\x1f"
+
+
+def _bpe_merge_col(syms, a: str, b: str):
+    """Apply ONE BPE merge (a, b) to a symbol array, greedily left to
+    right without overlap (Sennrich et al. 2016's merge step), as a
+    pure column expression both engines share: fold the symbols into a
+    SEP-joined string, appending ``b`` WITHOUT a separator when the
+    accumulator's last symbol is exactly ``a`` — the merged symbol
+    ``a||b`` changes identity, so an overlapping re-match is
+    impossible by construction ([a,a,a] with (a,a) → [aa, a]) — then
+    split back. Mirrored verbatim by DuckDB's ``list_reduce`` in
+    :func:`duck_bpe_train_sql`."""
+    syms = F.col(syms) if isinstance(syms, str) else syms
+    folded = F.aggregate(
+        F.slice(syms, 2, F.size(syms) - 1),
+        F.element_at(syms, 1),
+        lambda acc, x: F.when(
+            ((acc == F.lit(a)) | acc.endswith(F.lit(_BPE_SEP + a)))
+            & (x == F.lit(b)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
+    )
+    return F.split(folded, _BPE_SEP)
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 4
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus — the FULL
+    tokenizer-training loop (r11 verdict Next #6), not just x99's
+    first pair table: each iteration recounts adjacent symbol pairs on
+    the FOLDED VOCABULARY, picks the most frequent (ties to the
+    lexicographically smallest (lhs, rhs) — deterministic), applies
+    the merge to every vocabulary word, and repeats.
+
+    Output: the merge table ``(merge_idx INT (1-based), lhs STRING,
+    rhs STRING, n_occurrences BIGINT)`` in merge order — the artifact
+    a tokenizer ships.
+
+    100 TB shape — the property that makes BPE trainable at corpus
+    scale: the corpus is folded ONCE into the (word, count) vocabulary
+    (one exchange, map-side combine); every one of the N iterations
+    then runs on the vocab frame (bounded by DISTINCT words, not
+    corpus tokens) — a vocab-sized pair explode, an alphabet²-bounded
+    count, a LIMIT-1 collect (the only driver round-trip), and a
+    map-only merge expression. Nothing corpus-sized ever re-runs;
+    lineage is cut per iteration with localCheckpoint so N merges cost
+    N vocab jobs, not a 2^N plan. Mirrored for fixed N by
+    :func:`duck_bpe_train_sql` as an unrolled-CTE sequence."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("_w"))
+        .filter(F.length("_w") >= 1)
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.length("_w")),
+                lambda i: F.col("_w").substr(i, F.lit(1)),
+            ).alias("syms"),
+            "_wc",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for it in range(1, int(n_merges) + 1):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+            "_wc",
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("_wc").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # vocabulary exhausted before n_merges
+        a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((it, a, b, n))
+        vocab = vocab.select(
+            _bpe_merge_col("syms", a, b).alias("syms"), "_wc"
+        ).localCheckpoint()
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_idx int, lhs string, rhs string, n_occurrences long",
+    ).orderBy("merge_idx")
+
+
+def duck_bpe_train_sql(
+    table: str, text_col: str, n_merges: int = 4
+) -> str:
+    """DuckDB mirror of :func:`bpe_train` for fixed N, as the unrolled
+    CTE sequence v0 → (p1, b1, v1) → … the r11 verdict asked for: the
+    same vocab fold, the same per-iteration pair recount and
+    (count DESC, lhs, rhs) tie-break, and the IDENTICAL string-fold
+    merge (``list_reduce`` appending rhs separator-less onto a
+    trailing lhs — :func:`_bpe_merge_col`'s fold, symbol for symbol)."""
+    sep = "chr(31)"
+    ctes = [
+        f"""v0 AS (
+      SELECT [w[i] for i in range(1, len(w)+1)] AS syms,
+             count(*) AS wc
+      FROM (SELECT unnest(string_split({text_col}, ' ')) AS w
+            FROM {table})
+      WHERE len(w) >= 1 GROUP BY w
+    )"""
+    ]
+    for it in range(1, int(n_merges) + 1):
+        prev = f"v{it - 1}"
+        ctes.append(
+            f"""p{it} AS (
+      SELECT pr['l'] AS l, pr['r'] AS r, wc FROM (
+        SELECT unnest([{{'l': syms[i], 'r': syms[i+1]}}
+                       for i in range(1, len(syms))]) AS pr, wc
+        FROM {prev} WHERE len(syms) >= 2)
+    )"""
+        )
+        ctes.append(
+            f"""b{it} AS (
+      SELECT l, r, CAST(sum(wc) AS BIGINT) AS n
+      FROM p{it} GROUP BY l, r
+      ORDER BY n DESC, l, r LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""v{it} AS (
+      SELECT string_split(
+        list_reduce(syms, (acc, x) ->
+          CASE WHEN (acc = b.l OR ends_with(acc, {sep} || b.l))
+                    AND x = b.r
+               THEN acc || x ELSE acc || {sep} || x END),
+        {sep}) AS syms, wc
+      FROM {prev}, b{it} AS b
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {it} AS merge_idx, l AS lhs, r AS rhs, "
+        f"n AS n_occurrences FROM b{it}"
+        for it in range(1, int(n_merges) + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    {union}\n    ORDER BY merge_idx"
+    )
+
+
 def duck_bpe_merge_candidates_sql(
     table: str, text_col: str, top_k: int = 50
 ) -> str:

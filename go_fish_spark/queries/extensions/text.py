@@ -900,6 +900,33 @@ def x99_bpe_merge_candidates(spark, sf_dir):
     return bpe_merge_candidates(docs, "text", top_k=50)
 
 
+from ...operators.ngrams import duck_bpe_train_sql  # noqa: E402
+
+
+@query(
+    "x168_bpe_train",
+    oracle=duck_bpe_train_sql("documents", "text", n_merges=4),
+)
+def x168_bpe_train(spark, sf_dir):
+    """The FULL BPE merge loop (r11 verdict Next #6 — x99 priced one
+    iteration; this trains the tokenizer): four merges over the
+    documents corpus, each recounting adjacent symbol pairs on the
+    FOLDED vocabulary, choosing the most frequent pair ((count DESC,
+    lhs, rhs) tie-break), and applying the merge to every vocab word
+    via the shared string-fold (ngrams._bpe_merge_col — greedy
+    left-to-right, non-overlapping by construction). Output = the
+    merge table a tokenizer ships. The oracle unrolls the identical
+    loop as a v0→(p_i, b_i, v_i) CTE chain with DuckDB's list_reduce
+    running symbol-for-symbol the same fold. Scale: ONE corpus
+    exchange to the vocab; each of the N iterations is vocab-bounded
+    (pair explode over distinct words, alphabet²-ish count, LIMIT-1
+    collect, map-only merge) — never a corpus-scale explode."""
+    from ...operators.ngrams import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=4)
+
+
 _X101_Q = f"""
       SELECT source, doc_id,
              0.4 * least(len(ws) / 100.0, 1.0)

@@ -536,6 +536,39 @@ def test_ann_search_stream_resubmitted_query_supersedes(spark, tmp_path):
     assert got == want
 
 
+# --- r11 Next #6: the full BPE merge loop --------------------------------------
+
+
+def test_bpe_train_merges_compose_and_recount(spark):
+    """The loop recounts pairs on the FOLDED vocab: after merging
+    (a, b) → 'ab', the next iteration can pick ('ab', c) — the
+    composed-symbol behavior one-shot pair tables can't produce; and
+    the greedy merge is non-overlapping ([a,a,a] folds to [aa, a])."""
+    from go_fish_spark.operators.ngrams import bpe_train
+
+    # 'abc' dominant → merge 1 = (a,b) [ties to lexicographic least
+    # among count-10 pairs (a,b) and (b,c)], merge 2 = (ab,c)
+    df = spark.createDataFrame(
+        [("abc " * 10).strip()], "string"
+    ).toDF("text")
+    got = [tuple(r) for r in bpe_train(df, "text", n_merges=2).collect()]
+    assert got == [(1, "a", "b", 10), (2, "ab", "c", 10)]
+
+    # overlap: 'aaa' ×6 — (a,a) counts 12 (overlapping positions), the
+    # merge is greedy non-overlapping, so iteration 2 sees [aa, a]
+    # and picks (aa, a) with count 6
+    df2 = spark.createDataFrame(
+        [("aaa " * 6).strip()], "string"
+    ).toDF("text")
+    got2 = [tuple(r) for r in bpe_train(df2, "text", n_merges=2).collect()]
+    assert got2 == [(1, "a", "a", 12), (2, "aa", "a", 6)]
+
+    # early stop: single-char vocab has no pairs after 1 merge
+    df3 = spark.createDataFrame([("ab ab c")], "string").toDF("text")
+    got3 = [tuple(r) for r in bpe_train(df3, "text", n_merges=5).collect()]
+    assert got3 == [(1, "a", "b", 2)]
+
+
 # --- r11 Next #2: the store kernel backs all three stores ---------------------
 
 
