@@ -1684,6 +1684,7 @@ def choose_ann(
     measure_sample_queries: int = 50,
     quantizer: "Quantizer | None" = None,
     coded: DataFrame | None = None,
+    amortize_over: int | None = None,
 ) -> dict:
     """ANN-discipline PLANNER (r10 verdict Next #2 — choose_blocking's
     twin for similarity search): given a recall contract
@@ -1720,10 +1721,20 @@ def choose_ann(
     derive from ``corpus`` (the store holds no raw vectors — by
     design), and the ``#`` corpus count rides the bucket branch.
 
+    ``amortize_over`` (r11 verdict Next #7): expected number of query
+    batches this index will serve. By default build costs are NOT
+    charged (the 100 TB posture: the index is built once and amortized
+    to nothing) — but for a ONE-SHOT search the LSH/IVF build can
+    exceed the brute-force scan it avoids, so ``amortize_over=N``
+    charges each discipline ``cost + ceil(build_cost / N)`` against
+    the budget (``amortized_cost``; N=1 = fully charged one-shot).
+    With a durable store (``coded=``) the IVF/IVF-PQ build is already
+    SUNK — those disciplines charge zero build regardless.
+
     Returns a dict: ``action`` ∈ {"proceed", "over_budget",
     "no_discipline"}, ``chosen``, per-discipline cost/build_cost/
-    recall/eligible/within_budget, the corpus stats, and the ``params``
-    block :func:`run_ann` executes under."""
+    amortized_cost/recall/eligible/within_budget, the corpus stats,
+    and the ``params`` block :func:`run_ann` executes under."""
     if not 0.0 <= min_recall <= 1.0:
         raise ValueError("min_recall must be in [0, 1]")
     if flop_budget < 0:
@@ -1823,14 +1834,33 @@ def choose_ann(
         "cand_ivf": cand_v,
         "min_recall": min_recall,
         "flop_budget": flop_budget,
+        "amortize_over": amortize_over,
     }
 
     def _decide() -> None:
-        for d in disciplines.values():
+        import math as _math
+
+        for name, d in disciplines.items():
             d["eligible"] = (
                 d["recall"] is not None and d["recall"] >= min_recall
             )
-            d["within_budget"] = d["cost"] <= flop_budget
+            # build amortization (r11 Next #7): charged only when the
+            # caller declares an expected batch horizon; a durable
+            # store's IVF/IVF-PQ build is sunk and never re-charged
+            build = (
+                0
+                if (
+                    coded is not None
+                    and name in ("ivf_probe", "ivfpq_adc")
+                )
+                else d["build_cost"]
+            )
+            d["amortized_cost"] = d["cost"] + (
+                _math.ceil(build / int(amortize_over))
+                if amortize_over
+                else 0
+            )
+            d["within_budget"] = d["amortized_cost"] <= flop_budget
         runnable = [
             name
             for name, d in disciplines.items()
@@ -1839,19 +1869,19 @@ def choose_ann(
         if runnable:
             plan.update(
                 action="proceed",
-                # highest recall wins; ties -> cheaper search
+                # highest recall wins; ties -> cheaper amortized search
                 chosen=max(
                     runnable,
                     key=lambda n: (
                         disciplines[n]["recall"],
-                        -disciplines[n]["cost"],
+                        -disciplines[n]["amortized_cost"],
                     ),
                 ),
             )
             return
         eligible = sorted(
             (n for n, d in disciplines.items() if d["eligible"]),
-            key=lambda n: disciplines[n]["cost"],
+            key=lambda n: disciplines[n]["amortized_cost"],
         )
         if eligible:
             plan.update(action="over_budget", chosen=eligible[0])

@@ -536,6 +536,74 @@ def test_ann_search_stream_resubmitted_query_supersedes(spark, tmp_path):
     assert got == want
 
 
+# --- r11 Next #7: choose_ann build-cost amortization ---------------------------
+
+
+def test_choose_ann_amortize_over_flips_decision(spark, tmp_path):
+    """At a fixed corpus and budget, a one-shot search (amortize_over=1)
+    charges the full IVF build and busts the budget, while a declared
+    multi-batch horizon amortizes it back under — and a durable store
+    (coded=) makes the build SUNK regardless."""
+    from go_fish_spark.operators import similarity as sim
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 300)
+    q = df.filter("vec_id < 20")
+    quant = sim.fit_quantizer_det(df, "vec_id", "embedding", 16)
+    rec = {"ivf_probe": 0.9}
+
+    base = sim.choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=10**12,
+        measured_recall=rec, quantizer=quant,
+    )
+    ivf = base["disciplines"]["ivf_probe"]
+    brute = base["disciplines"]["brute_force"]
+    budget = ivf["cost"] + ivf["build_cost"] // 100 + 1
+    assert brute["cost"] > budget  # brute can never fit this budget
+
+    # one-shot: full build charged -> nothing fits
+    p1 = sim.choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=budget,
+        measured_recall=rec, quantizer=quant, amortize_over=1,
+    )
+    assert p1["action"] == "over_budget"
+    assert (
+        p1["disciplines"]["ivf_probe"]["amortized_cost"]
+        == ivf["cost"] + ivf["build_cost"]
+    )
+
+    # a 200-batch horizon amortizes the build under the same budget
+    p2 = sim.choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=budget,
+        measured_recall=rec, quantizer=quant, amortize_over=200,
+    )
+    assert p2["action"] == "proceed" and p2["chosen"] == "ivf_probe"
+
+    # default (no horizon declared): build uncharged, as before
+    p3 = sim.choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=budget,
+        measured_recall=rec, quantizer=quant,
+    )
+    assert p3["action"] == "proceed" and p3["chosen"] == "ivf_probe"
+    assert (
+        p3["disciplines"]["ivf_probe"]["amortized_cost"] == ivf["cost"]
+    )
+
+    # durable store: the IVF build is sunk even at amortize_over=1
+    coarse, pq = sim.fit_ivfpq_det(df, "vec_id", "embedding", 16, 4, 16)
+    store = str(tmp_path / "ann")
+    annstore.publish_ann_model(store, coarse, pq, gen=1)
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(df, coarse, pq), store, 0, gen=1
+    )
+    p4 = sim.choose_ann(
+        df, q, 16, min_recall=0.8, flop_budget=budget,
+        measured_recall=rec, quantizer=quant, amortize_over=1,
+        coded=annstore.read_ann_store(spark, store),
+    )
+    assert p4["action"] == "proceed" and p4["chosen"] == "ivf_probe"
+
+
 # --- r11 Next #6: the full BPE merge loop --------------------------------------
 
 
