@@ -595,14 +595,23 @@ def label_store_maintenance_stream(
 
     def _run_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf = bdf.select(id_col, text_col).dropDuplicates([id_col])
-        prev = read_label_store(spark, labels_path)
-        if prev is not None:
+        # Fresh-set derivation needs label EXISTENCE only — the raw
+        # live rows (generation + uncut patches), no latest-wins
+        # window (r11 verdict nit #2: the per-batch full-store window
+        # ran even when the batch had nothing new). The folded view is
+        # built lazily below, only once there IS fresh work. Fresh
+        # still derives from LABELS, not sigs: a crash between the sig
+        # and label appends leaves orphan sigs whose ids must re-label
+        # on replay (the module docstring's exactly-once argument).
+        live = _live_label_rows(spark, labels_path)
+        if live is not None:
             bdf = bdf.join(
-                prev.select(F.col("id").alias(id_col)), id_col, "left_anti"
+                live.select(F.col("id").alias(id_col)), id_col, "left_anti"
             )
         fresh = bdf.localCheckpoint()
         if fresh.isEmpty():
             return
+        prev = _latest_wins(live) if live is not None else None
         sig = minhash_signature(text_col, n_hashes, k, seed, portable)
         # (1) sigs first — replay-safe (module docstring); the batch
         # stamp lets read_committed_store cut sigs at the commit point
