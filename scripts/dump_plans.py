@@ -101,6 +101,9 @@ SHOWCASE = [
     ("x157_ann_choice", "ONE union pricing job: corpus+query keys tagged by side, one exchange, per-family product-sums — no pair join, no search runs"),
     ("x163_compacted_store_readback", "generation + newer-patches union under the manifest; per-id latest-wins window over slim label rows; shard stays the partition column"),
     ("x166_ann_store_search", "probed-cell PartitionFilters on the cell-partitioned codes scan; ADC lookups inside codegen; per-query top-k window"),
+    # round 12
+    ("x167_ann_search_stream", "stream-accumulated results read back latest-wins; the per-batch search inside the stream is x166's partition-pruned plan (this read shows the (query_id, rank) window over the slim result log)"),
+    ("x168_bpe_train", "final merge table is a driver-built literal frame — the N iterations each ran a vocab-bounded pair explode + LIMIT-1 collect; nothing corpus-sized appears after the one vocab fold"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —
