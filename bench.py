@@ -262,6 +262,8 @@ HEADLINE = [
     # round 12
     "x167_ann_search_stream",
     "x168_bpe_train",
+    "x169_selective_compaction_readback",
+    "x170_ann_selective_fold_readback",
 ]
 
 

@@ -1340,3 +1340,69 @@ def x167_ann_search_stream(spark, sf_dir):
         annstore.read_search_results(spark, out)
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "x170_ann_selective_fold_readback",
+    oracle=_x165_oracle,
+    family="protocol",
+)
+def x170_ann_selective_fold_readback(spark, sf_dir):
+    """SELECTIVE per-cell fold of the ANN store under the oracle
+    contract (r12): the x165 flow — three append batches plus every
+    vec_id % 10 == 0 vector re-appended NEGATED (edits that MOVE
+    cells) — then a selective compaction of only the cells the plan
+    flags as fragmented, with every cold cell hard-link-carried into
+    the new generation. The wrinkle the fold must get right: a
+    vector's cell is DATA-dependent, so the fold input is the GLOBAL
+    latest-wins view filtered to hot cells — a stale hot-cell row
+    whose edit moved it cold is dropped, and hot winners stamped at
+    the covered batch outrank stale cold copies. The read-back must
+    still equal the frozen model's encoding of the CURRENT corpus
+    (x165's own DuckDB mirror of the full routing + residual +
+    codebook pipeline)."""
+    import os
+    import shutil
+
+    from ...streaming import annstore
+
+    base = os.path.join(
+        "/tmp", f"gofish_x170_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    emb = table(spark, sf_dir, "embeddings")
+    coarse, pq = similarity.fit_ivfpq_det(
+        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
+    )
+    annstore.publish_ann_model(base, coarse, pq, gen=1)
+    for b in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == b)
+        annstore.append_ann_patch(
+            annstore.encode_ann_batch(batch, coarse, pq), base, b, gen=1
+        )
+    edited = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    annstore.append_ann_patch(
+        annstore.encode_ann_batch(edited, coarse, pq), base, 3, gen=1
+    )
+    plan = annstore.ann_compaction_plan(base, file_cutoff=3.0, min_files=1)
+    assert plan["cells_to_fold"] and plan["fold_scope"] in (
+        "selective", "full",
+    )
+    cells = plan["cells_to_fold"]
+    if plan["fold_scope"] == "full":  # force a cold carry either way
+        cells = cells[: max(1, len(cells) - 2)]
+    annstore.compact_ann_store(spark, base, cells=cells)
+    assert annstore.load_ann_manifest(base)["gen"] == 2
+    store = annstore.read_ann_store(spark, base)
+    return store.select(
+        F.col("_id").alias("id"),
+        "cell",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("codes"), lambda x: x.cast("string"))
+            )
+        ).alias("codes_md5"),
+    ).orderBy("id")

@@ -1827,6 +1827,92 @@ def x163_compacted_store_readback(spark, sf_dir):
     return read_label_store(spark, labels_path).orderBy("id")
 
 
+@query(
+    "x169_selective_compaction_readback",
+    oracle=_x163_oracle(),
+    family="protocol",
+)
+def x169_selective_compaction_readback(spark, sf_dir):
+    """SELECTIVE compaction under the oracle contract (r12 — the r11
+    verdict's top scale gap, hash-certified): the x163 flow, but both
+    folds are PER-SHARD. After batch 1 only shards 0–7 fold (first
+    generation holds HALF the shards; the other half keeps serving
+    from raw patches at the covered_default=-1 cut). After batch 2
+    shards 4–11 fold: 4–7 re-fold from generation + newer patches,
+    8–11 fold for the first time, and shards 0–3 are HARD-LINK-CARRIED
+    into generation 2 untouched (zero bytes rewritten — the fold cost
+    ∝ hot data property SCALE.md r12 measures at 4.7% of table bytes).
+    The reader of record stitches generation + per-shard-cut patches
+    via the manifest's covered map and must STILL equal the one-shot
+    global labels. Shard membership is a pure id hash, so per-shard
+    folds are independent — the invariant this entry pins."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ...operators.audit import incremental_audit_merge
+    from ...streaming.labelstore import (
+        append_label_patch,
+        compact_label_store,
+        read_compaction_manifest,
+        read_label_store,
+    )
+
+    base = os.path.join(
+        "/tmp", f"gofish_x169_{spark.sparkContext.applicationId}"
+    )
+    labels_path = os.path.join(base, "labels")
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("_h")
+    )
+    for b in range(3):
+        fresh = docs.filter(F.col("doc_id") % 3 == b)
+        prev = read_label_store(spark, labels_path)
+        if prev is None:
+            w = Window.partitionBy("_h")
+            patch = fresh.select(
+                F.col("doc_id").alias("id"),
+                F.min("doc_id").over(w).alias("component"),
+            )
+        else:
+            hist = docs.filter(F.col("doc_id") % 3 < b)
+            both = hist.unionByName(fresh)
+            f2 = fresh.select(
+                F.col("doc_id").alias("_fid"), F.col("_h").alias("_fh")
+            )
+            dpairs = (
+                both.join(f2, both["_h"] == f2["_fh"])
+                .filter(F.col("doc_id") != F.col("_fid"))
+                .select(
+                    F.least("doc_id", "_fid").alias("id_a"),
+                    F.greatest("doc_id", "_fid").alias("id_b"),
+                )
+                .distinct()
+            )
+            patch = incremental_audit_merge(
+                prev, fresh.select(F.col("doc_id").alias("id")), dpairs,
+                id_col="id", emit="changed",
+            )
+        append_label_patch(patch, labels_path, batch_id=b, n_shards=16)
+        if b == 1:  # first fold: HALF the shards — gen 1 is partial
+            compact_label_store(
+                spark, labels_path, n_shards=16, shards=list(range(8))
+            )
+            man = read_compaction_manifest(labels_path)
+            assert man is not None and man["gen"] == 1
+            assert man["covered_default"] == -1
+    # second fold: 4-11 (4-7 re-fold, 8-11 first fold, 0-3 carried)
+    compact_label_store(
+        spark, labels_path, n_shards=16, shards=list(range(4, 12))
+    )
+    man = read_compaction_manifest(labels_path)
+    assert man["gen"] == 2 and len(man["covered"]) == 12
+    return read_label_store(spark, labels_path).orderBy("id")
+
+
 def _x164_oracle() -> str:
     """The cross-store commit contract in SQL: the committed view
     joins every labeled id to its signature — one row per doc with the
