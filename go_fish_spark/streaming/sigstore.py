@@ -89,13 +89,12 @@ def read_signature_store(
     :func:`~go_fish_spark.operators.dedup.incremental_near_dedup` /
     :func:`~go_fish_spark.operators.dedup.delta_minhash_pairs` via
     ``.withColumnRenamed``. Per-id window — bounded by each doc's
-    version count, parallel across ids."""
-    from pyspark.sql import Window
+    version count, parallel across ids (storekernel.latest_wins, with
+    the deterministic ``_sig`` tiebreak the r12 kernel consolidation
+    gave every store: a lost-checkpoint batch-id collision can never
+    pick a row by partition order)."""
+    from . import storekernel as _sk
 
     df = spark.read.parquet(store_path)
-    w = Window.partitionBy(id_col).orderBy(F.col("_batch_id").desc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_batch_id")
-    )
+    keep = [c for c in df.columns if c != "_batch_id"]
+    return _sk.latest_wins(df, [id_col], [F.col("_sig").asc()], keep)
