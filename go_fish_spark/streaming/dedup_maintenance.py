@@ -41,19 +41,17 @@ form of that operation.
 
 from __future__ import annotations
 
-import json as _json
 import os as _os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import storekernel as _sk
+
 
 def _current_version(table_dir: str) -> str | None:
-    m = _os.path.join(table_dir, "_current.json")
-    if not _os.path.exists(m):
-        return None
-    with open(m) as f:
-        return _os.path.join(table_dir, _json.load(f)["version"])
+    doc = _sk.read_json_if_exists(_os.path.join(table_dir, "_current.json"))
+    return _os.path.join(table_dir, doc["version"]) if doc else None
 
 
 def read_labels(spark, labels_dir: str) -> DataFrame | None:
@@ -64,14 +62,14 @@ def read_labels(spark, labels_dir: str) -> DataFrame | None:
 
 
 def _commit_labels(df: DataFrame, labels_dir: str, batch_id: int) -> None:
-    """Write the new label version, then repoint the manifest LAST (a
-    crash between the two leaves the previous version current)."""
+    """Write the new label version, then repoint the manifest LAST via
+    the kernel's atomic publish (a crash between the two leaves the
+    previous version current)."""
     version = f"v{batch_id:08d}"
     df.write.mode("overwrite").parquet(_os.path.join(labels_dir, version))
-    tmp = _os.path.join(labels_dir, "_current.json.tmp")
-    with open(tmp, "w") as f:
-        _json.dump({"version": version}, f)
-    _os.replace(tmp, _os.path.join(labels_dir, "_current.json"))
+    _sk.atomic_write_json(
+        _os.path.join(labels_dir, "_current.json"), {"version": version}
+    )
 
 
 def dedup_maintenance_stream(
