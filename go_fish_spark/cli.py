@@ -221,7 +221,52 @@ def main(argv: list[str] | None = None) -> int:
     )
     ls.add_argument("--master", default=None)
 
+    sp = sub.add_parser(
+        "store-plan",
+        help="price a store's compaction from its file census alone "
+        "(no Spark session, no data scan): per-shard/per-cell live "
+        "file counts, read amplification, and the selective fold set "
+        "(shards_to_fold / cells_to_fold + fold_scope)",
+    )
+    sp.add_argument(
+        "kind", choices=["label", "ann", "shards"],
+        help="label = labelstore.compaction_plan; ann = "
+        "annstore.ann_compaction_plan; shards = "
+        "sharding.shard_compaction_plan",
+    )
+    sp.add_argument("path", help="store path (labels dir / ann store dir "
+                                 "/ sharded corpus dir)")
+    sp.add_argument("--file-cutoff", type=float, default=4.0)
+    sp.add_argument("--min-files", type=int, default=8)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "store-plan":
+        import json as _json
+
+        if args.kind == "label":
+            from .streaming.labelstore import compaction_plan
+
+            plan = compaction_plan(
+                args.path, file_cutoff=args.file_cutoff,
+                min_patch_files=args.min_files,
+            )
+        elif args.kind == "ann":
+            from .streaming.annstore import ann_compaction_plan
+
+            plan = ann_compaction_plan(
+                args.path, file_cutoff=args.file_cutoff,
+                min_files=args.min_files,
+            )
+        else:
+            from .sources.sharding import shard_compaction_plan
+
+            plan = shard_compaction_plan(
+                args.path, file_cutoff=args.file_cutoff,
+                min_files=args.min_files,
+            )
+        print(_json.dumps(plan))
+        return 0 if plan["action"] == "skip" else 3  # 3 = fold advised
 
     if args.cmd == "label-store":
         import json as _json

@@ -536,6 +536,49 @@ def test_ann_search_stream_resubmitted_query_supersedes(spark, tmp_path):
     assert got == want
 
 
+# --- store-plan CLI: priced compaction pre-flight ------------------------------
+
+
+def test_cli_store_plan_label_and_shards(spark, tmp_path, capsys):
+    """`store-plan` prices a fold from the file census alone (no Spark
+    session inside the command) — exit 0 = skip, 3 = fold advised —
+    and reports the selective fold set."""
+    import json
+
+    from go_fish_spark.cli import main
+    from go_fish_spark.sources import sharding
+    from go_fish_spark.streaming import labelstore as ls
+
+    labels = str(tmp_path / "labels")
+    for b in range(6):
+        ls.append_label_patch(
+            spark.createDataFrame(
+                [(i, i) for i in range(8)], "id long, component long"
+            ),
+            labels, batch_id=b, n_shards=2,
+        )
+    assert main(["store-plan", "label", labels,
+                 "--file-cutoff", "3.0", "--min-files", "2"]) == 3
+    plan = json.loads(capsys.readouterr().out)
+    assert plan["action"] == "compact" and plan["shards_to_fold"]
+
+    ls.compact_label_store(spark, labels, n_shards=2)
+    assert main(["store-plan", "label", labels,
+                 "--file-cutoff", "3.0", "--min-files", "2"]) == 0
+    assert json.loads(capsys.readouterr().out)["action"] == "skip"
+
+    corpus = str(tmp_path / "corpus")
+    sharding.write_sharded(
+        spark.createDataFrame(
+            [(i, f"d{i}") for i in range(20)], "doc_id long, text string"
+        ),
+        corpus, id_col="doc_id", n_shards=4,
+    )
+    assert main(["store-plan", "shards", corpus,
+                 "--file-cutoff", "2.0", "--min-files", "2"]) == 0
+    assert json.loads(capsys.readouterr().out)["read_amp"] == 1.0
+
+
 # --- r11 Next #7: choose_ann build-cost amortization ---------------------------
 
 
