@@ -333,6 +333,13 @@ def compact_label_store(
                 if d.startswith("shard=") and d not in hot
             ]
             _sk.carry_partitions(old_root, gen_path, cold)
+        # One fold cut for every hot shard is safe: `covered` is the
+        # max live batch ≤ committed over the hot rows, so a hot shard
+        # whose own max is lower has NO patch in (its max, covered] —
+        # and future appends carry batch ids > committed ≥ covered
+        # (stream batch ids are monotone; the same assumption the
+        # fold-stamp discipline rests on). Advancing its cut to
+        # `covered` therefore excludes no live row, ever.
         new_map = dict(old_map, **{str(s): covered for s in sel})
         new_default = old_default
     _sk.atomic_write_json(  # the commit point — repoint LAST
