@@ -102,6 +102,36 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         print(f"serve: {len(served)} top-k rows from the store "
               f"== direct IVF-PQ search")
 
+        # 3b. SERVE AS A STREAM (r12): the same queries through the
+        # streaming search arm in two micro-batches, with the live
+        # recall monitor ground-truthing a sample per batch; the
+        # latest-wins read-back must equal the one-shot store search
+        qsrc = os.path.join(work, "q")
+        qout = os.path.join(work, "res")
+        qcp = os.path.join(work, "qcp")
+        os.makedirs(qsrc)
+        recalls = []
+        for pred in ("vec_id < 3", "vec_id >= 3"):
+            queries.filter(pred).write.mode("append").parquet(qsrc)
+            annstore.ann_search_stream(
+                spark.readStream.schema(
+                    "vec_id long, embedding array<double>"
+                ).parquet(qsrc),
+                store, qout, qcp, k=10, n_probe=4,
+                on_batch=lambda i: recalls.append(i.get("recall_at_k")),
+                recall_corpus=emb, recall_sample=3,
+            ).awaitTermination(300)
+        streamed = sorted(
+            map(
+                tuple,
+                annstore.read_search_results(spark, qout).collect(),
+            )
+        )
+        assert streamed == served, "streamed search diverged"
+        print(f"stream-serve: {len(streamed)} rows over 2 query "
+              f"batches == one-shot store search; live recall@10 per "
+              f"batch = {recalls}")
+
         # 4. DRIFT: price refit on a stable batch vs a skewed one
         stable = annstore.ann_refit_plan(doc, doc["cell_mass"])
         skew = [0] * 16
