@@ -264,6 +264,7 @@ HEADLINE = [
     "x168_bpe_train",
     "x169_selective_compaction_readback",
     "x170_ann_selective_fold_readback",
+    "x171_bpe_tokenize",
 ]
 
 

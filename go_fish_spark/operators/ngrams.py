@@ -557,41 +557,25 @@ def _bpe_merge_col(syms, a: str, b: str):
     return F.split(folded, _BPE_SEP)
 
 
-def bpe_train(
-    df: DataFrame, text_col: str, n_merges: int = 4
-) -> DataFrame:
-    """Train ``n_merges`` BPE merges over the corpus — the FULL
-    tokenizer-training loop (r11 verdict Next #6), not just x99's
-    first pair table: each iteration recounts adjacent symbol pairs on
-    the FOLDED VOCABULARY, picks the most frequent (ties to the
-    lexicographically smallest (lhs, rhs) — deterministic), applies
-    the merge to every vocabulary word, and repeats.
-
-    Output: the merge table ``(merge_idx INT (1-based), lhs STRING,
-    rhs STRING, n_occurrences BIGINT)`` in merge order — the artifact
-    a tokenizer ships.
-
-    100 TB shape — the property that makes BPE trainable at corpus
-    scale: the corpus is folded ONCE into the (word, count) vocabulary
-    (one exchange, map-side combine); every one of the N iterations
-    then runs on the vocab frame (bounded by DISTINCT words, not
-    corpus tokens) — a vocab-sized pair explode, an alphabet²-bounded
-    count, a LIMIT-1 collect (the only driver round-trip), and a
-    map-only merge expression. Nothing corpus-sized ever re-runs;
-    lineage is cut per iteration with localCheckpoint so N merges cost
-    N vocab jobs, not a 2^N plan. Mirrored for fixed N by
-    :func:`duck_bpe_train_sql` as an unrolled-CTE sequence."""
+def _bpe_loop(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list, DataFrame]:
+    """The shared train/apply loop: fold the corpus ONCE to the
+    (word, count, symbols) vocabulary, then iterate ``n_merges``
+    recount→pick→merge steps on the vocab frame. Returns (merge list
+    [(idx, lhs, rhs, count)], final folded vocab (_w, _wc, syms))."""
     vocab = (
         df.select(F.explode(tokens(text_col)).alias("_w"))
         .filter(F.length("_w") >= 1)
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_wc"))
         .select(
+            "_w",
+            "_wc",
             F.transform(
                 F.sequence(F.lit(1), F.length("_w")),
                 lambda i: F.col("_w").substr(i, F.lit(1)),
             ).alias("syms"),
-            "_wc",
         )
         .localCheckpoint()
     )
@@ -621,28 +605,82 @@ def bpe_train(
         a, b, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
         merges.append((it, a, b, n))
         vocab = vocab.select(
-            _bpe_merge_col("syms", a, b).alias("syms"), "_wc"
+            "_w", "_wc", _bpe_merge_col("syms", a, b).alias("syms")
         ).localCheckpoint()
+    return merges, vocab
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 4
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus — the FULL
+    tokenizer-training loop (r11 verdict Next #6), not just x99's
+    first pair table: each iteration recounts adjacent symbol pairs on
+    the FOLDED VOCABULARY, picks the most frequent (ties to the
+    lexicographically smallest (lhs, rhs) — deterministic), applies
+    the merge to every vocabulary word, and repeats.
+
+    Output: the merge table ``(merge_idx INT (1-based), lhs STRING,
+    rhs STRING, n_occurrences BIGINT)`` in merge order — the artifact
+    a tokenizer ships.
+
+    100 TB shape — the property that makes BPE trainable at corpus
+    scale: the corpus is folded ONCE into the (word, count) vocabulary
+    (one exchange, map-side combine); every one of the N iterations
+    then runs on the vocab frame (bounded by DISTINCT words, not
+    corpus tokens) — a vocab-sized pair explode, an alphabet²-bounded
+    count, a LIMIT-1 collect (the only driver round-trip), and a
+    map-only merge expression. Nothing corpus-sized ever re-runs;
+    lineage is cut per iteration with localCheckpoint so N merges cost
+    N vocab jobs, not a 2^N plan. Mirrored for fixed N by
+    :func:`duck_bpe_train_sql` as an unrolled-CTE sequence."""
+    merges, _vocab = _bpe_loop(df, text_col, n_merges)
     return df.sparkSession.createDataFrame(
         merges,
         "merge_idx int, lhs string, rhs string, n_occurrences long",
     ).orderBy("merge_idx")
 
 
-def duck_bpe_train_sql(
-    table: str, text_col: str, n_merges: int = 4
-) -> str:
-    """DuckDB mirror of :func:`bpe_train` for fixed N, as the unrolled
-    CTE sequence v0 → (p1, b1, v1) → … the r11 verdict asked for: the
-    same vocab fold, the same per-iteration pair recount and
-    (count DESC, lhs, rhs) tie-break, and the IDENTICAL string-fold
-    merge (``list_reduce`` appending rhs separator-less onto a
-    trailing lhs — :func:`_bpe_merge_col`'s fold, symbol for symbol)."""
+def bpe_tokenize(
+    df: DataFrame, text_col: str, n_merges: int = 4, top_k: int = 50
+) -> DataFrame:
+    """APPLY the trained merges — the tokenizer loop's serving half:
+    train ``n_merges`` merges (:func:`_bpe_loop`) and return the
+    ``top_k`` most frequent words with their POST-MERGE tokenization
+    ``(word, n_occurrences, n_tokens, tokens STRING ('|'-joined
+    symbols))``, ordered (n_occurrences DESC, word).
+
+    This is the vocab-folded APPLY: tokenizing the corpus never
+    re-touches corpus text — every occurrence of a word shares its
+    vocabulary row, so applying N merges costs N map-only passes over
+    DISTINCT words and a join back to the corpus reconstructs per-doc
+    token streams (the x54 fertility join pattern). Mirrored by
+    :func:`duck_bpe_tokenize_sql` (the same unrolled CTE chain, read
+    at v_N instead of the merge table)."""
+    _merges, vocab = _bpe_loop(df, text_col, n_merges)
+    return (
+        vocab.select(
+            F.col("_w").alias("word"),
+            F.col("_wc").cast("bigint").alias("n_occurrences"),
+            F.size("syms").alias("n_tokens"),
+            F.concat_ws("|", "syms").alias("tokens"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(int(top_k))
+    )
+
+
+def _duck_bpe_ctes(table: str, text_col: str, n_merges: int) -> list:
+    """The unrolled v0 → (p_i, b_i, v_i) CTE chain both BPE mirrors
+    share — each v_i carries (w, wc, syms) so the tokenize mirror can
+    read the folded vocabulary at v_N while the train mirror reads the
+    b_i merge rows. The fold inside v_i is :func:`_bpe_merge_col`'s
+    string fold, symbol for symbol, via ``list_reduce``."""
     sep = "chr(31)"
     ctes = [
         f"""v0 AS (
-      SELECT [w[i] for i in range(1, len(w)+1)] AS syms,
-             count(*) AS wc
+      SELECT w, count(*) AS wc,
+             [w[i] for i in range(1, len(w)+1)] AS syms
       FROM (SELECT unnest(string_split({text_col}, ' ')) AS w
             FROM {table})
       WHERE len(w) >= 1 GROUP BY w
@@ -667,15 +705,28 @@ def duck_bpe_train_sql(
         )
         ctes.append(
             f"""v{it} AS (
-      SELECT string_split(
+      SELECT w, wc, string_split(
         list_reduce(syms, (acc, x) ->
           CASE WHEN (acc = b.l OR ends_with(acc, {sep} || b.l))
                     AND x = b.r
                THEN acc || x ELSE acc || {sep} || x END),
-        {sep}) AS syms, wc
+        {sep}) AS syms
       FROM {prev}, b{it} AS b
     )"""
         )
+    return ctes
+
+
+def duck_bpe_train_sql(
+    table: str, text_col: str, n_merges: int = 4
+) -> str:
+    """DuckDB mirror of :func:`bpe_train` for fixed N, as the unrolled
+    CTE sequence v0 → (p1, b1, v1) → … the r11 verdict asked for: the
+    same vocab fold, the same per-iteration pair recount and
+    (count DESC, lhs, rhs) tie-break, and the IDENTICAL string-fold
+    merge (``list_reduce`` appending rhs separator-less onto a
+    trailing lhs — :func:`_bpe_merge_col`'s fold, symbol for symbol)."""
+    ctes = _duck_bpe_ctes(table, text_col, n_merges)
     union = "\n      UNION ALL ".join(
         f"SELECT {it} AS merge_idx, l AS lhs, r AS rhs, "
         f"n AS n_occurrences FROM b{it}"
@@ -684,6 +735,23 @@ def duck_bpe_train_sql(
     return (
         "WITH " + ",\n    ".join(ctes)
         + f"\n    {union}\n    ORDER BY merge_idx"
+    )
+
+
+def duck_bpe_tokenize_sql(
+    table: str, text_col: str, n_merges: int = 4, top_k: int = 50
+) -> str:
+    """DuckDB mirror of :func:`bpe_tokenize`: the same unrolled chain,
+    read at the FOLDED vocabulary v_N instead of the merge rows."""
+    ctes = _duck_bpe_ctes(table, text_col, n_merges)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT w AS word, CAST(wc AS BIGINT) AS n_occurrences,
+           CAST(len(syms) AS INTEGER) AS n_tokens,
+           array_to_string(syms, '|') AS tokens
+    FROM v{int(n_merges)}
+    ORDER BY n_occurrences DESC, word LIMIT {int(top_k)}"""
     )
 
 

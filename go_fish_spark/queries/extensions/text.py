@@ -927,6 +927,30 @@ def x168_bpe_train(spark, sf_dir):
     return bpe_train(docs, "text", n_merges=4)
 
 
+from ...operators.ngrams import duck_bpe_tokenize_sql  # noqa: E402
+
+
+@query(
+    "x171_bpe_tokenize",
+    oracle=duck_bpe_tokenize_sql("documents", "text", n_merges=4, top_k=50),
+)
+def x171_bpe_tokenize(spark, sf_dir):
+    """APPLY the trained merges — the tokenizer loop's serving half
+    (x168 trains; this tokenizes): after four merges, the 50 most
+    frequent words with their post-merge token count and the joined
+    token stream. The APPLY is vocab-folded — tokenizing never
+    re-touches corpus text, because every occurrence of a word shares
+    its vocabulary row; reconstructing per-doc token streams is then
+    the x54 fertility join. The oracle reads the SAME unrolled CTE
+    chain as x168 at its final folded vocabulary v4, so the hash
+    certifies the merge application itself (greedy, non-overlapping,
+    composed symbols) word for word, token for token."""
+    from ...operators.ngrams import bpe_tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_tokenize(docs, "text", n_merges=4, top_k=50)
+
+
 _X101_Q = f"""
       SELECT source, doc_id,
              0.4 * least(len(ws) / 100.0, 1.0)

@@ -536,6 +536,70 @@ def test_ann_search_stream_resubmitted_query_supersedes(spark, tmp_path):
     assert got == want
 
 
+def test_bpe_merge_fold_matches_reference_scan(spark):
+    """Property check: the string-fold merge (_bpe_merge_col) equals
+    Sennrich's reference greedy left-to-right non-overlapping scan on
+    500 seeded random symbol sequences (heavy in a/b runs — the
+    overlap-adversarial alphabet) for several merge pairs, including
+    a == b and composed symbols."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from go_fish_spark.operators.ngrams import _bpe_merge_col
+
+    def ref_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    rng = random.Random(12)
+    words = [
+        [rng.choice(["a", "b", "ab", "c"]) for _ in range(rng.randint(1, 9))]
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "i long, syms array<string>"
+    )
+    for a, b in [("a", "b"), ("a", "a"), ("b", "b"), ("ab", "c"), ("c", "a")]:
+        got = {
+            r["i"]: list(r["m"])
+            for r in df.select(
+                "i", _bpe_merge_col("syms", a, b).alias("m")
+            ).collect()
+        }
+        for i, w in enumerate(words):
+            assert got[i] == ref_merge(w, a, b), (a, b, w, got[i])
+
+
+def test_bpe_tokenize_parity_with_train_vocab(spark):
+    """bpe_tokenize's token streams reassemble the original words and
+    the symbol inventory is closed under the trained merges."""
+    from go_fish_spark.operators.ngrams import bpe_tokenize, bpe_train
+
+    df = spark.createDataFrame(
+        [("abc abc abd cd",)], "text string"
+    ).toDF("text")
+    merges = {
+        (r.lhs, r.rhs)
+        for r in bpe_train(df, "text", n_merges=2).collect()
+    }
+    out = bpe_tokenize(df, "text", n_merges=2, top_k=10).collect()
+    assert {r.word for r in out} == {"abc", "abd", "cd"}
+    for r in out:
+        assert "".join(r.tokens.split("|")) == r.word
+        assert r.n_tokens == len(r.tokens.split("|"))
+    assert merges == {("a", "b"), ("ab", "c")}
+    toks = {r.word: r.tokens for r in out}
+    assert toks["abc"] == "abc" and toks["abd"] == "ab|d"
+
+
 # --- store-plan CLI: priced compaction pre-flight ------------------------------
 
 
