@@ -265,6 +265,7 @@ HEADLINE = [
     "x169_selective_compaction_readback",
     "x170_ann_selective_fold_readback",
     "x171_bpe_tokenize",
+    "x172_bpe_fertility",
 ]
 
 

@@ -738,6 +738,85 @@ def duck_bpe_train_sql(
     )
 
 
+def bpe_fertility(
+    df: DataFrame, group_col: str, text_col: str, n_merges: int = 4
+) -> DataFrame:
+    """Per-GROUP (source) fertility under the corpus-trained BPE —
+    tokens emitted per word once the ``n_merges`` merges apply: the
+    signal that tells a mixture designer which sources the tokenizer
+    serves badly (high fertility = more sequence length per word =
+    more compute per byte of that source). x54 measures fertility
+    under a FIXED heuristic tokenizer; this measures it under the
+    tokenizer the corpus itself trains (x168/x171).
+
+    Output: ``(group_col, n_words BIGINT, n_bpe_tokens BIGINT,
+    fertility DOUBLE round-6)`` ordered by group. Exact integer sums
+    end to end; ONE double division per group at the edge.
+
+    100 TB shape: one (group, word) exchange with map-side combine;
+    the trained vocabulary is vocab-sized and joins on the word key —
+    corpus text is read once for the vocab fold and once for the
+    group counts, never per merge."""
+    _merges, vocab = _bpe_loop(df, text_col, n_merges)
+    per = (
+        df.select(
+            F.col(group_col), F.explode(tokens(text_col)).alias("_w")
+        )
+        .filter(F.length("_w") >= 1)
+        .groupBy(group_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    j = per.join(vocab.select("_w", F.size("syms").alias("_nt")), "_w")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_words"),
+            F.sum(F.col("_c") * F.col("_nt")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def duck_bpe_fertility_sql(
+    table: str, group_col: str, text_col: str, n_merges: int = 4
+) -> str:
+    """DuckDB mirror of :func:`bpe_fertility` — the shared unrolled
+    chain's folded vocabulary v_N joined to per-group word counts,
+    exact integer sums, one division at the edge."""
+    ctes = _duck_bpe_ctes(table, text_col, n_merges)
+    ctes.append(
+        f"""ws AS (
+      SELECT {group_col}, w, count(*) AS c
+      FROM (SELECT {group_col}, unnest(string_split({text_col}, ' ')) AS w
+            FROM {table})
+      WHERE len(w) >= 1 GROUP BY {group_col}, w
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT s.{group_col},
+           CAST(sum(s.c) AS BIGINT) AS n_words,
+           CAST(sum(s.c * len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(s.c * len(v.syms)) AS DOUBLE)
+                 / CAST(sum(s.c) AS DOUBLE), 6) AS fertility
+    FROM ws s JOIN v{int(n_merges)} v ON s.w = v.w
+    GROUP BY s.{group_col} ORDER BY s.{group_col}"""
+    )
+
+
 def duck_bpe_tokenize_sql(
     table: str, text_col: str, n_merges: int = 4, top_k: int = 50
 ) -> str:

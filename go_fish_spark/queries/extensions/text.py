@@ -951,6 +951,29 @@ def x171_bpe_tokenize(spark, sf_dir):
     return bpe_tokenize(docs, "text", n_merges=4, top_k=50)
 
 
+from ...operators.ngrams import duck_bpe_fertility_sql  # noqa: E402
+
+
+@query(
+    "x172_bpe_fertility",
+    oracle=duck_bpe_fertility_sql("documents", "source", "text", n_merges=4),
+)
+def x172_bpe_fertility(spark, sf_dir):
+    """Per-source fertility under the CORPUS-TRAINED tokenizer
+    (ngrams.bpe_fertility): tokens per word once the four x168 merges
+    apply — the mixture-design signal for which sources the tokenizer
+    serves badly (high fertility = more sequence length per byte =
+    more training compute for that source). x54 measures fertility
+    under a fixed heuristic tokenizer; this one closes the loop with
+    the tokenizer the corpus itself trains. Exact integer sums; one
+    division per source at the edge; the corpus is read twice total
+    (vocab fold + per-source counts), never per merge."""
+    from ...operators.ngrams import bpe_fertility
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe_fertility(docs, "source", "text", n_merges=4)
+
+
 _X101_Q = f"""
       SELECT source, doc_id,
              0.4 * least(len(ws) / 100.0, 1.0)
