@@ -104,6 +104,9 @@ SHOWCASE = [
     # round 12
     ("x167_ann_search_stream", "stream-accumulated results read back latest-wins; the per-batch search inside the stream is x166's partition-pruned plan (this read shows the (query_id, rank) window over the slim result log)"),
     ("x168_bpe_train", "final merge table is a driver-built literal frame — the N iterations each ran a vocab-bounded pair explode + LIMIT-1 collect; nothing corpus-sized appears after the one vocab fold"),
+    ("x169_selective_compaction_readback", "per-shard folds: generation + per-shard-cut patch union under the covered map (the cut is a tiny map literal, no join); latest-wins window on slim label rows"),
+    ("x171_bpe_tokenize", "the folded vocabulary read back: one corpus exchange to the vocab, N map-only merge folds, TakeOrdered top-k — corpus text never re-read per merge"),
+    ("x172_bpe_fertility", "one (source, word) exchange + vocab-sized join to the folded vocabulary; exact integer sums; ≤|sources| output rows"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —
