@@ -266,6 +266,7 @@ HEADLINE = [
     "x170_ann_selective_fold_readback",
     "x171_bpe_tokenize",
     "x172_bpe_fertility",
+    "x173_bloom_decontam",
 ]
 
 

@@ -113,6 +113,133 @@ def contaminated_docs(
     )
 
 
+def fit_shingle_bloom(
+    eval_docs: DataFrame,
+    text_col: str,
+    k: int = 3,
+    bits_per_item: int = 10,
+    max_bits: int = 1 << 24,
+) -> dict:
+    """Fit a Bloom filter over the benchmark's distinct k-shingles as a
+    plain ``array<long>`` bit array — the FIXED-SIZE form of the eval
+    membership set. :func:`contaminated_docs` broadcasts the benchmark's
+    whole distinct shingle VOCABULARY (strings — grows with the
+    benchmark and can reach GBs across a large eval suite); the Bloom
+    form broadcasts ``bits_per_item``/8 bytes per shingle regardless of
+    shingle length (~1% false-positive rate at 10 bits/item with
+    ⌈m/n·ln2⌉ hash probes), which is the membership structure that still
+    fits every executor at 100 TB.
+
+    Positions are ``pmod(xxhash64(sh, i), m)`` for probe index i (the
+    engine's native 64-bit hash — deterministic, codegen'd); the bit
+    array is built with one bounded aggregation over the k·n exploded
+    positions (``bit_or`` per 64-bit word) and collected driver-side
+    (m/64 longs — 8 KB at 2¹⁶ bits). Returns ``{"m_bits", "n_hashes",
+    "n_items", "words"}``."""
+    import math
+
+    ev = eval_shingle_set(eval_docs, text_col, k)
+    n = max(ev.count(), 1)
+    m_bits = min(
+        int(max_bits),
+        max(64, 1 << math.ceil(math.log2(n * max(bits_per_item, 1)))),
+    )
+    n_hashes = max(1, min(8, round(0.6931 * m_bits / n)))
+    pos = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("sh"), F.lit(i)), F.lit(m_bits)
+                    )
+                    for i in range(1, n_hashes + 1)
+                ]
+            )
+        ).alias("pos")
+    )
+    rows = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[int(r["w"])] = int(r["mask"])
+    return {
+        "m_bits": m_bits,
+        "n_hashes": n_hashes,
+        "n_items": n,
+        "words": words,
+    }
+
+
+def bloom_might_contain_expr(bloom: dict, sh_col: str = "sh"):
+    """``TRUE`` iff every probe bit of ``sh_col`` is set in the bloom's
+    ``bf`` column (attach the bit array first — see
+    :func:`bloom_contaminated_docs`). Pure codegen'd expression: k
+    xxhash64 probes, k word lookups, k bit tests — no join, no Python."""
+    m = int(bloom["m_bits"])
+    checks = None
+    for i in range(1, int(bloom["n_hashes"]) + 1):
+        c = F.expr(
+            f"(element_at(bf, CAST(pmod(xxhash64({sh_col}, {i}), {m}) "
+            f"/ 64 AS INT) + 1) & shiftleft(1L, CAST(pmod(pmod("
+            f"xxhash64({sh_col}, {i}), {m}), 64) AS INT))) != 0"
+        )
+        checks = c if checks is None else (checks & c)
+    return checks
+
+
+def bloom_contaminated_docs(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_hits: int = 1,
+    bits_per_item: int = 10,
+) -> DataFrame:
+    """:func:`contaminated_docs` with a Bloom PRESCREEN — output
+    IDENTICAL by construction (a Bloom filter has no false negatives,
+    so every true hit survives the prescreen; false positives are
+    killed by the exact verification join), but the expensive exact
+    join now sees only might-contain survivors: true hits + ~1% of the
+    clean volume, instead of every (doc, shingle) row.
+
+    100 TB shape — the two-phase membership discipline: phase 1 is
+    MAP-ONLY (the fixed-size bit array rides a broadcast one-row frame;
+    the k hash probes run inside codegen on the corpus scan — no
+    shuffle, no join); phase 2's broadcast equi-join is survivor-
+    bounded. This is the point where :func:`contaminated_docs` stops
+    scaling (its broadcast is the benchmark's whole shingle vocabulary)
+    and the Bloom form keeps going (its broadcast is bits_per_item/8
+    bytes per shingle, ~1.25 MB per million shingles)."""
+    bloom = fit_shingle_bloom(eval_docs, text_col, k, bits_per_item)
+    spark = train_docs.sparkSession
+    bf = spark.createDataFrame([(bloom["words"],)], "bf array<bigint>")
+    train_sh = train_docs.select(
+        F.col(id_col), F.explode(tx.word_shingles(text_col, k)).alias("sh")
+    )
+    survivors = (
+        train_sh.join(F.broadcast(bf))
+        .filter(bloom_might_contain_expr(bloom, "sh"))
+        .drop("bf")
+    )
+    ev = F.broadcast(eval_shingle_set(eval_docs, text_col, k))
+    return (
+        survivors.join(ev, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
 def _aho_build(patterns: list[str]):
     """Aho-Corasick automaton over ``patterns``: (goto, fail, out) where
     ``out[state]`` lists the indices of patterns ending at that state

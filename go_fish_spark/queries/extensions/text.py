@@ -974,6 +974,40 @@ def x172_bpe_fertility(spark, sf_dir):
     return bpe_fertility(docs, "source", "text", n_merges=4)
 
 
+@query(
+    "x173_bloom_decontam",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE {_DUCK_EVAL}),
+    tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE NOT ({_DUCK_EVAL}))
+    SELECT tr.doc_id, count(*) AS n_hits
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    ORDER BY doc_id
+    """,
+)
+def x173_bloom_decontam(spark, sf_dir):
+    """Bloom-prescreened decontamination
+    (decontam.bloom_contaminated_docs): x21's exact answer — the oracle
+    IS x21's SQL, because a Bloom filter has no false negatives and the
+    exact verification join kills its false positives — produced by the
+    two-phase membership discipline 100 TB demands: the benchmark's
+    shingle set compresses to a FIXED-size xxhash64 bit array (~10
+    bits/shingle, ~1% FPR) broadcast as one row, the prescreen is k
+    codegen'd hash probes on the corpus scan (map-only, no join), and
+    only might-contain survivors reach the exact broadcast join. Where
+    x21's broadcast grows with the benchmark's vocabulary, this one is
+    ~1.25 MB per million shingles, fixed."""
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return decontam.bloom_contaminated_docs(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text", k=3
+    ).orderBy("doc_id")
+
+
 _X101_Q = f"""
       SELECT source, doc_id,
              0.4 * least(len(ws) / 100.0, 1.0)

@@ -536,6 +536,54 @@ def test_ann_search_stream_resubmitted_query_supersedes(spark, tmp_path):
     assert got == want
 
 
+def test_bloom_decontam_equals_exact_and_prunes(spark):
+    """The Bloom prescreen changes the PLAN, never the answer: output
+    ≡ contaminated_docs on a corpus where most shingles are clean, and
+    the prescreen demonstrably drops the bulk of the clean volume
+    before the exact join."""
+    from go_fish_spark.operators import decontam
+    from go_fish_spark.functions import text as tx
+
+    # 200 clean docs with disjoint vocab + 10 docs sharing eval text
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(200)]
+    rows += [(1000 + i, f"leak{i} leak{i+1} leak{i+2} leak{i+3}")
+             for i in range(10)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9000 + i, f"leak{i} leak{i+1} leak{i+2} leak{i+3} leak{i+4}")
+         for i in range(0, 12, 2)],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        map(tuple, decontam.contaminated_docs(
+            train, ev, "doc_id", "text", k=3).collect())
+    )
+    bloom = sorted(
+        map(tuple, decontam.bloom_contaminated_docs(
+            train, ev, "doc_id", "text", k=3).collect())
+    )
+    assert bloom == exact and exact  # same answer, and non-trivial
+
+    # prescreen effectiveness: survivors << total (doc, shingle) rows
+    bl = decontam.fit_shingle_bloom(ev, "text", k=3)
+    from pyspark.sql import functions as F
+
+    bf = spark.createDataFrame([(bl["words"],)], "bf array<bigint>")
+    sh = train.select(
+        "doc_id", F.explode(tx.word_shingles("text", 3)).alias("sh")
+    )
+    total = sh.count()
+    kept = (
+        sh.join(F.broadcast(bf))
+        .filter(decontam.bloom_might_contain_expr(bl, "sh"))
+        .count()
+    )
+    # 200 clean docs × 3 shingles are FPR-bounded; 10 leaked docs pass
+    assert kept < 0.2 * total
+    # no false negatives: every exact hit's shingles survive
+    assert kept >= sum(n for _d, n in exact)
+
+
 def test_bpe_merge_fold_matches_reference_scan(spark):
     """Property check: the string-fold merge (_bpe_merge_col) equals
     Sennrich's reference greedy left-to-right non-overlapping scan on
