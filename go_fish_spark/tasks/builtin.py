@@ -173,6 +173,52 @@ class DecontamGate(BasicTask):
         )
 
 
+@register_task("bloom_gate")
+class BloomGate(BasicTask):
+    """CONSERVATIVE leakage gate at benchmark scale (x173's streaming
+    form): DROP documents any of whose word-k-shingles hits the frozen
+    Bloom filter — fit once on the static eval corpus with
+    decontam.fit_shingle_bloom and frozen into the task config as the
+    (m_bits, n_hashes, words) ints, so the gate is k codegen'd xxhash64
+    probes per shingle and runs identically in batch and streaming
+    pipelines. Semantics are deliberately ONE-SIDED: a Bloom filter has
+    no false negatives, so a leaking document can NEVER ship; ~FPR
+    (≈1% at 10 bits/item) of clean documents are over-dropped — the
+    trade a decontamination gate wants when the alternative is
+    freezing the benchmark's whole shingle vocabulary into the config
+    (decontam_gate's ceiling). ROW-PRESERVING for survivors; NULL text
+    has no shingles and passes. Options: m_bits, n_hashes, words [..]
+    (from fit_shingle_bloom), k (default 3), column (default 'text')."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from ..functions import text as tx
+
+        m = int(self.options["m_bits"])
+        n_hashes = int(self.options["n_hashes"])
+        words = [int(w) for w in self.options["words"]]
+        k = int(self.options.get("k", 3))
+        col = self.options.get("column", "text")
+        # one SQL EXISTS lambda: flag iff ANY shingle passes all k
+        # probes ((shiftleft with a column amount is SQL-only; the bit
+        # array rides as a literal column so codegen sees a constant)
+        probes = " AND ".join(
+            f"(element_at(_bl_words, CAST(pmod(xxhash64(x, {i}), {m}) "
+            f"/ 64 AS INT) + 1) & shiftleft(1L, CAST(pmod(pmod("
+            f"xxhash64(x, {i}), {m}), 64) AS INT))) != 0"
+            for i in range(1, n_hashes + 1)
+        )
+        flagged = F.expr(f"EXISTS(_bl_sh, x -> {probes})")
+        return (
+            df.withColumn(
+                "_bl_words",
+                F.array(*[F.lit(w).cast("long") for w in words]),
+            )
+            .withColumn("_bl_sh", tx.word_shingles(col, k))
+            .filter(~F.coalesce(flagged, F.lit(False)))
+            .drop("_bl_words", "_bl_sh")
+        )
+
+
 @register_task("rocchio_label")
 class RocchioLabel(BasicTask):
     """Streaming-safe nearest-centroid labeler (x65's pure expression):

@@ -584,6 +584,40 @@ def test_bloom_decontam_equals_exact_and_prunes(spark):
     assert kept >= sum(n for _d, n in exact)
 
 
+def test_bloom_gate_one_sided_semantics(spark):
+    """The bloom_gate task never ships a leaking doc (no false
+    negatives — every exact hit is dropped) and over-drops at most a
+    small FPR share of clean docs; identical decisions batch-side and
+    through the declared-task registry."""
+    from go_fish_spark.operators import decontam
+    from go_fish_spark.tasks import get_task
+
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(300)]
+    rows += [(1000 + i, f"leak{i} leak{i+1} leak{i+2} leak{i+3}")
+             for i in range(10)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9000 + i, f"leak{i} leak{i+1} leak{i+2} leak{i+3} leak{i+4}")
+         for i in range(0, 12, 2)],
+        "doc_id long, text string",
+    )
+    bloom = decontam.fit_shingle_bloom(ev, "text", k=3)
+    gate = get_task("bloom_gate", k=3, **bloom)
+    kept = {r.doc_id for r in gate.apply(train).collect()}
+    exact_hits = {
+        r.doc_id
+        for r in decontam.contaminated_docs(
+            train, ev, "doc_id", "text", k=3
+        ).collect()
+    }
+    assert exact_hits and not (exact_hits & kept)  # no leak ships
+    clean = {r[0] for r in rows} - exact_hits
+    over_dropped = clean - kept
+    assert len(over_dropped) <= max(3, 0.05 * len(clean))
+    # survivors keep every input column (row-preserving)
+    assert gate.apply(train).columns == train.columns
+
+
 def test_bpe_merge_fold_matches_reference_scan(spark):
     """Property check: the string-fold merge (_bpe_merge_col) equals
     Sennrich's reference greedy left-to-right non-overlapping scan on
