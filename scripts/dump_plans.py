@@ -107,6 +107,7 @@ SHOWCASE = [
     ("x169_selective_compaction_readback", "per-shard folds: generation + per-shard-cut patch union under the covered map (the cut is a tiny map literal, no join); latest-wins window on slim label rows"),
     ("x171_bpe_tokenize", "the folded vocabulary read back: one corpus exchange to the vocab, N map-only merge folds, TakeOrdered top-k — corpus text never re-read per merge"),
     ("x172_bpe_fertility", "one (source, word) exchange + vocab-sized join to the folded vocabulary; exact integer sums; ≤|sources| output rows"),
+    ("x173_bloom_decontam", "map-only bloom prescreen (k xxhash64 probes in codegen, one-row broadcast bit array — no join) before the survivor-bounded exact broadcast join"),
 ]
 
 #: Hand-written analysis appended verbatim after the generated plans —
