@@ -704,6 +704,14 @@ def _duck_bpe_ctes(table: str, text_col: str, n_merges: int) -> list:
     )"""
         )
         ctes.append(
+            # LEFT JOIN ON TRUE, not a cross join (ADVICE r12 #2): when
+            # the vocabulary exhausts before n_merges, b_i is EMPTY — a
+            # cross join would empty v_i and every later v_j, silently
+            # zeroing the tokenize/fertility mirrors while the Spark
+            # loop (which breaks and keeps the last folded vocab)
+            # returns real rows. With b.l/b.r NULL the CASE's WHEN is
+            # NULL → ELSE, so v_i passes v_{i-1} through symbol for
+            # symbol — exactly the Spark break semantics.
             f"""v{it} AS (
       SELECT w, wc, string_split(
         list_reduce(syms, (acc, x) ->
@@ -711,7 +719,7 @@ def _duck_bpe_ctes(table: str, text_col: str, n_merges: int) -> list:
                     AND x = b.r
                THEN acc || x ELSE acc || {sep} || x END),
         {sep}) AS syms
-      FROM {prev}, b{it} AS b
+      FROM {prev} LEFT JOIN b{it} AS b ON TRUE
     )"""
         )
     return ctes

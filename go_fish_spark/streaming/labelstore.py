@@ -273,7 +273,16 @@ def compact_label_store(
 
     Returns the folded row count (hot shards only when selective)."""
     if lease:
-        store_dir = _os.path.dirname(store_path.rstrip("/"))
+        # lease scope is the PARENT store dir (the maintenance stream
+        # holds it there for each whole batch — that cross-refusal is
+        # the point). abspath first (ADVICE r12 #3): a bare relative
+        # store_path ("labels") would yield dirname "" and crash
+        # os.makedirs; note the scope contract means a label table must
+        # live in its own store directory, never two tables directly
+        # under one parent.
+        store_dir = _os.path.dirname(
+            _os.path.abspath(store_path.rstrip("/"))
+        )
         with _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}"):
             return compact_label_store(
                 spark, store_path, n_shards=n_shards, prune=prune,
@@ -289,7 +298,9 @@ def compact_label_store(
     # its own _batch_id, which would surface it to the committed
     # reader before its publish (r11 hardening; newer patches stay in
     # place and keep layering on top of the generation).
-    committed = read_store_commit(_os.path.dirname(store_path.rstrip("/")))
+    committed = read_store_commit(
+        _os.path.dirname(_os.path.abspath(store_path.rstrip("/")))
+    )
     cut = (
         F.col("_batch_id") <= int(committed)
         if committed is not None

@@ -255,12 +255,25 @@ def prune_covered_files(
         return 0
     aggs = [F.max("_batch_id").alias("m")]
     if key_col is not None:
-        aggs.append(F.first(F.col(key_col)).alias("k"))
+        # min (deterministic) + a uniqueness guard (ADVICE r12 #4):
+        # the per-file key is only well-defined because key_col is a
+        # PARTITION column (constant per file) — a caller passing a
+        # non-partition key would otherwise get an arbitrary key and
+        # could delete files still holding live rows. Fail loudly
+        # instead of silently losing data.
+        aggs.append(F.min(F.col(key_col)).alias("k"))
+        aggs.append(F.countDistinct(F.col(key_col)).alias("_nk"))
     rows = df.groupBy(F.input_file_name().alias("f")).agg(*aggs).collect()
     removed = 0
     for r in rows:
         cut = covered
         if key_col is not None and covered_by_key is not None:
+            if int(r["_nk"]) > 1:
+                raise ValueError(
+                    f"prune_covered_files: key_col {key_col!r} is not "
+                    f"constant within file {r['f']} — it must be a "
+                    "partition column; refusing to prune"
+                )
             cut = covered_by_key.get(str(r["k"]), covered)
         if r["m"] is not None and int(r["m"]) <= int(cut):
             p = unquote(urlparse(r["f"]).path)
