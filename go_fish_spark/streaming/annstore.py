@@ -72,11 +72,14 @@ def publish_ann_model(
     pq: ProductQuantizer,
     cell_mass: list[int] | None = None,
     gen: int | None = None,
+    fence: tuple | None = None,
 ) -> dict:
     """Atomically publish the frozen model manifest (and the data
     generation it governs). ``cell_mass`` freezes the train-time cell
     distribution — the drift baseline :func:`ann_refit_plan` prices
-    against. Write-tmp + rename: readers see old or new, never torn."""
+    against. Write-tmp + rename: readers see old or new, never torn.
+    ``fence`` re-validates the writer lease at the rename (r12 verdict
+    Next #2): a TTL-reclaimed writer is refused at this commit point."""
     _os.makedirs(store_dir, exist_ok=True)
     cur = load_ann_manifest(store_dir)
     doc = {
@@ -88,7 +91,7 @@ def publish_ann_model(
         ],
         "cell_mass": [int(x) for x in cell_mass] if cell_mass else None,
     }
-    _sk.atomic_write_json(_model_path(store_dir), doc)
+    _sk.atomic_write_json(_model_path(store_dir), doc, fence=fence)
     return doc
 
 
@@ -214,10 +217,10 @@ def ann_store_stream(
     lease_owner = f"stream:{_os.path.abspath(checkpoint_dir)}"
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
-        with _sk.writer_lease(store_dir, lease_owner):
-            _run_batch(bdf, batch_id)
+        with _sk.writer_lease(store_dir, lease_owner) as ld:
+            _run_batch(bdf, batch_id, (store_dir, ld["nonce"]))
 
-    def _run_batch(bdf: DataFrame, batch_id: int) -> None:
+    def _run_batch(bdf: DataFrame, batch_id: int, fence: tuple) -> None:
         bdf = bdf.select(id_col, vec_col).dropDuplicates([id_col])
         if bdf.isEmpty():
             return
@@ -228,7 +231,9 @@ def ann_store_stream(
             )
             coded = encode_ann_batch(bdf, coarse, pq, id_col, vec_col)
             mass = _cell_hist(coded, len(coarse._centers))
-            publish_ann_model(store_dir, coarse, pq, cell_mass=mass, gen=1)
+            publish_ann_model(
+                store_dir, coarse, pq, cell_mass=mass, gen=1, fence=fence
+            )
         else:
             coarse, pq, doc = model
             coded = encode_ann_batch(bdf, coarse, pq, id_col, vec_col)
@@ -245,6 +250,10 @@ def ann_store_stream(
                 )
                 on_plan(dict(plan, batch_id=batch_id))
         doc = load_ann_manifest(store_dir)
+        # heartbeat + ownership check before the append (ADVICE r12
+        # #1): a batch outliving the lease TTL renews instead of being
+        # reclaimed mid-write; a reclaimed one fails-stop here
+        _sk.renew_lease(*fence)
         append_ann_patch(coded, store_dir, batch_id, gen=doc["gen"])
         if compaction_policy:
             cplan = ann_compaction_plan(
@@ -255,6 +264,7 @@ def ann_store_stream(
             if cplan["action"] == "compact":
                 cplan["compacted"] = compact_ann_store(
                     spark, store_dir, lease=False,  # stream holds the lease
+                    fence=fence,  # ... and fences with its own nonce
                     cells=(
                         cplan["cells_to_fold"]
                         if cplan["fold_scope"] == "selective"
@@ -344,6 +354,7 @@ def refit_ann_store(
     seed: int = 42,
     prune: bool = True,
     lease: bool = True,
+    fence: tuple | None = None,
 ) -> int:
     """The REFIT arm as a batch job over the raw-vector lake: fit a
     fresh model deterministically from ``vectors_df``, re-encode it
@@ -357,10 +368,12 @@ def refit_ann_store(
     from ..operators.similarity import fit_ivfpq_det
 
     if lease:
-        with _sk.writer_lease(store_dir, f"refit:{_os.getpid()}"):
+        lh = _sk.writer_lease(store_dir, f"refit:{_os.getpid()}")
+        with lh:
             return refit_ann_store(
                 spark, store_dir, vectors_df, id_col, vec_col, n_cells,
                 m, ksub, train_cap, seed, prune, lease=False,
+                fence=lh.fence,
             )
     cur = load_ann_manifest(store_dir)
     new_gen = (int(cur["gen"]) + 1) if cur else 1
@@ -384,8 +397,13 @@ def refit_ann_store(
     )
     n = spark.read.parquet(gen_path).count()
     mass = _cell_hist(coded, len(coarse._centers))
+    if fence is not None:
+        # heartbeat + ownership check after the corpus re-encode — the
+        # long step the renewal exists for (ADVICE r12 #1); a reclaimed
+        # refit fails-stop here, its torn generation invisible garbage
+        _sk.renew_lease(fence[0], fence[1])
     publish_ann_model(  # the commit point — model + gen repoint LAST
-        store_dir, coarse, pq, cell_mass=mass, gen=new_gen
+        store_dir, coarse, pq, cell_mass=mass, gen=new_gen, fence=fence
     )
     if prune:
         _prune_generations(store_dir, keep_from=new_gen - 1)
@@ -680,6 +698,7 @@ def compact_ann_store(
     prune: bool = True,
     lease: bool = True,
     cells: list[int] | None = None,
+    fence: tuple | None = None,
 ) -> int:
     """Fold the current generation to ONE latest-wins row per id in a
     NEW generation — same frozen model, no re-encode (refit is the
@@ -705,9 +724,11 @@ def compact_ann_store(
     it; ``lease=False`` only when the caller already holds it. Returns
     the folded row count (hot cells only when selective)."""
     if lease:
-        with _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}"):
+        lh = _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}")
+        with lh:
             return compact_ann_store(
-                spark, store_dir, prune=prune, lease=False, cells=cells
+                spark, store_dir, prune=prune, lease=False, cells=cells,
+                fence=lh.fence,
             )
     doc = load_ann_manifest(store_dir)
     if doc is None:
@@ -750,8 +771,13 @@ def compact_ann_store(
     pq = ProductQuantizer(
         [_np.asarray(b, dtype=_np.float64) for b in doc["books"]]
     )
+    if fence is not None:
+        # heartbeat + ownership check after the fold write (ADVICE r12
+        # #1); a reclaimed compactor fails-stop before the repoint
+        _sk.renew_lease(fence[0], fence[1])
     publish_ann_model(  # same model, new data generation — repoint LAST
-        store_dir, coarse, pq, cell_mass=doc.get("cell_mass"), gen=new_gen
+        store_dir, coarse, pq, cell_mass=doc.get("cell_mass"), gen=new_gen,
+        fence=fence,
     )
     if prune:
         _prune_generations(store_dir, keep_from=new_gen - 1)

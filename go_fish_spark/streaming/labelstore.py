@@ -236,6 +236,7 @@ def compact_label_store(
     prune: bool = True,
     lease: bool = True,
     shards: list[int] | None = None,
+    fence: tuple | None = None,
 ) -> int:
     """Fold live rows down to one latest-wins row per id, written as a
     NEW generation directory, with the manifest repointed LAST
@@ -283,10 +284,11 @@ def compact_label_store(
         store_dir = _os.path.dirname(
             _os.path.abspath(store_path.rstrip("/"))
         )
-        with _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}"):
+        lh = _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}")
+        with lh:
             return compact_label_store(
                 spark, store_path, n_shards=n_shards, prune=prune,
-                lease=False, shards=shards,
+                lease=False, shards=shards, fence=lh.fence,
             )
     import shutil
 
@@ -323,6 +325,14 @@ def compact_label_store(
         shutil.rmtree(gen_path)
     append_label_patch(latest, gen_path, batch_id=covered, n_shards=n_shards)
     n = spark.read.parquet(gen_path).count()
+    if fence is not None:
+        # heartbeat + ownership check after the expensive step (ADVICE
+        # r12 #1): a fold longer than ttl_s renews here instead of
+        # being treated as crashed; a fold whose lease WAS reclaimed
+        # fails-stop before the repoint (the torn generation is
+        # invisible garbage — the old manifest still points at the old
+        # generation).
+        _sk.renew_lease(fence[0], fence[1])
     old_map = dict(man.get("covered") or {}) if man is not None else {}
     old_default = (
         int(man.get("covered_default", man["covered_max_batch"]))
@@ -353,7 +363,7 @@ def compact_label_store(
         # `covered` therefore excludes no live row, ever.
         new_map = dict(old_map, **{str(s): covered for s in sel})
         new_default = old_default
-    _sk.atomic_write_json(  # the commit point — repoint LAST
+    _sk.atomic_write_json(  # the commit point — repoint LAST, fenced
         _compaction_manifest_path(store_path),
         {
             "gen": new_gen,
@@ -364,6 +374,7 @@ def compact_label_store(
             "covered_default": new_default,
             "version": (int(man.get("version", 0)) + 1) if man else 1,
         },
+        fence=fence,
     )
     if prune:  # best-effort garbage collection AFTER the commit point
         # Generation retention (ADVICE r11 #3): the N-1 generation is
@@ -402,12 +413,16 @@ def _prune_label_generations(store_path: str, keep_from: int) -> None:
 # window between them (sigs landed, labels not yet — sig/label skew).
 
 
-def publish_store_commit(store_dir: str, batch_id: int) -> dict:
+def publish_store_commit(
+    store_dir: str, batch_id: int, fence: tuple | None = None
+) -> dict:
     """Publish batch ``batch_id`` as committed: both its signature and
     label appends are durable. Forward-only (a replayed batch can never
     move the commit point backwards); atomic rename is the commit
-    (storekernel.publish_commit)."""
-    return _sk.publish_commit(store_dir, batch_id)
+    (storekernel.publish_commit). ``fence`` re-validates the writer
+    lease at the rename — a TTL-reclaimed writer is refused here
+    instead of publishing over the new holder (r12 verdict Next #2)."""
+    return _sk.publish_commit(store_dir, batch_id, fence=fence)
 
 
 def read_store_commit(store_dir: str) -> int | None:
@@ -608,10 +623,10 @@ def label_store_maintenance_stream(
     lease_owner = f"stream:{_os.path.abspath(checkpoint_dir)}"
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
-        with _sk.writer_lease(store_dir, lease_owner):
-            _run_batch(bdf, batch_id)
+        with _sk.writer_lease(store_dir, lease_owner) as ld:
+            _run_batch(bdf, batch_id, (store_dir, ld["nonce"]))
 
-    def _run_batch(bdf: DataFrame, batch_id: int) -> None:
+    def _run_batch(bdf: DataFrame, batch_id: int, fence: tuple) -> None:
         bdf = bdf.select(id_col, text_col).dropDuplicates([id_col])
         # Fresh-set derivation needs label EXISTENCE only — the raw
         # live rows (generation + uncut patches), no latest-wins
@@ -696,11 +711,17 @@ def label_store_maintenance_stream(
                     prev, fresh.select(id_col), dpairs, id_col=id_col,
                     emit="changed",
                 )
+        # heartbeat between the two appends (ADVICE r12 #1): a batch
+        # longer than the lease TTL renews instead of being reclaimed
+        # mid-write; a batch whose lease WAS reclaimed fails-stop here
+        # (its half-appended patch stays unpublished — replay territory)
+        _sk.renew_lease(*fence)
         # (2) labels last — the bounded upsert, never a table rewrite
         append_label_patch(patch, labels_path, batch_id, n_shards)
         # (3) publish: one atomic rename makes (sig, label) visible as
-        # a matched pair to read_committed_store
-        publish_store_commit(store_dir, batch_id)
+        # a matched pair to read_committed_store — FENCED: a
+        # TTL-reclaimed writer is refused at this commit point
+        publish_store_commit(store_dir, batch_id, fence=fence)
         if compaction_policy:
             cplan = compaction_plan(
                 labels_path,
@@ -711,6 +732,7 @@ def label_store_maintenance_stream(
                 cplan["compacted"] = compact_label_store(
                     spark, labels_path, n_shards=n_shards,
                     lease=False,  # the stream already holds the lease
+                    fence=fence,  # ... and fences with its own nonce
                     shards=(
                         cplan["shards_to_fold"]
                         if cplan["fold_scope"] == "selective"

@@ -55,15 +55,36 @@ from pyspark.sql import functions as F
 # Atomic JSON manifests
 
 
-def atomic_write_json(path: str, payload: dict) -> None:
+def atomic_write_json(
+    path: str, payload: dict, fence: tuple | None = None
+) -> None:
     """Publish ``payload`` at ``path`` atomically (write-tmp + fsync +
-    rename) — the commit primitive under every manifest."""
+    rename) — the commit primitive under every manifest.
+
+    ``fence=(store_dir, nonce)`` makes the publish FENCED (r12 verdict
+    Next #2): the writer's lease is re-validated immediately before the
+    rename, so a writer whose lease was TTL-reclaimed mid-batch (stale
+    but still alive) is REFUSED at the commit point with
+    :class:`LeaseLost` instead of interleaving its publish with the new
+    holder's. The check-then-rename window is microseconds against a
+    TTL of minutes; true storage-layer fencing (the token checked BY
+    the store on every write) is the object-store deployment's job —
+    this is the strongest form a filesystem rename can carry."""
     _os.makedirs(_os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         _json.dump(payload, fh)
         fh.flush()
         _os.fsync(fh.fileno())
+    if fence is not None:
+        try:
+            verify_lease(fence[0], fence[1])
+        except LeaseLost:
+            try:
+                _os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+            raise
     _os.replace(tmp, path)
 
 
@@ -180,10 +201,14 @@ def commit_path(store_dir: str) -> str:
     return _os.path.join(store_dir, "COMMIT.json")
 
 
-def publish_commit(store_dir: str, batch_id: int) -> dict:
+def publish_commit(
+    store_dir: str, batch_id: int, fence: tuple | None = None
+) -> dict:
     """Publish batch ``batch_id`` as committed: every surface's appends
     for it are durable. Forward-only (a replayed batch can never move
-    the commit point backwards); the atomic rename IS the commit."""
+    the commit point backwards); the atomic rename IS the commit.
+    ``fence`` re-validates the writer lease at the rename (see
+    :func:`atomic_write_json`)."""
     cur = read_json_if_exists(commit_path(store_dir))
     committed = int(batch_id)
     if cur is not None:
@@ -192,7 +217,7 @@ def publish_commit(store_dir: str, batch_id: int) -> dict:
         "committed_batch": committed,
         "version": (int(cur.get("version", 0)) + 1) if cur else 1,
     }
-    atomic_write_json(commit_path(store_dir), payload)
+    atomic_write_json(commit_path(store_dir), payload, fence=fence)
     return payload
 
 
@@ -330,6 +355,12 @@ class LeaseHeld(RuntimeError):
     """The store's writer lease is held by another live writer."""
 
 
+class LeaseLost(RuntimeError):
+    """The writer's lease was reclaimed (TTL-stale) by another writer —
+    the holder must FAIL-STOP: its fenced publish is refused and the
+    store is left exactly as the new holder sees it."""
+
+
 def lease_path(store_dir: str) -> str:
     return _os.path.join(store_dir, "WRITER_LEASE.json")
 
@@ -345,10 +376,24 @@ def acquire_lease(store_dir: str, owner: str, ttl_s: float = 600.0) -> dict:
     (e.g. a stream that crashed mid-batch and replays under the same
     checkpoint identity) reclaims its own lease immediately — the
     previous incarnation is dead by construction (same checkpoint =
-    same process slot)."""
+    same process slot).
+
+    The returned doc carries a fresh ``nonce`` — the FENCING TOKEN
+    (r12 verdict Next #2): fenced publishes
+    (``atomic_write_json(..., fence=(store_dir, nonce))``) re-validate
+    it at the commit point, and :func:`renew_lease` heartbeats it
+    through batches longer than ``ttl_s``, so a stale-but-alive writer
+    whose lease was reclaimed can never publish over the new holder."""
+    import uuid as _uuid
+
     _os.makedirs(store_dir, exist_ok=True)
     path = lease_path(store_dir)
-    doc = {"owner": owner, "acquired_at": _time.time(), "ttl_s": float(ttl_s)}
+    doc = {
+        "owner": owner,
+        "acquired_at": _time.time(),
+        "ttl_s": float(ttl_s),
+        "nonce": _uuid.uuid4().hex,
+    }
     for _attempt in range(3):
         try:
             fd = _os.open(path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
@@ -380,29 +425,92 @@ def acquire_lease(store_dir: str, owner: str, ttl_s: float = 600.0) -> dict:
     raise LeaseHeld(f"could not acquire writer lease on {store_dir}")
 
 
-def release_lease(store_dir: str, owner: str) -> None:
-    """Release the lease if ``owner`` still holds it (a reclaimed-from
-    writer releasing late must not delete the new holder's lease)."""
+def verify_lease(store_dir: str, nonce: str) -> dict:
+    """Re-validate ownership: the lease file must still carry this
+    writer's ``nonce``. Raises :class:`LeaseLost` when the lease was
+    reclaimed (different nonce) or released/deleted — the fencing check
+    every fenced publish runs at its commit point."""
+    cur = read_json_if_exists(lease_path(store_dir))
+    if cur is None or cur.get("nonce") != nonce:
+        raise LeaseLost(
+            f"writer lease on {store_dir} was "
+            + ("released" if cur is None else
+               f"reclaimed by {cur.get('owner')!r}")
+            + " — refusing to publish (fail-stop)"
+        )
+    return cur
+
+
+def renew_lease(store_dir: str, nonce: str) -> dict:
+    """Heartbeat the lease: refresh ``acquired_at`` iff the lease file
+    still carries this writer's ``nonce`` (else :class:`LeaseLost` —
+    the renewal doubles as an ownership check at each step of a long
+    batch). A fold longer than ``ttl_s`` renews between its steps so
+    it is never treated as crashed while alive (ADVICE r12 #1); a
+    writer that misses every renewal window for a full TTL is
+    indistinguishable from a crash and loses the lease — which is the
+    contract."""
+    cur = verify_lease(store_dir, nonce)
+    doc = dict(cur, acquired_at=_time.time())
+    # atomic replace: a reader sees the old heartbeat or the new one.
+    # (A reclaimer racing exactly this window can unlink between our
+    # verify and replace — the next fenced publish or renewal catches
+    # it; the window is microseconds against a TTL of minutes, and
+    # renewing BEFORE expiry means no reclaim is in flight at all.)
+    atomic_write_json(lease_path(store_dir), doc)
+    return doc
+
+
+def release_lease(
+    store_dir: str, owner: str, nonce: str | None = None
+) -> None:
+    """Release the lease if this writer still holds it (a reclaimed-from
+    writer releasing late must not delete the new holder's lease).
+    With ``nonce`` the check is exact (owner strings can collide across
+    incarnations — PID reuse, same checkpoint identity); owner-only is
+    the legacy form."""
     path = lease_path(store_dir)
     cur = read_json_if_exists(path)
-    if cur is not None and cur.get("owner") == owner:
-        try:
-            _os.unlink(path)
-        except FileNotFoundError:
-            pass
+    if cur is None:
+        return
+    if nonce is not None:
+        if cur.get("nonce") != nonce:
+            return
+    elif cur.get("owner") != owner:
+        return
+    try:
+        _os.unlink(path)
+    except FileNotFoundError:
+        pass
 
 
 class writer_lease:
-    """``with writer_lease(store_dir, owner):`` — acquire on enter,
-    release on exit (including on error: a crashed fold's lease would
-    otherwise block writers until TTL)."""
+    """``with writer_lease(store_dir, owner) as doc:`` — acquire on
+    enter (``doc["nonce"]`` is the fencing token), release on exit
+    (including on error: a crashed fold's lease would otherwise block
+    writers until TTL). ``.renew()`` heartbeats mid-batch; ``.fence``
+    is the ``(store_dir, nonce)`` pair fenced publishes take."""
 
     def __init__(self, store_dir: str, owner: str, ttl_s: float = 600.0):
         self.store_dir, self.owner, self.ttl_s = store_dir, owner, ttl_s
+        self.doc: dict | None = None
+
+    @property
+    def fence(self) -> tuple:
+        return (self.store_dir, self.doc["nonce"])
+
+    def renew(self) -> dict:
+        self.doc = renew_lease(self.store_dir, self.doc["nonce"])
+        return self.doc
 
     def __enter__(self):
-        return acquire_lease(self.store_dir, self.owner, self.ttl_s)
+        self.doc = acquire_lease(self.store_dir, self.owner, self.ttl_s)
+        return self.doc
 
     def __exit__(self, *exc):
-        release_lease(self.store_dir, self.owner)
+        release_lease(
+            self.store_dir,
+            self.owner,
+            nonce=self.doc.get("nonce") if self.doc else None,
+        )
         return False

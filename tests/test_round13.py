@@ -118,3 +118,103 @@ def test_prune_covered_files_guards_nonconstant_key(spark, tmp_path):
         spark, path2, -1, key_col="shard", covered_by_key={"0": 5}
     )
     assert removed >= 1
+
+
+# --- r12 verdict Next #2 / ADVICE #1: lease fencing + renewal -----------------
+
+
+def test_fenced_publish_refused_after_ttl_reclaim(tmp_path):
+    """A stale-but-alive writer whose lease was TTL-reclaimed must be
+    REFUSED at the commit point (fail-stop), leaving the manifest
+    exactly as the new holder sees it."""
+    import time
+
+    from go_fish_spark.streaming import storekernel as sk
+
+    d = str(tmp_path)
+    a = sk.acquire_lease(d, "writer-a", ttl_s=0.05)
+    time.sleep(0.1)
+    b = sk.acquire_lease(d, "writer-b", ttl_s=600)  # TTL-stale reclaim
+    assert b["nonce"] != a["nonce"]
+    man = os.path.join(d, "M.json")
+    with pytest.raises(sk.LeaseLost, match="reclaimed by 'writer-b'"):
+        sk.atomic_write_json(man, {"gen": 99}, fence=(d, a["nonce"]))
+    assert not os.path.exists(man)  # the torn tmp was swept, no publish
+    assert not os.path.exists(man + ".tmp")
+    # the live holder's fenced publish goes through
+    sk.atomic_write_json(man, {"gen": 1}, fence=(d, b["nonce"]))
+    assert sk.read_json_if_exists(man) == {"gen": 1}
+
+
+def test_lease_renewal_survives_past_ttl(tmp_path):
+    """A batch longer than ttl_s that heartbeats is never treated as
+    crashed: competing writers stay refused across multiple TTLs."""
+    import time
+
+    from go_fish_spark.streaming import storekernel as sk
+
+    d = str(tmp_path)
+    a = sk.acquire_lease(d, "slow-writer", ttl_s=0.3)
+    for _ in range(4):  # 0.6s total — two full TTLs
+        time.sleep(0.15)
+        renewed = sk.renew_lease(d, a["nonce"])
+        assert renewed["nonce"] == a["nonce"]
+        with pytest.raises(sk.LeaseHeld):
+            sk.acquire_lease(d, "writer-b", ttl_s=600)
+    # renewal kept ownership — the fenced publish still succeeds
+    sk.atomic_write_json(
+        os.path.join(d, "M.json"), {"ok": True}, fence=(d, a["nonce"])
+    )
+    sk.release_lease(d, "slow-writer", nonce=a["nonce"])
+    sk.acquire_lease(d, "writer-b", ttl_s=600)  # now free
+
+
+def test_late_release_preserves_new_holder(tmp_path):
+    """A reclaimed-from writer releasing late (same OWNER string — PID
+    reuse / replayed identity) must not delete the new holder's lease:
+    the nonce check is exact where the owner check could not be."""
+    import time
+
+    from go_fish_spark.streaming import storekernel as sk
+
+    d = str(tmp_path)
+    a = sk.acquire_lease(d, "stream:ckpt", ttl_s=0.05)
+    time.sleep(0.1)
+    b = sk.acquire_lease(d, "stream:ckpt", ttl_s=600)  # same owner string
+    sk.release_lease(d, "stream:ckpt", nonce=a["nonce"])  # late release
+    assert sk.verify_lease(d, b["nonce"])["nonce"] == b["nonce"]
+    with pytest.raises(sk.LeaseLost):
+        sk.verify_lease(d, a["nonce"])
+
+
+def test_compact_refused_at_publish_when_lease_stolen(spark, tmp_path):
+    """End-to-end fail-stop: a compaction holding a dead fencing token
+    is refused AT THE MANIFEST REPOINT — no manifest lands, and the
+    store keeps serving the raw patches unchanged."""
+    from go_fish_spark.streaming import storekernel as sk
+    from go_fish_spark.streaming.labelstore import (
+        append_label_patch,
+        compact_label_store,
+        read_compaction_manifest,
+        read_label_store,
+    )
+
+    store_dir = str(tmp_path / "store")
+    labels = os.path.join(store_dir, "labels")
+    patch = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "id long, component long"
+    )
+    append_label_patch(patch, labels, batch_id=0, n_shards=4)
+    holder = sk.acquire_lease(store_dir, "the-new-holder", ttl_s=600)
+    with pytest.raises(sk.LeaseLost):
+        compact_label_store(
+            spark, labels, n_shards=4, lease=False,
+            fence=(store_dir, "reclaimed-dead-nonce"),
+        )
+    assert read_compaction_manifest(labels) is None  # repoint refused
+    got = {
+        (r["id"], r["component"])
+        for r in read_label_store(spark, labels).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 3)}  # patches intact
+    sk.release_lease(store_dir, "the-new-holder", nonce=holder["nonce"])
