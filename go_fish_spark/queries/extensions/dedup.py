@@ -1913,6 +1913,82 @@ def x169_selective_compaction_readback(spark, sf_dir):
     return read_label_store(spark, labels_path).orderBy("id")
 
 
+@query(
+    "x174_sig_compaction_readback",
+    oracle=_x150_oracle(),
+    family="protocol",
+)
+def x174_sig_compaction_readback(spark, sf_dir):
+    """SIG-store compaction under the oracle contract (r13 — the r12
+    verdict's top gap: the last store with unbounded append history now
+    folds on the shared kernel): the x150 flow — three sharded append
+    batches plus an edit batch — with a FULL fold after batch 1 and a
+    SELECTIVE fold (shards 0-7 hot, 8-15 hard-link-carried) after the
+    edits. The read-back goes through the reader of record
+    (`read_signature_store`: generation + per-shard-cut patches +
+    latest-wins) and must STILL equal the portable MinHash signatures
+    of the CURRENT corpus — edits supersede through two generations.
+    100 TB shape: every read now opens ~1 file per shard plus the
+    patch tail instead of the whole append history (the labels r11
+    win, measured in SCALE.md r13); fold bytes ∝ hot shards only."""
+    import os
+    import shutil
+
+    from ...streaming.sigstore import (
+        append_sig_patch,
+        compact_signature_store,
+        read_signature_store,
+    )
+    from ...streaming.storekernel import read_store_manifest
+
+    base = os.path.join(
+        "/tmp", f"gofish_x174_{spark.sparkContext.applicationId}"
+    )
+    store = os.path.join(base, "sigs")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dedup.minhash_signature("text", 64, 3, 42, portable=True)
+
+    for b in range(3):
+        append_sig_patch(
+            docs.filter(F.col("doc_id") % 3 == b).select(
+                "doc_id", sig.alias("_sig")
+            ),
+            store, b, n_shards=16,
+        )
+        if b == 1:  # FULL fold mid-sequence: batches 0-1 → generation 1
+            compact_signature_store(spark, store, n_shards=16)
+            man = read_store_manifest(store)
+            assert man is not None and man["gen"] == 1
+    edited = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("edited "), F.col("text")).alias("text"),
+    )
+    append_sig_patch(
+        edited.select("doc_id", sig.alias("_sig")), store, 3, n_shards=16
+    )
+    # SELECTIVE fold: 0-7 re-fold from gen + newer patches; 8-15 carried
+    compact_signature_store(
+        spark, store, n_shards=16, shards=list(range(8))
+    )
+    man = read_store_manifest(store)
+    assert man["gen"] == 2 and len(man["covered"]) == 8
+
+    return (
+        read_signature_store(spark, store, id_col="doc_id")
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(F.col("_sig"), lambda x: x.cast("string")),
+                )
+            ).alias("sig_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _x164_oracle() -> str:
     """The cross-store commit contract in SQL: the committed view
     joins every labeled id to its signature — one row per doc with the

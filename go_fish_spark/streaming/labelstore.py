@@ -71,16 +71,12 @@ LABEL_SHARDS = 64
 #     (r10 verdict Next #3).
 
 
-def _compaction_manifest_path(store_path: str) -> str:
-    return store_path.rstrip("/") + "_MANIFEST.json"
-
-
-def _generation_root(store_path: str) -> str:
-    return store_path.rstrip("/") + "_gen"
-
-
-def _generation_path(store_path: str, gen: int) -> str:
-    return _sk.generation_path(_generation_root(store_path), gen)
+#: path rules + manifest read — the r13 kernel consolidation: the
+#: labelstore pioneered these and the kernel now owns them (the sig
+#: store is the second instantiation); the names stay for callers.
+_compaction_manifest_path = _sk.store_manifest_path
+_generation_root = _sk.store_generation_root
+_generation_path = _sk.store_generation_path
 
 
 def read_compaction_manifest(store_path: str) -> dict | None:
@@ -88,7 +84,7 @@ def read_compaction_manifest(store_path: str) -> dict | None:
     ``{"gen": N, "covered_max_batch": B, "version": k}`` — patches with
     ``_batch_id <= B`` are folded into generation directory N; the
     reader of record scans gen N plus only the newer patches."""
-    return _sk.read_json_if_exists(_compaction_manifest_path(store_path))
+    return _sk.read_store_manifest(store_path)
 
 
 def append_label_patch(
@@ -119,29 +115,25 @@ def append_label_patch(
 _read_parquet_if_exists = _sk.read_parquet_if_exists
 
 
-def _patch_cut_filter(man: dict):
-    """The patch-visibility cut as a column predicate. Full folds write
-    a scalar cut (every shard covered at the same batch); SELECTIVE
-    folds (r12) write a per-shard ``covered`` map — each shard's
-    patches are cut at ITS OWN fold batch, with ``covered_default`` for
-    shards never folded (-1 = all their patches live). Legacy manifests
-    (scalar ``covered_max_batch`` only) read as a uniform cut. The map
-    is a tiny literal (≤ n_shards entries) evaluated per row — no join,
-    no shuffle."""
-    cov = man.get("covered") or {}
-    default = int(man.get("covered_default", man["covered_max_batch"]))
-    if not cov:
-        return F.col("_batch_id") > F.lit(default)
-    pairs = []
-    for k, v in cov.items():
-        pairs += [F.lit(str(k)), F.lit(int(v))]
-    cut = F.coalesce(
-        F.element_at(
-            F.create_map(*pairs), F.col("shard").cast("string")
-        ),
-        F.lit(default),
+#: patch-visibility cut + live-rows stitch — storekernel.patch_cut_filter
+#: / live_keyed_rows (the labelstore rules, factored once for every
+#: sharded keyed store — labels here, sigs in streaming/sigstore.py)
+_patch_cut_filter = _sk.patch_cut_filter
+
+
+def _live_sig_rows(spark, sig_dir: str) -> DataFrame | None:
+    """Live rows of the maintenance stream's sig surface: compaction
+    generation + newer patches (the kernel stitch — the sig store folds
+    like labels since r13). mergeSchema + legacy fill: pre-discipline
+    files read back stamped -1 (ADVICE r11 #2's coalesce rule, now in
+    the kernel) with their shard recomputed from the id."""
+    return _sk.live_keyed_rows(
+        spark,
+        sig_dir,
+        merge_schema=True,
+        legacy_fill_key="_id",
+        n_shards=None,  # the fold manifest records the shard count
     )
-    return F.col("_batch_id") > cut
 
 
 def _live_label_rows(
@@ -149,29 +141,11 @@ def _live_label_rows(
 ) -> DataFrame | None:
     """The raw LIVE rows of a label table: the current compaction
     generation (if any) plus only the patches NEWER than what it
-    folded (per-shard cut — :func:`_patch_cut_filter`). Superseded
+    folded (per-shard cut — storekernel.patch_cut_filter). Superseded
     patch files left behind by a crash between the manifest repoint
     and the prune are filtered out by the cut — a torn compaction is
     garbage, never corruption."""
-    man = read_compaction_manifest(store_path)
-    patches = _read_parquet_if_exists(spark, store_path)
-    if man is not None:
-        # the manifest is the pointer of record: a missing generation
-        # directory under a live manifest is corruption — raise (the
-        # repoint lands only after the generation is fully written)
-        gen = spark.read.parquet(_generation_path(store_path, man["gen"]))
-        if patches is not None:
-            patches = patches.filter(_patch_cut_filter(man))
-            df = gen.unionByName(patches)
-        else:
-            df = gen
-    elif patches is None:
-        return None
-    else:
-        df = patches
-    if extra_filter is not None:
-        df = df.filter(extra_filter)
-    return df
+    return _sk.live_keyed_rows(spark, store_path, extra_filter)
 
 
 def _latest_wins(df: DataFrame) -> DataFrame:
@@ -290,115 +264,35 @@ def compact_label_store(
                 spark, store_path, n_shards=n_shards, prune=prune,
                 lease=False, shards=shards, fence=lh.fence,
             )
-    import shutil
-
-    man = read_compaction_manifest(store_path)
-    # Fold only PUBLISHED state: when the labels dir lives inside a
-    # maintenance-stream store (a sibling COMMIT.json exists), cap the
-    # fold at the committed batch — an out-of-band compaction must
-    # never bake a half-committed batch into a generation stamped at
-    # its own _batch_id, which would surface it to the committed
-    # reader before its publish (r11 hardening; newer patches stay in
-    # place and keep layering on top of the generation).
+    # The fold itself is the kernel's generic sharded-keyed-store
+    # compaction (r13 — factored so the sig store shares it verbatim):
+    # covered cut, latest-wins rewrite of hot shards, hard-link carry
+    # of cold ones, fenced manifest repoint LAST, then N-1-retaining
+    # prune. The one label-specific decision is the committed-batch
+    # cap: when the labels dir lives inside a maintenance-stream store
+    # (a sibling COMMIT.json exists), the fold stops at the committed
+    # batch — an out-of-band compaction must never bake a
+    # half-committed batch into a generation stamped at its own
+    # _batch_id, which would surface it to the committed reader before
+    # its publish (r11 hardening).
     committed = read_store_commit(
         _os.path.dirname(_os.path.abspath(store_path.rstrip("/")))
     )
-    cut = (
-        F.col("_batch_id") <= int(committed)
-        if committed is not None
-        else None
-    )
-    live = _live_label_rows(spark, store_path, cut)
-    if live is None:
-        return 0
-    sel = sorted({int(s) for s in shards}) if shards is not None else None
-    if sel is not None:
-        live = live.filter(F.col("shard").isin(sel))
-    covered = live.agg(F.max("_batch_id").alias("m")).collect()[0]["m"]
-    if covered is None:
-        return 0  # nothing published (or nothing hot) — nothing to fold
-    covered = int(covered)
-    latest = _latest_wins(live)
-    new_gen = (int(man["gen"]) + 1) if man is not None else 1
-    gen_path = _generation_path(store_path, new_gen)
-    if _os.path.exists(gen_path):  # torn previous attempt never repointed
-        shutil.rmtree(gen_path)
-    append_label_patch(latest, gen_path, batch_id=covered, n_shards=n_shards)
-    n = spark.read.parquet(gen_path).count()
-    if fence is not None:
-        # heartbeat + ownership check after the expensive step (ADVICE
-        # r12 #1): a fold longer than ttl_s renews here instead of
-        # being treated as crashed; a fold whose lease WAS reclaimed
-        # fails-stop before the repoint (the torn generation is
-        # invisible garbage — the old manifest still points at the old
-        # generation).
-        _sk.renew_lease(fence[0], fence[1])
-    old_map = dict(man.get("covered") or {}) if man is not None else {}
-    old_default = (
-        int(man.get("covered_default", man["covered_max_batch"]))
-        if man is not None
-        else -1
-    )
-    if sel is None:
-        new_map: dict = {}
-        new_default = covered
-    else:
-        if man is not None:
-            # cold shards ride along: hard-link their generation files
-            # into the new generation (zero bytes rewritten)
-            old_root = _generation_path(store_path, man["gen"])
-            hot = {f"shard={s}" for s in sel}
-            cold = [
-                d
-                for d in _os.listdir(old_root)
-                if d.startswith("shard=") and d not in hot
-            ]
-            _sk.carry_partitions(old_root, gen_path, cold)
-        # One fold cut for every hot shard is safe: `covered` is the
-        # max live batch ≤ committed over the hot rows, so a hot shard
-        # whose own max is lower has NO patch in (its max, covered] —
-        # and future appends carry batch ids > committed ≥ covered
-        # (stream batch ids are monotone; the same assumption the
-        # fold-stamp discipline rests on). Advancing its cut to
-        # `covered` therefore excludes no live row, ever.
-        new_map = dict(old_map, **{str(s): covered for s in sel})
-        new_default = old_default
-    _sk.atomic_write_json(  # the commit point — repoint LAST, fenced
-        _compaction_manifest_path(store_path),
-        {
-            "gen": new_gen,
-            "covered_max_batch": max(
-                [new_default] + [int(v) for v in new_map.values()]
-            ),
-            "covered": new_map,
-            "covered_default": new_default,
-            "version": (int(man.get("version", 0)) + 1) if man else 1,
-        },
+    return _sk.compact_keyed_store(
+        spark,
+        store_path,
+        key_cols=["id"],
+        # ties to the SMALLER component: merges only move labels down,
+        # so the smaller same-batch row is the more-merged, correct one
+        tiebreak=[F.col("component").asc()],
+        value_cols=["component"],
+        shard_key="id",
+        n_shards=n_shards,
+        shards=shards,
+        prune=prune,
+        committed=committed,
         fence=fence,
     )
-    if prune:  # best-effort garbage collection AFTER the commit point
-        # Generation retention (ADVICE r11 #3): the N-1 generation is
-        # RETAINED one cycle and pruned by the NEXT fold — a reader
-        # that loaded the previous manifest may still hold a lazy
-        # DataFrame over it, and its file index must stay servable
-        # until that reader is two commits stale. (compaction_plan is
-        # unaffected: it counts only the CURRENT generation's files;
-        # carried files are hard links, so retention costs directory
-        # entries, not bytes.)
-        _prune_label_generations(store_path, keep_from=new_gen - 1)
-        # Patch files wholly covered by their shard's cut are removed
-        # per-file (a selective fold prunes only hot shards' files). A
-        # reader racing this fold with an already-materialized file
-        # index over the patch dir can hit FileNotFound on the pruned
-        # tail and must retry against the new manifest — the documented
-        # contract for the (small) patch tail; on an object store the
-        # production form is a snapshot/manifest reader (Iceberg-style),
-        # not dir listing.
-        _sk.prune_covered_files(
-            spark, store_path, new_default,
-            key_col="shard", covered_by_key=new_map,
-        )
-    return n
 
 
 def _prune_label_generations(store_path: str, keep_from: int) -> None:
@@ -444,31 +338,22 @@ def read_committed_store(spark, store_dir: str) -> dict:
     labels = read_label_store(
         spark, _os.path.join(store_dir, "labels"), committed_batch=committed
     )
-    sigs = _read_parquet_if_exists(
-        spark, _os.path.join(store_dir, "_sigs"), merge_schema=True
-    )
+    # sig surface through the kernel stitch (r12 verdict Next #1): the
+    # scan is the compaction generation + only newer patches — never
+    # the whole append history again (the read-amplification disease
+    # labels had before r11, measured 10.9× there). Legacy files
+    # WITHOUT _batch_id (pre-commit-discipline, ADVICE r11 #2) fill in
+    # as -1: the ``<= committed`` cut keeps them (they predate every
+    # commit point) and the latest-wins window ranks them below any
+    # stamped re-append — the correct precedence, now a kernel rule.
+    sigs = _live_sig_rows(spark, _os.path.join(store_dir, "_sigs"))
     if sigs is not None:
-        from pyspark.sql import Window
-
-        if "_batch_id" in sigs.columns:
-            # mergeSchema + coalesce(-1) (ADVICE r11 #2): a pre-commit-
-            # discipline store continued post-upgrade holds legacy files
-            # WITHOUT _batch_id; merged in, their rows carry null — the
-            # ``<= committed`` cut must keep them (they predate every
-            # commit point), and in the latest-wins window they lose to
-            # any stamped re-append, which is the correct precedence.
-            sigs = sigs.withColumn(
-                "_batch_id", F.coalesce(F.col("_batch_id"), F.lit(-1))
-            )
-            sigs = sigs.filter(F.col("_batch_id") <= committed)
-            w = Window.partitionBy("_id").orderBy(F.col("_batch_id").desc())
-            sigs = (
-                sigs.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("_id", "_sig")
-            )
-        else:  # legacy store written before the commit discipline
-            sigs = sigs.dropDuplicates(["_id"]).select("_id", "_sig")
+        sigs = _sk.latest_wins(
+            sigs.filter(F.col("_batch_id") <= committed),
+            ["_id"],
+            [F.col("_sig").asc()],
+            ["_id", "_sig"],
+        )
     return {"committed_batch": committed, "labels": labels, "sigs": sigs}
 
 
@@ -496,54 +381,14 @@ def compaction_plan(
     is never worth a rewrite). Returns the decision dict the stream's
     ``on_compaction`` hook observes: action ∈ {"compact", "skip"},
     ``read_amp`` (mean live files per non-empty shard), per-surface
-    file counts and bytes."""
-
-    man = read_compaction_manifest(store_path)
-    patch_files, patch_bytes, patch_shards = _sk.walk_parquet_files(
-        store_path
+    file counts and bytes, and the selective-fold shard list (r11
+    verdict Next #1: the shards whose OWN file count crossed the
+    cutoff; cold shards are hard-link-carried, so fold bytes ∝ hot
+    data, not table size). Now the kernel's sharded_compaction_plan —
+    the labels and sig stores price identically."""
+    return _sk.sharded_compaction_plan(
+        store_path, file_cutoff=file_cutoff, min_patch_files=min_patch_files
     )
-    gen_files = gen_bytes = 0
-    gen_shards: dict = {}
-    if man is not None:
-        gen_files, gen_bytes, gen_shards = _sk.walk_parquet_files(
-            _generation_path(store_path, man["gen"])
-        )
-    shards = set(patch_shards) | set(gen_shards)
-    live = {
-        s: patch_shards.get(s, 0) + gen_shards.get(s, 0) for s in shards
-    }
-    read_amp = (sum(live.values()) / len(live)) if live else 0.0
-    action = (
-        "compact"
-        if read_amp >= file_cutoff and patch_files >= min_patch_files
-        else "skip"
-    )
-    # Selective-fold decision (r11 verdict Next #1): the shards whose
-    # OWN file count crossed the cutoff. When every live shard did (or
-    # none individually did but the mean tripped), the fold is "full";
-    # otherwise only the hot shards are rewritten and the cold ones
-    # are hard-link-carried — fold bytes ∝ hot data, not table size.
-    to_fold = sorted(
-        int(s.split("=", 1)[1])
-        for s, nf in live.items()
-        if s.startswith("shard=") and nf >= file_cutoff
-    )
-    fold_scope = (
-        "full" if (not to_fold or len(to_fold) == len(live)) else "selective"
-    )
-    return {
-        "action": action,
-        "read_amp": round(read_amp, 3),
-        "file_cutoff": file_cutoff,
-        "patch_files": patch_files,
-        "patch_bytes": patch_bytes,
-        "gen_files": gen_files,
-        "gen_bytes": gen_bytes,
-        "n_live_shards": len(live),
-        "max_files_one_shard": max(live.values()) if live else 0,
-        "shards_to_fold": to_fold,
-        "fold_scope": fold_scope,
-    }
 
 
 def label_store_maintenance_stream(
@@ -647,12 +492,19 @@ def label_store_maintenance_stream(
         prev = _latest_wins(live) if live is not None else None
         sig = minhash_signature(text_col, n_hashes, k, seed, portable)
         # (1) sigs first — replay-safe (module docstring); the batch
-        # stamp lets read_committed_store cut sigs at the commit point
-        fresh.select(
-            F.col(id_col).alias("_id"), sig.alias("_sig")
-        ).withColumn("_batch_id", F.lit(int(batch_id))).write.mode(
-            "append"
-        ).parquet(sig_dir)
+        # stamp lets read_committed_store cut sigs at the commit point.
+        # SHARDED like labels (r12 verdict Next #1): the sig store now
+        # folds on the kernel, so its appends carry the same md5 shard
+        # — one exchange on the shard key, one file per touched shard
+        from .sigstore import append_sig_patch
+
+        append_sig_patch(
+            fresh.select(F.col(id_col).alias("_id"), sig.alias("_sig")),
+            sig_dir,
+            batch_id,
+            id_col="_id",
+            n_shards=n_shards,
+        )
         if prev is None:
             pairs = minhash_lsh_pairs(
                 fresh, id_col, text_col, n_hashes, bands, k, threshold,
@@ -663,7 +515,7 @@ def label_store_maintenance_stream(
             ).select("id", "component")
         else:
             store = (
-                spark.read.parquet(sig_dir)
+                _live_sig_rows(spark, sig_dir)
                 .select("_id", "_sig")
                 .dropDuplicates(["_id"])
                 .join(
@@ -694,7 +546,7 @@ def label_store_maintenance_stream(
                 # CC — no text re-read; the full label frame is the
                 # patch, latest-wins supersedes all older rows
                 all_sigs = (
-                    spark.read.parquet(sig_dir)
+                    _live_sig_rows(spark, sig_dir)
                     .select("_id", "_sig")
                     .dropDuplicates(["_id"])
                 )
@@ -740,7 +592,30 @@ def label_store_maintenance_stream(
                     ),
                 )
             if on_compaction is not None:
-                on_compaction(dict(cplan, batch_id=batch_id))
+                on_compaction(dict(cplan, batch_id=batch_id, store="labels"))
+            # the sig surface prices and folds under the SAME policy
+            # and lease (r12 verdict Next #1 — the last store with
+            # unbounded append history): same kernel plan, same
+            # selective-fold rule, committed-batch cap via COMMIT.json
+            from .sigstore import compact_signature_store
+
+            splan = compaction_plan(
+                sig_dir,
+                file_cutoff=compaction_file_cutoff,
+                min_patch_files=compaction_min_files,
+            )
+            if splan["action"] == "compact":
+                splan["compacted"] = compact_signature_store(
+                    spark, sig_dir, id_col="_id", n_shards=n_shards,
+                    lease=False, fence=fence,
+                    shards=(
+                        splan["shards_to_fold"]
+                        if splan["fold_scope"] == "selective"
+                        else None
+                    ),
+                )
+            if on_compaction is not None:
+                on_compaction(dict(splan, batch_id=batch_id, store="sigs"))
 
     writer = docs_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

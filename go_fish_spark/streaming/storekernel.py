@@ -259,6 +259,8 @@ def prune_covered_files(
     covered: int,
     key_col: str | None = None,
     covered_by_key: dict | None = None,
+    merge_schema: bool = False,
+    prune_null_batch: bool = False,
 ) -> int:
     """Delete data FILES under ``path`` wholly superseded by a fold —
     every row in them has ``_batch_id <=`` its key's covered cut, so
@@ -272,12 +274,25 @@ def prune_covered_files(
     already-materialized file index can hit FileNotFound on the pruned
     tail and must retry against the new manifest (the documented
     patch-tail contract; an object-store deployment reads through
-    snapshot manifests instead of dir listings and never races)."""
+    snapshot manifests instead of dir listings and never races).
+
+    ``merge_schema`` is required for stores with pre-discipline files
+    lacking ``_batch_id`` (their rows read as null). Such files are
+    skipped by default (a SELECTIVE fold may not have folded their
+    shards); ``prune_null_batch=True`` — safe only after a FULL
+    legacy-fill fold, which bakes every legacy row into the new
+    generation — removes them too."""
     from urllib.parse import unquote, urlparse
 
-    df = read_parquet_if_exists(spark, path)
+    df = read_parquet_if_exists(spark, path, merge_schema)
     if df is None:
         return 0
+    if "_batch_id" not in df.columns:
+        # every file predates the stamp discipline — nothing is
+        # provably covered unless a full legacy-fill fold just ran
+        if not prune_null_batch:
+            return 0
+        df = df.withColumn("_batch_id", F.lit(None).cast("long"))
     aggs = [F.max("_batch_id").alias("m")]
     if key_col is not None:
         # min (deterministic) + a uniqueness guard (ADVICE r12 #4):
@@ -300,13 +315,28 @@ def prune_covered_files(
                     "partition column; refusing to prune"
                 )
             cut = covered_by_key.get(str(r["k"]), covered)
-        if r["m"] is not None and int(r["m"]) <= int(cut):
+        dead = (r["m"] is not None and int(r["m"]) <= int(cut)) or (
+            r["m"] is None and prune_null_batch
+        )
+        if dead:
             p = unquote(urlparse(r["f"]).path)
             try:
                 _os.remove(p)
                 removed += 1
             except OSError:
                 pass  # best-effort GC — a vanished file is already gone
+    if prune_null_batch and _has_partition_dirs(path):
+        # root-level legacy files are INVISIBLE to the partitioned read
+        # above (partition discovery ignores them — the same reason
+        # live_keyed_rows stitches them back in); after a FULL
+        # legacy-fill fold they are absorbed into the generation, so
+        # remove them directly
+        for p in _root_parquet_files(path):
+            try:
+                _os.remove(p)
+                removed += 1
+            except OSError:
+                pass
     return removed
 
 
@@ -341,6 +371,365 @@ def carry_partitions(
                 _shutil.copy2(s, d)
             carried += 1
     return carried
+
+
+# ---------------------------------------------------------------------------
+# Sharded keyed store — the GENERIC fold discipline (r12 verdict Next
+# #1): one implementation of manifest + generation + per-shard
+# selective compaction + latest-wins read, parameterized by key,
+# tiebreak, and value columns. The labelstore pioneered every rule
+# here (r10-r12); the sig store is the second instantiation — a third
+# hand-rolled copy is exactly what this kernel exists to prevent.
+
+
+def store_manifest_path(store_path: str) -> str:
+    """``<store>_MANIFEST.json`` — the compaction manifest of one
+    sharded keyed table (the labelstore naming rule, now shared)."""
+    return store_path.rstrip("/") + "_MANIFEST.json"
+
+
+def store_generation_root(store_path: str) -> str:
+    return store_path.rstrip("/") + "_gen"
+
+
+def store_generation_path(store_path: str, gen: int) -> str:
+    return generation_path(store_generation_root(store_path), gen)
+
+
+def read_store_manifest(store_path: str) -> dict | None:
+    """The table's compaction manifest (None = never compacted):
+    ``{"gen": N, "covered_max_batch": B, "covered": {shard: B_s},
+    "covered_default": D, "version": k}`` — a shard's patches with
+    ``_batch_id <=`` its covered cut are folded into generation N; the
+    reader of record scans gen N plus only the newer patches."""
+    return read_json_if_exists(store_manifest_path(store_path))
+
+
+def patch_cut_filter(man: dict):
+    """The patch-visibility cut as a column predicate. Full folds write
+    a scalar cut (every shard covered at the same batch); SELECTIVE
+    folds write a per-shard ``covered`` map — each shard's patches are
+    cut at ITS OWN fold batch, with ``covered_default`` for shards
+    never folded. Legacy manifests (scalar ``covered_max_batch`` only)
+    read as a uniform cut. The map is a tiny literal (≤ n_shards
+    entries) evaluated per row — no join, no shuffle."""
+    cov = man.get("covered") or {}
+    default = int(man.get("covered_default", man["covered_max_batch"]))
+    if not cov:
+        return F.col("_batch_id") > F.lit(default)
+    pairs = []
+    for k, v in cov.items():
+        pairs += [F.lit(str(k)), F.lit(int(v))]
+    cut = F.coalesce(
+        F.element_at(
+            F.create_map(*pairs), F.col("shard").cast("string")
+        ),
+        F.lit(default),
+    )
+    return F.col("_batch_id") > cut
+
+
+def _fill_legacy(
+    df: DataFrame, key_col: str, n_shards: int | None
+) -> DataFrame:
+    """Normalize PRE-DISCIPLINE rows so the cut/latest-wins machinery
+    can reason about them: a missing/null ``_batch_id`` becomes -1
+    (predates every stamped batch, so it loses to any re-append — the
+    read_committed_store precedence), and a missing/null ``shard`` is
+    recomputed from the key with the same md5 rule the sharded appends
+    use (deterministic — the fill IS the shard the row would have been
+    written to). ``n_shards=None`` fills the stamp only (shard is
+    irrelevant before a manifest exists: no cut filter runs)."""
+    from ..operators.sampling import hash_bucket
+
+    if "_batch_id" not in df.columns:
+        df = df.withColumn("_batch_id", F.lit(None).cast("long"))
+    df = df.withColumn(
+        "_batch_id", F.coalesce(F.col("_batch_id").cast("long"), F.lit(-1))
+    )
+    if n_shards is None:
+        return df
+    if "shard" not in df.columns:
+        df = df.withColumn("shard", F.lit(None).cast("int"))
+    return df.withColumn(
+        "shard",
+        F.coalesce(
+            F.col("shard").cast("int"),
+            hash_bucket(key_col, n_shards).cast("int"),
+        ),
+    )
+
+
+def _root_parquet_files(path: str) -> list[str]:
+    """Data files sitting at the store ROOT (not inside a ``shard=``
+    partition directory) — the layout legacy, pre-shard-discipline
+    appends left behind."""
+    if not _os.path.isdir(path):
+        return []
+    return [
+        _os.path.join(path, f)
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def _has_partition_dirs(path: str) -> bool:
+    if not _os.path.isdir(path):
+        return False
+    return any(
+        "=" in d and _os.path.isdir(_os.path.join(path, d))
+        for d in _os.listdir(path)
+    )
+
+
+def live_keyed_rows(
+    spark,
+    store_path: str,
+    extra_filter=None,
+    merge_schema: bool = False,
+    legacy_fill_key: str | None = None,
+    n_shards: int | None = None,
+) -> DataFrame | None:
+    """The raw LIVE rows of a sharded keyed table: the current
+    compaction generation (if any) plus only the patches NEWER than
+    what it folded (per-shard cut — :func:`patch_cut_filter`).
+    Superseded patch files left behind by a crash between the manifest
+    repoint and the prune are filtered out by the cut — a torn
+    compaction is garbage, never corruption. ``legacy_fill_key`` turns
+    on :func:`_fill_legacy` for stores whose early files predate the
+    stamp/shard discipline (requires ``n_shards``)."""
+    man = read_store_manifest(store_path)
+    patches = read_parquet_if_exists(spark, store_path, merge_schema)
+    if legacy_fill_key is not None:
+        # MIXED layout (legacy flat files + new sharded appends): once
+        # ``shard=`` partition directories exist, Spark's partition
+        # discovery silently IGNORES data files at the store root — the
+        # legacy rows would vanish from every read. Stitch them back by
+        # explicit file list (a directory entry read, not a scan).
+        roots = _root_parquet_files(store_path)
+        if roots and _has_partition_dirs(store_path):
+            legacy = spark.read.parquet(*roots)
+            patches = (
+                patches.unionByName(legacy, allowMissingColumns=True)
+                if patches is not None
+                else legacy
+            )
+    if patches is not None and legacy_fill_key is not None:
+        # the shard fill must use the SAME shard count the folds use —
+        # the manifest records it (a mismatched fill could assign a
+        # legacy row to a shard whose cut would wrongly hide it)
+        ns = (man or {}).get("n_shards") or n_shards
+        patches = _fill_legacy(
+            patches, legacy_fill_key, int(ns) if ns else None
+        )
+    if man is not None:
+        # the manifest is the pointer of record: a missing generation
+        # directory under a live manifest is corruption — raise (the
+        # repoint lands only after the generation is fully written)
+        gen = spark.read.parquet(store_generation_path(store_path, man["gen"]))
+        if patches is not None:
+            patches = patches.filter(patch_cut_filter(man))
+            df = gen.unionByName(patches, allowMissingColumns=True)
+        else:
+            df = gen
+    elif patches is None:
+        return None
+    else:
+        df = patches
+    if extra_filter is not None:
+        df = df.filter(extra_filter)
+    return df
+
+
+def compact_keyed_store(
+    spark,
+    store_path: str,
+    *,
+    key_cols: list[str],
+    tiebreak: list,
+    value_cols: list[str],
+    shard_key: str,
+    n_shards: int,
+    shards: list[int] | None = None,
+    prune: bool = True,
+    committed: int | None = None,
+    fence: tuple | None = None,
+    merge_schema: bool = False,
+    legacy_fill: bool = False,
+    never_folded_cut: int = -1,
+) -> int:
+    """Fold live rows down to one latest-wins row per key, written as a
+    NEW generation directory sharded by the md5 bucket of
+    ``shard_key``, with the manifest repointed LAST (fenced atomic
+    rename). ``shards`` makes the fold SELECTIVE: only the listed (hot)
+    shards are rewritten — their covered cut advances in the manifest's
+    per-shard map — while every other shard's generation files are
+    CARRIED by hard link (zero bytes) and its patches stay live at its
+    old cut. ``committed`` caps the fold at the published cross-store
+    commit so a half-committed batch is never baked into a generation.
+    ``legacy_fill`` folds pre-discipline rows (no stamp/shard) in as
+    batch -1; pair it with ``never_folded_cut=-2`` so a never-folded
+    shard's legacy patches stay live (cut -2 < -1) until ITS fold.
+
+    Crash windows, stamp discipline, and the one-cut-per-hot-shard
+    safety argument are the labelstore's (see that module's
+    compact_label_store docstring — this is the same code, factored).
+    Returns the folded row count (hot shards only when selective)."""
+    import shutil as _sh
+
+    man = read_store_manifest(store_path)
+    cut = (
+        F.col("_batch_id") <= int(committed)
+        if committed is not None
+        else None
+    )
+    live = live_keyed_rows(
+        spark,
+        store_path,
+        extra_filter=cut,
+        merge_schema=merge_schema,
+        legacy_fill_key=(key_cols[0] if legacy_fill else None),
+        n_shards=n_shards,
+    )
+    if live is None:
+        return 0
+    sel = sorted({int(s) for s in shards}) if shards is not None else None
+    if sel is not None:
+        live = live.filter(F.col("shard").isin(sel))
+    covered = live.agg(F.max("_batch_id").alias("m")).collect()[0]["m"]
+    if covered is None:
+        return 0  # nothing published (or nothing hot) — nothing to fold
+    covered = int(covered)
+    latest = latest_wins(live, key_cols, tiebreak, key_cols + value_cols)
+    new_gen = (int(man["gen"]) + 1) if man is not None else 1
+    gen_path = store_generation_path(store_path, new_gen)
+    if _os.path.exists(gen_path):  # torn previous attempt never repointed
+        _sh.rmtree(gen_path)
+    from ..sources.sharding import with_shard
+
+    (
+        with_shard(latest, shard_key, n_shards)
+        .withColumn("_batch_id", F.lit(covered))
+        .repartition("shard")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(gen_path)
+    )
+    n = spark.read.parquet(gen_path).count()
+    if fence is not None:
+        # heartbeat + ownership check after the expensive step: a fold
+        # longer than ttl_s renews instead of being reclaimed; a fold
+        # whose lease WAS reclaimed fails-stop before the repoint
+        renew_lease(fence[0], fence[1])
+    old_map = dict(man.get("covered") or {}) if man is not None else {}
+    old_default = (
+        int(man.get("covered_default", man["covered_max_batch"]))
+        if man is not None
+        else int(never_folded_cut)
+    )
+    if sel is None:
+        new_map: dict = {}
+        new_default = covered
+    else:
+        if man is not None:
+            # cold shards ride along: hard-link their generation files
+            # into the new generation (zero bytes rewritten)
+            old_root = store_generation_path(store_path, man["gen"])
+            hot = {f"shard={s}" for s in sel}
+            cold = [
+                d
+                for d in _os.listdir(old_root)
+                if d.startswith("shard=") and d not in hot
+            ]
+            carry_partitions(old_root, gen_path, cold)
+        new_map = dict(old_map, **{str(s): covered for s in sel})
+        new_default = old_default
+    atomic_write_json(  # the commit point — repoint LAST, fenced
+        store_manifest_path(store_path),
+        {
+            "gen": new_gen,
+            "covered_max_batch": max(
+                [new_default] + [int(v) for v in new_map.values()]
+            ),
+            "covered": new_map,
+            "covered_default": new_default,
+            "n_shards": int(n_shards),
+            "version": (int(man.get("version", 0)) + 1) if man else 1,
+        },
+        fence=fence,
+    )
+    if prune:  # best-effort garbage collection AFTER the commit point
+        # N-1 generation retained one cycle (ADVICE r11 #3); patch
+        # files wholly covered by their shard's cut removed per-file
+        prune_generations(store_generation_root(store_path), new_gen - 1)
+        prune_covered_files(
+            spark,
+            store_path,
+            new_default,
+            key_col="shard",
+            covered_by_key=new_map,
+            merge_schema=merge_schema,
+            prune_null_batch=(sel is None and legacy_fill),
+        )
+    return n
+
+
+def sharded_compaction_plan(
+    store_path: str,
+    file_cutoff: float = 4.0,
+    min_patch_files: int = 8,
+) -> dict:
+    """Decide whether folding the patch history into a new generation
+    pays for itself, from per-shard FILE-COUNT statistics — a catalog
+    listing, never a data scan (at 100 TB this is the namenode/manifest
+    stat call). Sustained append-only patches are the small-files
+    problem: every pruned lookup opens every live file in its shard
+    directory, so read amplification ≈ mean live files per shard (1.0
+    is the compacted ideal).
+
+    Compact when the mean files-per-shard reaches ``file_cutoff`` AND
+    at least ``min_patch_files`` patch files exist. Returns the
+    decision dict with the selective-fold shard list (the shards whose
+    OWN file count crossed the cutoff)."""
+    man = read_store_manifest(store_path)
+    patch_files, patch_bytes, patch_shards = walk_parquet_files(store_path)
+    gen_files = gen_bytes = 0
+    gen_shards: dict = {}
+    if man is not None:
+        gen_files, gen_bytes, gen_shards = walk_parquet_files(
+            store_generation_path(store_path, man["gen"])
+        )
+    shards = set(patch_shards) | set(gen_shards)
+    live = {
+        s: patch_shards.get(s, 0) + gen_shards.get(s, 0) for s in shards
+    }
+    read_amp = (sum(live.values()) / len(live)) if live else 0.0
+    action = (
+        "compact"
+        if read_amp >= file_cutoff and patch_files >= min_patch_files
+        else "skip"
+    )
+    to_fold = sorted(
+        int(s.split("=", 1)[1])
+        for s, nf in live.items()
+        if s.startswith("shard=") and nf >= file_cutoff
+    )
+    fold_scope = (
+        "full" if (not to_fold or len(to_fold) == len(live)) else "selective"
+    )
+    return {
+        "action": action,
+        "read_amp": round(read_amp, 3),
+        "file_cutoff": file_cutoff,
+        "patch_files": patch_files,
+        "patch_bytes": patch_bytes,
+        "gen_files": gen_files,
+        "gen_bytes": gen_bytes,
+        "n_live_shards": len(live),
+        "max_files_one_shard": max(live.values()) if live else 0,
+        "shards_to_fold": to_fold,
+        "fold_scope": fold_scope,
+    }
 
 
 # ---------------------------------------------------------------------------

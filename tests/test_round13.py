@@ -218,3 +218,176 @@ def test_compact_refused_at_publish_when_lease_stolen(spark, tmp_path):
     }
     assert got == {(1, 1), (2, 1), (3, 3)}  # patches intact
     sk.release_lease(store_dir, "the-new-holder", nonce=holder["nonce"])
+
+
+# --- r12 verdict Next #1: sig-store compaction on the kernel ------------------
+
+
+def _live_parquet_files(root):
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out += [
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    return out
+
+
+def _sig_rows(spark, n, tag=""):
+    return spark.createDataFrame(
+        [(i, [i, i + 1, hash(tag) % 97]) for i in range(n)],
+        "doc_id long, _sig array<bigint>",
+    )
+
+
+def test_sig_store_fold_midsequence_readback(spark, tmp_path):
+    """The x163 pattern for sigs: append → FULL fold → more appends +
+    edits → SELECTIVE fold with hard-link carry — the reader of record
+    (generation + per-shard-cut patches + latest-wins) must always
+    equal the current corpus' signatures."""
+    from go_fish_spark.streaming import storekernel as sk
+    from go_fish_spark.streaming.sigstore import (
+        append_sig_patch,
+        compact_signature_store,
+        read_signature_store,
+    )
+
+    store = str(tmp_path / "store" / "sigs")
+    append_sig_patch(_sig_rows(spark, 30, "a"), store, 0, n_shards=8)
+    n = compact_signature_store(spark, store, n_shards=8)
+    assert n == 30
+    man = sk.read_store_manifest(store)
+    assert man["gen"] == 1 and man["n_shards"] == 8
+    # batch 1: 20 new ids; batch 2: re-append (edit) ids 0-9
+    spark.createDataFrame(
+        [(30 + i, [7, 7, 7]) for i in range(20)],
+        "doc_id long, _sig array<bigint>",
+    ).createOrReplaceTempView("_b1")
+    append_sig_patch(spark.table("_b1"), store, 1, n_shards=8)
+    append_sig_patch(_sig_rows(spark, 10, "EDIT"), store, 2, n_shards=8)
+    # selective fold: only shards 0-3; 4-7 hard-link-carried
+    gen1 = sk.store_generation_path(store, 1)
+    pre_inodes = {
+        f: os.stat(f).st_ino
+        for f in _live_parquet_files(gen1)
+        if any(f"shard={s}/" in f for s in range(4, 8))
+    }
+    compact_signature_store(spark, store, n_shards=8, shards=[0, 1, 2, 3])
+    man2 = sk.read_store_manifest(store)
+    assert man2["gen"] == 2
+    assert set(man2["covered"]) == {"0", "1", "2", "3"}
+    gen2 = sk.store_generation_path(store, 2)
+    carried = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in _live_parquet_files(gen2)
+        if any(f"shard={s}/" in f for s in range(4, 8))
+    }
+    assert carried  # cold shards rode along...
+    pre_by_name = {os.path.basename(f): i for f, i in pre_inodes.items()}
+    assert all(
+        carried[b] == pre_by_name[b] for b in carried
+    )  # ...by hard link: same inode, zero bytes rewritten
+    got = {
+        (r["doc_id"], tuple(r["_sig"]))
+        for r in read_signature_store(spark, store).collect()
+    }
+    want = {(i, (i, i + 1, hash("EDIT") % 97)) for i in range(10)}
+    want |= {(i, (i, i + 1, hash("a") % 97)) for i in range(10, 30)}
+    want |= {(30 + i, (7, 7, 7)) for i in range(20)}
+    assert got == want
+
+
+def test_sig_store_legacy_files_fold_away(spark, tmp_path):
+    """Pre-discipline files (no shard, no _batch_id) read as batch -1
+    (they lose to any stamped re-append) and a FULL fold absorbs them
+    into the generation and prunes the legacy files themselves."""
+    from go_fish_spark.streaming.sigstore import (
+        append_sig_patch,
+        compact_signature_store,
+        read_signature_store,
+    )
+
+    store = str(tmp_path / "store" / "sigs")
+    # legacy flat write: no shard, no batch stamp
+    _sig_rows(spark, 20, "legacy").coalesce(1).write.mode("append").parquet(
+        store
+    )
+    # stamped sharded re-append of ids 0-4 must supersede
+    append_sig_patch(_sig_rows(spark, 5, "new"), store, 0, n_shards=4)
+    want = {(i, (i, i + 1, hash("new") % 97)) for i in range(5)}
+    want |= {(i, (i, i + 1, hash("legacy") % 97)) for i in range(5, 20)}
+
+    def got():
+        return {
+            (r["doc_id"], tuple(r["_sig"]))
+            for r in read_signature_store(spark, store).collect()
+        }
+
+    assert got() == want  # before any fold
+    files_before = len(_live_parquet_files(store))
+    n = compact_signature_store(spark, store, n_shards=4)
+    assert n == 20
+    assert got() == want  # after the full fold
+    # the legacy (unstamped) files were provably absorbed — pruned
+    assert len(_live_parquet_files(store)) < files_before
+
+
+def test_sig_stream_compaction_policy(spark, tmp_path):
+    """E2E: the sig maintenance stream prices the kernel plan after
+    each batch and folds inline under its own lease; read-back parity
+    through the folds."""
+    from go_fish_spark.streaming import storekernel as sk
+    from go_fish_spark.streaming.sigstore import (
+        read_signature_store,
+        signature_store_stream,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store" / "sigs")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    decisions = []
+
+    def drain():
+        signature_store_stream(
+            spark.readStream.schema(schema).parquet(src),
+            store, cp, n_shards=4, portable=True,
+            compaction_policy=True, compaction_file_cutoff=1.0,
+            compaction_min_files=1, on_compaction=decisions.append,
+        ).awaitTermination(120)
+
+    rows = [(i, f"doc number {i} text body") for i in range(30)]
+    for b in range(3):
+        spark.createDataFrame(
+            [r for r in rows if r[0] % 3 == b], schema
+        ).write.mode("append").parquet(src)
+        drain()
+    assert any(d["action"] == "compact" for d in decisions)
+    assert sk.read_store_manifest(store) is not None
+    from go_fish_spark.operators.dedup import minhash_signature
+
+    want = {
+        tuple(r)
+        for r in spark.createDataFrame(rows, schema)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(",", minhash_signature(
+                "text", 64, 3, 42, portable=True
+            ).cast("array<string>"))).alias("m"),
+        )
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in read_signature_store(spark, store)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(",", F.col("_sig").cast("array<string>"))).alias(
+                "m"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
