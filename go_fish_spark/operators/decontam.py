@@ -215,11 +215,18 @@ def bloom_contaminated_docs(
     100 TB shape — the two-phase membership discipline: phase 1 is
     MAP-ONLY (the fixed-size bit array rides a broadcast one-row frame;
     the k hash probes run inside codegen on the corpus scan — no
-    shuffle, no join); phase 2's broadcast equi-join is survivor-
-    bounded. This is the point where :func:`contaminated_docs` stops
-    scaling (its broadcast is the benchmark's whole shingle vocabulary)
-    and the Bloom form keeps going (its broadcast is bits_per_item/8
-    bytes per shingle, ~1.25 MB per million shingles)."""
+    shuffle, no join); phase 2 verifies the survivors (true hits +
+    ~FPR of the clean volume, ~11× smaller than the raw explode at
+    sf0.1) against the exact eval shingle set with an UNHINTED
+    equi-join — AQE broadcasts the eval side while it fits the
+    executor budget and falls back to a shuffle join when the
+    benchmark vocabulary outgrows it (r12 verdict: the previous FORCED
+    broadcast re-created exactly the failure mode this function exists
+    to avoid). What this form buys over :func:`contaminated_docs` is
+    the 11× smaller join INPUT; the form that sheds the eval
+    vocabulary from the executors entirely is the one-sided
+    ``bloom_gate`` task (tasks/builtin.py) — Bloom-only, no
+    verification join, conservative by FPR."""
     bloom = fit_shingle_bloom(eval_docs, text_col, k, bits_per_item)
     spark = train_docs.sparkSession
     bf = spark.createDataFrame([(bloom["words"],)], "bf array<bigint>")
@@ -231,7 +238,7 @@ def bloom_contaminated_docs(
         .filter(bloom_might_contain_expr(bloom, "sh"))
         .drop("bf")
     )
-    ev = F.broadcast(eval_shingle_set(eval_docs, text_col, k))
+    ev = eval_shingle_set(eval_docs, text_col, k)
     return (
         survivors.join(ev, "sh")
         .groupBy(id_col)

@@ -120,6 +120,40 @@ def test_prune_covered_files_guards_nonconstant_key(spark, tmp_path):
     assert removed >= 1
 
 
+# --- r12 verdict Next #3: bloom phase 2 must not force the eval broadcast -----
+
+
+def test_bloom_decontam_phase2_unhinted(spark):
+    """`bloom_contaminated_docs`'s verification join must NOT force a
+    broadcast of the full eval shingle vocabulary (that forced
+    broadcast was the exact structure the function exists to avoid —
+    AQE picks at runtime instead). The only broadcast hint in the plan
+    is phase 1's one-row bit-array frame; results stay identical to
+    the exact form."""
+    from go_fish_spark.operators.decontam import (
+        bloom_contaminated_docs,
+        contaminated_docs,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "clean words only here"),
+         (3, "beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "beta gamma delta"),], "eid long, text string"
+    )
+    res = bloom_contaminated_docs(train, ev, "doc_id", "text", k=3)
+    plan = res._jdf.queryExecution().analyzed().toString()
+    assert plan.count("ResolvedHint") == 1  # the bit-array frame only
+    got = {tuple(r) for r in res.collect()}
+    want = {
+        tuple(r)
+        for r in contaminated_docs(train, ev, "doc_id", "text", k=3).collect()
+    }
+    assert got == want and got  # identical by construction, non-empty
+
+
 # --- r12 verdict Next #2 / ADVICE #1: lease fencing + renewal -----------------
 
 
