@@ -531,6 +531,7 @@ def ann_search_stream(
     on_batch=None,
     recall_corpus: DataFrame | None = None,
     recall_sample: int = 8,
+    recall_mode: str = "exact",
 ):
     """Serve ANN top-k from a stream of query vectors (returns the
     StreamingQuery): each micro-batch runs :func:`adc_search_store`
@@ -543,20 +544,37 @@ def ann_search_stream(
     batch supersedes its earlier answer (the store-edit rule applied
     to results).
 
-    ``recall_corpus`` turns on the LIVE RECALL MONITOR (the x79 audit
-    in-stream — dedup_rate_streams' twin for retrieval quality): per
-    batch, a deterministic md5-ordered sample of ≤ ``recall_sample``
-    queries is ground-truthed by brute force against the raw-vector
-    lake and the batch's own ADC answers are audited against it
-    (operators.similarity.ann_recall_audit). The monitor's price is
-    |sample| × |corpus| × dim per batch — the bounded, documented cost
-    of knowing the index is still good; leave ``recall_corpus=None``
-    to serve blind. ``on_batch`` observes
-    ``{"batch_id", "n_queries", "recall_at_k"?}``.
+    The LIVE RECALL MONITOR (the x79 audit in-stream) ground-truths a
+    deterministic md5-ordered sample of ≤ ``recall_sample`` queries per
+    batch and audits the batch's own ADC answers against it
+    (operators.similarity.ann_recall_audit). Two modes (r12 verdict
+    Next #5 — "knowing the index is still good" must not cost a corpus
+    scan per batch at 100 TB):
+
+    * ``recall_mode="exact"`` (requires ``recall_corpus``): truth by
+      brute force against the raw-vector lake — the full number
+      (routing loss + quantization loss), at |sample| × |corpus| × dim
+      per batch. The audit-job price, not a serving-loop price.
+    * ``recall_mode="full_probe_adc"`` (no raw vectors needed): truth
+      = the store's OWN ADC search with every cell probed — isolates
+      the n_probe routing loss, which is the knob the serving loop
+      can actually turn, and reads only the compressed codes (~2
+      bytes/vector vs dim×8 raw — ~100-1000× fewer bytes, no lake
+      scan). Blind to quantization error by construction (both sides
+      share the codebooks); SCALE.md r13 measures the estimate gap.
+
+    Leave ``recall_corpus=None`` with mode "exact" to serve blind.
+    ``on_batch`` observes ``{"batch_id", "n_queries", "recall_at_k"?,
+    "recall_mode"?}``.
 
     A search stream only READS the store, so it takes no writer lease —
     it can run beside the maintenance stream; it sees each generation
     atomically via the manifest."""
+    if recall_mode not in ("exact", "full_probe_adc"):
+        raise ValueError(
+            f"recall_mode must be 'exact' or 'full_probe_adc', "
+            f"got {recall_mode!r}"
+        )
     spark = query_stream.sparkSession
 
     def process_batch(bdf: DataFrame, batch_id: int) -> None:
@@ -575,7 +593,10 @@ def ann_search_stream(
         )
         if on_batch is not None:
             info = {"batch_id": int(batch_id), "n_queries": bdf.count()}
-            if recall_corpus is not None:
+            monitor = recall_corpus is not None or (
+                recall_mode == "full_probe_adc"
+            )
+            if monitor:
                 from ..operators.similarity import (
                     ann_recall_audit,
                     brute_force_topk,
@@ -589,9 +610,20 @@ def ann_search_stream(
                     .limit(int(recall_sample))
                     .localCheckpoint()
                 )
-                truth = brute_force_topk(
-                    recall_corpus, samp, id_col, vec_col, k
-                )
+                if recall_mode == "full_probe_adc":
+                    # pseudo-truth from the store itself: ADC with every
+                    # cell probed — no raw-vector read, isolates the
+                    # n_probe routing loss (the serving loop's knob)
+                    doc = load_ann_manifest(store_dir)
+                    truth = adc_search_store(
+                        spark, store_dir, samp, id_col=id_col,
+                        vec_col=vec_col, k=k,
+                        n_probe=len(doc["coarse"]),
+                    )
+                else:
+                    truth = brute_force_topk(
+                        recall_corpus, samp, id_col, vec_col, k
+                    )
                 approx = res.join(
                     samp.select(F.col(id_col).alias("query_id")),
                     "query_id",
@@ -607,6 +639,7 @@ def ann_search_stream(
                     if row["r"] is not None
                     else 0.0
                 )
+                info["recall_mode"] = recall_mode
             on_batch(info)
 
     writer = query_stream.writeStream.foreachBatch(process_batch).option(

@@ -120,6 +120,68 @@ def test_prune_covered_files_guards_nonconstant_key(spark, tmp_path):
     assert removed >= 1
 
 
+# --- r12 verdict Next #5: recall monitor without a per-batch corpus scan ------
+
+
+def test_ann_search_stream_full_probe_adc_monitor(spark, tmp_path):
+    """The full-probe-ADC pseudo-truth mode must ground-truth from the
+    STORE alone (no raw-vector lake hand-in) and report recall ≈ the
+    n_probe routing loss: probing every cell against itself scores 1.0;
+    a starved n_probe scores below the exact-mode estimate never above
+    it + quantization noise."""
+    from test_round12 import _ann_corpus
+
+    from go_fish_spark.streaming import annstore
+
+    df = _ann_corpus(spark, 120)
+    store = str(tmp_path / "ann")
+    src = str(tmp_path / "in")
+    df.write.parquet(src)
+    annstore.ann_store_stream(
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .parquet(src),
+        store, str(tmp_path / "cp1"), n_cells=8, m=4, ksub=16,
+    ).awaitTermination(120)
+
+    qsrc = str(tmp_path / "q")
+    df.filter(F.col("vec_id") < 12).select(
+        "vec_id", "embedding"
+    ).write.parquet(qsrc)
+
+    infos = []
+    annstore.ann_search_stream(
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .parquet(qsrc),
+        store, str(tmp_path / "out"), str(tmp_path / "cp2"),
+        k=5, n_probe=8,  # every cell probed -> routing loss is zero
+        recall_mode="full_probe_adc", recall_sample=6,
+        on_batch=infos.append,
+    ).awaitTermination(120)
+    assert infos and infos[0]["recall_mode"] == "full_probe_adc"
+    assert infos[0]["recall_at_k"] == 1.0  # full probe vs full probe
+
+    infos2 = []
+    annstore.ann_search_stream(
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .parquet(qsrc),
+        store, str(tmp_path / "out2"), str(tmp_path / "cp3"),
+        # k larger than one cell's population with starved routing —
+        # the top-k MUST span cells, so n_probe=1 provably loses
+        k=40, n_probe=1,
+        recall_mode="full_probe_adc", recall_sample=6,
+        on_batch=infos2.append,
+    ).awaitTermination(120)
+    assert 0.0 <= infos2[0]["recall_at_k"] < 1.0
+
+    with pytest.raises(ValueError, match="recall_mode"):
+        annstore.ann_search_stream(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(qsrc),
+            store, str(tmp_path / "out3"), str(tmp_path / "cp4"),
+            recall_mode="typo",
+        )
+
+
 # --- r12 verdict Next #3: bloom phase 2 must not force the eval broadcast -----
 
 
