@@ -316,6 +316,103 @@ def test_compact_refused_at_publish_when_lease_stolen(spark, tmp_path):
     sk.release_lease(store_dir, "the-new-holder", nonce=holder["nonce"])
 
 
+# --- r12 verdict Next #4: the single-writer argument, cross-PROCESS -----------
+
+_XPROC_COMPACTOR = r"""
+import os, sys, time
+from pyspark.sql import SparkSession
+
+labels = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", os.path.dirname(labels) + "/wh")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from go_fish_spark.streaming import storekernel as sk
+from go_fish_spark.streaming.labelstore import compact_label_store
+
+try:
+    compact_label_store(spark, labels, n_shards=4)
+    print("UNEXPECTED-FOLD", flush=True)
+    sys.exit(2)
+except sk.LeaseHeld:
+    print("REFUSED", flush=True)
+
+deadline = time.time() + 90
+while time.time() < deadline:  # parent releases the lease after REFUSED
+    try:
+        n = compact_label_store(spark, labels, n_shards=4)
+        print(f"FOLDED {n}", flush=True)
+        sys.exit(0)
+    except sk.LeaseHeld:
+        time.sleep(0.5)
+sys.exit(3)
+"""
+
+
+def test_cross_process_compactor_refused_then_folds(spark, tmp_path):
+    """The single-writer argument as it actually runs in production: a
+    SECOND OS PROCESS (own JVM, own SparkSession) attempting
+    compact_label_store while the maintenance stream's lease is held
+    must be REFUSED; after the lease frees it folds, and the reader of
+    record returns exactly what it returned before the out-of-process
+    fold. (The r12 lease tests were all in-process — this is the test
+    the guarantee rests on.)"""
+    import subprocess
+    import sys
+
+    from go_fish_spark.streaming import storekernel as sk
+    from go_fish_spark.streaming.labelstore import (
+        label_store_maintenance_stream,
+        read_compaction_manifest,
+        read_label_store,
+    )
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    labels = os.path.join(store, "labels")
+    schema = "doc_id long, text string"
+    rows = [(i, f"the quick document number {i % 7} body") for i in range(40)]
+    os.makedirs(src)
+    for b in range(2):
+        spark.createDataFrame(
+            [r for r in rows if r[0] % 2 == b], schema
+        ).write.mode("append").parquet(src)
+        label_store_maintenance_stream(
+            spark.readStream.schema(schema).parquet(src),
+            store, str(tmp_path / "cp"), bands=32, threshold=0.3,
+            portable=True, n_shards=4,
+        ).awaitTermination(120)
+    before = sorted(map(tuple, read_label_store(spark, labels).collect()))
+    assert before
+
+    # hold the lease exactly as the stream does mid-batch
+    held = sk.acquire_lease(store, "stream:live-batch-sim", ttl_s=600)
+    child = subprocess.Popen(
+        [sys.executable, "-c", _XPROC_COMPACTOR, labels],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd="/root/repo",
+    )
+    try:
+        line = child.stdout.readline().strip()
+        assert line == "REFUSED", f"child said {line!r}"
+        assert read_compaction_manifest(labels) is None  # nothing folded
+        sk.release_lease(store, "stream:live-batch-sim", nonce=held["nonce"])
+        out, _ = child.communicate(timeout=180)
+        assert child.returncode == 0, f"child exit {child.returncode}: {out}"
+        assert out.strip().startswith("FOLDED")
+    finally:
+        if child.poll() is None:
+            child.kill()
+    man = read_compaction_manifest(labels)
+    assert man is not None and man["gen"] == 1
+    after = sorted(map(tuple, read_label_store(spark, labels).collect()))
+    assert after == before  # read-back parity through the foreign fold
+
+
 # --- r12 verdict Next #1: sig-store compaction on the kernel ------------------
 
 
