@@ -267,6 +267,7 @@ HEADLINE = [
     "x171_bpe_tokenize",
     "x172_bpe_fertility",
     "x173_bloom_decontam",
+    "x174_sig_compaction_readback",
 ]
 
 
@@ -470,6 +471,10 @@ def main() -> None:
         summary["families"] = families
         summary["queries_file"] = "BENCH_FULL.json"
         print(json.dumps(summary))
+    from go_fish_spark.session import sweep_tmp_stores
+
+    # a bench run covers the full registry — it owns the namespace
+    sweep_tmp_stores(spark.sparkContext.applicationId, stale_s=0.0)
     spark.stop()
 
 

@@ -140,6 +140,15 @@ def main() -> int:
     bad = [n for n, r in results.items()
            if r["hash_match"] is False or (r["err"] and r["err"] != "no_oracle")]
     print(f"{len(results)} checked, {len(bad)} failing: {bad}")
+    from go_fish_spark.session import sweep_tmp_stores
+
+    # a FULL run owns the namespace (nothing else is mid-entry), so it
+    # sweeps every scratch dir; a --only run sweeps its own app id only
+    swept = sweep_tmp_stores(
+        spark.sparkContext.applicationId,
+        stale_s=0.0 if args.only is None else 86400.0,
+    )
+    print(f"swept {swept} /tmp/gofish_x* scratch dirs")
     return 1 if bad else 0
 
 

@@ -59,6 +59,14 @@ def counts() -> dict[str, int]:
     }
 
 
+#: the q-series is COMPLETE and FROZEN (SURVEY §2.7 growth policy, r13):
+#: it covers every reference behavior, the §2.6 gap list, and all 22
+#: TPC-H shapes. New coverage goes to the x-series, gated on "new
+#: operator family or new scale law" — never a variation of an
+#: existing entry.
+Q_SERIES_FROZEN_AT = 96
+
+
 def main() -> None:
     c = counts()
     print(
@@ -67,6 +75,14 @@ def main() -> None:
         f"{c['total'] - c['without_oracle']} with DuckDB hash oracles, "
         f"{c['without_oracle']} rows-only"
     )
+    if c["q_series"] != Q_SERIES_FROZEN_AT:
+        print(
+            f"ERROR: q-series is frozen at {Q_SERIES_FROZEN_AT} entries "
+            f"(SURVEY §2.7 growth policy) but the registry has "
+            f"{c['q_series']} — new coverage belongs in the x-series "
+            "(and only for a new operator family or scale law)"
+        )
+        sys.exit(1)
     lv = last_verified()
     never = [n for n in REGISTRY if n not in lv]
     if never:
