@@ -473,8 +473,10 @@ def main() -> None:
         print(json.dumps(summary))
     from go_fish_spark.session import sweep_tmp_stores
 
-    # a bench run covers the full registry — it owns the namespace
-    sweep_tmp_stores(spark.sparkContext.applicationId, stale_s=0.0)
+    # own dirs always; other app ids only after 15 min of stillness —
+    # a CONCURRENT run's live entry touches its dir every few seconds,
+    # so stale_s=0 here could delete it mid-scan
+    sweep_tmp_stores(spark.sparkContext.applicationId, stale_s=900.0)
     spark.stop()
 
 

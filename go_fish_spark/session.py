@@ -87,9 +87,12 @@ def sweep_tmp_stores(app_id: str | None = None, stale_s: float = 86400.0) -> int
     rmtree's ITS OWN dir at start, but nothing ever removed them at
     exit, so every run leaked a few MBs per app id (r12 verdict
     cosmetics #4). Called at the end of bench/check_correctness runs:
-    sweeps the CURRENT session's dirs (``app_id``) plus any dir stale
-    for ``stale_s`` — never a fresh dir belonging to a concurrent run.
-    Returns the number of directories removed."""
+    sweeps the CURRENT session's dirs (``app_id``) plus any dir whose
+    mtime is ``stale_s`` old — never a fresh dir that could belong to
+    a concurrent run mid-entry (entries touch their dirs every few
+    seconds, so minutes of stillness means abandoned; keep ``stale_s``
+    comfortably above one entry's wall). Returns the number of
+    directories removed."""
     import glob
     import shutil
     import time

@@ -582,6 +582,7 @@ def ann_search_stream(
         if bdf.isEmpty():
             return
         bdf = bdf.localCheckpoint()  # fix the batch for search + audit
+        doc0 = load_ann_manifest(store_dir)  # model the batch serves on
         res = adc_search_store(
             spark, store_dir, bdf, id_col=id_col, vec_col=vec_col,
             k=k, n_probe=n_probe,
@@ -610,35 +611,52 @@ def ann_search_stream(
                     .limit(int(recall_sample))
                     .localCheckpoint()
                 )
+                skipped = None
                 if recall_mode == "full_probe_adc":
                     # pseudo-truth from the store itself: ADC with every
                     # cell probed — no raw-vector read, isolates the
-                    # n_probe routing loss (the serving loop's knob)
+                    # n_probe routing loss (the serving loop's knob).
+                    # Both sides must score against the SAME frozen
+                    # model: a refit/compaction publishing between the
+                    # serving search above and this truth search would
+                    # make the recall number garbage (different
+                    # codebooks/generations) — detect via the manifest
+                    # version and skip the batch's estimate instead.
                     doc = load_ann_manifest(store_dir)
                     truth = adc_search_store(
                         spark, store_dir, samp, id_col=id_col,
                         vec_col=vec_col, k=k,
                         n_probe=len(doc["coarse"]),
-                    )
+                    ).localCheckpoint()  # fix truth under doc's model
+                    doc2 = load_ann_manifest(store_dir)
+                    if (
+                        doc2["version"] != doc["version"]
+                        or doc0 is None
+                        or doc["version"] != doc0["version"]
+                    ):
+                        skipped = "model_changed_mid_batch"
                 else:
                     truth = brute_force_topk(
                         recall_corpus, samp, id_col, vec_col, k
                     )
-                approx = res.join(
-                    samp.select(F.col(id_col).alias("query_id")),
-                    "query_id",
-                    "left_semi",
-                )
-                row = (
-                    ann_recall_audit(truth, approx, k)
-                    .agg(F.avg("recall").alias("r"))
-                    .collect()[0]
-                )
-                info["recall_at_k"] = (
-                    round(float(row["r"]), 6)
-                    if row["r"] is not None
-                    else 0.0
-                )
+                if skipped is None:
+                    approx = res.join(
+                        samp.select(F.col(id_col).alias("query_id")),
+                        "query_id",
+                        "left_semi",
+                    )
+                    row = (
+                        ann_recall_audit(truth, approx, k)
+                        .agg(F.avg("recall").alias("r"))
+                        .collect()[0]
+                    )
+                    info["recall_at_k"] = (
+                        round(float(row["r"]), 6)
+                        if row["r"] is not None
+                        else 0.0
+                    )
+                else:
+                    info["recall_skipped"] = skipped
                 info["recall_mode"] = recall_mode
             on_batch(info)
 

@@ -110,11 +110,6 @@ def append_label_patch(
     )
 
 
-#: existence-aware read (None ONLY for nothing-committed; everything
-#: else re-raises — ADVICE r10 #1) — storekernel.read_parquet_if_exists
-_read_parquet_if_exists = _sk.read_parquet_if_exists
-
-
 #: patch-visibility cut + live-rows stitch — storekernel.patch_cut_filter
 #: / live_keyed_rows (the labelstore rules, factored once for every
 #: sharded keyed store — labels here, sigs in streaming/sigstore.py)
@@ -124,16 +119,13 @@ _patch_cut_filter = _sk.patch_cut_filter
 def _live_sig_rows(spark, sig_dir: str) -> DataFrame | None:
     """Live rows of the maintenance stream's sig surface: compaction
     generation + newer patches (the kernel stitch — the sig store folds
-    like labels since r13). mergeSchema + legacy fill: pre-discipline
-    files read back stamped -1 (ADVICE r11 #2's coalesce rule, now in
-    the kernel) with their shard recomputed from the id."""
-    return _sk.live_keyed_rows(
-        spark,
-        sig_dir,
-        merge_schema=True,
-        legacy_fill_key="_id",
-        n_shards=None,  # the fold manifest records the shard count
-    )
+    like labels since r13). ONE implementation: the sigstore reader of
+    record, keyed at this surface's ``_id`` — two copies of the sig
+    read path could silently diverge the stream's mid-batch view from
+    what read_signature_store serves."""
+    from . import sigstore as _ss
+
+    return _ss._live_sig_rows(spark, sig_dir, "_id")
 
 
 def _live_label_rows(

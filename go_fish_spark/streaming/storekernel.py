@@ -293,6 +293,13 @@ def prune_covered_files(
         if not prune_null_batch:
             return 0
         df = df.withColumn("_batch_id", F.lit(None).cast("long"))
+    if key_col is not None and key_col not in df.columns:
+        # pure pre-shard flat layout (no partition dirs at all): files
+        # carry no key. Null key → the DEFAULT cut applies per file,
+        # which is conservative-correct: a selective fold never
+        # advances the default, and a full fold's default covers
+        # everything it folded (including the stitched flat rows).
+        df = df.withColumn(key_col, F.lit(None).cast("string"))
     aggs = [F.max("_batch_id").alias("m")]
     if key_col is not None:
         # min (deterministic) + a uniqueness guard (ADVICE r12 #4):
@@ -714,8 +721,22 @@ def sharded_compaction_plan(
         for s, nf in live.items()
         if s.startswith("shard=") and nf >= file_cutoff
     )
+    # legacy (pre-shard-discipline) files live at non-"shard=" leaves;
+    # they belong to NO single shard, so only a FULL fold can absorb
+    # them — force full scope while any exist, and never let their
+    # leaf keys deflate the full/selective comparison denominator.
+    shard_keys = [s for s in live if s.startswith("shard=")]
+    legacy_files = sum(
+        nf for s, nf in patch_shards.items() if not s.startswith("shard=")
+    )
     fold_scope = (
-        "full" if (not to_fold or len(to_fold) == len(live)) else "selective"
+        "full"
+        if (
+            legacy_files > 0
+            or not to_fold
+            or len(to_fold) == len(shard_keys)
+        )
+        else "selective"
     )
     return {
         "action": action,
@@ -727,6 +748,7 @@ def sharded_compaction_plan(
         "gen_bytes": gen_bytes,
         "n_live_shards": len(live),
         "max_files_one_shard": max(live.values()) if live else 0,
+        "legacy_files": legacy_files,
         "shards_to_fold": to_fold,
         "fold_scope": fold_scope,
     }

@@ -142,11 +142,13 @@ def main() -> int:
     print(f"{len(results)} checked, {len(bad)} failing: {bad}")
     from go_fish_spark.session import sweep_tmp_stores
 
-    # a FULL run owns the namespace (nothing else is mid-entry), so it
-    # sweeps every scratch dir; a --only run sweeps its own app id only
+    # own dirs always; other app ids only after 15 min of stillness (a
+    # concurrent run's live entry touches its dir every few seconds —
+    # a zero-stale sweep could delete it mid-scan); --only spot checks
+    # are extra conservative
     swept = sweep_tmp_stores(
         spark.sparkContext.applicationId,
-        stale_s=0.0 if args.only is None else 86400.0,
+        stale_s=900.0 if args.only is None else 86400.0,
     )
     print(f"swept {swept} /tmp/gofish_x* scratch dirs")
     return 1 if bad else 0
