@@ -857,3 +857,77 @@ def test_ks_gate_bounds(spark, xs, ys):
     assert 0.0 <= r.ks <= 1.0
     same = apply_ks_gate(hist, base, "g", "s", decimals=6).collect()[0]
     assert same.ks == 0.0
+
+
+_store_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.dictionaries(
+                st.integers(0, 15), st.integers(0, 5),
+                min_size=1, max_size=6,
+            ),
+        ),
+        st.tuples(st.just("fold"), st.none()),
+        st.tuples(
+            st.just("fold_sel"),
+            st.sets(st.integers(0, 3), min_size=1, max_size=3),
+        ),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_store_ops)
+def test_keyed_store_fold_interleavings(spark, ops):
+    """The kernel store's core invariant, under ARBITRARY interleavings
+    of appends (including id-overwriting edits), full folds, and
+    selective per-shard folds: the reader of record always returns
+    exactly the latest-appended row per id — folds are pure read-path
+    reorganizations and can never change an answer. (The x163/x169/x174
+    oracle entries pin three hand-picked sequences; this pins the
+    family.)"""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from go_fish_spark.streaming.sigstore import (
+        append_sig_patch,
+        compact_signature_store,
+        read_signature_store,
+    )
+
+    base = tempfile.mkdtemp()
+    store = base + "/store/sigs"
+    model: dict[int, int] = {}
+    appended = False
+    try:
+        for batch_id, (kind, arg) in enumerate(ops):
+            if kind == "append":
+                rows = [(i, [i, v]) for i, v in sorted(arg.items())]
+                append_sig_patch(
+                    spark.createDataFrame(
+                        rows, "doc_id long, _sig array<bigint>"
+                    ),
+                    store, batch_id, n_shards=4,
+                )
+                model.update(arg)
+                appended = True
+            elif not appended:
+                continue  # folding an empty store is a no-op
+            elif kind == "fold":
+                compact_signature_store(spark, store, n_shards=4)
+            else:
+                compact_signature_store(
+                    spark, store, n_shards=4, shards=sorted(arg)
+                )
+        if appended:
+            got = {
+                (r["doc_id"], tuple(r["_sig"]))
+                for r in read_signature_store(spark, store).collect()
+            }
+            assert got == {(i, (i, v)) for i, v in model.items()}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
