@@ -368,7 +368,7 @@ def refit_ann_store(
     from ..operators.similarity import fit_ivfpq_det
 
     if lease:
-        lh = _sk.writer_lease(store_dir, f"refit:{_os.getpid()}")
+        lh = _sk.writer_lease(store_dir, _sk.unique_owner("refit"))
         with lh:
             return refit_ann_store(
                 spark, store_dir, vectors_df, id_col, vec_col, n_cells,
@@ -775,7 +775,7 @@ def compact_ann_store(
     it; ``lease=False`` only when the caller already holds it. Returns
     the folded row count (hot cells only when selective)."""
     if lease:
-        lh = _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}")
+        lh = _sk.writer_lease(store_dir, _sk.unique_owner("compactor"))
         with lh:
             return compact_ann_store(
                 spark, store_dir, prune=prune, lease=False, cells=cells,

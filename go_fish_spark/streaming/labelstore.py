@@ -250,7 +250,7 @@ def compact_label_store(
         store_dir = _os.path.dirname(
             _os.path.abspath(store_path.rstrip("/"))
         )
-        lh = _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}")
+        lh = _sk.writer_lease(store_dir, _sk.unique_owner("compactor"))
         with lh:
             return compact_label_store(
                 spark, store_path, n_shards=n_shards, prune=prune,

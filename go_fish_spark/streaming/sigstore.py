@@ -134,7 +134,14 @@ def signature_store_stream(
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         with _sk.writer_lease(store_dir, lease_owner) as ld:
             fence = (store_dir, ld["nonce"])
-            append_sig_patch(bdf, store_path, batch_id, id_col, n_shards)
+            # one row per id per batch (the labelstore rule): a source
+            # emitting an id twice in one micro-batch must not write
+            # two same-stamp rows whose latest-wins pick could differ
+            # across readers before a fold canonicalizes them
+            append_sig_patch(
+                bdf.dropDuplicates([id_col]),
+                store_path, batch_id, id_col, n_shards,
+            )
             if compaction_policy:
                 plan = sig_compaction_plan(
                     store_path,
@@ -197,14 +204,18 @@ def read_signature_store(
     :func:`~go_fish_spark.operators.dedup.incremental_near_dedup` /
     :func:`~go_fish_spark.operators.dedup.delta_minhash_pairs` via
     ``.withColumnRenamed``. Per-id window — bounded by each doc's
-    version count, parallel across ids (storekernel.latest_wins, with
-    the deterministic ``_sig`` tiebreak: a lost-checkpoint batch-id
-    collision can never pick a row by partition order)."""
+    version count, parallel across ids (storekernel.latest_wins, with a
+    deterministic tiebreak over EVERY kept value column — the SAME
+    total order the fold uses, so the table reads back identically
+    before and after a compaction even when a batch carried true
+    duplicate-id rows; a lost-checkpoint batch-id collision can never
+    pick a row by partition order)."""
     df = _live_sig_rows(spark, store_path, id_col)
     if df is None:
         raise FileNotFoundError(store_path)
     keep = [c for c in df.columns if c not in ("_batch_id", "shard")]
-    return _sk.latest_wins(df, [id_col], [F.col("_sig").asc()], keep)
+    tiebreak = [F.col(c).asc() for c in keep if c != id_col]
+    return _sk.latest_wins(df, [id_col], tiebreak, keep)
 
 
 def compact_signature_store(
@@ -238,7 +249,7 @@ def compact_signature_store(
         store_dir = _os.path.dirname(
             _os.path.abspath(store_path.rstrip("/"))
         )
-        lh = _sk.writer_lease(store_dir, f"compactor:{_os.getpid()}")
+        lh = _sk.writer_lease(store_dir, _sk.unique_owner("compactor"))
         with lh:
             return compact_signature_store(
                 spark, store_path, id_col=id_col, n_shards=n_shards,
@@ -247,21 +258,14 @@ def compact_signature_store(
     committed = _sk.read_commit(
         _os.path.dirname(_os.path.abspath(store_path.rstrip("/")))
     )
-    live = _live_sig_rows(spark, store_path, id_col)
-    if live is None:
-        return 0
-    value_cols = [
-        c for c in live.columns if c not in (id_col, "shard", "_batch_id")
-    ]
     return _sk.compact_keyed_store(
         spark,
         store_path,
         key_cols=[id_col],
-        # deterministic across every replay interleaving: same-batch
-        # duplicate rows are identical, so any total order works — use
-        # every value column ascending
-        tiebreak=[F.col(c).asc() for c in value_cols],
-        value_cols=value_cols,
+        # value columns and the all-values-ascending tiebreak derive
+        # from the live frame INSIDE the kernel — a second mergeSchema
+        # frame built here just to list columns would double the fold's
+        # footer-merge pass
         shard_key=id_col,
         n_shards=n_shards,
         shards=shards,

@@ -242,7 +242,13 @@ def walk_parquet_files(root: str) -> tuple[int, int, dict]:
     per_dir: dict = {}
     if not _os.path.isdir(root):
         return 0, 0, {}
-    for dirpath, _dirnames, filenames in _os.walk(root):
+    for dirpath, dirnames, filenames in _os.walk(root):
+        # never descend into _temporary/.staging etc. — a crashed
+        # append leaves uncommitted task files there that no reader
+        # ever sees; counting them would permanently inflate the
+        # compaction pressure signal (and register as phantom legacy
+        # files forcing full folds forever)
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         leaf = _os.path.basename(dirpath)
         for fn in filenames:
             if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
@@ -553,8 +559,8 @@ def compact_keyed_store(
     store_path: str,
     *,
     key_cols: list[str],
-    tiebreak: list,
-    value_cols: list[str],
+    tiebreak=None,
+    value_cols: list[str] | None = None,
     shard_key: str,
     n_shards: int,
     shards: list[int] | None = None,
@@ -578,6 +584,13 @@ def compact_keyed_store(
     batch -1; pair it with ``never_folded_cut=-2`` so a never-folded
     shard's legacy patches stay live (cut -2 < -1) until ITS fold.
 
+    ``value_cols=None`` derives the value columns from the live frame
+    (everything except keys/shard/stamp) — for stores with
+    caller-extensible schemas; ``tiebreak=None`` orders by every value
+    column ascending, the total order that makes the pick deterministic
+    for ANY schema (same-batch replay rows are identical, so any total
+    order is correct — it just must be one).
+
     Crash windows, stamp discipline, and the one-cut-per-hot-shard
     safety argument are the labelstore's (see that module's
     compact_label_store docstring — this is the same code, factored).
@@ -585,6 +598,25 @@ def compact_keyed_store(
     import shutil as _sh
 
     man = read_store_manifest(store_path)
+    if (
+        committed is not None
+        and man is not None
+        and int(committed) < int(man["covered_max_batch"])
+    ):
+        # In every legitimate flow the commit point only moves forward
+        # and a fold's covered stamp is <= the commit at fold time, so
+        # committed >= covered_max_batch always holds. A LOWER commit
+        # point means a foreign/corrupt COMMIT.json (e.g. a store
+        # adopted into a dir whose commit file belongs to a different
+        # batch-id space) — applying it as a cut would exclude the
+        # ENTIRE previous generation (all rows stamped at its covered
+        # batch) and silently bake its loss into the next generation.
+        raise ValueError(
+            f"commit point {committed} is below the store's covered "
+            f"fold stamp {man['covered_max_batch']} ({store_path}) — "
+            "the COMMIT.json does not belong to this store's batch-id "
+            "space; refusing to fold"
+        )
     cut = (
         F.col("_batch_id") <= int(committed)
         if committed is not None
@@ -603,6 +635,14 @@ def compact_keyed_store(
     sel = sorted({int(s) for s in shards}) if shards is not None else None
     if sel is not None:
         live = live.filter(F.col("shard").isin(sel))
+    if value_cols is None:
+        value_cols = [
+            c
+            for c in live.columns
+            if c not in key_cols and c not in ("shard", "_batch_id")
+        ]
+    if tiebreak is None:
+        tiebreak = [F.col(c).asc() for c in value_cols]
     covered = live.agg(F.max("_batch_id").alias("m")).collect()[0]["m"]
     if covered is None:
         return 0  # nothing published (or nothing hot) — nothing to fold
@@ -612,17 +652,24 @@ def compact_keyed_store(
     gen_path = store_generation_path(store_path, new_gen)
     if _os.path.exists(gen_path):  # torn previous attempt never repointed
         _sh.rmtree(gen_path)
+    from pyspark.sql import Observation
+
     from ..sources.sharding import with_shard
 
+    # row count rides the write itself as an observed metric — a
+    # re-read-and-count of the fresh generation would be a second full
+    # pass over the folded data inside the lease window
+    obs = Observation()
     (
         with_shard(latest, shard_key, n_shards)
         .withColumn("_batch_id", F.lit(covered))
         .repartition("shard")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .write.mode("append")
         .partitionBy("shard")
         .parquet(gen_path)
     )
-    n = spark.read.parquet(gen_path).count()
+    n = int(obs.get["n"])
     if fence is not None:
         # heartbeat + ownership check after the expensive step: a fold
         # longer than ttl_s renews instead of being reclaimed; a fold
@@ -776,18 +823,60 @@ def lease_path(store_dir: str) -> str:
     return _os.path.join(store_dir, "WRITER_LEASE.json")
 
 
+def unique_owner(prefix: str) -> str:
+    """A collision-proof owner identity for ONE-SHOT writers (out-of-
+    band compactors, refits): pid alone is reusable across restarts and
+    collides across hosts on a shared filesystem — and owner equality
+    grants instant self-reclaim of a LIVE lease, so a collision steals
+    it. Streams keep their checkpoint-path identity (same checkpoint =
+    same process slot, so self-reclaim there is correct)."""
+    import uuid as _uuid
+
+    return f"{prefix}:{_os.getpid()}:{_uuid.uuid4().hex[:8]}"
+
+
+def _read_lease_doc(path: str) -> dict | None:
+    """Lease read mapped into the protocol: a vanished file is None; a
+    torn/unparseable file is ``{}`` — present but unjudgeable, which
+    callers must treat as HELD (never reclaim what you cannot read).
+    With the link-published create and atomic renew below, torn lease
+    content cannot occur in normal operation — this guards legacy files
+    and external corruption."""
+    try:
+        with open(path) as fh:
+            return _json.load(fh)
+    except FileNotFoundError:
+        return None
+    except (ValueError, OSError):
+        return {}
+
+
+def _lease_stale(doc: dict, default_ttl: float) -> bool:
+    return (
+        _time.time() - float(doc.get("acquired_at", 0))
+        > float(doc.get("ttl_s", default_ttl))
+    )
+
+
 def acquire_lease(store_dir: str, owner: str, ttl_s: float = 600.0) -> dict:
     """Take the store's single-writer lease or raise :class:`LeaseHeld`.
 
-    Acquisition is an atomic ``O_CREAT|O_EXCL`` file create — two
-    racing writers cannot both win. A lease older than its ``ttl_s``
-    is STALE (its holder crashed without releasing): reclaim deletes
-    it and retries the exclusive create, so the unlink→create window
-    still ends with exactly one winner. Re-entry by the SAME owner
-    (e.g. a stream that crashed mid-batch and replays under the same
-    checkpoint identity) reclaims its own lease immediately — the
-    previous incarnation is dead by construction (same checkpoint =
-    same process slot).
+    Acquisition publishes the COMPLETE lease doc by hard link (write a
+    private file, then ``os.link`` it at the lease path): atomic and
+    exclusive like ``O_EXCL``, but a reader can never observe a
+    half-written lease. A lease older than its ``ttl_s`` is STALE (its
+    holder crashed without releasing); reclaim renames it to a private
+    tombstone — the rename succeeds for exactly ONE reclaimer, so two
+    writers judging the same stale lease can never both win (the old
+    unlink-and-retry reclaim let the slower one unlink the faster one's
+    FRESH lease). If the tombstone turns out to be a fresh foreign
+    lease (it changed hands between our read and our rename), it is
+    restored by link — and if a third writer claimed the path in that
+    sliver, the displaced holder FAIL-STOPS at its next fenced publish
+    or renewal rather than dual-writing. Re-entry by the SAME owner
+    (a stream replaying under its checkpoint identity) reclaims its own
+    lease immediately — the previous incarnation is dead by
+    construction.
 
     The returned doc carries a fresh ``nonce`` — the FENCING TOKEN
     (r12 verdict Next #2): fenced publishes
@@ -799,49 +888,80 @@ def acquire_lease(store_dir: str, owner: str, ttl_s: float = 600.0) -> dict:
 
     _os.makedirs(store_dir, exist_ok=True)
     path = lease_path(store_dir)
+    nonce = _uuid.uuid4().hex
     doc = {
         "owner": owner,
         "acquired_at": _time.time(),
         "ttl_s": float(ttl_s),
-        "nonce": _uuid.uuid4().hex,
+        "nonce": nonce,
     }
-    for _attempt in range(3):
-        try:
-            fd = _os.open(path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
-            with _os.fdopen(fd, "w") as fh:
-                _json.dump(doc, fh)
-                fh.flush()
-                _os.fsync(fh.fileno())
-            return doc
-        except FileExistsError:
-            cur = read_json_if_exists(path)
+    tmp = path + ".acq." + nonce
+    with open(tmp, "w") as fh:
+        _json.dump(doc, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    try:
+        for _attempt in range(4):
+            try:
+                _os.link(tmp, path)  # atomic, exclusive, content-complete
+                return doc
+            except FileExistsError:
+                pass
+            cur = _read_lease_doc(path)
             if cur is None:
-                continue  # released between our create and read — retry
-            stale = (
-                _time.time() - float(cur.get("acquired_at", 0))
-                > float(cur.get("ttl_s", ttl_s))
-            )
-            if cur.get("owner") == owner or stale:
+                continue  # released between our link and read — retry
+            if cur == {}:
+                raise LeaseHeld(
+                    f"writer lease on {store_dir} is unreadable — "
+                    "refusing to reclaim what cannot be judged"
+                )
+            if cur.get("owner") == owner or _lease_stale(cur, ttl_s):
+                tomb = path + ".reclaim." + nonce
                 try:
-                    _os.unlink(path)
+                    _os.rename(path, tomb)  # exactly one reclaimer wins
                 except FileNotFoundError:
-                    pass
-                continue  # retry the exclusive create
+                    continue  # someone else reclaimed first — re-judge
+                tombdoc = _read_lease_doc(tomb) or {}
+                if tombdoc.get("owner") != owner and not _lease_stale(
+                    tombdoc or {"acquired_at": 0}, ttl_s
+                ):
+                    # we renamed a lease that changed hands between our
+                    # read and our rename — restore it WITHOUT
+                    # clobbering anything newer (link refuses if a new
+                    # lease landed; that displaced holder fail-stops at
+                    # its next fenced operation)
+                    try:
+                        _os.link(tomb, path)
+                    except FileExistsError:
+                        pass
+                    _os.unlink(tomb)
+                    raise LeaseHeld(
+                        f"writer lease on {store_dir} changed hands to "
+                        f"{tombdoc.get('owner')!r} during reclaim"
+                    )
+                _os.unlink(tomb)
+                continue  # stale (or our own) lease cleared — retry link
             raise LeaseHeld(
                 f"writer lease on {store_dir} held by "
                 f"{cur.get('owner')!r} (age "
                 f"{_time.time() - float(cur.get('acquired_at', 0)):.0f}s, "
                 f"ttl {cur.get('ttl_s')}s)"
             )
-    raise LeaseHeld(f"could not acquire writer lease on {store_dir}")
+        raise LeaseHeld(f"could not acquire writer lease on {store_dir}")
+    finally:
+        try:
+            _os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def verify_lease(store_dir: str, nonce: str) -> dict:
     """Re-validate ownership: the lease file must still carry this
     writer's ``nonce``. Raises :class:`LeaseLost` when the lease was
-    reclaimed (different nonce) or released/deleted — the fencing check
-    every fenced publish runs at its commit point."""
-    cur = read_json_if_exists(lease_path(store_dir))
+    reclaimed (different nonce), released/deleted, or unreadable — the
+    publisher's safe posture is always fail-stop, never an escaping
+    parse error."""
+    cur = _read_lease_doc(lease_path(store_dir))
     if cur is None or cur.get("nonce") != nonce:
         raise LeaseLost(
             f"writer lease on {store_dir} was "
@@ -881,8 +1001,8 @@ def release_lease(
     incarnations — PID reuse, same checkpoint identity); owner-only is
     the legacy form."""
     path = lease_path(store_dir)
-    cur = read_json_if_exists(path)
-    if cur is None:
+    cur = _read_lease_doc(path)
+    if not cur:  # vanished or unreadable — nothing provably ours
         return
     if nonce is not None:
         if cur.get("nonce") != nonce:

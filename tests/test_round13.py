@@ -413,6 +413,128 @@ def test_cross_process_compactor_refused_then_folds(spark, tmp_path):
     assert after == before  # read-back parity through the foreign fold
 
 
+# --- round-13 review pass 2: lease/fold hardening ------------------------------
+
+
+def test_reclaim_restores_fresh_foreign_lease(tmp_path, monkeypatch):
+    """The stale-reclaim race, closed: a writer that judged the lease
+    stale from a STALE READ (it changed hands before its rename) must
+    restore the fresh holder's lease and raise LeaseHeld — never leave
+    two live holders."""
+    from go_fish_spark.streaming import storekernel as sk
+
+    d = str(tmp_path)
+    b = sk.acquire_lease(d, "writer-b", ttl_s=600)  # the fresh holder
+    real_read = sk._read_lease_doc
+    calls = {"n": 0}
+
+    def stale_first_read(path):
+        calls["n"] += 1
+        if calls["n"] == 1 and path == sk.lease_path(d):
+            # what C saw before B took over: a long-dead lease
+            return {"owner": "dead", "acquired_at": 0.0, "ttl_s": 1.0,
+                    "nonce": "dead"}
+        return real_read(path)
+
+    monkeypatch.setattr(sk, "_read_lease_doc", stale_first_read)
+    with pytest.raises(sk.LeaseHeld, match="changed hands"):
+        sk.acquire_lease(d, "writer-c", ttl_s=600)
+    monkeypatch.setattr(sk, "_read_lease_doc", real_read)
+    # B's lease survived the attempted steal intact
+    assert sk.verify_lease(d, b["nonce"])["owner"] == "writer-b"
+
+
+def test_torn_lease_file_maps_to_protocol_errors(tmp_path):
+    """A torn/unreadable lease file must surface as LeaseHeld (acquire:
+    never reclaim what you cannot judge) and LeaseLost (verify:
+    fail-stop) — not as an escaping JSONDecodeError."""
+    from go_fish_spark.streaming import storekernel as sk
+
+    d = str(tmp_path)
+    with open(sk.lease_path(d), "w") as fh:
+        fh.write('{"owner": "half-writ')  # torn mid-publish
+    with pytest.raises(sk.LeaseHeld, match="unreadable"):
+        sk.acquire_lease(d, "writer-a")
+    with pytest.raises(sk.LeaseLost):
+        sk.verify_lease(d, "any-nonce")
+    sk.release_lease(d, "anyone")  # no-op, no crash
+    assert os.path.exists(sk.lease_path(d))  # and nothing deleted
+
+
+def test_fold_refuses_foreign_commit_point(spark, tmp_path):
+    """A COMMIT.json whose commit point is BELOW the store's covered
+    fold stamp belongs to a different batch-id space — applying it as a
+    cut would silently drop the whole previous generation; the fold
+    must refuse instead."""
+    from go_fish_spark.streaming import storekernel as sk
+    from go_fish_spark.streaming.sigstore import (
+        append_sig_patch,
+        compact_signature_store,
+    )
+
+    store = str(tmp_path / "store" / "sigs")
+    append_sig_patch(_sig_rows(spark, 10, "a"), store, 10, n_shards=4)
+    compact_signature_store(spark, store, n_shards=4)  # covered = 10
+    sk.publish_commit(str(tmp_path / "store"), 5)  # foreign batch space
+    with pytest.raises(ValueError, match="does not belong"):
+        compact_signature_store(spark, store, n_shards=4)
+
+
+def test_walk_ignores_temporary_dirs(spark, tmp_path):
+    """Uncommitted task files under _temporary/ (a crashed append) are
+    invisible to readers and must be invisible to the compaction
+    pressure signal too — else one crash inflates the plan forever."""
+    from go_fish_spark.streaming import storekernel as sk
+    from go_fish_spark.streaming.sigstore import (
+        append_sig_patch,
+        sig_compaction_plan,
+    )
+
+    store = str(tmp_path / "sigs")
+    append_sig_patch(_sig_rows(spark, 8, "a"), store, 0, n_shards=4)
+    files0, _b, per0 = sk.walk_parquet_files(store)
+    staged = os.path.join(store, "_temporary", "0", "shard=9")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-crashed.parquet"), "wb") as fh:
+        fh.write(b"not a real footer")
+    files1, _b, per1 = sk.walk_parquet_files(store)
+    assert (files1, per1) == (files0, per0)
+    plan = sig_compaction_plan(store, file_cutoff=1.0, min_patch_files=1)
+    assert plan["legacy_files"] == 0  # no phantom legacy pressure
+
+
+def test_sig_read_identical_before_and_after_fold_on_dup_rows(
+    spark, tmp_path
+):
+    """True duplicate-id rows inside ONE batch (written via the raw
+    append, bypassing the stream's per-batch dedup) must read back
+    identically before and after a fold — reader and fold share one
+    total order."""
+    from go_fish_spark.streaming.sigstore import (
+        append_sig_patch,
+        compact_signature_store,
+        read_signature_store,
+    )
+
+    store = str(tmp_path / "store" / "sigs")
+    dup = spark.createDataFrame(
+        [(1, [9, 9]), (1, [1, 1]), (2, [5, 5])],
+        "doc_id long, _sig array<bigint>",
+    )
+    append_sig_patch(dup, store, 0, n_shards=4)
+    before = {
+        (r["doc_id"], tuple(r["_sig"]))
+        for r in read_signature_store(spark, store).collect()
+    }
+    assert before == {(1, (1, 1)), (2, (5, 5))}  # min by value order
+    compact_signature_store(spark, store, n_shards=4)
+    after = {
+        (r["doc_id"], tuple(r["_sig"]))
+        for r in read_signature_store(spark, store).collect()
+    }
+    assert after == before
+
+
 # --- r12 verdict Next #1: sig-store compaction on the kernel ------------------
 
 
