@@ -88,22 +88,40 @@ def sweep_tmp_stores(app_id: str | None = None, stale_s: float = 86400.0) -> int
     exit, so every run leaked a few MBs per app id (r12 verdict
     cosmetics #4). Called at the end of bench/check_correctness runs:
     sweeps the CURRENT session's dirs (``app_id``) plus any dir whose
-    mtime is ``stale_s`` old — never a fresh dir that could belong to
-    a concurrent run mid-entry (entries touch their dirs every few
-    seconds, so minutes of stillness means abandoned; keep ``stale_s``
-    comfortably above one entry's wall). Returns the number of
-    directories removed."""
+    RECURSIVE max mtime is ``stale_s`` old — never a fresh dir that
+    could belong to a concurrent run mid-entry. The top-level dir's own
+    mtime only moves when an immediate child is created/removed (ADVICE
+    r13: nested parquet writes do NOT touch it), so staleness is judged
+    from the newest mtime anywhere under the tree — any write activity
+    within ``stale_s`` protects the dir. Keep ``stale_s`` comfortably
+    above one entry's wall time. Returns the number of directories
+    removed."""
     import glob
     import shutil
     import time
 
+    def newest_mtime(root: str) -> float:
+        # full walk, mtime of every dir and file: a deep parquet write
+        # updates its leaf dir + file mtimes even when nothing above
+        # moves. Store trees are MBs / hundreds of entries — cheap.
+        try:
+            newest = os.path.getmtime(root)
+        except OSError:
+            return 0.0
+        for dirpath, dirs, files in os.walk(root):
+            for name in dirs + files:
+                try:
+                    m = os.path.getmtime(os.path.join(dirpath, name))
+                except OSError:
+                    continue
+                if m > newest:
+                    newest = m
+        return newest
+
     n = 0
     for p in glob.glob("/tmp/gofish_x*"):
         mine = app_id is not None and p.endswith(f"_{app_id}")
-        try:
-            stale = time.time() - os.path.getmtime(p) > stale_s
-        except OSError:
-            stale = True
+        stale = time.time() - newest_mtime(p) > stale_s
         if mine or stale:
             shutil.rmtree(p, ignore_errors=True)
             n += 1

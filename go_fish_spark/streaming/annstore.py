@@ -66,6 +66,24 @@ def _cells_path(store_dir: str, gen: int) -> str:
     return _sk.generation_path(_cells_root(store_dir), gen)
 
 
+def _cells_census(store_dir: str, gen: int) -> frozenset:
+    """Fingerprint of the generation's data files ((relpath, size)
+    pairs): two searches that bracket an UNCHANGED census provably read
+    the same rows. Cheap — a directory walk, no file reads."""
+    root = _cells_path(store_dir, gen)
+    out = []
+    for dirpath, _dirs, files in _os.walk(root):
+        rel = _os.path.relpath(dirpath, root)
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                try:
+                    sz = _os.path.getsize(_os.path.join(dirpath, f))
+                except OSError:
+                    sz = -1
+                out.append((_os.path.join(rel, f), sz))
+    return frozenset(out)
+
+
 def publish_ann_model(
     store_dir: str,
     coarse: Quantizer,
@@ -583,6 +601,17 @@ def ann_search_stream(
             return
         bdf = bdf.localCheckpoint()  # fix the batch for search + audit
         doc0 = load_ann_manifest(store_dir)  # model the batch serves on
+        # data snapshot the serving search reads (ADVICE r13): patch
+        # appends don't bump the manifest version, so the version check
+        # alone misses a maintenance stream appending BETWEEN the
+        # serving search and the truth search — rows the truth side
+        # sees but serving didn't would deflate recall_at_k without
+        # tripping the skip. The file census detects any data change.
+        census0 = (
+            _cells_census(store_dir, doc0["gen"])
+            if doc0 is not None
+            else frozenset()
+        )
         res = adc_search_store(
             spark, store_dir, bdf, id_col=id_col, vec_col=vec_col,
             k=k, n_probe=n_probe,
@@ -635,6 +664,14 @@ def ann_search_stream(
                         or doc["version"] != doc0["version"]
                     ):
                         skipped = "model_changed_mid_batch"
+                    elif (
+                        _cells_census(store_dir, doc["gen"]) != census0
+                    ):
+                        # same model, different data files: a patch
+                        # landed between the two searches — the truth
+                        # side saw rows serving didn't (or vice versa
+                        # after a prune); the estimate would be garbage
+                        skipped = "store_data_changed_mid_batch"
                 else:
                     truth = brute_force_topk(
                         recall_corpus, samp, id_col, vec_col, k

@@ -521,7 +521,16 @@ def live_keyed_rows(
         # explicit file list (a directory entry read, not a scan).
         roots = _root_parquet_files(store_path)
         if roots and _has_partition_dirs(store_path):
-            legacy = spark.read.parquet(*roots)
+            # honor merge_schema on the explicit-file read too (ADVICE
+            # r13): with mixed flat files (some pre-stamp, some carrying
+            # _batch_id) Spark may otherwise pick a footer schema
+            # lacking _batch_id and silently null real stamps — the
+            # legacy fill would then demote stamped re-appends to batch
+            # -1 and latest-wins could return a stale row.
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            legacy = reader.parquet(*roots)
             patches = (
                 patches.unionByName(legacy, allowMissingColumns=True)
                 if patches is not None
@@ -980,15 +989,61 @@ def renew_lease(store_dir: str, nonce: str) -> dict:
     it is never treated as crashed while alive (ADVICE r12 #1); a
     writer that misses every renewal window for a full TTL is
     indistinguishable from a crash and loses the lease — which is the
-    contract."""
-    cur = verify_lease(store_dir, nonce)
+    contract.
+
+    The heartbeat is RACE-FREE, not merely fenced (ADVICE r13): it
+    renames the lease to a private working file (atomic — exactly one
+    mover wins against a reclaimer's tombstone rename), checks the
+    nonce on the captured doc, then republishes the renewed doc by
+    ``os.link`` (exclusive — refuses if an acquirer claimed the briefly
+    absent path). Every interleaving with a reclaim or a fresh acquire
+    therefore resolves to exactly one live lease: either we moved the
+    file first and the reclaimer re-judges the republished doc, or they
+    moved it first and we fail-stop with :class:`LeaseLost`. A crash
+    between the rename and the link loses the lease immediately (the
+    path is absent), which is strictly safer than holding it to TTL."""
+    path = lease_path(store_dir)
+    work = path + ".renew." + nonce
+    try:
+        _os.rename(path, work)  # atomic take: one mover wins
+    except FileNotFoundError:
+        raise LeaseLost(
+            f"writer lease on {store_dir} was released or reclaimed — "
+            "refusing to heartbeat (fail-stop)"
+        )
+    cur = _read_lease_doc(work)
+    if not cur or cur.get("nonce") != nonce:
+        # we took someone ELSE's lease (a reclaimer re-acquired between
+        # a prior check and our rename) — restore it without clobbering
+        # anything newer, then fail-stop
+        try:
+            _os.link(work, path)
+        except FileExistsError:
+            pass
+        _os.unlink(work)
+        raise LeaseLost(
+            f"writer lease on {store_dir} was reclaimed by "
+            f"{(cur or {}).get('owner')!r} — refusing to heartbeat"
+        )
     doc = dict(cur, acquired_at=_time.time())
-    # atomic replace: a reader sees the old heartbeat or the new one.
-    # (A reclaimer racing exactly this window can unlink between our
-    # verify and replace — the next fenced publish or renewal catches
-    # it; the window is microseconds against a TTL of minutes, and
-    # renewing BEFORE expiry means no reclaim is in flight at all.)
-    atomic_write_json(lease_path(store_dir), doc)
+    tmp = path + ".hb." + nonce
+    with open(tmp, "w") as fh:
+        _json.dump(doc, fh)
+        fh.flush()
+        _os.fsync(fh.fileno())
+    try:
+        _os.link(tmp, path)  # exclusive: a racing acquirer wins
+    except FileExistsError:
+        try:
+            _os.unlink(tmp)
+        finally:
+            _os.unlink(work)
+        raise LeaseLost(
+            f"writer lease on {store_dir} was claimed by a new holder "
+            "during the heartbeat — refusing to resurrect ours"
+        )
+    _os.unlink(tmp)
+    _os.unlink(work)
     return doc
 
 
