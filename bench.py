@@ -268,6 +268,7 @@ HEADLINE = [
     "x172_bpe_fertility",
     "x173_bloom_decontam",
     "x174_sig_compaction_readback",
+    "x175_pq_plan_sweep",
 ]
 
 

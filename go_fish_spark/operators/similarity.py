@@ -1685,6 +1685,7 @@ def choose_ann(
     quantizer: "Quantizer | None" = None,
     coded: DataFrame | None = None,
     amortize_over: int | None = None,
+    pq_sweep=None,
 ) -> dict:
     """ANN-discipline PLANNER (r10 verdict Next #2 — choose_blocking's
     twin for similarity search): given a recall contract
@@ -1739,9 +1740,23 @@ def choose_ann(
         raise ValueError("min_recall must be in [0, 1]")
     if flop_budget < 0:
         raise ValueError("flop_budget must be >= 0")
+    measured = dict(measured_recall or {})
+    pq_rec = None
+    if pq_sweep is not None:
+        # PQ parameters come from the MEASURED sweep (r13 verdict Next
+        # #1): the cheapest (m, ksub, n_probe) meeting min_recall
+        # replaces the fixed defaults BEFORE pricing, so the candidate
+        # product-sum below routes at the recommended n_probe and the
+        # ivfpq discipline's recall is its sweep-measured value — the
+        # planner can now close a quantization gap by spending bytes
+        # (larger m) instead of silently serving recall 0.15.
+        pq_rec = choose_pq_params(pq_sweep, min_recall)
+        pq_m, pq_ksub, n_probe = (
+            pq_rec["pq_m"], pq_rec["pq_ksub"], pq_rec["n_probe"]
+        )
+        measured["ivfpq_adc"] = pq_rec["recall"]
     if dim % pq_m != 0:
         raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
-    measured = measured_recall or {}
     if quantizer is None:
         quantizer = fit_quantizer_det(
             corpus, id_col, vec_col, n_cells, train_cap, seed
@@ -1836,6 +1851,9 @@ def choose_ann(
         "flop_budget": flop_budget,
         "amortize_over": amortize_over,
     }
+    if pq_rec is not None:
+        plan["pq_recommendation"] = pq_rec
+        disciplines["ivfpq_adc"]["recall_source"] = "sweep"
 
     def _decide() -> None:
         import math as _math
@@ -1991,6 +2009,285 @@ def measure_ann_recall(
         )
         out[name] = round(float(row["r"]), 6) if row["r"] is not None else 0.0
     return out
+
+
+def pq_plan_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    plans: tuple = (
+        (2, 16, 4), (4, 8, 4), (4, 16, 4),
+        (8, 16, 4), (16, 16, 4), (4, 16, 8),
+    ),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
+) -> DataFrame:
+    """Empirical PQ parameter sweep (r13 verdict Next #1 — the x100
+    LSH banding sweep's twin for the quantization axis): for every
+    ``(pq_m, pq_ksub, n_probe)`` plan, the MEASURED recall@k of the
+    IVF-PQ search against the exact brute-force ground truth on the
+    given query set, beside the plan's exact storage and search cost —
+    the recall-vs-bytes law SCALE.md r13 proved was unpriced
+    (quantization loss 0.15 at m=4/ksub=16 dominating the 0.875
+    routing term, and nothing to tell a planner which m closes it).
+
+    Output, one row per plan (all integers exact, recall a ratio of
+    exact integers — cross-engine reproducible):
+
+    - ``code_bytes`` — packed PQ code width ``ceil(m·ceil(log2 ksub)/8)``:
+      the bytes-per-vector the 100 TB store actually pays.
+    - ``table_flops_per_query`` — routing (n_cells·dim) + per-probed-
+      cell ADC table build (n_probe·ksub·dim) in multiply-add units.
+    - ``n_candidates`` — EXACT candidates the probed cells yield for
+      this query set (Σ_q |corpus ∩ probed(q)| minus self-hits), the
+      data-dependent term of the scan cost.
+    - ``scan_flops`` — n_candidates · m (one table lookup-add per
+      sub-code per candidate).
+    - ``n_true`` / ``n_hit`` / ``recall`` — micro-averaged recall@k:
+      Σ hits / Σ truth rows over the query set (a ratio of two exact
+      integers, so both engines round the same quotient).
+
+    Cost shape: ONE brute-force truth pass (|queries|·|corpus|·dim —
+    the bounded instrument price, queries is a SAMPLE) + one coded
+    search per plan; the corpus is never shuffled (ivfpq_topk_expr
+    exchanges on the cell key only). All models fit deterministically
+    from the hash-total-ordered sample, so a SQL oracle re-derives
+    every row (the x44/x47 contract).
+
+    Feed the result to :func:`choose_pq_params` / ``choose_ann(...,
+    pq_sweep=...)`` to turn the table into a parameter recommendation
+    meeting a recall target at minimum cost."""
+    import math as _math
+
+    for m, ksub, _np_ in plans:
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by pq_m {m}")
+        if ksub < 2:
+            raise ValueError(f"pq_ksub must be >= 2, got {ksub}")
+    if len(set(map(tuple, plans))) != len(plans):
+        raise ValueError("duplicate plan triples in plans")
+    spark = corpus.sparkSession
+    cor = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    samp = queries.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).localCheckpoint()
+    truth = brute_force_topk(cor, samp, k=k)
+    truth = truth.select("query_id", "rank", "vec_id").localCheckpoint()
+
+    # one deterministic fit input, one coarse model, one residual set —
+    # shared by every plan (the PQ codebooks are the only per-plan fit)
+    X = deterministic_sample(cor, "vec_id", "embedding", train_cap)
+    coarse_np = _kmeans_fit(X, n_cells, seed)
+    D = -2.0 * (X @ coarse_np.T) + (coarse_np**2).sum(axis=1)[None, :]
+    R = X - coarse_np[D.argmin(axis=1)]
+    coarse = Quantizer(coarse_np)
+
+    # The coarse side of every plan is IDENTICAL (cell assignment and
+    # residuals depend on the coarse model only, never on m/ksub/
+    # n_probe) — so the corpus residual frame and the query routing/
+    # residual frame are computed ONCE and checkpointed; per plan only
+    # the PQ code/table expressions differ. This is the whole wall-time
+    # budget of the sweep: building + analyzing the 1024-literal
+    # centroid trees per plan measured ~2 s/plan of pure driver time.
+    cl = _centers_lit(coarse._centers)
+
+    def residual(v: Column, cell: Column) -> Column:
+        return F.zip_with(
+            v.cast("array<double>"),
+            F.element_at(cl, cell + 1),
+            lambda x, y: x - y,
+        )
+
+    resc = cor.select(
+        "vec_id",
+        F.col("embedding").alias("_v"),
+        coarse.assign_expr_col("embedding").alias("cell"),
+    )
+    resc = resc.select(
+        "vec_id", "cell", residual(F.col("_v"), F.col("cell")).alias("_rv")
+    ).localCheckpoint()
+    max_np = max(p[2] for p in plans)
+    wp = Window.partitionBy("query_id").orderBy("_d", "cell")
+    probe = (
+        samp.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+            F.posexplode(coarse.dist_expr_arr("embedding")).alias(
+                "cell", "_d"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= max_np)
+        .select(
+            "query_id", "cell", "_rn",
+            residual(F.col("_qv"), F.col("cell")).alias("_rv"),
+        )
+        .localCheckpoint()
+    )
+
+    # exact candidate counts per n_probe by pure arithmetic over three
+    # tiny collects (cell histogram, query routing, own-row cells):
+    # Σ_q |corpus ∩ probed(q)| − self-hits, for ANY n_probe, with no
+    # per-plan join
+    hist = {
+        int(r["cell"]): int(r["n"])
+        for r in resc.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    routing = probe.select("query_id", "cell", "_rn").collect()
+    # the scorer drops vec_id == query_id: a self-hit exists iff the
+    # CORPUS row carrying the query's id lands in a probed cell — so
+    # the subtraction uses the corpus row's cell, not the query
+    # vector's own assignment (they differ when the corpus copy of the
+    # id holds a different vector, e.g. a re-appended embedding)
+    own = {
+        r["vec_id"]: int(r["cell"])
+        for r in resc.join(samp.select("vec_id"), "vec_id", "left_semi")
+        .select("vec_id", "cell")
+        .collect()
+    }
+
+    def candidates(n_probe: int) -> int:
+        total = 0
+        for r in routing:
+            if int(r["_rn"]) <= n_probe:
+                total += hist.get(int(r["cell"]), 0)
+                if own.get(r["query_id"]) == int(r["cell"]):
+                    total -= 1  # the scorer drops vec_id == query_id
+        return total
+
+    # ALL plans' searches ride ONE action: each plan's top-k frame is
+    # tagged with its (m, ksub, n_probe) and unioned, then a single
+    # truth-join counts hits per plan — job-launch overhead is paid
+    # once, not per plan (6 separate audit jobs measured ~6× slower at
+    # small SF, pure scheduling)
+    adist = F.aggregate(
+        F.zip_with("codes", "dt", lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    union = None
+    for m, ksub, n_probe in plans:
+        pq = ProductQuantizer(_pq_fit(R, m, ksub, seed))
+        coded = resc.select(
+            "vec_id", "cell", pq.codes_col("_rv").alias("codes")
+        )
+        pdt = probe.filter(F.col("_rn") <= n_probe).select(
+            "query_id", "cell", pq.dtables_col("_rv").alias("dt")
+        )
+        scored = (
+            coded.join(pdt, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("adist", adist)
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("adist").asc(), F.col("vec_id")
+        )
+        ap = (
+            scored.withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(m).alias("pq_m"),
+                F.lit(ksub).alias("pq_ksub"),
+                F.lit(n_probe).alias("n_probe"),
+                "query_id", "vec_id",
+            )
+        )
+        union = ap if union is None else union.unionByName(ap)
+    n_true = truth.count()  # every plan audits the same truth set
+    hits = {
+        (int(r["pq_m"]), int(r["pq_ksub"]), int(r["n_probe"])): int(r["h"])
+        for r in truth.select("query_id", "vec_id")
+        .join(union, ["query_id", "vec_id"])
+        .groupBy("pq_m", "pq_ksub", "n_probe")
+        .agg(F.count(F.lit(1)).alias("h"))
+        .collect()
+    }
+    rows = []
+    for m, ksub, n_probe in plans:
+        n_hit = hits.get((m, ksub, n_probe), 0)
+        code_bits = m * _math.ceil(_math.log2(ksub))
+        cand = candidates(n_probe)
+        rows.append(
+            (
+                m, ksub, n_probe,
+                (code_bits + 7) // 8,
+                n_cells * dim + n_probe * ksub * dim,
+                cand,
+                cand * m,
+                n_true, n_hit,
+                round(n_hit / n_true, 9) if n_true else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "pq_m int, pq_ksub int, n_probe int, code_bytes int, "
+        "table_flops_per_query bigint, n_candidates bigint, "
+        "scan_flops bigint, n_true bigint, n_hit bigint, recall double",
+    ).orderBy("pq_m", "pq_ksub", "n_probe")
+
+
+def choose_pq_params(sweep, min_recall: float) -> dict:
+    """Turn a :func:`pq_plan_sweep` table into THE parameter
+    recommendation: among plans whose measured recall meets
+    ``min_recall``, the cheapest wins — by ``code_bytes`` first (the
+    100 TB constraint is the store's memory footprint), then total
+    search flops, then higher recall, then the (m, ksub, n_probe)
+    triple for a deterministic tie. When no plan meets the target the
+    answer is the highest-recall plan with ``action="below_target"`` —
+    the honest "your grid tops out at X" report a caller escalates on
+    (widen the grid: larger m / ksub / n_probe) rather than silently
+    serving the miss."""
+    if not 0.0 <= min_recall <= 1.0:
+        raise ValueError("min_recall must be in [0, 1]")
+    if isinstance(sweep, DataFrame):
+        sweep = sweep.collect()
+    rows = [
+        r.asDict() if hasattr(r, "asDict") else dict(r) for r in sweep
+    ]
+    if not rows:
+        raise ValueError("empty PQ sweep")
+
+    def cost_key(r):
+        return (
+            r["code_bytes"],
+            r["table_flops_per_query"] + r["scan_flops"],
+            -r["recall"],
+            r["pq_m"], r["pq_ksub"], r["n_probe"],
+        )
+
+    meeting = [r for r in rows if r["recall"] >= min_recall]
+    if meeting:
+        best = min(meeting, key=cost_key)
+        action = "proceed"
+    else:
+        best = min(
+            rows,
+            key=lambda r: (
+                -r["recall"], r["code_bytes"],
+                r["pq_m"], r["pq_ksub"], r["n_probe"],
+            ),
+        )
+        action = "below_target"
+    return {
+        "action": action,
+        "min_recall": min_recall,
+        "pq_m": int(best["pq_m"]),
+        "pq_ksub": int(best["pq_ksub"]),
+        "n_probe": int(best["n_probe"]),
+        "recall": float(best["recall"]),
+        "code_bytes": int(best["code_bytes"]),
+        "table_flops_per_query": int(best["table_flops_per_query"]),
+        "scan_flops": int(best["scan_flops"]),
+        "n_plans": len(rows),
+    }
 
 
 def run_ann(

@@ -199,7 +199,7 @@ def release_session_caches() -> None:
     tests call it to assert the caches cannot leak."""
     for cache in (
         _SIG_FRAMES, _PAIR_FRAMES, _AUDIT_PASSES, _LABEL_FRAMES,
-        _CURATION_PASSES,
+        _CURATION_PASSES, _PQ_SWEEPS,
     ):
         cache.clear()
 
@@ -389,3 +389,50 @@ def shared_history_labels(spark, sf_dir: str, threshold: float = 0.35):
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     return _LABEL_FRAMES.get_or_fit(key, fit)
+
+
+# x175 consumes the PQ parameter sweep — a MEASURED table (6 plans ×
+# one recall instrument each) whose cost is the per-plan model fits +
+# one unioned search action. The cached value is the COLLECTED row
+# list (a few hundred bytes — no persisted frame to unpersist), the
+# session-local form of the sweep report a planner materializes once
+# per corpus snapshot and every choose_ann call reads.
+
+_PQ_SWEEPS = _SessionCache(lambda rows: None)
+
+_X175_PLANS = (
+    (2, 16, 4), (4, 8, 4), (4, 16, 4),
+    (8, 16, 4), (16, 16, 4), (4, 16, 8),
+)
+
+
+def shared_pq_sweep(spark, sf_dir: str, plans: tuple = _X175_PLANS):
+    """Session-cached :func:`similarity.pq_plan_sweep` rows over
+    ``sf_dir``'s embeddings (queries = vec_id < 8, k=10, 16 cells).
+    Keyed by (applicationId, data fingerprint, sf_dir, plans); bounded
+    LRU. Returns a plain list of Rows — rebuild the DataFrame with
+    ``spark.createDataFrame(rows, PQ_SWEEP_SCHEMA)``."""
+    from pyspark.sql import functions as F
+
+    from ...catalog import table
+
+    key = (
+        spark.sparkContext.applicationId,
+        _corpus_fingerprint(sf_dir, "embeddings"),
+        sf_dir, plans,
+    )
+
+    def fit():
+        emb = table(spark, sf_dir, "embeddings")
+        return similarity.pq_plan_sweep(
+            emb, emb.filter(F.col("vec_id") < 8), _EMB_DIM, plans=plans
+        ).collect()
+
+    return _PQ_SWEEPS.get_or_fit(key, fit)
+
+
+PQ_SWEEP_SCHEMA = (
+    "pq_m int, pq_ksub int, n_probe int, code_bytes int, "
+    "table_flops_per_query bigint, n_candidates bigint, "
+    "scan_flops bigint, n_true bigint, n_hit bigint, recall double"
+)

@@ -1406,3 +1406,131 @@ def x170_ann_selective_fold_readback(spark, sf_dir):
             )
         ).alias("codes_md5"),
     ).orderBy("id")
+
+
+def _x175_oracle(sf_dir: str) -> str | None:
+    """DuckDB mirror of the PQ parameter sweep: the same deterministic
+    coarse fit + per-plan residual PQ codebooks (byte-identical numpy
+    literals), the same cosine brute-force truth, the same per-plan
+    residual-ADC search and top-10 cut, the same exact candidate and
+    hit counts — every measured number in the sweep table re-derived
+    cross-engine (the x44/x47 contract, swept over the plan grid)."""
+    import math as _math
+
+    from ._shared import _X175_PLANS
+
+    X = _duck_sample_X(sf_dir)
+    if X is None:
+        return None
+    coarse = similarity._kmeans_fit(X, 16, 42)
+    D = -2.0 * (X @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
+    R = X - coarse[D.argmin(axis=1)]
+    cl = similarity.duck_centers_lit(coarse)
+    dl = similarity.duck_dist_list("embedding", coarse)
+    rv = (
+        f"[embedding[i]::DOUBLE - (({cl})[cell + 1])[i] "
+        f"for i in range(1, {_EMB_DIM + 1})]"
+    )
+    cos_bf = vectors.duck_cosine("c.embedding", "q.embedding", _EMB_DIM)
+    max_np = max(p[2] for p in _X175_PLANS)
+    blocks = []
+    for m, ksub, np_ in _X175_PLANS:
+        pq = similarity.ProductQuantizer(
+            similarity._pq_fit(R, m, ksub, 42)
+        )
+        codes = similarity.duck_pq_codes("rv", pq)
+        dts = similarity.duck_pq_dtables("rv", pq)
+        code_bytes = (m * _math.ceil(_math.log2(ksub)) + 7) // 8
+        tfq = 16 * _EMB_DIM + np_ * ksub * _EMB_DIM
+        blocks.append(f"""
+      SELECT CAST({m} AS INTEGER) AS pq_m,
+             CAST({ksub} AS INTEGER) AS pq_ksub,
+             CAST({np_} AS INTEGER) AS n_probe,
+             CAST({code_bytes} AS INTEGER) AS code_bytes,
+             CAST({tfq} AS BIGINT) AS table_flops_per_query,
+             cand.c AS n_candidates,
+             cand.c * {m} AS scan_flops,
+             (SELECT n FROM nt) AS n_true,
+             hit.h AS n_hit,
+             round(hit.h / (SELECT n FROM nt), 9) AS recall
+      FROM
+        (SELECT CAST(count(*) AS BIGINT) AS c
+         FROM resc cc
+         JOIN (SELECT DISTINCT query_id, cell FROM pr
+               WHERE rn <= {np_}) pp
+           ON cc.cell = pp.cell AND cc.vec_id != pp.query_id) cand,
+        (SELECT CAST(count(*) AS BIGINT) AS h FROM bf
+         JOIN (
+           SELECT query_id, vec_id FROM (
+             SELECT s.query_id, s.vec_id,
+                    row_number() OVER (PARTITION BY s.query_id
+                                       ORDER BY s.adist, s.vec_id) AS rank
+             FROM (
+               SELECT p.query_id, c.vec_id,
+                      list_reduce(
+                        [(p.dt[j])[(c.codes[j]) + 1]
+                         for j in range(1, {m + 1})],
+                        (a, b) -> a + b) AS adist
+               FROM (SELECT vec_id, cell, {codes} AS codes
+                     FROM resc) c
+               JOIN (SELECT query_id, cell, {dts} AS dt
+                     FROM pr WHERE rn <= {np_}) p
+                 ON c.cell = p.cell AND c.vec_id != p.query_id
+             ) s
+           ) WHERE rank <= 10
+         ) tp USING (query_id, vec_id)) hit""")
+    union = "\n      UNION ALL\n".join(blocks)
+    return f"""
+    WITH a0 AS (SELECT vec_id, embedding, {dl} AS dl FROM embeddings),
+    asg AS (SELECT vec_id, embedding,
+                   {similarity.duck_assign('dl')} AS cell FROM a0),
+    resc AS (SELECT vec_id, cell, {rv} AS rv FROM asg),
+    qd AS (SELECT vec_id AS query_id, embedding, {dl} AS dl
+           FROM embeddings WHERE vec_id < 8),
+    pe AS (SELECT query_id, embedding,
+                  CAST(unnest(range(0, 16)) AS INT) AS cell,
+                  unnest(dl) AS d FROM qd),
+    pr0 AS (SELECT query_id, embedding, cell,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, cell) AS rn FROM pe),
+    pr AS (SELECT query_id, cell, rn, {rv} AS rv
+           FROM pr0 WHERE rn <= {max_np}),
+    bf AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM embeddings c
+      JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        ON c.vec_id != q.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY {cos_bf} DESC, c.vec_id
+      ) <= 10
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bf)
+    {union}
+    ORDER BY pq_m, pq_ksub, n_probe
+    """
+
+
+@query("x175_pq_plan_sweep", oracle=_x175_oracle)
+def x175_pq_plan_sweep(spark, sf_dir):
+    """Empirical PQ parameter sweep (similarity.pq_plan_sweep — r13
+    verdict Next #1, the x100 LSH banding sweep's twin on the
+    quantization axis): for six (pq_m, pq_ksub, n_probe) plans over the
+    embeddings corpus, the MEASURED recall@10 of residual IVF-PQ ADC
+    against the exact cosine ground truth on an 8-query sample, beside
+    each plan's exact storage bytes-per-code, ADC table-build flops,
+    and candidate-scan flops — the recall-vs-bytes scale law SCALE.md
+    r13 proved was unpriced (quantization loss dominating routing loss,
+    with nothing to tell choose_ann which pq_m closes it). All coarse
+    work (routing, residuals) is shared across plans and checkpointed
+    once; all plan searches ride ONE union action; candidate counts are
+    pure arithmetic over the cell histogram. The sweep table feeds
+    choose_pq_params / choose_ann(pq_sweep=...), which picks the
+    cheapest plan meeting the recall contract. Session-cached like the
+    signature frames (the report a planner materializes once per corpus
+    snapshot)."""
+    from ._shared import PQ_SWEEP_SCHEMA, shared_pq_sweep
+
+    rows = shared_pq_sweep(spark, sf_dir)
+    return spark.createDataFrame(rows, PQ_SWEEP_SCHEMA).orderBy(
+        "pq_m", "pq_ksub", "n_probe"
+    )
