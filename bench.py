@@ -29,6 +29,63 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# In-run contention adjudication (r13 verdict Next #5): twice running
+# (r12 x38–x47 block, r13 x166/x128) the committed driver artifact
+# needed after-the-fact noise adjudication because a transient host
+# spike blew up a contiguous block of entries. The bench now re-runs —
+# ONCE — any entry whose recorded wall exceeds its own committed
+# BENCH_FULL history by the cross-round reporting bar (>2x AND >0.3 s,
+# the same rule gen_crossround applies), keeps the better time, and
+# flags the rerun in the artifact so the cross-round diff sees both.
+RERUN_RATIO = 2.0
+RERUN_ABS_S = 0.3
+
+
+def needs_rerun(current: float, history) -> bool:
+    """The gen_crossround coarse bar, applied in-run against the entry's
+    own committed history: >2x slower AND >0.3 s absolute."""
+    if history is None or history <= 0:
+        return False
+    return (
+        current > RERUN_RATIO * history
+        and current - history > RERUN_ABS_S
+    )
+
+
+def adjudicate_reruns(
+    timings: dict, history: dict, run_once, progress=lambda m: None
+) -> dict:
+    """Re-run each past-bar outlier once and keep the BETTER median
+    candidate. ``run_once(name) -> float`` executes the entry and
+    returns its wall; a rerun that itself fails leaves the original
+    timing and records the error. Returns {name: {was, rerun, kept,
+    history}} for the artifact."""
+    rerun_info: dict = {}
+    for name in sorted(timings):
+        h = history.get(name)
+        t = timings[name]
+        if not needs_rerun(t, h):
+            continue
+        try:
+            t2 = run_once(name)
+        except Exception as exc:  # noqa: BLE001 — keep the original
+            rerun_info[name] = {
+                "was": t, "history": h,
+                "rerun_error": f"{type(exc).__name__}: {exc}"[:200],
+            }
+            continue
+        kept = round(min(t, t2), 3)
+        rerun_info[name] = {
+            "was": t, "rerun": round(t2, 3), "kept": kept, "history": h,
+        }
+        timings[name] = kept
+        progress(
+            f"# rerun {name}: was {t:.3f}s vs history {h:.3f}s -> "
+            f"rerun {t2:.3f}s, kept {kept:.3f}s"
+        )
+    return rerun_info
+
+
 # Headline set: one per operator family — scan+filter, join+agg, window
 # funcs, as-of state join, tumbling window, union, topk, json, dedup/text
 # extensions when present.
@@ -352,6 +409,19 @@ def main() -> None:
             reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SLOW", "5"))
         )
         fam = getattr(qd, "family", "query")
+        # Protocol entries run ONE rep (r13 verdict Next #3): each rep
+        # rebuilds a multi-batch store lifecycle from scratch, so the
+        # 10-entry family was 52-75 s of every bench (reps=3) and the
+        # dominant share of the ~45-min close — while its wall measures
+        # protocol step count, not the engine, and is constant in
+        # corpus size. Noise protection for the single rep comes from
+        # the in-run rerun adjudication below plus gen_crossround's
+        # separation test; SPARK_GRAFT_BENCH_REPS_PROTOCOL overrides.
+        if fam == "protocol":
+            reps = max(
+                1,
+                int(os.environ.get("SPARK_GRAFT_BENCH_REPS_PROTOCOL", "1")),
+            )
         try:
             walls = []
 
@@ -396,6 +466,34 @@ def main() -> None:
 
         release_caches()  # dedup ops pin signature caches; free between queries
 
+    # In-run contention adjudication (r13 verdict Next #5): compare
+    # each recorded median against the committed BENCH_FULL history in
+    # the working tree (the previous round's artifact) and give
+    # past-bar outliers one more chance inside this same session. The
+    # extra wall also lands in queries_reps so the separation test
+    # sees it.
+    history: dict = {}
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as fh:
+            history = json.load(fh).get("queries", {}) or {}
+    except (OSError, ValueError):
+        history = {}
+
+    def _rerun_entry(name: str) -> float:
+        qd = REGISTRY[name]
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).count()
+        w = time.perf_counter() - t0
+        reps_map.setdefault(name, []).append(round(w, 3))
+        from go_fish_spark.operators.dedup import release_caches as _rc
+
+        _rc()
+        return w
+
+    rerun_info = adjudicate_reruns(
+        timings, history, _rerun_entry, progress
+    )
+
     probe_last = round(min(_quality_probe(), _quality_probe()), 3)
     # Direction matters: a LAST probe slower than the first means the
     # host got busier while the queries ran (the r9 SCALE.md incident);
@@ -439,6 +537,10 @@ def main() -> None:
         "queries_reps": reps_map,
         "bench_quality": bench_quality,
     }
+    if rerun_info:
+        # in-run adjudicated outliers (r13 Next #5): was/rerun/kept
+        # walls vs the committed history each compared against
+        out["rerun"] = rerun_info
     if errors:
         out["errors"] = errors
     # Truncation-proofing (round-4 postmortem: the driver keeps only the

@@ -354,3 +354,49 @@ def test_pq_plan_sweep_measures_monotone_recall(spark):
     assert by_m[16]["recall"] >= by_m[2]["recall"]
     for r in sw:
         assert r["recall"] == round(r["n_hit"] / r["n_true"], 9)
+
+
+# --- r13 verdict Next #5: in-run bench contention adjudication ----------------
+
+
+def test_bench_rerun_adjudication_synthetic():
+    """A synthetic slow entry (3x its committed history) must be re-run
+    once and keep the better wall; in-bar entries and entries with no
+    history must not re-run; a rerun that itself fails must keep the
+    original timing and record the error."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert bench.needs_rerun(3.0, 1.0)  # 3x and +2.0s — past both bars
+    assert not bench.needs_rerun(1.9, 1.0)  # under the 2x ratio bar
+    assert not bench.needs_rerun(0.5, 0.2)  # 2.5x but under 0.3s abs
+    assert not bench.needs_rerun(3.0, None)  # new entry: no history
+
+    timings = {"slow": 3.0, "fine": 1.1, "new": 9.9, "broken": 4.0}
+    history = {"slow": 1.0, "fine": 1.0, "broken": 1.0}
+    ran = []
+
+    def run_once(name):
+        ran.append(name)
+        if name == "broken":
+            raise RuntimeError("store gone")
+        return 0.9  # the contention cleared
+
+    info = bench.adjudicate_reruns(timings, history, run_once)
+    assert ran == ["broken", "slow"]  # only past-bar entries, sorted
+    assert timings["slow"] == 0.9 and info["slow"]["kept"] == 0.9
+    assert info["slow"]["was"] == 3.0 and info["slow"]["history"] == 1.0
+    assert timings["fine"] == 1.1 and "fine" not in info
+    assert timings["new"] == 9.9 and "new" not in info
+    assert timings["broken"] == 4.0  # rerun failed: original kept
+    assert "rerun_error" in info["broken"]
+
+    # a rerun SLOWER than the original keeps the original
+    t2 = {"slow": 3.0}
+    info2 = bench.adjudicate_reruns(t2, {"slow": 1.0}, lambda n: 5.0)
+    assert t2["slow"] == 3.0 and info2["slow"]["kept"] == 3.0
