@@ -931,3 +931,98 @@ def test_keyed_store_fold_interleavings(spark, ops):
             assert got == {(i, (i, v)) for i, v in model.items()}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_lease_actions = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.sampled_from(["acquire", "renew", "publish", "release", "age"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_lease_actions)
+def test_lease_state_machine_single_publisher(actions):
+    """The lease protocol's single-publisher invariant under ARBITRARY
+    interleavings of three writers (r13 verdict Next #4): after every
+    step, at most ONE tracked writer's nonce is live in the lease file;
+    every OTHER tracked writer is REFUSED at its next fenced publish
+    (fail-stop, never interleaved); the manifest always carries the
+    payload of the LAST successful publish; and the lease file is never
+    torn. ``age`` simulates TTL expiry (rewrites acquired_at backwards)
+    so reclaim epochs occur without sleeping — the hand-written race
+    tests pin specific windows, this sweeps the state machine. The
+    tombstone-restore race fixed by review in r13 (commit 5591937)
+    falls out of exactly this sweep: an acquire landing after an age
+    must strand, not destroy, a competing fresh lease."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from go_fish_spark.streaming import storekernel as sk
+
+    d = tempfile.mkdtemp()
+    manifest = os.path.join(d, "MANIFEST.json")
+    owners = [f"w{i}" for i in range(3)]
+    nonces: list = [None, None, None]
+    last_publish = None
+    try:
+        for step, (w, act) in enumerate(actions):
+            try:
+                if act == "acquire":
+                    doc = sk.acquire_lease(d, owners[w], ttl_s=600)
+                    nonces[w] = doc["nonce"]
+                elif act == "renew" and nonces[w]:
+                    sk.renew_lease(d, nonces[w])
+                elif act == "publish" and nonces[w]:
+                    sk.atomic_write_json(
+                        manifest, {"by": w, "step": step},
+                        fence=(d, nonces[w]),
+                    )
+                    last_publish = {"by": w, "step": step}
+                elif act == "release" and nonces[w]:
+                    sk.release_lease(d, owners[w], nonce=nonces[w])
+                    nonces[w] = None
+                elif act == "age":
+                    cur = sk._read_lease_doc(sk.lease_path(d))
+                    if cur:
+                        cur["acquired_at"] -= 1e6
+                        tmp = sk.lease_path(d) + ".age"
+                        with open(tmp, "w") as fh:
+                            json.dump(cur, fh)
+                        os.replace(tmp, sk.lease_path(d))
+            except sk.LeaseHeld:
+                pass  # refused at acquire — legal, state unchanged
+            except sk.LeaseLost:
+                nonces[w] = None  # fail-stop: the writer stands down
+
+            # --- invariants after EVERY step ---
+            cur = sk._read_lease_doc(sk.lease_path(d))
+            assert cur != {}, "lease file torn"
+            live = [
+                i for i in range(3)
+                if nonces[i] is not None
+                and cur is not None
+                and cur.get("nonce") == nonces[i]
+            ]
+            assert len(live) <= 1, "two writers both hold a live nonce"
+            for i in range(3):
+                if nonces[i] is not None and i not in live:
+                    # a displaced writer MUST be refused at the commit
+                    # point — if this publish ever succeeds the
+                    # single-publisher guarantee is broken
+                    with pytest.raises(sk.LeaseLost):
+                        sk.atomic_write_json(
+                            manifest, {"by": "imposter", "step": step},
+                            fence=(d, nonces[i]),
+                        )
+                    nonces[i] = None  # it fail-stopped; model that
+            if last_publish is not None:
+                with open(manifest) as fh:
+                    assert json.load(fh) == last_publish
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
