@@ -1722,6 +1722,17 @@ def choose_ann(
     derive from ``corpus`` (the store holds no raw vectors — by
     design), and the ``#`` corpus count rides the bucket branch.
 
+    ``pq_sweep`` (r13 verdict Next #1): a :func:`pq_plan_sweep` table
+    (DataFrame or row list). When given, :func:`choose_pq_params`
+    replaces the fixed (pq_m, pq_ksub, n_probe) defaults with the
+    cheapest plan MEETING ``min_recall`` before any pricing runs — the
+    candidate product-sum then routes at the recommended n_probe, the
+    ivfpq_adc discipline carries its sweep-measured recall
+    (``recall_source="sweep"``), and the plan records the
+    recommendation under ``pq_recommendation``. This is how the
+    planner closes a measured quantization gap by spending bytes
+    (larger m) instead of serving a fixed-parameter index blind.
+
     ``amortize_over`` (r11 verdict Next #7): expected number of query
     batches this index will serve. By default build costs are NOT
     charged (the 100 TB posture: the index is built once and amortized
@@ -1742,6 +1753,7 @@ def choose_ann(
         raise ValueError("flop_budget must be >= 0")
     measured = dict(measured_recall or {})
     pq_rec = None
+    pq_params_changed = False
     if pq_sweep is not None:
         # PQ parameters come from the MEASURED sweep (r13 verdict Next
         # #1): the cheapest (m, ksub, n_probe) meeting min_recall
@@ -1751,6 +1763,16 @@ def choose_ann(
         # planner can now close a quantization gap by spending bytes
         # (larger m) instead of silently serving recall 0.15.
         pq_rec = choose_pq_params(pq_sweep, min_recall)
+        pq_params_changed = (pq_rec["pq_m"], pq_rec["pq_ksub"]) != (
+            pq_m, pq_ksub,
+        )
+        if pq_rec["n_probe"] != n_probe and "ivf_probe" in measured:
+            # a caller-measured ivf_probe recall was measured at the
+            # OLD n_probe; carrying it against pricing at the
+            # recommended n_probe would pair an inconsistent
+            # cost/recall — drop it (measure=True re-measures at the
+            # new routing if needed)
+            measured.pop("ivf_probe")
         pq_m, pq_ksub, n_probe = (
             pq_rec["pq_m"], pq_rec["pq_ksub"], pq_rec["n_probe"]
         )
@@ -1864,15 +1886,17 @@ def choose_ann(
             )
             # build amortization (r11 Next #7): charged only when the
             # caller declares an expected batch horizon; a durable
-            # store's IVF/IVF-PQ build is sunk and never re-charged
-            build = (
-                0
-                if (
-                    coded is not None
-                    and name in ("ivf_probe", "ivfpq_adc")
-                )
-                else d["build_cost"]
+            # store's IVF/IVF-PQ build is sunk and never re-charged.
+            # EXCEPT: a pq_sweep recommendation that changes (m, ksub)
+            # obsoletes the store's codes — serving them would deliver
+            # the OLD recall, so the re-encode is a real cost and the
+            # ivfpq build is NOT sunk (the coarse model and cells are
+            # untouched, so ivf_probe's build stays sunk either way).
+            sunk = coded is not None and (
+                name == "ivf_probe"
+                or (name == "ivfpq_adc" and not pq_params_changed)
             )
+            build = 0 if sunk else d["build_cost"]
             d["amortized_cost"] = d["cost"] + (
                 _math.ceil(build / int(amortize_over))
                 if amortize_over
@@ -2011,6 +2035,17 @@ def measure_ann_recall(
     return out
 
 
+# The sweep table's one schema of record — the x175 entry rebuilds its
+# DataFrame from session-cached rows against THIS constant, so the two
+# can never drift.
+PQ_SWEEP_SCHEMA = (
+    "pq_m int, pq_ksub int, n_probe int, code_bytes int, "
+    "table_flops_per_query bigint, n_candidates bigint, "
+    "scan_flops bigint, n_queries bigint, n_true bigint, "
+    "n_hit bigint, recall double"
+)
+
+
 def pq_plan_sweep(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2047,6 +2082,8 @@ def pq_plan_sweep(
       data-dependent term of the scan cost.
     - ``scan_flops`` — n_candidates · m (one table lookup-add per
       sub-code per candidate).
+    - ``n_queries`` — the audit sample size (the whole-sample cost a
+      plan comparison must scale the per-query table term by).
     - ``n_true`` / ``n_hit`` / ``recall`` — micro-averaged recall@k:
       Σ hits / Σ truth rows over the query set (a ratio of two exact
       integers, so both engines round the same quotient).
@@ -2148,9 +2185,10 @@ def pq_plan_sweep(
     # vector's own assignment (they differ when the corpus copy of the
     # id holds a different vector, e.g. a re-appended embedding)
     own = {
-        r["vec_id"]: int(r["cell"])
+        (r["vec_id"], int(r["cell"])): int(r["n"])
         for r in resc.join(samp.select("vec_id"), "vec_id", "left_semi")
-        .select("vec_id", "cell")
+        .groupBy("vec_id", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
 
@@ -2159,8 +2197,10 @@ def pq_plan_sweep(
         for r in routing:
             if int(r["_rn"]) <= n_probe:
                 total += hist.get(int(r["cell"]), 0)
-                if own.get(r["query_id"]) == int(r["cell"]):
-                    total -= 1  # the scorer drops vec_id == query_id
+                # the scorer drops EVERY corpus row whose vec_id equals
+                # the query id — a multiset count, so a duplicated id
+                # (re-appended embedding) subtracts each of its copies
+                total -= own.get((r["query_id"], int(r["cell"])), 0)
         return total
 
     # ALL plans' searches ride ONE action: each plan's top-k frame is
@@ -2202,6 +2242,7 @@ def pq_plan_sweep(
         )
         union = ap if union is None else union.unionByName(ap)
     n_true = truth.count()  # every plan audits the same truth set
+    n_queries = samp.count()
     hits = {
         (int(r["pq_m"]), int(r["pq_ksub"]), int(r["n_probe"])): int(r["h"])
         for r in truth.select("query_id", "vec_id")
@@ -2222,16 +2263,13 @@ def pq_plan_sweep(
                 n_cells * dim + n_probe * ksub * dim,
                 cand,
                 cand * m,
-                n_true, n_hit,
+                n_queries, n_true, n_hit,
                 round(n_hit / n_true, 9) if n_true else 0.0,
             )
         )
-    return spark.createDataFrame(
-        rows,
-        "pq_m int, pq_ksub int, n_probe int, code_bytes int, "
-        "table_flops_per_query bigint, n_candidates bigint, "
-        "scan_flops bigint, n_true bigint, n_hit bigint, recall double",
-    ).orderBy("pq_m", "pq_ksub", "n_probe")
+    return spark.createDataFrame(rows, PQ_SWEEP_SCHEMA).orderBy(
+        "pq_m", "pq_ksub", "n_probe"
+    )
 
 
 def choose_pq_params(sweep, min_recall: float) -> dict:
@@ -2256,9 +2294,13 @@ def choose_pq_params(sweep, min_recall: float) -> dict:
         raise ValueError("empty PQ sweep")
 
     def cost_key(r):
+        # whole-sample search total: the per-query table build is paid
+        # once per query, the scan term is already sample-wide — adding
+        # them raw would underweight the table term by |queries|
         return (
             r["code_bytes"],
-            r["table_flops_per_query"] + r["scan_flops"],
+            r["n_queries"] * r["table_flops_per_query"]
+            + r["scan_flops"],
             -r["recall"],
             r["pq_m"], r["pq_ksub"], r["n_probe"],
         )

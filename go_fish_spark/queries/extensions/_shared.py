@@ -431,8 +431,4 @@ def shared_pq_sweep(spark, sf_dir: str, plans: tuple = _X175_PLANS):
     return _PQ_SWEEPS.get_or_fit(key, fit)
 
 
-PQ_SWEEP_SCHEMA = (
-    "pq_m int, pq_ksub int, n_probe int, code_bytes int, "
-    "table_flops_per_query bigint, n_candidates bigint, "
-    "scan_flops bigint, n_true bigint, n_hit bigint, recall double"
-)
+PQ_SWEEP_SCHEMA = similarity.PQ_SWEEP_SCHEMA  # one schema of record

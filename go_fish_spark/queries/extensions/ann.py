@@ -1450,6 +1450,7 @@ def _x175_oracle(sf_dir: str) -> str | None:
              CAST({tfq} AS BIGINT) AS table_flops_per_query,
              cand.c AS n_candidates,
              cand.c * {m} AS scan_flops,
+             (SELECT n FROM nq2) AS n_queries,
              (SELECT n FROM nt) AS n_true,
              hit.h AS n_hit,
              round(hit.h / (SELECT n FROM nt), 9) AS recall
@@ -1504,7 +1505,8 @@ def _x175_oracle(sf_dir: str) -> str | None:
         PARTITION BY q.vec_id ORDER BY {cos_bf} DESC, c.vec_id
       ) <= 10
     ),
-    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bf)
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bf),
+    nq2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qd)
     {union}
     ORDER BY pq_m, pq_ksub, n_probe
     """

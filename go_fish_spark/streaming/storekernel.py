@@ -1001,8 +1001,32 @@ def renew_lease(store_dir: str, nonce: str) -> dict:
     file first and the reclaimer re-judges the republished doc, or they
     moved it first and we fail-stop with :class:`LeaseLost`. A crash
     between the rename and the link loses the lease immediately (the
-    path is absent), which is strictly safer than holding it to TTL."""
+    path is absent), which is strictly safer than holding it to TTL.
+
+    The nonce PRE-CHECK below keeps a ZOMBIE heartbeat (a writer whose
+    lease was already reclaimed) from ever touching the path in the
+    common case — without it, the zombie's rename-take would briefly
+    remove the NEW holder's fresh lease, and the new holder's own
+    fenced publish racing that window would spuriously fail-stop. With
+    the pre-check, only a reclaim landing in the microsecond between
+    the read and the rename reaches the restore path — the same
+    residual window class as the fenced publish itself, against TTLs
+    of minutes. The legitimate holder's own heartbeat still opens a
+    microsecond absent-path window in which a spinning acquirer can
+    win the lease; safety holds either way (this writer's link then
+    refuses and it fail-stops), and the window is the price of a
+    clobber-proof republish on a filesystem with no compare-and-swap."""
     path = lease_path(store_dir)
+    pre = _read_lease_doc(path)
+    if pre is None or pre.get("nonce") != nonce:
+        raise LeaseLost(
+            f"writer lease on {store_dir} was "
+            + (
+                "released" if pre is None else
+                f"reclaimed by {pre.get('owner')!r}"
+            )
+            + " — refusing to heartbeat (fail-stop)"
+        )
     work = path + ".renew." + nonce
     try:
         _os.rename(path, work)  # atomic take: one mover wins

@@ -272,6 +272,7 @@ def _mk_sweep_rows(*triples):
                 "code_bytes": (bits + 7) // 8,
                 "table_flops_per_query": 16 * 64 + n_probe * ksub * 64,
                 "n_candidates": 1000, "scan_flops": 1000 * m,
+                "n_queries": 8,
                 "n_true": 80, "n_hit": int(recall * 80),
                 "recall": recall,
             }
@@ -351,6 +352,7 @@ def test_pq_plan_sweep_measures_monotone_recall(spark):
     assert by_m[2]["n_candidates"] == by_m[16]["n_candidates"]  # routing-only
     assert by_m[16]["scan_flops"] == 8 * by_m[2]["scan_flops"]
     assert by_m[2]["n_true"] == by_m[16]["n_true"] == 30
+    assert by_m[2]["n_queries"] == by_m[16]["n_queries"] == 6
     assert by_m[16]["recall"] >= by_m[2]["recall"]
     for r in sw:
         assert r["recall"] == round(r["n_hit"] / r["n_true"], 9)
