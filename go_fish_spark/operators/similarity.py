@@ -2243,9 +2243,12 @@ def pq_plan_sweep(
         union = ap if union is None else union.unionByName(ap)
     n_true = truth.count()  # every plan audits the same truth set
     n_queries = samp.count()
+    # the truth frame is |queries|·k rows — broadcast it so the audit
+    # join never shuffles the plan-union side (map-side hash join +
+    # partial agg; the only exchange left is the ≤|plans| final agg)
     hits = {
         (int(r["pq_m"]), int(r["pq_ksub"]), int(r["n_probe"])): int(r["h"])
-        for r in truth.select("query_id", "vec_id")
+        for r in F.broadcast(truth.select("query_id", "vec_id"))
         .join(union, ["query_id", "vec_id"])
         .groupBy("pq_m", "pq_ksub", "n_probe")
         .agg(F.count(F.lit(1)).alias("h"))
