@@ -2474,15 +2474,21 @@ def embedding_spectrum_audit(
         "(the intended corpus-scale form) or normalize the embeddings "
         "before auditing."
     )
+    # ONE action for both sum families (optimization r14, guide §1.2):
+    # the product sums and the value sums previously ran as two separate
+    # collects, each re-running the TakeOrdered sample pass — concat the
+    # two per-row arrays (indices [0, dim(dim+1)/2) are products, the
+    # tail is values) so one explode → one bounded-key exchange → one
+    # collect produces byte-identical decimal sums (same addends, same
+    # per-index grouping, same Spark decimal accumulation).
+    n_pairs = dim * (dim + 1) // 2
     try:
-        xx = (
-            pre.select(F.posexplode(F.expr(prods)).alias("_i", "_d"))
-            .groupBy("_i")
-            .agg(F.sum("_d").alias("_s"))
-            .collect()
-        )
-        xs = (
-            pre.select(F.posexplode(F.expr(vals)).alias("_i", "_d"))
+        rows = (
+            pre.select(
+                F.posexplode(F.expr(f"concat({prods}, {vals})")).alias(
+                    "_i", "_d"
+                )
+            )
             .groupBy("_i")
             .agg(F.sum("_d").alias("_s"), F.count(F.lit(1)).alias("_n"))
             .collect()
@@ -2493,9 +2499,10 @@ def embedding_spectrum_audit(
         ) or "ARITHMETIC_OVERFLOW" in str(exc):
             raise ValueError(_overflow_hint) from exc
         raise
-    n = int(xs[0]["_n"])
-    sum_x = [r["_s"] for r in sorted(xs, key=lambda r: r["_i"])]
-    sum_xx = [r["_s"] for r in sorted(xx, key=lambda r: r["_i"])]
+    n = int(rows[0]["_n"])
+    by_i = sorted(rows, key=lambda r: r["_i"])
+    sum_xx = [r["_s"] for r in by_i[:n_pairs]]
+    sum_x = [r["_s"] for r in by_i[n_pairs:]]
     # DECIMAL(38,30) leaves 8 integer digits; under non-ANSI mode a
     # decimal overflow yields NULL sums, which would surface far from
     # here as float(None). Fail loud at the cause instead (r9 ADVICE

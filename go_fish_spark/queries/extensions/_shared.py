@@ -199,7 +199,7 @@ def release_session_caches() -> None:
     tests call it to assert the caches cannot leak."""
     for cache in (
         _SIG_FRAMES, _PAIR_FRAMES, _AUDIT_PASSES, _LABEL_FRAMES,
-        _CURATION_PASSES, _PQ_SWEEPS,
+        _CURATION_PASSES, _PQ_SWEEPS, _DET_FITS,
     ):
         cache.clear()
 
@@ -389,6 +389,91 @@ def shared_history_labels(spark, sf_dir: str, threshold: float = 0.35):
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     return _LABEL_FRAMES.get_or_fit(key, fit)
+
+
+# --- shared deterministic model fits (optimization round 14) ----------------
+#
+# Every ANN-family entry (x15/x44/x47/x51/x79/x85/x148/x157, the ANN
+# protocol entries x165-x167/x170, and the semantic-dedup x26) fits the
+# SAME deterministic model over the SAME embeddings table per run:
+# deterministic_sample is a TakeOrdered + Arrow toPandas pass, then a
+# seeded numpy k-means / PQ fit on the driver. The fit is a pure
+# function of (table bytes, id_col, vec_col, params) — the oracle arm
+# re-derives byte-identical centroids from the table (the x15/x26
+# contract) — so caching it per (applicationId, corpus fingerprint,
+# params) is the session-local form of the MODEL TABLE a production
+# index maintains (annstore.publish_ann_model persists exactly these
+# objects): fit once per corpus snapshot, read by every consumer.
+# This is the shared_doc_sigs discipline applied to model fits (guide
+# §1.2 step 1: don't recompute what the pipeline computes once).
+# Cached values are driver-side numpy objects (a few KB) — no persisted
+# frames, so the release hook is a no-op; the LRU bound still applies.
+
+_DET_FITS = _SessionCache(lambda v: None)
+
+
+def _emb_fit_key(spark, sf_dir: str, *params) -> tuple:
+    return (
+        spark.sparkContext.applicationId,
+        _corpus_fingerprint(sf_dir, "embeddings"),
+        sf_dir,
+    ) + params
+
+
+def shared_quantizer(
+    spark, sf_dir: str, n_cells: int,
+    train_cap: int = 100_000, seed: int = 42,
+):
+    """Session-cached ``fit_quantizer_det`` over ``sf_dir``'s embeddings
+    (vec_id/embedding) — byte-identical to the direct call."""
+    from ...catalog import table
+
+    key = _emb_fit_key(spark, sf_dir, "quant", n_cells, train_cap, seed)
+    return _DET_FITS.get_or_fit(
+        key,
+        lambda: similarity.fit_quantizer_det(
+            table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            n_cells, train_cap, seed,
+        ),
+    )
+
+
+def shared_pq(
+    spark, sf_dir: str, m: int, ksub: int,
+    train_cap: int = 100_000, seed: int = 42,
+):
+    """Session-cached ``fit_pq_det`` over ``sf_dir``'s embeddings."""
+    from ...catalog import table
+
+    key = _emb_fit_key(spark, sf_dir, "pq", m, ksub, train_cap, seed)
+    return _DET_FITS.get_or_fit(
+        key,
+        lambda: similarity.fit_pq_det(
+            table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            m, ksub, train_cap, seed,
+        ),
+    )
+
+
+def shared_ivfpq(
+    spark, sf_dir: str, n_cells: int = 16, m: int = 4, ksub: int = 16,
+    train_cap: int = 100_000, seed: int = 42,
+):
+    """Session-cached ``fit_ivfpq_det`` (coarse, pq) over ``sf_dir``'s
+    embeddings — the model pair the ANN store family publishes."""
+    from ...catalog import table
+
+    key = _emb_fit_key(
+        spark, sf_dir, "ivfpq", n_cells, m, ksub, train_cap, seed
+    )
+    return _DET_FITS.get_or_fit(
+        key,
+        lambda: similarity.fit_ivfpq_det(
+            table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            n_cells=n_cells, m=m, ksub=ksub,
+            train_cap=train_cap, seed=seed,
+        ),
+    )
 
 
 # x175 consumes the PQ parameter sweep — a MEASURED table (6 plans ×

@@ -11,7 +11,15 @@ from ...functions import text as tx  # noqa: F401
 from ...functions import vectors  # noqa: F401
 from ...operators import decontam, dedup, multimodal, similarity  # noqa: F401
 from .. import query  # noqa: F401
-from ._shared import _det_centers, _duck_sample_X, _DUCK_SHINGLES, _EMB_DIM  # noqa: F401
+from ._shared import (  # noqa: F401
+    _det_centers,
+    _duck_sample_X,
+    _DUCK_SHINGLES,
+    _EMB_DIM,
+    shared_ivfpq,
+    shared_pq,
+    shared_quantizer,
+)
 
 
 @query(
@@ -121,7 +129,7 @@ def x15_ann_ivf(spark, sf_dir):
     remain in similarity.ivf_topk."""
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    q = shared_quantizer(spark, sf_dir, 16)
     return similarity.ivf_topk_expr(
         emb, queries_df, q, k=10, n_probe=4
     ).orderBy("query_id", "rank")
@@ -226,7 +234,7 @@ def x44_pq_adc(spark, sf_dir):
     table — the full compress→search path is hash-checked. The coded
     corpus never shuffles; the query side broadcasts."""
     emb = table(spark, sf_dir, "embeddings")
-    pq = similarity.fit_pq_det(emb, "vec_id", "embedding", m=4, ksub=16)
+    pq = shared_pq(spark, sf_dir, m=4, ksub=16)
     return similarity.adc_topk(
         emb, emb.filter(F.col("vec_id") < 5), pq, k=10
     ).orderBy("query_id", "rank")
@@ -293,9 +301,7 @@ def x47_ivfpq(spark, sf_dir):
     the composite x15 ∘ x44 path is hash-checked end to end. Both sides
     exchange once on the cell key; raw vectors never shuffle."""
     emb = table(spark, sf_dir, "embeddings")
-    coarse, pq = similarity.fit_ivfpq_det(
-        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
-    )
+    coarse, pq = shared_ivfpq(spark, sf_dir, n_cells=16, m=4, ksub=16)
     return similarity.ivfpq_topk_expr(
         emb, emb.filter(F.col("vec_id") < 5), coarse, pq, k=10, n_probe=4
     ).orderBy("query_id", "rank")
@@ -328,7 +334,7 @@ def x51_cell_balance(spark, sf_dir):
     mean is partitioning-invariant. One exchange on the bounded cell
     key."""
     emb = table(spark, sf_dir, "embeddings")
-    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    q = shared_quantizer(spark, sf_dir, 16)
     asg = emb.select(
         F.col("vec_id"), q.dist_expr_arr("embedding").alias("_dl")
     ).select(
@@ -616,7 +622,7 @@ def x79_ann_recall_audit(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     truth = similarity.brute_force_topk(emb, queries_df, k=10)
-    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    q = shared_quantizer(spark, sf_dir, 16)
     approx = similarity.ivf_topk_expr(emb, queries_df, q, k=10, n_probe=4)
     return similarity.ann_recall_audit(truth, approx, k=10).orderBy(
         "query_id"
@@ -656,7 +662,7 @@ def x85_cell_balanced_sample(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
-    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    q = shared_quantizer(spark, sf_dir, 16)
     asg = emb.select(
         "vec_id", q.assign_expr_col("embedding").alias("cell")
     )
@@ -1031,7 +1037,7 @@ def x148_ivf_distortion(spark, sf_dir):
     the Quantizer's mirrored fold, decimal-accumulated means, one
     ≤|cells| exchange."""
     emb = table(spark, sf_dir, "embeddings")
-    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    q = shared_quantizer(spark, sf_dir, 16)
     import numpy as _np
 
     return similarity.ivf_cell_distortion(
@@ -1142,7 +1148,7 @@ def x157_ann_choice(spark, sf_dir):
     the x120 SCALE flip, visible across the SFs this entry runs at."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    quant = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    quant = shared_quantizer(spark, sf_dir, 16)
     plan = similarity.choose_ann(
         emb, q, _EMB_DIM,
         min_recall=_X157_MIN_RECALL, flop_budget=_X157_BUDGET,
@@ -1236,9 +1242,7 @@ def x165_ann_store_readback(spark, sf_dir):
     )
     shutil.rmtree(base, ignore_errors=True)
     emb = table(spark, sf_dir, "embeddings")
-    coarse, pq = similarity.fit_ivfpq_det(
-        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
-    )
+    coarse, pq = shared_ivfpq(spark, sf_dir, n_cells=16, m=4, ksub=16)
     annstore.publish_ann_model(base, coarse, pq, gen=1)
     for b in range(3):
         batch = emb.filter(F.col("vec_id") % 3 == b)
@@ -1284,9 +1288,7 @@ def x166_ann_store_search(spark, sf_dir):
     )
     shutil.rmtree(base, ignore_errors=True)
     emb = table(spark, sf_dir, "embeddings")
-    coarse, pq = similarity.fit_ivfpq_det(
-        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
-    )
+    coarse, pq = shared_ivfpq(spark, sf_dir, n_cells=16, m=4, ksub=16)
     annstore.publish_ann_model(base, coarse, pq, gen=1)
     annstore.append_ann_patch(
         annstore.encode_ann_batch(emb, coarse, pq), base, 0, gen=1
@@ -1320,9 +1322,7 @@ def x167_ann_search_stream(spark, sf_dir):
     store, src, out, cp = (os.path.join(base, d) for d in
                           ("store", "q", "res", "cp"))
     emb = table(spark, sf_dir, "embeddings")
-    coarse, pq = similarity.fit_ivfpq_det(
-        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
-    )
+    coarse, pq = shared_ivfpq(spark, sf_dir, n_cells=16, m=4, ksub=16)
     annstore.publish_ann_model(store, coarse, pq, gen=1)
     annstore.append_ann_patch(
         annstore.encode_ann_batch(emb, coarse, pq), store, 0, gen=1
@@ -1371,9 +1371,7 @@ def x170_ann_selective_fold_readback(spark, sf_dir):
     )
     shutil.rmtree(base, ignore_errors=True)
     emb = table(spark, sf_dir, "embeddings")
-    coarse, pq = similarity.fit_ivfpq_det(
-        emb, "vec_id", "embedding", n_cells=16, m=4, ksub=16
-    )
+    coarse, pq = shared_ivfpq(spark, sf_dir, n_cells=16, m=4, ksub=16)
     annstore.publish_ann_model(base, coarse, pq, gen=1)
     for b in range(3):
         batch = emb.filter(F.col("vec_id") % 3 == b)

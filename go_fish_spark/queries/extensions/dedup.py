@@ -186,8 +186,10 @@ def x26_dedup_semantic(spark, sf_dir):
     emitted round-6 precision. max_cell_size arms the skew guard (inert
     on healthy corpora). The all-expression twin
     (semantic_dedup_pairs_expr) is equality-tested against this arm."""
+    from ._shared import shared_quantizer
+
     emb = table(spark, sf_dir, "embeddings")
-    q = similarity.fit_quantizer_det(emb, "vec_id", "embedding", 6)
+    q = shared_quantizer(spark, sf_dir, 6)
     return dedup.semantic_dedup_pairs(
         emb, "vec_id", "embedding", threshold=0.45,
         quantizer=q, assign="expr", max_cell_size=100_000,
@@ -1620,12 +1622,23 @@ def x150_sigstore_readback(spark, sf_dir):
 
     from ...streaming.sigstore import read_signature_store
 
+    from ._shared import shared_doc_sigs
+
     base = os.path.join(
         "/tmp", f"gofish_x150_{spark.sparkContext.applicationId}"
     )
     shutil.rmtree(base, ignore_errors=True)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = dedup.minhash_signature("text", 64, 3, 42, portable=True)
+    # the un-edited batches append rows from the SESSION-SHARED
+    # signature frame (identical params 64/k=3/seed=42/portable — the
+    # same deterministic arrays, byte-for-byte): production appends
+    # from the computed-once signature table, it does not re-hash the
+    # corpus per batch (optimization r14, guide §1.2 — the x118
+    # discipline applied to the protocol writers). The EDITED batch
+    # below still computes its signatures (its text exists nowhere
+    # else).
+    shared = shared_doc_sigs(spark, sf_dir)
 
     def write_batch(bdf, batch_id):
         bdf.select(
@@ -1635,7 +1648,11 @@ def x150_sigstore_readback(spark, sf_dir):
         ).parquet(base)
 
     for b in range(3):
-        write_batch(docs.filter(F.col("doc_id") % 3 == b), b)
+        shared.filter(F.col("doc_id") % 3 == b).select(
+            "doc_id", "_sig"
+        ).withColumn("_batch_id", F.lit(b)).write.mode("append").parquet(
+            base
+        )
     edited = docs.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id", F.concat(F.lit("edited "), F.col("text")).alias("text")
     )
@@ -1946,13 +1963,18 @@ def x174_sig_compaction_readback(spark, sf_dir):
     )
     store = os.path.join(base, "sigs")
     shutil.rmtree(base, ignore_errors=True)
+    from ._shared import shared_doc_sigs
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = dedup.minhash_signature("text", 64, 3, 42, portable=True)
+    # un-edited batches append from the session-shared signature frame
+    # (same params → identical arrays; the x150 comment applies)
+    shared = shared_doc_sigs(spark, sf_dir)
 
     for b in range(3):
         append_sig_patch(
-            docs.filter(F.col("doc_id") % 3 == b).select(
-                "doc_id", sig.alias("_sig")
+            shared.filter(F.col("doc_id") % 3 == b).select(
+                "doc_id", "_sig"
             ),
             store, b, n_shards=16,
         )
@@ -2044,14 +2066,18 @@ def x164_committed_store_readback(spark, sf_dir):
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
 
+    from ._shared import shared_doc_sigs
+
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.md5("text").alias("_h")
     )
-    sig = dedup.minhash_signature("text", 64, 3, 42, portable=True)
+    # batch signatures append from the session-shared signature frame
+    # (same params → identical arrays; the x150 comment applies)
+    shared = shared_doc_sigs(spark, sf_dir)
     for b in range(3):
         fresh = docs.filter(F.col("doc_id") % 3 == b)
-        fresh.select(
-            F.col("doc_id").alias("_id"), sig.alias("_sig")
+        shared.filter(F.col("doc_id") % 3 == b).select(
+            F.col("doc_id").alias("_id"), "_sig"
         ).withColumn("_batch_id", F.lit(b)).write.mode("append").parquet(
             sig_dir
         )

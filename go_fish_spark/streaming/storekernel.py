@@ -259,6 +259,117 @@ def walk_parquet_files(root: str) -> tuple[int, int, dict]:
     return files, bytes_, per_dir
 
 
+def _file_footer_batch(path: str):
+    """Per-file ``_batch_id`` from the parquet FOOTER statistics — a
+    metadata read, never a data scan. Every writer in this kernel stamps
+    ``_batch_id`` as a per-append literal (``F.lit(batch_id)`` in the
+    appends, ``F.lit(covered)`` in the fold), so the per-file max
+    statistic IS the file's one batch id. Returns ``(max_batch, ok)``:
+
+    * ``(b, True)``   — the file's max ``_batch_id`` is exactly ``b``;
+    * ``(None, True)`` — the file provably contributes no batch stamp
+      (zero rows, column absent, or all-null column — the legacy forms);
+    * ``(None, False)`` — statistics missing/unreadable: the caller must
+      fall back to the data-scan path."""
+    import pyarrow.parquet as _pq
+
+    try:
+        md = _pq.ParquetFile(path).metadata
+    except Exception:
+        return None, False
+    if md.num_rows == 0:
+        return None, True
+    mx = None
+    seen = False
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema != "_batch_id":
+                continue
+            seen = True
+            st = c.statistics
+            if st is None:
+                return None, False
+            if st.null_count is not None and st.null_count == c.num_values:
+                continue  # all-null row group — contributes nothing
+            if not st.has_min_max:
+                return None, False
+            v = int(st.max)
+            mx = v if mx is None else max(mx, v)
+    if not seen:
+        return None, True  # column absent — pre-discipline file
+    return mx, True
+
+
+def _key_dir_files(path: str, key_col: str) -> list[tuple[str, str]]:
+    """``(key_value, file_path)`` for every data file under a
+    ``<key_col>=<value>`` partition directory of ``path`` — the catalog
+    listing that mirrors Spark's partition discovery."""
+    out: list[tuple[str, str]] = []
+    if not _os.path.isdir(path):
+        return out
+    prefix = f"{key_col}="
+    for d in _os.listdir(path):
+        full = _os.path.join(path, d)
+        if not d.startswith(prefix) or not _os.path.isdir(full):
+            continue
+        val = d[len(prefix):]
+        for fn in _os.listdir(full):
+            if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
+                continue
+            out.append((val, _os.path.join(full, fn)))
+    return out
+
+
+def _has_partition_dirs_for(path: str, key_col: str) -> bool:
+    if not _os.path.isdir(path):
+        return False
+    prefix = f"{key_col}="
+    return any(
+        d.startswith(prefix) and _os.path.isdir(_os.path.join(path, d))
+        for d in _os.listdir(path)
+    )
+
+
+def _prune_covered_files_footer(
+    entries: list,
+    covered: int,
+    key_col: str | None,
+    covered_by_key: dict | None,
+    prune_null_batch: bool,
+) -> int | None:
+    """Footer-statistics arm of :func:`prune_covered_files` (guide §1.2
+    step 1 / §6: the file→batch map is metadata, so deciding which files
+    a fold superseded needs a stat call per file, not a Spark job over
+    the patch data). ``entries`` is ``[(key_value|None, file_path)]``
+    as assembled by the caller to mirror Spark's partition discovery
+    exactly. Returns the removed count, or None when any footer lacks
+    usable statistics (caller falls back to the scan arm). A null key
+    takes the DEFAULT cut — the scan arm's ``F.lit(None)`` fill."""
+    removed = 0
+    dead_paths: list[str] = []
+    for k, f in entries:
+        m, ok = _file_footer_batch(f)
+        if not ok:
+            return None
+        cut = covered
+        if key_col is not None and covered_by_key is not None and k is not None:
+            cut = covered_by_key.get(str(k), covered)
+        dead = (m is not None and int(m) <= int(cut)) or (
+            m is None and prune_null_batch
+        )
+        if dead:
+            dead_paths.append(f)
+    for p in dead_paths:
+        try:
+            _os.remove(p)
+            removed += 1
+        except OSError:
+            pass
+    return removed
+
+
 def prune_covered_files(
     spark,
     path: str,
@@ -287,8 +398,55 @@ def prune_covered_files(
     skipped by default (a SELECTIVE fold may not have folded their
     shards); ``prune_null_batch=True`` — safe only after a FULL
     legacy-fill fold, which bakes every legacy row into the new
-    generation — removes them too."""
+    generation — removes them too.
+
+    Fast path (optimization r14, guide §1.2/§6): because every kernel
+    writer stamps ``_batch_id`` as a per-append constant, the file→max
+    map is fully determined by the parquet FOOTER statistics plus the
+    partition directory names — :func:`_prune_covered_files_footer`
+    answers it with per-file stat calls instead of a Spark job over the
+    patch data. The scan arm below remains the arm of record for every
+    layout the footer arm cannot prove equivalent on: files whose
+    footers lack usable statistics, and the key_col-as-data-column shape
+    whose uniqueness guard must still raise."""
     from urllib.parse import unquote, urlparse
+
+    # footer fast path — only on layouts where footer metadata and
+    # directory names reproduce the scan arm bit-for-bit:
+    #   * key_col set + real `key=` partition dirs: each file's key is
+    #     its directory name (constant per file by construction, so the
+    #     non-partition-key guard cannot fire); files in those dirs are
+    #     pruned per their key's cut; root files stay invisible (mixed-
+    #     layout rule) except via the prune_null_batch block below.
+    #     If the key dirs hold no files, Spark's discovery degrades to a
+    #     flat read of the root files with a null key → default cut.
+    #   * key_col None + no partition dirs: flat read, default cut.
+    # The key_col-as-data-column shape (key_col set, no partition dirs,
+    # data files present) falls through to the scan arm so its
+    # uniqueness guard still raises; so does any file lacking usable
+    # footer statistics.
+    entries = None
+    if key_col is not None and _has_partition_dirs_for(path, key_col):
+        entries = _key_dir_files(path, key_col)
+        if not entries:
+            entries = [(None, f) for f in _root_parquet_files(path)]
+    elif key_col is None and not _has_partition_dirs(path):
+        entries = [(None, f) for f in _root_parquet_files(path)]
+    if entries is not None:
+        fast = _prune_covered_files_footer(
+            entries, covered, key_col, covered_by_key, prune_null_batch
+        )
+        if fast is not None:
+            if prune_null_batch and _has_partition_dirs(path):
+                # root-level legacy files are invisible to the
+                # partitioned read; absorbed by a FULL legacy-fill fold
+                for p in _root_parquet_files(path):
+                    try:
+                        _os.remove(p)
+                        fast += 1
+                    except OSError:
+                        pass
+            return fast
 
     df = read_parquet_if_exists(spark, path, merge_schema)
     if df is None:
@@ -563,6 +721,69 @@ def live_keyed_rows(
     return df
 
 
+def _covered_from_footers(
+    store_path: str, man: dict | None, committed: int | None, sel
+):
+    """Footer-statistics twin of ``live.agg(max(_batch_id))`` inside
+    :func:`compact_keyed_store` (guide §1.2 step 1: the fold's covered
+    stamp is determined by per-file constants, so computing it was a
+    full Spark pass over the live rows for a number the footers already
+    hold). Replicates the live-set semantics exactly: patch files cut
+    per shard by the manifest map, the committed cap excluding whole
+    files (per-file constant stamps), shard selection by directory
+    name, plus the current generation's files for the selected shards.
+    Returns ``(covered|None, ok)``; ``ok=False`` → caller must run the
+    scan arm (legacy/flat layouts, missing stats, or a missing
+    generation directory, which the scan arm reports properly)."""
+    if _root_parquet_files(store_path):
+        return None, False  # flat/legacy layout — scan arm handles it
+    cov = dict((man or {}).get("covered") or {})
+    default = (
+        int(man.get("covered_default", man["covered_max_batch"]))
+        if man is not None
+        else None
+    )
+    mx = None
+
+    def _see(b: int) -> None:
+        nonlocal mx
+        mx = b if mx is None else max(mx, b)
+
+    for s, f in _key_dir_files(store_path, "shard"):
+        try:
+            si = int(s)
+        except ValueError:
+            return None, False
+        if sel is not None and si not in sel:
+            continue
+        b, ok = _file_footer_batch(f)
+        if not ok or b is None:
+            return None, False  # stats unusable or pre-discipline file
+        if man is not None and b <= int(cov.get(str(s), default)):
+            continue  # superseded by the shard's covered cut
+        if committed is not None and b > int(committed):
+            continue  # beyond the cross-store commit point
+        _see(b)
+    if man is not None:
+        gen_root = store_generation_path(store_path, man["gen"])
+        if not _os.path.isdir(gen_root):
+            return None, False  # corruption — scan arm raises properly
+        for s, f in _key_dir_files(gen_root, "shard"):
+            try:
+                si = int(s)
+            except ValueError:
+                return None, False
+            if sel is not None and si not in sel:
+                continue
+            b, ok = _file_footer_batch(f)
+            if not ok or b is None:
+                return None, False
+            if committed is not None and b > int(committed):
+                continue
+            _see(b)
+    return mx, True
+
+
 def compact_keyed_store(
     spark,
     store_path: str,
@@ -652,7 +873,15 @@ def compact_keyed_store(
         ]
     if tiebreak is None:
         tiebreak = [F.col(c).asc() for c in value_cols]
-    covered = live.agg(F.max("_batch_id").alias("m")).collect()[0]["m"]
+    # covered stamp from footer statistics when the layout allows —
+    # otherwise the scan arm (one full pass over the live rows)
+    covered, _fast = (
+        _covered_from_footers(store_path, man, committed, sel)
+        if not legacy_fill
+        else (None, False)
+    )
+    if not _fast:
+        covered = live.agg(F.max("_batch_id").alias("m")).collect()[0]["m"]
     if covered is None:
         return 0  # nothing published (or nothing hot) — nothing to fold
     covered = int(covered)
