@@ -2226,88 +2226,48 @@ def _cooccurrence_cost(keyed: DataFrame, key_col: str) -> int:
     return int(row["_c"] or 0)
 
 
-def choose_blocking(
+def blocking_cost_stats(
     df: DataFrame,
-    id_col: str,
     text_col: str,
-    min_recall: float,
-    pair_budget: int,
-    threshold: float = 0.5,
     k: int = 3,
     n_hashes: int = 64,
     bands: int = 16,
-    window: int = 3,
-    snm_keys: tuple | None = None,
     winnow_w: int = 4,
-    measured_recall: dict | None = None,
     portable: bool = False,
-    measure: bool = False,
-    measure_sample_docs: int = 2000,
     sigs: DataFrame | None = None,
 ) -> dict:
-    """Unified blocking-discipline PLANNER (r8 verdict Next #5 — the
-    engine's one genuinely novel optimizer rule, SURVEY §4.3): given a
-    recall contract (``min_recall`` for near-dup pairs at Jaccard ≥
-    ``threshold``) and a candidate-pair ``pair_budget``, price all four
-    blocking disciplines from their key histograms WITHOUT running any
-    pair join, and return the cheapest one that meets the contract.
+    """The :func:`choose_blocking` pricing HISTOGRAM as a standalone,
+    cacheable product: ``{"e": cost, "m": cost, "w": cost, "n_docs": n}``
+    — each histogram discipline's exact candidate-pair count (Σ
+    m·(m−1)/2 over its own blocking keys) plus the corpus row count.
+    A pure function of (corpus, k, n_hashes, bands, winnow_w, portable)
+    — notably INDEPENDENT of the recall contract (min_recall /
+    pair_budget / threshold enter only the planner's arithmetic) — so
+    one stats table prices every contract over the same corpus
+    (session-shared by queries/extensions/_shared.shared_blocking_stats;
+    optimization r14, guide §1.2 step 1).
 
-    Cost = the exact candidate-pair count each discipline's
-    verification stage will touch, each from the x103 co-occurrence law
-    (Σ m·(m−1)/2 over that discipline's OWN blocking keys — shingles /
-    LSH band buckets / winnowed fingerprints), or pure arithmetic
-    (sorted-neighborhood: n·window·len(keys), the only skew-immune
-    bound). Pricing a discipline costs one map-only pass + one bounded
-    aggregation — strictly cheaper than the join it prices.
+    ONE job prices all three histogram disciplines AND counts docs
+    (r9 rewrite — was FOUR separate Spark jobs: a count() plus one
+    scan+exchange per discipline; measured 6.4 s at sf0.1, ~3.4 s as
+    this union). Keys are tag-prefixed ("e:"/"m:"/"w:", "#" = one
+    marker per doc) so per-discipline multiplicities are EXACTLY the
+    separate passes' — costs are bit-identical and the x120 oracle is
+    unchanged. The tagged streams stay SEPARATE union branches (each
+    its own codegen-friendly projection): fusing all three expensive
+    expressions into one concat+explode projection was measured
+    SLOWER (11.9 s — the combined expression tree falls out of
+    whole-stage codegen), the same reason the banding join carries
+    slim rows. One exchange on the union replaces three; at 100 TB
+    the shuffle volume is the same keys, one stage instead of four.
 
-    Recall per discipline:
-      * ``exact_index`` (x04): 1.0 — exact.
-      * ``minhash_bands`` (x02): the analytic S-curve LOWER bound at
-        the contract boundary, 1−(1−t^r)^b with r = n_hashes/bands —
-        pairs above ``threshold`` collide with at least this
-        probability, so it is a true worst-case contract.
-      * ``winnow_index`` (x113) and ``sorted_neighborhood`` (x119):
-        guarantee classes that do not translate to a Jaccard recall in
-        closed form (winnowing guarantees ≥(w+k−1)-token shared runs;
-        SNM is key-design-bounded — SCALE.md measures 0.93 multi-key) —
-        they are ELIGIBLE only when the caller supplies a measured
-        recall for this corpus shape (``measured_recall`` — the x100
-        sampled sweep is the instrument).
-
-    Returns a dict: ``action`` ∈ {"proceed", "over_budget",
-    "no_discipline"}, ``chosen`` (discipline name or None), and
-    ``disciplines`` — per discipline (cost, recall, eligible,
-    within_budget). "over_budget" names the cheapest contract-meeting
-    discipline anyway so the caller can decide to raise the budget;
-    "no_discipline" means the contract itself is unmeetable (raise
-    ``min_recall`` tooling: run the x100 sweep and pass
-    ``measured_recall``)."""
-    if not 0.0 <= min_recall <= 1.0:
-        raise ValueError("min_recall must be in [0, 1]")
-    if pair_budget < 0:
-        raise ValueError("pair_budget must be >= 0")
-    measured = measured_recall or {}
-    if snm_keys is None:
-        snm_keys = _SNM_KEYS  # defined with the SNM family below
-    # ONE job prices all three histogram disciplines AND counts docs
-    # (r9 rewrite — was FOUR separate Spark jobs: a count() plus one
-    # scan+exchange per discipline; measured 6.4 s at sf0.1, ~3.4 s as
-    # this union). Keys are tag-prefixed ("e:"/"m:"/"w:", "#" = one
-    # marker per doc) so per-discipline multiplicities are EXACTLY the
-    # separate passes' — costs are bit-identical and the x120 oracle is
-    # unchanged. The tagged streams stay SEPARATE union branches (each
-    # its own codegen-friendly projection): fusing all three expensive
-    # expressions into one concat+explode projection was measured
-    # SLOWER (11.9 s — the combined expression tree falls out of
-    # whole-stage codegen), the same reason the banding join carries
-    # slim rows. One exchange on the union replaces three; at 100 TB
-    # the shuffle volume is the same keys, one stage instead of four.
+    ``sigs``: optional pre-fitted (_id, _sig) frame at the SAME params
+    (the shared-sketch discipline) — prices the band discipline from
+    the materialized signature table instead of re-hashing the corpus.
+    """
     sh = df.select(F.explode(word_shingles(text_col, k)).alias("_k")).select(
         F.concat(F.lit("e:"), F.col("_k")).alias("_key")
     )
-    # ``sigs``: optional pre-fitted (_id, _sig) frame at the SAME params
-    # (the shared-sketch discipline) — prices the band discipline from
-    # the materialized signature table instead of re-hashing the corpus.
     bd = (
         df.select(
             minhash_signature(text_col, n_hashes, k, 42, portable).alias(
@@ -2346,19 +2306,99 @@ def choose_blocking(
         )
         .collect()
     )
-    stats = {r["_d"]: r for r in per}
+    rows = {r["_d"]: r for r in per}
+    return {
+        "e": int(rows["e"]["_c"] or 0) if "e" in rows else 0,
+        "m": int(rows["m"]["_c"] or 0) if "m" in rows else 0,
+        "w": int(rows["w"]["_c"] or 0) if "w" in rows else 0,
+        "n_docs": int(rows["#"]["_n"]) if "#" in rows else 0,
+    }
+
+
+def choose_blocking(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_recall: float,
+    pair_budget: int,
+    threshold: float = 0.5,
+    k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    window: int = 3,
+    snm_keys: tuple | None = None,
+    winnow_w: int = 4,
+    measured_recall: dict | None = None,
+    portable: bool = False,
+    measure: bool = False,
+    measure_sample_docs: int = 2000,
+    sigs: DataFrame | None = None,
+    stats: dict | None = None,
+) -> dict:
+    """Unified blocking-discipline PLANNER (r8 verdict Next #5 — the
+    engine's one genuinely novel optimizer rule, SURVEY §4.3): given a
+    recall contract (``min_recall`` for near-dup pairs at Jaccard ≥
+    ``threshold``) and a candidate-pair ``pair_budget``, price all four
+    blocking disciplines from their key histograms WITHOUT running any
+    pair join, and return the cheapest one that meets the contract.
+
+    Cost = the exact candidate-pair count each discipline's
+    verification stage will touch, each from the x103 co-occurrence law
+    (Σ m·(m−1)/2 over that discipline's OWN blocking keys — shingles /
+    LSH band buckets / winnowed fingerprints), or pure arithmetic
+    (sorted-neighborhood: n·window·len(keys), the only skew-immune
+    bound). Pricing a discipline costs one map-only pass + one bounded
+    aggregation — strictly cheaper than the join it prices. ``stats``:
+    a pre-computed :func:`blocking_cost_stats` table for this corpus
+    and (k, n_hashes, bands, winnow_w, portable) — skips the pricing
+    job entirely (the planner is then pure arithmetic); the contract
+    knobs (min_recall / pair_budget / threshold / window / snm_keys)
+    never enter the job, so one table serves every contract.
+
+    Recall per discipline:
+      * ``exact_index`` (x04): 1.0 — exact.
+      * ``minhash_bands`` (x02): the analytic S-curve LOWER bound at
+        the contract boundary, 1−(1−t^r)^b with r = n_hashes/bands —
+        pairs above ``threshold`` collide with at least this
+        probability, so it is a true worst-case contract.
+      * ``winnow_index`` (x113) and ``sorted_neighborhood`` (x119):
+        guarantee classes that do not translate to a Jaccard recall in
+        closed form (winnowing guarantees ≥(w+k−1)-token shared runs;
+        SNM is key-design-bounded — SCALE.md measures 0.93 multi-key) —
+        they are ELIGIBLE only when the caller supplies a measured
+        recall for this corpus shape (``measured_recall`` — the x100
+        sampled sweep is the instrument).
+
+    Returns a dict: ``action`` ∈ {"proceed", "over_budget",
+    "no_discipline"}, ``chosen`` (discipline name or None), and
+    ``disciplines`` — per discipline (cost, recall, eligible,
+    within_budget). "over_budget" names the cheapest contract-meeting
+    discipline anyway so the caller can decide to raise the budget;
+    "no_discipline" means the contract itself is unmeetable (raise
+    ``min_recall`` tooling: run the x100 sweep and pass
+    ``measured_recall``)."""
+    if not 0.0 <= min_recall <= 1.0:
+        raise ValueError("min_recall must be in [0, 1]")
+    if pair_budget < 0:
+        raise ValueError("pair_budget must be >= 0")
+    measured = measured_recall or {}
+    if snm_keys is None:
+        snm_keys = _SNM_KEYS  # defined with the SNM family below
+    if stats is None:
+        stats = blocking_cost_stats(
+            df, text_col, k=k, n_hashes=n_hashes, bands=bands,
+            winnow_w=winnow_w, portable=portable, sigs=sigs,
+        )
 
     def _cost(tag: str) -> int:
-        row = stats.get(tag)
-        return int(row["_c"] or 0) if row is not None else 0
+        return int(stats.get(tag, 0))
 
-    n_docs = int(stats["#"]["_n"]) if "#" in stats else 0
+    n_docs = int(stats.get("n_docs", 0))
     exact_cost = _cost("e")
     minhash_cost = _cost("m")
     winnow_cost = _cost("w")
     r = n_hashes // bands
     s_curve = 1.0 - (1.0 - threshold**r) ** bands
-
     disciplines = {
         "exact_index": {"cost": exact_cost, "recall": 1.0},
         "minhash_bands": {
@@ -3003,27 +3043,57 @@ def sorted_neighborhood_pairs(
             word_shingles(text_col, k).alias("_sh"),
         )
     )
-    cand = None
+    # ONE rank pipeline for all passes (optimization r14, guide §2.4):
+    # the per-kind loop ran len(keys) full rank pipelines — each a scan
+    # + bucket-histogram exchange + offsets broadcast + rank-window
+    # exchange + window join (26 Exchanges in the x119 plan). All
+    # passes instead ride ONE composite order (_kind, _key, _id): the
+    # GLOBAL rank over that order preserves every within-kind rank
+    # difference exactly (buckets sort kind-first, so all buckets
+    # between two same-kind rows belong to that kind), and the window
+    # join adds `_kind` to its equi-key so cross-kind adjacencies —
+    # rows that touch only because one kind's tail abuts the next's
+    # head — can never pair. Candidates are therefore IDENTICAL pairs
+    # to the per-kind loop (asserted against the loop in
+    # tests/test_round14_opt.py); the oracle is unchanged. The kinds
+    # stay separate union branches (not one explode projection) for
+    # the same whole-stage-codegen reason as choose_blocking's
+    # histogram union; the bucket is a (kind, first-char) STRUCT so
+    # NULL/empty keys keep exactly the per-kind bucket identities.
+    keyed = None
     for kind in keys:
-        base = df.select(
+        branch = df.select(
             F.col(id_col).alias("_id"),
+            F.lit(kind).alias("_kind"),
             _snm_key_expr(text_col, kind, key_len).alias("_key"),
         )
-        ranked = value_bucketed_rank(
-            base, F.substring("_key", 1, 1), ["_key", "_id"], out="_r"
-        ).select("_id", "_r")
-        a = ranked.select(
-            F.col("_id").alias("_ida"), F.col("_r").alias("_ra")
-        ).crossJoin(F.broadcast(d))
-        b = ranked.select(
-            F.col("_id").alias("_idb"), F.col("_r").alias("_rb")
+        keyed = branch if keyed is None else keyed.unionByName(branch)
+    ranked = value_bucketed_rank(
+        keyed,
+        F.struct(F.col("_kind"), F.substring("_key", 1, 1)),
+        ["_kind", "_key", "_id"],
+        out="_r",
+    ).select("_id", "_kind", "_r")
+    a = ranked.select(
+        F.col("_id").alias("_ida"), F.col("_kind").alias("_ka"),
+        F.col("_r").alias("_ra"),
+    ).crossJoin(F.broadcast(d))
+    b = ranked.select(
+        F.col("_id").alias("_idb"), F.col("_kind").alias("_kb"),
+        F.col("_r").alias("_rb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("_ka") == F.col("_kb"))
+            & (F.col("_ra") + F.col("_d") == F.col("_rb")),
         )
-        p = a.join(b, F.col("_ra") + F.col("_d") == F.col("_rb")).select(
+        .select(
             F.least("_ida", "_idb").alias("id_a"),
             F.greatest("_ida", "_idb").alias("id_b"),
         )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     inter = F.size(F.array_intersect("_sha", "_shb"))
     denom = F.size("_sha") + F.size("_shb") - inter

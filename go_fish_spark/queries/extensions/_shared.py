@@ -199,7 +199,7 @@ def release_session_caches() -> None:
     tests call it to assert the caches cannot leak."""
     for cache in (
         _SIG_FRAMES, _PAIR_FRAMES, _AUDIT_PASSES, _LABEL_FRAMES,
-        _CURATION_PASSES, _PQ_SWEEPS, _DET_FITS,
+        _CURATION_PASSES, _PQ_SWEEPS, _DET_FITS, _PLAN_STATS,
     ):
         cache.clear()
 
@@ -389,6 +389,56 @@ def shared_history_labels(spark, sf_dir: str, threshold: float = 0.35):
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
     return _LABEL_FRAMES.get_or_fit(key, fit)
+
+
+# --- shared blocking-cost stats (optimization round 14) ---------------------
+
+_PLAN_STATS = _SessionCache(lambda v: None)
+
+
+def shared_blocking_stats(
+    spark,
+    sf_dir: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    winnow_w: int = 4,
+    portable: bool = True,
+):
+    """Session-cached :func:`~go_fish_spark.operators.dedup.blocking_cost_stats`
+    over ``sf_dir``'s documents — the choose_blocking pricing histogram
+    ({"e","m","w","n_docs"} exact candidate counts). A pure function of
+    (corpus, k, n_hashes, bands, winnow_w, portable) and INDEPENDENT of
+    the recall contract, so every planner call over the corpus (x120's
+    tight-budget contract, x140's execution handoff) reads ONE stats
+    table — this is the statistics table a production catalog maintains
+    (ANALYZE once, plan many). The cached value is the 4-number dict —
+    driver-side, no persisted frames. Pricing reads the session-shared
+    signature frame (same 64/k/seed/portable params ⇒ byte-identical
+    signatures ⇒ bit-identical band histogram — the shared-sigs
+    equivalence contract), so the corpus is hashed once per session
+    across the whole sketch family."""
+    from pyspark.sql import functions as F
+
+    from ...catalog import table
+    from ...operators import dedup as _dedup
+
+    key = (
+        spark.sparkContext.applicationId, _corpus_fingerprint(sf_dir),
+        sf_dir, "bstats", k, n_hashes, bands, winnow_w, portable,
+    )
+
+    def fit():
+        sigs = shared_doc_sigs(
+            spark, sf_dir, n_hashes=n_hashes, k=k, portable=portable
+        ).select(F.col("doc_id").alias("_id"), "_sig")
+        return _dedup.blocking_cost_stats(
+            table(spark, sf_dir, "documents"), "text",
+            k=k, n_hashes=n_hashes, bands=bands, winnow_w=winnow_w,
+            portable=portable, sigs=sigs,
+        )
+
+    return _PLAN_STATS.get_or_fit(key, fit)
 
 
 # --- shared deterministic model fits (optimization round 14) ----------------

@@ -1154,13 +1154,20 @@ def x120_blocking_choice(spark, sf_dir):
     chosen flag. Every cost comes from a key histogram (one map-only
     pass + bounded agg per discipline; SNM is pure arithmetic), so this
     entry proves the planner's arithmetic cross-engine, not just its
-    code path. Result frame is 4 rows — the bounded-collect pattern."""
+    code path. Result frame is 4 rows — the bounded-collect pattern.
+    The pricing histogram is the SESSION-SHARED stats table
+    (shared_blocking_stats — same corpus+params as x140's planner call,
+    bit-identical counts), so the planner family prices the corpus once
+    per session; this entry's cost after the one-time fit is pure
+    arithmetic + a 4-row createDataFrame."""
     from ...operators.dedup import choose_blocking
+    from ._shared import shared_blocking_stats
 
     plan = choose_blocking(
         table(spark, sf_dir, "documents"), "doc_id", "text",
         min_recall=0.6, pair_budget=20_000, threshold=0.5,
         portable=True,
+        stats=shared_blocking_stats(spark, sf_dir, portable=True),
     )
     rows = [
         (
@@ -1405,8 +1412,12 @@ def x140_run_blocking_handoff(spark, sf_dir):
     THIS hash and not x02's. Pricing, the realized-count guard, AND
     the pair join all read the session-shared signature frame (same
     64/k=3/seed=42/portable params) — the corpus is hashed once per
-    session, not once per stage."""
-    from ._shared import shared_doc_sigs
+    session, not once per stage. The pricing histogram is likewise the
+    session-shared stats table (shared_blocking_stats — the same
+    contract-independent counts x120 prices from), so the steady-state
+    cost of this entry is the planner's arithmetic + the guarded pair
+    join it certifies."""
+    from ._shared import shared_blocking_stats, shared_doc_sigs
 
     docs = table(spark, sf_dir, "documents")
     sigs = shared_doc_sigs(spark, sf_dir).select(
@@ -1415,6 +1426,7 @@ def x140_run_blocking_handoff(spark, sf_dir):
     plan = dedup.choose_blocking(
         docs, "doc_id", "text", min_recall=0.2, pair_budget=10**9,
         threshold=0.35, portable=True, sigs=sigs,
+        stats=shared_blocking_stats(spark, sf_dir, portable=True),
     )
     assert plan["chosen"] == "minhash_bands", plan
     return dedup.run_blocking(

@@ -297,3 +297,181 @@ def test_spectrum_single_action_matches_duck(spark):
     )
     m_duck = _spectrum_metrics(n, sx, sxx, dim)
     assert m_spark == m_duck
+
+
+def _snm_multikey_reference(df, id_col, text_col, window, key_len,
+                            threshold, k, keys):
+    """The pre-r14 multi-key SNM shape: one full rank pipeline PER key,
+    candidate union, cross-pass dedupe, one verification join — kept
+    here as the equivalence reference for the single-rank rewrite."""
+    from go_fish_spark.operators.dedup import (
+        _persist,
+        _snm_key_expr,
+        word_shingles,
+    )
+    from go_fish_spark.operators.sampling import value_bucketed_rank
+
+    d = df.sparkSession.range(1, window + 1).select(
+        F.col("id").alias("_d")
+    )
+    shingles = _persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(text_col, k).alias("_sh"),
+        )
+    )
+    cand = None
+    for kind in keys:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            _snm_key_expr(text_col, kind, key_len).alias("_key"),
+        )
+        ranked = value_bucketed_rank(
+            base, F.substring("_key", 1, 1), ["_key", "_id"], out="_r"
+        ).select("_id", "_r")
+        a = ranked.select(
+            F.col("_id").alias("_ida"), F.col("_r").alias("_ra")
+        ).crossJoin(F.broadcast(d))
+        b = ranked.select(
+            F.col("_id").alias("_idb"), F.col("_r").alias("_rb")
+        )
+        p = a.join(b, F.col("_ra") + F.col("_d") == F.col("_rb")).select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    denom = F.size("_sha") + F.size("_shb") - inter
+    jac = F.when(denom > 0, inter / denom)
+    return (
+        cand.join(
+            shingles.select(
+                F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")
+            ),
+            "id_a",
+        )
+        .join(
+            shingles.select(
+                F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(
+            (F.col("jaccard") >= threshold) & F.col("jaccard").isNotNull()
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def test_snm_single_rank_matches_per_kind_loop(spark):
+    """The r14 single-rank multi-key SNM must produce EXACTLY the
+    per-kind loop's verified pairs — including on rows with NULL/empty/
+    colliding sort keys and sub-k-token texts (NULL-jaccard drops)."""
+    from go_fish_spark.operators.dedup import (
+        _SNM_KEYS,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "zeta epsilon delta gamma beta alpha"),
+        (4, "gamma beta alpha delta zeta epsilon"),
+        (5, ""),                       # empty text → empty key
+        (6, "   "),                    # whitespace → empty key
+        (7, None),                     # NULL text → NULL key
+        (8, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (9, "short doc"),              # sub-k tokens → empty shingles
+        (10, "short doc"),
+        (11, "omega psi chi phi upsilon tau"),
+        (12, "tau upsilon phi chi psi omega"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted_neighborhood_pairs(
+        df, "doc_id", "text", window=3, key_len=10, threshold=0.2,
+        keys=_SNM_KEYS,
+    ).collect()
+    want = _snm_multikey_reference(
+        df, "doc_id", "text", window=3, key_len=10, threshold=0.2,
+        k=3, keys=_SNM_KEYS,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0  # the corpus must actually exercise the path
+
+
+def test_snm_single_rank_matches_on_corpus(spark):
+    """Same equivalence over the real sf0.001 documents corpus at the
+    x119 parameters."""
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("testdata missing")
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators.dedup import (
+        _SNM_KEYS,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = table(spark, sf, "documents")
+    got = sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=3, key_len=20, threshold=0.3,
+        keys=_SNM_KEYS,
+    ).collect()
+    want = _snm_multikey_reference(
+        docs, "doc_id", "text", window=3, key_len=20, threshold=0.3,
+        k=3, keys=_SNM_KEYS,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0
+
+
+def test_blocking_cost_stats_matches_inline_pricing(spark):
+    """choose_blocking(stats=blocking_cost_stats(...)) must equal the
+    inline-priced plan exactly (same costs, same decision), and the
+    sigs-fed histogram must equal the text-path histogram."""
+    from go_fish_spark.operators.dedup import (
+        blocking_cost_stats,
+        choose_blocking,
+        minhash_signature,
+    )
+
+    rows = [(i, f"alpha beta gamma doc {i} {'dup' if i % 3 == 0 else i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inline = choose_blocking(
+        df, "doc_id", "text", min_recall=0.2, pair_budget=10**6,
+        threshold=0.35, portable=True,
+    )
+    stats = blocking_cost_stats(df, "text", portable=True)
+    pre = choose_blocking(
+        df, "doc_id", "text", min_recall=0.2, pair_budget=10**6,
+        threshold=0.35, portable=True, stats=stats,
+    )
+    assert inline == pre
+    sigs = df.select(
+        F.col("doc_id").alias("_id"),
+        minhash_signature("text", 64, 3, 42, True).alias("_sig"),
+    )
+    stats_sigs = blocking_cost_stats(df, "text", portable=True, sigs=sigs)
+    assert stats_sigs == stats
+
+
+def test_shared_blocking_stats_cached(spark):
+    """shared_blocking_stats returns the SAME dict object within a
+    session (one pricing job) and refits after release."""
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("testdata missing")
+    from go_fish_spark.queries.extensions._shared import (
+        release_session_caches,
+        shared_blocking_stats,
+    )
+
+    release_session_caches()
+    s1 = shared_blocking_stats(spark, sf, portable=True)
+    s2 = shared_blocking_stats(spark, sf, portable=True)
+    assert s1 is s2
+    release_session_caches()
+    s3 = shared_blocking_stats(spark, sf, portable=True)
+    assert s3 is not s1 and s3 == s1
