@@ -436,6 +436,7 @@ def split_leakage(
     split: Column,
     k: int = 3,
     threshold: float = 0.3,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval LEAKAGE GUARD: near-duplicate pairs that straddle
     different dataset splits — the hygiene check that a random
@@ -453,10 +454,16 @@ def split_leakage(
     shingle-key shuffle; threshold-adaptive index). The split join-back
     touches only the PAIR ids — two id-key equi-joins on the (much
     smaller than corpus) pair set; the split column itself is a pure
-    per-row expression, never materialized corpus-wide."""
+    per-row expression, never materialized corpus-wide. ``pairs``: an
+    optional pre-computed ``ngram_jaccard_pairs(df, k, threshold)``
+    frame (the session-shared x04 pair graph) — the guard then costs
+    only the two id-key join-backs."""
     from .dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, k=k, threshold=threshold)
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, k=k, threshold=threshold
+        )
     s = df.select(F.col(id_col), split.alias("_split"))
     sa = s.select(F.col(id_col).alias("id_a"), F.col("_split").alias("split_a"))
     sb = s.select(F.col(id_col).alias("id_b"), F.col("_split").alias("split_b"))

@@ -344,6 +344,37 @@ def shared_jaccard_pairs(spark, sf_dir: str):
     return _PAIR_FRAMES.get_or_fit(key, fit)
 
 
+def shared_containment_pairs(
+    spark, sf_dir: str, k: int = 3, threshold: float = 0.6
+):
+    """Session-cached DIRECTED containment pairs (|Sa∩Sb|/|Sa| ≥
+    ``threshold`` over word-``k``-shingles) over ``sf_dir``'s documents
+    — the x82 pair frame as a materialized slim product. x82 reports it
+    and x92 rolls it up to source grain with IDENTICAL parameters, so
+    the inverted-index pair join (the expensive co-occurrence shuffle)
+    runs once per session instead of once per entry (optimization r14,
+    the shared_jaccard_pairs discipline). Keyed by (applicationId, data
+    fingerprint, sf_dir, k, threshold); bounded LRU, evictions
+    unpersist."""
+    from pyspark import StorageLevel
+
+    from ...catalog import table
+    from ...operators.dedup import containment_pairs
+
+    key = (
+        spark.sparkContext.applicationId, _corpus_fingerprint(sf_dir),
+        sf_dir, "containment", k, threshold,
+    )
+
+    def fit():
+        return containment_pairs(
+            table(spark, sf_dir, "documents"), "doc_id", "text",
+            k=k, threshold=threshold,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _PAIR_FRAMES.get_or_fit(key, fit)
+
+
 _LABEL_FRAMES = _SessionCache(_unpersist_frame)
 
 

@@ -452,10 +452,14 @@ def x82_containment_pairs(spark, sf_dir):
     |Sa ∩ Sb| / |Sa| ≥ 0.6 over word-3-shingles, DIRECTED — the
     quote/excerpt/syndication detector that symmetric Jaccard misses
     when a short doc sits inside a long one. Same inverted-index shuffle
-    law as x04 (pairs sharing no shingle never materialize)."""
-    return dedup.containment_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", k=3,
-        threshold=0.6,
+    law as x04 (pairs sharing no shingle never materialize). The pair
+    frame is SESSION-SHARED with x92's source rollup (identical k=3 /
+    t=0.6 params — shared_containment_pairs), so the co-occurrence
+    shuffle runs once per session."""
+    from ._shared import shared_containment_pairs
+
+    return shared_containment_pairs(
+        spark, sf_dir, k=3, threshold=0.6
     ).orderBy("id_a", "id_b")
 
 
@@ -549,11 +553,13 @@ def x92_syndication_matrix(spark, sf_dir):
     cannot express: a feed aggregator shows up as a heavy
     source_containing column, its victims as heavy source_contained
     rows. Same inverted-index law as x82; the rollup is a bounded
-    source-pair groupBy."""
+    source-pair groupBy. Reads the SESSION-SHARED x82 pair frame
+    (shared_containment_pairs, identical params) — one co-occurrence
+    shuffle serves both reports."""
+    from ._shared import shared_containment_pairs
+
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.containment_pairs(
-        docs, "doc_id", "text", k=3, threshold=0.6
-    )
+    pairs = shared_containment_pairs(spark, sf_dir, k=3, threshold=0.6)
     src = docs.select("doc_id", "source")
     return (
         pairs.join(

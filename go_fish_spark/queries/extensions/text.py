@@ -553,14 +553,19 @@ def x45_split_leakage(spark, sf_dir):
     members landed in DIFFERENT train/val/test splits under the canonical
     hash split (x14) — exactly the pairs that inflate eval scores if left
     in place. Pair generation is the one shingle-key shuffle; the split
-    join-back touches only pair ids."""
+    join-back touches only pair ids. The pair frame is the
+    SESSION-SHARED x04 graph (shared_jaccard_pairs — identical k=3 /
+    t=0.3 params), so the shingle-key shuffle runs once per session
+    across the pair-graph family."""
     from ...operators.sampling import split_assign
+    from ._shared import shared_jaccard_pairs
 
     docs = table(spark, sf_dir, "documents")
     return decontam.split_leakage(
         docs, "doc_id", "text",
         split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
         k=3, threshold=0.3,
+        pairs=shared_jaccard_pairs(spark, sf_dir),
     ).orderBy("id_a", "id_b")
 
 

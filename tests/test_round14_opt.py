@@ -475,3 +475,56 @@ def test_shared_blocking_stats_cached(spark):
     release_session_caches()
     s3 = shared_blocking_stats(spark, sf, portable=True)
     assert s3 is not s1 and s3 == s1
+
+
+def test_split_leakage_shared_pairs_matches_inline(spark):
+    """split_leakage(pairs=<precomputed>) must equal the inline-pair
+    form row for row (the x45 shared-frame contract)."""
+    from go_fish_spark.operators.decontam import split_leakage
+    from go_fish_spark.operators.dedup import ngram_jaccard_pairs
+    from go_fish_spark.operators.sampling import split_assign
+
+    rows = [
+        (i, "alpha beta gamma delta epsilon " + ("dup" if i % 4 == 0 else str(i)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    split = split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    inline = split_leakage(
+        df, "doc_id", "text", split, k=3, threshold=0.3
+    ).orderBy("id_a", "id_b").collect()
+    pre = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3)
+    shared = split_leakage(
+        df, "doc_id", "text", split, k=3, threshold=0.3, pairs=pre
+    ).orderBy("id_a", "id_b").collect()
+    assert [tuple(r) for r in shared] == [tuple(r) for r in inline]
+    assert len(inline) > 0
+
+
+def test_shared_containment_pairs_cached_and_equal(spark):
+    """shared_containment_pairs serves ONE persisted frame per session
+    and equals the direct containment_pairs output exactly."""
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("testdata missing")
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators.dedup import containment_pairs
+    from go_fish_spark.queries.extensions._shared import (
+        release_session_caches,
+        shared_containment_pairs,
+    )
+
+    release_session_caches()
+    f1 = shared_containment_pairs(spark, sf, k=3, threshold=0.6)
+    f2 = shared_containment_pairs(spark, sf, k=3, threshold=0.6)
+    assert f1 is f2
+    got = sorted(tuple(r) for r in f1.collect())
+    want = sorted(
+        tuple(r)
+        for r in containment_pairs(
+            table(spark, sf, "documents"), "doc_id", "text",
+            k=3, threshold=0.6,
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    release_session_caches()
