@@ -1151,13 +1151,19 @@ def kmv_distinct_audit(
     Output: (group_col, n_exact BIGINT, kmv_estimate DOUBLE round-3,
     rel_err DOUBLE round-6).
 
-    100 TB shape: ONE distinct (group, shingle) exchange; the k-smallest
-    selection is a rank-≤-k window (WindowGroupLimit: each partition
-    keeps only k candidates before the final per-group sort — the q37
-    top-k law, pointed at the SMALLEST hashes); everything downstream
-    is a ≤ groups×k frame. Hash ties break on the shingle string — a
-    total order, so h₍k₎ is engine-deterministic."""
+    100 TB shape: ONE distinct (group, shingle) exchange — the hashed
+    distinct frame is persisted (the x34 ``_persist`` discipline,
+    MEMORY_AND_DISK) because BOTH arms consume it (the exact count and
+    the k-minimum selection); without the persist, column pruning
+    specializes each arm's scan and the whole explode + distinct
+    subtree runs twice. The k-smallest selection is a rank-≤-k window
+    (WindowGroupLimit: each partition keeps only k candidates before
+    the final per-group sort — the q37 top-k law, pointed at the
+    SMALLEST hashes); everything downstream is a ≤ groups×k frame.
+    Hash ties break on the shingle string — a total order, so h₍k₎ is
+    engine-deterministic."""
     from ..functions.text import word_shingles
+    from .dedup import _persist
 
     sh = (
         df.select(
@@ -1167,7 +1173,7 @@ def kmv_distinct_audit(
         .distinct()
     )
     h = F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("bigint")
-    hashed = sh.select("_g", "_s", h.alias("_h"))
+    hashed = _persist(sh.select("_g", "_s", h.alias("_h")))
     counts = hashed.groupBy("_g").agg(F.count(F.lit(1)).alias("n_exact"))
     w = Window.partitionBy("_g").orderBy("_h", "_s")
     kth = (

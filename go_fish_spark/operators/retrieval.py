@@ -355,13 +355,22 @@ def mmr_diversify(
     100 TB shape — the greedy loop runs on a BOUNDED frame: the only
     corpus-scale work is the candidate scan (one broadcast-query cosine
     pass + TakeOrdered top_n, same law as brute_force_topk; swap in the
-    IVF/LSH index for the scan at scale). The persisted top_n-row
-    candidate frame and its top_n² pair-similarity frame are
-    size-capped by construction; each of the k greedy steps is a
-    bounded argmax (a deterministic 1-row collect — model-fit-sized,
-    never corpus-sized). Scores stay fixed-order double expressions
-    (λ and 1−λ enter as Python-computed literals, identical in the
-    DuckDB mirror), ties break to the lower id."""
+    IVF/LSH index for the scan at scale). Every similarity is computed
+    in Spark (the candidate pass + one top_n² pair-cosine job over the
+    persisted candidate frame); the two bounded frames are then
+    collected ONCE and the k greedy argmaxes run driver-side — k
+    single-row selections over ≤ top_n rows are model-fit-sized
+    arithmetic, not Spark jobs (two jobs total instead of 2 + k). The
+    driver argmax reproduces the in-plan expression bit-for-bit: the
+    score is the same fixed-order double expression (λ and 1−λ enter as
+    Python floats — IEEE-754 binary64, identical single-op rounding to
+    the JVM), the round-9 is HALF_UP on the shortest-round-trip decimal
+    repr (exactly Spark's Round-on-double: Scala BigDecimal(double)
+    parses Double.toString, and Python's repr() yields the same
+    shortest string), NaN sorts first under descending order (the JVM
+    Double.compare rule), ties break to the lower id."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     from ..functions.vectors import cosine
     from .dedup import _persist
 
@@ -380,49 +389,64 @@ def mmr_diversify(
         .limit(int(top_n))
     )
     a, b = cand.alias("a"), cand.alias("b")
-    pairs = _persist(
-        a.join(b, F.col("a._id") != F.col("b._id")).select(
+    pair_rows = (
+        a.join(b, F.col("a._id") != F.col("b._id"))
+        .select(
             F.col("a._id").alias("_pa"),
             F.col("b._id").alias("_pb"),
             cosine("a._v", "b._v").alias("_sim"),
         )
+        .collect()  # bounded: ≤ top_n² rows
     )
+    cand_rows = cand.select("_id", "_sim_q").collect()  # ≤ top_n rows
+
+    def _round9(x: float) -> float:
+        # Spark Round(double, 9): BigDecimal(Double.toString(x))
+        # .setScale(9, HALF_UP).toDouble — repr() is the same shortest
+        # round-trip decimal string, HALF_UP ties away from zero in
+        # both engines; non-finite values never reach Round on corpus
+        # data (cosine of finite vectors) and pass through untouched.
+        if x != x or x in (float("inf"), float("-inf")):
+            return x
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP)
+        )
+
+    def _desc_key(score: float) -> float:
+        # descending sort key with the JVM Double ordering: NaN sorts
+        # ABOVE +Inf, so it must come first under desc
+        return float("-inf") if score != score else -score
+
+    pair_sim: dict = {}
+    for r in pair_rows:
+        pair_sim.setdefault(r._pa, {})[r._pb] = r._sim
     lam_f, one_minus = float(lam), 1.0 - float(lam)
     selected: list = []
     out = []
     for rank in range(1, int(k) + 1):
-        if not selected:
-            pick = cand.select(
-                "_id", (F.lit(lam_f) * F.col("_sim_q")).alias("_score")
-            )
-        else:
-            msel = (
-                pairs.filter(F.col("_pb").isin(selected))
-                .groupBy("_pa")
-                .agg(F.max("_sim").alias("_msim"))
-            )
-            pick = (
-                cand.filter(~F.col("_id").isin(selected))
-                .join(msel, cand["_id"] == msel["_pa"])
-                .select(
-                    "_id",
-                    (
-                        F.lit(lam_f) * F.col("_sim_q")
-                        - F.lit(one_minus) * F.col("_msim")
-                    ).alias("_score"),
-                )
-            )
-        rows = (
-            pick.select("_id", F.round("_score", 9).alias("_score"))
-            .orderBy(F.col("_score").desc(), "_id")
-            .limit(1)
-            .collect()  # bounded: one row from a ≤ top_n-row frame
-        )
-        if not rows:  # candidates exhausted (k > available) — stop early
+        best = None
+        for r in cand_rows:
+            cid = r._id
+            if selected:
+                if cid in selected:
+                    continue
+                # same inner-join semantics as the in-plan argmax: a
+                # candidate with no pair row to any selected id is
+                # ineligible (cannot happen for a full a≠b pair frame)
+                sims = pair_sim.get(cid, {})
+                sel_sims = [sims[s] for s in selected if s in sims]
+                if not sel_sims:
+                    continue
+                score = lam_f * r._sim_q - one_minus * max(sel_sims)
+            else:
+                score = lam_f * r._sim_q
+            key = (_desc_key(_round9(score)), cid)
+            if best is None or key < best[0]:
+                best = (key, cid, _round9(score))
+        if best is None:  # candidates exhausted (k > available)
             break
-        row = rows[0]
-        selected.append(row._id)
-        out.append((rank, row._id, float(row._score)))
+        selected.append(best[1])
+        out.append((rank, best[1], float(best[2])))
     id_type = emb.schema[id_col].dataType.simpleString()
     return emb.sparkSession.createDataFrame(
         out, f"rank int, {id_col} {id_type}, mmr_score double"

@@ -618,6 +618,51 @@ def value_bucketed_rank(
     )
 
 
+def grouped_value_bucketed_rank(
+    df: DataFrame,
+    group_col: str,
+    bucket: Column,
+    order_cols: list,
+    out: str = "rank",
+) -> DataFrame:
+    """:func:`value_bucketed_rank` restarted at 1 inside every value of
+    ``group_col`` — N independent rankings in ONE pipeline (one bounded
+    count aggregate, one broadcast offsets frame, one rank window),
+    instead of N chained full rank pipelines whose count side-branches
+    each recompute everything below them (the pre-r14 q85 shape: three
+    stacked pipelines planned 64 scans of the same table). ``bucket``
+    must be, per group, a monotone non-decreasing coarsening of the
+    first order key exactly as in :func:`value_bucketed_rank`;
+    ``order_cols`` must be a deterministic total order within
+    (group, bucket). Offsets accumulate per GROUP (the cumulative-count
+    window partitions on the group), so each group's ranks are dense
+    1..n_group."""
+    from pyspark.sql import Window
+
+    dfk = df.withColumn("_vb", bucket)
+    counts = dfk.groupBy(group_col, "_vb").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_vb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select(
+        F.col(group_col).alias("_vbg"), F.col("_vb").alias("_vbo"), "_off"
+    )
+    w = Window.partitionBy(group_col, "_vb").orderBy(*order_cols)
+    return (
+        dfk.join(
+            F.broadcast(offsets),
+            F.col(group_col).eqNullSafe(F.col("_vbg"))
+            & F.col("_vb").eqNullSafe(F.col("_vbo")),
+        )
+        .withColumn(out, (F.col("_off") + F.row_number().over(w)).cast("bigint"))
+        .drop("_vb", "_vbg", "_vbo", "_off")
+    )
+
+
 def source_cap_thresholds(
     df: DataFrame, key_col: str, id_col: str, cap: int
 ) -> DataFrame:

@@ -577,22 +577,32 @@ def q85_rfm_segments(spark, sf_dir):
     none of ntile's remainder-bucket ambiguity.
 
     100 TB shape: the per-customer frame is ONE o_custkey-keyed exchange
-    with partial aggregation; the three global ranks use
-    :func:`~go_fish_spark.operators.sampling.value_bucketed_rank` — the
-    distributed TeraSort-rank shape (bounded per-bucket count frame →
-    broadcast cumulative offsets → parallel per-bucket windows), so
-    there is NO single-task global window even at 10⁹ customers:
-    recency buckets on the day value itself, frequency on the negated
-    count, monetary on a 1000-unit price band. The final report is a
-    ≤ 64-key groupBy. Revenue sums ride decimal(18,2) (money_sum) so
-    partitioned summation matches DuckDB exactly."""
-    from ..operators.sampling import value_bucketed_rank
+    with partial aggregation (persisted — it feeds all three rank
+    kinds); the three global ranks ride ONE
+    :func:`~go_fish_spark.operators.sampling.grouped_value_bucketed_rank`
+    pipeline — the distributed TeraSort-rank shape (bounded per-bucket
+    count frame → broadcast cumulative offsets → parallel per-bucket
+    windows), so there is NO single-task global window even at 10⁹
+    customers. The three metrics are unioned under a kind tag with a
+    normalized ascending sort key (recency_days / −frequency /
+    −monetary — negation of a decimal is exact, so desc order is
+    preserved bit-for-bit) and each kind keeps exactly its pre-r14
+    bucket function (the day value itself, the negated count, the
+    1000-unit price band); offsets accumulate per kind, so each rank is
+    dense 1..n per metric, and a ≤ |customers|-key pivot re-joins the
+    three ranks. Three chained pipelines planned 64 scans of orders
+    (every count side-branch recomputed the frame below it); the union
+    shape scans once. The final report is a ≤ 64-key groupBy. Revenue
+    sums ride decimal(18,2) (money_sum) so partitioned summation
+    matches DuckDB exactly."""
+    from ..operators.dedup import _persist
+    from ..operators.sampling import grouped_value_bucketed_rank
 
     orders = table(spark, sf_dir, "orders")
     maxd = orders.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("_maxd")
     )
-    m = (
+    m = _persist(
         orders.groupBy("o_custkey")
         .agg(
             F.max(F.col("o_orderdate").cast("date")).alias("_last"),
@@ -607,19 +617,42 @@ def q85_rfm_segments(spark, sf_dir):
             "monetary",
         )
     )
-    m = value_bucketed_rank(
-        m, F.col("recency_days"),
-        [F.col("recency_days"), F.col("o_custkey")], out="r_rank",
+    # one row per (customer, rank kind): _ord is the kind's ASCENDING
+    # sort key (cast to a common exact decimal), _vbv its bucket — the
+    # same bucket value each kind used when it ranked alone
+    kinds = [
+        (0, "r_rank", F.col("recency_days").cast("decimal(38,2)"),
+         F.col("recency_days").cast("long")),
+        (1, "f_rank", (-F.col("frequency")).cast("decimal(38,2)"),
+         -F.col("frequency")),
+        (2, "m_rank", (-F.col("monetary")).cast("decimal(38,2)"),
+         F.floor(-F.col("monetary") / 1000.0)),
+    ]
+    u = None
+    for tag, _, ordk, vb in kinds:
+        part = m.select(
+            "o_custkey", "monetary",
+            F.lit(tag).alias("_kind"),
+            ordk.alias("_ord"),
+            vb.cast("long").alias("_vbv"),
+        )
+        u = part if u is None else u.unionByName(part)
+    ranked = grouped_value_bucketed_rank(
+        u, "_kind", F.col("_vbv"),
+        [F.col("_ord"), F.col("o_custkey")], out="_r",
     )
-    m = value_bucketed_rank(
-        m, -F.col("frequency"),
-        [F.col("frequency").desc(), F.col("o_custkey")], out="f_rank",
-    )
-    m = value_bucketed_rank(
-        m, F.floor(-F.col("monetary") / 1000.0),
-        [F.col("monetary").desc(), F.col("o_custkey")], out="m_rank",
-    )
+    # the customer count: from the persisted base frame (the pivot is
+    # one row per customer by construction, so the count is the same —
+    # counting the pivot would re-plan the whole rank pipeline in the
+    # n branch)
     n = m.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    m = ranked.groupBy("o_custkey").agg(
+        F.max("monetary").alias("monetary"),
+        *[
+            F.max(F.when(F.col("_kind") == tag, F.col("_r"))).alias(name)
+            for tag, name, _, _ in kinds
+        ],
+    )
     q = lambda r: 1 + F.expr(f"(({r} - 1) * 4) div _n")  # noqa: E731
     return (
         m.crossJoin(F.broadcast(n))

@@ -100,29 +100,33 @@ def sweep_tmp_stores(app_id: str | None = None, stale_s: float = 86400.0) -> int
     import shutil
     import time
 
-    def newest_mtime(root: str) -> float:
-        # full walk, mtime of every dir and file: a deep parquet write
-        # updates its leaf dir + file mtimes even when nothing above
-        # moves. Store trees are MBs / hundreds of entries — cheap.
+    def tree_active_since(root: str, cutoff: float) -> bool:
+        # same decision as "recursive max mtime >= now - stale_s", but
+        # the walk STOPS at the first fresh path: an active store's
+        # newest write is found within a few entries, so only genuinely
+        # stale trees — removed right after — pay the full O(files)
+        # walk. A vanished root reads as inactive, exactly like the old
+        # 0.0 sentinel.
         try:
-            newest = os.path.getmtime(root)
+            if os.path.getmtime(root) >= cutoff:
+                return True
         except OSError:
-            return 0.0
+            return False
         for dirpath, dirs, files in os.walk(root):
             for name in dirs + files:
                 try:
-                    m = os.path.getmtime(os.path.join(dirpath, name))
+                    if os.path.getmtime(os.path.join(dirpath, name)) >= cutoff:
+                        return True
                 except OSError:
                     continue
-                if m > newest:
-                    newest = m
-        return newest
+        return False
 
     n = 0
     for p in glob.glob("/tmp/gofish_x*"):
         mine = app_id is not None and p.endswith(f"_{app_id}")
-        stale = time.time() - newest_mtime(p) > stale_s
-        if mine or stale:
+        # the current session's dirs are removed unconditionally — no
+        # walk; others only when nothing in the tree moved for stale_s
+        if mine or not tree_active_since(p, time.time() - stale_s):
             shutil.rmtree(p, ignore_errors=True)
             n += 1
     return n

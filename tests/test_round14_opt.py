@@ -528,3 +528,242 @@ def test_shared_containment_pairs_cached_and_equal(spark):
     )
     assert got == want and len(want) > 0
     release_session_caches()
+
+
+def _mmr_reference(emb, id_col, vec_col, query_id, top_n, k, lam):
+    """The pre-r14 MMR shape: each greedy argmax as an in-plan
+    round-9 / orderBy / limit(1) collect over the persisted candidate
+    and pair frames — kept here as the equivalence reference for the
+    driver-side greedy loop."""
+    from go_fish_spark.functions.vectors import cosine
+    from go_fish_spark.operators.dedup import _persist
+
+    qv = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    cand = _persist(
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            cosine(vec_col, "_qv").alias("_sim_q"),
+        )
+        .orderBy(F.col("_sim_q").desc(), "_id")
+        .limit(int(top_n))
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = _persist(
+        a.join(b, F.col("a._id") != F.col("b._id")).select(
+            F.col("a._id").alias("_pa"),
+            F.col("b._id").alias("_pb"),
+            cosine("a._v", "b._v").alias("_sim"),
+        )
+    )
+    lam_f, one_minus = float(lam), 1.0 - float(lam)
+    selected, out = [], []
+    for rank in range(1, int(k) + 1):
+        if not selected:
+            pick = cand.select(
+                "_id", (F.lit(lam_f) * F.col("_sim_q")).alias("_score")
+            )
+        else:
+            msel = (
+                pairs.filter(F.col("_pb").isin(selected))
+                .groupBy("_pa")
+                .agg(F.max("_sim").alias("_msim"))
+            )
+            pick = (
+                cand.filter(~F.col("_id").isin(selected))
+                .join(msel, cand["_id"] == msel["_pa"])
+                .select(
+                    "_id",
+                    (
+                        F.lit(lam_f) * F.col("_sim_q")
+                        - F.lit(one_minus) * F.col("_msim")
+                    ).alias("_score"),
+                )
+            )
+        rows = (
+            pick.select("_id", F.round("_score", 9).alias("_score"))
+            .orderBy(F.col("_score").desc(), "_id")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        selected.append(rows[0]._id)
+        out.append((rank, rows[0]._id, float(rows[0]._score)))
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return emb.sparkSession.createDataFrame(
+        out, f"rank int, {id_col} {id_type}, mmr_score double"
+    )
+
+
+def test_mmr_driver_loop_matches_spark_loop_synthetic(spark):
+    """The r14 driver-side MMR greedy loop must match the in-plan
+    argmax loop bit-for-bit — including on negative similarities, exact
+    duplicate vectors (score ties -> lower id), and k > available
+    candidates (early stop)."""
+    from go_fish_spark.operators.retrieval import mmr_diversify
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # query
+        (1, [1.0, 0.0, 0.0]),    # identical to query
+        (2, [1.0, 0.0, 0.0]),    # tie with 1 -> lower id first
+        (3, [0.0, 1.0, 0.0]),    # orthogonal
+        (4, [-1.0, 0.0, 0.0]),   # negative sim to query
+        (5, [0.6, 0.8, 0.0]),
+        (6, [0.6, -0.8, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_diversify(
+        df, "vec_id", "embedding", query_id=0, top_n=6, k=10, lam=0.7
+    ).collect()
+    want = _mmr_reference(
+        df, "vec_id", "embedding", query_id=0, top_n=6, k=10, lam=0.7
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) == 6  # early stop: only 6 candidates for k=10
+
+
+def test_mmr_driver_loop_matches_spark_loop_corpus(spark):
+    """Same equivalence over the real sf0.001 embeddings at the x102
+    parameters."""
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "embeddings.parquet")):
+        pytest.skip("testdata missing")
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators.retrieval import mmr_diversify
+
+    emb = table(spark, sf, "embeddings")
+    got = mmr_diversify(
+        emb, "vec_id", "embedding", query_id=0, top_n=20, k=8, lam=0.7
+    ).collect()
+    want = _mmr_reference(
+        emb, "vec_id", "embedding", query_id=0, top_n=20, k=8, lam=0.7
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) == 8
+
+
+def test_mmr_round9_matches_spark_round(spark):
+    """The driver loop's HALF_UP round must equal Spark's Round(double,
+    9) on a value grid that straddles .5 boundaries at the 9th digit
+    and negative values (HALF_UP = away from zero in both engines)."""
+    import math
+
+    vals = [
+        0.1234567885, -0.1234567885, 0.9999999995, -0.9999999995,
+        1.0000000005, 0.0000000005, -0.0000000005, 0.1234567884999,
+        0.7 * 0.99999999, -0.3 * 0.333333333, 2.5e-9, -2.5e-9,
+        1e-10, -1e-10, 0.0, 1.0, -1.0, 0.123456789,
+        math.nextafter(0.1234567885, 0), math.nextafter(0.1234567885, 1),
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "x double"
+    ).select(F.round("x", 9).alias("r"))
+    spark_rounded = [r.r for r in df.collect()]
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round9(x):
+        if x != x or x in (float("inf"), float("-inf")):
+            return x
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1E-9"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    assert spark_rounded == [_round9(v) for v in vals]
+
+
+def test_kmv_persisted_distinct_matches_unpersisted(spark):
+    """kmv_distinct_audit's persisted distinct frame (one explode +
+    distinct exchange shared by both arms) must not change a single
+    output row vs the unpersisted two-branch shape."""
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("testdata missing")
+    from pyspark.sql import Window
+    from go_fish_spark.catalog import table
+    from go_fish_spark.functions.text import word_shingles
+    from go_fish_spark.operators.profile import kmv_distinct_audit
+
+    docs = table(spark, sf, "documents")
+    got = kmv_distinct_audit(
+        docs, "source", "text", k_shingle=3, k_min=16
+    ).orderBy("source").collect()
+
+    # unpersisted reference: the same frames, no shared cache
+    sh = docs.select(
+        F.col("source").alias("_g"),
+        F.explode(word_shingles("text", 3)).alias("_s"),
+    ).distinct()
+    h = F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("bigint")
+    hashed = sh.select("_g", "_s", h.alias("_h"))
+    counts = hashed.groupBy("_g").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy("_g").orderBy("_h", "_s")
+    kth = (
+        hashed.select("_g", "_h", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= 16)
+        .groupBy("_g")
+        .agg(F.max("_h").alias("_hk"), F.count(F.lit(1)).alias("_nk"))
+    )
+    est = F.when(
+        F.col("_nk") < 16, F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(15)) * F.lit(float(2**32)) / F.col("_hk").cast("double")
+    )
+    want = (
+        counts.join(kth, "_g")
+        .select(
+            F.col("_g").alias("source"),
+            "n_exact",
+            F.round(est, 3).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) > 0
+
+
+def test_grouped_value_bucketed_rank_matches_per_group_loop(spark):
+    """grouped_value_bucketed_rank must equal value_bucketed_rank run
+    independently per group — including on tied order keys, NULL bucket
+    values, and groups of different sizes (ranks dense 1..n_group)."""
+    from go_fish_spark.operators.sampling import (
+        grouped_value_bucketed_rank,
+        value_bucketed_rank,
+    )
+
+    rows = [
+        # (group, id, val) — val drives both bucket and order
+        ("a", 1, 10), ("a", 2, 10), ("a", 3, 25), ("a", 4, None),
+        ("b", 5, 7), ("b", 6, 3), ("b", 7, 3), ("b", 8, 99), ("b", 9, 0),
+        ("c", 10, 42),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, val int")
+    bucket = F.floor(F.col("val") / 10)
+    order = [F.col("val"), F.col("id")]
+    got = {
+        (r.g, r.id): r.rk
+        for r in grouped_value_bucketed_rank(
+            df, "g", bucket, order, out="rk"
+        ).collect()
+    }
+    want = {}
+    for g in ("a", "b", "c"):
+        for r in value_bucketed_rank(
+            df.filter(F.col("g") == g), bucket, order, out="rk"
+        ).collect():
+            want[(r.g, r.id)] = r.rk
+    assert got == want
+    assert sorted(v for (g, _), v in got.items() if g == "b") == [1, 2, 3, 4, 5]
