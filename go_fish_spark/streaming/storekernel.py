@@ -733,8 +733,14 @@ def _covered_from_footers(
     files (per-file constant stamps), shard selection by directory
     name, plus the current generation's files for the selected shards.
     Returns ``(covered|None, ok)``; ``ok=False`` → caller must run the
-    scan arm (legacy/flat layouts, missing stats, or a missing
-    generation directory, which the scan arm reports properly)."""
+    scan arm (legacy/flat layouts, missing stats, a missing generation
+    directory — which the scan arm reports properly — or a listing that
+    finds NO files at all: the caller only runs this after reading a
+    non-None live frame through Spark, so files exist, and a Python-side
+    walk that cannot see any of them means the path does not resolve to
+    the same tree for both sides — e.g. a RELATIVE store path when the
+    JVM and Python working directories diverge. Trusting the empty walk
+    there silently turned the fold into a no-op, r14 regression)."""
     if _root_parquet_files(store_path):
         return None, False  # flat/legacy layout — scan arm handles it
     cov = dict((man or {}).get("covered") or {})
@@ -744,6 +750,7 @@ def _covered_from_footers(
         else None
     )
     mx = None
+    n_files = 0
 
     def _see(b: int) -> None:
         nonlocal mx
@@ -756,6 +763,7 @@ def _covered_from_footers(
             return None, False
         if sel is not None and si not in sel:
             continue
+        n_files += 1
         b, ok = _file_footer_batch(f)
         if not ok or b is None:
             return None, False  # stats unusable or pre-discipline file
@@ -775,12 +783,15 @@ def _covered_from_footers(
                 return None, False
             if sel is not None and si not in sel:
                 continue
+            n_files += 1
             b, ok = _file_footer_batch(f)
             if not ok or b is None:
                 return None, False
             if committed is not None and b > int(committed):
                 continue
             _see(b)
+    if n_files == 0:
+        return None, False  # Python-side view sees no data — scan arm
     return mx, True
 
 

@@ -767,3 +767,23 @@ def test_grouped_value_bucketed_rank_matches_per_group_loop(spark):
             want[(r.g, r.id)] = r.rk
     assert got == want
     assert sorted(v for (g, _), v in got.items() if g == "b") == [1, 2, 3, 4, 5]
+
+
+def test_covered_from_footers_declines_on_invisible_store(spark, tmp_path):
+    """_covered_from_footers must DECLINE (ok=False -> scan arm) when
+    its Python-side walk sees no data files: the caller only invokes it
+    after Spark read a non-None live frame, so an empty walk means the
+    path does not resolve to the same tree for the JVM and Python (the
+    relative-path case) — trusting it silently no-op'ed the fold."""
+    covered, ok = sk._covered_from_footers(
+        os.path.join(str(tmp_path), "never_written"), None, None, None
+    )
+    assert (covered, ok) == (None, False)
+
+
+def test_covered_from_footers_still_fast_on_real_store(spark, tmp_path):
+    """The decline guard must not break the fast path on a store whose
+    files ARE visible: footer arm still answers (max batch, True)."""
+    store = _mk_store(spark, tmp_path)
+    covered, ok = sk._covered_from_footers(store, None, None, None)
+    assert (covered, ok) == (2, True)
