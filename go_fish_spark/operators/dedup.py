@@ -1984,10 +1984,18 @@ def group_sketch_turnover(
     signature frames with columns (group_col, _sig) for the matching
     side (same params) — a snapshot whose signatures another audit
     already fitted (x87/x93's shared frame) is not re-hashed; a
-    transformed side (x94's edited new crawl) still computes its own."""
-    def sketch(
-        df: DataFrame, side: str, pre: DataFrame | None
-    ) -> DataFrame:
+    transformed side (x94's edited new crawl) still computes its own.
+
+    Both snapshots' sketches ride ONE (group, position) exchange: the
+    per-doc rows are tagged with their side and unioned, and a single
+    conditional-min aggregation computes both sides' union sketches at
+    once (min over a side's rows ≡ that side's separate min; a side
+    with no rows for the group yields NULL, and requiring both mins
+    non-null reproduces the old inner join's group-in-both-snapshots
+    semantics exactly — each side always emits all ``n_hashes``
+    positions for every group it contains). Halves the aggregation
+    exchanges and removes the old↔new join outright."""
+    def tagged(df: DataFrame, old: bool, pre: DataFrame | None) -> DataFrame:
         per_doc = (
             pre.select(F.col(group_col).alias("_g"), "_sig")
             if pre is not None
@@ -1998,15 +2006,22 @@ def group_sketch_turnover(
                 ).alias("_sig"),
             )
         )
-        return (
-            per_doc
-            .select("_g", F.posexplode("_sig").alias("_p", "_v"))
-            .groupBy("_g", "_p")
-            .agg(F.min("_v").alias(f"_m_{side}"))
+        return per_doc.select(
+            "_g",
+            F.posexplode("_sig").alias("_p", "_v"),
+            F.lit(old).alias("_old"),
         )
 
-    o = sketch(old_df, "o", old_sig_frame)
-    n = sketch(new_df, "n", new_sig_frame)
+    mins = (
+        tagged(old_df, True, old_sig_frame)
+        .unionByName(tagged(new_df, False, new_sig_frame))
+        .groupBy("_g", "_p")
+        .agg(
+            F.min(F.when(F.col("_old"), F.col("_v"))).alias("_m_o"),
+            F.min(F.when(~F.col("_old"), F.col("_v"))).alias("_m_n"),
+        )
+        .filter(F.col("_m_o").isNotNull() & F.col("_m_n").isNotNull())
+    )
     agree = F.sum(
         F.when(F.col("_m_o") == F.col("_m_n"), 1).otherwise(0)
     )
@@ -2017,7 +2032,7 @@ def group_sketch_turnover(
         agree / F.lit(float(n_hashes))
     )
     return (
-        o.join(n, ["_g", "_p"])
+        mins
         .groupBy(F.col("_g").alias(group_col))
         .agg(
             est.alias("est_overlap"),
@@ -2062,10 +2077,12 @@ def lsh_plan_sweep(
     same floor every thresholded pair pass in this module applies.
 
     100 TB shape: ONE exact-Jaccard pair pass (the dominant cost, same
-    law as x04) + one map-only signature pass; the sweep frame is
-    pairs × n_hashes × plans — bounded by the candidate-pair law, never
-    corpus². Two bounded groupBys (per-band, then per-pair) and a
-    ≤ #plans-row report.
+    law as x04) + one map-only signature pass; signatures join the pair
+    frame as whole arrays (one row per pair per side, never the
+    n_hashes-exploded form), band collision is evaluated array-side per
+    pair row (∃ band whose position slice agrees — codegen'd slice
+    equality, no per-position shuffle), and the only aggregation is the
+    pairs × plans → ≤ #plans-row report.
 
     ``sample_frac`` — the PLANNING mode this report should run in at
     scale: a deterministic md5-uniform coin on the pair key, evaluated
@@ -2087,14 +2104,6 @@ def lsh_plan_sweep(
         for b in (2 ** k for k in range(n_hashes.bit_length() - 1, -1, -1))
         if n_hashes % b == 0
     ]
-    spark = df.sparkSession
-    plans_df = spark.createDataFrame(
-        [
-            (b, r, round((1.0 / b) ** (1.0 / r), 9) if b > 1 else 1.0)
-            for b, r in plans
-        ],
-        "bands int, rows_per_band int, s_threshold double",
-    )
     pairs = ngram_jaccard_pairs(
         df, id_col, text_col, k=k, threshold=min_jaccard,
         pair_sample_frac=sample_frac, pair_sample_seed="lshsweep",
@@ -2109,35 +2118,50 @@ def lsh_plan_sweep(
             ),
         )
     )
-    m = per_doc.select("_id", F.posexplode("_sig").alias("_p", "_v"))
-    a, b = m.alias("a"), m.alias("b")
-    pa = (
-        pairs.join(a, pairs["id_a"] == F.col("a._id"))
-        .join(
-            b,
-            (pairs["id_b"] == F.col("b._id"))
-            & (F.col("a._p") == F.col("b._p")),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            F.col("a._p").alias("_p"),
-            F.when(F.col("a._v") == F.col("b._v"), 1).otherwise(0).alias(
-                "_agree"
+    # Band collision is decided ARRAY-SIDE, per pair row: plan (b, r)
+    # collides iff some band of r consecutive positions agrees completely
+    # ⟺ ∃ band: slice(sig_a, band·r+1, r) == slice(sig_b, band·r+1, r)
+    # (array equality is elementwise; signatures are dense non-null int
+    # arrays, so the slice compare IS the old per-position min/max
+    # reduction). The signatures join the pair frame as whole arrays —
+    # one row per pair per side instead of n_hashes exploded rows — and
+    # the per-(pair, plan, band) + per-(pair, plan) groupBys disappear:
+    # the only aggregation left is the ≤ #plans-row report.
+    a = per_doc.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("_sig_a")
+    )
+    b = per_doc.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("_sig_b")
+    )
+    def collide_expr(bands: int, r: int):
+        return F.when(
+            F.exists(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.slice(F.col("_sig_a"), band * r + 1, r)
+                == F.slice(F.col("_sig_b"), band * r + 1, r),
             ),
-        )
+            1,
+        ).otherwise(0)
+
+    plan_rows = F.array(
+        *[
+            F.struct(
+                F.lit(bb).alias("bands"),
+                F.lit(rr).alias("rows_per_band"),
+                F.lit(
+                    round((1.0 / bb) ** (1.0 / rr), 9) if bb > 1 else 1.0
+                ).alias("s_threshold"),
+                collide_expr(bb, rr).alias("_c"),
+            )
+            for bb, rr in plans
+        ]
     )
-    pb = pa.join(F.broadcast(plans_df)).withColumn(
-        "_band", F.expr("_p div rows_per_band")
+    collide = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "jaccard", F.explode(plan_rows).alias("_pl"))
+        .select("id_a", "id_b", "jaccard", "_pl.*")
     )
-    band_agree = pb.groupBy(
-        "id_a", "id_b", "jaccard", "bands", "rows_per_band", "s_threshold",
-        "_band",
-    ).agg(F.min("_agree").alias("_ba"))
-    collide = band_agree.groupBy(
-        "id_a", "id_b", "jaccard", "bands", "rows_per_band", "s_threshold"
-    ).agg(F.max("_ba").alias("_c"))
     is_dup = F.col("jaccard") >= dup_threshold
     n_dup = F.sum(F.when(is_dup, 1).otherwise(0))
     n_weak = F.sum(F.when(is_dup, 0).otherwise(1))

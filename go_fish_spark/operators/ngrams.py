@@ -96,8 +96,12 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     g = _persist(
         term.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("_c"))
     )
-    freq = g.groupBy("token").agg(F.sum("_c").alias("cnt"))
-    total = g.agg(F.sum("_c").alias("n_total"))
+    freq = _persist(g.groupBy("token").agg(F.sum("_c").alias("cnt")))
+    # Σ over the vocab of per-token counts ≡ Σ over (doc, token) pairs —
+    # exact integer equality — so the global total aggregates the
+    # vocab-sized freq frame (already computed, persisted above for its
+    # two consumers) instead of re-scanning the doc-token pairs.
+    total = freq.agg(F.sum("cnt").alias("n_total"))
     logp = F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
     return (
         g.join(freq, "token")

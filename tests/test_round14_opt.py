@@ -787,3 +787,204 @@ def test_covered_from_footers_still_fast_on_real_store(spark, tmp_path):
     store = _mk_store(spark, tmp_path)
     covered, ok = sk._covered_from_footers(store, None, None, None)
     assert (covered, ok) == (2, True)
+
+
+def _turnover_reference(old_df, new_df, group_col, old_sigs, new_sigs):
+    """The pre-r14 group_sketch_turnover shape: one (group, position)
+    min-aggregation PER SIDE, inner-joined on (group, position) — kept
+    as the equivalence reference for the fused single-exchange form."""
+    from go_fish_spark.operators.dedup import _P31
+
+    def sketch(pre, side):
+        return (
+            pre.select(F.col(group_col).alias("_g"), "_sig")
+            .select("_g", F.posexplode("_sig").alias("_p", "_v"))
+            .groupBy("_g", "_p")
+            .agg(F.min("_v").alias(f"_m_{side}"))
+        )
+
+    o, n = sketch(old_sigs, "o"), sketch(new_sigs, "n")
+    agree = F.sum(F.when(F.col("_m_o") == F.col("_m_n"), 1).otherwise(0))
+    empty = (F.min("_m_o") == _P31) | (F.min("_m_n") == _P31)
+    est = F.when(empty, F.lit(None).cast("double")).otherwise(
+        agree / F.lit(64.0)
+    )
+    return (
+        o.join(n, ["_g", "_p"])
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(est.alias("est_overlap"), (F.lit(1.0) - est).alias("turnover"))
+    )
+
+
+def test_group_sketch_turnover_fused_matches_join(spark):
+    """The fused union + conditional-min turnover must equal the
+    two-aggregation + join reference row for row, including the
+    one-sided-group omission and the empty-union-set NULL arms."""
+    from go_fish_spark.operators.dedup import (
+        group_sketch_turnover,
+        minhash_signature,
+    )
+
+    rows = (
+        # srcA in both snapshots, mixed content
+        [(i, "srcA", f"alpha beta gamma delta {i % 3}") for i in range(12)]
+        # srcB only in OLD (doc_id % 2 == 0 rows below filter to old only)
+        + [(100 + i, "srcB", f"epsilon zeta eta theta {i}") for i in range(4)]
+        # srcC in both but all sub-k-token (empty union shingle set)
+        + [(200 + i, "srcC", "one two") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    old_df = df.filter((F.col("doc_id") % 2 == 0) | (F.col("source") == "srcB"))
+    new_df = df.filter((F.col("doc_id") % 2 == 1) & (F.col("source") != "srcB"))
+
+    def sigs(d):
+        return d.select(
+            "source",
+            minhash_signature("text", 64, 3, 42, portable=True).alias("_sig"),
+        )
+
+    got = group_sketch_turnover(
+        old_df, new_df, "source", "text", portable=True,
+        old_sig_frame=sigs(old_df), new_sig_frame=sigs(new_df),
+    ).orderBy("source").collect()
+    want = _turnover_reference(
+        old_df, new_df, "source", sigs(old_df), sigs(new_df)
+    ).orderBy("source").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    srcs = [r.source for r in got]
+    assert "srcA" in srcs and "srcC" in srcs and "srcB" not in srcs
+    assert [r.est_overlap for r in got if r.source == "srcC"] == [None]
+
+
+def _lsh_sweep_reference(df, id_col, text_col, dup_threshold=0.5,
+                         min_jaccard=0.2):
+    """The pre-r14 lsh_plan_sweep shape: posexplode the signatures, join
+    per position, per-(pair, plan, band) min then per-pair max — kept as
+    the equivalence reference for the array-slice collision form."""
+    from go_fish_spark.operators.dedup import (
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+
+    n_hashes = 64
+    plans = [(2 ** j, n_hashes // 2 ** j) for j in range(6, -1, -1)]
+    spark_ = df.sparkSession
+    plans_df = spark_.createDataFrame(
+        [
+            (b, r, round((1.0 / b) ** (1.0 / r), 9) if b > 1 else 1.0)
+            for b, r in plans
+        ],
+        "bands int, rows_per_band int, s_threshold double",
+    )
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, k=3,
+                                threshold=min_jaccard)
+    per_doc = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, 64, 3, 42, portable=True).alias("_sig"),
+    )
+    m = per_doc.select("_id", F.posexplode("_sig").alias("_p", "_v"))
+    a, b = m.alias("a"), m.alias("b")
+    pa = (
+        pairs.join(a, pairs["id_a"] == F.col("a._id"))
+        .join(b, (pairs["id_b"] == F.col("b._id"))
+              & (F.col("a._p") == F.col("b._p")))
+        .select(
+            "id_a", "id_b", "jaccard", F.col("a._p").alias("_p"),
+            F.when(F.col("a._v") == F.col("b._v"), 1).otherwise(0)
+            .alias("_agree"),
+        )
+    )
+    pb = pa.join(F.broadcast(plans_df)).withColumn(
+        "_band", F.expr("_p div rows_per_band"))
+    band_agree = pb.groupBy(
+        "id_a", "id_b", "jaccard", "bands", "rows_per_band", "s_threshold",
+        "_band").agg(F.min("_agree").alias("_ba"))
+    collide = band_agree.groupBy(
+        "id_a", "id_b", "jaccard", "bands", "rows_per_band", "s_threshold"
+    ).agg(F.max("_ba").alias("_c"))
+    is_dup = F.col("jaccard") >= dup_threshold
+    n_dup = F.sum(F.when(is_dup, 1).otherwise(0))
+    n_weak = F.sum(F.when(is_dup, 0).otherwise(1))
+    dup_caught = F.sum(F.when(is_dup, F.col("_c")).otherwise(0))
+    weak_caught = F.sum(F.when(is_dup, 0).otherwise(F.col("_c")))
+    return (
+        collide.groupBy("bands", "rows_per_band", "s_threshold")
+        .agg(
+            n_dup.cast("bigint").alias("n_dup_pairs"),
+            dup_caught.cast("bigint").alias("n_dup_caught"),
+            n_weak.cast("bigint").alias("n_weak_pairs"),
+            weak_caught.cast("bigint").alias("n_weak_caught"),
+            F.when(n_dup > 0, F.round(
+                dup_caught.cast("double") / n_dup.cast("double"), 9)
+            ).alias("recall"),
+            F.when(n_weak > 0, F.round(
+                weak_caught.cast("double") / n_weak.cast("double"), 9)
+            ).alias("weak_catch_rate"),
+        )
+        .orderBy(F.col("bands").desc())
+    )
+
+
+def test_lsh_plan_sweep_arrayside_matches_exploded(spark):
+    """The array-slice band-collision sweep must equal the exploded
+    per-position pipeline row for row on a corpus with real near-dup,
+    weak and edited pairs."""
+    from go_fish_spark.operators.dedup import lsh_plan_sweep
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(24):
+        words = base.split()
+        if i % 3 == 1:
+            words[i % len(words)] = f"tweak{i}"       # near-dup of base
+        if i % 3 == 2:
+            words = words[: 6] + [f"tail{i} w{i} x{i} y{i} z{i}"]  # weak
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lsh_plan_sweep(
+        df, "doc_id", "text", k=3, min_jaccard=0.2, dup_threshold=0.5,
+        portable=True,
+    ).collect()
+    want = _lsh_sweep_reference(df, "doc_id", "text").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 7 and any(r.n_dup_pairs > 0 for r in got)
+    assert any(r.n_weak_pairs > 0 for r in got)
+
+
+def test_unigram_logprob_total_from_freq_matches_term_total(spark):
+    """unigram_logprob's corpus total now aggregates the freq frame;
+    it must equal the direct doc-token-pair total (exact integers) and
+    the scores must be unchanged vs an inline reference computing the
+    total from the term frame."""
+    from go_fish_spark.functions.text import tokens
+    from go_fish_spark.operators.ngrams import unigram_logprob
+
+    rows = [(i, f"aa bb cc dd {'aa ' * (i % 4)}ee{i % 5}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = unigram_logprob(df, "doc_id", "text").orderBy("doc_id").collect()
+
+    term = df.select(
+        F.col("doc_id").alias("_id"), F.explode(tokens("text")).alias("token")
+    )
+    g = term.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("_c"))
+    freq = g.groupBy("token").agg(F.sum("_c").alias("cnt"))
+    total = g.agg(F.sum("_c").alias("n_total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+    want = (
+        g.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.round(
+                F.sum(logp.cast("decimal(27,18)")
+                      * F.col("_c").cast("decimal(10,0)")).cast("double")
+                / F.sum("_c"), 9,
+            ).alias("avg_logprob"),
+        )
+        .select(F.col("_id").alias("doc_id"), "n_tokens", "avg_logprob")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 40
