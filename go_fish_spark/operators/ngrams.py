@@ -196,21 +196,25 @@ def source_span_overlap(
     Output: (``group_col``_a, ``group_col``_b, n_shared), pairs ordered
     ``a < b``.
 
-    100 TB shape: spans reduce to 16-byte md5 digests, deduplicate to
-    distinct (digest, group) pairs, then GROUP-THEN-COMBINE: one groupBy
-    on the digest key collects each span's (bounded — ≤ #groups) sorted
-    group set, and the ordered group pairs are generated array-side and
-    counted on the bounded pair key. Compared to the digest self-join
-    this halves the corpus-sized exchanges (no second join side) and
-    caps per-span work at #groups² instead of row-pair fan-out; output
-    is bounded by the group-pair count, never the corpus."""
+    100 TB shape: spans reduce to 16-byte md5 digests, then
+    GROUP-THEN-COMBINE on ONE corpus-sized exchange: ``collect_set`` is
+    itself the dedup, so the digest groupBy consumes the occurrence
+    rows directly — map-side partial sets bound what crosses the
+    network at ≤ #groups values per digest per map partition. (An
+    earlier version wrote an explicit ``.distinct()`` first; Spark's
+    RemoveRedundantAggregates already collapsed it into the collect_set
+    aggregation — plan-verified identical, r14 — so the code now says
+    what the plan executes.) Each span's (bounded — ≤ #groups) sorted
+    group set generates its ordered group pairs array-side, counted on
+    the bounded pair key. Compared to the digest self-join this halves
+    the corpus-sized exchanges (no second join side) and caps per-span
+    work at #groups² instead of row-pair fan-out; output is bounded by
+    the group-pair count, never the corpus."""
     from ..functions.text import word_shingles
 
-    d = (
-        df.select(F.col(group_col), F.explode(word_shingles(text_col, k)).alias("_s"))
-        .select(F.md5("_s").alias("dg"), group_col)
-        .distinct()
-    )
+    d = df.select(
+        F.col(group_col), F.explode(word_shingles(text_col, k)).alias("_s")
+    ).select(F.md5("_s").alias("dg"), group_col)
     groups = d.groupBy("dg").agg(
         F.array_sort(F.collect_set(group_col)).alias("_gs")
     )

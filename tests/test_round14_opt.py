@@ -988,3 +988,47 @@ def test_unigram_logprob_total_from_freq_matches_term_total(spark):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 40
+
+
+def test_source_span_overlap_fused_matches_distinct_first(spark):
+    """source_span_overlap without the pre-dedup distinct must equal the
+    distinct-first reference row for row (collect_set IS the dedup),
+    including hot boilerplate spans shared by many docs per group."""
+    from go_fish_spark.functions.text import word_shingles
+    from go_fish_spark.operators.ngrams import source_span_overlap
+
+    boiler = "all rights reserved contact us terms of service apply now today"
+    rows = []
+    for i in range(40):
+        src = f"s{i % 5}"
+        body = f"article {i} body text with unique tail {i} " + (
+            boiler if i % 2 == 0 else f"other filler words {i} go here now"
+        )
+        rows.append((i, src, body))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        tuple(r)
+        for r in source_span_overlap(df, "source", "text", k=8).collect()
+    )
+    d = (
+        df.select("source", F.explode(word_shingles("text", 8)).alias("_s"))
+        .select(F.md5("_s").alias("dg"), "source")
+        .distinct()
+    )
+    want = sorted(
+        tuple(r)
+        for r in (
+            d.alias("a")
+            .join(
+                d.alias("b"),
+                (F.col("a.dg") == F.col("b.dg"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        ).collect()
+    )
+    assert got == want and len(want) > 0
