@@ -516,9 +516,19 @@ def main() -> None:
     families: dict[str, dict] = {}
     for nm, secs in timings.items():
         f = family_of.get(nm, "query")
-        d = families.setdefault(f, {"n": 0, "total": 0.0})
+        d = families.setdefault(f, {"n": 0, "total": 0.0, "cold": 0.0})
         d["n"] += 1
         d["total"] = round(d["total"] + secs, 3)
+        # per-family COLD sum (first-rep walls): the session-cache fits
+        # land here, so an amortized family is visible as cold ≫ total
+        d["cold"] = round(d["cold"] + cold.get(nm, secs), 3)
+    # Cold totals (r14 verdict "What's wrong" #1): the headline sums
+    # per-entry MEDIANS, so one-time session-cache builds (shared pair
+    # frames, model fits) land in rep 1 and vanish from it. The cold sum
+    # — first-rep walls, which PAY every session build on first touch —
+    # now travels in the one-line JSON beside the median total, so
+    # amortized entries are driver-visible without BENCH_FULL.json.
+    cold_total = round(sum(cold.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -526,6 +536,7 @@ def main() -> None:
         "queries": timings,
         "families": families,
         "family_of": family_of,
+        "cold_total": cold_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))),
         # first-rep / best-later-rep walls: cold−warm on the first
@@ -543,6 +554,26 @@ def main() -> None:
         out["rerun"] = rerun_info
     if errors:
         out["errors"] = errors
+    # Top per-query movers vs the committed BENCH_FULL history (r14
+    # verdict Next #2: PERF.per_query kept coming back empty because the
+    # full 200-entry map physically cannot fit the driver's ~2000-char
+    # stdout tail window — this compact {name: [now, prev]} slice of the
+    # largest material deltas travels on the one line instead; the full
+    # map stays in BENCH_FULL.json). Material = the gen_crossround
+    # coarse bar (>30% AND >0.15 s), capped at 12 entries.
+    movers = {
+        n: (timings[n], history[n])
+        for n in timings
+        if n in history
+        and history[n] > 0
+        and abs(timings[n] - history[n]) > max(0.15, 0.3 * history[n])
+    }
+    out["per_query_delta"] = {
+        n: [movers[n][0], movers[n][1]]
+        for n in sorted(
+            movers, key=lambda n: -abs(movers[n][0] - movers[n][1])
+        )[:12]
+    }
     # Truncation-proofing (round-4 postmortem: the driver keeps only the
     # last 2000 chars of output, and the 81-query JSON line overflowed
     # it, leaving BENCH_r04.json with parsed=null; round-5: progress
@@ -572,6 +603,8 @@ def main() -> None:
         summary["n_errors"] = len(errors)
         summary["quality"] = bench_quality["status"]
         summary["families"] = families
+        summary["cold_total"] = cold_total
+        summary["per_query_delta"] = out["per_query_delta"]
         summary["queries_file"] = "BENCH_FULL.json"
         print(json.dumps(summary))
     from go_fish_spark.session import sweep_tmp_stores

@@ -1743,7 +1743,16 @@ def group_sketch_overlap(
     seed, portable) — the shared-sketch discipline (x66's shared-audit
     pattern applied to the sketch family): a pipeline running several
     sketch audits fits the signatures ONCE and every consumer reads the
-    materialized frame instead of re-tokenizing the corpus."""
+    materialized frame instead of re-tokenizing the corpus.
+
+    Physical shape (optimization r15 — the x94/x100 array-side
+    treatment, guide §2.3/§2.4): the union sketch is built as ONE
+    per-group aggregation of n_hashes element-wise mins over the whole
+    signature arrays (no posexplode, no (group, position) exchange),
+    and the pairwise agreement is a codegen'd ``zip_with`` count per
+    PAIR row instead of a per-position join producing pairs × n_hashes
+    rows reduced by a second exchange. Same integer agreements, same
+    dyadic division — the estimate is bit-identical."""
     sigs = (
         sig_frame.select(F.col(group_col).alias("_g"), "_sig")
         if sig_frame is not None
@@ -1754,34 +1763,49 @@ def group_sketch_overlap(
             ),
         )
     )
+    # element-wise min across the group's docs: min(sig(A ∪ B)) law,
+    # position-wise, as n_hashes min aggregates on one group key. A doc
+    # with a NULL/empty signature contributes NULLs, which min ignores —
+    # and a group with ONLY such docs yields an all-NULL sketch, dropped
+    # below exactly as posexplode dropped its (zero) position rows.
     m = (
-        sigs.select("_g", F.posexplode("_sig").alias("_p", "_v"))
-        .groupBy("_g", "_p")
-        .agg(F.min("_v").alias("_m"))
-    )
-    a, b = m.alias("a"), m.alias("b")
-    agree = F.sum(
-        F.when(F.col("a._m") == F.col("b._m"), 1).otherwise(0)
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a._p") == F.col("b._p"))
-            & (F.col("a._g") < F.col("b._g")),
-        )
-        .groupBy(
-            F.col("a._g").alias("g_a"), F.col("b._g").alias("g_b")
-        )
-        # min over a group's positions == sentinel ⟺ every position is
-        # the sentinel (it is the max representable value) ⟺ the group's
-        # union shingle set is empty → NULL, not a fake-perfect overlap
+        sigs.groupBy("_g")
         .agg(
+            *[
+                F.min(F.col("_sig").getItem(i)).alias(f"_m{i}")
+                for i in range(n_hashes)
+            ]
+        )
+        .select(
+            "_g",
+            F.array(
+                *[F.col(f"_m{i}") for i in range(n_hashes)]
+            ).alias("_u"),
+        )
+        .filter(F.col("_u").getItem(0).isNotNull())
+    )
+    a = m.select(F.col("_g").alias("g_a"), F.col("_u").alias("_sa"))
+    b = m.select(F.col("_g").alias("g_b"), F.col("_u").alias("_sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v
+        )
+    )
+    # min over a group's positions == sentinel ⟺ every position is
+    # the sentinel (it is the max representable value) ⟺ the group's
+    # union shingle set is empty → NULL, not a fake-perfect overlap
+    return (
+        a.join(b, F.col("g_a") < F.col("g_b"))
+        .select(
+            "g_a",
+            "g_b",
             F.when(
-                (F.min("a._m") == _P31) | (F.min("b._m") == _P31),
+                (F.array_min("_sa") == _P31)
+                | (F.array_min("_sb") == _P31),
                 F.lit(None).cast("double"),
             )
             .otherwise(agree / F.lit(float(n_hashes)))
-            .alias("est_overlap")
+            .alias("est_overlap"),
         )
     )
 

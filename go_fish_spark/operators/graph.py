@@ -66,30 +66,45 @@ def connected_components(
     # convergence check below assumes a FIXED row set (labels only ever
     # decrease on a fixed set ⟹ the sum is strictly monotone). Fixing the
     # set from round 0 keeps that invariant exact.
-    labels = (
+    seed = (
         nodes.select(F.col(id_col).alias("id"))
         .unionByName(adj.select("src").withColumnRenamed("src", "id"))
         .dropDuplicates(["id"])
         .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
     )
 
     # Convergence test depends on the label dtype. For integral ids the
-    # exact decimal(38,0) sum is monotone-decreasing and one slim agg job
-    # per round suffices (a bigint sum would overflow around 1e9 ids ×
+    # exact decimal(38,0) sum is monotone-decreasing and one slim agg per
+    # round suffices (a bigint sum would overflow around 1e9 ids ×
     # 1e9-magnitude labels). For string/float ids the cast yields NULLs
     # (or truncates fractions into aliasing), so fall back to a
     # changed-row count via a self-join — type-agnostic, one extra join
     # per round.
-    comp_type = dict(labels.dtypes)["component"]
+    comp_type = dict(seed.dtypes)["component"]
     sum_based = comp_type in ("tinyint", "smallint", "int", "bigint") or (
         comp_type.startswith("decimal") and comp_type.endswith(",0)")
     )
 
-    def label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    def checkpoint_with_sum(frame: DataFrame):
+        """``(localCheckpoint(frame), label sum)`` in ONE job: the sum
+        rides the checkpoint materialization as an observed metric
+        (optimization r15, guide §1 "don't launch a job for a number an
+        existing action already computes") instead of a separate
+        per-round agg+collect — the iterative families' job count was
+        2×(rounds+1) per CC call, half of it these sum probes. The
+        metric is the same exact decimal(38,0) sum the agg computed;
+        ``Observation.get`` blocks until the checkpoint action's metrics
+        arrive, so the read order is deterministic. Non-sum label types
+        skip the metric (their convergence is the changed-row join)."""
+        if not sum_based:
+            return frame.localCheckpoint(), None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ck = frame.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint()
+        return ck, obs.get["s"]
 
     def changed_count(old: DataFrame, new: DataFrame) -> int:
         o = old.select(F.col("id").alias("_oid"), F.col("component").alias("_oc"))
@@ -99,7 +114,7 @@ def connected_components(
             .count()
         )
 
-    prev_sum = label_sum(labels) if sum_based else None
+    labels, prev_sum = checkpoint_with_sum(seed)
     for rnd in range(max_iter):
         # neighbor labels flow along edges; min with own label
         prop = adj.join(labels, adj["src"] == labels["id"]).select(
@@ -129,15 +144,14 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-        new_labels = (
-            new_labels.localCheckpoint()  # truncate lineage: round k must not replan 1..k-1
-        )
+        # Checkpoint truncates lineage (round k must not replan 1..k-1);
+        # the convergence sum rides the same job as an observed metric.
         # Convergence: min-propagation can only DECREASE labels over a
         # fixed row set, so for integral ids the exact label sum is
-        # strictly monotone — equal sums ⟺ fixpoint (one slim agg job per
-        # round). Non-integral ids use the join-based changed-row count.
+        # strictly monotone — equal sums ⟺ fixpoint. Non-integral ids
+        # use the join-based changed-row count.
+        new_labels, new_sum = checkpoint_with_sum(new_labels)
         if sum_based:
-            new_sum = label_sum(new_labels)
             converged = new_sum == prev_sum
             prev_sum = new_sum
         else:

@@ -75,11 +75,14 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Physical shape (fused since r04 — VERDICT r03 flagged the double
     explode + per-occurrence Zipf-hot join): ONE explode feeds a single
     per-(doc, token) count aggregation ``g`` (persisted — it is consumed
-    by three dependents), and everything downstream runs over DISTINCT
-    doc-token pairs, never raw occurrences:
+    by two dependents: the freq re-aggregation and the scoring join),
+    and everything downstream runs over DISTINCT doc-token pairs, never
+    raw occurrences:
 
-    * frequency table = g re-aggregated on token (map-side combined);
-    * total-token count = 1-row sum of g, broadcast;
+    * frequency table = g re-aggregated on token (map-side combined,
+      persisted for its own two consumers);
+    * total-token count = 1-row sum of the persisted freq frame,
+      broadcast (Σ over vocab ≡ Σ over doc-token pairs, exact);
     * scoring join g ⋈ freq carries one row per (doc, token) — a hot
       token contributes one row PER DOCUMENT, not per occurrence, so the
       Zipf-head key skew shrinks by the in-document repeat factor and

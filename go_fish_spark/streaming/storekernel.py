@@ -129,6 +129,32 @@ def prune_generations(root: str, keep_from: int) -> None:
 # Existence-aware parquet read
 
 
+def _probe_no_visible_files(path: str) -> bool:
+    """True when a PYTHON-side listing can PROVE the store holds no
+    committed data file — i.e. the JVM read would deterministically
+    raise PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA. Only ABSOLUTE local
+    paths are provable (the r14 footer-walk regression: on a relative
+    path with diverging JVM/Python working directories an empty Python
+    walk says nothing about what Spark sees — decline and let the JVM
+    answer). Hidden names (``_``/``.`` prefixes) are invisible to
+    Spark's file index, except the parquet summary files, which CAN
+    seed schema inference and therefore count as visible."""
+    if not _os.path.isabs(path):
+        return False  # relative path: Python/JVM CWDs may diverge
+    if _os.path.isfile(path):
+        return False  # a concrete file: let the reader decide
+    if not _os.path.exists(path):
+        return True  # PATH_NOT_FOUND, without constructing it
+    for dirpath, dirnames, filenames in _os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for fn in filenames:
+            if fn in ("_metadata", "_common_metadata"):
+                return False  # summary files can seed inference
+            if not fn.startswith(("_", ".")):
+                return False  # a visible data file
+    return True  # empty tree: UNABLE_TO_INFER_SCHEMA, provably
+
+
 def read_parquet_if_exists(
     spark, path: str, merge_schema: bool = False
 ) -> DataFrame | None:
@@ -139,9 +165,21 @@ def read_parquet_if_exists(
     down its bootstrap path and label a batch without merging against
     history (ADVICE r10 #1). ``merge_schema`` unions file schemas so
     legacy files missing later-added columns surface them as nulls
-    instead of being schema-clipped (ADVICE r11 #2)."""
+    instead of being schema-clipped (ADVICE r11 #2).
+
+    Missing/empty ABSOLUTE paths short-circuit on a Python-side listing
+    instead of letting the JVM throw (optimization r15): the analysis
+    exception a bootstrap probe used to provoke is cached in the failed
+    QueryExecution's LazyTry, and any registered QueryExecutionListener
+    (e.g. the fold's ``Observation``) that later touches it re-throws —
+    ExecutionListenerBus then dumps the whole stack to stderr at ERROR,
+    which is what kept tripping the driver's bench-ok scrape. The
+    exception arm below stays as the arm of record for relative paths
+    and probe/read races."""
     from pyspark.errors import AnalysisException
 
+    if _probe_no_visible_files(path):
+        return None
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")

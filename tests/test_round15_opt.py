@@ -1,0 +1,280 @@
+"""Round-15 optimization equivalence tests.
+
+Every rewrite in optimization round 2 keeps the old shape as a test
+reference and asserts row-identical output (the frozen equivalence
+discipline): the bootstrap-probe short-circuit, the observed-metric CC
+convergence, and the later round-15 items each pin here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------------------
+# read_parquet_if_exists: Python-side short-circuit for provably-empty
+# stores (the ExecutionListenerBus stderr-trace fix)
+
+
+class _ExplodingReader:
+    """Stands in for spark.read: any call proves the probe went to the
+    JVM when the Python-side listing should already have answered."""
+
+    def __getattr__(self, name):  # pragma: no cover - failure path
+        raise AssertionError(
+            "spark.read was invoked for a provably-empty store"
+        )
+
+
+class _FakeSpark:
+    read = _ExplodingReader()
+
+
+def test_probe_missing_and_empty_paths_short_circuit(tmp_path):
+    from go_fish_spark.streaming.storekernel import read_parquet_if_exists
+
+    missing = str(tmp_path / "never_created")
+    assert read_parquet_if_exists(_FakeSpark(), missing) is None
+
+    empty = tmp_path / "empty_store"
+    empty.mkdir()
+    assert read_parquet_if_exists(_FakeSpark(), str(empty)) is None
+
+    # hidden/metadata-only trees are still provably empty: a crashed
+    # first append leaves only _temporary/, which no reader ever sees
+    hidden = tmp_path / "hidden_only"
+    (hidden / "_temporary" / "0").mkdir(parents=True)
+    (hidden / "_temporary" / "0" / "part-0.parquet").write_bytes(b"x")
+    (hidden / "_SUCCESS").write_bytes(b"")
+    assert read_parquet_if_exists(_FakeSpark(), str(hidden)) is None
+
+
+def test_probe_declines_on_visible_or_unprovable_paths(tmp_path):
+    from go_fish_spark.streaming.storekernel import _probe_no_visible_files
+
+    # a visible data file (flat or inside a shard dir) → must read
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "part-0.parquet").write_bytes(b"x")
+    assert not _probe_no_visible_files(str(flat))
+
+    sharded = tmp_path / "sharded"
+    (sharded / "shard=3").mkdir(parents=True)
+    (sharded / "shard=3" / "part-0.parquet").write_bytes(b"x")
+    assert not _probe_no_visible_files(str(sharded))
+
+    # parquet summary files can seed schema inference → must read
+    summary = tmp_path / "summary"
+    summary.mkdir()
+    (summary / "_common_metadata").write_bytes(b"x")
+    assert not _probe_no_visible_files(str(summary))
+
+    # relative paths are unprovable (JVM/Python CWDs may diverge — the
+    # r14 footer-walk regression class): always defer to the JVM
+    assert not _probe_no_visible_files("some_relative_store")
+
+    # a concrete file path defers to the reader
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"x")
+    assert not _probe_no_visible_files(str(f))
+
+
+def test_read_parquet_if_exists_still_reads_real_store(spark, tmp_path):
+    from go_fish_spark.streaming.storekernel import read_parquet_if_exists
+
+    p = str(tmp_path / "real")
+    spark.range(10).write.parquet(p)
+    df = read_parquet_if_exists(spark, p)
+    assert df is not None and df.count() == 10
+
+
+# ---------------------------------------------------------------------------
+# connected_components: the convergence sum rides the checkpoint action
+# as an observed metric — output must be identical to a from-scratch
+# min-reachable-id computation on every graph shape
+
+
+def _expected_components(n_ids, edges):
+    """Python union-find reference."""
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((i, find(i)) for i in parent)
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [],
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7), (10, 11)],
+        [(i, i + 1) for i in range(60)],  # chain → pointer jumping path
+        [(0, i) for i in range(1, 15)],  # star
+    ],
+)
+def test_cc_observed_sum_matches_union_find(spark, edges):
+    from go_fish_spark.operators.graph import connected_components
+
+    ids = list(range(20)) if len(edges) < 30 else list(range(61))
+    nodes = spark.createDataFrame([(i,) for i in ids], ["id"])
+    e = spark.createDataFrame(edges or [], "id_a long, id_b long")
+    got = sorted(
+        tuple(r) for r in connected_components(nodes, e).collect()
+    )
+    assert got == _expected_components(ids, edges)
+
+
+def test_cc_string_ids_changed_count_path(spark):
+    from go_fish_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["id"])
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["id_a", "id_b"])
+    got = sorted(tuple(r) for r in connected_components(nodes, edges).collect())
+    assert got == [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d")]
+
+
+# ---------------------------------------------------------------------------
+# group_sketch_overlap: array-side union sketch + zip_with agreement
+# (the x94/x100 treatment) vs the posexploded per-position join kept
+# here as the reference implementation
+
+
+def _group_sketch_overlap_exploded_reference(sigs, n_hashes):
+    """The pre-r15 shape: posexplode → (group, position) min → per-
+    position self-join → per-pair aggregation."""
+    from go_fish_spark.operators.dedup import _P31
+
+    m = (
+        sigs.select("_g", F.posexplode("_sig").alias("_p", "_v"))
+        .groupBy("_g", "_p")
+        .agg(F.min("_v").alias("_m"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    agree = F.sum(F.when(F.col("a._m") == F.col("b._m"), 1).otherwise(0))
+    return (
+        a.join(
+            b,
+            (F.col("a._p") == F.col("b._p")) & (F.col("a._g") < F.col("b._g")),
+        )
+        .groupBy(F.col("a._g").alias("g_a"), F.col("b._g").alias("g_b"))
+        .agg(
+            F.when(
+                (F.min("a._m") == _P31) | (F.min("b._m") == _P31),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(agree / F.lit(float(n_hashes)))
+            .alias("est_overlap")
+        )
+    )
+
+
+def test_group_sketch_overlap_arrayside_matches_exploded(spark):
+    """Corpus arm at sf0.001 (real shingle overlap across sources) plus
+    a synthetic arm with sub-k-token docs so the all-sentinel → NULL
+    path is exercised on both shapes."""
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators import dedup
+
+    docs = table(spark, SF_SMALL, "documents")
+    got = sorted(
+        tuple(r)
+        for r in dedup.group_sketch_overlap(
+            docs, "source", "text", portable=True
+        ).collect()
+    )
+    sigs = docs.select(
+        F.col("source").alias("_g"),
+        dedup.minhash_signature("text", 64, 3, 42, portable=True).alias(
+            "_sig"
+        ),
+    )
+    want = sorted(
+        tuple(r)
+        for r in _group_sketch_overlap_exploded_reference(sigs, 64).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # synthetic: one group entirely sub-k-token (empty union set → NULL
+    # est_overlap on every pair touching it), duplicate texts across two
+    # groups (perfect overlap), and a disjoint-content group
+    rows = [
+        ("empty", "a b"),
+        ("empty", "x"),
+        ("dupA", "the quick brown fox jumps over the lazy dog tonight"),
+        ("dupB", "the quick brown fox jumps over the lazy dog tonight"),
+        ("other", "completely different words forming another document body"),
+    ]
+    sdf = spark.createDataFrame(rows, ["g", "text"])
+    got2 = sorted(
+        tuple(r)
+        for r in dedup.group_sketch_overlap(
+            sdf, "g", "text", n_hashes=16, portable=True
+        ).collect()
+    )
+    sigs2 = sdf.select(
+        F.col("g").alias("_g"),
+        dedup.minhash_signature("text", 16, 3, 42, portable=True).alias(
+            "_sig"
+        ),
+    )
+    want2 = sorted(
+        tuple(r)
+        for r in _group_sketch_overlap_exploded_reference(sigs2, 16).collect()
+    )
+    assert got2 == want2
+    by_pair = {(a, b): o for a, b, o in got2}
+    assert by_pair[("dupA", "dupB")] == 1.0
+    assert by_pair[("dupA", "empty")] is None
+
+
+def test_cc_on_corpus_matches_oracle_shape(spark):
+    """x18's exact-duplicate component labels at sf0.001: CC over the
+    md5-equality pair graph must equal the window-min one-shot labels."""
+    from go_fish_spark.catalog import table
+    from go_fish_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.md5("text").alias("_h")
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("_id2"), F.col("_h").alias("_h2")
+    )
+    pairs = (
+        docs.join(d2, docs["_h"] == d2["_h2"])
+        .filter(F.col("doc_id") < F.col("_id2"))
+        .select(
+            F.col("doc_id").alias("id_a"), F.col("_id2").alias("id_b")
+        )
+        .distinct()
+    )
+    got = sorted(
+        tuple(r)
+        for r in connected_components(
+            docs.select(F.col("doc_id").alias("id")), pairs
+        ).collect()
+    )
+    w = Window.partitionBy("_h")
+    want = sorted(
+        tuple(r)
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            F.min("doc_id").over(w).alias("component"),
+        ).collect()
+    )
+    assert got == want
