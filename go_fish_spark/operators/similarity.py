@@ -321,13 +321,24 @@ def fit_quantizer_det(
     n_cells: int,
     train_cap: int = 100_000,
     seed: int = 42,
+    sample: "np.ndarray | None" = None,
 ) -> Quantizer:
     """Deterministic twin of :func:`fit_quantizer`: same seeded numpy
     k-means++ fit, but on the :func:`deterministic_sample` (hash-ordered,
     engine-independent) instead of a Bernoulli sample — given the same
     table, ANY engine reproduces the same centroids, which is what lets
-    an oracle embed them as SQL literals (x15/x26)."""
-    X = deterministic_sample(df, id_col, vec_col, train_cap)
+    an oracle embed them as SQL literals (x15/x26).
+
+    ``sample``: the caller's already-collected
+    ``deterministic_sample(df, id_col, vec_col, train_cap)`` array —
+    pure reuse (the fit is a function of the sample alone), so a
+    session fitting several models over one corpus snapshot collects
+    the sample once (optimization r15)."""
+    X = (
+        sample
+        if sample is not None
+        else deterministic_sample(df, id_col, vec_col, train_cap)
+    )
     return Quantizer(_kmeans_fit(X, n_cells, seed))
 
 
@@ -670,13 +681,19 @@ def fit_pq_det(
     ksub: int = 16,
     train_cap: int = 100_000,
     seed: int = 42,
+    sample: "np.ndarray | None" = None,
 ) -> ProductQuantizer:
     """Deterministic PQ fit on the hash-total-ordered sample
     (:func:`deterministic_sample`) — same contract as
     :func:`fit_quantizer_det`: any engine reading the same table
     reproduces the same codebooks, so an oracle can embed them as SQL
-    literals."""
-    X = deterministic_sample(df, id_col, vec_col, train_cap)
+    literals. ``sample``: pre-collected deterministic sample (see
+    :func:`fit_quantizer_det`)."""
+    X = (
+        sample
+        if sample is not None
+        else deterministic_sample(df, id_col, vec_col, train_cap)
+    )
     return ProductQuantizer(_pq_fit(X, m, ksub, seed))
 
 
@@ -761,15 +778,33 @@ def fit_ivfpq_det(
     ksub: int = 16,
     train_cap: int = 100_000,
     seed: int = 42,
+    sample: "np.ndarray | None" = None,
 ) -> tuple[Quantizer, ProductQuantizer]:
     """Deterministic IVF-PQ fit (Jégou et al. 2011 §IV: PQ codebooks are
     trained on coarse-cell RESIDUALS, not raw vectors — residual energy is
     what the codes must capture once routing has absorbed the cell mean).
     Same engine-independence contract as :func:`fit_quantizer_det`: both
     models derive from the hash-total-ordered sample, so an oracle re-fits
-    byte-identical literals."""
-    X = deterministic_sample(df, id_col, vec_col, train_cap)
+    byte-identical literals. ``sample``: pre-collected deterministic
+    sample (see :func:`fit_quantizer_det`)."""
+    X = (
+        sample
+        if sample is not None
+        else deterministic_sample(df, id_col, vec_col, train_cap)
+    )
     coarse = _kmeans_fit(X, n_cells, seed)
+    return coarse_residual_models(X, coarse, m, ksub, seed)
+
+
+def coarse_residual_models(
+    X: "np.ndarray", coarse: "np.ndarray", m: int, ksub: int, seed: int
+) -> tuple[Quantizer, ProductQuantizer]:
+    """The residual-PQ half of :func:`fit_ivfpq_det`, factored so a
+    caller holding the (sample, coarse) pair — e.g. the session-shared
+    fit family — derives the same (Quantizer, ProductQuantizer) without
+    re-collecting or re-fitting the coarse model. Definitionally the
+    fit_ivfpq_det tail: residuals against the argmin cell, then the
+    seeded per-block codebooks."""
     D = -2.0 * (X @ coarse.T) + (coarse**2).sum(axis=1)[None, :]
     R = X - coarse[D.argmin(axis=1)]
     return Quantizer(coarse), ProductQuantizer(_pq_fit(R, m, ksub, seed))
@@ -2060,6 +2095,8 @@ def pq_plan_sweep(
     n_cells: int = 16,
     seed: int = 42,
     train_cap: int = 100_000,
+    sample: "np.ndarray | None" = None,
+    pq_models: dict | None = None,
 ) -> DataFrame:
     """Empirical PQ parameter sweep (r13 verdict Next #1 — the x100
     LSH banding sweep's twin for the quantization axis): for every
@@ -2097,7 +2134,16 @@ def pq_plan_sweep(
 
     Feed the result to :func:`choose_pq_params` / ``choose_ann(...,
     pq_sweep=...)`` to turn the table into a parameter recommendation
-    meeting a recall target at minimum cost."""
+    meeting a recall target at minimum cost.
+
+    ``sample``/``pq_models``: session-shared fit inputs (optimization
+    r15, pure reuse — x175's cold rep used to re-collect the sample and
+    re-fit models other entries had already fitted). ``sample`` is the
+    caller's ``deterministic_sample(corpus, id_col, vec_col,
+    train_cap)``; ``pq_models`` maps ``(m, ksub)`` to the residual-PQ
+    model of :func:`fit_ivfpq_det` at THIS (n_cells, train_cap, seed) —
+    both are definitionally what the sweep fits itself, so the table is
+    byte-identical either way (pinned by test)."""
     import math as _math
 
     for m, ksub, _np_ in plans:
@@ -2118,12 +2164,26 @@ def pq_plan_sweep(
     truth = truth.select("query_id", "rank", "vec_id").localCheckpoint()
 
     # one deterministic fit input, one coarse model, one residual set —
-    # shared by every plan (the PQ codebooks are the only per-plan fit)
-    X = deterministic_sample(cor, "vec_id", "embedding", train_cap)
+    # shared by every plan; each DISTINCT (m, ksub) fits its codebooks
+    # once (plans differing only in n_probe used to re-fit identical
+    # codebooks — optimization r15)
+    X = (
+        sample
+        if sample is not None
+        else deterministic_sample(cor, "vec_id", "embedding", train_cap)
+    )
     coarse_np = _kmeans_fit(X, n_cells, seed)
     D = -2.0 * (X @ coarse_np.T) + (coarse_np**2).sum(axis=1)[None, :]
     R = X - coarse_np[D.argmin(axis=1)]
     coarse = Quantizer(coarse_np)
+    pqs: dict = {}
+    for m, ksub, _np_ in plans:
+        if (m, ksub) in pqs:
+            continue
+        if pq_models is not None and (m, ksub) in pq_models:
+            pqs[(m, ksub)] = pq_models[(m, ksub)]
+        else:
+            pqs[(m, ksub)] = ProductQuantizer(_pq_fit(R, m, ksub, seed))
 
     # The coarse side of every plan is IDENTICAL (cell assignment and
     # residuals depend on the coarse model only, never on m/ksub/
@@ -2215,7 +2275,7 @@ def pq_plan_sweep(
     )
     union = None
     for m, ksub, n_probe in plans:
-        pq = ProductQuantizer(_pq_fit(R, m, ksub, seed))
+        pq = pqs[(m, ksub)]
         coded = resc.select(
             "vec_id", "cell", pq.codes_col("_rv").alias("codes")
         )

@@ -501,20 +501,55 @@ def _emb_fit_key(spark, sf_dir: str, *params) -> tuple:
     ) + params
 
 
+def shared_emb_sample(spark, sf_dir: str, train_cap: int = 100_000):
+    """Session-cached ``deterministic_sample`` over ``sf_dir``'s
+    embeddings — the ONE fit input every deterministic model in the
+    family derives from (optimization r15: the quantizer, PQ, IVF-PQ
+    and sweep fits each re-collected the identical hash-total-ordered
+    sample; it is a pure function of (corpus, train_cap), so it is
+    collected once per session)."""
+    from ...catalog import table
+
+    key = _emb_fit_key(spark, sf_dir, "sample", train_cap)
+    return _DET_FITS.get_or_fit(
+        key,
+        lambda: similarity.deterministic_sample(
+            table(spark, sf_dir, "embeddings"),
+            "vec_id", "embedding", train_cap,
+        ),
+    )
+
+
+def _shared_coarse_np(
+    spark, sf_dir: str, n_cells: int, train_cap: int, seed: int
+):
+    """Session-cached coarse k-means centers (numpy) — the shared half
+    of every (n_cells, train_cap, seed)-aligned coarse model: the plain
+    quantizer, each IVF-PQ pair, and the x175 sweep all fit the same
+    ``_kmeans_fit(sample, n_cells, seed)``."""
+    key = _emb_fit_key(
+        spark, sf_dir, "coarse_np", n_cells, train_cap, seed
+    )
+    return _DET_FITS.get_or_fit(
+        key,
+        lambda: similarity._kmeans_fit(
+            shared_emb_sample(spark, sf_dir, train_cap), n_cells, seed
+        ),
+    )
+
+
 def shared_quantizer(
     spark, sf_dir: str, n_cells: int,
     train_cap: int = 100_000, seed: int = 42,
 ):
     """Session-cached ``fit_quantizer_det`` over ``sf_dir``'s embeddings
-    (vec_id/embedding) — byte-identical to the direct call."""
-    from ...catalog import table
-
+    (vec_id/embedding) — byte-identical to the direct call (same sample,
+    same seeded k-means; pinned by test_shared_fits_cached_and_identical)."""
     key = _emb_fit_key(spark, sf_dir, "quant", n_cells, train_cap, seed)
     return _DET_FITS.get_or_fit(
         key,
-        lambda: similarity.fit_quantizer_det(
-            table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-            n_cells, train_cap, seed,
+        lambda: similarity.Quantizer(
+            _shared_coarse_np(spark, sf_dir, n_cells, train_cap, seed)
         ),
     )
 
@@ -532,6 +567,7 @@ def shared_pq(
         lambda: similarity.fit_pq_det(
             table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
             m, ksub, train_cap, seed,
+            sample=shared_emb_sample(spark, sf_dir, train_cap),
         ),
     )
 
@@ -541,18 +577,20 @@ def shared_ivfpq(
     train_cap: int = 100_000, seed: int = 42,
 ):
     """Session-cached ``fit_ivfpq_det`` (coarse, pq) over ``sf_dir``'s
-    embeddings — the model pair the ANN store family publishes."""
-    from ...catalog import table
-
+    embeddings — the model pair the ANN store family publishes. Rides
+    the shared sample and the shared coarse centers; the composition is
+    definitionally the fit_ivfpq_det tail
+    (``similarity.coarse_residual_models``), so the models stay
+    byte-identical to the direct call."""
     key = _emb_fit_key(
         spark, sf_dir, "ivfpq", n_cells, m, ksub, train_cap, seed
     )
     return _DET_FITS.get_or_fit(
         key,
-        lambda: similarity.fit_ivfpq_det(
-            table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-            n_cells=n_cells, m=m, ksub=ksub,
-            train_cap=train_cap, seed=seed,
+        lambda: similarity.coarse_residual_models(
+            shared_emb_sample(spark, sf_dir, train_cap),
+            _shared_coarse_np(spark, sf_dir, n_cells, train_cap, seed),
+            m, ksub, seed,
         ),
     )
 
@@ -590,8 +628,22 @@ def shared_pq_sweep(spark, sf_dir: str, plans: tuple = _X175_PLANS):
 
     def fit():
         emb = table(spark, sf_dir, "embeddings")
+        # session-shared fit inputs (optimization r15, pure reuse): the
+        # sweep's sample is the family's shared sample, and each
+        # distinct (m, ksub) residual-PQ model is the session-cached
+        # shared_ivfpq pair at the sweep's own (n_cells=16, train_cap,
+        # seed) — byte-identical to the sweep's internal fits (pinned
+        # by test_pq_sweep_shared_fits_byte_identical), and any later
+        # shared_ivfpq consumer of an aligned plan reuses them
         return similarity.pq_plan_sweep(
-            emb, emb.filter(F.col("vec_id") < 8), _EMB_DIM, plans=plans
+            emb, emb.filter(F.col("vec_id") < 8), _EMB_DIM, plans=plans,
+            sample=shared_emb_sample(spark, sf_dir),
+            pq_models={
+                (m, ksub): shared_ivfpq(
+                    spark, sf_dir, n_cells=16, m=m, ksub=ksub
+                )[1]
+                for m, ksub, _np_ in plans
+            },
         ).collect()
 
     return _PQ_SWEEPS.get_or_fit(key, fit)

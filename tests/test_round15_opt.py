@@ -242,6 +242,41 @@ def test_group_sketch_overlap_arrayside_matches_exploded(spark):
     assert by_pair[("dupA", "empty")] is None
 
 
+# ---------------------------------------------------------------------------
+# x175 sweep fit sharing: sample + residual-PQ models ride the session
+# fit family — sweep table must be byte-identical to the direct call
+
+
+def test_pq_sweep_shared_fits_byte_identical(spark):
+    import numpy as np
+
+    from go_fish_spark.catalog import table
+    import go_fish_spark.operators.similarity as sim
+    from go_fish_spark.queries.extensions import _shared as sh
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    plain = [
+        tuple(r)
+        for r in sim.pq_plan_sweep(
+            emb, emb.filter(F.col("vec_id") < 8), 64
+        ).collect()
+    ]
+    shared_rows = [tuple(r) for r in sh.shared_pq_sweep(spark, SF_SMALL)]
+    assert plain == shared_rows and len(plain) == 6
+
+    # the shared fits themselves equal the direct deterministic fits
+    q_direct = sim.fit_quantizer_det(emb, "vec_id", "embedding", 16)
+    q_shared = sh.shared_quantizer(spark, SF_SMALL, 16)
+    assert np.array_equal(q_direct._centers, q_shared._centers)
+    c_d, p_d = sim.fit_ivfpq_det(emb, "vec_id", "embedding", 16, 8, 16)
+    c_s, p_s = sh.shared_ivfpq(spark, SF_SMALL, 16, 8, 16)
+    assert np.array_equal(c_d._centers, c_s._centers)
+    assert all(
+        np.array_equal(a._centers, b._centers)
+        for a, b in zip(p_d.books, p_s.books)
+    )
+
+
 def test_cc_on_corpus_matches_oracle_shape(spark):
     """x18's exact-duplicate component labels at sf0.001: CC over the
     md5-equality pair graph must equal the window-min one-shot labels."""
