@@ -60,8 +60,12 @@ def run_selfcheck(sf: str) -> int:
 def run_tests() -> dict | None:
     print("# running the full test suite", file=sys.stderr)
     proc = subprocess.run(
+        # `-o addopts=` clears the bounded-default `-m "not slow"`
+        # filter (pyproject): the CLOSE runs the FULL suite including
+        # the slow store-lifecycle / property / oracle-compare suites
+        # the driver's windowed default pass skips (r15).
         [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line",
-         "-p", "no:cacheprovider"],
+         "-p", "no:cacheprovider", "-o", "addopts="],
         capture_output=True, text=True,
     )
     tail = (proc.stdout or "").strip().splitlines()

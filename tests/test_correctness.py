@@ -13,6 +13,12 @@ import os
 
 import pytest
 
+# Round-close suite (the per-entry oracle compares duplicate the close's 268-entry self-check and the driver's own oracle gate); excluded from the bounded default
+# run the driver's pytest window can hold (r14 verdict Next #3b) -
+# scripts/close_round.py forces it back on with `-o addopts=`.
+pytestmark = pytest.mark.slow
+
+
 from conftest import SF_SMALL, register_duck_views
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMALL)

@@ -4,6 +4,12 @@ hold for arbitrary inputs, not just the synthetic corpus."""
 from __future__ import annotations
 
 import pytest
+
+# Round-close suite (property sweeps); excluded from the bounded default
+# run the driver's pytest window can hold (r14 verdict Next #3b) -
+# scripts/close_round.py forces it back on with `-o addopts=`.
+pytestmark = pytest.mark.slow
+
 from hypothesis import given, settings, strategies as st
 
 words = st.lists(

@@ -9,6 +9,12 @@ import math
 
 import pytest
 
+# Round-close suite (label-store lifecycles and crash-replay sweeps); excluded from the bounded default
+# run the driver's pytest window can hold (r14 verdict Next #3b) -
+# scripts/close_round.py forces it back on with `-o addopts=`.
+pytestmark = pytest.mark.slow
+
+
 from pyspark.sql import functions as F
 
 

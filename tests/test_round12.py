@@ -7,6 +7,12 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# Round-close suite (selective-compaction lifecycles); excluded from the bounded default
+# run the driver's pytest window can hold (r14 verdict Next #3b) -
+# scripts/close_round.py forces it back on with `-o addopts=`.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 

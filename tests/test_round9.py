@@ -10,6 +10,12 @@ import os
 
 import pytest
 
+# Round-close suite (store/maintenance-stream lifecycles); excluded from the bounded default
+# run the driver's pytest window can hold (r14 verdict Next #3b) -
+# scripts/close_round.py forces it back on with `-o addopts=`.
+pytestmark = pytest.mark.slow
+
+
 from tests.conftest import SF_SMALL
 
 
