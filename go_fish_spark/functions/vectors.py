@@ -35,6 +35,21 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """:func:`cosine` with the two norms precomputed per ROW (``na`` /
+    ``nb`` must be ``norm(a)`` / ``norm(b)``): bit-identical IEEE result —
+    the same ``dot`` and the same ``na * nb`` product order — but a pair
+    scan evaluates ONE zip_with aggregate per pair instead of three (plus
+    six array casts), because the norms depend only on one side each and
+    ride the pre-join row. The pair-join/crossJoin fast path; per-row
+    call sites keep :func:`cosine`."""
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
+    return dot(a, b) / (na * nb)
+
+
 def duck_cosine(a: str, b: str, dim: int) -> str:
     """DuckDB mirror of :func:`cosine`: explicit double-promoted
     sequential sums (NOT list_cosine_similarity, whose float accumulation

@@ -861,10 +861,19 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Exact cosine pair scan (O(n²)) — the correctness baseline. The
     clustered scale path is :func:`semantic_dedup_pairs` (x26)."""
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    left = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        vectors.norm(vec_col).alias("_na"),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        vectors.norm(vec_col).alias("_nb"),
+    )
     pairs = left.join(right, F.col("id_a") < F.col("id_b"))
-    cos = vectors.cosine("va", "vb")
+    # norms per ROW, one aggregate per PAIR (bit-identical; vectors.cosine_pre)
+    cos = vectors.cosine_pre("va", "vb", "_na", "_nb")
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
@@ -904,15 +913,22 @@ def lsh_bucketed_dup_pairs(
     planes = similarity.hyperplanes(dim, n_planes, seed)
     bk = similarity.bucket_key(vec_col, planes)
     left = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), bk.alias("_bk")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        bk.alias("_bk"),
+        vectors.norm(vec_col).alias("_na"),
     )
     right = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), bk.alias("_bk2")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        bk.alias("_bk2"),
+        vectors.norm(vec_col).alias("_nb"),
     )
     pairs = left.join(
         right, (F.col("_bk") == F.col("_bk2")) & (F.col("id_a") < F.col("id_b"))
     )
-    cos = vectors.cosine("va", "vb")
+    # norms per ROW, one aggregate per PAIR (bit-identical; vectors.cosine_pre)
+    cos = vectors.cosine_pre("va", "vb", "_na", "_nb")
     return (
         pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)

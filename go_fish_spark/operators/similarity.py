@@ -34,14 +34,21 @@ def brute_force_topk(
     broken by vec_id so results are deterministic."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            vectors.norm(vec_col).alias("_nqv"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        vectors.norm(vec_col).alias("_ncv"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", vectors.cosine("cv", "qv"))
+        # norms per ROW, one aggregate per PAIR (bit-identical; cosine_pre)
+        .withColumn("cos", vectors.cosine_pre("cv", "qv", "_ncv", "_nqv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -494,9 +501,11 @@ def ivf_topk(
             )
         )
     scored = (
-        assigned.join(probe, "cell")
+        assigned.withColumn("_ncv", vectors.norm("cv"))
+        .join(probe.withColumn("_nqv", vectors.norm("qv")), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", vectors.cosine("cv", "qv"))
+        # norms per ROW, one aggregate per PAIR (bit-identical; cosine_pre)
+        .withColumn("cos", vectors.cosine_pre("cv", "qv", "_ncv", "_nqv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -533,10 +542,12 @@ def ivf_topk_expr(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         quantizer.assign_expr_col(vec_col).alias("cell"),
+        vectors.norm(vec_col).alias("_ncv"),
     )
     probe = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        vectors.norm(vec_col).alias("_nqv"),
         F.posexplode(quantizer.dist_expr_arr(vec_col)).alias("cell", "_d"),
     )
     wp = Window.partitionBy("query_id").orderBy("_d", "cell")
@@ -548,7 +559,8 @@ def ivf_topk_expr(
     scored = (
         assigned.join(probe, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", vectors.cosine("cv", "qv"))
+        # norms per ROW, one aggregate per PAIR (bit-identical; cosine_pre)
+        .withColumn("cos", vectors.cosine_pre("cv", "qv", "_ncv", "_nqv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -576,18 +588,21 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         bucket_key(vec_col, planes).alias("bk"),
+        vectors.norm(vec_col).alias("_ncv"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             bucket_key(vec_col, planes).alias("bk"),
+            vectors.norm(vec_col).alias("_nqv"),
         )
     )
     scored = (
         c.join(q, "bk")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", vectors.cosine("cv", "qv"))
+        # norms per ROW, one aggregate per PAIR (bit-identical; cosine_pre)
+        .withColumn("cos", vectors.cosine_pre("cv", "qv", "_ncv", "_nqv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -1115,16 +1130,19 @@ def mutual_knn_pairs(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("cv"),
             bucket_key(vec_col, planes).alias("bk"),
+            vectors.norm(vec_col).alias("_ncv"),
         )
         q = corpus.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             bucket_key(vec_col, planes).alias("bk"),
+            vectors.norm(vec_col).alias("_nqv"),
         )
         scored = (
             c.join(q, "bk")
             .filter(F.col("vec_id") != F.col("query_id"))
-            .withColumn("cos", vectors.cosine("cv", "qv"))
+            # norms per ROW, one aggregate per PAIR (bit-identical)
+            .withColumn("cos", vectors.cosine_pre("cv", "qv", "_ncv", "_nqv"))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos").desc(), F.col("vec_id")
@@ -1613,17 +1631,20 @@ def hard_negative_topk(
             F.col(id_col).alias("query_id"),
             F.col(label_col).alias("query_label"),
             F.col(vec_col).alias("qv"),
+            vectors.norm(vec_col).alias("_nqv"),
         )
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("neg_label"),
         F.col(vec_col).alias("cv"),
+        vectors.norm(vec_col).alias("_ncv"),
     )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neg_label") != F.col("query_label"))
-        .withColumn("cos", vectors.cosine("cv", "qv"))
+        # norms per ROW, one aggregate per PAIR (bit-identical; cosine_pre)
+        .withColumn("cos", vectors.cosine_pre("cv", "qv", "_ncv", "_nqv"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("vec_id")

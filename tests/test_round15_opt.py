@@ -313,3 +313,156 @@ def test_cc_on_corpus_matches_oracle_shape(spark):
         ).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cosine_pre: per-row precomputed norms in the pair-scan family must be
+# bit-identical to the per-pair cosine (the r15 pair-compute rewrite)
+
+
+def test_cosine_pre_bit_identical_on_corpus(spark):
+    """UNROUNDED cosine values from the old per-pair expression and the
+    prenormed fast path must match exactly (IEEE-identical doubles) on
+    the real embedding corpus, including the self-join shape x05/x37
+    use. exceptAll compares doubles by exact bits, so a single ulp of
+    drift fails."""
+    from go_fish_spark.catalog import table
+    from go_fish_spark.functions import vectors
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    left = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        vectors.norm("embedding").alias("_na"),
+    )
+    right = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        vectors.norm("embedding").alias("_nb"),
+    )
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    old = pairs.select(
+        "id_a", "id_b", vectors.cosine("va", "vb").alias("c")
+    )
+    new = pairs.select(
+        "id_a", "id_b", vectors.cosine_pre("va", "vb", "_na", "_nb").alias("c")
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_cosine_pre_null_and_zero_vector_semantics(spark):
+    """NULL vectors and all-zero vectors must behave identically in both
+    forms: NULL propagates to a NULL cosine, and a zero-norm divisor
+    raises the same ANSI divide-by-zero in BOTH shapes — the pair scans
+    rely on the same outcomes."""
+    from go_fish_spark.functions import vectors
+
+    def pair_frame(rows):
+        df = spark.createDataFrame(rows, "id int, v array<double>")
+        a = df.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            vectors.norm("v").alias("_na"),
+        )
+        b = df.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            vectors.norm("v").alias("_nb"),
+        )
+        return a.join(b, F.col("id_a") < F.col("id_b"))
+
+    # NULL vector: both forms yield NULL for its pairs, equal elsewhere.
+    p = pair_frame([(1, [1.0, 2.0]), (3, None), (4, [-1.0, 0.5])])
+    both = p.select(
+        "id_a",
+        "id_b",
+        vectors.cosine("va", "vb").alias("old"),
+        vectors.cosine_pre("va", "vb", "_na", "_nb").alias("new"),
+    ).collect()
+    assert len(both) == 3
+    for r in both:
+        if r.old is None:
+            assert r.new is None
+        else:
+            assert r.old == r.new
+    assert sum(1 for r in both if r.old is None) == 2
+
+    # Zero vector: norm 0 divisor — ANSI divide-by-zero in BOTH forms.
+    pz = pair_frame([(1, [1.0, 2.0]), (2, [0.0, 0.0])])
+    for expr in (
+        vectors.cosine("va", "vb"),
+        vectors.cosine_pre("va", "vb", "_na", "_nb"),
+    ):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            pz.select(expr.alias("c")).collect()
+
+
+def test_pair_scan_operators_match_old_expression(spark):
+    """The rewritten pair scans (x05 embedding_dup_pairs, x37
+    lsh_bucketed_dup_pairs, x06 brute_force_topk) still produce the
+    exact rows the per-pair cosine produced: reference pipelines built
+    here with vectors.cosine, compared row-for-row."""
+    from pyspark.sql import Window
+
+    from go_fish_spark.catalog import table
+    from go_fish_spark.functions import vectors
+    from go_fish_spark.operators import dedup, similarity
+
+    emb = table(spark, SF_SMALL, "embeddings")
+
+    # x05 reference: original embedding_dup_pairs shape
+    left = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    right = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    ref_cos = vectors.cosine("va", "vb")
+    ref05 = (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", ref_cos)
+        .filter(F.col("cos") >= 0.45)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+    got05 = dedup.embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    assert got05.exceptAll(ref05).count() == 0
+    assert ref05.exceptAll(got05).count() == 0
+
+    # x37 reference: original lsh_bucketed_dup_pairs shape
+    planes = similarity.hyperplanes(64, 6, 42)
+    bk = similarity.bucket_key("embedding", planes)
+    l2 = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), bk.alias("_bk")
+    )
+    r2 = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), bk.alias("_bk2")
+    )
+    ref37 = (
+        l2.join(r2, (F.col("_bk") == F.col("_bk2")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos", vectors.cosine("va", "vb"))
+        .filter(F.col("cos") >= 0.45)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+    got37 = dedup.lsh_bucketed_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.45, n_planes=6, seed=42
+    )
+    assert got37.exceptAll(ref37).count() == 0
+    assert ref37.exceptAll(got37).count() == 0
+
+    # x06 reference: original brute_force_topk shape
+    queries = emb.filter(F.col("vec_id") < 5)
+    q = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    c = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", vectors.cosine("cv", "qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    ref06 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+    got06 = similarity.brute_force_topk(emb, queries, k=10)
+    assert got06.exceptAll(ref06).count() == 0
+    assert ref06.exceptAll(got06).count() == 0
